@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the driver harness (local[N], 128 GiB, single JVM) but every
+setting is chosen to also be the right call on a 1000-executor cluster:
+AQE for runtime re-planning + skew-join splitting, partition coalescing so
+small SFs don't pay 200-task overheads, broadcast threshold sized for the
+dimension tables of a star schema, UTC session timezone for deterministic
+time semantics (Pinot stores epoch millis — TZ-free; see
+reference configuration-reference/schema.md:69-72).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) confs that must hold on ANY session we are handed,
+# including the driver's. Applied by `configure()`.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Star-schema dims (region/nation/supplier/part/customer) are tiny at any
+    # SF relative to fact tables; broadcast aggressively.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+# Static confs — only settable at session build time.
+STATIC_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on this session; accept its value
+    return spark
+
+
+def get_spark(app_name: str = "apache-pinot-spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    b = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in STATIC_CONFS.items():
+        b = b.config(k, v)
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return configure(b.getOrCreate())

@@ -1,0 +1,9 @@
+"""Extended query-suite modules. Importing this package registers every
+suite into ``apache_pinot_spark.querysuite.REGISTRY``.
+
+Modules are added as operator families are implemented:
+  text_suite       — TEXT_MATCH / TEXT_CONTAINS / text analysis (P10-P12)
+  json_suite       — JSON_MATCH forms (P8)
+  dedup_suite      — exact + near-dup (MinHash/SimHash/Jaccard)
+  similarity_suite — embedding ANN (brute-force + LSH)
+"""

@@ -1,0 +1,70 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed end-to-end (plan + run + collect) the way the engine
+serves it; a warmup pass first touches every table so JVM/codegen startup
+isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "p9_json_extract_scalar",
+    "a9_groupby_datetrunc",
+    "a5_distinctcount",
+    "a13_rollup",
+    "o3_top_groups",
+    "f2_datetrunc_week_epoch",
+    "join_customer_revenue",
+    "join_nation_supplier",
+    "p7_mv_predicate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from apache_pinot_spark.session import get_spark
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark import querysuite
+    import apache_pinot_spark.suites  # noqa: F401
+
+    spark = get_spark("apache-pinot-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: force JVM + parquet footer reads outside the timed region.
+    for name, df in load_tables(spark, sf_dir).items():
+        df.count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in BENCH_QUERIES if n in querysuite.REGISTRY]
+    extra = [n for n in sorted(querysuite.REGISTRY) if n not in names]
+    for name in names + extra:
+        q = querysuite.REGISTRY[name]
+        t0 = time.perf_counter()
+        rows = q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "declared_query_suite_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
