@@ -1,0 +1,7 @@
+"""Pinot-compatible function packages, implemented as compositions of
+built-in pyspark.sql.functions (JVM-side, codegen-friendly). No Python UDFs
+in any hot path."""
+
+from apache_pinot_spark.functions.text import text_match, text_contains, tokens_expr  # noqa: F401
+from apache_pinot_spark.functions.json import json_match, json_extract_scalar, infer_json_schema  # noqa: F401
+from apache_pinot_spark.functions.datetime import date_trunc_millis, from_datetime  # noqa: F401

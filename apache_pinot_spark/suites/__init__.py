@@ -7,3 +7,6 @@ Modules are added as operator families are implemented:
   dedup_suite      — exact + near-dup (MinHash/SimHash/Jaccard)
   similarity_suite — embedding ANN (brute-force + LSH)
 """
+
+from apache_pinot_spark.suites import text_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import json_suite  # noqa: F401,E402

@@ -1,0 +1,160 @@
+"""Golden tests for TEXT_MATCH from the reference's worked examples
+(basics/indexing/text-search-support.md:321-539). The corpus and each
+query's expected matching records are specified verbatim in the docs, so
+these run as executable goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions.text import (
+    text_match,
+    text_contains,
+    tokens_expr,
+    effective_stop_words,
+    DEFAULT_STOP_WORDS,
+)
+
+# The 19-record SKILLS_COL resume corpus (text-search-support.md:321-343).
+SKILLS = [
+    "Java, C++, worked on open source projects, coursera machine learning",
+    "Machine learning, Tensor flow, Java, Stanford university,",
+    "Distributed systems, Java, C++, Go, distributed query engines for analytics and data warehouses, Machine learning, spark, Kubernetes, transaction processing",
+    "Java, Python, C++, Machine learning, building and deploying large scale production systems, concurrency, multi-threading, CPU processing",
+    "C++, Python, Tensor flow, database kernel, storage, indexing and transaction processing, building large scale systems, Machine learning",
+    "Amazon EC2, AWS, hadoop, big data, spark, building high performance scalable systems, building and deploying large scale production systems, concurrency, multi-threading, Java, C++, CPU processing",
+    "Distributed systems, database development, columnar query engine, database kernel, storage, indexing and transaction processing, building large scale systems",
+    "Distributed systems, Java, realtime streaming systems, Machine learning, spark, Kubernetes, distributed storage, concurrency, multi-threading",
+    "CUDA, GPU, Python, Machine learning, database kernel, storage, indexing and transaction processing, building large scale systems",
+    "Distributed systems, Java, database engine, cluster management, docker image building and distribution",
+    "Kubernetes, cluster management, operating systems, concurrency, multi-threading, apache airflow, Apache Spark,",
+    "Apache spark, Java, C++, query processing, transaction processing, distributed storage, concurrency, multi-threading, apache airflow",
+    "Big data stream processing, Apache Flink, Apache Beam, database kernel, distributed query engines for analytics and data warehouses",
+    "CUDA, GPU processing, Tensor flow, Pandas, Python, Jupyter notebook, spark, Machine learning, building high performance scalable systems",
+    "Distributed systems, Apache Kafka, publish-subscribe, building and deploying large scale production systems, concurrency, multi-threading, C++, CPU processing, Java",
+    "Realtime stream processing, publish subscribe, columnar processing for data warehouses, concurrency, Java, multi-threading, C++,",
+    "C++, Java, Python, realtime streaming systems, Machine learning, spark, Kubernetes, transaction processing, distributed storage, concurrency, multi-threading, apache airflow",
+    "Databases, columnar query processing, Apache Arrow, distributed systems, Machine learning, cluster management, docker image building and distribution",
+    "Database engine, OLAP systems, OLTP transaction processing at large scale, concurrency, multi-threading, GO, building large scale systems",
+]
+
+
+@pytest.fixture(scope="module")
+def skills_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SKILLS)], ["id", "SKILLS_COL"]
+    ).cache()
+
+
+def matched_ids(df, expr, **kw):
+    return sorted(r[0] for r in df.filter(text_match("SKILLS_COL", expr, **kw)).select("id").collect())
+
+
+def ids_containing(substr):
+    return sorted(i for i, s in enumerate(SKILLS) if substr.lower() in s.lower())
+
+
+def test_example1_phrase_distributed_systems(skills_df):
+    # text-search-support.md:346-377 — 6 expected records, and the in-order
+    # rule: "Distributed data processing, systems design" must NOT match.
+    got = matched_ids(skills_df, '"Distributed systems"')
+    assert got == [2, 6, 7, 9, 14, 17]
+
+
+def test_phrase_does_not_cross_match(spark):
+    df = spark.createDataFrame(
+        [(0, "Distributed data processing, systems design experience")], ["id", "SKILLS_COL"]
+    )
+    assert df.filter(text_match("SKILLS_COL", '"distributed systems"')).count() == 0
+
+
+def test_example2_phrase_query_processing(skills_df):
+    # text-search-support.md:385-396 — exactly the two 'query processing' rows
+    got = matched_ids(skills_df, '"query processing"')
+    assert got == [11, 17]
+
+
+def test_example3_term_java_case_insensitive(skills_df):
+    got = matched_ids(skills_df, "Java")
+    assert got == ids_containing("java")
+
+
+def test_example4_and_of_two_phrases(skills_df):
+    # text-search-support.md:415-428: "Machine learning" AND "Tensor Flow"
+    got = matched_ids(skills_df, '"Machine learning" AND "Tensor Flow"')
+    assert got == [1, 4, 13]
+
+
+def test_example5_phrase_and_terms(skills_df):
+    # text-search-support.md:432-444: "Machine learning" AND gpu AND python
+    got = matched_ids(skills_df, '"Machine learning" AND gpu AND python')
+    assert got == [8, 13]
+
+
+def test_example6_implicit_or(skills_df):
+    # text-search-support.md:456-466: phrase OR java OR c++ (implicit OR)
+    got = matched_ids(skills_df, '"distributed systems" Java C++')
+    expect = sorted(
+        set(matched_ids(skills_df, '"distributed systems"'))
+        | set(matched_ids(skills_df, "java"))
+        | set(matched_ids(skills_df, "c"))
+    )
+    assert got == expect
+    assert 0 in got and 2 in got
+
+
+def test_example7_grouping(skills_df):
+    # text-search-support.md:470-480: '"distributed systems" AND (Java C++)'
+    got = matched_ids(skills_df, '"distributed systems" AND (Java C++)')
+    ds = set(matched_ids(skills_df, '"distributed systems"'))
+    jc = set(matched_ids(skills_df, "Java C++"))
+    assert got == sorted(ds & jc)
+
+
+def test_example8_prefix(skills_df):
+    # text-search-support.md:484-499: stream* → stream/streaming/streams
+    got = matched_ids(skills_df, "stream*")
+    assert got == [7, 12, 15, 16]
+
+
+def test_regex_query(skills_df):
+    # text-search-support.md:503-521: '/.*Exception/' style token regex
+    got = matched_ids(skills_df, "/colum.*/")
+    assert got == sorted(ids_containing("columnar"))
+
+
+def test_stop_words_ignored(skills_df):
+    # 'and' is a stop word: searching it alone matches everything
+    # (index never contains it), and phrases skip over it.
+    assert "and" in DEFAULT_STOP_WORDS
+    got = matched_ids(skills_df, '"indexing and transaction processing"')
+    assert got == sorted(ids_containing("indexing and transaction processing"))
+
+
+def test_stop_word_overrides():
+    # text-search-support.md:261-277: includes add, excludes remove, a word
+    # in both lists ends up excluded.
+    eff = effective_stop_words(include={"incl1", "it"}, exclude={"it"})
+    assert "incl1" in eff and "it" not in eff and "the" in eff
+
+
+def test_text_contains_prefix_postfix(skills_df):
+    # native-text-index.md:33-55 — term, prefix "foo.*", postfix ".*bar"
+    assert sorted(
+        r[0] for r in skills_df.filter(text_contains("SKILLS_COL", "java")).select("id").collect()
+    ) == ids_containing("java")
+    pre = sorted(
+        r[0] for r in skills_df.filter(text_contains("SKILLS_COL", "stream.*")).select("id").collect()
+    )
+    assert pre == [7, 12, 15, 16]
+    post = sorted(
+        r[0] for r in skills_df.filter(text_contains("SKILLS_COL", ".*ing")).select("id").collect()
+    )
+    assert all(any(t.endswith("ing") for t in SKILLS[i].lower().replace(",", " ").split()) for i in post)
+
+
+def test_tokens_expr_drops_stopwords(spark):
+    df = spark.createDataFrame([("The quick AND the dead, of course!",)], ["t"])
+    toks = df.select(tokens_expr("t").alias("x")).collect()[0][0]
+    assert toks == ["quick", "dead", "course"]
