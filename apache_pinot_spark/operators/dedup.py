@@ -1,0 +1,267 @@
+"""Deduplication operators — exact and near-duplicate, DataFrame-native.
+
+Scale design (100 TB corpus, 1000 executors):
+  * Exact dedup: fingerprint is computed map-side (md5/xxhash64 of the
+    normalized text), the only shuffle is the groupBy on the fingerprint —
+    AQE splits skewed fingerprints (e.g. empty documents).
+  * MinHash signatures are pure per-row expressions (shingle → k hashes →
+    array_min): zero shuffle, whole-stage codegen. LSH banding explodes to
+    b rows/doc and shuffles on (band, band_hash) — the classic
+    shingle→minhash→band→bucket-join pipeline; bucket sizes stay small by
+    construction so the within-bucket self-join is bounded.
+  * SimHash is an explode + 64 conditional sums + bit-pack: one shuffle on
+    doc_id with map-side partial aggregation.
+  * Candidate pairs are verified with exact n-gram Jaccard (array_intersect/
+    array_union) before any destructive action.
+
+Two hash flavors: xxhash64 (fast JVM path, default) and md5 (portable —
+used by the driver-gate queries so a DuckDB oracle can reproduce results
+bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions.text import tokens_expr
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-grams over a token array (map-side, no shuffle)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def fingerprint_expr(col: Column | str, prefix_tokens: int | None = None) -> Column:
+    """md5 fingerprint of a text column (optionally of its first N tokens —
+    catches boilerplate-prefix duplicates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if prefix_tokens is None:
+        return F.md5(c)
+    toks = F.split(c, " ")
+    return F.md5(F.array_join(F.slice(toks, 1, prefix_tokens), " "))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", prefix_tokens: int | None = None
+) -> DataFrame:
+    """Groups of exact (or prefix-exact) duplicates: fingerprint, group
+    size, and the minimum key (the canonical survivor)."""
+    fp = fingerprint_expr(text_col, prefix_tokens)
+    return (
+        df.select(F.col(key_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("group_size"), F.min(key_col).alias("keep_key"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedupe_exact(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", prefix_tokens: int | None = None
+) -> DataFrame:
+    """Keep one row per fingerprint (the min-key row). Implemented as a
+    window-free groupBy+join so AQE can broadcast the (small) survivor set
+    when duplicates are rare."""
+    fp = fingerprint_expr(text_col, prefix_tokens).alias("fp")
+    keyed = df.withColumn("__fp", fingerprint_expr(text_col, prefix_tokens))
+    survivors = keyed.groupBy("__fp").agg(F.min(key_col).alias("__keep"))
+    return (
+        keyed.join(survivors, on="__fp", how="inner")
+        .filter(F.col(key_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_expr(
+    shingles: Column, num_hashes: int = 16, portable: bool = False
+) -> Column:
+    """k-element MinHash signature as an array column.
+
+    portable=False → xxhash64 (LONG mins, fast).
+    portable=True  → md5 lexicographic mins (reproducible in any engine).
+    """
+    def hasher(seed: Column):
+        # 1-arg lambda via closure: a default-arg lambda would be read by
+        # PySpark as an (element, index) lambda and bind seed to the index.
+        if portable:
+            return lambda x: F.md5(F.concat(seed, x))
+        return lambda x: F.xxhash64(F.concat(seed, x))
+
+    elems = []
+    for s in range(num_hashes):
+        h = F.transform(shingles, hasher(F.lit(f"{s}|")))
+        elems.append(F.array_min(h))
+    return F.array(*elems)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(key, band, band_hash) rows — one per band per doc. Docs shorter
+    than one shingle are dropped (no signal)."""
+    toks = tokens_expr(text_col, frozenset())  # dedup keeps stop words: byte-level fidelity
+    sh = shingles_expr(toks, shingle_n)
+    sig = minhash_signature_expr(sh, num_hashes, portable)
+    base = (
+        df.select(F.col(key_col).alias("key"), sh.alias("sh"), sig.alias("sig"))
+        .filter(F.size("sh") > 0)
+    )
+    bands = []
+    for b in range(num_hashes // band_size):
+        parts = [F.col("sig").getItem(b * band_size + i) for i in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias("band_hash"),
+            )
+        )
+    return base.select("key", F.explode(F.array(*bands)).alias("bb")).select(
+        "key", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (key_a < key_b) from LSH banding.
+    The self-join shuffles on (band, band_hash); bucket sizes are small by
+    construction, and AQE handles stragglers."""
+    bands = minhash_bands(df, text_col, key_col, num_hashes, band_size, shingle_n, portable)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (the verify stage after
+    LSH). Joins are key-equi joins; the shingle sets ride along as array
+    columns, set ops are JVM built-ins."""
+    toks = tokens_expr(text_col, frozenset())
+    sh = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.array_distinct(shingles_expr(toks, shingle_n)).alias("shset"),
+        )
+    )
+    a = sh.withColumnRenamed("key", "key_a").withColumnRenamed("shset", "set_a")
+    b = sh.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        pairs.join(a, "key_a").join(b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token hashes → per-bit ±1 sums
+    → sign bits). Explode + one groupBy(key) with map-side partial sums."""
+    toks = tokens_expr(text_col, frozenset())
+    tok = (
+        df.select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    # bit 63 of a signed LONG is the sign bit: its mask must be the
+    # two's-complement value -(1<<63) or F.lit overflows a Java long.
+    sums = tok.groupBy("key").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(
+                        F.lit((1 << i) if i < 63 else -(1 << 63))
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        # bit 63 of a signed LONG is the sign bit: 1<<63 must be expressed
+        # as its two's-complement value or F.lit overflows.
+        val = (1 << i) if i < 63 else -(1 << 63)
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(val)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return sums.select("key", sim.alias("simhash"))
+
+
+def simhash16_portable(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash whose per-token hash bits are the high bits of the
+    md5 hex nibbles — reproducible in any engine with md5+substring (used
+    by the oracle-checked driver query)."""
+    toks = tokens_expr(text_col, frozenset())
+    tok = (
+        df.select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
+        .withColumn("m", F.md5("t"))
+    )
+    high = set("89abcdef")
+    sums = tok.groupBy("key").agg(
+        *[
+            F.sum(
+                F.when(F.substring("m", i + 1, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return sums.select("key", sim.cast("bigint").alias("simhash"))

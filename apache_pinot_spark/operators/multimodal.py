@@ -1,0 +1,149 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+`decode_stub=True` (default) produces a deterministic fake derived from the
+content bytes so the full pipeline — schema, partitioning, batch shapes,
+UDF signatures — is real and testable; `decode_stub=False` raises
+NotImplementedError at the exact point a real decoder (PIL/libav) plugs in.
+
+Scale design: mapInPandas streams Arrow record batches — content bytes
+never materialize on the driver; `spark.sql.execution.arrow.maxRecordsPerBatch`
+bounds executor memory per batch (set it small for large blobs, e.g. 64).
+Frame sampling for video is pure metadata arithmetic (no decode) and
+stays in JVM expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_features(content: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in for a real feature extractor: n floats in
+    [0,1) derived from the content digest."""
+    d = hashlib.sha256(content or b"").digest()
+    return [int.from_bytes(d[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(n)]
+
+
+def extract_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decode_stub: bool = True,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Decode + featurize images via mapInPandas (Arrow batches).
+
+    Real pipeline shape: batches of (id, content) → decoded pixels →
+    feature vector. The decode is the only stubbed step.
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                # Plug point for a real decoder:
+                #   from PIL import Image; Image.open(io.BytesIO(b)) ...
+                raise NotImplementedError(
+                    "image decode requires an imaging library not present in this container"
+                )
+            contents = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": contents.map(lambda b: len(b or b"")).astype("int32"),
+                    "digest": contents.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "features": contents.map(lambda b: _fake_features(b, feature_dim)),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    meta_col: str = "meta",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing: output schema mirrors input with updated metadata;
+    content passes through untouched in stub mode (a real impl re-encodes)."""
+    if not decode_stub:
+        raise NotImplementedError("image resize requires an imaging library")
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            F.col(f"{meta_col}.format").alias("format"),
+            F.lit(target_w).alias("width"),
+            F.lit(target_h).alias("height"),
+        ),
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n_seconds: float,
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plan: (media_id, frame_index, timestamp_s) rows from
+    duration/fps metadata — pure JVM arithmetic, the decode of the chosen
+    frames is downstream (stubbed). One row per sampled frame via explode."""
+    n_samples = F.floor(F.col(duration_col) / F.lit(every_n_seconds)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_samples, F.lit(0)))
+    return (
+        df.select(F.col(id_col), F.col(fps_col), F.explode(idx).alias("sample_i"))
+        .select(
+            id_col,
+            (F.col("sample_i") * F.lit(every_n_seconds)).alias("timestamp_s"),
+            F.floor(F.col("sample_i") * F.lit(every_n_seconds) * F.col(fps_col)).alias(
+                "frame_index"
+            ),
+        )
+    )

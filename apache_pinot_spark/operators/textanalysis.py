@@ -1,0 +1,153 @@
+"""Text analysis operators for corpus curation: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+All pure JVM expressions (split/filter/aggregate/regexp) — these run inside
+the parquet scan stage at 100 TB with zero shuffles; only the final
+aggregations (if any) shuffle, with map-side partial aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_ish_token_count_expr(col: Column | str) -> Column:
+    """BPE-style subword estimate: alphanumeric runs + one token per
+    punctuation character — the standard pre-tokenizer shape, a cheap
+    deterministic proxy for tokenizer budget accounting. (regexp_extract_all
+    rather than lookaround splits: portable to RE2-based engines.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+"), 0))
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return runs + punct
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+
+def stopword_count_expr(col: Column | str) -> Column:
+    toks = whitespace_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(DEFAULT_STOP_WORDS)])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+
+
+def punct_count_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The standard cheap quality signals: counts (exact ints) so
+    aggregations stay deterministic; ratios are computed by the caller
+    with one division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_chars_measured": F.length(c),
+        "n_tokens": token_count_expr(c),
+        "n_stopwords": stopword_count_expr(c),
+        "n_punct": punct_count_expr(c),
+        "n_digits": F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", "")),
+    }
+
+
+def quality_score_expr(col: Column | str) -> Column:
+    """Composite 0-100 heuristic: reward stopword presence (natural prose)
+    and moderate token length; penalize digit soup. Deterministic integer/
+    single-division arithmetic."""
+    f = quality_features(col)
+    nt = f["n_tokens"].cast("double")
+    stop_ratio = f["n_stopwords"].cast("double") / F.greatest(nt, F.lit(1.0))
+    digit_ratio = f["n_digits"].cast("double") / F.greatest(
+        f["n_chars_measured"].cast("double"), F.lit(1.0)
+    )
+    avg_tok_len = f["n_chars_measured"].cast("double") / F.greatest(nt, F.lit(1.0))
+    score = (
+        F.lit(50.0)
+        + F.least(stop_ratio * 100, F.lit(25.0))
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 12), F.lit(25.0)).otherwise(F.lit(0.0))
+        - F.least(digit_ratio * 100, F.lit(50.0))
+    )
+    return F.greatest(F.least(score, F.lit(100.0)), F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+# Distinctive high-frequency function words per language. A real system
+# uses char n-gram profiles; the marker-set approach is the same decision
+# rule (argmax of per-language evidence) with a portable SQL encoding.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "y", "una"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+
+
+def _contains_any(arr: Column):
+    # NB: must be a 1-arg lambda — PySpark interprets 2-arg higher-order
+    # lambdas (even via default args) as (element, index).
+    return lambda x: F.array_contains(arr, x)
+
+
+def lang_marker_counts(col: Column | str) -> dict[str, Column]:
+    toks = whitespace_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, _contains_any(arr)))
+    return out
+
+
+def lang_id_expr(col: Column | str, default: str = "und") -> Column:
+    """argmax over marker counts; ties broken by language-code order;
+    all-zero → default."""
+    counts = lang_marker_counts(col)
+    best_lang = F.lit(default)
+    best_count = F.lit(0)
+    for lang in sorted(counts, reverse=True):  # later (earlier alphabetically) wins ties
+        c = counts[lang]
+        take = c >= F.greatest(best_count, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(take, c).otherwise(best_count)
+    return best_lang
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (winnowing-style)
+# --------------------------------------------------------------------------
+
+
+def winnow_fingerprints_expr(
+    col: Column | str, shingle_n: int = 4, keep: int = 4
+) -> Column:
+    """The `keep` lexicographically-smallest md5 shingle hashes — a
+    winnowing-style robust fingerprint set. Two documents sharing any
+    fingerprint are near-dup candidates. Portable (md5 + sort + slice)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(F.lower(c))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
+    )
+    return F.slice(F.array_sort(sh), 1, keep)

@@ -10,3 +10,6 @@ Modules are added as operator families are implemented:
 
 from apache_pinot_spark.suites import text_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import json_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import dedup_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import similarity_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402

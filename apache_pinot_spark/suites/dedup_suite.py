@@ -1,0 +1,185 @@
+"""Driver-gate queries for deduplication operators, with DuckDB oracles
+reproducing the md5-portable hash pipeline exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.operators import dedup
+from apache_pinot_spark.querysuite import df_query
+
+# Shared DuckDB fragments mirroring tokens_expr(stop_words=∅) and 3-gram
+# shingles (dedup keeps stop words for byte-level fidelity).
+_TOKS = """
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+"""
+_SHINGLES_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS sh
+  FROM toks
+  WHERE len(t) >= 3
+)
+"""
+_SIG_CTE = (
+    _SHINGLES_CTE
+    + """,
+sig AS (
+  SELECT doc_id, s.range AS s,
+         list_min(list_transform(sh, x -> md5(s.range || '|' || x))) AS mh
+  FROM sh, range(0, 16) s
+),
+bands AS (
+  SELECT doc_id, s // 2 AS band,
+         md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+  FROM sig GROUP BY doc_id, s // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _exact_groups(spark, sf_dir):
+    return dedup.exact_duplicate_groups(_docs(spark, sf_dir), prefix_tokens=8).orderBy("fp")
+
+
+df_query(
+    "dedup_exact_groups",
+    _exact_groups,
+    """
+    SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+           COUNT(*) AS group_size, MIN(doc_id) AS keep_key
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+    tables=["documents"],
+    doc="Exact (prefix-8) duplicate groups via hash-groupBy",
+)
+
+
+def _exact_dedupe(spark, sf_dir):
+    kept = dedup.dedupe_exact(_docs(spark, sf_dir), prefix_tokens=8)
+    return kept.agg(
+        F.count("*").alias("kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+df_query(
+    "dedup_exact_dedupe",
+    _exact_dedupe,
+    """
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+    )
+    SELECT COUNT(*) AS kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM kept
+    """,
+    tables=["documents"],
+    doc="Exact dedup keeping min-key survivor per fingerprint",
+)
+
+
+def _minhash_pairs(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=16, band_size=2, shingle_n=3, portable=True
+    ).orderBy("key_a", "key_b")
+
+
+df_query(
+    "dedup_minhash_lsh_pairs",
+    _minhash_pairs,
+    _SIG_CTE + "SELECT key_a, key_b FROM pairs ORDER BY key_a, key_b",
+    tables=["documents"],
+    doc="MinHash(16) + LSH banding (8 bands × 2) candidate pairs",
+)
+
+
+def _jaccard_verified(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_candidate_pairs(
+        docs, num_hashes=16, band_size=2, shingle_n=3, portable=True
+    )
+    return dedup.jaccard_verify_pairs(pairs, docs, shingle_n=3, threshold=0.02).orderBy(
+        "key_a", "key_b"
+    )
+
+
+df_query(
+    "dedup_jaccard_verified",
+    _jaccard_verified,
+    _SIG_CTE
+    + """,
+shset AS (
+  SELECT doc_id, list_distinct(sh) AS shset FROM sh
+)
+SELECT p.key_a, p.key_b,
+       CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         / len(list_distinct(a.shset || b.shset)) AS jaccard
+FROM pairs p
+JOIN shset a ON a.doc_id = p.key_a
+JOIN shset b ON b.doc_id = p.key_b
+WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        / len(list_distinct(a.shset || b.shset)) >= 0.02
+ORDER BY key_a, key_b
+    """,
+    tables=["documents"],
+    doc="n-gram Jaccard verification of LSH candidates",
+)
+
+
+def _simhash(spark, sf_dir):
+    return (
+        dedup.simhash16_portable(_docs(spark, sf_dir))
+        .groupBy((F.col("simhash") % 16).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+df_query(
+    "dedup_simhash_buckets",
+    _simhash,
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(t) AS m FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT simhash % 16 AS bucket, COUNT(*) AS cnt FROM sim GROUP BY 1 ORDER BY bucket
+    """.format(
+        sums=",\n             ".join(
+            f"SUM(CASE WHEN substr(m, {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(16)
+        ),
+        bits=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)),
+    ),
+    tables=["documents"],
+    doc="Portable 16-bit SimHash bucket histogram",
+)

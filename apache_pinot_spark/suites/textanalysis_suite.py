@@ -1,0 +1,198 @@
+"""Driver-gate queries for text analysis operators (token counting,
+quality scoring, language ID, fingerprinting) with DuckDB oracles that
+replicate the arithmetic exactly (integer counts + single divisions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
+from apache_pinot_spark.operators import textanalysis as tx
+from apache_pinot_spark.querysuite import df_query
+
+_STOP_SQL = ",".join("'" + w + "'" for w in sorted(DEFAULT_STOP_WORDS))
+
+_WS_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_WS_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", tx.token_count_expr("text").alias("nt"), F.length("text").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.sum("nc").alias("sum_chars"),
+            (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+df_query(
+    "tx_token_stats",
+    _token_stats,
+    f"""
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(len({_WS_TOKS})) AS BIGINT) AS sum_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tables=["documents"],
+    doc="Whitespace token counting, per-language stats",
+)
+
+
+def _bpe_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("source", tx.bpe_ish_token_count_expr("text").alias("bt")).groupBy(
+        "source"
+    ).agg(F.sum("bt").alias("sum_bpe_tokens")).orderBy("source")
+
+
+df_query(
+    "tx_bpe_token_count",
+    _bpe_stats,
+    r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS sum_bpe_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tables=["documents"],
+    doc="BPE-ish subword count (alnum runs + punctuation chars)",
+)
+
+
+def _quality_buckets(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.floor(tx.quality_score_expr("text") / 10).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+df_query(
+    "tx_quality_buckets",
+    _quality_buckets,
+    f"""
+    WITH feat AS (
+      SELECT
+        length(text) AS n_chars_m,
+        len({_WS_TOKS}) AS n_tokens,
+        len(list_filter({_WS_TOKS_LOWER}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+        length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+      FROM documents
+    ),
+    score AS (
+      SELECT greatest(least(
+        50.0
+        + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 100, 25.0)
+        + (CASE WHEN CAST(n_chars_m AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                    BETWEEN 3 AND 12 THEN 25.0 ELSE 0.0 END)
+        - least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 100, 50.0)
+      , 100.0), 0.0) AS q
+      FROM feat
+    )
+    SELECT CAST(floor(q / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
+    FROM score GROUP BY 1 ORDER BY bucket
+    """,
+    tables=["documents"],
+    doc="Quality-score histogram (length/stopword/digit heuristics)",
+)
+
+
+def _lang_eval(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", tx.lang_id_expr("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "guess")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    markers = ",".join("'" + m + "'" for m in tx.LANG_MARKERS[lang])
+    return f"len(list_filter({_WS_TOKS_LOWER}, x -> x IN ({markers})))"
+
+
+df_query(
+    "tx_lang_id_eval",
+    _lang_eval,
+    f"""
+    WITH m AS (
+      SELECT lang,
+             {_marker_sql('de')} AS de_c, {_marker_sql('en')} AS en_c,
+             {_marker_sql('es')} AS es_c, {_marker_sql('fr')} AS fr_c,
+             {_marker_sql('zh')} AS zh_c
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, CASE
+        WHEN de_c >= greatest(en_c, es_c, fr_c, zh_c, 1) THEN 'de'
+        WHEN en_c >= greatest(es_c, fr_c, zh_c, 1) THEN 'en'
+        WHEN es_c >= greatest(fr_c, zh_c, 1) THEN 'es'
+        WHEN fr_c >= greatest(zh_c, 1) THEN 'fr'
+        WHEN zh_c >= 1 THEN 'zh'
+        ELSE 'und' END AS guess
+      FROM m
+    )
+    SELECT lang, guess, COUNT(*) AS cnt FROM g GROUP BY lang, guess ORDER BY lang, guess
+    """,
+    tables=["documents"],
+    doc="Marker-word language-ID vs labeled lang column",
+)
+
+
+def _fingerprint_overlap(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    fps = d.select(
+        "doc_id", F.explode(tx.winnow_fingerprints_expr("text", shingle_n=4, keep=4)).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .agg(
+            F.count("*").alias("shared_fps"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("docs_involved"),
+        )
+    )
+
+
+df_query(
+    "tx_fingerprint_overlap",
+    _fingerprint_overlap,
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             unnest(list_sort(list_transform(
+               range(1, greatest(len({_WS_TOKS_LOWER}) - 3, 0) + 1),
+               i -> md5(array_to_string(({_WS_TOKS_LOWER})[i:i+3], ' '))))[1:4]) AS fp
+      FROM documents
+    ),
+    shared AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT COUNT(*) AS shared_fps,
+           CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS docs_involved
+    FROM shared
+    """,
+    tables=["documents"],
+    doc="Winnowing-style fingerprint overlap across documents",
+)

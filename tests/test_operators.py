@@ -1,0 +1,161 @@
+"""Unit tests for the training-data pipeline operators beyond what the
+oracle-checked suite covers: LSH recall, multimodal plumbing, dedup
+behavior on known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from apache_pinot_spark.catalog import load_tables
+
+    return load_tables(spark, SF_SMOKE, ["documents"])["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from apache_pinot_spark.catalog import load_tables
+
+    return load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"].cache()
+
+
+def test_dedupe_exact_removes_known_duplicates(spark):
+    from apache_pinot_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "hello world foo"), (3, "unique text here")],
+        ["doc_id", "text"],
+    )
+    kept = dedup.dedupe_exact(df)
+    assert sorted(r[0] for r in kept.select("doc_id").collect()) == [1, 3]
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["group_size"] == 2 and groups[0]["keep_key"] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    from apache_pinot_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about databases and query engines " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_candidate_pairs(df, num_hashes=16, band_size=2).collect()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    verified = dedup.jaccard_verify_pairs(
+        dedup.minhash_candidate_pairs(df, num_hashes=16, band_size=2), df, threshold=0.5
+    ).collect()
+    assert {(r["key_a"], r["key_b"]) for r in verified} == {(1, 2)}
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in verified)
+
+
+def test_simhash_similar_docs_close(spark):
+    from apache_pinot_spark.operators import dedup
+
+    base = "spark sql query engine with columnar storage and vectorized execution " * 4
+    near = base.replace("vectorized", "pipelined")
+    far = "poems about the sea and the moon and lonely sailors at dusk " * 4
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    rows = {r["key"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_lsh_topk_recall(emb):
+    """LSH approximate top-k must recover a solid fraction of the exact
+    top-k. This corpus has weak neighbors (max cosine ~0.5 → per-plane
+    agreement ~0.67), so few planes + more tables: expected per-pair
+    recall 1-(1-0.67^3)^8 ≈ 0.94."""
+    from apache_pinot_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, num_planes=3, num_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_lsh_candidates_subset_of_all_pairs(emb):
+    from apache_pinot_spark.operators import similarity
+
+    n = emb.count()
+    cand = similarity.lsh_candidate_pairs(emb, dim=64, num_planes=12, num_tables=3).count()
+    assert 0 < cand < n * (n - 1) / 2  # bucketing actually prunes
+
+
+def test_multimodal_feature_extraction(spark):
+    from apache_pinot_spark.operators import multimodal
+
+    rows = [(i, bytes([i]) * (10 + i), ("png", 8, 8)) for i in range(5)]
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+    out = multimodal.extract_image_features(df).orderBy("media_id").collect()
+    assert len(out) == 5
+    assert out[0]["n_bytes"] == 10 and out[4]["n_bytes"] == 14
+    assert all(len(r["features"]) == 8 for r in out)
+    assert all(0.0 <= f < 1.0 for r in out for f in r["features"])
+    # deterministic: same content → same digest/features
+    again = multimodal.extract_image_features(df).orderBy("media_id").collect()
+    assert [r["digest"] for r in again] == [r["digest"] for r in out]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from apache_pinot_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"xx", ("png", 4, 4))], multimodal.IMAGE_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.extract_image_features(df, decode_stub=False).collect()
+
+
+def test_video_frame_sampling(spark):
+    from apache_pinot_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 30.0), (2, 0.5, 24.0)], ["media_id", "duration_s", "fps"]
+    )
+    out = multimodal.sample_video_frames(df, every_n_seconds=2.5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append((r["timestamp_s"], r["frame_index"]))
+    assert len(by_id[1]) == 5  # t = 0, 2.5, 5, 7.5, 10
+    assert (5.0, 150) in by_id[1]
+    assert len(by_id[2]) == 1  # only t = 0
+
+
+def test_quality_score_ranges(docs):
+    from apache_pinot_spark.operators import textanalysis as tx
+
+    stats = docs.select(tx.quality_score_expr("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 100.0
+
+
+def test_lang_id_on_clear_markers(spark):
+    from apache_pinot_spark.operators import textanalysis as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked to the sky"),
+            (2, "le chat et la lune et les etoiles"),
+            (3, "der hund und die katze und das haus nicht"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", tx.lang_id_expr("text").alias("g")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
