@@ -39,6 +39,16 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def _seed_hasher(seed: Column):
+    """1-arg md5 lambda via closure (a default-arg lambda would be read by
+    PySpark as an (element, index) lambda and bind seed to the index)."""
+    return lambda x: F.md5(F.concat(seed, x))
+
+
+def _slicer(start: int):
+    return lambda m: F.substring(m, start, 8)
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -96,6 +106,8 @@ def minhash_signature_expr(
 
     portable=False → xxhash64 (LONG mins, fast).
     portable=True  → md5 lexicographic mins (reproducible in any engine).
+    Prefer minhash_bands for the portable path at scale — it shares md5
+    work across hash functions via intermediate columns.
     """
     def hasher(seed: Column):
         # 1-arg lambda via closure: a default-arg lambda would be read by
@@ -121,14 +133,44 @@ def minhash_bands(
     portable: bool = False,
 ) -> DataFrame:
     """(key, band, band_hash) rows — one per band per doc. Docs shorter
-    than one shingle are dropped (no signal)."""
+    than one shingle are dropped (no signal).
+
+    Portable path cost model: one md5 per (shingle, seed) with only
+    ceil(num_hashes/4) seeds — each 128-bit digest is sliced into four
+    8-hex-char (32-bit) hash values. The md5 arrays are materialized as
+    intermediate columns so the 4 substring-min passes per seed share one
+    md5 pass (HOF lambdas are interpreted, not codegen'd — md5 count is
+    the dominant term)."""
     toks = tokens_expr(text_col, frozenset())  # dedup keeps stop words: byte-level fidelity
     sh = shingles_expr(toks, shingle_n)
-    sig = minhash_signature_expr(sh, num_hashes, portable)
-    base = (
-        df.select(F.col(key_col).alias("key"), sh.alias("sh"), sig.alias("sig"))
-        .filter(F.size("sh") > 0)
-    )
+    if portable:
+        num_seeds = (num_hashes + 3) // 4
+        staged = df.select(F.col(key_col).alias("key"), sh.alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        staged = staged.select(
+            "key",
+            "sh",
+            *[
+                F.transform(
+                    "sh", _seed_hasher(F.lit(f"{s}|"))
+                ).alias(f"__m{s}")
+                for s in range(num_seeds)
+            ],
+        )
+        elems = [
+            F.array_min(
+                F.transform(F.col(f"__m{i // 4}"), _slicer(8 * (i % 4) + 1))
+            )
+            for i in range(num_hashes)
+        ]
+        base = staged.select("key", "sh", F.array(*elems).alias("sig"))
+    else:
+        sig = minhash_signature_expr(sh, num_hashes, portable)
+        base = (
+            df.select(F.col(key_col).alias("key"), sh.alias("sh"), sig.alias("sig"))
+            .filter(F.size("sh") > 0)
+        )
     bands = []
     for b in range(num_hashes // band_size):
         parts = [F.col("sig").getItem(b * band_size + i) for i in range(band_size)]
@@ -157,7 +199,10 @@ def minhash_candidate_pairs(
     construction, and AQE handles stragglers."""
     bands = minhash_bands(df, text_col, key_col, num_hashes, band_size, shingle_n, portable)
     a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle_hash hint: both sides of the self-join then need an identical
+    # shuffle on (band, band_hash), so ReuseExchange computes the signature
+    # pipeline ONCE. A broadcast pick would recompute it for the build side.
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(b, on=["band", "band_hash"], how="inner")
         .filter(F.col("a.key") < F.col("b.key"))

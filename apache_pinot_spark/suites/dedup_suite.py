@@ -27,18 +27,26 @@ sh AS (
   WHERE len(t) >= 3
 )
 """
+# Mirror of minhash_bands(portable=True): hash i is the 8-hex-char slice
+# (i%4) of md5('(i//4)|' || shingle); band b hashes (mh[2b], mh[2b+1]).
+_MH_EXPRS = ",\n         ".join(
+    f"list_min(list_transform(sh, x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8))) AS mh{i}"
+    for i in range(16)
+)
+_BAND_ROWS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
+    for b in range(8)
+)
 _SIG_CTE = (
     _SHINGLES_CTE
-    + """,
+    + f""",
 sig AS (
-  SELECT doc_id, s.range AS s,
-         list_min(list_transform(sh, x -> md5(s.range || '|' || x))) AS mh
-  FROM sh, range(0, 16) s
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM sh
 ),
 bands AS (
-  SELECT doc_id, s // 2 AS band,
-         md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
-  FROM sig GROUP BY doc_id, s // 2
+  {_BAND_ROWS}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
