@@ -358,3 +358,128 @@ def infer_json_schema(df: DataFrame, column: str, sample_rows: int = 1000) -> T.
     spark = df.sparkSession
     inferred = spark.read.json(sample.rdd.map(lambda r: r[0]))
     return inferred.schema
+
+
+# --------------------------------------------------------------------------
+# SQL-string emitters — same parser/grouping semantics, producing Spark SQL
+# text for the engine's SQL front-end.
+# --------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _nav_sql(base: str, components: list[object]) -> str:
+    out = base
+    for c in components:
+        if isinstance(c, int):
+            out += f"[{c}]"  # Spark SQL bracket indexing is 0-based
+        else:
+            out += f".{c}"
+    return out
+
+
+def _scalar_compare_sql(extracted: str, pred: _Pred) -> str:
+    if pred.op == "IS NULL":
+        return f"{extracted} IS NULL"
+    if pred.op == "IS NOT NULL":
+        return f"{extracted} IS NOT NULL"
+    if isinstance(pred.value, (int, float)) and not isinstance(pred.value, bool):
+        return f"try_cast({extracted} AS DOUBLE) {pred.op} {float(pred.value)!r}"
+    return f"{extracted} {pred.op} {_sq(str(pred.value))}"
+
+
+_GENSYM = 0
+
+
+def _fresh_var() -> str:
+    global _GENSYM
+    _GENSYM += 1
+    return f"e{_GENSYM}"
+
+
+def _emit_context_group_sql(parsed: str, prefix: tuple[object, ...], preds: list[_Pred]) -> str:
+    arr = _nav_sql(parsed, list(prefix))
+    v = _fresh_var()
+    conds = []
+    for p in preds:
+        rest = p.path[len(prefix) + 1 :]
+        if _split_at_wildcard(rest) is not None:
+            conds.append(_emit_nested_wildcard_sql(v, rest, p))
+        else:
+            conds.append(_scalar_compare_sql(_nav_sql(v, rest), p))
+    return f"exists({arr}, {v} -> {' AND '.join(conds)})"
+
+
+def _emit_nested_wildcard_sql(var: str, rest: list[object], pred: _Pred) -> str:
+    inner_prefix, inner_rest = _split_at_wildcard(rest)
+    inner_arr = _nav_sql(var, inner_prefix)
+    v = _fresh_var()
+    if _split_at_wildcard(inner_rest) is not None:
+        body = _emit_nested_wildcard_sql(v, inner_rest, pred)
+    else:
+        body = _scalar_compare_sql(_nav_sql(v, inner_rest), pred)
+    return f"exists({inner_arr}, {v} -> {body})"
+
+
+def _emit_node_sql(node: object, raw: str, parsed: str | None) -> str:
+    if isinstance(node, _BoolNode):
+        if node.op == "and":
+            groups: dict[tuple[object, ...], list[_Pred]] = {}
+            others: list[object] = []
+            for ch in node.children:
+                if isinstance(ch, _Pred) and (s := _split_at_wildcard(ch.path)) is not None:
+                    groups.setdefault(tuple(s[0]), []).append(ch)
+                else:
+                    others.append(ch)
+            conds = []
+            for prefix, preds in groups.items():
+                if parsed is None:
+                    raise ValueError("JSON_MATCH with [*] paths needs a JSON schema")
+                conds.append(_emit_context_group_sql(parsed, prefix, preds))
+            conds.extend(_emit_node_sql(ch, raw, parsed) for ch in others)
+            return "(" + " AND ".join(conds) + ")"
+        return "(" + " OR ".join(_emit_node_sql(ch, raw, parsed) for ch in node.children) + ")"
+    pred: _Pred = node
+    split = _split_at_wildcard(pred.path)
+    if split is not None:
+        if parsed is None:
+            raise ValueError("JSON_MATCH with [*] paths needs a JSON schema")
+        return _emit_context_group_sql(parsed, tuple(split[0]), [pred])
+    if not pred.path and pred.op in ("IS NULL", "IS NOT NULL"):
+        is_null = f"({raw} IS NULL OR trim({raw}) = 'null')"
+        return is_null if pred.op == "IS NULL" else f"NOT {is_null}"
+    extracted = f"get_json_object({raw}, {_sq(_jsonpath(pred.path))})"
+    return _scalar_compare_sql(extracted, pred)
+
+
+def json_match_sql(
+    col_sql: str, filter_expr: str, schema: T.DataType | str | None = None
+) -> str:
+    """SQL-text form of json_match(col, filter) for the SQL front-end.
+    ``schema`` (DataType or DDL/simpleString) enables [*] array paths via
+    from_json."""
+    parsed = None
+    if schema is not None:
+        ddl = schema.simpleString() if isinstance(schema, T.DataType) else schema
+        parsed = f"from_json({col_sql}, {_sq(ddl)})"
+    return "(" + _emit_node_sql(parse_json_filter(filter_expr), col_sql, parsed) + ")"
+
+
+def json_extract_scalar_sql(
+    col_sql: str, path: str, result_type: str = "STRING", default_sql: str | None = None
+) -> str:
+    typ = {
+        "INT": "INT",
+        "LONG": "BIGINT",
+        "FLOAT": "FLOAT",
+        "DOUBLE": "DOUBLE",
+        "BOOLEAN": "BOOLEAN",
+        "STRING": "STRING",
+        "TIMESTAMP": "TIMESTAMP",
+    }[result_type.upper()]
+    out = f"CAST(get_json_object({col_sql}, {_sq(path)}) AS {typ})"
+    if default_sql is not None:
+        out = f"coalesce({out}, {default_sql})"
+    return out

@@ -245,3 +245,67 @@ def text_contains(col: Column | str, pattern: str) -> Column:
     toks = tokens_expr(col, frozenset())  # native index has no stop-word list documented
     pat = "(?i)^(?:" + pattern + ")$"
     return F.exists(toks, lambda t: t.rlike(pat))
+
+
+# --------------------------------------------------------------------------
+# SQL-string emitters — same parser + analyzer, but producing a Spark SQL
+# boolean expression (used by the engine's SQL front-end, where the
+# predicate must be spliced into arbitrary SQL text).
+# --------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    """Single-quote a SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def tokens_sql(col_sql: str, stop_words: frozenset[str]) -> str:
+    base = f"filter(split(lower({col_sql}), '[^a-z0-9]+'), x -> x != '')"
+    if not stop_words:
+        return base
+    arr = "array(" + ", ".join(_sq(w) for w in sorted(stop_words)) + ")"
+    return (
+        f"filter(split(lower({col_sql}), '[^a-z0-9]+'), "
+        f"x -> x != '' AND NOT array_contains({arr}, x))"
+    )
+
+
+def _emit_sql(node: _Node, toks: str, joined: str, stop_words: frozenset[str]) -> str:
+    if node.kind in ("and", "or"):
+        op = " AND " if node.kind == "and" else " OR "
+        return "(" + op.join(_emit_sql(c, toks, joined, stop_words) for c in node.children) + ")"
+    if node.kind in ("term", "phrase"):
+        terms = _norm_terms(node.value, stop_words)
+        if not terms:
+            return "true"
+        if len(terms) == 1:
+            return f"array_contains({toks}, {_sq(terms[0])})"
+        return f"contains({joined}, {_sq(' ' + ' '.join(terms) + ' ')})"
+    if node.kind == "prefix":
+        prefix = _norm_terms(node.value, frozenset())
+        pref = prefix[-1] if prefix else node.value
+        return f"exists({toks}, t -> startswith(t, {_sq(pref)}))"
+    if node.kind == "regex":
+        pat = "(?i)^(?:" + node.value + ")$"
+        return f"exists({toks}, t -> t RLIKE {_sq(pat)})"
+    raise AssertionError(node.kind)
+
+
+def text_match_sql(
+    col_sql: str,
+    expr: str,
+    include_stop_words: set[str] | None = None,
+    exclude_stop_words: set[str] | None = None,
+) -> str:
+    """SQL-text form of text_match(col, expr) — splice into WHERE/SELECT."""
+    stop = effective_stop_words(include_stop_words, exclude_stop_words)
+    ast = parse_text_expression(expr)
+    toks = tokens_sql(col_sql, stop)
+    joined = f"concat(' ', array_join({toks}, ' '), ' ')"
+    return "(" + _emit_sql(ast, toks, joined, stop) + ")"
+
+
+def text_contains_sql(col_sql: str, pattern: str) -> str:
+    toks = tokens_sql(col_sql, frozenset())
+    pat = "(?i)^(?:" + pattern + ")$"
+    return f"exists({toks}, t -> t RLIKE {_sq(pat)})"

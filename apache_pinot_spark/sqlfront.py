@@ -1,0 +1,494 @@
+"""Pinot SQL dialect front-end + broker result envelope.
+
+The engine's user-facing query surface: accept Pinot-dialect SQL, rewrite
+it to Spark SQL text, execute through Catalyst, and (optionally) wrap the
+result in the broker JSON envelope of reference basics/Architecture.md:121-152.
+
+Dialect rewrites implemented here (all pre-Spark, on the SQL text — no JVM
+Catalyst rules, per SURVEY.md §4):
+  * PQL `TOP n` group cap → ORDER BY <first aggregate> DESC LIMIT n
+    (Introduction.md:110-111; ordering by aggregate value descending is the
+    PQL convention — pinned in tests).
+  * `OPTION(k=v, ...)` suffix parsing (basics/indexing/timestamp-index.md:50).
+  * Function aliases: ADD/SUB/MULT/DIV (forward-index.md:224), dateTrunc /
+    fromDateTime with epoch-millis parity (timestamp-index.md:11,27-39),
+    DISTINCTCOUNT / DISTINCTCOUNTHLL (forward-index.md:214),
+    PERCENTILE / PERCENTILETDIGEST / PERCENTILEEST
+    (configuration-reference/schema.md:48), JSON_EXTRACT_SCALAR
+    (json-index.md:42-45).
+  * TEXT_MATCH / TEXT_CONTAINS / JSON_MATCH predicate expansion via the
+    SQL emitters in functions/text.py and functions/json.py.
+  * Multi-valued-column predicate rewrite (configuration-reference/
+    schema.md:25): a scalar predicate on an ARRAY column matches if ANY
+    element matches — `mvCol = 'v'` → array_contains, ranges → exists().
+  * SELECT-alias references in WHERE (Pinot allows `WHERE tsWeek > ...`
+    against a SELECT alias, timestamp-index.md:33-39; Spark does not).
+  * Pinot's implicit LIMIT 10 on selection queries (broker default),
+    applied only by the envelope API, never by `sql()`.
+
+Everything not listed passes through unchanged — the pass-through surface
+(joins, windows, set ops, Spark's function library) is stock Spark SQL.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.functions.json import (
+    infer_json_schema,
+    json_extract_scalar_sql,
+    json_match_sql,
+)
+from apache_pinot_spark.functions.text import text_contains_sql, text_match_sql
+
+# --------------------------------------------------------------------------
+# Call-aware SQL text utilities (quote- and paren-safe; no sqlglot in the
+# container, so this is a purpose-built scanner, not a general parser).
+# --------------------------------------------------------------------------
+
+
+def _scan_call(sql: str, start: int) -> tuple[int, list[str]]:
+    """From the '(' at ``start``, return (end_index_after_rparen, args) with
+    args split at top-level commas, respecting nesting and quotes."""
+    assert sql[start] == "("
+    depth, i, n = 0, start, len(sql)
+    args: list[str] = []
+    buf_start = start + 1
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                last = sql[buf_start:i].strip()
+                if last or args:
+                    args.append(last)
+                return i + 1, args
+        elif ch == "," and depth == 1:
+            args.append(sql[buf_start:i].strip())
+            buf_start = i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL near {sql[start:start + 40]!r}")
+
+
+def rewrite_calls(sql: str, handlers: dict[str, Callable[[list[str]], str]]) -> str:
+    """Replace every NAME(args...) call whose upper-cased NAME is in
+    ``handlers`` with handler(args). Arguments are rewritten recursively
+    BEFORE the handler runs (innermost-first), and handler output is never
+    rescanned — so handlers may safely emit names that would re-match
+    (e.g. PERCENTILE → percentile)."""
+    names = "|".join(re.escape(n) for n in handlers)
+    pat = re.compile(rf"\b({names})\s*\(", re.IGNORECASE)
+
+    def rewrite(text: str) -> str:
+        out, pos = [], 0
+        while True:
+            m = pat.search(text, pos)
+            if not m:
+                break
+            # skip matches inside string literals: odd count of unescaped
+            # quotes before the match means we're inside one
+            prefix = text[: m.start()]
+            if (prefix.count("'") - prefix.count("\\'") - 2 * prefix.count("''")) % 2 == 1:
+                pos = m.end()
+                continue
+            lparen = m.end() - 1
+            end, args = _scan_call(text, lparen)
+            repl = handlers[m.group(1).upper()]([rewrite(a) for a in args])
+            out.append(text[: m.start()])
+            out.append(repl)
+            text = text[end:]
+            pos = 0
+        out.append(text)
+        return "".join(out)
+
+    return rewrite(sql)
+
+
+def _unquote(arg: str) -> str:
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1].replace("''", "'").replace("\\'", "'")
+    raise ValueError(f"expected a string literal, got {arg!r}")
+
+
+# --------------------------------------------------------------------------
+# Dialect rewriter
+# --------------------------------------------------------------------------
+
+_AGG_RE = re.compile(
+    r"\b(count|sum|min|max|avg|percentile(?:_approx)?|approx_count_distinct)\s*\(",
+    re.IGNORECASE,
+)
+_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+_OPTION_RE = re.compile(r"\bOPTION\s*\(([^)]*)\)\s*;?\s*$", re.IGNORECASE)
+_TOP_RE = re.compile(r"\bTOP\s+(\d+)\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+", re.IGNORECASE)
+_ORDERBY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_GROUPBY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+@dataclass
+class RewriteResult:
+    sql: str
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class PinotDialect:
+    """Stateless-ish rewriter; array-column and JSON-schema metadata come
+    from the owning engine (or empty for standalone use)."""
+
+    def __init__(
+        self,
+        array_columns: set[str] | None = None,
+        json_schemas: dict[str, T.DataType] | None = None,
+    ):
+        self.array_columns = array_columns or set()
+        self.json_schemas = json_schemas or {}  # column name → inferred schema
+
+    # -- function handlers ------------------------------------------------
+    def _handlers(self) -> dict[str, Callable[[list[str]], str]]:
+        def add(a):
+            return f"(({a[0]}) + ({a[1]}))"
+
+        def sub(a):
+            return f"(({a[0]}) - ({a[1]}))"
+
+        def mult(a):
+            return f"(({a[0]}) * ({a[1]}))"
+
+        def div(a):
+            return f"((CAST({a[0]} AS DOUBLE)) / ({a[1]}))"
+
+        def date_trunc(a):
+            unit = _unquote(a[0]).upper()
+            return f"CAST(unix_millis(CAST(date_trunc('{unit}', {a[1]}) AS TIMESTAMP)) AS BIGINT)"
+
+        def from_datetime(a):
+            return f"unix_millis(to_timestamp({a[0]}, {a[1]}))"
+
+        def to_datetime(a):
+            return f"date_format(timestamp_millis({a[0]}), {a[1]})"
+
+        def distinctcount(a):
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def distinctcounthll(a):
+            return f"approx_count_distinct({a[0]})"
+
+        def percentile(a):
+            q = float(a[1]) / 100.0
+            return f"percentile({a[0]}, {q})"
+
+        def percentile_approx_(a):
+            q = float(a[1]) / 100.0
+            return f"percentile_approx({a[0]}, {q})"
+
+        def json_extract(a):
+            default = a[3] if len(a) > 3 else None
+            return json_extract_scalar_sql(a[0], _unquote(a[1]), _unquote(a[2]), default)
+
+        def text_match(a):
+            extra = [_unquote(x) for x in a[2:]]
+            include = set(extra[0].split(",")) if len(extra) > 0 and extra[0] else None
+            exclude = set(extra[1].split(",")) if len(extra) > 1 and extra[1] else None
+            return text_match_sql(a[0], _unquote(a[1]), include, exclude)
+
+        def text_contains(a):
+            return text_contains_sql(a[0], _unquote(a[1]))
+
+        def json_match(a):
+            col = a[0].strip()
+            schema = self.json_schemas.get(col)
+            return json_match_sql(col, _unquote(a[1]), schema)
+
+        return {
+            "ADD": add,
+            "SUB": sub,
+            "MULT": mult,
+            "DIV": div,
+            "DATETRUNC": date_trunc,
+            "FROMDATETIME": from_datetime,
+            "TODATETIME": to_datetime,
+            "DISTINCTCOUNT": distinctcount,
+            "DISTINCTCOUNTHLL": distinctcounthll,
+            "PERCENTILE": percentile,
+            "PERCENTILETDIGEST": percentile_approx_,
+            "PERCENTILEEST": percentile_approx_,
+            "JSON_EXTRACT_SCALAR": json_extract,
+            "TEXT_MATCH": text_match,
+            "TEXT_CONTAINS": text_contains,
+            "JSON_MATCH": json_match,
+        }
+
+    # -- clause-level rewrites ---------------------------------------------
+    @staticmethod
+    def _split_select_aliases(sql: str) -> dict[str, str]:
+        """Map SELECT-list aliases → their expressions (top-level commas)."""
+        m = re.search(r"\bSELECT\b(.*?)\bFROM\b", sql, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return {}
+        sel = m.group(1)
+        parts, depth, buf = [], 0, []
+        for ch in sel:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        out = {}
+        for p in parts:
+            am = re.search(r"\sAS\s+([A-Za-z_]\w*)\s*$", p.strip(), re.IGNORECASE)
+            if am:
+                out[am.group(1)] = p.strip()[: am.start()].strip()
+        return out
+
+    def _rewrite_alias_in_where(self, sql: str) -> str:
+        """Pinot allows WHERE on a SELECT alias (timestamp-index.md:33-39)."""
+        aliases = self._split_select_aliases(sql)
+        if not aliases:
+            return sql
+        wm = re.search(
+            r"\bWHERE\b(.*?)(\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return sql
+        where = wm.group(1)
+        for alias, expr in aliases.items():
+            where = re.sub(rf"\b{re.escape(alias)}\b", f"({expr})", where)
+        return sql[: wm.start(1)] + where + sql[wm.end(1):]
+
+    def _rewrite_top(self, sql: str) -> str:
+        m = _TOP_RE.search(sql)
+        if not m:
+            return sql
+        n = int(m.group(1))
+        sql = sql[: m.start()] + sql[m.end():]
+        if not _ORDERBY_RE.search(sql):
+            am = _AGG_RE.search(sql)
+            if am:
+                end, _ = _scan_call(sql, am.end() - 1)
+                agg = sql[am.start():end]
+                sql = sql.rstrip().rstrip(";") + f" ORDER BY {agg} DESC"
+        if not _LIMIT_RE.search(sql):
+            sql = sql.rstrip().rstrip(";") + f" LIMIT {n}"
+        return sql
+
+    def _rewrite_mv_predicates(self, sql: str) -> str:
+        """Scalar predicates on ARRAY columns → ANY-element semantics."""
+        for col in self.array_columns:
+            sql = re.sub(
+                rf"\b({re.escape(col)})\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
+                rf"array_contains(\1, \2)",
+                sql,
+            )
+            sql = re.sub(
+                rf"\b({re.escape(col)})\s*(<>|!=)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
+                rf"exists(\1, x -> x != \3)",
+                sql,
+            )
+            sql = re.sub(
+                rf"\b({re.escape(col)})\s*(<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)",
+                rf"exists(\1, x -> x \2 \3)",
+                sql,
+            )
+            sql = re.sub(
+                rf"\b({re.escape(col)})\s+IN\s*\(([^)]*)\)",
+                rf"arrays_overlap(\1, array(\2))",
+                sql,
+                flags=re.IGNORECASE,
+            )
+        return sql
+
+    # -- entry point --------------------------------------------------------
+    def rewrite(self, pinot_sql: str) -> RewriteResult:
+        sql = pinot_sql.strip()
+        options: dict[str, str] = {}
+        if m := _OPTION_RE.search(sql):
+            for kv in m.group(1).split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    options[k.strip()] = v.strip()
+            sql = sql[: m.start()].rstrip()
+        sql = rewrite_calls(sql, self._handlers())
+        sql = self._rewrite_mv_predicates(sql)
+        sql = self._rewrite_alias_in_where(sql)
+        sql = self._rewrite_top(sql)
+        return RewriteResult(sql, options)
+
+
+# --------------------------------------------------------------------------
+# Engine + broker envelope (reference basics/Architecture.md:121-152)
+# --------------------------------------------------------------------------
+
+_PINOT_TYPES = {
+    T.IntegerType(): "INT",
+    T.LongType(): "LONG",
+    T.FloatType(): "FLOAT",
+    T.DoubleType(): "DOUBLE",
+    T.StringType(): "STRING",
+    T.BooleanType(): "BOOLEAN",
+    T.TimestampType(): "TIMESTAMP",
+    T.BinaryType(): "BYTES",
+}
+
+
+def _pinot_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return "BIG_DECIMAL"
+    if isinstance(dt, T.ArrayType):
+        return _pinot_type(dt.elementType) + "_ARRAY"
+    if isinstance(dt, T.ShortType | T.ByteType):
+        return "INT"
+    return _PINOT_TYPES.get(dt, dt.simpleString().upper())
+
+
+class PinotEngine:
+    """User-facing engine: Pinot-dialect SQL in, DataFrame / broker
+    envelope out. Tables come from a parquet directory (the driver's
+    TESTDATA layout) or from prior `register` calls."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        tables: list[str] | None = None,
+        default_limit: int = 10,
+        num_groups_limit: int = 100_000,
+    ):
+        self.spark = spark
+        self.default_limit = default_limit  # Pinot broker default for selections
+        self.num_groups_limit = num_groups_limit
+        self._dfs: dict[str, DataFrame] = {}
+        self._json_schemas: dict[str, T.DataType] = {}
+        self._array_columns: set[str] = set()
+        if sf_dir:
+            for name, df in load_tables(spark, sf_dir, tables).items():
+                self._note_table(name, df)
+
+    def register(self, name: str, df: DataFrame, json_columns: list[str] | None = None):
+        df.createOrReplaceTempView(name)
+        self._note_table(name, df, json_columns)
+
+    def _note_table(self, name: str, df: DataFrame, json_columns: list[str] | None = None):
+        self._dfs[name] = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                self._array_columns.add(f.name)
+        for col in json_columns or []:
+            self._json_schemas[col] = infer_json_schema(df, col)
+
+    def infer_json(self, table: str, column: str):
+        """Build the engine's JSON-index analogue: infer + cache the
+        column's JSON schema so JSON_MATCH [*] paths compile."""
+        self._json_schemas[column] = infer_json_schema(self._dfs[table], column)
+
+    @property
+    def dialect(self) -> PinotDialect:
+        return PinotDialect(self._array_columns, self._json_schemas)
+
+    def rewrite(self, pinot_sql: str) -> RewriteResult:
+        return self.dialect.rewrite(pinot_sql)
+
+    def sql(self, pinot_sql: str) -> DataFrame:
+        return self.spark.sql(self.rewrite(pinot_sql).sql)
+
+    def query(self, pinot_sql: str) -> dict:
+        """Execute and wrap in the broker JSON envelope
+        (basics/Architecture.md:121-152). Selection queries without LIMIT
+        get Pinot's implicit LIMIT (default 10)."""
+        t0 = time.monotonic()
+        try:
+            rr = self.rewrite(pinot_sql)
+            sql = rr.sql
+            is_selection = not _GROUPBY_RE.search(sql) and not _AGG_RE.search(
+                sql[: sql.upper().find("FROM")]
+            )
+            if is_selection and not _LIMIT_RE.search(sql) and self.default_limit:
+                sql = sql.rstrip().rstrip(";") + f" LIMIT {self.default_limit}"
+            df = self.spark.sql(sql)
+            rows = df.collect()
+        except Exception as e:  # parse/analysis/execution error → envelope
+            return {
+                "resultTable": {"dataSchema": {"columnDataTypes": [], "columnNames": []}, "rows": []},
+                "exceptions": [{"errorCode": 200, "message": str(e)[:500]}],
+                "numServersQueried": 0,
+                "numServersResponded": 0,
+                "numSegmentsQueried": 0,
+                "numSegmentsProcessed": 0,
+                "numSegmentsMatched": 0,
+                "numConsumingSegmentsQueried": 0,
+                "numDocsScanned": 0,
+                "numEntriesScannedInFilter": 0,
+                "numEntriesScannedPostFilter": 0,
+                "numGroupsLimitReached": False,
+                "totalDocs": 0,
+                "timeUsedMs": int((time.monotonic() - t0) * 1000),
+                "segmentStatistics": [],
+                "traceInfo": {},
+                "minConsumingFreshnessTimeMs": 0,
+            }
+        groups_limited = False
+        if _GROUPBY_RE.search(sql) and len(rows) > self.num_groups_limit:
+            rows = rows[: self.num_groups_limit]
+            groups_limited = True
+        try:
+            n_segments = len(df.inputFiles())
+        except Exception:
+            n_segments = 0
+        return {
+            "resultTable": {
+                "dataSchema": {
+                    "columnDataTypes": [_pinot_type(f.dataType) for f in df.schema.fields],
+                    "columnNames": [f.name for f in df.schema.fields],
+                },
+                "rows": [[r[i] for i in range(len(df.schema.fields))] for r in rows],
+            },
+            "exceptions": [],
+            "numServersQueried": 1,
+            "numServersResponded": 1,
+            "numSegmentsQueried": n_segments,
+            "numSegmentsProcessed": n_segments,
+            "numSegmentsMatched": n_segments,
+            "numConsumingSegmentsQueried": 0,
+            "numDocsScanned": len(rows),
+            "numEntriesScannedInFilter": 0,
+            "numEntriesScannedPostFilter": len(rows) * len(df.schema.fields),
+            "numGroupsLimitReached": groups_limited,
+            "totalDocs": -1,
+            "timeUsedMs": int((time.monotonic() - t0) * 1000),
+            "segmentStatistics": [],
+            "traceInfo": {},
+            "minConsumingFreshnessTimeMs": 0,
+        }

@@ -1,0 +1,138 @@
+"""Driver-gate queries exercising the Pinot SQL dialect FRONT-END
+(sqlfront.PinotEngine): the SQL text the user writes is Pinot dialect —
+TOP, dateTrunc/fromDateTime, DISTINCTCOUNT, PERCENTILE, TEXT_MATCH,
+JSON_MATCH — and the oracle verifies the rewritten Spark execution against
+DuckDB running the equivalent ANSI SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
+from apache_pinot_spark.querysuite import df_query
+from apache_pinot_spark.sqlfront import PinotEngine
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(DEFAULT_STOP_WORDS))
+
+
+def _engine_q(pinot_sql: str, tables: list[str]):
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = pinot_sql, _t=tables):
+        eng = PinotEngine(spark, sf_dir, _t)
+        return eng.sql(_sql)
+
+    return fn
+
+
+# O3 — PQL TOP n through the front-end. MAX is exact and the per-supplier
+# maxima are continuous-valued (ties implausible), so the implicit
+# ORDER BY MAX(...) DESC the rewrite adds is deterministic.
+df_query(
+    "eng_top_rewrite",
+    _engine_q(
+        "SELECT l_suppkey, MAX(l_extendedprice) AS max_price "
+        "FROM lineitem GROUP BY l_suppkey TOP 5",
+        ["lineitem"],
+    ),
+    """
+    SELECT l_suppkey, MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY MAX(l_extendedprice) DESC LIMIT 5
+    """,
+    tables=["lineitem"],
+    doc="PQL TOP n group cap (Introduction.md:110-111) via dialect rewrite",
+)
+
+# F2+F3 — dateTrunc epoch-millis parity + fromDateTime + alias-in-WHERE,
+# the golden shape of timestamp-index.md:33-49.
+df_query(
+    "eng_datetrunc_where_alias",
+    _engine_q(
+        "SELECT dateTrunc('DAY', ts) AS d, COUNT(*) AS cnt FROM events "
+        "WHERE d >= fromDateTime('2024-01-10', 'yyyy-MM-dd') "
+        "GROUP BY d ORDER BY d",
+        ["events"],
+    ),
+    """
+    SELECT CAST(epoch(date_trunc('day', ts)) * 1000 AS BIGINT) AS d, COUNT(*) AS cnt
+    FROM events
+    WHERE CAST(epoch(date_trunc('day', ts)) * 1000 AS BIGINT)
+          >= CAST(epoch(strptime('2024-01-10', '%Y-%m-%d')) * 1000 AS BIGINT)
+    GROUP BY 1 ORDER BY d
+    """,
+    tables=["events"],
+    doc="dateTrunc/fromDateTime epoch-millis parity (timestamp-index.md:33-49)",
+)
+
+# A5/A7 — DISTINCTCOUNT + PERCENTILE through the front-end. round(_, 6)
+# absorbs interpolation last-ulp differences between engines.
+df_query(
+    "eng_distinctcount_percentile",
+    _engine_q(
+        "SELECT DISTINCTCOUNT(l_suppkey) AS dc, "
+        "round(PERCENTILE(l_quantity, 50), 6) AS p50, "
+        "round(PERCENTILE(l_quantity, 95), 6) AS p95 FROM lineitem",
+        ["lineitem"],
+    ),
+    """
+    SELECT COUNT(DISTINCT l_suppkey) AS dc,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem
+    """,
+    tables=["lineitem"],
+    doc="DISTINCTCOUNT (forward-index.md:214) + PERCENTILE family",
+)
+
+# P10 — TEXT_MATCH through the SQL front-end (prefix + term boolean).
+df_query(
+    "eng_text_match_sql",
+    _engine_q(
+        "SELECT COUNT(*) AS cnt FROM documents "
+        "WHERE TEXT_MATCH(text, 'spark AND stream*')",
+        ["documents"],
+    ),
+    f"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '' AND x NOT IN ({_STOP_SQL})) AS t
+      FROM documents
+    )
+    SELECT COUNT(*) AS cnt FROM toks
+    WHERE list_contains(t, 'spark')
+      AND len(list_filter(t, x -> x LIKE 'stream%')) > 0
+    """,
+    tables=["documents"],
+    doc="TEXT_MATCH boolean+prefix through dialect rewrite",
+)
+
+# P8 — JSON_MATCH numeric range through the SQL front-end.
+df_query(
+    "eng_json_match_sql",
+    _engine_q(
+        """SELECT event_type, COUNT(*) AS cnt FROM events """
+        """WHERE JSON_MATCH(props, '"$.k">=50 AND "$.k"<80') """
+        """GROUP BY event_type ORDER BY event_type""",
+        ["events"],
+    ),
+    """
+    SELECT event_type, COUNT(*) AS cnt FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+      AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 80
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=["events"],
+    doc="JSON_MATCH range predicate (json-index.md:304-434) via rewrite",
+)
+
+# A6 — DISTINCTCOUNTHLL: approximate by design → rows-only driver check;
+# relative-error assertion lives in tests/test_sqlfront.py.
+df_query(
+    "eng_distinctcounthll",
+    _engine_q(
+        "SELECT DISTINCTCOUNTHLL(l_partkey) AS hll FROM lineitem",
+        ["lineitem"],
+    ),
+    None,
+    tables=["lineitem"],
+    doc="DISTINCTCOUNTHLL → approx_count_distinct (forward-index.md:214)",
+)

