@@ -1,0 +1,124 @@
+"""Star-tree-style pre-aggregation (SURVEY §2.3 A12, §4).
+
+Reference: "smart indexes and pre-aggregation" (Introduction.md:9), the
+star-tree index (basics/indexing/README.md:16, Architecture.md:17) —
+pre-aggregated documents so group-by queries over covered dimension
+subsets skip the raw scan.
+
+Spark design: the rollup is a materialized parquet table of PARTIAL
+aggregates (count + sum/min/max per metric) grouped by the declared
+dimension set. Any query grouping by a SUBSET of those dimensions merges
+partials (SUM of sums, MIN of mins...) — the classic two-level aggregation
+identity, same as Pinot's star-tree node merges. At 100 TB the rollup is
+several orders of magnitude smaller than the fact table, and the rewrite
+turns a full scan + shuffle into a scan of the rollup only.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COUNT_COL = "__rollup_count"
+
+
+@dataclass
+class RollupSpec:
+    """Declared rollup: dims + metrics, like a star-tree index config."""
+
+    table: str
+    dimensions: list[str]
+    metrics: list[str]  # columns with sum/min/max partials
+    path: str = ""
+    # which merged aggregates each metric supports
+    functions: tuple[str, ...] = ("SUM", "MIN", "MAX", "COUNT", "AVG")
+
+    def partial_columns(self, m: str) -> dict[str, str]:
+        return {"SUM": f"__sum_{m}", "MIN": f"__min_{m}", "MAX": f"__max_{m}"}
+
+
+def build_rollup(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: RollupSpec,
+    warehouse: str = "/tmp/pinot_spark_warehouse",
+) -> str:
+    """Materialize the rollup table. One shuffle on the dimension set —
+    partial aggregation is map-side (Spark HashAggregate), so the shuffle
+    carries pre-combined rows, not raw data."""
+    aggs = [F.count("*").alias(COUNT_COL)]
+    for m in spec.metrics:
+        # decimal-exact sums for cross-engine-stable merges of money-like
+        # doubles; min/max are exact in any type
+        aggs += [
+            F.sum(F.col(m).cast("decimal(28,6)")).alias(f"__sum_{m}"),
+            F.min(m).alias(f"__min_{m}"),
+            F.max(m).alias(f"__max_{m}"),
+        ]
+    rolled = df.groupBy(*spec.dimensions).agg(*aggs)
+    path = os.path.join(warehouse, f"__rollup__{spec.table}__" + "_".join(spec.dimensions))
+    rolled.write.mode("overwrite").parquet(path)
+    spec.path = path
+    return path
+
+
+def rollup_df(spark: SparkSession, spec: RollupSpec) -> DataFrame:
+    return spark.read.parquet(spec.path)
+
+
+@dataclass
+class AggRequest:
+    """One output aggregate of a user query."""
+
+    func: str  # COUNT | SUM | MIN | MAX | AVG
+    column: str | None  # None for COUNT(*)
+    alias: str
+
+
+def covers(spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]) -> bool:
+    """True iff the rollup can answer: group dims ⊆ rollup dims and every
+    aggregate merges from stored partials."""
+    if not set(group_dims) <= set(spec.dimensions):
+        return False
+    for a in aggs:
+        f = a.func.upper()
+        if f == "COUNT":
+            if a.column is not None and a.column not in spec.dimensions:
+                return False  # COUNT(col) over a metric needs null info we don't keep
+            continue
+        if f not in ("SUM", "MIN", "MAX", "AVG"):
+            return False
+        if a.column not in spec.metrics:
+            return False
+    return True
+
+
+def answer_from_rollup(
+    spark: SparkSession, spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]
+) -> DataFrame:
+    """Merge partials: SUM←SUM(__sum), MIN←MIN(__min), MAX←MAX(__max),
+    COUNT(*)←SUM(__count), AVG←SUM(__sum)/SUM(__count)."""
+    df = rollup_df(spark, spec)
+    merged = []
+    for a in aggs:
+        f = a.func.upper()
+        if f == "COUNT":
+            merged.append(F.sum(COUNT_COL).cast("long").alias(a.alias))
+        elif f == "SUM":
+            merged.append(
+                F.sum(f"__sum_{a.column}").cast("double").alias(a.alias)
+            )
+        elif f == "MIN":
+            merged.append(F.min(f"__min_{a.column}").alias(a.alias))
+        elif f == "MAX":
+            merged.append(F.max(f"__max_{a.column}").alias(a.alias))
+        elif f == "AVG":
+            merged.append(
+                (F.sum(f"__sum_{a.column}").cast("double") / F.sum(COUNT_COL)).alias(a.alias)
+            )
+    if group_dims:
+        return df.groupBy(*group_dims).agg(*merged)
+    return df.agg(*merged)

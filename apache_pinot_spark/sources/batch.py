@@ -1,0 +1,291 @@
+"""Batch ingestion (S1), segment layout policy, and maintenance jobs
+(S7 index reload, S8 GDPR purge).
+
+Reference flow (basics/Architecture.md:192-196): raw batch data → segments
+→ deep store → controller/ZK registration → server download. In Spark the
+partitioned parquet directory IS the segment store (SURVEY §2.1 S3): one
+time-bucket partition directory per Pinot "segment", one parquet file per
+task, and catalog registration is a JSON metadata doc + temp view.
+
+Layout policy = how Pinot's index configs become parquet write options
+(SURVEY §4 — Pinot's index configs are our write-layout configs):
+  * sortedColumn (forward-index.md:27-62: sorted forward index doubling as
+    sorted inverted index) → sortWithinPartitions → parquet min/max
+    row-group + page pruning, best scan locality.
+  * bloomFilterColumns (bloom-filter.md:3-17: equality-predicate segment
+    pruning, default fpp 0.05) → parquet.bloom.filter.enabled#col=true.
+  * noDictionaryColumns (forward-index.md:87-111: raw forward index for
+    high-cardinality columns) → parquet.enable.dictionary#col=false.
+  * time-bucket partitioning (Concepts.md:17-19: segment = time-based
+    partition) → partitionBy on a derived bucket column → partition
+    pruning at read.
+  * timestampIndexGranularities (timestamp-index.md:25-28): materialize
+    `$col$DAY`-style pre-truncated epoch-millis columns; the engine's
+    dialect rewrite substitutes dateTrunc calls with them.
+  * textIndexColumns (text-search-support.md): materialize a tokenized
+    shadow array column `$col$tokens` — queries skip re-tokenizing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS, tokens_expr
+from apache_pinot_spark.plans.schema import Granularity, PinotSchema
+
+
+@dataclass
+class TableConfig:
+    """Subset of the Pinot table config relevant to layout (SURVEY §7
+    Phase 0; configuration-reference/table.md is a stub in the reference,
+    so the field names follow the index pages)."""
+
+    table_name: str
+    time_column: str | None = None
+    partition_granularity: str = "1:DAYS"  # segment = time bucket
+    sorted_column: str | None = None
+    bloom_filter_columns: list[str] = dc_field(default_factory=list)
+    no_dictionary_columns: list[str] = dc_field(default_factory=list)
+    timestamp_index_granularities: dict[str, list[str]] = dc_field(default_factory=dict)
+    text_index_columns: list[str] = dc_field(default_factory=list)
+    retention_days: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "tableName": self.table_name,
+            "timeColumn": self.time_column,
+            "partitionGranularity": self.partition_granularity,
+            "sortedColumn": self.sorted_column,
+            "bloomFilterColumns": self.bloom_filter_columns,
+            "noDictionaryColumns": self.no_dictionary_columns,
+            "timestampIndexGranularities": self.timestamp_index_granularities,
+            "textIndexColumns": self.text_index_columns,
+            "retentionDays": self.retention_days,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TableConfig":
+        return cls(
+            table_name=d["tableName"],
+            time_column=d.get("timeColumn"),
+            partition_granularity=d.get("partitionGranularity", "1:DAYS"),
+            sorted_column=d.get("sortedColumn"),
+            bloom_filter_columns=d.get("bloomFilterColumns", []),
+            no_dictionary_columns=d.get("noDictionaryColumns", []),
+            timestamp_index_granularities=d.get("timestampIndexGranularities", {}),
+            text_index_columns=d.get("textIndexColumns", []),
+            retention_days=d.get("retentionDays"),
+        )
+
+
+TIME_BUCKET_COL = "__time_bucket"
+
+
+def derived_columns(df: DataFrame, schema: PinotSchema, config: TableConfig) -> DataFrame:
+    """Materialize index-derived columns: timestamp-index granularity
+    columns `$col$UNIT` (timestamp-index.md:25-28) and tokenized text
+    shadow columns `$col$tokens`."""
+    out = df
+    for col, units in config.timestamp_index_granularities.items():
+        ts = schema.normalized_time(out, col)
+        for unit in units:
+            out = out.withColumn(
+                f"${col}${unit.upper()}",
+                F.unix_millis(F.date_trunc(unit.upper(), ts)).cast("long"),
+            )
+    for col in config.text_index_columns:
+        out = out.withColumn(f"${col}$tokens", tokens_expr(col, DEFAULT_STOP_WORDS))
+    return out
+
+
+def ingest_batch(
+    spark: SparkSession,
+    schema: PinotSchema,
+    config: TableConfig,
+    source: str | DataFrame,
+    fmt: str = "csv",
+    warehouse: str = "/tmp/pinot_spark_warehouse",
+    mode: str = "append",
+    reader_options: dict | None = None,
+) -> str:
+    """S1 batch ingestion: read raw → type-apply → sentinel-fill → time
+    normalize → derived index columns → time-bucketed, sorted, bloom'd
+    parquet write → catalog register. Returns the table path.
+
+    Every transform is a narrow map — the only shuffle is the optional
+    repartition on the time bucket, which co-locates each output partition
+    (segment) in one task for big-file locality at scale."""
+    if isinstance(source, DataFrame):
+        raw = source
+    else:
+        opts = {"header": "true", "inferSchema": "false"}
+        opts.update(reader_options or {})
+        raw = spark.read.options(**opts).format(fmt).load(source)
+
+    df = schema.apply_types(raw)
+    df = schema.apply_sentinels(df)
+    df = derived_columns(df, schema, config)
+
+    table_path = os.path.join(warehouse, config.table_name)
+    writer_cols = list(df.columns)
+    partition_cols: list[str] = []
+    if config.time_column:
+        gran = Granularity.parse(config.partition_granularity)
+        ts = schema.normalized_time(df, config.time_column)
+        df = df.withColumn(
+            TIME_BUCKET_COL, F.date_format(gran.bucket(ts), "yyyyMMddHHmm")
+        )
+        partition_cols = [TIME_BUCKET_COL]
+        df = df.repartition(TIME_BUCKET_COL)
+    if config.sorted_column:
+        df = df.sortWithinPartitions(config.sorted_column)
+
+    writer = df.write.mode(mode)
+    for col in config.bloom_filter_columns:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    for col in config.no_dictionary_columns:
+        writer = writer.option(f"parquet.enable.dictionary#{col}", "false")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(table_path)
+
+    _write_table_meta(table_path, schema, config, writer_cols)
+    register_table(spark, config.table_name, table_path)
+    return table_path
+
+
+def _write_table_meta(
+    table_path: str, schema: PinotSchema, config: TableConfig, columns: list[str]
+) -> None:
+    meta = {
+        "schemaName": schema.schema_name,
+        "config": config.to_json(),
+        "columns": columns,
+        "updatedAtMs": int(time.time() * 1000),
+    }
+    with open(os.path.join(table_path, "_pinot_table.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def read_table_meta(table_path: str) -> dict:
+    with open(os.path.join(table_path, "_pinot_table.json")) as fh:
+        return json.load(fh)
+
+
+def register_table(spark: SparkSession, name: str, table_path: str) -> DataFrame:
+    df = spark.read.parquet(table_path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def list_segments(table_path: str) -> list[str]:
+    """Pinot 'segments' = time-bucket partition directories (S3)."""
+    return sorted(
+        d for d in os.listdir(table_path) if d.startswith(f"{TIME_BUCKET_COL}=")
+    )
+
+
+# --------------------------------------------------------------------------
+# Maintenance jobs (Minion analogues)
+# --------------------------------------------------------------------------
+
+
+def purge_records(
+    spark: SparkSession,
+    table_path: str,
+    purge_keys: DataFrame,
+    key_column: str,
+) -> int:
+    """S8 GDPR purge (Concepts.md:72; record-level delete from an immutable
+    store, Architecture.md:18): left-anti rewrite of ONLY the partitions
+    that contain matching keys — at 100 TB you rewrite a handful of
+    segments, not the table. Returns number of rows purged."""
+    df = spark.read.parquet(table_path)
+    hit_parts = (
+        df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
+        .select(TIME_BUCKET_COL)
+        .distinct()
+        .collect()
+        if TIME_BUCKET_COL in df.columns
+        else []
+    )
+    if TIME_BUCKET_COL not in df.columns:
+        # unpartitioned table: full rewrite
+        kept = df.join(F.broadcast(purge_keys), on=key_column, how="left_anti")
+        tmp = table_path + ".purging"
+        kept.write.mode("overwrite").parquet(tmp)
+        n_before, n_after = df.count(), spark.read.parquet(tmp).count()
+        shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+        return n_before - n_after
+
+    purged = 0
+    for row in hit_parts:
+        bucket = row[TIME_BUCKET_COL]
+        part_dir = os.path.join(table_path, f"{TIME_BUCKET_COL}={bucket}")
+        part = spark.read.parquet(part_dir)
+        kept = part.join(F.broadcast(purge_keys), on=key_column, how="left_anti")
+        tmp = part_dir + ".purging"
+        kept.write.mode("overwrite").parquet(tmp)
+        purged += part.count() - spark.read.parquet(tmp).count()
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+    return purged
+
+
+def reload_with_layout(
+    spark: SparkSession,
+    schema: PinotSchema,
+    old_path: str,
+    new_config: TableConfig,
+    warehouse: str = "/tmp/pinot_spark_warehouse",
+) -> str:
+    """S7 index reload (indexing/README.md:36-72): apply a new layout
+    (sort/bloom/derived columns) to existing segments by rewriting, then
+    atomically swapping the directory — queries see old data until the
+    swap, mirroring Pinot's no-downtime reload."""
+    df = spark.read.parquet(old_path)
+    base_cols = [c for c in df.columns if not c.startswith("$") and c != TIME_BUCKET_COL]
+    # re-ingest the base columns under a temp name, then swap directories
+    tmp_name = new_config.table_name + "__reload_tmp"
+    renamed = TableConfig.from_json({**new_config.to_json(), "tableName": tmp_name})
+    tmp_path = ingest_batch(
+        spark, schema, renamed, df.select(*base_cols), warehouse=warehouse, mode="overwrite"
+    )
+    final_path = os.path.join(warehouse, new_config.table_name)
+    swap = final_path + ".old"
+    if os.path.exists(final_path):
+        os.rename(final_path, swap)
+    os.rename(tmp_path, final_path)
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    _write_table_meta(final_path, schema, new_config, list(df.columns))
+    register_table(spark, new_config.table_name, final_path)
+    return final_path
+
+
+def expire_retention(
+    spark: SparkSession, table_path: str, config: TableConfig, now_ms: int
+) -> list[str]:
+    """ST4 retention expiry (Architecture.md:185-186): drop time-bucket
+    partitions entirely past the retention window. Partition-directory
+    deletes — no data rewrite."""
+    if config.retention_days is None:
+        return []
+    cutoff = now_ms - config.retention_days * 86_400_000
+    dropped = []
+    for seg in list_segments(table_path):
+        bucket = seg.split("=", 1)[1]
+        t = time.strptime(bucket, "%Y%m%d%H%M")
+        bucket_ms = int(time.mktime(t) * 1000) - time.timezone * 1000
+        if bucket_ms < cutoff:
+            shutil.rmtree(os.path.join(table_path, seg))
+            dropped.append(seg)
+    return dropped

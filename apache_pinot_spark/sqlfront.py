@@ -159,16 +159,21 @@ class RewriteResult:
 
 
 class PinotDialect:
-    """Stateless-ish rewriter; array-column and JSON-schema metadata come
-    from the owning engine (or empty for standalone use)."""
+    """Stateless-ish rewriter; array-column, JSON-schema, and
+    timestamp-index metadata come from the owning engine (or empty for
+    standalone use)."""
 
     def __init__(
         self,
         array_columns: set[str] | None = None,
         json_schemas: dict[str, T.DataType] | None = None,
+        timestamp_index: dict[tuple[str, str], str] | None = None,
     ):
         self.array_columns = array_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
+        # (time column, UNIT) → materialized `$col$UNIT` column
+        # (timestamp-index.md:25-28: the index rewrite targets dateTrunc)
+        self.timestamp_index = timestamp_index or {}
 
     # -- function handlers ------------------------------------------------
     def _handlers(self) -> dict[str, Callable[[list[str]], str]]:
@@ -186,6 +191,12 @@ class PinotDialect:
 
         def date_trunc(a):
             unit = _unquote(a[0]).upper()
+            # timestamp-index rewrite (timestamp-index.md:41: 45s → 4.2s):
+            # substitute the materialized pre-truncated column when the
+            # table layout declares one for this (column, granularity)
+            mat = self.timestamp_index.get((a[1].strip(), unit))
+            if mat:
+                return f"`{mat}`"
             return f"CAST(unix_millis(CAST(date_trunc('{unit}', {a[1]}) AS TIMESTAMP)) AS BIGINT)"
 
         def from_datetime(a):
@@ -393,6 +404,8 @@ class PinotEngine:
         self._dfs: dict[str, DataFrame] = {}
         self._json_schemas: dict[str, T.DataType] = {}
         self._array_columns: set[str] = set()
+        self._timestamp_index: dict[tuple[str, str], str] = {}
+        self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)
@@ -414,15 +427,99 @@ class PinotEngine:
         column's JSON schema so JSON_MATCH [*] paths compile."""
         self._json_schemas[column] = infer_json_schema(self._dfs[table], column)
 
+    def register_ingested(self, name: str, table_path: str):
+        """Register a table written by sources.batch.ingest_batch, picking
+        up its layout metadata (timestamp-index columns → dialect rewrite,
+        Pinot's dynamic index reload surface, indexing/README.md:36-72)."""
+        from apache_pinot_spark.sources.batch import read_table_meta, register_table
+
+        df = register_table(self.spark, name, table_path)
+        self._note_table(name, df)
+        meta = read_table_meta(table_path)
+        for col, units in (meta["config"].get("timestampIndexGranularities") or {}).items():
+            for unit in units:
+                self._timestamp_index[(col, unit.upper())] = f"${col}${unit.upper()}"
+
+    def add_rollup(self, spec):
+        """Register a star-tree-style rollup (plans/rollup.py) for
+        aggregate-rewrite matching."""
+        self._rollups.append(spec)
+
     @property
     def dialect(self) -> PinotDialect:
-        return PinotDialect(self._array_columns, self._json_schemas)
+        return PinotDialect(
+            self._array_columns, self._json_schemas, self._timestamp_index
+        )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
         return self.dialect.rewrite(pinot_sql)
 
     def sql(self, pinot_sql: str) -> DataFrame:
-        return self.spark.sql(self.rewrite(pinot_sql).sql)
+        rewritten = self.rewrite(pinot_sql).sql
+        hit = self._try_rollup(rewritten)
+        if hit is not None:
+            return hit
+        return self.spark.sql(rewritten)
+
+    # -- star-tree / rollup aggregate rewrite (SURVEY §4) --------------------
+    _SIMPLE_AGG_RE = re.compile(
+        r"^\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)\s*(?:AS\s+([A-Za-z_]\w*))?\s*$",
+        re.IGNORECASE,
+    )
+    _GB_SHAPE_RE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+"
+        r"GROUP\s+BY\s+(?P<dims>[\w\s,]+?)\s*"
+        r"(?P<tail>(ORDER\s+BY\s+[\w\s,]+?)?\s*(LIMIT\s+\d+)?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_rollup(self, sql: str):
+        """Substitute a covering rollup for exact-shape group-by queries
+        (no WHERE/HAVING — the rollup stores no raw rows to filter)."""
+        if not self._rollups:
+            return None
+        from apache_pinot_spark.plans.rollup import AggRequest, answer_from_rollup, covers
+
+        m = self._GB_SHAPE_RE.match(sql)
+        if not m or re.search(r"\bWHERE\b|\bHAVING\b", sql, re.IGNORECASE):
+            return None
+        dims = [d.strip() for d in m.group("dims").split(",") if d.strip()]
+        items = []
+        depth, buf = 0, []
+        for ch in m.group("sel"):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        items.append("".join(buf))
+        aggs: list[AggRequest] = []
+        out_cols: list[str] = []
+        for it in items:
+            it = it.strip()
+            if it in dims:
+                out_cols.append(it)
+                continue
+            am = self._SIMPLE_AGG_RE.match(it)
+            if not am:
+                return None
+            func, col, alias = am.group(1).upper(), am.group(2), am.group(3)
+            col_n = None if col == "*" else col
+            aggs.append(AggRequest(func, col_n, alias or it.replace(" ", "")))
+            out_cols.append(aggs[-1].alias)
+        for spec in self._rollups:
+            if spec.table == m.group("tbl") and covers(spec, dims, aggs):
+                df = answer_from_rollup(self.spark, spec, dims, aggs).select(*out_cols)
+                tail = (m.group("tail") or "").strip()
+                if tail:
+                    df.createOrReplaceTempView("__rollup_answer")
+                    return self.spark.sql(f"SELECT * FROM __rollup_answer {tail}")
+                return df
+        return None
 
     def query(self, pinot_sql: str) -> dict:
         """Execute and wrap in the broker JSON envelope

@@ -1,0 +1,131 @@
+"""Realtime ingestion (S2/ST1-ST5) — Structured Streaming as the
+consuming-segment pipeline.
+
+Reference model (basics/Architecture.md:171,198-204): realtime servers
+consume the stream into in-memory segments that are queryable immediately;
+segments "complete" (flush) on row-count / time / size thresholds via a
+controller-led commit; hybrid tables span a realtime and an offline half
+behind one logical table with a time boundary (Architecture.md:179-190,
+206-212).
+
+Spark mapping (SURVEY §2.7):
+  * readStream → normalize pipeline (same type/sentinel/derived passes as
+    batch — one code path) → foreachBatch append into the table's parquet
+    directory. The micro-batch commit IS the segment-completion protocol:
+    Spark's file-sink commit gives exactly-once segment publication.
+  * Freshness = trigger interval (ST1's ~1 s goal with short triggers);
+    `minConsumingFreshnessTimeMs` = the last committed batch's wall clock.
+  * Flush thresholds (ST2) map to trigger processingTime + source batch
+    caps (e.g. maxFilesPerTrigger / maxOffsetsPerTrigger).
+  * Hybrid federation (ST3): one view unioning offline rows strictly below
+    the time boundary with realtime rows at/above it. The boundary is
+    metadata, checked at plan time — each half is partition-pruned.
+  * Realtime text indexing (ST5): the tokenized shadow column is part of
+    the shared normalize pipeline, so streamed rows are text-searchable as
+    soon as their batch commits.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from apache_pinot_spark.plans.schema import PinotSchema
+from apache_pinot_spark.sources.batch import (
+    TIME_BUCKET_COL,
+    Granularity,
+    TableConfig,
+    derived_columns,
+)
+
+
+@dataclass
+class ConsumingState:
+    """Book-keeping the envelope exposes (Architecture.md:151)."""
+
+    last_commit_ms: int = 0
+    batches: int = 0
+    rows: int = 0
+
+    @property
+    def min_consuming_freshness_ms(self) -> int:
+        return self.last_commit_ms
+
+
+def normalize_stream(
+    stream_df: DataFrame, schema: PinotSchema, config: TableConfig
+) -> DataFrame:
+    """The SAME normalize pipeline as batch ingestion (one code path for
+    both halves of a hybrid table — they must share a schema,
+    Architecture.md:188)."""
+    df = schema.apply_types(stream_df)
+    df = schema.apply_sentinels(df)
+    df = derived_columns(df, schema, config)
+    if config.time_column:
+        gran = Granularity.parse(config.partition_granularity)
+        ts = schema.normalized_time(df, config.time_column)
+        df = df.withColumn(
+            TIME_BUCKET_COL, F.date_format(gran.bucket(ts), "yyyyMMddHHmm")
+        )
+    return df
+
+
+def ingest_stream(
+    spark: SparkSession,
+    schema: PinotSchema,
+    config: TableConfig,
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+    state: ConsumingState | None = None,
+) -> StreamingQuery:
+    """Start the realtime half: micro-batch append into the segment store.
+
+    foreachBatch (not a direct file sink) so each batch can run the full
+    normalize pipeline and so the commit time is observable — the engine's
+    `minConsumingFreshnessTimeMs`."""
+    st = state if state is not None else ConsumingState()
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = normalize_stream(batch_df, schema, config)
+        writer = out.write.mode("append")
+        if config.time_column:
+            writer = writer.partitionBy(TIME_BUCKET_COL)
+        writer.parquet(table_path)
+        st.last_commit_ms = int(time.time() * 1000)
+        st.batches += 1
+        st.rows += batch_df.count()
+
+    return (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def hybrid_view(
+    spark: SparkSession,
+    name: str,
+    offline_path: str,
+    realtime_path: str,
+    time_column: str,
+    boundary: str,
+) -> DataFrame:
+    """ST3 hybrid-table federation (Architecture.md:206-212): offline rows
+    strictly BEFORE the boundary, realtime rows AT/AFTER it, one view.
+
+    The filters sit directly over partitioned parquet scans, so each half
+    partition-prunes: at 100 TB the broker-side "query both halves and
+    merge" costs only the segments inside each half's time range."""
+    off = spark.read.parquet(offline_path).filter(F.col(time_column) < F.lit(boundary))
+    rt = spark.read.parquet(realtime_path).filter(F.col(time_column) >= F.lit(boundary))
+    common = [c for c in off.columns if c in set(rt.columns)]
+    df = off.select(*common).unionByName(rt.select(*common))
+    df.createOrReplaceTempView(name)
+    return df

@@ -1,0 +1,167 @@
+"""Schema compiler + batch ingestion + maintenance jobs (SURVEY §2.1
+S1/S3/S7/S8, §1.2 sentinel semantics)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.plans.schema import INT_MIN, LONG_MIN, DateTimeFormat, PinotSchema
+from apache_pinot_spark.sources import batch as B
+
+SCHEMA_DOC = {
+    "schemaName": "transcript",
+    "dimensionFieldSpecs": [
+        {"name": "studentID", "dataType": "INT"},
+        {"name": "firstName", "dataType": "STRING"},
+        {"name": "gender", "dataType": "STRING"},
+        {"name": "subjects", "dataType": "STRING", "singleValueField": False},
+    ],
+    "metricFieldSpecs": [{"name": "score", "dataType": "FLOAT"}],
+    "dateTimeFieldSpecs": [
+        {
+            "name": "timestampInEpoch",
+            "dataType": "LONG",
+            "format": "1:MILLISECONDS:EPOCH",
+            "granularity": "1:DAYS",
+        }
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return PinotSchema.from_json(json.dumps(SCHEMA_DOC))
+
+
+def test_schema_compiles(schema):
+    st = schema.struct_type
+    assert st["studentID"].dataType.simpleString() == "int"
+    assert st["subjects"].dataType.simpleString() == "array<string>"
+    assert st["score"].dataType.simpleString() == "float"
+    assert schema.primary_time_column == "timestampInEpoch"
+
+
+def test_sentinel_defaults(schema, spark):
+    # configuration-reference/schema.md:29-38 (dims) and :53-60 (metrics)
+    df = spark.createDataFrame(
+        [(None, None, "f", None, None, 1_700_000_000_000)],
+        schema="studentID INT, firstName STRING, gender STRING, "
+               "subjects ARRAY<STRING>, score FLOAT, timestampInEpoch LONG",
+    )
+    out = schema.apply_sentinels(schema.apply_types(df)).collect()[0]
+    assert out["studentID"] == INT_MIN
+    assert out["firstName"] == "null"
+    assert out["subjects"] == ["null"]  # MV default = [sentinel] (schema.md:25)
+    assert out["score"] == 0.0  # metric default, not -inf
+
+
+def test_dim_long_and_double_sentinels(spark):
+    sch = PinotSchema.from_json(
+        {
+            "schemaName": "s",
+            "dimensionFieldSpecs": [
+                {"name": "l", "dataType": "LONG"},
+                {"name": "d", "dataType": "DOUBLE"},
+                {"name": "b", "dataType": "BOOLEAN"},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(None, None, None)], schema="l LONG, d DOUBLE, b BOOLEAN")
+    out = sch.apply_sentinels(sch.apply_types(df)).collect()[0]
+    assert out["l"] == LONG_MIN
+    assert out["d"] == float("-inf")
+    assert out["b"] is False
+
+
+def test_datetime_format_parse():
+    f = DateTimeFormat.parse("1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd")
+    assert (f.size, f.unit, f.fmt, f.pattern) == (1, "DAYS", "SIMPLE_DATE_FORMAT", "yyyyMMdd")
+    e = DateTimeFormat.parse("1:HOURS:EPOCH")
+    assert (e.size, e.unit, e.fmt) == (1, "HOURS", "EPOCH")
+
+
+def test_epoch_hours_normalization(spark):
+    sch = PinotSchema.from_json(
+        {
+            "schemaName": "s",
+            "dateTimeFieldSpecs": [
+                {"name": "h", "dataType": "INT", "format": "1:HOURS:EPOCH",
+                 "granularity": "1:HOURS"}
+            ],
+        }
+    )
+    df = spark.createDataFrame([Row(h=473354)])  # hours since epoch
+    ts = df.select(sch.normalized_time(df, "h").alias("ts")).collect()[0]["ts"]
+    assert ts.year == 2024 and ts.minute == 0
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory, schema):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    rows = [
+        Row(studentID=i, firstName=f"s{i}", gender="mf"[i % 2],
+            subjects=["math", "cs"] if i % 3 else None,
+            score=float(i), timestampInEpoch=1_700_000_000_000 + i * 43_200_000)
+        for i in range(20)
+    ]
+    cfg = B.TableConfig(
+        table_name="transcript",
+        time_column="timestampInEpoch",
+        partition_granularity="1:DAYS",
+        sorted_column="studentID",
+        bloom_filter_columns=["firstName"],
+        timestamp_index_granularities={"timestampInEpoch": ["DAY"]},
+    )
+    path = B.ingest_batch(spark, schema, cfg, spark.createDataFrame(rows), warehouse=wh)
+    return spark, path, cfg
+
+
+def test_ingest_partitions_and_meta(ingested):
+    spark, path, cfg = ingested
+    segs = B.list_segments(path)
+    assert len(segs) > 1  # 20 rows over 12h steps → multiple day buckets
+    meta = B.read_table_meta(path)
+    assert meta["config"]["sortedColumn"] == "studentID"
+    df = spark.read.parquet(path)
+    assert df.count() == 20
+    assert "$timestampInEpoch$DAY" in df.columns  # timestamp-index column
+
+
+def test_ingest_partition_pruning(ingested):
+    spark, path, cfg = ingested
+    df = spark.read.parquet(path)
+    buckets = sorted(r[B.TIME_BUCKET_COL] for r in df.select(B.TIME_BUCKET_COL).distinct().collect())
+    plan = df.filter(F.col(B.TIME_BUCKET_COL) == buckets[0])._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (no full-table read)
+    assert "PartitionFilters: [isnotnull" in plan or f"{B.TIME_BUCKET_COL}" in plan
+
+
+def test_purge(ingested):
+    spark, path, cfg = ingested
+    purge = spark.createDataFrame([Row(studentID=3), Row(studentID=7)])
+    n = B.purge_records(spark, path, purge, "studentID")
+    assert n == 2
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("studentID").isin(3, 7)).count() == 0
+    assert left.count() == 18
+
+
+def test_reload_with_layout(ingested, schema, tmp_path_factory):
+    spark, path, cfg = ingested
+    wh = os.path.dirname(path)
+    new_cfg = B.TableConfig(
+        table_name="transcript",
+        time_column="timestampInEpoch",
+        sorted_column="score",
+        text_index_columns=[],
+        timestamp_index_granularities={"timestampInEpoch": ["DAY", "MONTH"]},
+    )
+    new_path = B.reload_with_layout(spark, schema, path, new_cfg, warehouse=wh)
+    df = spark.read.parquet(new_path)
+    assert "$timestampInEpoch$MONTH" in df.columns
+    assert df.count() == 18  # purge survived the reload

@@ -1,0 +1,163 @@
+"""Physical-plan quality assertions (SURVEY §4) — the 100 TB checklist:
+filters push to the parquet scan, projections prune columns, dimension
+joins broadcast, the timestamp-index rewrite eliminates per-row
+date_trunc, and the rollup rewrite answers from pre-aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.plans.rollup import RollupSpec, build_rollup
+from apache_pinot_spark.plans.schema import PinotSchema
+from apache_pinot_spark.sources import batch as B
+from apache_pinot_spark.sqlfront import PinotEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    df = tables["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, tables):
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs  # wide column pruned from the scan
+
+
+def test_dimension_join_broadcasts(spark, tables):
+    df = (
+        tables["supplier"]
+        .join(tables["nation"], tables["supplier"]["s_nationkey"] == tables["nation"]["n_nationkey"])
+        .groupBy("n_name")
+        .count()
+    )
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_partial_aggregation_before_shuffle(spark, tables):
+    df = tables["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(df)
+    # partial (map-side) aggregate must appear below the exchange —
+    # Pinot's server-side partial aggregation (Architecture.md:117)
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_wholestage_codegen_on_scan_filter_agg(spark, tables):
+    df = tables["lineitem"].filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+    df.collect()  # AQE: codegen spans appear in the final (executed) plan
+    plan = _plan(df)
+    # whole-stage-codegen spans print as `*(n)` operator prefixes; the
+    # scan→filter→partial-agg pipeline must be inside one
+    assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
+
+
+@pytest.fixture(scope="module")
+def ts_indexed_engine(spark, tmp_path_factory):
+    """Ingest events with a timestamp index at DAY granularity, register
+    with the engine, and return both."""
+    wh = str(tmp_path_factory.mktemp("wh"))
+    schema = PinotSchema.from_json(
+        {
+            "schemaName": "events",
+            "dimensionFieldSpecs": [
+                {"name": "event_id", "dataType": "LONG"},
+                {"name": "user_id", "dataType": "LONG"},
+                {"name": "event_type", "dataType": "STRING"},
+                {"name": "props", "dataType": "JSON"},
+            ],
+            "metricFieldSpecs": [{"name": "value", "dataType": "DOUBLE"}],
+            "dateTimeFieldSpecs": [
+                {"name": "ts_ms", "dataType": "LONG", "format": "1:MILLISECONDS:EPOCH",
+                 "granularity": "1:DAYS"}
+            ],
+        }
+    )
+    cfg = B.TableConfig(
+        table_name="events_ix",
+        time_column="ts_ms",
+        partition_granularity="1:DAYS",
+        timestamp_index_granularities={"ts_ms": ["DAY"]},
+    )
+    src = load_tables(spark, SF, ["events"])["events"].withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    path = B.ingest_batch(spark, schema, cfg, src, warehouse=wh)
+    eng = PinotEngine(spark)
+    eng.register_ingested("events_ix", path)
+    return eng, path
+
+
+def test_timestamp_index_rewrite(ts_indexed_engine):
+    eng, path = ts_indexed_engine
+    rr = eng.rewrite(
+        "SELECT dateTrunc('DAY', ts_ms) AS d, COUNT(*) AS cnt FROM events_ix GROUP BY d"
+    )
+    assert "`$ts_ms$DAY`" in rr.sql  # materialized column substituted
+    assert "date_trunc" not in rr.sql  # no per-row truncation left
+    # and it answers identically to the computed form
+    got = {
+        (r["d"], r["cnt"])
+        for r in eng.sql(
+            "SELECT dateTrunc('DAY', ts_ms) AS d, COUNT(*) AS cnt FROM events_ix GROUP BY d"
+        ).collect()
+    }
+    want = {
+        (r["d"], r["cnt"])
+        for r in eng.spark.sql(
+            "SELECT CAST(unix_millis(CAST(date_trunc('DAY', timestamp_millis(ts_ms)) AS TIMESTAMP)) AS BIGINT) AS d,"
+            " COUNT(*) AS cnt FROM events_ix GROUP BY 1"
+        ).collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_rollup_rewrite(spark, tables, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_rollup"))
+    eng = PinotEngine(spark, SF, ["lineitem"])
+    spec = RollupSpec(
+        table="lineitem",
+        dimensions=["l_returnflag", "l_linestatus"],
+        metrics=["l_quantity", "l_extendedprice"],
+    )
+    build_rollup(spark, tables["lineitem"], spec, warehouse=wh)
+    eng.add_rollup(spec)
+    q = (
+        "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq, "
+        "MAX(l_extendedprice) AS mx FROM lineitem GROUP BY l_returnflag"
+    )
+    df = eng.sql(q)
+    # the rollup answer must not scan the fact table
+    plan = _plan(df)
+    assert "__rollup__" in plan and "lineitem.parquet" not in plan
+    got = {(r["l_returnflag"], r["cnt"], round(r["sq"], 4), r["mx"]) for r in df.collect()}
+    want = {
+        (r["l_returnflag"], r["cnt"], round(r["sq"], 4), r["mx"])
+        for r in spark.sql(
+            "SELECT l_returnflag, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq, "
+            "MAX(l_extendedprice) AS mx FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert got == want
+    # uncovered query (dim outside the rollup) falls through to the fact table
+    df2 = eng.sql(
+        "SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey"
+    )
+    assert "__rollup__" not in _plan(df2)

@@ -1,0 +1,128 @@
+"""Realtime ingestion + hybrid table tests (SURVEY §2.7 ST1-ST5) using a
+file stream source (no Kafka in the container — the source is pluggable)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_pinot_spark.plans.schema import PinotSchema
+from apache_pinot_spark.sources import batch as B
+from apache_pinot_spark.streaming import realtime as R
+
+SCHEMA = PinotSchema.from_json(
+    {
+        "schemaName": "clicks",
+        "dimensionFieldSpecs": [
+            {"name": "user", "dataType": "STRING"},
+            {"name": "page", "dataType": "STRING"},
+        ],
+        "metricFieldSpecs": [{"name": "n", "dataType": "LONG"}],
+        "dateTimeFieldSpecs": [
+            {"name": "ts_ms", "dataType": "LONG", "format": "1:MILLISECONDS:EPOCH",
+             "granularity": "1:DAYS"}
+        ],
+    }
+)
+
+CFG = B.TableConfig(
+    table_name="clicks_rt",
+    time_column="ts_ms",
+    partition_granularity="1:DAYS",
+    text_index_columns=["page"],
+)
+
+_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StringType()),
+        T.StructField("page", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+BASE_MS = 1_700_000_000_000
+
+
+def _write_source_file(src_dir, idx: int, rows: list[dict]) -> None:
+    p = src_dir / f"batch_{idx}.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rt")
+    src = root / "src"
+    src.mkdir()
+    table = str(root / "table")
+    ckpt = str(root / "ckpt")
+    _write_source_file(
+        src, 0,
+        [{"user": "u1", "page": "spark streaming guide", "n": 1, "ts_ms": BASE_MS},
+         {"user": "u2", "page": "hash join deep dive", "n": 2, "ts_ms": BASE_MS + 86_400_000}],
+    )
+    state = R.ConsumingState()
+    stream = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    q = R.ingest_stream(spark, SCHEMA, CFG, stream, table, ckpt,
+                        trigger_seconds=0.5, state=state)
+    # wait for first commit (ST1 freshness: rows visible after one trigger)
+    deadline = time.time() + 60
+    while state.batches < 1 and time.time() < deadline:
+        time.sleep(0.25)
+    yield spark, src, table, q, state
+    q.stop()
+
+
+def test_stream_rows_visible_after_commit(stream_env):
+    spark, src, table, q, state = stream_env
+    assert state.batches >= 1
+    df = spark.read.parquet(table)
+    assert df.count() == 2
+    # shared normalize pipeline ran: tokenized text column present (ST5)
+    assert "$page$tokens" in df.columns
+    toks = df.filter(F.col("user") == "u1").select("$page$tokens").collect()[0][0]
+    assert "streaming" in toks
+
+
+def test_stream_appends_second_batch(stream_env):
+    spark, src, table, q, state = stream_env
+    before = state.batches
+    _write_source_file(
+        src, 1, [{"user": "u3", "page": "minhash dedup", "n": 5, "ts_ms": BASE_MS + 3600_000}]
+    )
+    deadline = time.time() + 60
+    while state.batches <= before and time.time() < deadline:
+        time.sleep(0.25)
+    df = spark.read.parquet(table)
+    assert df.count() == 3
+    assert state.min_consuming_freshness_ms > 0
+    # segment completion: each micro-batch commit added parquet files under
+    # time-bucket partition dirs (ST2/S3)
+    assert len(B.list_segments(table)) >= 2
+
+
+def test_hybrid_view_boundary(stream_env, tmp_path_factory):
+    spark, src, table, q, state = stream_env
+    # offline half: same schema, rows strictly before the boundary
+    off_root = tmp_path_factory.mktemp("off")
+    off_rows = [
+        Row(user="old1", page="ancient page", n=1, ts_ms=BASE_MS - 2 * 86_400_000),
+        Row(user="old2", page="newer offline row SHOULD BE HIDDEN", n=1, ts_ms=BASE_MS + 3600_000),
+    ]
+    off_cfg = B.TableConfig(table_name="clicks_off", time_column="ts_ms",
+                            text_index_columns=["page"])
+    off_path = B.ingest_batch(spark, SCHEMA, off_cfg, spark.createDataFrame(off_rows),
+                              warehouse=str(off_root))
+    hybrid = R.hybrid_view(spark, "clicks_hybrid", off_path, table, "ts_ms", str(BASE_MS))
+    rows = {r["user"] for r in hybrid.collect()}
+    # boundary: offline contributes only rows < BASE_MS; realtime only >= BASE_MS
+    assert "old1" in rows and "old2" not in rows
+    assert {"u1", "u2"} <= rows
+    # queryable via SQL like any table (ST3)
+    n = spark.sql("SELECT COUNT(*) AS c FROM clicks_hybrid").collect()[0]["c"]
+    assert n == len(rows)
