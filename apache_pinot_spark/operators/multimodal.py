@@ -80,7 +80,18 @@ def extract_image_features(
         ]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # The worker function must be SELF-CONTAINED: every import happens
+    # inside and no module-level symbol is referenced, so cloudpickle
+    # ships it by value and executors never need this package importable.
+    def run(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _feats(content, n):
+            d = _hl.sha256(content or b"").digest()
+            return [int.from_bytes(d[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(n)]
+
         for pdf in batches:
             if not decode_stub:
                 # Plug point for a real decoder:
@@ -89,14 +100,14 @@ def extract_image_features(
                     "image decode requires an imaging library not present in this container"
                 )
             contents = pdf[content_col]
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "n_bytes": contents.map(lambda b: len(b or b"")).astype("int32"),
                     "digest": contents.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                        lambda b: _hl.sha256(b or b"").hexdigest()
                     ),
-                    "features": contents.map(lambda b: _fake_features(b, feature_dim)),
+                    "features": contents.map(lambda b: _feats(b, feature_dim)),
                 }
             )
 

@@ -14,3 +14,5 @@ from apache_pinot_spark.suites import dedup_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import similarity_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import enginesql_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import multimodal_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import lifecycle_suite  # noqa: F401,E402
