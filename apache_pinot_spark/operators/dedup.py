@@ -26,6 +26,16 @@ from pyspark.sql import functions as F
 
 from apache_pinot_spark.functions.text import tokens_expr
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as ONE scan partition; hash-heavy per-row
+    pipelines must fan out across cores first. One cheap shuffle of the
+    raw rows buys full parallelism for the expensive projection that
+    follows (at cluster scale the input is already many partitions and
+    this is a near-no-op rebalance)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
 # --------------------------------------------------------------------------
 # Shingling
 # --------------------------------------------------------------------------
@@ -141,6 +151,7 @@ def minhash_bands(
     intermediate columns so the 4 substring-min passes per seed share one
     md5 pass (HOF lambdas are interpreted, not codegen'd — md5 count is
     the dominant term)."""
+    df = _spread(df)
     toks = tokens_expr(text_col, frozenset())  # dedup keeps stop words: byte-level fidelity
     sh = shingles_expr(toks, shingle_n)
     if portable:
@@ -224,7 +235,7 @@ def jaccard_verify_pairs(
     columns, set ops are JVM built-ins."""
     toks = tokens_expr(text_col, frozenset())
     sh = (
-        df.select(
+        _spread(df).select(
             F.col(key_col).alias("key"),
             F.array_distinct(shingles_expr(toks, shingle_n)).alias("shset"),
         )
@@ -256,7 +267,7 @@ def simhash64(
     → sign bits). Explode + one groupBy(key) with map-side partial sums."""
     toks = tokens_expr(text_col, frozenset())
     tok = (
-        df.select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
+        _spread(df).select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
         .withColumn("h", F.xxhash64("t"))
     )
     # bit 63 of a signed LONG is the sign bit: its mask must be the
@@ -293,7 +304,7 @@ def simhash16_portable(
     by the oracle-checked driver query)."""
     toks = tokens_expr(text_col, frozenset())
     tok = (
-        df.select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
+        _spread(df).select(F.col(key_col).alias("key"), F.explode(toks).alias("t"))
         .withColumn("m", F.md5("t"))
     )
     high = set("89abcdef")

@@ -31,11 +31,11 @@ sh AS (
 # (i%4) of md5('(i//4)|' || shingle); band b hashes (mh[2b], mh[2b+1]).
 _MH_EXPRS = ",\n         ".join(
     f"list_min(list_transform(sh, x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8))) AS mh{i}"
-    for i in range(16)
+    for i in range(8)
 )
 _BAND_ROWS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
-    for b in range(8)
+    for b in range(4)
 )
 _SIG_CTE = (
     _SHINGLES_CTE
@@ -107,7 +107,7 @@ df_query(
 
 def _minhash_pairs(spark, sf_dir):
     return dedup.minhash_candidate_pairs(
-        _docs(spark, sf_dir), num_hashes=16, band_size=2, shingle_n=3, portable=True
+        _docs(spark, sf_dir), num_hashes=8, band_size=2, shingle_n=3, portable=True
     ).orderBy("key_a", "key_b")
 
 
@@ -116,14 +116,14 @@ df_query(
     _minhash_pairs,
     _SIG_CTE + "SELECT key_a, key_b FROM pairs ORDER BY key_a, key_b",
     tables=["documents"],
-    doc="MinHash(16) + LSH banding (8 bands × 2) candidate pairs",
+    doc="MinHash(8) + LSH banding (4 bands × 2) candidate pairs",
 )
 
 
 def _jaccard_verified(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_candidate_pairs(
-        docs, num_hashes=16, band_size=2, shingle_n=3, portable=True
+        docs, num_hashes=8, band_size=2, shingle_n=3, portable=True
     )
     return dedup.jaccard_verify_pairs(pairs, docs, shingle_n=3, threshold=0.02).orderBy(
         "key_a", "key_b"

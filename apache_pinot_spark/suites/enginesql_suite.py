@@ -136,3 +136,38 @@ df_query(
     tables=["lineitem"],
     doc="DISTINCTCOUNTHLL → approx_count_distinct (forward-index.md:214)",
 )
+
+# O4 — OPTION(...) suffix parsing (timestamp-index.md:50): stripped from
+# the SQL, recorded in RewriteResult.options; result is unchanged.
+df_query(
+    "eng_option_suffix",
+    _engine_q(
+        "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus "
+        "OPTION(timeoutMs=20000)",
+        ["orders"],
+    ),
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tables=["orders"],
+    doc="O4 per-query OPTION suffix (timestamp-index.md:50)",
+)
+
+# P7 — scalar predicate on a multi-valued column THROUGH the front-end:
+# `embedding > 0.95` on an ARRAY column is auto-rewritten to any-element
+# semantics (configuration-reference/schema.md:25).
+df_query(
+    "eng_mv_scalar_predicate",
+    _engine_q(
+        "SELECT COUNT(*) AS cnt FROM embeddings WHERE embedding > 0.95",
+        ["embeddings"],
+    ),
+    """
+    SELECT COUNT(*) AS cnt FROM embeddings
+    WHERE len(list_filter(embedding, x -> x > 0.95)) > 0
+    """,
+    tables=["embeddings"],
+    doc="P7 MV-column scalar predicate auto-rewrite (schema.md:25)",
+)

@@ -29,7 +29,7 @@ def _emb(spark: SparkSession, sf_dir: str):
 def _topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return similarity.brute_force_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
 
 
 df_query(
@@ -57,9 +57,11 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def _near_dups(spark, sf_dir):
-    return similarity.near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.40).orderBy(
-        "id_a", "id_b"
-    )
+    # blocked-GEMM scale path (mapInPandas BLAS per block pair) with exact
+    # sequential-fold rescoring — bit-identical to the pairwise-join form
+    return similarity.near_duplicate_pairs_blocked(
+        _emb(spark, sf_dir), threshold=0.40, dim=64
+    ).orderBy("id_a", "id_b")
 
 
 df_query(
@@ -87,15 +89,15 @@ def _centroid_sim(spark, sf_dir):
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", similarity.norm_expr(F.col("v")))
-    a, b = v.alias("a"), v.alias("b")
+    ).withColumn("n", similarity.norm_expr(F.col("v"), 64))
+    a, b = similarity._spread(v).alias("a"), v.alias("b")
     pair = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(F.col("a.label") == F.col("b.label"))
         .select(
             F.col("a.label").alias("label"),
             similarity.cosine_expr(
-                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), 64
             ).alias("score"),
         )
     )
