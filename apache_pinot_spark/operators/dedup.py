@@ -49,16 +49,6 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def _seed_hasher(seed: Column):
-    """1-arg md5 lambda via closure (a default-arg lambda would be read by
-    PySpark as an (element, index) lambda and bind seed to the index)."""
-    return lambda x: F.md5(F.concat(seed, x))
-
-
-def _slicer(start: int):
-    return lambda m: F.substring(m, start, 8)
-
-
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -155,27 +145,28 @@ def minhash_bands(
     toks = tokens_expr(text_col, frozenset())  # dedup keeps stop words: byte-level fidelity
     sh = shingles_expr(toks, shingle_n)
     if portable:
+        # Explode to one row per shingle so md5 runs as a PLAIN column
+        # expression inside whole-stage codegen (HOF lambdas are
+        # interpreted — 5-10x slower per hash). The per-doc mins come back
+        # via groupBy(key) with map-side partial aggregation, so the
+        # shuffle carries 1 row per doc, not per shingle.
         num_seeds = (num_hashes + 3) // 4
-        staged = df.select(F.col(key_col).alias("key"), sh.alias("sh")).filter(
-            F.size("sh") > 0
-        )
-        staged = staged.select(
+        ex = df.select(F.col(key_col).alias("key"), F.explode(sh).alias("s"))
+        hashed = ex.select(
             "key",
-            "sh",
             *[
-                F.transform(
-                    "sh", _seed_hasher(F.lit(f"{s}|"))
-                ).alias(f"__m{s}")
-                for s in range(num_seeds)
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("s"))).alias(f"__m{seed}")
+                for seed in range(num_seeds)
             ],
         )
-        elems = [
-            F.array_min(
-                F.transform(F.col(f"__m{i // 4}"), _slicer(8 * (i % 4) + 1))
-            )
+        sig_cols = [
+            F.min(F.substring(F.col(f"__m{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
-        base = staged.select("key", "sh", F.array(*elems).alias("sig"))
+        per_doc = hashed.groupBy("key").agg(*sig_cols)
+        base = per_doc.select(
+            "key", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+        )
     else:
         sig = minhash_signature_expr(sh, num_hashes, portable)
         base = (
