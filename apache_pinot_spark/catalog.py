@@ -51,3 +51,110 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# --------------------------------------------------------------------------
+# Controller-style catalog (S6): DDL-equivalent CRUD over schemas/tables
+# (reference basics/Architecture.md:61-73 — controller REST surface; ZK
+# state collapses to JSON metadata under the warehouse dir).
+# --------------------------------------------------------------------------
+
+
+class PinotCatalog:
+    """create/list/drop for schemas and tables; the Python analogue of the
+    controller's REST DDL (Concepts.md:58). Table state (schema doc, table
+    config, segment list) persists as JSON under the warehouse directory,
+    so a new session can re-register everything with ``attach_all``."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        import os
+
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(os.path.join(warehouse, "_schemas"), exist_ok=True)
+
+    # -- schemas -----------------------------------------------------------
+    def create_schema(self, schema_doc: dict) -> "object":
+        import json
+        import os
+
+        from apache_pinot_spark.plans.schema import PinotSchema
+
+        sch = PinotSchema.from_json(schema_doc)
+        with open(os.path.join(self.warehouse, "_schemas", f"{sch.schema_name}.json"), "w") as fh:
+            json.dump(schema_doc, fh, indent=2)
+        return sch
+
+    def get_schema(self, name: str):
+        import json
+        import os
+
+        from apache_pinot_spark.plans.schema import PinotSchema
+
+        with open(os.path.join(self.warehouse, "_schemas", f"{name}.json")) as fh:
+            return PinotSchema.from_json(json.load(fh))
+
+    def list_schemas(self) -> list[str]:
+        import os
+
+        d = os.path.join(self.warehouse, "_schemas")
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    # -- tables ------------------------------------------------------------
+    def create_table(self, schema_name: str, table_config, source_df: DataFrame) -> str:
+        """Batch-ingest ``source_df`` as a new table under this catalog
+        (S1 + S6 in one call). Returns the table path."""
+        from apache_pinot_spark.sources.batch import ingest_batch
+
+        schema = self.get_schema(schema_name)
+        return ingest_batch(
+            self.spark, schema, table_config, source_df,
+            warehouse=self.warehouse, mode="overwrite",
+        )
+
+    def list_tables(self) -> list[str]:
+        import os
+
+        out = []
+        for d in sorted(os.listdir(self.warehouse)):
+            if os.path.isfile(os.path.join(self.warehouse, d, "_pinot_table.json")):
+                out.append(d)
+        return out
+
+    def table_meta(self, name: str) -> dict:
+        import os
+
+        from apache_pinot_spark.sources.batch import read_table_meta
+
+        return read_table_meta(os.path.join(self.warehouse, name))
+
+    def list_segments(self, name: str) -> list[str]:
+        import os
+
+        from apache_pinot_spark.sources.batch import list_segments
+
+        return list_segments(os.path.join(self.warehouse, name))
+
+    def drop_table(self, name: str) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.warehouse, name))
+        self.spark.catalog.dropTempView(name)
+
+    def attach_all(self, engine=None) -> list[str]:
+        """Re-register every persisted table in this (possibly new)
+        session; with an engine, layout metadata (timestamp/text index)
+        is picked up too."""
+        import os
+
+        from apache_pinot_spark.sources.batch import register_table
+
+        names = self.list_tables()
+        for name in names:
+            path = os.path.join(self.warehouse, name)
+            if engine is not None:
+                engine.register_ingested(name, path)
+            else:
+                register_table(self.spark, name, path)
+        return names

@@ -296,11 +296,17 @@ def text_match_sql(
     expr: str,
     include_stop_words: set[str] | None = None,
     exclude_stop_words: set[str] | None = None,
+    tokens_column: str | None = None,
 ) -> str:
-    """SQL-text form of text_match(col, expr) — splice into WHERE/SELECT."""
+    """SQL-text form of text_match(col, expr) — splice into WHERE/SELECT.
+
+    ``tokens_column`` names a materialized tokenized shadow column (the
+    engine's text-index equivalent, written by ingest for
+    ``textIndexColumns``): the predicate then reads the stored token array
+    instead of re-tokenizing the raw text per row."""
     stop = effective_stop_words(include_stop_words, exclude_stop_words)
     ast = parse_text_expression(expr)
-    toks = tokens_sql(col_sql, stop)
+    toks = f"`{tokens_column}`" if tokens_column else tokens_sql(col_sql, stop)
     joined = f"concat(' ', array_join({toks}, ' '), ' ')"
     return "(" + _emit_sql(ast, toks, joined, stop) + ")"
 

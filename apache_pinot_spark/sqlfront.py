@@ -168,12 +168,16 @@ class PinotDialect:
         array_columns: set[str] | None = None,
         json_schemas: dict[str, T.DataType] | None = None,
         timestamp_index: dict[tuple[str, str], str] | None = None,
+        text_index: dict[str, str] | None = None,
     ):
         self.array_columns = array_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # (time column, UNIT) → materialized `$col$UNIT` column
         # (timestamp-index.md:25-28: the index rewrite targets dateTrunc)
         self.timestamp_index = timestamp_index or {}
+        # text column → materialized tokenized shadow column (`$col$tokens`,
+        # the engine's Lucene-index analogue: queries skip re-tokenizing)
+        self.text_index = text_index or {}
 
     # -- function handlers ------------------------------------------------
     def _handlers(self) -> dict[str, Callable[[list[str]], str]]:
@@ -227,7 +231,12 @@ class PinotDialect:
             extra = [_unquote(x) for x in a[2:]]
             include = set(extra[0].split(",")) if len(extra) > 0 and extra[0] else None
             exclude = set(extra[1].split(",")) if len(extra) > 1 and extra[1] else None
-            return text_match_sql(a[0], _unquote(a[1]), include, exclude)
+            # materialized text index applies only with default stop words
+            # (per-query overrides change the token stream)
+            tokens_col = None
+            if include is None and exclude is None:
+                tokens_col = self.text_index.get(a[0].strip())
+            return text_match_sql(a[0], _unquote(a[1]), include, exclude, tokens_col)
 
         def text_contains(a):
             return text_contains_sql(a[0], _unquote(a[1]))
@@ -405,6 +414,7 @@ class PinotEngine:
         self._json_schemas: dict[str, T.DataType] = {}
         self._array_columns: set[str] = set()
         self._timestamp_index: dict[tuple[str, str], str] = {}
+        self._text_index: dict[str, str] = {}
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -439,6 +449,8 @@ class PinotEngine:
         for col, units in (meta["config"].get("timestampIndexGranularities") or {}).items():
             for unit in units:
                 self._timestamp_index[(col, unit.upper())] = f"${col}${unit.upper()}"
+        for col in meta["config"].get("textIndexColumns") or []:
+            self._text_index[col] = f"${col}$tokens"
 
     def add_rollup(self, spec):
         """Register a star-tree-style rollup (plans/rollup.py) for
@@ -448,7 +460,10 @@ class PinotEngine:
     @property
     def dialect(self) -> PinotDialect:
         return PinotDialect(
-            self._array_columns, self._json_schemas, self._timestamp_index
+            self._array_columns,
+            self._json_schemas,
+            self._timestamp_index,
+            self._text_index,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

@@ -165,3 +165,29 @@ def test_reload_with_layout(ingested, schema, tmp_path_factory):
     df = spark.read.parquet(new_path)
     assert "$timestampInEpoch$MONTH" in df.columns
     assert df.count() == 18  # purge survived the reload
+
+
+def test_catalog_crud(spark, tmp_path_factory, schema):
+    from apache_pinot_spark.catalog import PinotCatalog
+    from pyspark.sql import Row
+
+    wh = str(tmp_path_factory.mktemp("cat_wh"))
+    cat = PinotCatalog(spark, wh)
+    cat.create_schema(SCHEMA_DOC)
+    assert cat.list_schemas() == ["transcript"]
+    rows = [
+        Row(studentID=i, firstName=f"s{i}", gender="f", subjects=["cs"],
+            score=1.0, timestampInEpoch=1_700_000_000_000 + i * 86_400_000)
+        for i in range(4)
+    ]
+    cfg = B.TableConfig(table_name="transcript2", time_column="timestampInEpoch")
+    cat.create_table("transcript", cfg, spark.createDataFrame(rows))
+    assert cat.list_tables() == ["transcript2"]
+    assert len(cat.list_segments("transcript2")) == 4  # one day-bucket each
+    assert spark.sql("SELECT COUNT(*) c FROM transcript2").collect()[0]["c"] == 4
+    meta = cat.table_meta("transcript2")
+    assert meta["schemaName"] == "transcript"
+    # re-attach in the same session (simulates restart)
+    assert cat.attach_all() == ["transcript2"]
+    cat.drop_table("transcript2")
+    assert cat.list_tables() == []

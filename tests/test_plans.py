@@ -161,3 +161,43 @@ def test_rollup_rewrite(spark, tables, tmp_path_factory):
         "SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey"
     )
     assert "__rollup__" not in _plan(df2)
+
+
+def test_text_index_materialized_tokens(spark, tmp_path_factory):
+    """ST5/P10: a table ingested with textIndexColumns carries $col$tokens;
+    TEXT_MATCH through the engine reads the stored array (no re-tokenize)."""
+    from apache_pinot_spark.plans.schema import PinotSchema
+
+    wh = str(tmp_path_factory.mktemp("wh_text"))
+    schema = PinotSchema.from_json(
+        {
+            "schemaName": "docs",
+            "dimensionFieldSpecs": [
+                {"name": "doc_id", "dataType": "LONG"},
+                {"name": "text", "dataType": "STRING"},
+            ],
+        }
+    )
+    cfg = B.TableConfig(table_name="docs_ix", text_index_columns=["text"])
+    src = load_tables(spark, SF, ["documents"])["documents"].select("doc_id", "text")
+    path = B.ingest_batch(spark, schema, cfg, src, warehouse=wh)
+    eng = PinotEngine(spark)
+    eng.register_ingested("docs_ix", path)
+    rr = eng.rewrite("SELECT COUNT(*) AS cnt FROM docs_ix WHERE TEXT_MATCH(text, 'spark AND join')")
+    assert "`$text$tokens`" in rr.sql
+    assert "split(lower(text)" not in rr.sql  # no inline re-tokenization
+    n_indexed = eng.sql(
+        "SELECT COUNT(*) AS cnt FROM docs_ix WHERE TEXT_MATCH(text, 'spark AND join')"
+    ).collect()[0]["cnt"]
+    # same answer as the tokenize-inline engine on the raw table
+    eng2 = PinotEngine(spark, SF, ["documents"])
+    n_inline = eng2.sql(
+        "SELECT COUNT(*) AS cnt FROM documents WHERE TEXT_MATCH(text, 'spark AND join')"
+    ).collect()[0]["cnt"]
+    assert n_indexed == n_inline > 0
+
+
+def test_limit_zero(spark, tables):
+    # LIMIT 0 returns schema, no rows (text-search-support.md:150-153)
+    df = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem LIMIT 0")
+    assert df.count() == 0 and len(df.schema.fields) == 2
