@@ -215,7 +215,7 @@ def lsh_topk(
     def sigs(df, name):
         """Slim (id, tbl, bucket) rows — vectors do NOT ride the bucket
         join; they are rejoined by id for the rescore stage."""
-        v = df.select(F.col(id_col).alias(name), _to_double(F.col(vec_col)).alias("__v"))
+        v = _spread(df).select(F.col(id_col).alias(name), _to_double(F.col(vec_col)).alias("__v"))
         return v.select(
             name,
             F.explode(

@@ -151,3 +151,33 @@ def winnow_fingerprints_expr(
         lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
     )
     return F.slice(F.array_sort(sh), 1, keep)
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", key_col: str = "doc_id", shingle_n: int = 4, keep: int = 4
+):
+    """(key, fp) rows: the `keep` smallest md5 shingle hashes per doc.
+
+    Scale shape: explode to one row per shingle so md5 runs as a plain
+    codegen'd column expression (not an interpreted HOF lambda), then a
+    window top-k per doc. The shuffle carries (key, 32-char hash) rows —
+    slim — and the input is spread across cores first (single-file
+    parquet arrives as one partition)."""
+    from pyspark.sql import Window
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, shingle_n), " "),
+    )
+    ex = df.select(F.col(key_col).alias("key"), F.explode(sh).alias("s"))
+    hashed = ex.select("key", F.md5("s").alias("fp"))
+    w = Window.partitionBy("key").orderBy("fp")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .select("key", "fp")
+    )

@@ -160,9 +160,7 @@ df_query(
 
 def _fingerprint_overlap(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    fps = d.select(
-        "doc_id", F.explode(tx.winnow_fingerprints_expr("text", shingle_n=4, keep=4)).alias("fp")
-    )
+    fps = tx.winnow_fingerprints(d, shingle_n=4, keep=4).withColumnRenamed("key", "doc_id")
     return (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
