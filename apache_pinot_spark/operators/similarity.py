@@ -358,3 +358,115 @@ def near_duplicate_pairs_blocked(
     return pairs.mapInPandas(run, schema=out_schema).select(
         "id_a", "id_b", F.round("score", 6).alias("score")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — cluster-partitioned approximate top-k
+# --------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    dim: int,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest of ``num_clusters`` centroids.
+
+    Centroids are chosen deterministically (the lowest-id vector of each
+    id-stride bucket — no RNG state, identical on every run/executor; a
+    k-means refinement can swap in later without changing the interface).
+    Assignment runs as numpy GEMM inside mapInPandas: one corpus pass,
+    no shuffle; the centroid matrix is tiny and ships in the closure.
+    Returns (assigned_df with a `cluster` column, centroid list)."""
+    import numpy as np
+
+    v = _spread(corpus).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    n = corpus.count()
+    stride = max(n // num_clusters, 1)
+    cent_rows = (
+        v.filter((F.col("id") % stride == 0) & (F.col("id") < stride * num_clusters))
+        .orderBy("id")
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    out_schema = "id BIGINT, v ARRAY<DOUBLE>, cluster INT"
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.asarray([list(x) for x in pdf["v"]], dtype=_np.float64)
+            if len(V) == 0:
+                yield _pd.DataFrame({"id": [], "v": [], "cluster": []})
+                continue
+            vn = _np.sqrt((V * V).sum(axis=1))
+            sim = (V @ cmat.T) / _np.outer(vn, cnorm)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "v": pdf["v"],
+                    "cluster": _np.argmax(sim, axis=1).astype("int32"),
+                }
+            )
+
+    return v.mapInPandas(run, schema=out_schema), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` clusters nearest each
+    query (classic IVF). Work scales as nprobe/num_clusters of brute
+    force; recall is tunable via nprobe. Candidates are exact-rescored
+    with the codegen'd sequential dot, so scores match brute force
+    bit-for-bit on the pairs IVF retrieves (same output schema →
+    directly measurable recall)."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(corpus, dim, num_clusters, id_col, vec_col)
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        sim = (cmat @ qv) / (cnorm * np.sqrt(qv @ qv))
+        for c in np.argsort(-sim)[:nprobe]:
+            probe_rows.append((r["query_id"], qv.tolist(), int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id BIGINT, qv ARRAY<DOUBLE>, cluster INT"
+    )
+
+    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_expr(F.col("qv"), F.col("v"), dim=dim).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )

@@ -157,3 +157,21 @@ df_query(
     tables=["embeddings"],
     doc="LSH-bucketed approximate top-k (recall vs brute force in tests)",
 )
+
+
+def _ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk(
+        emb, queries, dim=64, k=5, num_clusters=16, nprobe=6
+    ).orderBy("query_id", "rank")
+
+
+df_query(
+    "sim_ivf_topk",
+    _ivf_topk,
+    None,  # approximate by design; recall vs brute force in tests
+    tables=["embeddings"],
+    doc="IVF (inverted-file) cluster-probed approximate top-k — the "
+        "partition-pruned ANN scale path (probe nprobe/num_clusters of data)",
+)

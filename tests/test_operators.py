@@ -159,3 +159,31 @@ def test_lang_id_on_clear_markers(spark):
     )
     got = {r["id"]: r["g"] for r in df.select("id", tx.lang_id_expr("text").alias("g")).collect()}
     assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_ivf_topk_recall(emb):
+    """IVF with nprobe=half the clusters should recover most brute-force
+    neighbors; with nprobe=num_clusters it IS brute force."""
+    from apache_pinot_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    corpus = emb
+    queries = corpus.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(corpus, queries, k=5, dim=64).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            corpus, queries, dim=64, k=5, num_clusters=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact  # probing every cluster = exact
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            corpus, queries, dim=64, k=5, num_clusters=8, nprobe=4
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
