@@ -111,7 +111,13 @@ def extract_image_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+    src = df.select(id_col, content_col)
+    # single-file inputs scan as ONE partition — fan out so Arrow batches
+    # stream to every core (at cluster scale this is a cheap rebalance)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def resize_images(

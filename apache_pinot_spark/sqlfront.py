@@ -536,6 +536,33 @@ class PinotEngine:
                 return df
         return None
 
+    def _collect_with_timeout(self, df: DataFrame, timeout_ms: int, tag: str):
+        """Option(timeoutMs=...) (timestamp-index.md:50): run the collect
+        under a job group and cancel it when the budget expires — the
+        broker-timeout behavior."""
+        import threading
+
+        sc = self.spark.sparkContext
+        group = f"pinot-q-{abs(hash(tag)) % 10**9}"
+        sc.setJobGroup(group, tag, interruptOnCancel=True)
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(timeout_ms / 1000.0):
+                sc.cancelJobGroup(group)
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return df.collect()
+        except Exception as e:
+            raise TimeoutError(
+                f"query exceeded timeoutMs={timeout_ms}: {str(e)[:200]}"
+            ) from None
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
+
     def query(self, pinot_sql: str) -> dict:
         """Execute and wrap in the broker JSON envelope
         (basics/Architecture.md:121-152). Selection queries without LIMIT
@@ -550,7 +577,11 @@ class PinotEngine:
             if is_selection and not _LIMIT_RE.search(sql) and self.default_limit:
                 sql = sql.rstrip().rstrip(";") + f" LIMIT {self.default_limit}"
             df = self.spark.sql(sql)
-            rows = df.collect()
+            timeout_ms = int(rr.options.get("timeoutMs", 0)) or None
+            if timeout_ms:
+                rows = self._collect_with_timeout(df, timeout_ms, pinot_sql)
+            else:
+                rows = df.collect()
         except Exception as e:  # parse/analysis/execution error → envelope
             return {
                 "resultTable": {"dataSchema": {"columnDataTypes": [], "columnNames": []}, "rows": []},
@@ -572,8 +603,9 @@ class PinotEngine:
                 "minConsumingFreshnessTimeMs": 0,
             }
         groups_limited = False
-        if _GROUPBY_RE.search(sql) and len(rows) > self.num_groups_limit:
-            rows = rows[: self.num_groups_limit]
+        groups_cap = int(rr.options.get("numGroupsLimit", self.num_groups_limit))
+        if _GROUPBY_RE.search(sql) and len(rows) > groups_cap:
+            rows = rows[:groups_cap]
             groups_limited = True
         try:
             n_segments = len(df.inputFiles())

@@ -191,3 +191,25 @@ def test_catalog_crud(spark, tmp_path_factory, schema):
     assert cat.attach_all() == ["transcript2"]
     cat.drop_table("transcript2")
     assert cat.list_tables() == []
+
+
+def test_sentinel_aggregate_semantics(spark, schema):
+    """Pinot COUNT(col) counts sentinel rows too — no native NULLs
+    (schema.md:24): after the sentinel pass, COUNT(col) == COUNT(*) and
+    aggregates see sentinel values, not SQL NULL-skipping."""
+    df = spark.createDataFrame(
+        [(1, "a", "f", ["cs"], 5.0, 1_700_000_000_000),
+         (None, None, "m", None, None, 1_700_000_000_000)],
+        schema="studentID INT, firstName STRING, gender STRING, "
+               "subjects ARRAY<STRING>, score FLOAT, timestampInEpoch LONG",
+    )
+    out = schema.apply_sentinels(schema.apply_types(df))
+    row = out.agg(
+        F.count("studentID").alias("c_col"),
+        F.count("*").alias("c_star"),
+        F.sum("score").alias("s"),
+        F.min("studentID").alias("m"),
+    ).collect()[0]
+    assert row["c_col"] == row["c_star"] == 2  # sentinel rows are counted
+    assert row["s"] == 5.0  # metric sentinel 0.0 participates in SUM
+    assert row["m"] == INT_MIN  # dimension sentinel participates in MIN

@@ -179,3 +179,17 @@ def test_distinctcounthll_error_bound(engine):
         "SELECT DISTINCTCOUNT(l_partkey) AS dc FROM lineitem"
     ).collect()[0]["dc"]
     assert abs(approx - exact) / exact < 0.1  # HLL default rsd ≈ 5%
+
+
+def test_option_num_groups_limit(engine):
+    env = engine.query(
+        "SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey "
+        "OPTION(numGroupsLimit=7)"
+    )
+    assert len(env["resultTable"]["rows"]) == 7
+    assert env["numGroupsLimitReached"] is True
+
+
+def test_option_timeout_passes_when_fast(engine):
+    env = engine.query("SELECT COUNT(*) AS c FROM lineitem OPTION(timeoutMs=60000)")
+    assert env["exceptions"] == [] and env["resultTable"]["rows"][0][0] > 0

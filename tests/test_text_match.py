@@ -158,3 +158,26 @@ def test_tokens_expr_drops_stopwords(spark):
     df = spark.createDataFrame([("The quick AND the dead, of course!",)], ["t"])
     toks = df.select(tokens_expr("t").alias("x")).collect()[0][0]
     assert toks == ["quick", "dead", "course"]
+
+
+def test_stop_word_overrides(spark):
+    """Per-column stop-word include/exclude (text-search-support.md:261-277):
+    including 'spark' makes it unsearchable; excluding 'and' makes the
+    default stop word searchable."""
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame([Row(t="spark and flink engines")])
+    # default: 'spark' matches, 'and' is a stop word (always true/ignored)
+    assert df.filter(text_match("t", "spark")).count() == 1
+    # include 'spark' in stop words → term is dropped from the query
+    # (pure stop-word query matches everything, like Lucene ignoring it)
+    assert df.filter(text_match("t", "spark", include_stop_words={"spark"})).count() == 1
+    # but a boolean with a real term shows 'spark' no longer constrains:
+    df2 = spark.createDataFrame([Row(t="only flink here")])
+    assert df2.filter(text_match("t", "spark AND flink",
+                                 include_stop_words={"spark"})).count() == 1
+    assert df2.filter(text_match("t", "spark AND flink")).count() == 0
+    # exclude 'and' from stop words → it becomes a searchable token
+    assert df.filter(text_match("t", '"and"', exclude_stop_words={"and"})).count() == 1
+    assert df2.filter(text_match("t", '"and"', exclude_stop_words={"and"})).count() == 0
