@@ -40,9 +40,22 @@ def main() -> None:
     spark = get_spark("apache-pinot-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: force JVM + parquet footer reads outside the timed region.
+    # Warmup: force JVM startup, parquet footer reads, codegen, and the
+    # Arrow Python-worker pool (pandas-UDF queries otherwise bill worker
+    # spawn to the first timed query) outside the timed region.
     for name, df in load_tables(spark, sf_dir).items():
         df.count()
+
+    def _warm_workers(batches):
+        import numpy  # noqa: F401  (preload heavy imports in workers)
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({"x": pdf["x"]})
+
+    spark.range(256).selectExpr("id AS x").repartition(32).mapInPandas(
+        _warm_workers, schema="x LONG"
+    ).count()
 
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in querysuite.REGISTRY]
