@@ -101,8 +101,11 @@ df_query(
 
 def _rollup_answer(spark, sf_dir):
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # per-SF table tag: correctness (sf0.01) and bench (sf0.1) must not
+    # overwrite each other's materialized rollup in the shared warehouse
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     spec = RollupSpec(
-        table="lineitem",
+        table=f"lineitem_{tag}",
         dimensions=["l_returnflag", "l_linestatus"],
         metrics=["l_quantity"],
     )
@@ -255,4 +258,43 @@ df_query(
     """,
     tables=["events"],
     doc="F5 SIMPLE_DATE_FORMAT parse path (schema.md:70): yyyyMMdd → epoch millis",
+)
+
+# --------------------------------------------------------------------------
+# A13 — pivot (OLAP slice/dice surface, Introduction.md:65): group-by one
+# dim, pivot a low-cardinality dim into columns. Decimal-exact sums.
+# --------------------------------------------------------------------------
+
+
+def _pivot(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    from pyspark.sql import functions as PF
+
+    return (
+        li.withColumn("q", PF.col("l_quantity").cast("decimal(28,6)"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(PF.sum("q"))
+        .select(
+            "l_returnflag",
+            PF.coalesce(PF.col("F"), PF.lit(0)).cast("double").alias("sum_F"),
+            PF.coalesce(PF.col("O"), PF.lit(0)).cast("double").alias("sum_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+df_query(
+    "a13_pivot",
+    _pivot,
+    """
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS sum_F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS sum_O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tables=["lineitem"],
+    doc="A13 pivot: groupBy().pivot() quantity matrix by return flag × line status",
 )
