@@ -129,3 +129,32 @@ def hybrid_view(
     df = off.select(*common).unionByName(rt.select(*common))
     df.createOrReplaceTempView(name)
     return df
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S2's production source (Architecture.md:198-204 consumes
+    Kafka/Kinesis): build the readStream and project the JSON value
+    payload through the declared schema. The returned stream plugs
+    straight into ingest_stream — the file-stream tests exercise the
+    identical downstream pipeline.
+
+    Requires the spark-sql-kafka connector on the classpath; without it
+    (this container) Spark raises at stream start, not here."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    ).select("r.*")
