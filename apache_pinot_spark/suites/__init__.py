@@ -16,3 +16,4 @@ from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import enginesql_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import multimodal_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import lifecycle_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import passthrough_suite  # noqa: F401,E402
