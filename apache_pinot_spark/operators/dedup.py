@@ -199,11 +199,20 @@ def minhash_candidate_pairs(
     """Distinct candidate near-dup pairs (key_a < key_b) from LSH banding.
     The self-join shuffles on (band, band_hash); bucket sizes are small by
     construction, and AQE handles stragglers."""
-    bands = minhash_bands(df, text_col, key_col, num_hashes, band_size, shingle_n, portable)
+    from pyspark import StorageLevel
+
+    # PERSIST the banded signatures: the self-join otherwise recomputes the
+    # whole shingle→md5→min pipeline for both sides (exchange reuse does
+    # not fire across the a/b aliases — measured, not assumed). Cached rows
+    # are (key, band, band_hash) triples — num_bands small scalars per doc,
+    # negligible next to the corpus at any scale, spilled to disk if not;
+    # the ContextCleaner evicts them when the query's DataFrames are GC'd.
+    bands = minhash_bands(
+        df, text_col, key_col, num_hashes, band_size, shingle_n, portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
-    # shuffle_hash hint: both sides of the self-join then need an identical
-    # shuffle on (band, band_hash), so ReuseExchange computes the signature
-    # pipeline ONCE. A broadcast pick would recompute it for the build side.
+    # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
+    # would add a driver round trip for the build side).
     b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(b, on=["band", "band_hash"], how="inner")
@@ -223,14 +232,21 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (the verify stage after
     LSH). Joins are key-equi joins; the shingle sets ride along as array
-    columns, set ops are JVM built-ins."""
+    columns, set ops are JVM built-ins.
+
+    The per-doc shingle-set projection is PERSISTED: it feeds both the
+    key_a and key_b joins, which would otherwise each recompute the
+    tokenize+shingle pass over the full corpus (the two joins hash on
+    different keys, so no exchange is shared). One cached row per doc."""
+    from pyspark import StorageLevel
+
     toks = tokens_expr(text_col, frozenset())
     sh = (
         _spread(df).select(
             F.col(key_col).alias("key"),
             F.array_distinct(shingles_expr(toks, shingle_n)).alias("shset"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.withColumnRenamed("key", "key_a").withColumnRenamed("shset", "set_a")
     b = sh.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))

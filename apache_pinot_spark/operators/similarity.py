@@ -36,7 +36,11 @@ def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     With ``dim`` given, the fold is unrolled into a left-associated chain
     of `a[i]*b[i]` adds — bit-identical summation order, but whole-stage
     codegen instead of an interpreted higher-order-function loop (~10x on
-    all-pairs scoring). Pass dim whenever the embedding width is known."""
+    all-pairs scoring). Pass dim for big all-pairs workloads (billions of
+    scored pairs, where per-row speed dominates); leave it None for
+    small/medium pair counts — the unrolled form costs ~2-3 s of Janino
+    compilation per query, which the fold avoids. Both produce the exact
+    same left-associated sum, so the choice never changes results."""
     if dim is not None:
         out = a.getItem(0) * b.getItem(0)
         for i in range(1, dim):
@@ -149,10 +153,16 @@ def lsh_signature_expr(vec: Column, dim: int, num_planes: int = 16, table: int =
     Each projection is a JVM fold (`zip_with` the vector against a literal
     weight array, then `aggregate`) — a compact expression tree that codegen
     handles at any (dim, num_planes), unlike a fully unrolled sum which
-    blows up compilation memory at dim*planes terms."""
+    blows up compilation memory at dim*planes terms. The weight array is
+    built with ONE parsed `array(...)` literal per plane rather than dim
+    individual `F.lit` Columns — each lit is a py4j round trip, and
+    dim×planes×tables of them put seconds of pure driver-side plan
+    construction ahead of every query."""
     sig = F.lit(0)
     for p in range(num_planes):
-        weights = F.array(*[F.lit(_plane_weight(p, d, table)) for d in range(dim)])
+        weights = F.expr(
+            "array(" + ",".join(repr(_plane_weight(p, d, table)) for d in range(dim)) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x * w),
             F.lit(0.0),
@@ -173,9 +183,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket in ANY of num_tables tables.
     Shuffles on (table, bucket); bucket population ~ N / 2^num_planes."""
+    from pyspark import StorageLevel
+
     v = _spread(corpus).select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     # Only (id, tbl, bucket) rides through the self-join — vectors stay out
     # of the shuffle/broadcast (rescoring rejoins them by id if needed).
+    # The signature projection (num_tables × num_planes folds per row) is
+    # the expensive stage; PERSIST it so the self-join reads it once instead
+    # of recomputing both sides (exchange reuse does not fire across the
+    # a/b aliases). Cached rows are 3 scalars per (doc, table) — tiny
+    # relative to the corpus at any scale; evicted by the ContextCleaner
+    # when the query's DataFrames go out of scope.
     sigs = v.select(
         "id",
         F.explode(
@@ -189,7 +207,9 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("s"),
-    ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, on=["tbl", "bucket"], how="inner")
@@ -459,10 +479,14 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(probes), on="cluster").filter(
         F.col("id") != F.col("query_id")
     )
+    # Rescore with the HOF fold (dim=None): the candidate set is nprobe/
+    # num_clusters of the corpus per query — small enough that the ~2-3 s
+    # Janino compile of an unrolled dot would dominate. Same left fold,
+    # identical scores.
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        cosine_expr(F.col("qv"), F.col("v"), dim=dim).alias("score"),
+        cosine_expr(F.col("qv"), F.col("v")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

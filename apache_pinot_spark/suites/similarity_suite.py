@@ -29,7 +29,10 @@ def _emb(spark: SparkSession, sf_dir: str):
 def _topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.brute_force_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
+    # dim=None → HOF fold: only |queries|×|corpus| pairs are scored here,
+    # so the ~2-3 s Janino compile of the unrolled dot would dominate the
+    # query. (Pass dim=64 for big all-pairs runs; identical scores.)
+    return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
 df_query(
@@ -89,15 +92,20 @@ def _centroid_sim(spark, sf_dir):
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", similarity.norm_expr(F.col("v"), 64))
+    ).withColumn("n", similarity.norm_expr(F.col("v")))
     a, b = similarity._spread(v).alias("a"), v.alias("b")
+    # Join ON the label equality so Catalyst picks a hash join partitioned
+    # by label (pairs generated per label only), not a nested-loop join on
+    # the id inequality over ALL pairs. HOF-fold cosine (no dim): pair
+    # counts here are small, Janino compile would dominate; same fold
+    # order, identical scores.
     pair = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(F.col("a.label") == F.col("b.label"))
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.label").alias("label"),
             similarity.cosine_expr(
-                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), 64
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
             ).alias("score"),
         )
     )
