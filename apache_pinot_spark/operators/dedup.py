@@ -145,34 +145,45 @@ def minhash_bands(
     toks = tokens_expr(text_col, frozenset())  # dedup keeps stop words: byte-level fidelity
     sh = shingles_expr(toks, shingle_n)
     if portable:
-        # Explode to one row per shingle so md5 runs as a PLAIN column
-        # expression inside whole-stage codegen (HOF lambdas are
-        # interpreted — 5-10x slower per hash). The per-doc mins come back
-        # via groupBy(key) with map-side partial aggregation, so the
-        # shuffle carries 1 row per doc, not per shingle.
-        num_seeds = (num_hashes + 3) // 4
         ex = df.select(F.col(key_col).alias("key"), F.explode(sh).alias("s"))
-        hashed = ex.select(
-            "key",
-            *[
-                F.md5(F.concat(F.lit(f"{seed}|"), F.col("s"))).alias(f"__m{seed}")
-                for seed in range(num_seeds)
-            ],
-        )
-        sig_cols = [
-            F.min(F.substring(F.col(f"__m{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-        per_doc = hashed.groupBy("key").agg(*sig_cols)
-        base = per_doc.select(
-            "key", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
-        )
+        base = _portable_signatures(ex, num_hashes)
     else:
         sig = minhash_signature_expr(sh, num_hashes, portable)
         base = (
             df.select(F.col(key_col).alias("key"), sh.alias("sh"), sig.alias("sig"))
             .filter(F.size("sh") > 0)
         )
+    return _band_rows(base, num_hashes, band_size)
+
+
+def _portable_signatures(ex: DataFrame, num_hashes: int) -> DataFrame:
+    """(key, sig) from an exploded (key, s) shingle frame. One row per
+    shingle so md5 runs as a PLAIN column expression inside whole-stage
+    codegen (HOF lambdas are interpreted — 5-10x slower per hash); one md5
+    per (shingle, seed) with only ceil(num_hashes/4) seeds — each 128-bit
+    digest is sliced into four 8-hex-char (32-bit) hash values. The
+    per-doc mins come back via groupBy(key) with map-side partial
+    aggregation, so the shuffle carries 1 row per doc, not per shingle."""
+    num_seeds = (num_hashes + 3) // 4
+    hashed = ex.select(
+        "key",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col("s"))).alias(f"__m{seed}")
+            for seed in range(num_seeds)
+        ],
+    )
+    sig_cols = [
+        F.min(F.substring(F.col(f"__m{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = hashed.groupBy("key").agg(*sig_cols)
+    return per_doc.select(
+        "key", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _band_rows(base: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(key, band, band_hash) rows from a (key, sig) signature frame."""
     bands = []
     for b in range(num_hashes // band_size):
         parts = [F.col("sig").getItem(b * band_size + i) for i in range(band_size)]
@@ -258,6 +269,60 @@ def jaccard_verify_pairs(
             "key_b",
             (inter.cast("double") / union).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end portable near-dup pipeline: MinHash+LSH candidates →
+    exact n-gram Jaccard verification, sharing ONE tokenize+shingle pass.
+
+    The per-doc distinct shingle set is computed and persisted once; the
+    MinHash signatures are derived from it (mins are invariant under
+    duplicate shingles, so banding off the distinct set matches
+    minhash_bands(portable=True) exactly), and the same persisted frame
+    feeds both sides of the Jaccard verify joins. Versus composing
+    minhash_candidate_pairs + jaccard_verify_pairs, this removes two full
+    corpus tokenize passes — at 100 TB the tokenizer IS the scan cost.
+    Cached rows: one shingle-set array per doc (the corpus text itself
+    never rides a shuffle) plus the (key, band, band_hash) triples."""
+    from pyspark import StorageLevel
+
+    toks = tokens_expr(text_col, frozenset())
+    shset_df = (
+        _spread(df).select(
+            F.col(key_col).alias("key"),
+            F.array_distinct(shingles_expr(toks, shingle_n)).alias("shset"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = shset_df.select("key", F.explode("shset").alias("s"))
+    bands = _band_rows(_portable_signatures(ex, num_hashes), num_hashes, band_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = bands.alias("a")
+    b = bands.alias("b").hint("shuffle_hash")
+    pairs = (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+    sa = shset_df.withColumnRenamed("key", "key_a").withColumnRenamed("shset", "set_a")
+    sb = shset_df.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        pairs.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select("key_a", "key_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

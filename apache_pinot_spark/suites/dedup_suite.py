@@ -121,13 +121,11 @@ df_query(
 
 
 def _jaccard_verified(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_candidate_pairs(
-        docs, num_hashes=8, band_size=2, shingle_n=3, portable=True
-    )
-    return dedup.jaccard_verify_pairs(pairs, docs, shingle_n=3, threshold=0.02).orderBy(
-        "key_a", "key_b"
-    )
+    # combined pipeline: one tokenize+shingle pass feeds both the LSH
+    # banding and the Jaccard verify joins (see dedup.lsh_verified_pairs)
+    return dedup.lsh_verified_pairs(
+        _docs(spark, sf_dir), num_hashes=8, band_size=2, shingle_n=3, threshold=0.02
+    ).orderBy("key_a", "key_b")
 
 
 df_query(
