@@ -140,11 +140,83 @@ def near_duplicate_pairs(
 def _plane_weight(plane: int, dim: int, table: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1): derived from md5 so
     every executor (and any re-run) builds identical hyperplanes with no
-    RNG state to broadcast."""
+    RNG state to broadcast — and so a SQL oracle can inline the exact same
+    weights as literals."""
     import hashlib
 
     h = hashlib.md5(f"{table}:{plane}:{dim}".encode()).hexdigest()
     return (int(h[:8], 16) / 0x7FFFFFFF) - 1.0
+
+
+def _plane_matrix(dim: int, num_planes: int, num_tables: int):
+    """(num_tables, num_planes, dim) float64 hyperplane tensor."""
+    import numpy as np
+
+    return np.asarray(
+        [
+            [[_plane_weight(p, d, t) for d in range(dim)] for p in range(num_planes)]
+            for t in range(num_tables)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_name: str = "id",
+) -> DataFrame:
+    """(id, tbl, bucket) LSH bucket assignments for every row — ALL tables
+    in ONE Arrow-batched numpy GEMM pass.
+
+    This replaces the interpreted higher-order-function fold path (which
+    evaluated num_tables × num_planes aggregate() lambdas per row — the
+    round-1 profile's top scale cost): the projection is one
+    (batch × dim) @ (dim × tables·planes) BLAS multiply per Arrow batch,
+    then sign-bit packing. The plane tensor is deterministic
+    (md5-derived, `_plane_weight`), so results are reproducible anywhere,
+    including a SQL oracle evaluating the same dot products.
+
+    Sign semantics match lsh_signature_expr exactly: bit p set iff the
+    projection is strictly > 0. (BLAS may sum in a different order than a
+    sequential fold; a sign can only differ where |projection| is within
+    last-ulp noise of 0 — probability ~1e-13 per projection on real-valued
+    data, accepted.)
+    """
+    import numpy as np
+
+    W = _plane_matrix(dim, num_planes, num_tables)  # (T, P, D)
+    Wt = W.reshape(num_tables * num_planes, dim).T  # (D, T*P)
+    bits = (1 << np.arange(num_planes, dtype=np.int64))
+    out_schema = f"{id_name} BIGINT, tbl INT, bucket INT"
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([list(x) for x in pdf["v"]], dtype=np.float64)
+            proj = V @ Wt  # (N, T*P)
+            signs = (proj > 0).reshape(len(pdf), num_tables, num_planes)
+            buckets = (signs * bits).sum(axis=2).astype(np.int32)  # (N, T)
+            ids = pdf["id"].to_numpy()
+            yield _pd.DataFrame(
+                {
+                    id_name: np.repeat(ids, num_tables),
+                    "tbl": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    v = _spread(df).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    return v.mapInPandas(run, schema=out_schema)
 
 
 def lsh_signature_expr(vec: Column, dim: int, num_planes: int = 16, table: int = 0) -> Column:
@@ -185,29 +257,15 @@ def lsh_candidate_pairs(
     Shuffles on (table, bucket); bucket population ~ N / 2^num_planes."""
     from pyspark import StorageLevel
 
-    v = _spread(corpus).select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     # Only (id, tbl, bucket) rides through the self-join — vectors stay out
     # of the shuffle/broadcast (rescoring rejoins them by id if needed).
-    # The signature projection (num_tables × num_planes folds per row) is
-    # the expensive stage; PERSIST it so the self-join reads it once instead
-    # of recomputing both sides (exchange reuse does not fire across the
-    # a/b aliases). Cached rows are 3 scalars per (doc, table) — tiny
-    # relative to the corpus at any scale; evicted by the ContextCleaner
-    # when the query's DataFrames go out of scope.
-    sigs = v.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_signature_expr(F.col("v"), dim, num_planes, t).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")).persist(
+    # The signature GEMM (one Arrow pass, see lsh_buckets) is the expensive
+    # stage; PERSIST it so the self-join reads it once instead of
+    # recomputing both sides (exchange reuse does not fire across the a/b
+    # aliases). Cached rows are 3 scalars per (doc, table) — tiny relative
+    # to the corpus at any scale; evicted by the ContextCleaner when the
+    # query's DataFrames go out of scope.
+    sigs = lsh_buckets(corpus, dim, num_planes, num_tables, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -232,29 +290,10 @@ def lsh_topk(
     """Approximate top-k: bucket-join queries to corpus in num_tables LSH
     tables, exact-rescore candidates, take top-k. Same output schema as
     brute_force_topk (so recall is directly measurable)."""
-    def sigs(df, name):
-        """Slim (id, tbl, bucket) rows — vectors do NOT ride the bucket
-        join; they are rejoined by id for the rescore stage."""
-        v = _spread(df).select(F.col(id_col).alias(name), _to_double(F.col(vec_col)).alias("__v"))
-        return v.select(
-            name,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_signature_expr(F.col("__v"), dim, num_planes, t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("s"),
-        ).select(name, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
-
-    qs = sigs(queries, "query_id")
-    cs = sigs(corpus, "neighbor_id")
+    # Slim (id, tbl, bucket) rows via the GEMM bucket pass — vectors do NOT
+    # ride the bucket join; they are rejoined by id for the rescore stage.
+    qs = lsh_buckets(queries, dim, num_planes, num_tables, id_col, vec_col, "query_id")
+    cs = lsh_buckets(corpus, dim, num_planes, num_tables, id_col, vec_col, "neighbor_id")
     cand = (
         cs.join(F.broadcast(qs), on=["tbl", "bucket"], how="inner")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -295,26 +334,43 @@ def near_duplicate_pairs_blocked(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 32,
+    num_blocks: int | None = None,
+    max_block_rows: int = 8192,
 ) -> DataFrame:
     """All pairs with cosine >= threshold via blocked matrix multiply.
 
     Design (the way you'd do exact all-pairs at billions of vectors):
-    vectors are grouped into ``num_blocks`` blocks; every block PAIR
+    vectors are hash-grouped into blocks of BOUNDED size; every block PAIR
     (i <= j) becomes one row carrying both blocks' vectors; an Arrow-
     batched mapInPandas worker runs BLAS GEMM per block pair and emits
     only pairs above threshold. Work is O(B²/2) tasks of O((N/B)²·dim)
     flops — embarrassingly parallel, no driver collect, and the shuffle
     volume is O(N·B) vector copies, not O(N²) pairs.
 
+    Row-size bound: the number of blocks is derived from the corpus count
+    so the EXPECTED block population is ``max_block_rows`` (a parquet
+    count() is metadata-only — no data scan); block assignment hashes the
+    id (xxhash64 — ids need not be dense or numeric), so populations
+    concentrate tightly around the mean and a collected block row stays
+    ~max_block_rows·dim·8 bytes (default ≈ 4 MB at dim 64) — far under
+    Spark's 2 GB single-value and Arrow batch limits at ANY corpus size,
+    which the round-1 `id % num_blocks` single-row-per-block scheme was
+    not. Pass ``num_blocks`` explicitly to override.
+
     Exactness: GEMM prefilters with a small margin, then survivors are
     re-scored with a SEQUENTIAL left-fold over dims (a 64-step vectorized
     loop across candidate pairs) — bit-identical to the JVM/oracle fold,
-    so thresholds and rounded scores match exactly.
+    so thresholds and rounded scores match exactly. Blocking is internal:
+    the output is the same all-pairs set whatever the block count.
     """
+    if num_blocks is None:
+        n = corpus.count()
+        num_blocks = max(1, -(-n // max_block_rows))
     v = corpus.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    ).withColumn("blk", (F.col("id") % num_blocks).cast("int"))
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(num_blocks)).cast("int")
+    )
     blocks = v.groupBy("blk").agg(
         F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
     )
@@ -394,22 +450,26 @@ def ivf_assign(
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest of ``num_clusters`` centroids.
 
-    Centroids are chosen deterministically (the lowest-id vector of each
-    id-stride bucket — no RNG state, identical on every run/executor; a
-    k-means refinement can swap in later without changing the interface).
-    Assignment runs as numpy GEMM inside mapInPandas: one corpus pass,
-    no shuffle; the centroid matrix is tiny and ships in the closure.
-    Returns (assigned_df with a `cluster` column, centroid list)."""
+    Centroids are chosen deterministically: the ``num_clusters`` vectors
+    with the smallest md5(id) — a hash-order sample, uniformly spread over
+    the corpus with no RNG state, identical on every run/executor, and
+    reproducible in any SQL engine (ORDER BY md5(CAST(id AS VARCHAR)), id
+    LIMIT k). Selection is ONE top-k scan (Spark TakeOrderedAndProject —
+    no full sort, no separate count() pass); a k-means refinement can swap
+    in later without changing the interface. Assignment runs as numpy GEMM
+    inside mapInPandas: one corpus pass, no shuffle; the centroid matrix
+    is tiny and ships in the closure. Ties in argmax go to the lowest
+    centroid index (numpy argmax first-hit). Returns (assigned_df with a
+    `cluster` column, centroid list)."""
     import numpy as np
 
     v = _spread(corpus).select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
-    n = corpus.count()
-    stride = max(n // num_clusters, 1)
     cent_rows = (
-        v.filter((F.col("id") % stride == 0) & (F.col("id") < stride * num_clusters))
-        .orderBy("id")
+        v.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(num_clusters)
         .collect()
     )
     centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
@@ -449,22 +509,39 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` clusters nearest each
     query (classic IVF). Work scales as nprobe/num_clusters of brute
     force; recall is tunable via nprobe. Candidates are exact-rescored
     with the codegen'd sequential dot, so scores match brute force
     bit-for-bit on the pairs IVF retrieves (same output schema →
-    directly measurable recall)."""
+    directly measurable recall).
+
+    The query set is collected to the driver to compute probe targets
+    (cheap: nprobe ranking against a tiny centroid matrix) and then
+    re-broadcast — correct for the intended small-query-set regime, and
+    BOUNDED: more than ``max_query_rows`` queries raises instead of
+    silently materializing an unbounded collect (batch big query sets
+    through lsh_topk, or chunk them)."""
     import numpy as np
 
     assigned, centroids = ivf_assign(corpus, dim, num_clusters, id_col, vec_col)
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivf_topk query set exceeds max_query_rows={max_query_rows}; "
+            "chunk the queries or raise the bound explicitly"
+        )
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)

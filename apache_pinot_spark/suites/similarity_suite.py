@@ -1,8 +1,18 @@
-"""Driver-gate queries for embedding similarity search. Brute-force top-k
-and threshold near-dup carry full DuckDB oracles (double-fold dot products
-reproduce bit-for-bit modulo last-ulp summation order, absorbed by
-round-6); LSH variants are rows-only (approximate by design) with recall
-measured in tests/test_similarity.py."""
+"""Driver-gate queries for embedding similarity search — ALL fully
+oracle-checked, including the ANN paths.
+
+The LSH hyperplanes and IVF centroid selection are deterministic
+constructions (md5-derived weights / md5-ordered sample — see
+operators/similarity.py), so a DuckDB oracle can reproduce the candidate
+generation EXACTLY: the plane weights are inlined as SQL literals and the
+projections/rescoring use list_dot_product (a sequential fold, matching
+the Spark-side summation; last-ulp sign flips would need a projection
+within ~1e-13 of zero, which real-valued data doesn't produce).
+
+Cut from round 1's declared set (still implemented + unit-tested):
+sim_lsh_candidates (subsumed by sim_lsh_topk's bucket pipeline) and
+sim_intra_label_cosine (subsumed by sim_cosine_near_dup_pairs' exact
+pairwise scoring)."""
 
 from __future__ import annotations
 
@@ -60,8 +70,9 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def _near_dups(spark, sf_dir):
-    # blocked-GEMM scale path (mapInPandas BLAS per block pair) with exact
-    # sequential-fold rescoring — bit-identical to the pairwise-join form
+    # blocked-GEMM scale path (mapInPandas BLAS per bounded block pair)
+    # with exact sequential-fold rescoring — bit-identical to the
+    # pairwise-join form; blocking is internal, output is all pairs
     return similarity.near_duplicate_pairs_blocked(
         _emb(spark, sf_dir), threshold=0.40, dim=64
     ).orderBy("id_a", "id_b")
@@ -83,103 +94,140 @@ ORDER BY id_a, id_b
 )
 
 
-def _centroid_sim(spark, sf_dir):
-    """Per-label mean-vector similarity structure: avg cosine of members to
-    other members of the same label (exact, decimal-free but deterministic:
-    sums over fixed 64-dim folds then one division per group pair)."""
-    emb = _emb(spark, sf_dir)
-    v = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", similarity.norm_expr(F.col("v")))
-    a, b = similarity._spread(v).alias("a"), v.alias("b")
-    # Join ON the label equality so Catalyst picks a hash join partitioned
-    # by label (pairs generated per label only), not a nested-loop join on
-    # the id inequality over ALL pairs. HOF-fold cosine (no dim): pair
-    # counts here are small, Janino compile would dominate; same fold
-    # order, identical scores.
-    pair = (
-        a.join(b, F.col("a.label") == F.col("b.label"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.label").alias("label"),
-            similarity.cosine_expr(
-                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
-            ).alias("score"),
-        )
-    )
-    return (
-        pair.groupBy("label")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.sum(F.round("score", 6)), 4).alias("sum_score_r"),
-        )
-        .orderBy("label")
-    )
+# --------------------------------------------------------------------------
+# LSH top-k — the hyperplanes are md5-derived constants, inlined below as
+# SQL literals so DuckDB rebuilds the identical (tbl, bucket) table.
+# --------------------------------------------------------------------------
+
+_LSH_DIM, _LSH_K, _LSH_PLANES, _LSH_TABLES = 64, 5, 4, 8
 
 
-df_query(
-    "sim_intra_label_cosine",
-    _centroid_sim,
-    _N_CTE
-    + """
-SELECT a.label AS label, COUNT(*) AS n_pairs,
-       round(SUM(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)), 4) AS sum_score_r
-FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.label = b.label
-GROUP BY a.label ORDER BY label
-    """,
-    tables=["embeddings"],
-    doc="Intra-label pairwise cosine aggregate (self-join on label)",
-)
+def _weights_sql(table: int, plane: int, dim: int) -> str:
+    return "[" + ",".join(repr(similarity._plane_weight(plane, d, table)) for d in range(dim)) + "]"
 
 
-def _lsh_pairs(spark, sf_dir):
-    return (
-        similarity.lsh_candidate_pairs(_emb(spark, sf_dir), dim=64, num_planes=12, num_tables=3)
-        .agg(F.count("*").alias("n_candidates"))
-    )
+def _bucket_sql(table: int, num_planes: int, dim: int, vec: str = "v") -> str:
+    """Sum of disjoint sign bits == the engine's bitwise-OR packing."""
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_weights_sql(table, p, dim)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    ) + ")"
 
 
-df_query(
-    "sim_lsh_candidates",
-    _lsh_pairs,
-    None,  # approximate/bucketed: rows-only check; recall asserted in tests
-    tables=["embeddings"],
-    doc="LSH (random hyperplane) candidate pair count — scale path",
-)
+_SIG_CTE = ",\nsig AS (\n" + "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_bucket_sql(t, _LSH_PLANES, _LSH_DIM)} AS bucket FROM e"
+    for t in range(_LSH_TABLES)
+) + "\n)"
 
 
 def _lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, num_planes=4, num_tables=8).orderBy(
-        "query_id", "rank"
-    )
+    return similarity.lsh_topk(
+        emb, queries, dim=_LSH_DIM, k=_LSH_K, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
+    ).orderBy("query_id", "rank")
 
 
 df_query(
     "sim_lsh_topk",
     _lsh_topk,
-    None,  # approximate by design
-    tables=["embeddings"],
-    doc="LSH-bucketed approximate top-k (recall vs brute force in tests)",
+    _N_CTE
+    + _SIG_CTE
+    + f""",
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+  FROM cand
+  JOIN n a ON a.vec_id = cand.query_id
+  JOIN n b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM sc
 )
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_LSH_K} ORDER BY query_id, rank
+    """,
+    tables=["embeddings"],
+    doc="LSH-bucketed approximate top-k; deterministic md5-derived "
+        "hyperplanes reproduced as oracle literals (recall vs brute force "
+        "additionally asserted in tests)",
+)
+
+
+# --------------------------------------------------------------------------
+# IVF top-k — centroids are the num_clusters vectors with smallest
+# md5(vec_id) (hash-order sample), reproducible as ORDER BY md5(...) LIMIT k.
+# --------------------------------------------------------------------------
+
+_IVF_K, _IVF_CLUSTERS, _IVF_NPROBE = 5, 16, 6
 
 
 def _ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     return similarity.ivf_topk(
-        emb, queries, dim=64, k=5, num_clusters=16, nprobe=6
+        emb, queries, dim=64, k=_IVF_K, num_clusters=_IVF_CLUSTERS, nprobe=_IVF_NPROBE
     ).orderBy("query_id", "rank")
 
 
 df_query(
     "sim_ivf_topk",
     _ivf_topk,
-    None,  # approximate by design; recall vs brute force in tests
+    _N_CTE
+    + f""",
+cent AS (
+  SELECT v AS cv, sqrt(list_dot_product(v, v)) AS cnrm, cidx FROM (
+    SELECT vec_id, v,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cidx
+    FROM e
+  ) WHERE cidx < {_IVF_CLUSTERS}
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT a.vec_id AS id, cent.cidx AS cluster,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_dot_product(a.v, cent.cv) / cent.cnrm DESC, cent.cidx) AS rn
+    FROM e a CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, cent.cidx AS cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, cent.cv) / cent.cnrm DESC, cent.cidx) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < 3
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.id <> p.query_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+  FROM cand
+  JOIN n a ON a.vec_id = cand.query_id
+  JOIN n b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_IVF_K} ORDER BY query_id, rank
+    """,
     tables=["embeddings"],
     doc="IVF (inverted-file) cluster-probed approximate top-k — the "
-        "partition-pruned ANN scale path (probe nprobe/num_clusters of data)",
+        "partition-pruned ANN scale path (probe nprobe/num_clusters of "
+        "data); deterministic hash-sample centroids reproduced in the oracle",
 )

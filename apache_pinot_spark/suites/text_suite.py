@@ -1,7 +1,16 @@
 """Driver-gate queries for the TEXT_MATCH / TEXT_CONTAINS engine (SURVEY §2.2
-P10-P11) over the documents table, each with a DuckDB oracle that encodes the
+P10-P12) over the documents table, each with a DuckDB oracle that encodes the
 same analyzer semantics (lowercase, split non-alphanumerics, drop English
-stop words — text-search-support.md:251-257)."""
+stop words — text-search-support.md:251-257).
+
+Consolidated layout (driver checks at most 50 declared queries, so each
+TEXT_MATCH form is one output column of a shared scan instead of its own
+query; the per-form engine functions keep dedicated tests in
+tests/test_text_match.py):
+  p10_text_match_forms   — term / phrase / prefix / boolean counts
+  p10_text_match_groupby — TEXT_MATCH inside aggregation
+  p11_p12_regex          — TEXT_CONTAINS token regex + raw REGEXP_LIKE
+"""
 
 from __future__ import annotations
 
@@ -16,7 +25,7 @@ _STOP_SQL = ",".join(f"''{w}''" for w in sorted(DEFAULT_STOP_WORDS)).replace("''
 
 _TOKS_CTE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, source,
+  SELECT doc_id, lang, source, text,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '' AND x NOT IN ({_STOP_SQL})) AS t
   FROM documents
@@ -28,79 +37,36 @@ def _docs(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
-def _count_match(expr: str):
-    def fn(spark: SparkSession, sf_dir: str):
-        return _docs(spark, sf_dir).filter(text_match("text", expr)).agg(
-            F.count("*").alias("cnt")
-        )
-
-    return fn
+def _cnt(cond):
+    return F.count(F.when(cond, F.lit(1)))
 
 
-df_query(
-    "p10_text_match_term",
-    _count_match("spark"),
-    _TOKS_CTE + "SELECT COUNT(*) AS cnt FROM toks WHERE list_contains(t, 'spark')",
-    tables=["documents"],
-    doc="P10 term query (text-search-support.md:398-409)",
-)
+def _match_forms(spark: SparkSession, sf_dir: str):
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        _cnt(text_match("text", "spark")).alias("cnt_term"),
+        _cnt(text_match("text", '"table scan"')).alias("cnt_phrase"),
+        _cnt(text_match("text", "val*")).alias("cnt_prefix"),
+        _cnt(text_match("text", '"table scan" AND (spark flink)')).alias("cnt_boolean"),
+    )
+
 
 df_query(
-    "p10_text_match_phrase",
-    _count_match('"table scan"'),
-    _TOKS_CTE
-    + "SELECT COUNT(*) AS cnt FROM toks WHERE contains(' '||array_to_string(t,' ')||' ', ' table scan ')",
-    tables=["documents"],
-    doc="P10 phrase query — in-order adjacency (text-search-support.md:346-383)",
-)
-
-df_query(
-    "p10_text_match_boolean",
-    _count_match('"table scan" AND (spark flink)'),
+    "p10_text_match_forms",
+    _match_forms,
     _TOKS_CTE
     + """
-    SELECT COUNT(*) AS cnt FROM toks
-    WHERE contains(' '||array_to_string(t,' ')||' ', ' table scan ')
-      AND (list_contains(t, 'spark') OR list_contains(t, 'flink'))
+    SELECT
+      CAST(count_if(list_contains(t, 'spark')) AS BIGINT) AS cnt_term,
+      CAST(count_if(contains(' '||array_to_string(t,' ')||' ', ' table scan ')) AS BIGINT) AS cnt_phrase,
+      CAST(count_if(len(list_filter(t, x -> x LIKE 'val%')) > 0) AS BIGINT) AS cnt_prefix,
+      CAST(count_if(contains(' '||array_to_string(t,' ')||' ', ' table scan ')
+               AND (list_contains(t, 'spark') OR list_contains(t, 'flink'))) AS BIGINT) AS cnt_boolean
+    FROM toks
     """,
     tables=["documents"],
-    doc="P10 boolean AND + grouped implicit OR (text-search-support.md:411-480)",
-)
-
-df_query(
-    "p10_text_match_prefix",
-    _count_match("val*"),
-    _TOKS_CTE
-    + "SELECT COUNT(*) AS cnt FROM toks WHERE len(list_filter(t, x -> x LIKE 'val%')) > 0",
-    tables=["documents"],
-    doc="P10 prefix query (text-search-support.md:484-499)",
-)
-
-
-def _contains_fn(spark: SparkSession, sf_dir: str):
-    return (
-        _docs(spark, sf_dir)
-        .filter(text_contains("text", "quer.*"))
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-df_query(
-    "p11_text_contains_regex",
-    _contains_fn,
-    # TEXT_CONTAINS has no stop-word filtering; same result here since the
-    # pattern hits non-stop-words only.
-    """
-    WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    )
-    SELECT COUNT(*) AS cnt FROM toks
-    WHERE len(list_filter(t, x -> regexp_matches(x, '^(?:quer.*)$'))) > 0
-    """,
-    tables=["documents"],
-    doc="P11 TEXT_CONTAINS wildcard (native-text-index.md:33-55)",
+    doc="P10 term (text-search-support.md:398-409), phrase (:346-383), "
+        "prefix (:484-499), and boolean (:411-480) forms in one scan",
 )
 
 
@@ -126,4 +92,34 @@ df_query(
     """,
     tables=["documents"],
     doc="P10 in aggregation/group-by queries (text-search-support.md:76-86)",
+)
+
+
+def _regex_forms(spark: SparkSession, sf_dir: str):
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        _cnt(text_contains("text", "quer.*")).alias("cnt_contains"),
+        _cnt(F.col("text").rlike("spark\\s+\\w+\\s+join")).alias("cnt_rlike"),
+    )
+
+
+df_query(
+    "p11_p12_regex",
+    _regex_forms,
+    # TEXT_CONTAINS has no stop-word filtering; the pattern hits
+    # non-stop-words only so the unfiltered token list is correct here.
+    """
+    WITH toks AS (
+      SELECT text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT
+      CAST(count_if(len(list_filter(t, x -> regexp_matches(x, '^(?:quer.*)$'))) > 0) AS BIGINT) AS cnt_contains,
+      CAST(count_if(regexp_matches(text, 'spark\\s+\\w+\\s+join')) AS BIGINT) AS cnt_rlike
+    FROM toks
+    """,
+    tables=["documents"],
+    doc="P11 TEXT_CONTAINS wildcard (native-text-index.md:33-55) + "
+        "P12 REGEXP_LIKE raw-scan path (text-search-support.md:22)",
 )

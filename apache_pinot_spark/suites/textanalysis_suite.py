@@ -22,55 +22,43 @@ def _docs(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
-def _token_stats(spark, sf_dir):
+def _token_accounting(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (
-        d.select("lang", tx.token_count_expr("text").alias("nt"), F.length("text").alias("nc"))
+        d.select(
+            "lang",
+            tx.token_count_expr("text").alias("nt"),
+            F.length("text").alias("nc"),
+            tx.bpe_ish_token_count_expr("text").alias("bt"),
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("docs"),
             F.sum("nt").alias("sum_tokens"),
             F.sum("nc").alias("sum_chars"),
             (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.sum("bt").alias("sum_bpe_tokens"),
         )
         .orderBy("lang")
     )
 
 
 df_query(
-    "tx_token_stats",
-    _token_stats,
-    f"""
+    "tx_token_accounting",
+    _token_accounting,
+    rf"""
     SELECT lang, COUNT(*) AS docs,
            CAST(SUM(len({_WS_TOKS})) AS BIGINT) AS sum_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
-           CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens
-    FROM documents GROUP BY lang ORDER BY lang
-    """,
-    tables=["documents"],
-    doc="Whitespace token counting, per-language stats",
-)
-
-
-def _bpe_stats(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select("source", tx.bpe_ish_token_count_expr("text").alias("bt")).groupBy(
-        "source"
-    ).agg(F.sum("bt").alias("sum_bpe_tokens")).orderBy("source")
-
-
-df_query(
-    "tx_bpe_token_count",
-    _bpe_stats,
-    r"""
-    SELECT source,
+           CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
                     + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
              AS sum_bpe_tokens
-    FROM documents GROUP BY source ORDER BY source
+    FROM documents GROUP BY lang ORDER BY lang
     """,
     tables=["documents"],
-    doc="BPE-ish subword count (alnum runs + punctuation chars)",
+    doc="Whitespace token stats + BPE-ish subword count (alnum runs + "
+        "punctuation chars), per language, one scan",
 )
 
 
