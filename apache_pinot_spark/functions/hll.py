@@ -1,0 +1,127 @@
+"""DISTINCTCOUNTHLL — portable HyperLogLog as pure SQL expressions, plus
+serialized BYTES register sketches (A6, SURVEY §2.3).
+
+Reference: forward-index.md:214 lists DISTINCTCOUNTHLL among the no-
+dictionary aggregations; configuration-reference/schema.md:48 specifies
+BYTES metric columns storing "byte serialized HyperLogLog" state that the
+aggregator merges directly.
+
+Design — why a hand-rolled HLL instead of Spark's approx_count_distinct:
+the whole correctness story of this engine is DuckDB-oracle parity, and
+native HLL++ state is not reproducible outside the JVM. This HLL is
+derived ONLY from md5 + hex-digit arithmetic + IEEE-754 double ops that
+are bit-identical in every SQL engine, so the *approximate* estimate is
+still EXACTLY reproducible cross-engine:
+
+  register  = 6 bits of the first 2 hex chars of md5(value)   (m = 64)
+  rho       = leading-zero count of the remaining 120 bits + 1 (cap 62)
+  estimate  = floor(alpha_m * m^2 / sum_r 2^-max_rho[r])
+
+Every 2^-k term is a dyadic rational and the sum is written as a LEFT-
+ASSOCIATED chain, so both engines round identically at every step; the
+final division and floor are single correctly-rounded IEEE ops. No
+linear-counting branch (it needs ln(), whose libm rounding differs across
+engines) — documented divergence from clearspring HLL: small-cardinality
+estimates are biased high; use exact DISTINCTCOUNT there.
+
+The BYTES sketch is the register array hex-packed into a 64-byte binary
+(one byte per register = max rho). Merging sketches = element-wise max,
+which is associative — so per-segment sketches merged at query time give
+EXACTLY the estimate a full rescan would (the oracle checks this
+end-to-end). Spark's datasketches functions (hll_sketch_agg/hll_union)
+remain available for interop via DISTINCTCOUNTHLLPLUS.
+
+Scale: the estimate expression is one hash-aggregate over the scan (64
+MAX partials per group, map-side combined — constant state per group, no
+shuffle growth with cardinality); sketch build/merge is the same shape.
+"""
+
+from __future__ import annotations
+
+HLL_M = 64  # registers; relative error ~1.04/sqrt(64) ≈ 13%
+HLL_ALPHA = 0.709  # published alpha_64 (Flajolet et al.)
+_HEX = "0123456789abcdef"
+
+
+def _hv(ch: str) -> str:
+    """Hex-digit value 0-15 (or -1 for ''): identical in Spark and DuckDB."""
+    return f"(instr('{_HEX}', {ch}) - 1)"
+
+
+def _md5_sql(col_sql: str, engine: str) -> str:
+    cast_t = "STRING" if engine == "spark" else "VARCHAR"
+    return f"md5(CAST({col_sql} AS {cast_t}))"
+
+
+def _reg_sql(h: str) -> str:
+    """Register index 0-63 from the first two hex chars."""
+    return f"(({_hv(f'substr({h}, 1, 1)')} % 4) * 16 + {_hv(f'substr({h}, 2, 1)')})"
+
+
+def _rho_sql(h: str) -> str:
+    """Position of the first 1-bit in the remaining 120 bits, capped at 62
+    (so 2^rho stays in BIGINT): zero-nibble count via regexp, then a CLZ
+    CASE on the first non-zero nibble."""
+    tail = f"substr({h}, 3)"
+    z = f"length(regexp_extract({tail}, '^(0*)', 1))"
+    first = f"{_hv(f'substr({h}, 3 + {z}, 1)')}"
+    clz = (
+        f"(CASE WHEN {first} >= 8 THEN 0 WHEN {first} >= 4 THEN 1 "
+        f"WHEN {first} >= 2 THEN 2 ELSE 3 END)"
+    )
+    return f"LEAST({z} * 4 + {clz} + 1, 62)"
+
+
+def _pow2_inv(x: str, engine: str) -> str:
+    """1.0 / 2^x — exact dyadic doubles on both engines."""
+    if engine == "spark":
+        return f"(1.0 / CAST(SHIFTLEFT(CAST(1 AS BIGINT), {x}) AS DOUBLE))"
+    return f"(1.0 / CAST((CAST(1 AS BIGINT) << ({x})) AS DOUBLE))"
+
+
+def _max_rho_terms(col_sql: str, engine: str, m: int) -> list[str]:
+    h = _md5_sql(col_sql, engine)
+    reg, rho = _reg_sql(h), _rho_sql(h)
+    return [f"MAX(CASE WHEN {reg} = {r} THEN {rho} END)" for r in range(m)]
+
+
+def _estimate_from_max_terms(terms: list[str], engine: str, m: int = HLL_M) -> str:
+    # left-associated chain: both engines round identically at every add
+    s = " + ".join(_pow2_inv(f"COALESCE({t}, 0)", engine) for t in terms)
+    return f"CAST(FLOOR({HLL_ALPHA!r} * {m} * {m} / ({s})) AS BIGINT)"
+
+
+def hll_estimate_sql(col_sql: str, engine: str = "spark", m: int = HLL_M) -> str:
+    """Aggregate SQL expression estimating COUNT(DISTINCT col). Usable
+    anywhere an aggregate goes (GROUP BY contexts included). NULLs are
+    ignored (md5(NULL) = NULL never matches a register)."""
+    assert m == HLL_M, "register layout is fixed at 64 (2 hex chars)"
+    return _estimate_from_max_terms(_max_rho_terms(col_sql, engine, m), engine, m)
+
+
+def hll_sketch_sql(col_sql: str, engine: str = "spark", m: int = HLL_M) -> str:
+    """Aggregate expression building the serialized BYTES sketch: m bytes,
+    byte r = max rho of register r (0 for empty). Store per segment in a
+    BYTES metric column (configuration-reference/schema.md:48)."""
+    assert m == HLL_M
+    terms = _max_rho_terms(col_sql, engine, m)
+    if engine == "spark":
+        hexed = ", ".join(f"lpad(hex(COALESCE({t}, 0)), 2, '0')" for t in terms)
+        return f"unhex(concat({hexed}))"
+    hexed = ", ".join(f"lpad(to_hex(COALESCE({t}, 0)), 2, '0')" for t in terms)
+    return f"from_hex(concat({hexed}))"
+
+
+def hll_merge_estimate_sql(sketch_col_sql: str, engine: str = "spark", m: int = HLL_M) -> str:
+    """Aggregate expression merging BYTES sketches (element-wise register
+    max — associative, so any merge tree gives the full-scan answer) and
+    returning the estimate."""
+    assert m == HLL_M
+    hx = f"hex({sketch_col_sql})" if engine == "spark" else f"to_hex({sketch_col_sql})"
+    conv = (
+        (lambda r: f"CONV(substr({hx}, {2 * r + 1}, 2), 16, 10)")
+        if engine == "spark"
+        else (lambda r: f"from_hex(substr({hx}, {2 * r + 1}, 2))::INT")
+    )
+    terms = [f"MAX(CAST({conv(r)} AS INT))" for r in range(m)]
+    return _estimate_from_max_terms(terms, engine, m)

@@ -24,11 +24,74 @@ table registration (our analogue of building the JSON index) via
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@dataclass
+class JsonIndexConfig:
+    """Subset of Pinot's JSON index flattening config
+    (basics/indexing/json-index.md:53-81). A JSON_MATCH predicate whose
+    path is NOT indexed under the config can never match (the index holds
+    no entries for it) — mirroring Pinot, where such filters return no
+    rows rather than falling back to a scan.
+
+      maxLevels              — paths nested deeper are not indexed
+      excludeArray           — array ([*]/[n]) paths are not indexed
+      disableCrossArrayUnnest— values under DIFFERENT arrays are not
+                               flattened into one row: an AND combining
+                               [*] predicates from different arrays
+                               cannot match
+      includePaths           — if set, ONLY these path prefixes indexed
+      excludePaths           — these path prefixes (and children) excluded
+    """
+
+    max_levels: int | None = None
+    exclude_array: bool = False
+    disable_cross_array_unnest: bool = False
+    include_paths: set[str] = dc_field(default_factory=set)
+    exclude_paths: set[str] = dc_field(default_factory=set)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "JsonIndexConfig":
+        return cls(
+            max_levels=d.get("maxLevels"),
+            exclude_array=bool(d.get("excludeArray", False)),
+            disable_cross_array_unnest=bool(d.get("disableCrossArrayUnnest", False)),
+            include_paths=set(d.get("includePaths") or []),
+            exclude_paths=set(d.get("excludePaths") or []),
+        )
+
+
+def _path_str(components: list[object]) -> str:
+    out = "$"
+    for c in components:
+        out += f"[{c}]" if isinstance(c, int) else ("[*]" if c == "*" else f".{c}")
+    return out
+
+
+def _path_indexed(components: list[object], cfg: JsonIndexConfig | None) -> bool:
+    """Is this predicate path covered by the index config?"""
+    if cfg is None:
+        return True
+    if cfg.max_levels is not None and len(components) > cfg.max_levels:
+        return False
+    if cfg.exclude_array and any(c == "*" or isinstance(c, int) for c in components):
+        return False
+    p = _path_str(components)
+    # a path is excluded if it equals or sits under an excluded prefix
+    for ex in cfg.exclude_paths:
+        if p == ex or p.startswith(ex + ".") or p.startswith(ex + "["):
+            return False
+    if cfg.include_paths:
+        for inc in cfg.include_paths:
+            if p == inc or p.startswith(inc + ".") or p.startswith(inc + "["):
+                return True
+        return False
+    return True
 
 # --------------------------------------------------------------------------
 # Filter-expression parser
@@ -266,7 +329,9 @@ def _compile_context_group_elem(e: Column, rest: list[object], pred: _Pred) -> C
     )
 
 
-def _compile_node(node: object, raw: Column, parsed: Column | None) -> Column:
+def _compile_node(
+    node: object, raw: Column, parsed: Column | None, cfg: JsonIndexConfig | None = None
+) -> Column:
     if isinstance(node, _BoolNode):
         # Wildcard predicates that are direct AND siblings share array
         # context; group them by wildcard prefix before compiling.
@@ -278,24 +343,33 @@ def _compile_node(node: object, raw: Column, parsed: Column | None) -> Column:
                     groups.setdefault(tuple(s[0]), []).append(ch)
                 else:
                     others.append(ch)
+            if cfg is not None and cfg.disable_cross_array_unnest and len(groups) > 1:
+                # values under different arrays are never flattened into
+                # one row → the conjunction cannot match (json-index.md:70)
+                return F.lit(False)
             conds: list[Column] = []
             for prefix, preds in groups.items():
+                if any(not _path_indexed(p.path, cfg) for p in preds):
+                    conds.append(F.lit(False))
+                    continue
                 if parsed is None:
                     raise ValueError(
                         "JSON_MATCH with [*] paths needs a JSON schema; "
                         "pass schema= or register the table with infer_json_schema"
                     )
                 conds.append(_compile_context_group(parsed, prefix, preds))
-            conds.extend(_compile_node(ch, raw, parsed) for ch in others)
+            conds.extend(_compile_node(ch, raw, parsed, cfg) for ch in others)
             out = conds[0]
             for c in conds[1:]:
                 out = out & c
             return out
-        out = _compile_node(node.children[0], raw, parsed)
+        out = _compile_node(node.children[0], raw, parsed, cfg)
         for ch in node.children[1:]:
-            out = out | _compile_node(ch, raw, parsed)
+            out = out | _compile_node(ch, raw, parsed, cfg)
         return out
     pred: _Pred = node
+    if not _path_indexed(pred.path, cfg):
+        return F.lit(False)  # unindexed path: no entries to match
     split = _split_at_wildcard(pred.path)
     if split is not None:
         if parsed is None:
@@ -315,17 +389,20 @@ def json_match(
     col: Column | str,
     filter_expr: str,
     schema: T.DataType | str | None = None,
+    config: JsonIndexConfig | None = None,
 ) -> Column:
     """Boolean Column implementing Pinot's JSON_MATCH(col, filter).
 
     ``schema`` (a Spark DataType or DDL string) is required only for
     array-wildcard paths; obtain it once per table via
     ``infer_json_schema`` — the engine's analogue of building Pinot's
-    JSON index (json-index.md:47).
+    JSON index (json-index.md:47). ``config`` applies the JSON index
+    flattening rules (json-index.md:53-81): predicates on paths the
+    config leaves unindexed match nothing, as in Pinot.
     """
     c = F.col(col) if isinstance(col, str) else col
     parsed = F.from_json(c, schema) if schema is not None else None
-    return _compile_node(parse_json_filter(filter_expr), c, parsed)
+    return _compile_node(parse_json_filter(filter_expr), c, parsed, config)
 
 
 _TYPE_MAP = {
@@ -423,7 +500,9 @@ def _emit_nested_wildcard_sql(var: str, rest: list[object], pred: _Pred) -> str:
     return f"exists({inner_arr}, {v} -> {body})"
 
 
-def _emit_node_sql(node: object, raw: str, parsed: str | None) -> str:
+def _emit_node_sql(
+    node: object, raw: str, parsed: str | None, cfg: JsonIndexConfig | None = None
+) -> str:
     if isinstance(node, _BoolNode):
         if node.op == "and":
             groups: dict[tuple[object, ...], list[_Pred]] = {}
@@ -433,15 +512,26 @@ def _emit_node_sql(node: object, raw: str, parsed: str | None) -> str:
                     groups.setdefault(tuple(s[0]), []).append(ch)
                 else:
                     others.append(ch)
+            if cfg is not None and cfg.disable_cross_array_unnest and len(groups) > 1:
+                return "false"
             conds = []
             for prefix, preds in groups.items():
+                if any(not _path_indexed(p.path, cfg) for p in preds):
+                    conds.append("false")
+                    continue
                 if parsed is None:
                     raise ValueError("JSON_MATCH with [*] paths needs a JSON schema")
                 conds.append(_emit_context_group_sql(parsed, prefix, preds))
-            conds.extend(_emit_node_sql(ch, raw, parsed) for ch in others)
+            conds.extend(_emit_node_sql(ch, raw, parsed, cfg) for ch in others)
             return "(" + " AND ".join(conds) + ")"
-        return "(" + " OR ".join(_emit_node_sql(ch, raw, parsed) for ch in node.children) + ")"
+        return (
+            "("
+            + " OR ".join(_emit_node_sql(ch, raw, parsed, cfg) for ch in node.children)
+            + ")"
+        )
     pred: _Pred = node
+    if not _path_indexed(pred.path, cfg):
+        return "false"
     split = _split_at_wildcard(pred.path)
     if split is not None:
         if parsed is None:
@@ -455,16 +545,19 @@ def _emit_node_sql(node: object, raw: str, parsed: str | None) -> str:
 
 
 def json_match_sql(
-    col_sql: str, filter_expr: str, schema: T.DataType | str | None = None
+    col_sql: str,
+    filter_expr: str,
+    schema: T.DataType | str | None = None,
+    config: JsonIndexConfig | None = None,
 ) -> str:
     """SQL-text form of json_match(col, filter) for the SQL front-end.
     ``schema`` (DataType or DDL/simpleString) enables [*] array paths via
-    from_json."""
+    from_json; ``config`` applies the JSON index flattening rules."""
     parsed = None
     if schema is not None:
         ddl = schema.simpleString() if isinstance(schema, T.DataType) else schema
         parsed = f"from_json({col_sql}, {_sq(ddl)})"
-    return "(" + _emit_node_sql(parse_json_filter(filter_expr), col_sql, parsed) + ")"
+    return "(" + _emit_node_sql(parse_json_filter(filter_expr), col_sql, parsed, config) + ")"
 
 
 def json_extract_scalar_sql(

@@ -56,22 +56,34 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
 
 def fingerprint_expr(col: Column | str, prefix_tokens: int | None = None) -> Column:
     """md5 fingerprint of a text column (optionally of its first N tokens —
-    catches boilerplate-prefix duplicates)."""
+    catches boilerplate-prefix duplicates).
+
+    NULL text gets a sentinel fingerprint (md5 of NULL is NULL, and NULL
+    keys silently vanish from inner joins / lump into one group): NULL
+    rows are NOT duplicates of anything, so callers treat the sentinel
+    group as all-unique (excluded from duplicate groups, every row kept)."""
     c = F.col(col) if isinstance(col, str) else col
     if prefix_tokens is None:
-        return F.md5(c)
+        return F.coalesce(F.md5(c), F.lit(NULL_FINGERPRINT))
     toks = F.split(c, " ")
-    return F.md5(F.array_join(F.slice(toks, 1, prefix_tokens), " "))
+    return F.coalesce(
+        F.md5(F.array_join(F.slice(toks, 1, prefix_tokens), " ")), F.lit(NULL_FINGERPRINT)
+    )
+
+
+NULL_FINGERPRINT = "__null_text__"
 
 
 def exact_duplicate_groups(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id", prefix_tokens: int | None = None
 ) -> DataFrame:
     """Groups of exact (or prefix-exact) duplicates: fingerprint, group
-    size, and the minimum key (the canonical survivor)."""
+    size, and the minimum key (the canonical survivor). NULL-text rows are
+    never duplicates of each other — their sentinel group is excluded."""
     fp = fingerprint_expr(text_col, prefix_tokens)
     return (
         df.select(F.col(key_col), fp.alias("fp"))
+        .filter(F.col("fp") != NULL_FINGERPRINT)
         .groupBy("fp")
         .agg(F.count("*").alias("group_size"), F.min(key_col).alias("keep_key"))
         .filter(F.col("group_size") > 1)
@@ -83,15 +95,19 @@ def dedupe_exact(
 ) -> DataFrame:
     """Keep one row per fingerprint (the min-key row). Implemented as a
     window-free groupBy+join so AQE can broadcast the (small) survivor set
-    when duplicates are rare."""
-    fp = fingerprint_expr(text_col, prefix_tokens).alias("fp")
+    when duplicates are rare. NULL-text rows (sentinel fingerprint, see
+    fingerprint_expr) are kept unconditionally — they are not duplicates
+    of anything."""
     keyed = df.withColumn("__fp", fingerprint_expr(text_col, prefix_tokens))
-    survivors = keyed.groupBy("__fp").agg(F.min(key_col).alias("__keep"))
-    return (
-        keyed.join(survivors, on="__fp", how="inner")
+    non_null = keyed.filter(F.col("__fp") != NULL_FINGERPRINT)
+    survivors = non_null.groupBy("__fp").agg(F.min(key_col).alias("__keep"))
+    kept = (
+        non_null.join(survivors, on="__fp", how="inner")
         .filter(F.col(key_col) == F.col("__keep"))
         .drop("__fp", "__keep")
     )
+    null_rows = keyed.filter(F.col("__fp") == NULL_FINGERPRINT).drop("__fp")
+    return kept.unionByName(null_rows)
 
 
 # --------------------------------------------------------------------------

@@ -31,13 +31,22 @@ class RollupSpec:
 
     table: str
     dimensions: list[str]
-    metrics: list[str]  # columns with sum/min/max partials
+    metrics: list[str]  # columns with count/sum/min/max partials
     path: str = ""
     # which merged aggregates each metric supports
     functions: tuple[str, ...] = ("SUM", "MIN", "MAX", "COUNT", "AVG")
+    # metric column → Spark simpleString type of the INPUT column, recorded
+    # at build time so merged SUMs come back in Spark's native SUM result
+    # type for that input (SUM(int) must stay LONG, not become DOUBLE)
+    metric_types: dict[str, str] = field(default_factory=dict)
 
     def partial_columns(self, m: str) -> dict[str, str]:
-        return {"SUM": f"__sum_{m}", "MIN": f"__min_{m}", "MAX": f"__max_{m}"}
+        return {
+            "SUM": f"__sum_{m}",
+            "MIN": f"__min_{m}",
+            "MAX": f"__max_{m}",
+            "COUNT": f"__cnt_{m}",
+        }
 
 
 def build_rollup(
@@ -48,7 +57,12 @@ def build_rollup(
 ) -> str:
     """Materialize the rollup table. One shuffle on the dimension set —
     partial aggregation is map-side (Spark HashAggregate), so the shuffle
-    carries pre-combined rows, not raw data."""
+    carries pre-combined rows, not raw data.
+
+    Per metric the rollup stores sum/min/max AND the non-null count
+    (__cnt_m): COUNT(col) must skip NULLs and AVG(col) divides by the
+    non-null count, so the total row count alone cannot answer either when
+    the source has NULL metric values."""
     aggs = [F.count("*").alias(COUNT_COL)]
     for m in spec.metrics:
         # decimal-exact sums for cross-engine-stable merges of money-like
@@ -57,7 +71,9 @@ def build_rollup(
             F.sum(F.col(m).cast("decimal(28,6)")).alias(f"__sum_{m}"),
             F.min(m).alias(f"__min_{m}"),
             F.max(m).alias(f"__max_{m}"),
+            F.count(m).alias(f"__cnt_{m}"),
         ]
+        spec.metric_types[m] = dict(df.dtypes)[m]
     rolled = df.groupBy(*spec.dimensions).agg(*aggs)
     path = os.path.join(warehouse, f"__rollup__{spec.table}__" + "_".join(spec.dimensions))
     rolled.write.mode("overwrite").parquet(path)
@@ -80,14 +96,20 @@ class AggRequest:
 
 def covers(spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]) -> bool:
     """True iff the rollup can answer: group dims ⊆ rollup dims and every
-    aggregate merges from stored partials."""
+    aggregate merges from stored partials.
+
+    COUNT(col) is answerable for metrics (stored non-null count __cnt_m)
+    and for rollup DIMENSIONS (within a rollup row the dimension value is
+    constant, so its non-null count is 0 or the row count)."""
     if not set(group_dims) <= set(spec.dimensions):
         return False
     for a in aggs:
         f = a.func.upper()
         if f == "COUNT":
-            if a.column is not None and a.column not in spec.dimensions:
-                return False  # COUNT(col) over a metric needs null info we don't keep
+            if a.column is not None and a.column not in spec.dimensions and (
+                a.column not in spec.metrics
+            ):
+                return False
             continue
         if f not in ("SUM", "MIN", "MAX", "AVG"):
             return False
@@ -96,20 +118,44 @@ def covers(spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]) -> b
     return True
 
 
+def _sum_result_type(input_type: str | None) -> str:
+    """Spark's SUM result type for a given input column type: integral →
+    LONG, float/double → DOUBLE, decimal(p,s) → widened decimal. Falls
+    back to DOUBLE when the build-time type was not recorded."""
+    t = (input_type or "double").lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
+        return "long"
+    if t.startswith("decimal"):
+        return "decimal(38,6)"
+    return "double"
+
+
 def answer_from_rollup(
     spark: SparkSession, spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]
 ) -> DataFrame:
     """Merge partials: SUM←SUM(__sum), MIN←MIN(__min), MAX←MAX(__max),
-    COUNT(*)←SUM(__count), AVG←SUM(__sum)/SUM(__count)."""
+    COUNT(*)←SUM(__count), COUNT(col)←SUM(__cnt_col) (NULLs skipped),
+    AVG←SUM(__sum)/SUM(__cnt) (the non-null count, matching SQL AVG)."""
     df = rollup_df(spark, spec)
     merged = []
     for a in aggs:
         f = a.func.upper()
         if f == "COUNT":
-            merged.append(F.sum(COUNT_COL).cast("long").alias(a.alias))
+            if a.column is None:
+                merged.append(F.sum(COUNT_COL).cast("long").alias(a.alias))
+            elif a.column in spec.metrics:
+                merged.append(F.sum(f"__cnt_{a.column}").cast("long").alias(a.alias))
+            else:  # dimension: constant within a rollup row
+                merged.append(
+                    F.sum(
+                        F.when(F.col(a.column).isNull(), F.lit(0)).otherwise(F.col(COUNT_COL))
+                    ).cast("long").alias(a.alias)
+                )
         elif f == "SUM":
             merged.append(
-                F.sum(f"__sum_{a.column}").cast("double").alias(a.alias)
+                F.sum(f"__sum_{a.column}")
+                .cast(_sum_result_type(spec.metric_types.get(a.column)))
+                .alias(a.alias)
             )
         elif f == "MIN":
             merged.append(F.min(f"__min_{a.column}").alias(a.alias))
@@ -117,7 +163,8 @@ def answer_from_rollup(
             merged.append(F.max(f"__max_{a.column}").alias(a.alias))
         elif f == "AVG":
             merged.append(
-                (F.sum(f"__sum_{a.column}").cast("double") / F.sum(COUNT_COL)).alias(a.alias)
+                (F.sum(f"__sum_{a.column}").cast("double") / F.sum(f"__cnt_{a.column}"))
+                .alias(a.alias)
             )
     if group_dims:
         return df.groupBy(*group_dims).agg(*merged)

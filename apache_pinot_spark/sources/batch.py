@@ -52,10 +52,18 @@ class TableConfig:
     partition_granularity: str = "1:DAYS"  # segment = time bucket
     sorted_column: str | None = None
     bloom_filter_columns: list[str] = dc_field(default_factory=list)
+    # bloom-filter tuning (bloom-filter.md:13-17): false-positive
+    # probability (Pinot default 0.05) and the max filter size in bytes —
+    # forwarded to the parquet writer's per-column bloom options
+    bloom_filter_fpp: float = 0.05
+    bloom_filter_max_size_bytes: int | None = None
     no_dictionary_columns: list[str] = dc_field(default_factory=list)
     timestamp_index_granularities: dict[str, list[str]] = dc_field(default_factory=dict)
     text_index_columns: list[str] = dc_field(default_factory=list)
     retention_days: int | None = None
+    # primary time-column sanity window (configuration-reference/
+    # schema.md:72): values must land in [1971-01-01, 2071-01-01) UTC
+    validate_time_range: bool = True
 
     def to_json(self) -> dict:
         return {
@@ -64,10 +72,13 @@ class TableConfig:
             "partitionGranularity": self.partition_granularity,
             "sortedColumn": self.sorted_column,
             "bloomFilterColumns": self.bloom_filter_columns,
+            "bloomFilterFpp": self.bloom_filter_fpp,
+            "bloomFilterMaxSizeBytes": self.bloom_filter_max_size_bytes,
             "noDictionaryColumns": self.no_dictionary_columns,
             "timestampIndexGranularities": self.timestamp_index_granularities,
             "textIndexColumns": self.text_index_columns,
             "retentionDays": self.retention_days,
+            "validateTimeRange": self.validate_time_range,
         }
 
     @classmethod
@@ -78,14 +89,40 @@ class TableConfig:
             partition_granularity=d.get("partitionGranularity", "1:DAYS"),
             sorted_column=d.get("sortedColumn"),
             bloom_filter_columns=d.get("bloomFilterColumns", []),
+            bloom_filter_fpp=d.get("bloomFilterFpp", 0.05),
+            bloom_filter_max_size_bytes=d.get("bloomFilterMaxSizeBytes"),
             no_dictionary_columns=d.get("noDictionaryColumns", []),
             timestamp_index_granularities=d.get("timestampIndexGranularities", {}),
             text_index_columns=d.get("textIndexColumns", []),
             retention_days=d.get("retentionDays"),
+            validate_time_range=d.get("validateTimeRange", True),
         )
 
 
 TIME_BUCKET_COL = "__time_bucket"
+
+# primary time-column validity window (configuration-reference/schema.md:72)
+TIME_RANGE_MIN_MS = 31_536_000_000  # 1971-01-01T00:00:00Z
+TIME_RANGE_MAX_MS = 3_187_296_000_000  # 2071-01-01T00:00:00Z
+
+
+def validate_time_range(df: DataFrame, schema: PinotSchema, time_column: str) -> None:
+    """Enforce the reference's primary-time-column range check: values must
+    fall in [1971-01-01, 2071-01-01) UTC. One min/max aggregate over the
+    normalized time — runs map-side-combined, no shuffle growth."""
+    ts = schema.normalized_time(df, time_column)
+    row = df.select(
+        F.min(F.unix_millis(ts)).alias("mn"), F.max(F.unix_millis(ts)).alias("mx")
+    ).collect()[0]
+    if row["mn"] is None:
+        return
+    if row["mn"] < TIME_RANGE_MIN_MS or row["mx"] >= TIME_RANGE_MAX_MS:
+        raise ValueError(
+            f"time column {time_column!r} outside the valid 1971-2071 UTC window "
+            f"(schema.md:72): min={row['mn']} max={row['mx']} epoch-ms; "
+            "fix the source data or the dateTimeFieldSpec format, or set "
+            "TableConfig.validate_time_range=False to bypass"
+        )
 
 
 def derived_columns(df: DataFrame, schema: PinotSchema, config: TableConfig) -> DataFrame:
@@ -131,6 +168,8 @@ def ingest_batch(
 
     df = schema.apply_types(raw)
     df = schema.apply_sentinels(df)
+    if config.time_column and config.validate_time_range:
+        validate_time_range(df, schema, config.time_column)
     df = derived_columns(df, schema, config)
 
     table_path = os.path.join(warehouse, config.table_name)
@@ -150,6 +189,13 @@ def ingest_batch(
     writer = df.write.mode(mode)
     for col in config.bloom_filter_columns:
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.fpp#{col}", str(config.bloom_filter_fpp)
+        )
+        if config.bloom_filter_max_size_bytes is not None:
+            writer = writer.option(
+                "parquet.bloom.filter.max.bytes", str(config.bloom_filter_max_size_bytes)
+            )
     for col in config.no_dictionary_columns:
         writer = writer.option(f"parquet.enable.dictionary#{col}", "false")
     if partition_cols:
@@ -186,10 +232,16 @@ def register_table(spark: SparkSession, name: str, table_path: str) -> DataFrame
 
 
 def list_segments(table_path: str) -> list[str]:
-    """Pinot 'segments' = time-bucket partition directories (S3)."""
-    return sorted(
-        d for d in os.listdir(table_path) if d.startswith(f"{TIME_BUCKET_COL}=")
-    )
+    """Pinot 'segments' = time-bucket partition directories (S3), returned
+    as paths relative to the table root. Batch tables keep them at the top
+    level; streaming tables nest them under `__stream_batch=<id>` commit
+    directories — both layouts are one logical partitioned table."""
+    out = []
+    for root, dirs, _files in os.walk(table_path):
+        for d in dirs:
+            if d.startswith(f"{TIME_BUCKET_COL}="):
+                out.append(os.path.relpath(os.path.join(root, d), table_path))
+    return sorted(out)
 
 
 # --------------------------------------------------------------------------
@@ -206,7 +258,15 @@ def purge_records(
     """S8 GDPR purge (Concepts.md:72; record-level delete from an immutable
     store, Architecture.md:18): left-anti rewrite of ONLY the partitions
     that contain matching keys — at 100 TB you rewrite a handful of
-    segments, not the table. Returns number of rows purged."""
+    segments, not the table. Returns number of rows purged.
+
+    The key set is MATERIALIZED first (GDPR purge sets are small by
+    nature): the caller's DataFrame may be a lazy plan over the very table
+    being rewritten, which would re-scan deleted files mid-loop."""
+    keys = [r[0] for r in purge_keys.select(key_column).distinct().collect()]
+    purge_keys = spark.createDataFrame(
+        [(k,) for k in keys], purge_keys.select(key_column).schema
+    )
     df = spark.read.parquet(table_path)
     hit_parts = (
         df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
@@ -224,6 +284,7 @@ def purge_records(
         n_before, n_after = df.count(), spark.read.parquet(tmp).count()
         shutil.rmtree(table_path)
         os.rename(tmp, table_path)
+        spark.catalog.refreshByPath(table_path)
         return n_before - n_after
 
     purged = 0
@@ -237,6 +298,9 @@ def purge_records(
         purged += part.count() - spark.read.parquet(tmp).count()
         shutil.rmtree(part_dir)
         os.rename(tmp, part_dir)
+    # evict stale entries from the shared file-status cache: the rewritten
+    # partition directories contain new file names
+    spark.catalog.refreshByPath(table_path)
     return purged
 
 
@@ -282,10 +346,12 @@ def expire_retention(
     cutoff = now_ms - config.retention_days * 86_400_000
     dropped = []
     for seg in list_segments(table_path):
-        bucket = seg.split("=", 1)[1]
+        bucket = os.path.basename(seg).split("=", 1)[1]
         t = time.strptime(bucket, "%Y%m%d%H%M")
         bucket_ms = int(time.mktime(t) * 1000) - time.timezone * 1000
         if bucket_ms < cutoff:
             shutil.rmtree(os.path.join(table_path, seg))
             dropped.append(seg)
+    if dropped:
+        spark.catalog.refreshByPath(table_path)
     return dropped

@@ -129,6 +129,64 @@ def rewrite_calls(sql: str, handlers: dict[str, Callable[[list[str]], str]]) -> 
     return rewrite(sql)
 
 
+def _split_literals(sql: str) -> list[tuple[bool, str]]:
+    """Split SQL text into (is_literal, segment) runs, where literal
+    segments are complete single-quoted strings (with '' and \\' escapes).
+    Rewrites that must not touch string literals map over the non-literal
+    segments and rejoin."""
+    out: list[tuple[bool, str]] = []
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        if sql[i] == "'":
+            if i > start:
+                out.append((False, sql[start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            out.append((True, sql[i:j]))
+            i = start = j
+        else:
+            i += 1
+    if start < n:
+        out.append((False, sql[start:]))
+    return out
+
+
+def _sub_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
+    """Apply a text-rewrite function to the non-literal segments only —
+    alias/column substitutions must never rewrite occurrences inside
+    string literals (`WHERE event_type = 'd'` with an alias `d`)."""
+    return "".join(seg if lit else fn(seg) for lit, seg in _split_literals(sql))
+
+
+def _guarded_sub(pattern: str, repl: str, sql: str, flags: int = 0) -> str:
+    """re.sub that ignores matches STARTING inside a string literal (the
+    match itself may span a literal, e.g. `col = 'v'` — only the anchor
+    position must be real SQL, not quoted text)."""
+    spans = []
+    pos = 0
+    for lit, seg in _split_literals(sql):
+        if lit:
+            spans.append((pos, pos + len(seg)))
+        pos += len(seg)
+
+    def guarded(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return m.expand(repl)
+
+    return re.sub(pattern, guarded, sql, flags=flags)
+
+
 def _unquote(arg: str) -> str:
     a = arg.strip()
     if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
@@ -169,9 +227,22 @@ class PinotDialect:
         json_schemas: dict[str, T.DataType] | None = None,
         timestamp_index: dict[tuple[str, str], str] | None = None,
         text_index: dict[str, str] | None = None,
+        table_columns: set[str] | None = None,
+        binary_columns: set[str] | None = None,
+        json_configs: dict | None = None,
     ):
         self.array_columns = array_columns or set()
+        # real column names of registered tables: a SELECT alias that
+        # shadows a real column must NOT be substituted in WHERE (the
+        # column reference wins, as in Pinot/standard SQL)
+        self.table_columns = table_columns or set()
+        # BYTES columns: DISTINCTCOUNTHLL over one merges serialized HLL
+        # register sketches instead of hashing raw values
+        # (configuration-reference/schema.md:48)
+        self.binary_columns = binary_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
+        # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
+        self.json_configs = json_configs or {}
         # (time column, UNIT) → materialized `$col$UNIT` column
         # (timestamp-index.md:25-28: the index rewrite targets dateTrunc)
         self.timestamp_index = timestamp_index or {}
@@ -213,6 +284,21 @@ class PinotDialect:
             return f"COUNT(DISTINCT {a[0]})"
 
         def distinctcounthll(a):
+            # Portable register-HLL (functions/hll.py): deterministic and
+            # oracle-reproducible. Over a BYTES column the argument is a
+            # serialized register sketch → merge instead of re-hash
+            # (configuration-reference/schema.md:48).
+            from apache_pinot_spark.functions.hll import (
+                hll_estimate_sql,
+                hll_merge_estimate_sql,
+            )
+
+            if a[0].strip() in self.binary_columns:
+                return hll_merge_estimate_sql(a[0], "spark")
+            return hll_estimate_sql(a[0], "spark")
+
+        def distinctcounthllplus(a):
+            # Spark-native HLL++ (fast JVM path, NOT oracle-reproducible)
             return f"approx_count_distinct({a[0]})"
 
         def percentile(a):
@@ -244,7 +330,7 @@ class PinotDialect:
         def json_match(a):
             col = a[0].strip()
             schema = self.json_schemas.get(col)
-            return json_match_sql(col, _unquote(a[1]), schema)
+            return json_match_sql(col, _unquote(a[1]), schema, self.json_configs.get(col))
 
         return {
             "ADD": add,
@@ -256,6 +342,7 @@ class PinotDialect:
             "TODATETIME": to_datetime,
             "DISTINCTCOUNT": distinctcount,
             "DISTINCTCOUNTHLL": distinctcounthll,
+            "DISTINCTCOUNTHLLPLUS": distinctcounthllplus,
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
@@ -293,7 +380,11 @@ class PinotDialect:
         return out
 
     def _rewrite_alias_in_where(self, sql: str) -> str:
-        """Pinot allows WHERE on a SELECT alias (timestamp-index.md:33-39)."""
+        """Pinot allows WHERE on a SELECT alias (timestamp-index.md:33-39).
+
+        Substitution is literal-safe (never rewrites inside quoted
+        strings) and skips aliases that name a REAL table column — the
+        column reference wins there, as in standard SQL."""
         aliases = self._split_select_aliases(sql)
         if not aliases:
             return sql
@@ -306,7 +397,11 @@ class PinotDialect:
             return sql
         where = wm.group(1)
         for alias, expr in aliases.items():
-            where = re.sub(rf"\b{re.escape(alias)}\b", f"({expr})", where)
+            if alias in self.table_columns:
+                continue
+            where = _sub_outside_literals(
+                where, lambda seg, a=alias, e=expr: re.sub(rf"\b{re.escape(a)}\b", f"({e})", seg)
+            )
         return sql[: wm.start(1)] + where + sql[wm.end(1):]
 
     def _rewrite_top(self, sql: str) -> str:
@@ -326,24 +421,27 @@ class PinotDialect:
         return sql
 
     def _rewrite_mv_predicates(self, sql: str) -> str:
-        """Scalar predicates on ARRAY columns → ANY-element semantics."""
+        """Scalar predicates on ARRAY columns → ANY-element semantics.
+        Literal-safe: a match is only rewritten when the column NAME sits
+        outside any string literal (the matched value may itself be a
+        quoted literal — that's fine, only the anchor is guarded)."""
         for col in self.array_columns:
-            sql = re.sub(
+            sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
                 rf"array_contains(\1, \2)",
                 sql,
             )
-            sql = re.sub(
+            sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s*(<>|!=)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
                 rf"exists(\1, x -> x != \3)",
                 sql,
             )
-            sql = re.sub(
+            sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s*(<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)",
                 rf"exists(\1, x -> x \2 \3)",
                 sql,
             )
-            sql = re.sub(
+            sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s+IN\s*\(([^)]*)\)",
                 rf"arrays_overlap(\1, array(\2))",
                 sql,
@@ -413,6 +511,10 @@ class PinotEngine:
         self._dfs: dict[str, DataFrame] = {}
         self._json_schemas: dict[str, T.DataType] = {}
         self._array_columns: set[str] = set()
+        self._binary_columns: set[str] = set()
+        self._table_columns: set[str] = set()
+        self._table_counts: dict[str, int] = {}  # totalDocs cache
+        self._json_index_configs: dict = {}  # column → JsonIndexConfig
         self._timestamp_index: dict[tuple[str, str], str] = {}
         self._text_index: dict[str, str] = {}
         self._rollups: list = []  # RollupSpec registry
@@ -426,11 +528,22 @@ class PinotEngine:
 
     def _note_table(self, name: str, df: DataFrame, json_columns: list[str] | None = None):
         self._dfs[name] = df
+        self._table_counts.pop(name, None)
         for f in df.schema.fields:
+            self._table_columns.add(f.name)
             if isinstance(f.dataType, T.ArrayType):
                 self._array_columns.add(f.name)
+            if isinstance(f.dataType, T.BinaryType):
+                self._binary_columns.add(f.name)
         for col in json_columns or []:
             self._json_schemas[col] = infer_json_schema(df, col)
+
+    def set_json_index_config(self, column: str, config) -> None:
+        """Attach a JSON index flattening config
+        (functions.json.JsonIndexConfig) to a JSON column: JSON_MATCH
+        predicates on paths the config leaves unindexed match nothing,
+        as in Pinot (json-index.md:53-81)."""
+        self._json_index_configs[column] = config
 
     def infer_json(self, table: str, column: str):
         """Build the engine's JSON-index analogue: infer + cache the
@@ -464,6 +577,9 @@ class PinotEngine:
             self._json_schemas,
             self._timestamp_index,
             self._text_index,
+            self._table_columns,
+            self._binary_columns,
+            self._json_index_configs,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
@@ -539,16 +655,20 @@ class PinotEngine:
     def _collect_with_timeout(self, df: DataFrame, timeout_ms: int, tag: str):
         """Option(timeoutMs=...) (timestamp-index.md:50): run the collect
         under a job group and cancel it when the budget expires — the
-        broker-timeout behavior."""
+        broker-timeout behavior. Only a cancellation the WATCHDOG fired is
+        reported as TimeoutError; any other failure (analysis error, OOM,
+        bad data) re-raises as itself so real errors aren't masked."""
         import threading
 
         sc = self.spark.sparkContext
         group = f"pinot-q-{abs(hash(tag)) % 10**9}"
         sc.setJobGroup(group, tag, interruptOnCancel=True)
         done = threading.Event()
+        fired = threading.Event()
 
         def watchdog():
             if not done.wait(timeout_ms / 1000.0):
+                fired.set()
                 sc.cancelJobGroup(group)
 
         t = threading.Thread(target=watchdog, daemon=True)
@@ -556,12 +676,64 @@ class PinotEngine:
         try:
             return df.collect()
         except Exception as e:
-            raise TimeoutError(
-                f"query exceeded timeoutMs={timeout_ms}: {str(e)[:200]}"
-            ) from None
+            if fired.is_set():
+                raise TimeoutError(
+                    f"query exceeded timeoutMs={timeout_ms}: {str(e)[:200]}"
+                ) from None
+            raise
         finally:
             done.set()
             sc.setJobGroup("", "")
+
+    def _scan_stats(self, sql: str, n_projected: int, n_rows: int) -> dict:
+        """Honest envelope scan statistics (basics/Architecture.md:143-148):
+        totalDocs = docs in the queried table, numDocsScanned = docs the
+        filter SELECTED (scanned for projection — not rows returned),
+        numEntriesScannedInFilter = filter-column entries evaluated
+        (totalDocs × predicate columns in the scan model — no inverted
+        index shortcut yet), numEntriesScannedPostFilter = selected docs ×
+        projected columns. Single-table queries only; joins/subqueries get
+        -1 (Pinot's own stats are per-table too). Counts are parquet
+        metadata / cached, plus one COUNT(*) job for the WHERE clause."""
+        out = {
+            "totalDocs": -1,
+            "numDocsScanned": n_rows,
+            "numEntriesScannedInFilter": 0,
+            "numEntriesScannedPostFilter": n_rows * n_projected,
+        }
+        froms = _FROM_RE.findall(sql)
+        if len(froms) != 1 or froms[0] not in self._dfs:
+            return out
+        tbl = froms[0]
+        if tbl not in self._table_counts:
+            self._table_counts[tbl] = self._dfs[tbl].count()
+        total = self._table_counts[tbl]
+        out["totalDocs"] = total
+        wm = re.search(
+            r"\bWHERE\b(.*?)(\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            out["numDocsScanned"] = total
+            out["numEntriesScannedInFilter"] = 0
+            out["numEntriesScannedPostFilter"] = total * n_projected
+            return out
+        where = wm.group(1).strip()
+        try:
+            matched = self.spark.sql(
+                f"SELECT COUNT(*) FROM {tbl} WHERE {where}"  # noqa: S608
+            ).collect()[0][0]
+        except Exception:
+            return out
+        filter_cols = {
+            c for c in self._dfs[tbl].columns
+            if re.search(rf"\b{re.escape(c)}\b", where)
+        }
+        out["numDocsScanned"] = matched
+        out["numEntriesScannedInFilter"] = total * max(len(filter_cols), 1)
+        out["numEntriesScannedPostFilter"] = matched * n_projected
+        return out
 
     def query(self, pinot_sql: str) -> dict:
         """Execute and wrap in the broker JSON envelope
@@ -576,6 +748,12 @@ class PinotEngine:
             )
             if is_selection and not _LIMIT_RE.search(sql) and self.default_limit:
                 sql = sql.rstrip().rstrip(";") + f" LIMIT {self.default_limit}"
+            # numGroupsLimit is enforced IN the SQL (LIMIT cap+1 sentinel),
+            # not by post-collect truncation — a 10M-group GROUP BY must
+            # not materialize 10M rows on the driver to keep 100k.
+            groups_cap = int(rr.options.get("numGroupsLimit", self.num_groups_limit))
+            if _GROUPBY_RE.search(sql) and not _LIMIT_RE.search(sql):
+                sql = sql.rstrip().rstrip(";") + f" LIMIT {groups_cap + 1}"
             df = self.spark.sql(sql)
             timeout_ms = int(rr.options.get("timeoutMs", 0)) or None
             if timeout_ms:
@@ -603,14 +781,14 @@ class PinotEngine:
                 "minConsumingFreshnessTimeMs": 0,
             }
         groups_limited = False
-        groups_cap = int(rr.options.get("numGroupsLimit", self.num_groups_limit))
         if _GROUPBY_RE.search(sql) and len(rows) > groups_cap:
-            rows = rows[:groups_cap]
+            rows = rows[:groups_cap]  # the sentinel row (cap+1) proves the cut
             groups_limited = True
         try:
             n_segments = len(df.inputFiles())
         except Exception:
             n_segments = 0
+        stats = self._scan_stats(sql, len(df.schema.fields), len(rows))
         return {
             "resultTable": {
                 "dataSchema": {
@@ -626,11 +804,11 @@ class PinotEngine:
             "numSegmentsProcessed": n_segments,
             "numSegmentsMatched": n_segments,
             "numConsumingSegmentsQueried": 0,
-            "numDocsScanned": len(rows),
-            "numEntriesScannedInFilter": 0,
-            "numEntriesScannedPostFilter": len(rows) * len(df.schema.fields),
+            "numDocsScanned": stats["numDocsScanned"],
+            "numEntriesScannedInFilter": stats["numEntriesScannedInFilter"],
+            "numEntriesScannedPostFilter": stats["numEntriesScannedPostFilter"],
             "numGroupsLimitReached": groups_limited,
-            "totalDocs": -1,
+            "totalDocs": stats["totalDocs"],
             "timeUsedMs": int((time.monotonic() - t0) * 1000),
             "segmentStatistics": [],
             "traceInfo": {},

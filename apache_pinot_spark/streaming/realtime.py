@@ -10,9 +10,13 @@ behind one logical table with a time boundary (Architecture.md:179-190,
 
 Spark mapping (SURVEY §2.7):
   * readStream → normalize pipeline (same type/sentinel/derived passes as
-    batch — one code path) → foreachBatch append into the table's parquet
-    directory. The micro-batch commit IS the segment-completion protocol:
-    Spark's file-sink commit gives exactly-once segment publication.
+    batch — one code path) → foreachBatch writing each micro-batch into
+    its own `__stream_batch=<id>` partition directory. foreachBatch is
+    at-least-once (a batch can re-run after a driver restart that wrote
+    data but not the checkpoint), so publication is made IDEMPOTENT per
+    batch_id: a batch directory whose _SUCCESS marker exists is skipped on
+    replay, and a partial directory (no marker) is overwritten. The
+    completed batch directory IS the committed segment.
   * Freshness = trigger interval (ST1's ~1 s goal with short triggers);
     `minConsumingFreshnessTimeMs` = the last committed batch's wall clock.
   * Flush thresholds (ST2) map to trigger processingTime + source batch
@@ -88,25 +92,45 @@ def ingest_stream(
 
     foreachBatch (not a direct file sink) so each batch can run the full
     normalize pipeline and so the commit time is observable — the engine's
-    `minConsumingFreshnessTimeMs`."""
+    `minConsumingFreshnessTimeMs`. Each batch writes into its own
+    `__stream_batch=<batch_id>` subdirectory (a partition column, so
+    `spark.read.parquet(table_path)` still sees one table): if the batch
+    re-runs after a failure, an already-committed directory (_SUCCESS
+    present) is skipped and a partial one is overwritten — duplicates
+    cannot be published. Row accounting reads the committed output's
+    parquet footer count (metadata-only), not a second evaluation of the
+    source batch."""
     st = state if state is not None else ConsumingState()
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = normalize_stream(batch_df, schema, config)
-        writer = out.write.mode("append")
-        if config.time_column:
-            writer = writer.partitionBy(TIME_BUCKET_COL)
-        writer.parquet(table_path)
-        st.last_commit_ms = int(time.time() * 1000)
-        st.batches += 1
-        st.rows += batch_df.count()
-
+    commit_batch = make_batch_committer(schema, config, table_path, st)
     return (
         stream_df.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def make_batch_committer(
+    schema: PinotSchema, config: TableConfig, table_path: str, st: ConsumingState
+):
+    """The idempotent foreachBatch commit function (exposed for direct
+    testing of the replay guard)."""
+    import os
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_dir = os.path.join(table_path, f"__stream_batch={batch_id}")
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            return  # replay of an already-committed batch: idempotent skip
+        out = normalize_stream(batch_df, schema, config)
+        writer = out.write.mode("overwrite")  # clobbers a partial attempt
+        if config.time_column:
+            writer = writer.partitionBy(TIME_BUCKET_COL)
+        writer.parquet(batch_dir)
+        st.last_commit_ms = int(time.time() * 1000)
+        st.batches += 1
+        st.rows += batch_df.sparkSession.read.parquet(batch_dir).count()
+
+    return commit_batch
 
 
 def hybrid_view(

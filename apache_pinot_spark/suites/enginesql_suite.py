@@ -124,17 +124,28 @@ df_query(
     doc="JSON_MATCH range predicate (json-index.md:304-434) via rewrite",
 )
 
-# A6 — DISTINCTCOUNTHLL: approximate by design → rows-only driver check;
-# relative-error assertion lives in tests/test_sqlfront.py.
+# A6 — DISTINCTCOUNTHLL through the front-end. The engine's portable
+# register-HLL (functions/hll.py) is derived only from md5 + hex digit +
+# dyadic-double arithmetic, so the APPROXIMATE estimate is exactly
+# reproducible in DuckDB — a full hash-checked oracle, not a rows-only
+# pass. Exact DISTINCTCOUNT rides along as the accuracy reference.
+from apache_pinot_spark.functions.hll import hll_estimate_sql
+
 df_query(
     "eng_distinctcounthll",
     _engine_q(
-        "SELECT DISTINCTCOUNTHLL(l_partkey) AS hll FROM lineitem",
+        "SELECT DISTINCTCOUNTHLL(l_partkey) AS hll, "
+        "DISTINCTCOUNT(l_partkey) AS exact_dc FROM lineitem",
         ["lineitem"],
     ),
-    None,
+    f"""
+    SELECT {hll_estimate_sql('l_partkey', 'duckdb')} AS hll,
+           COUNT(DISTINCT l_partkey) AS exact_dc
+    FROM lineitem
+    """,
     tables=["lineitem"],
-    doc="DISTINCTCOUNTHLL → approx_count_distinct (forward-index.md:214)",
+    doc="A6 DISTINCTCOUNTHLL (forward-index.md:214) via the portable "
+        "register HLL — deterministic, oracle-reproducible estimate",
 )
 
 # O4 — OPTION(...) suffix parsing (timestamp-index.md:50): stripped from

@@ -229,17 +229,21 @@ df_query(
 )
 
 # --------------------------------------------------------------------------
-# F5 — SIMPLE_DATE_FORMAT normalization: yyyyMMdd string → timestamp →
-# epoch-day buckets, the ingest-time datetime machinery (schema.md:70-71).
+# F3+F5 — time parsing both ways in one query: fromDateTime(literal,
+# pattern) parse-and-filter (timestamp-index.md:36) over SIMPLE_DATE_FORMAT
+# normalized day buckets (yyyyMMdd string → timestamp → epoch-millis, the
+# ingest-time datetime machinery, schema.md:70-71).
 # --------------------------------------------------------------------------
 
 
-def _sdf_normalize(spark, sf_dir):
+def _time_parse(spark, sf_dir):
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    raw = ev.select(F.date_format("ts", "yyyyMMdd").alias("d8"), "event_id")
     from apache_pinot_spark.plans.schema import DateTimeFormat
 
     fmt = DateTimeFormat.parse("1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd")
+    raw = ev.filter(
+        F.col("ts") >= F.to_timestamp(F.lit("2024-01-15"), "yyyy-MM-dd")
+    ).select(F.date_format("ts", "yyyyMMdd").alias("d8"))
     return (
         raw.select(fmt.epoch_millis(F.col("d8")).alias("day_ms"))
         .groupBy("day_ms")
@@ -249,15 +253,18 @@ def _sdf_normalize(spark, sf_dir):
 
 
 df_query(
-    "f5_simple_date_format",
-    _sdf_normalize,
+    "f3_f5_time_parse",
+    _time_parse,
     """
     SELECT CAST(epoch_ms(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d')) AS BIGINT) AS day_ms,
            COUNT(*) AS cnt
-    FROM events GROUP BY 1 ORDER BY day_ms
+    FROM events
+    WHERE ts >= strptime('2024-01-15', '%Y-%m-%d')
+    GROUP BY 1 ORDER BY day_ms
     """,
     tables=["events"],
-    doc="F5 SIMPLE_DATE_FORMAT parse path (schema.md:70): yyyyMMdd → epoch millis",
+    doc="F3 fromDateTime parse-and-filter + F5 SIMPLE_DATE_FORMAT "
+        "normalization (schema.md:70): yyyyMMdd → epoch millis",
 )
 
 # --------------------------------------------------------------------------
@@ -297,4 +304,184 @@ df_query(
     """,
     tables=["lineitem"],
     doc="A13 pivot: groupBy().pivot() quantity matrix by return flag × line status",
+)
+
+# --------------------------------------------------------------------------
+# S8 — GDPR purge: ingest into the segment store, purge all rows of a key
+# set (record-level delete from an immutable store, Concepts.md:72 /
+# Architecture.md:18 — only partitions containing hits are rewritten),
+# read back and aggregate. The oracle filters the raw table the same way.
+# --------------------------------------------------------------------------
+
+
+def _gdpr_purge(spark, sf_dir):
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cfg = B.TableConfig(
+        table_name=f"events_purge_{tag}",
+        time_column="ts_ms",
+        partition_granularity="1:DAYS",
+    )
+    path = B.ingest_batch(
+        spark, _EVENTS_SCHEMA, cfg, _events_ms(spark, sf_dir), warehouse=_WH, mode="overwrite"
+    )
+    ev = spark.read.parquet(path)
+    purge_keys = ev.select("user_id").distinct().filter(F.col("user_id") % 10 == 7)
+    B.purge_records(spark, path, purge_keys, "user_id")
+    after = spark.read.parquet(path)
+    return after.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 10 == 7, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("leaked"),
+    )
+
+
+df_query(
+    "s8_gdpr_purge",
+    _gdpr_purge,
+    """
+    SELECT COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users,
+           CAST(0 AS BIGINT) AS leaked
+    FROM events WHERE user_id % 10 <> 7
+    """,
+    tables=["events"],
+    doc="S8 GDPR purge (Concepts.md:72): partition-scoped left-anti "
+        "rewrite removes every row of the purged key set",
+)
+
+# --------------------------------------------------------------------------
+# ST4 — retention expiry: daily segments wholly past the retention window
+# are dropped as directories (no rewrite, Architecture.md:185-186). The
+# reference clock is pinned so the query is deterministic.
+# --------------------------------------------------------------------------
+
+_RETENTION_NOW_MS = 1_706_659_200_000  # 2024-01-31T00:00:00Z
+_RETENTION_DAYS = 10  # cutoff = 2024-01-21T00:00:00Z on daily buckets
+
+
+def _retention(spark, sf_dir):
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cfg = B.TableConfig(
+        table_name=f"events_ret_{tag}",
+        time_column="ts_ms",
+        partition_granularity="1:DAYS",
+        retention_days=_RETENTION_DAYS,
+    )
+    path = B.ingest_batch(
+        spark, _EVENTS_SCHEMA, cfg, _events_ms(spark, sf_dir), warehouse=_WH, mode="overwrite"
+    )
+    B.expire_retention(spark, path, cfg, _RETENTION_NOW_MS)
+    kept = spark.read.parquet(path)
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.min("ts_ms").alias("min_ts"))
+        .orderBy("event_type")
+    )
+
+
+df_query(
+    "st4_retention",
+    _retention,
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           MIN(CAST(epoch_ms(ts) AS BIGINT)) AS min_ts
+    FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=["events"],
+    doc="ST4 retention (Architecture.md:185-186): whole-segment drops at "
+        "the daily boundary, pinned reference clock",
+)
+
+# --------------------------------------------------------------------------
+# A6 — DISTINCTCOUNTHLL over serialized BYTES sketches (configuration-
+# reference/schema.md:48: BYTES metric columns storing serialized HLL
+# state). Per-segment register sketches are built, stored as BINARY, then
+# merged at query time (element-wise max is associative) — the estimate
+# EQUALS a full-rescan estimate, which the oracle computes directly from
+# the raw rows via the same portable register arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _hll_sketch_bytes(spark, sf_dir):
+    from apache_pinot_spark.functions.hll import hll_merge_estimate_sql, hll_sketch_sql
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("__hll_lineitem")
+    segments = spark.sql(
+        "SELECT pmod(l_orderkey, 8) AS seg, "
+        f"{hll_sketch_sql('l_partkey', 'spark')} AS sketch "
+        "FROM __hll_lineitem GROUP BY pmod(l_orderkey, 8)"
+    )
+    segments.createOrReplaceTempView("__hll_segments")
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_dc"))
+    est = spark.sql(
+        f"SELECT {hll_merge_estimate_sql('sketch', 'spark')} AS hll_merged "
+        "FROM __hll_segments"
+    )
+    return est.crossJoin(exact)
+
+
+def _hll_sketch_oracle() -> str:
+    from apache_pinot_spark.functions.hll import hll_estimate_sql
+
+    return f"""
+    SELECT {hll_estimate_sql('l_partkey', 'duckdb')} AS hll_merged,
+           COUNT(DISTINCT l_partkey) AS exact_dc
+    FROM lineitem
+    """
+
+
+df_query(
+    "a6_hll_sketch_bytes",
+    _hll_sketch_bytes,
+    _hll_sketch_oracle(),
+    tables=["lineitem"],
+    doc="A6 serialized-HLL BYTES metric columns (schema.md:48): "
+        "per-segment sketch build + query-time merge == direct estimate",
+)
+
+# --------------------------------------------------------------------------
+# P8 — JSON index flattening config (json-index.md:53-81): predicates on
+# paths the config leaves unindexed match nothing; configured-in paths
+# behave normally. The oracle states both semantics.
+# --------------------------------------------------------------------------
+
+
+def _json_config_paths(spark, sf_dir):
+    from apache_pinot_spark.functions.json import JsonIndexConfig, json_match
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    excl = JsonIndexConfig(exclude_paths={"$.k"})
+    incl = JsonIndexConfig(include_paths={"$.k"})
+    pred = '"$.k">=50 AND "$.k"<60'
+    return ev.agg(
+        F.count(F.when(json_match("props", pred, config=excl), F.lit(1))).alias(
+            "cnt_excluded"
+        ),
+        F.count(F.when(json_match("props", pred, config=incl), F.lit(1))).alias(
+            "cnt_included"
+        ),
+        F.count(F.when(json_match("props", pred), F.lit(1))).alias("cnt_unconfigured"),
+    )
+
+
+df_query(
+    "p8_json_config_paths",
+    _json_config_paths,
+    """
+    SELECT CAST(0 AS BIGINT) AS cnt_excluded,
+           CAST(count_if(CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+                AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 60) AS BIGINT)
+             AS cnt_included,
+           CAST(count_if(CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+                AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 60) AS BIGINT)
+             AS cnt_unconfigured
+    FROM events
+    """,
+    tables=["events"],
+    doc="P8 JSON index config (json-index.md:53-81): excludePaths hides "
+        "the path from JSON_MATCH, includePaths keeps it queryable",
 )

@@ -18,14 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
-    "p9_json_extract_scalar",
+    "f4_json_extract_scalar_groupby",
     "a9_groupby_datetrunc",
-    "a5_distinctcount",
+    "eng_distinctcount_percentile",
     "a13_rollup",
     "o3_top_groups",
-    "f2_datetrunc_week_epoch",
+    "f3_f5_time_parse",
     "join_customer_revenue",
-    "join_nation_supplier",
+    "j3_semi_anti",
     "p7_mv_predicate",
 ]
 

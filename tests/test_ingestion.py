@@ -213,3 +213,43 @@ def test_sentinel_aggregate_semantics(spark, schema):
     assert row["c_col"] == row["c_star"] == 2  # sentinel rows are counted
     assert row["s"] == 5.0  # metric sentinel 0.0 participates in SUM
     assert row["m"] == INT_MIN  # dimension sentinel participates in MIN
+
+
+def test_time_range_validation_rejects_out_of_window(schema, spark, tmp_path):
+    # schema.md:72: primary time values must land in 1971-2071 UTC
+    bad = spark.createDataFrame(
+        [Row(studentID=1, firstName="a", gender="f", subjects=["m"],
+             score=1.0, timestampInEpoch=10_000)],  # 1970-01-01T00:00:10
+    )
+    cfg = B.TableConfig(table_name="t_badtime", time_column="timestampInEpoch")
+    with pytest.raises(ValueError, match="1971-2071"):
+        B.ingest_batch(spark, schema, cfg, bad, warehouse=str(tmp_path), mode="overwrite")
+    # bypass flag honors dirty-data loads
+    cfg2 = B.TableConfig(
+        table_name="t_badtime2", time_column="timestampInEpoch", validate_time_range=False
+    )
+    path = B.ingest_batch(spark, schema, cfg2, bad, warehouse=str(tmp_path), mode="overwrite")
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_bloom_filter_tuning_options(schema, spark, tmp_path):
+    # bloom-filter.md:13-17: fpp + maxSizeInBytes knobs reach the writer
+    df = spark.createDataFrame(
+        [Row(studentID=i, firstName=f"n{i}", gender="f", subjects=["m"],
+             score=1.0, timestampInEpoch=1_700_000_000_000 + i) for i in range(50)],
+    )
+    cfg = B.TableConfig(
+        table_name="t_bloom_tuned",
+        time_column="timestampInEpoch",
+        bloom_filter_columns=["firstName"],
+        bloom_filter_fpp=0.01,
+        bloom_filter_max_size_bytes=1 << 20,
+    )
+    path = B.ingest_batch(spark, schema, cfg, df, warehouse=str(tmp_path), mode="overwrite")
+    assert spark.read.parquet(path).count() == 50
+    meta = B.read_table_meta(path)
+    assert meta["config"]["bloomFilterFpp"] == 0.01
+    assert meta["config"]["bloomFilterMaxSizeBytes"] == 1 << 20
+    # config JSON round-trips through from_json
+    rt = B.TableConfig.from_json(meta["config"])
+    assert rt.bloom_filter_fpp == 0.01 and rt.bloom_filter_max_size_bytes == 1 << 20

@@ -178,3 +178,58 @@ def test_parser_rejects_garbage():
         parse_json_filter('"$.a" LIKE 5')
     with pytest.raises(ValueError):
         parse_json_filter('"$.a"=')
+
+
+# --------------------------------------------------------------------------
+# JSON index flattening config (json-index.md:53-81)
+# --------------------------------------------------------------------------
+
+
+def test_json_index_config_exclude_include_paths(spark):
+    from apache_pinot_spark.functions.json import JsonIndexConfig, json_match
+
+    df = spark.createDataFrame(
+        [(1, '{"name": "adam", "age": 20}'), (2, '{"name": "bob", "age": 30}')],
+        ["id", "person"],
+    )
+    # excluded path: predicate can never match (no index entries)
+    cfg = JsonIndexConfig(exclude_paths={"$.age"})
+    assert df.filter(json_match("person", '"$.age"=20', config=cfg)).count() == 0
+    assert df.filter(json_match("person", '"$.name"=\'adam\'', config=cfg)).count() == 1
+    # includePaths: only listed prefixes are indexed
+    cfg2 = JsonIndexConfig(include_paths={"$.name"})
+    assert df.filter(json_match("person", '"$.name"=\'bob\'', config=cfg2)).count() == 1
+    assert df.filter(json_match("person", '"$.age"=30', config=cfg2)).count() == 0
+
+
+def test_json_index_config_max_levels_and_exclude_array(spark):
+    from apache_pinot_spark.functions.json import JsonIndexConfig, json_match
+
+    doc = '{"a": {"b": {"c": 5}}, "arr": [{"x": 1}]}'
+    df = spark.createDataFrame([(1, doc)], ["id", "j"])
+    schema = "struct<a:struct<b:struct<c:bigint>>,arr:array<struct<x:bigint>>>"
+    cfg = JsonIndexConfig(max_levels=2)
+    assert df.filter(json_match("j", '"$.a.b.c"=5', config=cfg)).count() == 0
+    assert df.filter(json_match("j", '"$.a.b.c"=5')).count() == 1
+    cfg2 = JsonIndexConfig(exclude_array=True)
+    assert df.filter(json_match("j", '"$.arr[*].x"=1', schema, config=cfg2)).count() == 0
+    assert df.filter(json_match("j", '"$.arr[*].x"=1', schema)).count() == 1
+
+
+def test_json_index_config_disable_cross_array_unnest(spark):
+    from apache_pinot_spark.functions.json import JsonIndexConfig, json_match
+
+    doc = '{"p": [{"x": 1}], "q": [{"y": 2}]}'
+    df = spark.createDataFrame([(1, doc)], ["id", "j"])
+    schema = "struct<p:array<struct<x:bigint>>,q:array<struct<y:bigint>>>"
+    cfg = JsonIndexConfig(disable_cross_array_unnest=True)
+    # predicates under DIFFERENT arrays cannot co-match one flattened row
+    assert (
+        df.filter(json_match("j", '"$.p[*].x"=1 AND "$.q[*].y"=2', schema, config=cfg)).count()
+        == 0
+    )
+    assert (
+        df.filter(json_match("j", '"$.p[*].x"=1 AND "$.q[*].y"=2', schema)).count() == 1
+    )
+    # same-array conjunctions still work under the config
+    assert df.filter(json_match("j", '"$.p[*].x"=1', schema, config=cfg)).count() == 1

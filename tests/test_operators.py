@@ -37,6 +37,52 @@ def test_dedupe_exact_removes_known_duplicates(spark):
     assert len(groups) == 1 and groups[0]["group_size"] == 2 and groups[0]["keep_key"] == 1
 
 
+def test_dedupe_exact_null_text_rows_pass_through(spark):
+    """NULL text is not a duplicate of anything: every NULL-text row
+    survives dedupe, and the sentinel group never shows up as duplicates."""
+    from apache_pinot_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")],
+        "doc_id INT, text STRING",
+    )
+    kept = sorted(r[0] for r in dedup.dedupe_exact(df).select("doc_id").collect())
+    assert kept == [1, 3, 4, 5]
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["keep_key"] == 1  # no NULL group
+
+
+def test_blocked_near_dup_block_rows_bounded(emb):
+    """The blocked-GEMM path must never materialize more than
+    ~max_block_rows vectors in one collected block row (the 2 GB
+    single-value / Arrow-batch hazard at scale)."""
+    from apache_pinot_spark.operators import dedup  # noqa: F401
+    from apache_pinot_spark.operators import similarity
+
+    budget = 64
+    n = emb.count()
+    num_blocks = max(1, -(-n // budget))
+    sizes = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(num_blocks)).alias("blk")
+        )
+        .groupBy("blk")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # hashed assignment concentrates near the mean: allow 2x slack
+    assert sizes <= 2 * budget
+    # and the operator's output is identical whatever the block size
+    small = similarity.near_duplicate_pairs_blocked(
+        emb, threshold=0.40, dim=64, max_block_rows=budget
+    )
+    big = similarity.near_duplicate_pairs_blocked(
+        emb, threshold=0.40, dim=64, max_block_rows=100_000
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_minhash_finds_planted_near_dup(spark):
     from apache_pinot_spark.operators import dedup
 

@@ -70,10 +70,43 @@ def test_datetrunc_fromdatetime_alias_in_where():
 
 def test_distinctcount_percentile():
     d = PinotDialect()
-    rr = d.rewrite("SELECT DISTINCTCOUNT(a), DISTINCTCOUNTHLL(b), PERCENTILE(c, 95) FROM t")
+    rr = d.rewrite(
+        "SELECT DISTINCTCOUNT(a), DISTINCTCOUNTHLL(b), "
+        "DISTINCTCOUNTHLLPLUS(d), PERCENTILE(c, 95) FROM t"
+    )
     assert "COUNT(DISTINCT a)" in rr.sql
-    assert "approx_count_distinct(b)" in rr.sql
+    assert "md5(CAST(b AS STRING))" in rr.sql  # portable register HLL
+    assert "approx_count_distinct(d)" in rr.sql  # HLL++ = Spark-native path
     assert "percentile(c, 0.95)" in rr.sql
+
+
+def test_distinctcounthll_bytes_column_merges():
+    d = PinotDialect(binary_columns={"sk"})
+    rr = d.rewrite("SELECT DISTINCTCOUNTHLL(sk) FROM t")
+    assert "hex(sk)" in rr.sql and "md5" not in rr.sql  # merge path, no re-hash
+
+
+def test_alias_in_where_literal_and_shadow_safe():
+    # an alias named 'd' must not rewrite the string literal 'd', and an
+    # alias that shadows a REAL column must leave the column reference
+    d = PinotDialect(table_columns={"event_type", "ts"})
+    rr = d.rewrite(
+        "SELECT dateTrunc('DAY', ts) AS d, COUNT(*) AS cnt FROM events "
+        "WHERE event_type = 'd' AND d > 5 GROUP BY d"
+    )
+    assert "event_type = 'd'" in rr.sql  # literal untouched
+    assert "(CAST(unix_millis" in rr.sql  # real alias use rewritten
+    rr2 = d.rewrite(
+        "SELECT upper(event_type) AS event_type FROM events WHERE event_type = 'click'"
+    )
+    assert "WHERE event_type = 'click'" in rr2.sql  # column wins over alias
+
+
+def test_mv_predicate_literal_safe():
+    d = PinotDialect(array_columns={"tags"})
+    rr = d.rewrite("SELECT COUNT(*) FROM t WHERE note = 'tags = 3' AND tags = 'x'")
+    assert "note = 'tags = 3'" in rr.sql
+    assert "array_contains(tags, 'x')" in rr.sql
 
 
 def test_mv_predicate_rewrite():
@@ -193,3 +226,41 @@ def test_option_num_groups_limit(engine):
 def test_option_timeout_passes_when_fast(engine):
     env = engine.query("SELECT COUNT(*) AS c FROM lineitem OPTION(timeoutMs=60000)")
     assert env["exceptions"] == [] and env["resultTable"]["rows"][0][0] > 0
+
+
+def test_timeout_does_not_mask_real_errors(engine):
+    # a genuine analysis/execution failure under OPTION(timeoutMs) must
+    # surface as itself in the envelope, not as a fake TimeoutError
+    env = engine.query(
+        "SELECT no_such_column FROM lineitem OPTION(timeoutMs=60000)"
+    )
+    assert env["exceptions"], "expected an error envelope"
+    assert "timeoutMs" not in env["exceptions"][0]["message"]
+
+
+def test_envelope_scan_stats_honest(engine, spark):
+    total = spark.sql("SELECT COUNT(*) FROM lineitem").collect()[0][0]
+    matched = spark.sql(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 45"
+    ).collect()[0][0]
+    env = engine.query(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE l_quantity > 45"
+    )
+    assert env["totalDocs"] == total
+    assert env["numDocsScanned"] == matched  # docs the filter selected
+    assert env["numEntriesScannedInFilter"] == total  # 1 predicate column scan
+    assert env["numEntriesScannedPostFilter"] == matched * 1
+    # unfiltered scan: every doc scanned
+    env2 = engine.query("SELECT COUNT(*) AS c FROM lineitem")
+    assert env2["numDocsScanned"] == total and env2["totalDocs"] == total
+
+
+def test_num_groups_limit_pushed_into_sql(engine):
+    # the rewritten SQL must carry LIMIT cap+1 — the driver never holds
+    # more than cap+1 rows, whatever the group count
+    env = engine.query(
+        "SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey "
+        "OPTION(numGroupsLimit=3)"
+    )
+    assert len(env["resultTable"]["rows"]) == 3
+    assert env["numGroupsLimitReached"] is True

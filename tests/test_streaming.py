@@ -142,3 +142,30 @@ def test_kafka_stream_builder_shape(spark):
         assert "kafka" in str(e).lower()
         return
     assert [f.name for f in df.schema.fields] == ["event_id", "ts_ms", "value"]
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a committed batch_id must
+    not duplicate rows (the _SUCCESS-marked batch directory is skipped),
+    and a partial (crashed) attempt is overwritten, not appended to."""
+    import os
+
+    table = str(tmp_path / "table")
+    state = R.ConsumingState()
+    commit = R.make_batch_committer(SCHEMA, CFG, table, state)
+    batch = spark.createDataFrame(
+        [Row(user="u1", page="p one", n=1, ts_ms=BASE_MS),
+         Row(user="u2", page="p two", n=2, ts_ms=BASE_MS)]
+    )
+    commit(batch, 0)
+    assert spark.read.parquet(table).count() == 2 and state.rows == 2
+    # replay of the committed batch: no-op
+    commit(batch, 0)
+    assert spark.read.parquet(table).count() == 2
+    assert state.rows == 2 and state.batches == 1
+    # partial attempt (no _SUCCESS marker): replay overwrites cleanly
+    os.remove(os.path.join(table, "__stream_batch=0", "_SUCCESS"))
+    commit(batch, 0)
+    spark.catalog.refreshByPath(table)
+    assert spark.read.parquet(table).count() == 2
+    assert state.batches == 2  # recommitted once
