@@ -11,7 +11,16 @@ Reference semantics (basics/indexing/json-index.md):
   * ARRAY CONTEXT IS MAINTAINED (lines 404-434): two [*] predicates inside
     one JSON_MATCH must match the SAME array element; separate JSON_MATCH
     calls relax that.
-  * The key must be a leaf path (line 500).
+  * The key must be a leaf path (line 500). DOCUMENTED DIVERGENCE: this
+    engine does not enforce the leaf-only restriction — a predicate on a
+    non-leaf path compares the serialized subtree text, which is strictly
+    MORE capable than Pinot (every Pinot-legal filter behaves
+    identically; non-leaf filters that Pinot rejects simply work here).
+  * JSON index flattening config (lines 53-81) is honored via
+    JsonIndexConfig: includePaths / excludePaths / maxLevels /
+    excludeArray / disableCrossArrayUnnest — predicates on paths the
+    config leaves unindexed match nothing, exactly as an index with no
+    entries would.
 
 Spark-first design: scalar paths compile to `get_json_object` (JVM,
 codegen). Array-context paths compile to `exists(from_json(col, schema)

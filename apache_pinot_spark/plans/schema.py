@@ -140,6 +140,12 @@ class FieldSpec:
     max_length: int | None = None
     format: DateTimeFormat | None = None
     granularity: Granularity | None = None
+    # virtualColumnProvider (configuration-reference/schema.md:81): the
+    # column is COMPUTED at ingest, not read from the source. Pinot takes
+    # a Java class name; this engine takes a Spark SQL expression over the
+    # other source columns (documented divergence — declarative, codegen'd,
+    # and portable instead of a JVM plugin).
+    virtual_column_provider: str | None = None
 
     @property
     def spark_type(self) -> T.DataType:
@@ -175,6 +181,7 @@ class PinotSchema:
                     single_value=spec.get("singleValueField", True),
                     default_null_value=spec.get("defaultNullValue"),
                     max_length=spec.get("maxLength"),
+                    virtual_column_provider=spec.get("virtualColumnProvider"),
                 )
             )
         for spec in d.get("metricFieldSpecs", []):
@@ -232,10 +239,15 @@ class PinotSchema:
     def apply_types(self, df: DataFrame) -> DataFrame:
         """Cast source columns to the declared types (schema is explicit,
         never inferred — schema.md:5-13). Missing columns materialize as
-        NULL and then pick up sentinels."""
+        NULL and then pick up sentinels. Virtual columns
+        (virtualColumnProvider, schema.md:81) are computed from the SOURCE
+        row via their provider expression — a narrow map, codegen'd with
+        the rest of the projection."""
         cols = []
         for f in self.fields:
-            if f.name in df.columns:
+            if f.virtual_column_provider is not None:
+                c = F.expr(f.virtual_column_provider).cast(f.spark_type)
+            elif f.name in df.columns:
                 c = F.col(f.name).cast(f.spark_type)
             else:
                 c = F.lit(None).cast(f.spark_type)

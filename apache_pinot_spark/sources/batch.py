@@ -268,14 +268,6 @@ def purge_records(
         [(k,) for k in keys], purge_keys.select(key_column).schema
     )
     df = spark.read.parquet(table_path)
-    hit_parts = (
-        df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
-        .select(TIME_BUCKET_COL)
-        .distinct()
-        .collect()
-        if TIME_BUCKET_COL in df.columns
-        else []
-    )
     if TIME_BUCKET_COL not in df.columns:
         # unpartitioned table: full rewrite
         kept = df.join(F.broadcast(purge_keys), on=key_column, how="left_anti")
@@ -287,21 +279,55 @@ def purge_records(
         spark.catalog.refreshByPath(table_path)
         return n_before - n_after
 
-    purged = 0
-    for row in hit_parts:
-        bucket = row[TIME_BUCKET_COL]
-        part_dir = os.path.join(table_path, f"{TIME_BUCKET_COL}={bucket}")
-        part = spark.read.parquet(part_dir)
-        kept = part.join(F.broadcast(purge_keys), on=key_column, how="left_anti")
-        tmp = part_dir + ".purging"
-        kept.write.mode("overwrite").parquet(tmp)
-        purged += part.count() - spark.read.parquet(tmp).count()
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
-    # evict stale entries from the shared file-status cache: the rewritten
-    # partition directories contain new file names
+    # One job, not one per segment: find hit partitions (semi join), then
+    # rewrite ALL of them in a single dynamic-partition-overwrite write of
+    # the surviving rows — partitions without hits are untouched on disk.
+    # At 100 TB this is `hit segments` worth of IO in one shuffle-free
+    # pass, and the per-job scheduling overhead no longer scales with the
+    # number of segments a user appears in.
+    hit_parts = [
+        r[0]
+        for r in df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
+        .select(TIME_BUCKET_COL)
+        .distinct()
+        .collect()
+    ]
+    if not hit_parts:
+        return 0
+    from pyspark import StorageLevel
+
+    hit_df = df.filter(F.col(TIME_BUCKET_COL).isin(hit_parts))
+    n_before = hit_df.count()
+    kept = hit_df.join(F.broadcast(purge_keys), on=key_column, how="left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # survivor accounting from the KEPT plan, computed BEFORE the write:
+    # dynamic overwrite leaves a fully-purged partition's old files in
+    # place (no output rows → nothing replaced), so reading the table back
+    # would double-count them
+    per_bucket = {
+        r[0]: r[1]
+        for r in kept.groupBy(TIME_BUCKET_COL).count().collect()
+    }
+    n_after = sum(per_bucket.values())
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out_cols = [c for c in df.columns if c != TIME_BUCKET_COL] + [TIME_BUCKET_COL]
+        kept.select(*out_cols).write.mode("overwrite").partitionBy(
+            TIME_BUCKET_COL
+        ).parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        kept.unpersist()
+    # drop partitions whose every row was purged (no output → not replaced)
+    for bucket in hit_parts:
+        if bucket not in per_bucket:
+            part_dir = os.path.join(table_path, f"{TIME_BUCKET_COL}={bucket}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
     spark.catalog.refreshByPath(table_path)
-    return purged
+    return n_before - n_after
 
 
 def reload_with_layout(

@@ -253,3 +253,33 @@ def test_bloom_filter_tuning_options(schema, spark, tmp_path):
     # config JSON round-trips through from_json
     rt = B.TableConfig.from_json(meta["config"])
     assert rt.bloom_filter_fpp == 0.01 and rt.bloom_filter_max_size_bytes == 1 << 20
+
+
+def test_virtual_column_provider(spark, tmp_path):
+    # schema.md:81: virtualColumnProvider — computed column at ingest;
+    # this engine takes a Spark SQL expression (documented divergence
+    # from Pinot's Java class name)
+    doc = {
+        "schemaName": "vc",
+        "dimensionFieldSpecs": [
+            {"name": "studentID", "dataType": "INT"},
+            {"name": "firstName", "dataType": "STRING"},
+            {"name": "nameUpper", "dataType": "STRING",
+             "virtualColumnProvider": "upper(firstName)"},
+            {"name": "idBucket", "dataType": "INT",
+             "virtualColumnProvider": "pmod(studentID, 4)"},
+        ],
+        "metricFieldSpecs": [],
+        "dateTimeFieldSpecs": [
+            {"name": "timestampInEpoch", "dataType": "LONG",
+             "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS"}
+        ],
+    }
+    sch = PinotSchema.from_json(json.dumps(doc))
+    df = spark.createDataFrame(
+        [Row(studentID=7, firstName="ada", timestampInEpoch=1_700_000_000_000)]
+    )
+    cfg = B.TableConfig(table_name="t_vc", time_column="timestampInEpoch")
+    path = B.ingest_batch(spark, sch, cfg, df, warehouse=str(tmp_path), mode="overwrite")
+    row = spark.read.parquet(path).collect()[0]
+    assert row["nameUpper"] == "ADA" and row["idBucket"] == 3
