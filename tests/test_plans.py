@@ -201,3 +201,45 @@ def test_limit_zero(spark, tables):
     # LIMIT 0 returns schema, no rows (text-search-support.md:150-153)
     df = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem LIMIT 0")
     assert df.count() == 0 and len(df.schema.fields) == 2
+
+
+def test_rollup_null_and_type_semantics(spark, tmp_path):
+    """The round-1 advice scenario: NULL metrics/dims must not corrupt
+    COUNT(col)/AVG answered from the rollup, and SUM keeps its input's
+    native result type (SUM(int) stays LONG)."""
+    from apache_pinot_spark.plans.rollup import (
+        AggRequest,
+        RollupSpec,
+        answer_from_rollup,
+        build_rollup,
+        covers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", None, 20), ("b", 3, None), (None, 4, 40)],
+        "dim STRING, m INT, m2 INT",
+    )
+    spec = RollupSpec(table="nulls", dimensions=["dim"], metrics=["m", "m2"])
+    build_rollup(spark, df, spec, warehouse=str(tmp_path))
+
+    aggs = [
+        AggRequest("COUNT", None, "cnt_star"),
+        AggRequest("COUNT", "m", "cnt_m"),
+        AggRequest("COUNT", "dim", "cnt_dim"),
+        AggRequest("SUM", "m", "sum_m"),
+        AggRequest("AVG", "m2", "avg_m2"),
+    ]
+    assert covers(spec, [], aggs)
+    row = answer_from_rollup(spark, spec, [], aggs).collect()[0]
+    direct = df.selectExpr(
+        "COUNT(*) AS cnt_star", "COUNT(m) AS cnt_m", "COUNT(dim) AS cnt_dim",
+        "SUM(m) AS sum_m", "AVG(m2) AS avg_m2",
+    ).collect()[0]
+    assert row["cnt_star"] == direct["cnt_star"] == 4
+    assert row["cnt_m"] == direct["cnt_m"] == 3      # NULL metric skipped
+    assert row["cnt_dim"] == direct["cnt_dim"] == 3  # NULL dim skipped
+    assert row["sum_m"] == direct["sum_m"] == 8
+    assert abs(row["avg_m2"] - direct["avg_m2"]) < 1e-12  # / non-null count
+    # SUM(int) keeps an integral result type, not DOUBLE
+    out = answer_from_rollup(spark, spec, [], [AggRequest("SUM", "m", "s")])
+    assert dict(out.dtypes)["s"] == "bigint"

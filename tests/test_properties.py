@@ -98,3 +98,79 @@ def test_minhash_estimates_jaccard(a, b):
     est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
     true = len(a & b) / len(a | b)
     assert abs(est - true) <= 0.25 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# Portable HLL (functions/hll.py): a pure-Python mirror of the register
+# arithmetic lets hypothesis check estimator properties without Spark.
+# --------------------------------------------------------------------------
+
+import hashlib
+import math
+
+from apache_pinot_spark.functions.hll import HLL_ALPHA, HLL_M
+
+
+def _py_registers(values):
+    """Python mirror of the SQL register computation (md5 → reg, rho)."""
+    regs = [0] * HLL_M
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        hv = "0123456789abcdef".index
+        reg = (hv(h[0]) % 4) * 16 + hv(h[1])
+        tail = h[2:]
+        z = len(tail) - len(tail.lstrip("0"))
+        first = hv(tail[z]) if z < len(tail) else 0
+        clz = 0 if first >= 8 else 1 if first >= 4 else 2 if first >= 2 else 3
+        rho = min(z * 4 + clz + 1, 62)
+        regs[reg] = max(regs[reg], rho)
+    return regs
+
+
+def _py_estimate(regs):
+    s = 0.0
+    for r in regs:
+        s = s + 1.0 / (1 << r)
+    return math.floor(HLL_ALPHA * HLL_M * HLL_M / s)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=200, max_size=2000))
+@settings(max_examples=25, deadline=None)
+def test_hll_estimate_within_error_bounds(values):
+    """Raw-regime estimates stay within ~5 sigma of 1.04/sqrt(m) error."""
+    n = len(values)
+    est = _py_estimate(_py_registers(values))
+    rel = abs(est - n) / n
+    assert rel < 5 * 1.04 / math.sqrt(HLL_M), f"n={n} est={est} rel={rel:.3f}"
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=50, deadline=None)
+def test_hll_sketch_merge_equals_full_scan(values, num_segments):
+    """Element-wise max of per-segment registers == full-scan registers,
+    for ANY partitioning — the property the BYTES sketch column relies on."""
+    segments = [values[i::num_segments] for i in range(num_segments)]
+    merged = [0] * HLL_M
+    for seg in segments:
+        for i, r in enumerate(_py_registers(seg)):
+            merged[i] = max(merged[i], r)
+    assert merged == _py_registers(values)
+    # duplicates never change registers (dedup-insensitivity)
+    assert _py_registers(values * 2) == _py_registers(values)
+
+
+def test_hll_python_mirror_matches_sql_implementation():
+    """Pin the Python mirror to the actual SQL register arithmetic: same
+    estimate from DuckDB running hll_estimate_sql over the same values."""
+    import duckdb
+
+    from apache_pinot_spark.functions.hll import hll_estimate_sql
+
+    values = list(range(1, 1501))
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT unnest(range(1, 1501)) AS v")
+    sql_est = con.sql(f"SELECT {hll_estimate_sql('v', 'duckdb')} FROM t").fetchone()[0]
+    assert sql_est == _py_estimate(_py_registers(values))
