@@ -64,6 +64,14 @@ class TableConfig:
     # primary time-column sanity window (configuration-reference/
     # schema.md:72): values must land in [1971-01-01, 2071-01-01) UTC
     validate_time_range: bool = True
+    # Pinot segmentPartitionConfig analogue (Concepts.md segment routing:
+    # queries with an equality predicate on the partition column touch
+    # 1/N of the segments). Rows are hash-bucketed on this column into a
+    # second partition-directory level; the dialect adds the matching
+    # bucket predicate to equality filters so the parquet scan
+    # partition-prunes to one bucket.
+    segment_partition_column: str | None = None
+    num_segment_partitions: int = 8
 
     def to_json(self) -> dict:
         return {
@@ -79,6 +87,8 @@ class TableConfig:
             "textIndexColumns": self.text_index_columns,
             "retentionDays": self.retention_days,
             "validateTimeRange": self.validate_time_range,
+            "segmentPartitionColumn": self.segment_partition_column,
+            "numSegmentPartitions": self.num_segment_partitions,
         }
 
     @classmethod
@@ -96,10 +106,20 @@ class TableConfig:
             text_index_columns=d.get("textIndexColumns", []),
             retention_days=d.get("retentionDays"),
             validate_time_range=d.get("validateTimeRange", True),
+            segment_partition_column=d.get("segmentPartitionColumn"),
+            num_segment_partitions=d.get("numSegmentPartitions", 8),
         )
 
 
 TIME_BUCKET_COL = "__time_bucket"
+SEGMENT_PARTITION_COL = "__segment_partition"
+
+
+def segment_partition_expr(col: str, num_partitions: int) -> F.Column:
+    """The hash-bucket function for segment partitioning — xxhash64 over
+    the STRING form so it is type-stable and the dialect can reproduce it
+    for a literal at query time (constant-folded by Catalyst)."""
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(num_partitions)).cast("int")
 
 # primary time-column validity window (configuration-reference/schema.md:72)
 TIME_RANGE_MIN_MS = 31_536_000_000  # 1971-01-01T00:00:00Z
@@ -182,7 +202,16 @@ def ingest_batch(
             TIME_BUCKET_COL, F.date_format(gran.bucket(ts), "yyyyMMddHHmm")
         )
         partition_cols = [TIME_BUCKET_COL]
-        df = df.repartition(TIME_BUCKET_COL)
+    if config.segment_partition_column:
+        df = df.withColumn(
+            SEGMENT_PARTITION_COL,
+            segment_partition_expr(
+                config.segment_partition_column, config.num_segment_partitions
+            ),
+        )
+        partition_cols.append(SEGMENT_PARTITION_COL)
+    if partition_cols:
+        df = df.repartition(*partition_cols)
     if config.sorted_column:
         df = df.sortWithinPartitions(config.sorted_column)
 
@@ -245,6 +274,73 @@ def list_segments(table_path: str) -> list[str]:
 
 
 # --------------------------------------------------------------------------
+# Bucketed tables — co-located (shuffle-free) joins at scale
+# --------------------------------------------------------------------------
+
+
+def ingest_bucketed(
+    spark: SparkSession,
+    schema: PinotSchema,
+    config: TableConfig,
+    source: DataFrame,
+    bucket_column: str,
+    num_buckets: int,
+    warehouse: str = "/tmp/pinot_spark_warehouse",
+) -> str:
+    """Ingest into a BUCKETED parquet table: rows are hash-clustered and
+    sorted by ``bucket_column`` into ``num_buckets`` files per partition
+    (Spark's bucketBy). Two fact tables bucketed the same way join WITHOUT
+    a shuffle — at 100 TB the exchange this removes is usually the whole
+    cost of the join. Registration goes through the session catalog
+    (bucket metadata lives there); re-attach in a new session with
+    ``register_bucketed``. Returns the table path."""
+    df = schema.apply_types(source)
+    df = schema.apply_sentinels(df)
+    if config.time_column and config.validate_time_range:
+        validate_time_range(df, schema, config.time_column)
+    df = derived_columns(df, schema, config)
+    table_path = os.path.join(warehouse, config.table_name)
+    spark.sql(f"DROP TABLE IF EXISTS {config.table_name}")
+    if os.path.exists(table_path):
+        shutil.rmtree(table_path)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_column)
+        .sortBy(bucket_column)
+        .option("path", table_path)
+        .saveAsTable(config.table_name)
+    )
+    meta_cfg = config.to_json()
+    meta_cfg["bucketColumn"] = bucket_column
+    meta_cfg["numBuckets"] = num_buckets
+    meta = {
+        "schemaName": schema.schema_name,
+        "config": meta_cfg,
+        "columns": df.columns,
+        "ddl": ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields),
+        "updatedAtMs": int(time.time() * 1000),
+    }
+    with open(os.path.join(table_path, "_pinot_table.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return table_path
+
+
+def register_bucketed(spark: SparkSession, name: str, table_path: str) -> None:
+    """Re-attach a bucketed table written by ingest_bucketed in a fresh
+    session: recreate the catalog entry (schema + bucket spec + location)
+    so Spark's planner keeps exploiting the on-disk clustering."""
+    meta = read_table_meta(table_path)
+    cfg = meta["config"]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({meta['ddl']}) USING parquet "
+        f"CLUSTERED BY (`{cfg['bucketColumn']}`) "
+        f"SORTED BY (`{cfg['bucketColumn']}`) INTO {cfg['numBuckets']} BUCKETS "
+        f"LOCATION '{table_path}'"
+    )
+
+
+# --------------------------------------------------------------------------
 # Maintenance jobs (Minion analogues)
 # --------------------------------------------------------------------------
 
@@ -284,19 +380,25 @@ def purge_records(
     # the surviving rows — partitions without hits are untouched on disk.
     # At 100 TB this is `hit segments` worth of IO in one shuffle-free
     # pass, and the per-job scheduling overhead no longer scales with the
-    # number of segments a user appears in.
-    hit_parts = [
-        r[0]
-        for r in df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
-        .select(TIME_BUCKET_COL)
+    # number of segments a user appears in. Handles one- or two-level
+    # layouts (time bucket, optionally + segment partition): when the
+    # table is segment-partitioned on the purge key, the semi join prunes
+    # to 1/N of each day's data for free.
+    part_cols = [
+        c for c in (TIME_BUCKET_COL, SEGMENT_PARTITION_COL) if c in df.columns
+    ]
+    hit_parts = (
+        df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
+        .select(*part_cols)
         .distinct()
         .collect()
-    ]
+    )
     if not hit_parts:
         return 0
     from pyspark import StorageLevel
 
-    hit_df = df.filter(F.col(TIME_BUCKET_COL).isin(hit_parts))
+    hit_tuples = spark.createDataFrame(hit_parts)
+    hit_df = df.join(F.broadcast(hit_tuples), on=part_cols, how="leftsemi")
     n_before = hit_df.count()
     kept = hit_df.join(F.broadcast(purge_keys), on=key_column, how="left_anti").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -305,25 +407,28 @@ def purge_records(
     # dynamic overwrite leaves a fully-purged partition's old files in
     # place (no output rows → nothing replaced), so reading the table back
     # would double-count them
-    per_bucket = {
-        r[0]: r[1]
-        for r in kept.groupBy(TIME_BUCKET_COL).count().collect()
+    per_part = {
+        tuple(r[c] for c in part_cols): r["count"]
+        for r in kept.groupBy(*part_cols).count().collect()
     }
-    n_after = sum(per_bucket.values())
+    n_after = sum(per_part.values())
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out_cols = [c for c in df.columns if c != TIME_BUCKET_COL] + [TIME_BUCKET_COL]
+        out_cols = [c for c in df.columns if c not in part_cols] + part_cols
         kept.select(*out_cols).write.mode("overwrite").partitionBy(
-            TIME_BUCKET_COL
+            *part_cols
         ).parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         kept.unpersist()
     # drop partitions whose every row was purged (no output → not replaced)
-    for bucket in hit_parts:
-        if bucket not in per_bucket:
-            part_dir = os.path.join(table_path, f"{TIME_BUCKET_COL}={bucket}")
+    for row in hit_parts:
+        key = tuple(row[c] for c in part_cols)
+        if key not in per_part:
+            part_dir = os.path.join(
+                table_path, *[f"{c}={v}" for c, v in zip(part_cols, key)]
+            )
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)
     spark.catalog.refreshByPath(table_path)

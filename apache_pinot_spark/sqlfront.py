@@ -230,6 +230,7 @@ class PinotDialect:
         table_columns: set[str] | None = None,
         binary_columns: set[str] | None = None,
         json_configs: dict | None = None,
+        segment_partitions: dict[str, int] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -243,6 +244,10 @@ class PinotDialect:
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
+        # segment-partition routing (Pinot segmentPartitionConfig): column
+        # → partition count; equality predicates on the column get the
+        # matching bucket predicate so the parquet scan partition-prunes
+        self.segment_partitions = segment_partitions or {}
         # (time column, UNIT) → materialized `$col$UNIT` column
         # (timestamp-index.md:25-28: the index rewrite targets dateTrunc)
         self.timestamp_index = timestamp_index or {}
@@ -449,6 +454,21 @@ class PinotDialect:
             )
         return sql
 
+    def _rewrite_partition_routing(self, sql: str) -> str:
+        """Pinot's partition-based segment routing: an equality predicate
+        on a segment-partitioned column additionally constrains the
+        hash-bucket partition directory, so the scan touches 1/N of the
+        segments. The bucket expression mirrors the ingest-side
+        segment_partition_expr and constant-folds at plan time."""
+        for col, n in self.segment_partitions.items():
+            sql = _guarded_sub(
+                rf"\b({re.escape(col)})\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
+                rf"(\1 = \2 AND `__segment_partition` = "
+                rf"pmod(xxhash64(CAST(\2 AS STRING)), {n}))",
+                sql,
+            )
+        return sql
+
     # -- entry point --------------------------------------------------------
     def rewrite(self, pinot_sql: str) -> RewriteResult:
         sql = pinot_sql.strip()
@@ -461,6 +481,7 @@ class PinotDialect:
             sql = sql[: m.start()].rstrip()
         sql = rewrite_calls(sql, self._handlers())
         sql = self._rewrite_mv_predicates(sql)
+        sql = self._rewrite_partition_routing(sql)
         sql = self._rewrite_alias_in_where(sql)
         sql = self._rewrite_top(sql)
         return RewriteResult(sql, options)
@@ -517,6 +538,7 @@ class PinotEngine:
         self._json_index_configs: dict = {}  # column → JsonIndexConfig
         self._timestamp_index: dict[tuple[str, str], str] = {}
         self._text_index: dict[str, str] = {}
+        self._segment_partitions: dict[str, int] = {}
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -564,6 +586,11 @@ class PinotEngine:
                 self._timestamp_index[(col, unit.upper())] = f"${col}${unit.upper()}"
         for col in meta["config"].get("textIndexColumns") or []:
             self._text_index[col] = f"${col}$tokens"
+        sp_col = meta["config"].get("segmentPartitionColumn")
+        if sp_col:
+            self._segment_partitions[sp_col] = int(
+                meta["config"].get("numSegmentPartitions", 8)
+            )
 
     def add_rollup(self, spec):
         """Register a star-tree-style rollup (plans/rollup.py) for
@@ -580,6 +607,7 @@ class PinotEngine:
             self._table_columns,
             self._binary_columns,
             self._json_index_configs,
+            self._segment_partitions,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

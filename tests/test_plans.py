@@ -243,3 +243,138 @@ def test_rollup_null_and_type_semantics(spark, tmp_path):
     # SUM(int) keeps an integral result type, not DOUBLE
     out = answer_from_rollup(spark, spec, [], [AggRequest("SUM", "m", "s")])
     assert dict(out.dtypes)["s"] == "bigint"
+
+
+def test_segment_partition_routing_prunes_scan(spark, tmp_path):
+    """Pinot segmentPartitionConfig analogue: an equality predicate on the
+    partitioned column is rewritten with the matching hash-bucket
+    predicate, and the parquet scan partition-prunes to 1/N of the
+    segment directories."""
+    import json as _json
+
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sources import batch as B
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    sch = PinotSchema.from_json(_json.dumps({
+        "schemaName": "ev",
+        "dimensionFieldSpecs": [
+            {"name": "user_id", "dataType": "LONG"},
+            {"name": "event_type", "dataType": "STRING"},
+        ],
+        "metricFieldSpecs": [{"name": "value", "dataType": "DOUBLE"}],
+        "dateTimeFieldSpecs": [
+            {"name": "ts_ms", "dataType": "LONG",
+             "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS"}
+        ],
+    }))
+    from pyspark.sql import Row
+
+    rows = [
+        Row(user_id=i, event_type=f"t{i % 3}", value=float(i),
+            ts_ms=1_700_000_000_000 + (i % 2) * 86_400_000)
+        for i in range(200)
+    ]
+    cfg = B.TableConfig(
+        table_name="ev_routed",
+        time_column="ts_ms",
+        segment_partition_column="user_id",
+        num_segment_partitions=8,
+    )
+    path = B.ingest_batch(spark, sch, cfg, spark.createDataFrame(rows),
+                          warehouse=str(tmp_path), mode="overwrite")
+    eng = PinotEngine(spark)
+    eng.register_ingested("ev_routed", path)
+
+    # the rewrite adds the bucket predicate
+    rr = eng.rewrite("SELECT COUNT(*) AS c FROM ev_routed WHERE user_id = 42")
+    assert "__segment_partition" in rr.sql and "xxhash64" in rr.sql
+
+    df = eng.sql("SELECT COUNT(*) AS c FROM ev_routed WHERE user_id = 42")
+    assert df.collect()[0][0] == 1  # correctness under the extra predicate
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition filters present → only 1/8 of each day's directories read
+    assert "__segment_partition" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__segment_partition" in m.group(1), plan[:2000]
+    # a non-equality query is untouched
+    rr2 = eng.rewrite("SELECT COUNT(*) AS c FROM ev_routed WHERE user_id > 42")
+    assert "__segment_partition" not in rr2.sql
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count must
+    sort-merge join with ZERO exchanges — the co-located join shape that
+    makes 100 TB fact-fact joins affordable."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sources import batch as B
+
+    def mk_schema(name, extra):
+        return PinotSchema.from_json(_json.dumps({
+            "schemaName": name,
+            "dimensionFieldSpecs": [
+                {"name": "k", "dataType": "LONG"},
+                {"name": extra, "dataType": "STRING"},
+            ],
+            "metricFieldSpecs": [], "dateTimeFieldSpecs": [],
+        }))
+
+    left = [Row(k=i % 50, a=f"a{i}") for i in range(500)]
+    right = [Row(k=i % 50, b=f"b{i}") for i in range(300)]
+    B.ingest_bucketed(
+        spark, mk_schema("l", "a"), B.TableConfig(table_name="bk_left"),
+        spark.createDataFrame(left), "k", 8, warehouse=str(tmp_path),
+    )
+    B.ingest_bucketed(
+        spark, mk_schema("r", "b"), B.TableConfig(table_name="bk_right"),
+        spark.createDataFrame(right), "k", 8, warehouse=str(tmp_path),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.sql(
+            "SELECT l.k, l.a, r.b FROM bk_left l JOIN bk_right r ON l.k = r.k"
+        )
+        assert j.count() == sum(1 for x in left for y in right if x.k == y.k)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_bucketed_table_reattaches_in_catalog(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sources import batch as B
+
+    sch = PinotSchema.from_json(_json.dumps({
+        "schemaName": "s",
+        "dimensionFieldSpecs": [{"name": "k", "dataType": "LONG"},
+                                {"name": "v", "dataType": "STRING"}],
+        "metricFieldSpecs": [], "dateTimeFieldSpecs": [],
+    }))
+    path = B.ingest_bucketed(
+        spark, sch, B.TableConfig(table_name="bk_re"),
+        spark.createDataFrame([Row(k=1, v="x"), Row(k=2, v="y")]),
+        "k", 4, warehouse=str(tmp_path),
+    )
+    spark.sql("DROP TABLE bk_re")  # simulate a fresh session
+    B.register_bucketed(spark, "bk_re", path)
+    assert spark.sql("SELECT COUNT(*) FROM bk_re").collect()[0][0] == 2
+    # bucket spec survived re-registration
+    desc = spark.sql("DESCRIBE EXTENDED bk_re").collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "Num Buckets" in txt and "4" in txt
+    spark.sql("DROP TABLE IF EXISTS bk_re")
