@@ -182,3 +182,117 @@ def kafka_stream(
     return raw.select(
         F.from_json(F.col("value").cast("string"), value_schema).alias("r")
     ).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregation + custom stateful operators (SURVEY §2.7 ST6)
+# --------------------------------------------------------------------------
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    time_col: str,
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
+    watermark_delay: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over an event-time
+    column — the late-data-correct streaming rollup the reference's
+    ingest-then-query model lacks (SURVEY ST6). Rows later than
+    ``watermark_delay`` behind the max observed event time are dropped;
+    everything else lands in its event-time window regardless of arrival
+    order. State is bounded: Spark evicts windows older than the
+    watermark, so memory does not grow with stream length.
+
+    Output: (window.start, window.end, *group_cols, cnt, sum_value?) —
+    append-mode compatible (emitted once finalized by the watermark)."""
+    w = (
+        F.window(F.col(time_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_col), window_duration)
+    )
+    keys = [w] + [F.col(c) for c in (group_cols or [])]
+    return (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "cnt",
+        )
+    )
+
+
+def sessionized_counts(
+    stream_df: DataFrame,
+    time_col: str,
+    key_col: str,
+    gap_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per key — `session_window` merges
+    events closer than ``gap_duration`` into one session; the watermark
+    finalizes and evicts closed sessions."""
+    return (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.session_window(F.col(time_col), gap_duration), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def running_totals_stateful(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running count + sum maintained across micro-batches (the shape for
+    stateful enrichments Spark's built-in aggregates can't express —
+    counters, rate limiters, dedup-within-key). State is per group and
+    Arrow-batched.
+
+    ``timeout_minutes`` opts into processing-time state expiry — the
+    bounded-state requirement for unbounded key spaces at 100 TB. It is
+    opt-in because a registered timeout makes Spark schedule state-cleanup
+    micro-batches continuously (so `processAllAvailable` never settles —
+    fine for production, wrong for drain-and-assert tests/batch drains)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} STRING, events BIGINT, total DOUBLE"
+    state_schema = "events BIGINT, total DOUBLE"
+    timeout_ms = timeout_minutes * 60 * 1000 if timeout_minutes else None
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        events, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((events, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield _pd.DataFrame({key_col: [key[0]], "events": [events], "total": [total]})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
+        )
+    )

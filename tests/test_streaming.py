@@ -169,3 +169,76 @@ def test_stream_batch_replay_is_idempotent(spark, tmp_path):
     spark.catalog.refreshByPath(table)
     assert spark.read.parquet(table).count() == 2
     assert state.batches == 2  # recommitted once
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """ST6: watermarked tumbling windows — out-of-order rows land in their
+    event-time window; rows later than the watermark are dropped."""
+    import json as _json
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    base = 1_700_000_000_000
+    rows = [
+        {"user": "u1", "page": "p", "n": 1, "ts_ms": base},           # win 0
+        {"user": "u2", "page": "p", "n": 1, "ts_ms": base + 30_000},  # win 0
+        {"user": "u1", "page": "p", "n": 1, "ts_ms": base + 90_000},  # win 1
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = R.windowed_counts(stream, "ts", "1 minute", watermark_delay="5 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].isoformat(), r["cnt"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert len(got) == 2 and {c for _, c in got} == {1, 2}
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """ST6: applyInPandasWithState — per-key state carried ACROSS
+    micro-batches (the custom stateful operator surface)."""
+    import json as _json
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    base = 1_700_000_000_000
+    (src / "b0.json").write_text("\n".join(
+        _json.dumps({"user": u, "page": "p", "n": n, "ts_ms": base})
+        for u, n in [("a", 1), ("a", 2), ("b", 10)]
+    ))
+    stream = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    out = R.running_totals_stateful(stream, "user", "n")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("run_totals")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: state must accumulate, not reset
+        (src / "b1.json").write_text(_json.dumps(
+            {"user": "a", "page": "p", "n": 4, "ts_ms": base + 1000}
+        ))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user, max(events) AS e, max(total) AS t FROM run_totals GROUP BY user"
+        ).collect()
+        got = {r["user"]: (r["e"], r["t"]) for r in rows}
+        assert got["a"] == (3, 7.0)   # 2 events batch0 + 1 batch1, 1+2+4
+        assert got["b"] == (1, 10.0)
+    finally:
+        q.stop()
