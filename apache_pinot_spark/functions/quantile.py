@@ -1,0 +1,96 @@
+"""Percentile-over-serialized-sketch columns (A7, SURVEY §2.3).
+
+Reference: configuration-reference/schema.md:48 — BYTES metric columns
+store "byte serialized version of the value" for TDigest-style percentile
+state, merged directly by the aggregator.
+
+Like functions/hll.py, the sketch is designed for CROSS-ENGINE
+determinism rather than TDigest compatibility: a fixed-width equi-range
+histogram (64 bins over a declared [lo, hi) range), hex-packed into a
+BYTES value (8 hex chars = one 32-bit count per bin). Merging sketches is
+element-wise integer ADDITION — associative and commutative, so any merge
+tree over any segment partitioning yields exactly the full-scan
+histogram, and every arithmetic step is integer + one final division:
+bit-identical on any engine.
+
+Accuracy: a percentile estimate is exact to one bin width
+((hi-lo)/64 by default) — the classic fixed-histogram trade-off. TDigest
+gives adaptive accuracy but its state is not reproducible across engines;
+use PERCENTILE / PERCENTILETDIGEST over raw values when you can rescan.
+
+Scale: sketch build is one map-side-combined hash aggregate (constant
+64-int state per group); merge is a tiny aggregate over sketch rows.
+"""
+
+from __future__ import annotations
+
+HIST_BINS = 64
+_W = 8  # hex chars per bin (32-bit count)
+
+
+def _bin_sql(col_sql: str, lo: float, hi: float, bins: int) -> str:
+    width = (hi - lo) / bins
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({col_sql} AS DOUBLE) - {lo!r}) / {width!r}) "
+        f"AS INT), 0), {bins - 1})"
+    )
+
+
+def histogram_sketch_sql(
+    col_sql: str, lo: float, hi: float, engine: str = "spark", bins: int = HIST_BINS
+) -> str:
+    """Aggregate expression building the BYTES histogram sketch: ``bins``
+    32-bit big-endian counts, hex-packed then unhexed. Values are clamped
+    into [lo, hi) edge bins (min/max sentinels land in bin 0 / bins-1)."""
+    b = _bin_sql(col_sql, lo, hi, bins)
+    if engine == "spark":
+        parts = ", ".join(
+            f"lpad(hex(COUNT(CASE WHEN {b} = {i} THEN 1 END)), {_W}, '0')"
+            for i in range(bins)
+        )
+        return f"unhex(concat({parts}))"
+    parts = ", ".join(
+        f"lpad(to_hex(COUNT(CASE WHEN {b} = {i} THEN 1 END)), {_W}, '0')"
+        for i in range(bins)
+    )
+    return f"from_hex(concat({parts}))"
+
+
+def histogram_merge_sql(sketch_col_sql: str, engine: str = "spark", bins: int = HIST_BINS) -> str:
+    """Aggregate expression merging BYTES sketches by element-wise count
+    addition, yielding the merged sketch (same BYTES layout)."""
+    hx = f"hex({sketch_col_sql})" if engine == "spark" else f"to_hex({sketch_col_sql})"
+    if engine == "spark":
+        parts = ", ".join(
+            f"lpad(hex(SUM(CAST(CONV(substr({hx}, {_W * i + 1}, {_W}), 16, 10) AS BIGINT))), "
+            f"{_W}, '0')"
+            for i in range(bins)
+        )
+        return f"unhex(concat({parts}))"
+    raise NotImplementedError("merge path is Spark-side; oracles recompute from raw rows")
+
+
+def sketch_counts(sketch: bytes, bins: int = HIST_BINS) -> list[int]:
+    """Decode a sketch's bin counts (driver-side, 64 ints)."""
+    hx = sketch.hex()
+    return [int(hx[_W * i : _W * (i + 1)], 16) for i in range(bins)]
+
+
+def estimate_percentile(
+    counts: list[int], lo: float, hi: float, q: float
+) -> float:
+    """Percentile from histogram counts with in-bin linear interpolation —
+    pure integer walk + one division, deterministic everywhere. Exact to
+    one bin width."""
+    total = sum(counts)
+    if total == 0:
+        raise ValueError("empty sketch")
+    target = q / 100.0 * total
+    width = (hi - lo) / len(counts)
+    cum = 0
+    for i, c in enumerate(counts):
+        if cum + c >= target and c > 0:
+            frac = (target - cum) / c
+            return lo + width * (i + frac)
+        cum += c
+    return hi

@@ -264,3 +264,48 @@ def test_num_groups_limit_pushed_into_sql(engine):
     )
     assert len(env["resultTable"]["rows"]) == 3
     assert env["numGroupsLimitReached"] is True
+
+
+# --------------------------------------------------------------------------
+# A7 — percentile over serialized histogram sketch columns (schema.md:48)
+# --------------------------------------------------------------------------
+
+
+def test_histogram_sketch_merge_equals_full_scan(spark):
+    from apache_pinot_spark.functions.quantile import (
+        estimate_percentile,
+        histogram_merge_sql,
+        histogram_sketch_sql,
+        sketch_counts,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("li_q")
+    lo, hi = 0.0, 55.0  # l_quantity range
+    # per-segment sketches (8 segments), then query-time merge
+    merged = spark.sql(
+        "WITH seg AS (SELECT pmod(l_orderkey, 8) AS s, "
+        f"{histogram_sketch_sql('l_quantity', lo, hi, 'spark')} AS sk "
+        "FROM li_q GROUP BY pmod(l_orderkey, 8)) "
+        f"SELECT {histogram_merge_sql('sk', 'spark')} AS m FROM seg"
+    ).collect()[0]["m"]
+    full = spark.sql(
+        f"SELECT {histogram_sketch_sql('l_quantity', lo, hi, 'spark')} AS m FROM li_q"
+    ).collect()[0]["m"]
+    assert bytes(merged) == bytes(full)  # merge == full scan, exactly
+
+    # estimate is within one bin width of the exact percentile
+    counts = sketch_counts(bytes(merged))
+    exact_p50 = li.selectExpr("percentile(l_quantity, 0.5)").collect()[0][0]
+    est = estimate_percentile(counts, lo, hi, 50)
+    assert abs(est - exact_p50) <= (hi - lo) / len(counts) + 1e-9
+
+    # DuckDB builds the identical sketch from the same raw rows
+    import duckdb
+
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT {histogram_sketch_sql('l_quantity', lo, hi, 'duckdb')} AS m "
+        "FROM '/root/testdata/sf0.001/lineitem.parquet'"
+    ).fetchone()[0]
+    assert bytes(d) == bytes(full)
