@@ -100,7 +100,10 @@ def covers(spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]) -> b
 
     COUNT(col) is answerable for metrics (stored non-null count __cnt_m)
     and for rollup DIMENSIONS (within a rollup row the dimension value is
-    constant, so its non-null count is 0 or the row count)."""
+    constant, so its non-null count is 0 or the row count).
+    DISTINCTCOUNT(dim) is answerable for dimensions — the rollup
+    enumerates every distinct dimension combination, so COUNT(DISTINCT)
+    over rollup rows is exact."""
     if not set(group_dims) <= set(spec.dimensions):
         return False
     for a in aggs:
@@ -110,6 +113,10 @@ def covers(spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]) -> b
                 a.column not in spec.metrics
             ):
                 return False
+            continue
+        if f == "DISTINCTCOUNT":
+            if a.column not in spec.dimensions:
+                return False  # distinct metric values are not enumerated
             continue
         if f not in ("SUM", "MIN", "MAX", "AVG"):
             return False
@@ -131,16 +138,30 @@ def _sum_result_type(input_type: str | None) -> str:
 
 
 def answer_from_rollup(
-    spark: SparkSession, spec: RollupSpec, group_dims: list[str], aggs: list[AggRequest]
+    spark: SparkSession,
+    spec: RollupSpec,
+    group_dims: list[str],
+    aggs: list[AggRequest],
+    where_sql: str | None = None,
 ) -> DataFrame:
     """Merge partials: SUM←SUM(__sum), MIN←MIN(__min), MAX←MAX(__max),
     COUNT(*)←SUM(__count), COUNT(col)←SUM(__cnt_col) (NULLs skipped),
-    AVG←SUM(__sum)/SUM(__cnt) (the non-null count, matching SQL AVG)."""
+    AVG←SUM(__sum)/SUM(__cnt) (the non-null count, matching SQL AVG),
+    DISTINCTCOUNT(dim)←COUNT(DISTINCT dim) over rollup rows (exact —
+    every distinct dimension combination is enumerated).
+
+    ``where_sql`` filters rollup rows BEFORE the merge — exact for
+    predicates over dimension columns only (the star-tree property); the
+    caller is responsible for restricting it to dimensions."""
     df = rollup_df(spark, spec)
+    if where_sql:
+        df = df.filter(where_sql)
     merged = []
     for a in aggs:
         f = a.func.upper()
-        if f == "COUNT":
+        if f == "DISTINCTCOUNT":
+            merged.append(F.countDistinct(a.column).alias(a.alias))
+        elif f == "COUNT":
             if a.column is None:
                 merged.append(F.sum(COUNT_COL).cast("long").alias(a.alias))
             elif a.column in spec.metrics:

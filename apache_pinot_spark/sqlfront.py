@@ -622,25 +622,56 @@ class PinotEngine:
 
     # -- star-tree / rollup aggregate rewrite (SURVEY §4) --------------------
     _SIMPLE_AGG_RE = re.compile(
-        r"^\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)\s*(?:AS\s+([A-Za-z_]\w*))?\s*$",
+        r"^\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|[A-Za-z_]\w*)\s*\)"
+        r"\s*(?:AS\s+([A-Za-z_]\w*))?\s*$",
         re.IGNORECASE,
     )
     _GB_SHAPE_RE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+"
+        r"(?:WHERE\s+(?P<where>.*?)\s+)?"
         r"GROUP\s+BY\s+(?P<dims>[\w\s,]+?)\s*"
         r"(?P<tail>(ORDER\s+BY\s+[\w\s,]+?)?\s*(LIMIT\s+\d+)?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # WHERE forms a star-tree can answer: predicates over DIMENSION columns
+    # only (dims are fully enumerated in the rollup, so filtering rollup
+    # rows is exact). Conservative allowlist: col <op> literal / IN list /
+    # BETWEEN, combined with AND/OR/NOT and parens.
+    _DIM_WHERE_TOKEN_RE = re.compile(
+        r"\s*(?:AND|OR|NOT|IN|BETWEEN|\(|\)|,|<=|>=|<>|!=|=|<|>|"
+        r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?|[A-Za-z_]\w*)",
+        re.IGNORECASE,
+    )
+
+    def _rollup_where_ok(self, where: str, dimensions: list[str]) -> bool:
+        """True iff the WHERE clause references ONLY rollup dimensions and
+        stays inside the simple predicate grammar above."""
+        pos = 0
+        dimset = {d.lower() for d in dimensions}
+        keywords = {"and", "or", "not", "in", "between"}
+        while pos < len(where.rstrip()):
+            m = self._DIM_WHERE_TOKEN_RE.match(where, pos)
+            if not m:
+                return False
+            tok = m.group(0).strip()
+            if re.match(r"^[A-Za-z_]\w*$", tok) and tok.lower() not in keywords:
+                if tok.lower() not in dimset:
+                    return False  # references a non-dimension column
+            pos = m.end()
+        return True
 
     def _try_rollup(self, sql: str):
-        """Substitute a covering rollup for exact-shape group-by queries
-        (no WHERE/HAVING — the rollup stores no raw rows to filter)."""
+        """Substitute a covering rollup for group-by queries it can answer
+        exactly: aggregates merge from stored partials, and any WHERE
+        touches only rollup DIMENSIONS (the star-tree property — dimension
+        filters select rollup rows; no raw-row scan needed). HAVING or
+        metric filters fall through to the raw table."""
         if not self._rollups:
             return None
         from apache_pinot_spark.plans.rollup import AggRequest, answer_from_rollup, covers
 
         m = self._GB_SHAPE_RE.match(sql)
-        if not m or re.search(r"\bWHERE\b|\bHAVING\b", sql, re.IGNORECASE):
+        if not m or re.search(r"\bHAVING\b", sql, re.IGNORECASE):
             return None
         dims = [d.strip() for d in m.group("dims").split(",") if d.strip()]
         items = []
@@ -666,18 +697,33 @@ class PinotEngine:
             am = self._SIMPLE_AGG_RE.match(it)
             if not am:
                 return None
-            func, col, alias = am.group(1).upper(), am.group(2), am.group(3)
+            func, distinct, col, alias = (
+                am.group(1).upper(),
+                am.group(2),
+                am.group(3),
+                am.group(4),
+            )
+            if distinct:
+                if func != "COUNT":
+                    return None
+                func = "DISTINCTCOUNT"
             col_n = None if col == "*" else col
             aggs.append(AggRequest(func, col_n, alias or it.replace(" ", "")))
             out_cols.append(aggs[-1].alias)
+        where = (m.group("where") or "").strip()
         for spec in self._rollups:
-            if spec.table == m.group("tbl") and covers(spec, dims, aggs):
-                df = answer_from_rollup(self.spark, spec, dims, aggs).select(*out_cols)
-                tail = (m.group("tail") or "").strip()
-                if tail:
-                    df.createOrReplaceTempView("__rollup_answer")
-                    return self.spark.sql(f"SELECT * FROM __rollup_answer {tail}")
-                return df
+            if spec.table != m.group("tbl") or not covers(spec, dims, aggs):
+                continue
+            if where and not self._rollup_where_ok(where, spec.dimensions):
+                continue
+            df = answer_from_rollup(
+                self.spark, spec, dims, aggs, where_sql=where or None
+            ).select(*out_cols)
+            tail = (m.group("tail") or "").strip()
+            if tail:
+                df.createOrReplaceTempView("__rollup_answer")
+                return self.spark.sql(f"SELECT * FROM __rollup_answer {tail}")
+            return df
         return None
 
     def _collect_with_timeout(self, df: DataFrame, timeout_ms: int, tag: str):

@@ -309,3 +309,60 @@ def test_histogram_sketch_merge_equals_full_scan(spark):
         "FROM '/root/testdata/sf0.001/lineitem.parquet'"
     ).fetchone()[0]
     assert bytes(d) == bytes(full)
+
+
+# --------------------------------------------------------------------------
+# Star-tree rollup rewrite: dimension-WHERE + DISTINCTCOUNT(dim)
+# --------------------------------------------------------------------------
+
+
+def test_rollup_rewrite_with_dimension_where(spark, tmp_path):
+    from apache_pinot_spark.plans.rollup import RollupSpec, build_rollup
+
+    eng = PinotEngine(spark, "/root/testdata/sf0.001")
+    li = eng._dfs["lineitem"]
+    spec = RollupSpec(
+        table="lineitem",
+        dimensions=["l_returnflag", "l_linestatus"],
+        metrics=["l_quantity"],
+    )
+    build_rollup(spark, li, spec, warehouse=str(tmp_path))
+    eng.add_rollup(spec)
+
+    q = ("SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq "
+         "FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag "
+         "ORDER BY l_returnflag")
+    hit = eng._try_rollup(eng.rewrite(q).sql)
+    assert hit is not None, "dimension-WHERE query must hit the rollup"
+    direct = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq "
+        "FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag "
+        "ORDER BY l_returnflag"
+    ).collect()
+    got = hit.orderBy("l_returnflag").collect()
+    assert [(r["l_returnflag"], r["cnt"]) for r in got] == [
+        (r["l_returnflag"], r["cnt"]) for r in direct
+    ]
+    assert all(abs(a["sq"] - b["sq"]) < 1e-6 for a, b in zip(got, direct))
+
+    # the rollup plan reads the rollup parquet (partial columns in the
+    # scan schema), not the fact table
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "__rollup_count" in plan
+
+    # DISTINCTCOUNT over a dimension is exact from the rollup
+    q2 = ("SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS dc "
+          "FROM lineitem GROUP BY l_returnflag")
+    hit2 = eng._try_rollup(eng.rewrite(q2).sql)
+    assert hit2 is not None
+    direct2 = {
+        (r["l_returnflag"], r["dc"])
+        for r in spark.sql(q2).collect()
+    }
+    assert {(r["l_returnflag"], r["dc"]) for r in hit2.collect()} == direct2
+
+    # a METRIC filter must NOT hit the rollup (raw rows needed)
+    q3 = ("SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem "
+          "WHERE l_quantity > 10 GROUP BY l_returnflag")
+    assert eng._try_rollup(eng.rewrite(q3).sql) is None
