@@ -233,3 +233,32 @@ def test_ivf_topk_recall(emb):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_audio_feature_extraction(spark):
+    from apache_pinot_spark.operators import multimodal
+
+    rows = [(i, bytes(range(i, i + 64)), ("wav", 16000, 16000 * 4)) for i in range(4)]
+    df = spark.createDataFrame(rows, multimodal.AUDIO_SCHEMA)
+    out = multimodal.extract_audio_features(df, n_bands=8).orderBy("media_id").collect()
+    assert len(out) == 4
+    assert all(len(r["band_energy"]) == 8 for r in out)
+    assert all(0.0 <= e <= 1.0 for r in out for e in r["band_energy"])
+    again = multimodal.extract_audio_features(df, n_bands=8).orderBy("media_id").collect()
+    assert [r["band_energy"] for r in again] == [r["band_energy"] for r in out]
+    with pytest.raises(Exception):  # decode plug point is honest
+        multimodal.extract_audio_features(df, decode_stub=False).collect()
+
+
+def test_audio_chunking_plan(spark):
+    from apache_pinot_spark.operators import multimodal
+
+    # 2.5 s at 16 kHz → three 1 s chunks, last one short
+    df = spark.createDataFrame(
+        [(1, b"", ("wav", 16000, 40000))], multimodal.AUDIO_SCHEMA
+    )
+    out = multimodal.chunk_audio(df, chunk_seconds=1.0).orderBy("chunk_index").collect()
+    assert [(r["chunk_index"], r["start_sample"], r["end_sample"]) for r in out] == [
+        (0, 0, 16000), (1, 16000, 32000), (2, 32000, 40000)
+    ]
+    assert abs(out[-1]["end_s"] - 2.5) < 1e-9
