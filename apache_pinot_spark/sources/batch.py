@@ -435,6 +435,48 @@ def purge_records(
     return n_before - n_after
 
 
+def compact_segments(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Minion-style segment compaction (the reference's "segment
+    optimization" background task, Architecture.md:175): merge the many
+    small files streaming/frequent-batch ingestion leaves inside a
+    time-bucket partition into ~target_file_bytes files.
+
+    The small-file problem IS a 100 TB problem — a day partition built
+    from 1-minute micro-batches holds 1440 tiny files, so every query
+    pays 1440 footer reads and task schedules where a handful would do.
+    Only partitions with ≥ min_files files AND more files than the target
+    size implies are rewritten (atomic directory swap, like reload);
+    everything else is untouched. Returns the compacted partition paths."""
+    compacted = []
+    for seg in list_segments(table_path):
+        seg_dir = os.path.join(table_path, seg)
+        files = [
+            os.path.join(seg_dir, f)
+            for f in os.listdir(seg_dir)
+            if f.endswith(".parquet")
+        ]
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(1, -(-total // target_file_bytes))
+        if len(files) <= want:
+            continue
+        part = spark.read.parquet(seg_dir)
+        tmp = seg_dir + ".compacting"
+        part.coalesce(want).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+        compacted.append(seg)
+    if compacted:
+        spark.catalog.refreshByPath(table_path)
+    return compacted
+
+
 def reload_with_layout(
     spark: SparkSession,
     schema: PinotSchema,

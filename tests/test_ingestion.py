@@ -283,3 +283,57 @@ def test_virtual_column_provider(spark, tmp_path):
     path = B.ingest_batch(spark, sch, cfg, df, warehouse=str(tmp_path), mode="overwrite")
     row = spark.read.parquet(path).collect()[0]
     assert row["nameUpper"] == "ADA" and row["idBucket"] == 3
+
+
+def test_compact_segments_merges_small_files(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import functions as PF
+
+    table = str(tmp_path / "frag")
+    # fragment one partition into many small files (micro-batch pattern)
+    for i in range(6):
+        (spark.range(i * 10, i * 10 + 10)
+         .withColumn("__time_bucket", PF.lit("202401010000"))
+         .write.mode("append").partitionBy("__time_bucket").parquet(table))
+    seg = _os.path.join(table, "__time_bucket=202401010000")
+    n_before = len([f for f in _os.listdir(seg) if f.endswith(".parquet")])
+    assert n_before >= 6
+    rows_before = spark.read.parquet(table).count()
+    compacted = B.compact_segments(spark, table, target_file_bytes=1 << 30)
+    assert compacted == ["__time_bucket=202401010000"]
+    n_after = len([f for f in _os.listdir(seg) if f.endswith(".parquet")])
+    assert n_after == 1  # everything fits one target-size file
+    assert spark.read.parquet(table).count() == rows_before  # lossless
+    # second run: nothing left to do
+    assert B.compact_segments(spark, table, target_file_bytes=1 << 30) == []
+
+
+def test_complex_type_transform(spark):
+    from apache_pinot_spark.sources.complex import complex_type_transform
+
+    df = spark.createDataFrame(
+        [
+            (1, {"street": "main", "geo": {"lat": 1.0}},
+             [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 1}],
+             ["t1", "t2"], {"k1": "v1"}),
+            (2, {"street": "second", "geo": {"lat": 2.0}}, [], ["t3"], {"k2": "v2"}),
+        ],
+        "id INT, address STRUCT<street:STRING, geo:STRUCT<lat:DOUBLE>>, "
+        "items ARRAY<STRUCT<sku:STRING, qty:INT>>, tags ARRAY<STRING>, "
+        "attrs MAP<STRING,STRING>",
+    )
+    out = complex_type_transform(df, unnest_fields=["items"])
+    cols = set(out.columns)
+    # structs flatten to dotted columns, incl. nested
+    assert {"address.street", "address.geo.lat"} <= cols
+    # declared array-of-struct unnests to rows with dotted element columns
+    assert {"items.sku", "items.qty"} <= cols
+    # arrays of primitives stay MV columns
+    assert "tags" in cols and dict(out.dtypes)["tags"] == "array<string>"
+    # maps flatten to per-key columns
+    assert {"attrs.k1", "attrs.k2"} <= cols
+    rows = out.orderBy("id", "`items.sku`").collect()
+    # row 1 exploded to 2 rows; row 2's empty array kept with NULLs
+    assert [(r["id"], r["items.sku"]) for r in rows] == [(1, "a"), (1, "b"), (2, None)]
+    assert rows[0]["address.geo.lat"] == 1.0 and rows[2]["attrs.k2"] == "v2"

@@ -262,3 +262,41 @@ def test_audio_chunking_plan(spark):
         (0, 0, 16000), (1, 16000, 32000), (2, 32000, 40000)
     ]
     assert abs(out[-1]["end_s"] - 2.5) < 1e-9
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from apache_pinot_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(5000)] + [("cold", i) for i in range(50)],
+        "k STRING, v INT",
+    )
+    out = {
+        r["k"]: (r["cnt"], r["sv"], r["mx"])
+        for r in skew.salted_aggregate(
+            df, ["k"],
+            {"cnt": F.count("*"), "sv": F.sum("v"), "mx": F.max("v")},
+            salt_buckets=8,
+        ).collect()
+    }
+    direct = {
+        r["k"]: (r["cnt"], r["sv"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("cnt"), F.sum("v").alias("sv"), F.max("v").alias("mx")
+        ).collect()
+    }
+    assert out == direct
+
+
+def test_salt_join_matches_direct(spark):
+    from apache_pinot_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(3000)] + [("k2", i) for i in range(10)],
+        "k STRING, v INT",
+    )
+    small = spark.createDataFrame([("hot", "H"), ("k2", "K")], "k STRING, tag STRING")
+    out = skew.salt_join(big, small, on="k", salt_buckets=4)
+    assert out.count() == big.count()
+    direct = big.join(small, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
