@@ -441,41 +441,10 @@ def near_duplicate_pairs_blocked(
 # --------------------------------------------------------------------------
 
 
-def ivf_assign(
-    corpus: DataFrame,
-    dim: int,
-    num_clusters: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Assign every vector to its nearest of ``num_clusters`` centroids.
-
-    Centroids are chosen deterministically: the ``num_clusters`` vectors
-    with the smallest md5(id) — a hash-order sample, uniformly spread over
-    the corpus with no RNG state, identical on every run/executor, and
-    reproducible in any SQL engine (ORDER BY md5(CAST(id AS VARCHAR)), id
-    LIMIT k). Selection is ONE top-k scan (Spark TakeOrderedAndProject —
-    no full sort, no separate count() pass); a k-means refinement can swap
-    in later without changing the interface. Assignment runs as numpy GEMM
-    inside mapInPandas: one corpus pass, no shuffle; the centroid matrix
-    is tiny and ships in the closure. Ties in argmax go to the lowest
-    centroid index (numpy argmax first-hit). Returns (assigned_df with a
-    `cluster` column, centroid list)."""
-    import numpy as np
-
-    v = _spread(corpus).select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    )
-    cent_rows = (
-        v.withColumn("__h", F.md5(F.col("id").cast("string")))
-        .orderBy("__h", "id")
-        .limit(num_clusters)
-        .collect()
-    )
-    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
-    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-
+def _assign_to_centroids(v: DataFrame, cmat, cnorm) -> DataFrame:
+    """One corpus pass: numpy GEMM cosine argmax against the (tiny)
+    centroid matrix shipped in the closure. Ties go to the lowest
+    centroid index (numpy argmax first-hit)."""
     out_schema = "id BIGINT, v ARRAY<DOUBLE>, cluster INT"
 
     def run(batches):
@@ -497,7 +466,64 @@ def ivf_assign(
                 }
             )
 
-    return v.mapInPandas(run, schema=out_schema), centroids
+    return v.mapInPandas(run, schema=out_schema)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    dim: int,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest of ``num_clusters`` centroids.
+
+    Centroids are chosen deterministically: the ``num_clusters`` vectors
+    with the smallest md5(id) — a hash-order sample, uniformly spread over
+    the corpus with no RNG state, identical on every run/executor, and
+    reproducible in any SQL engine (ORDER BY md5(CAST(id AS VARCHAR)), id
+    LIMIT k). Selection is ONE top-k scan (Spark TakeOrderedAndProject —
+    no full sort, no separate count() pass).
+
+    ``kmeans_iterations`` optionally refines with spherical Lloyd steps:
+    assign (one GEMM corpus pass) → centroid = per-cluster mean (one
+    map-side-combined aggregate of 64 AVGs) → repeat. Deterministic given
+    the deterministic seed; empty clusters keep their previous centroid.
+    The default 0 keeps the SQL-oracle-reproducible hash-sample behavior
+    (the declared correctness query uses it); refined centroids trade
+    oracle parity for recall — use for production indexes. Returns
+    (assigned_df with a `cluster` column, centroid list)."""
+    import numpy as np
+
+    v = _spread(corpus).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cent_rows = (
+        v.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(num_clusters)
+        .collect()
+    )
+    cmat = np.asarray([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    for _ in range(kmeans_iterations):
+        assigned = _assign_to_centroids(v, cmat, cnorm)
+        means = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cmat.copy()
+        for r in means:
+            new[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+        cmat = new
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0] = 1.0
+
+    centroids = [(i, list(cmat[i])) for i in range(len(cmat))]
+    return _assign_to_centroids(v, cmat, cnorm), centroids
 
 
 def ivf_topk(
@@ -510,6 +536,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 65536,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` clusters nearest each
     query (classic IVF). Work scales as nprobe/num_clusters of brute
@@ -526,7 +553,9 @@ def ivf_topk(
     through lsh_topk, or chunk them)."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(corpus, dim, num_clusters, id_col, vec_col)
+    assigned, centroids = ivf_assign(
+        corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
+    )
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 

@@ -300,3 +300,41 @@ def test_salt_join_matches_direct(spark):
     assert out.count() == big.count()
     direct = big.join(small, "k")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_ivf_kmeans_refinement_improves_objective(emb):
+    """Spherical Lloyd iterations must not worsen the clustering
+    objective (mean cosine of each vector to its assigned centroid)."""
+    import numpy as np
+
+    from apache_pinot_spark.operators import similarity
+
+    def objective(iters):
+        assigned, cents = similarity.ivf_assign(
+            emb, dim=64, num_clusters=8, kmeans_iterations=iters
+        )
+        cmat = np.asarray([c for _, c in cents])
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        rows = assigned.collect()
+        sims = []
+        for r in rows:
+            v = np.asarray(r["v"])
+            c = r["cluster"]
+            sims.append(float(v @ cmat[c] / (np.linalg.norm(v) * cn[c])))
+        return sum(sims) / len(sims)
+
+    base, refined = objective(0), objective(3)
+    assert refined >= base - 1e-9, (base, refined)
+    # the refined index still answers top-k with decent recall
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, dim=64, k=5, num_clusters=8, nprobe=4, kmeans_iterations=2
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
