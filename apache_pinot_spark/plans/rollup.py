@@ -85,6 +85,56 @@ def rollup_df(spark: SparkSession, spec: RollupSpec) -> DataFrame:
     return spark.read.parquet(spec.path)
 
 
+def append_rollup_delta(spark: SparkSession, delta_df: DataFrame, spec: RollupSpec) -> None:
+    """Incremental rollup maintenance: aggregate ONLY the new rows into
+    partial rows and APPEND them to the rollup table. Because
+    answer_from_rollup merges partials across rollup rows anyway
+    (SUM of sums, MIN of mins, SUM of counts...), appended per-batch
+    partials keep every covered query EXACT with O(batch) work and zero
+    recompute of history — the materialized-view-maintenance shape for
+    realtime ingest (use inside a streaming foreachBatch alongside the
+    segment commit; run compact_rollup periodically to re-merge the
+    accumulated per-batch rows)."""
+    aggs = [F.count("*").alias(COUNT_COL)]
+    for m in spec.metrics:
+        aggs += [
+            F.sum(F.col(m).cast("decimal(28,6)")).alias(f"__sum_{m}"),
+            F.min(m).alias(f"__min_{m}"),
+            F.max(m).alias(f"__max_{m}"),
+            F.count(m).alias(f"__cnt_{m}"),
+        ]
+    delta_df.groupBy(*spec.dimensions).agg(*aggs).write.mode("append").parquet(spec.path)
+
+
+def compact_rollup(spark: SparkSession, spec: RollupSpec) -> None:
+    """Re-merge accumulated per-batch partial rows back to one row per
+    dimension combination (query results are identical before and after —
+    this only bounds rollup-scan cost after many streamed batches)."""
+    df = rollup_df(spark, spec)
+    # merged partials keep the ORIGINAL partial-column types so future
+    # append_rollup_delta rows stay schema-compatible with the files
+    merged = df.groupBy(*spec.dimensions).agg(
+        F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+        *[
+            agg
+            for m in spec.metrics
+            for agg in (
+                F.sum(f"__sum_{m}").cast("decimal(28,6)").alias(f"__sum_{m}"),
+                F.min(f"__min_{m}").alias(f"__min_{m}"),
+                F.max(f"__max_{m}").alias(f"__max_{m}"),
+                F.sum(f"__cnt_{m}").cast("long").alias(f"__cnt_{m}"),
+            )
+        ],
+    )
+    tmp = spec.path + ".compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(spec.path)
+    os.rename(tmp, spec.path)
+    spark.catalog.refreshByPath(spec.path)
+
+
 @dataclass
 class AggRequest:
     """One output aggregate of a user query."""
