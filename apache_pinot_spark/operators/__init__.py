@@ -6,4 +6,4 @@ MinHash/SimHash/Jaccard near-dup), embedding similarity search, text
 analysis, and multimodal column plumbing. Every operator is partition-
 parallel — no driver-side collects in any data path."""
 
-from apache_pinot_spark.operators import dedup, similarity, textanalysis, multimodal  # noqa: F401
+from apache_pinot_spark.operators import dedup, similarity, textanalysis, multimodal, skew  # noqa: F401
