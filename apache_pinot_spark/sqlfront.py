@@ -306,6 +306,38 @@ class PinotDialect:
             # Spark-native HLL++ (fast JVM path, NOT oracle-reproducible)
             return f"approx_count_distinct({a[0]})"
 
+        # -- multi-valued aggregate family (public Pinot surface; the
+        # reference documents MV columns at schema.md:25 — these aggregate
+        # over every ELEMENT of the arrays in the group, JVM-side)
+        def countmv(a):
+            return f"SUM(COALESCE(cardinality({a[0]}), 0))"
+
+        def summv(a):
+            return (
+                f"SUM(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE)))"
+            )
+
+        def minmv(a):
+            return f"MIN(array_min({a[0]}))"
+
+        def maxmv(a):
+            return f"MAX(array_max({a[0]}))"
+
+        def avgmv(a):
+            return (
+                f"(SUM(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))) "
+                f"/ SUM(COALESCE(cardinality({a[0]}), 0)))"
+            )
+
+        def distinctcountmv(a):
+            # exact distinct over all elements: flatten the group's arrays.
+            # Fine for the dialect's group-by regime (distinct sets per
+            # group are bounded); the explode+COUNT(DISTINCT) DataFrame
+            # form is the scale path for huge per-group cardinalities.
+            return f"cardinality(array_distinct(flatten(collect_list({a[0]}))))"
+
         def percentile(a):
             q = float(a[1]) / 100.0
             return f"percentile({a[0]}, {q})"
@@ -348,6 +380,12 @@ class PinotDialect:
             "DISTINCTCOUNT": distinctcount,
             "DISTINCTCOUNTHLL": distinctcounthll,
             "DISTINCTCOUNTHLLPLUS": distinctcounthllplus,
+            "COUNTMV": countmv,
+            "SUMMV": summv,
+            "MINMV": minmv,
+            "MAXMV": maxmv,
+            "AVGMV": avgmv,
+            "DISTINCTCOUNTMV": distinctcountmv,
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,

@@ -366,3 +366,26 @@ def test_rollup_rewrite_with_dimension_where(spark, tmp_path):
     q3 = ("SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem "
           "WHERE l_quantity > 10 GROUP BY l_returnflag")
     assert eng._try_rollup(eng.rewrite(q3).sql) is None
+
+
+def test_mv_aggregate_family(engine, spark):
+    """COUNTMV/SUMMV/MINMV/MAXMV/AVGMV/DISTINCTCOUNTMV aggregate over
+    every element of the group's arrays (public Pinot MV-aggregate
+    surface over schema.md:25 MV columns)."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 2]), ("a", [3]), ("b", [10, 20]), ("b", None)],
+        "g STRING, vals ARRAY<INT>",
+    )
+    engine.register("mvagg", df)
+    got = {
+        r["g"]: r
+        for r in engine.sql(
+            "SELECT g, COUNTMV(vals) AS c, SUMMV(vals) AS s, MINMV(vals) AS mn, "
+            "MAXMV(vals) AS mx, round(AVGMV(vals), 6) AS av, "
+            "DISTINCTCOUNTMV(vals) AS dc "
+            "FROM mvagg GROUP BY g ORDER BY g"
+        ).collect()
+    }
+    assert (got["a"]["c"], got["a"]["s"], got["a"]["mn"], got["a"]["mx"]) == (4, 8.0, 1, 3)
+    assert got["a"]["av"] == 2.0 and got["a"]["dc"] == 3  # {1,2,3}
+    assert (got["b"]["c"], got["b"]["s"], got["b"]["dc"]) == (2, 30.0, 2)
