@@ -26,12 +26,16 @@ RUNTIME_CONFS = {
     # SF relative to fact tables; broadcast aggressively.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.aggregatePushdown": "true",
+    # shuffle.partitions IS runtime-settable: applying it here means the
+    # driver's vanilla session also runs right-sized shuffles (AQE
+    # coalescing then adapts upward at real scale) instead of the 200
+    # default per tiny aggregate.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 # Static confs — only settable at session build time.
 STATIC_CONFS = {
-    "spark.sql.shuffle.partitions": "32",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
