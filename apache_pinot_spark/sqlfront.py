@@ -331,6 +331,14 @@ class PinotDialect:
                 f"/ SUM(COALESCE(cardinality({a[0]}), 0)))"
             )
 
+        def arraylength(a):
+            return f"cardinality({a[0]})"
+
+        def valuein(a):
+            # Pinot VALUEIN(mvCol, v1, v2, ...): in filter context, true
+            # iff ANY element is in the value set
+            return f"arrays_overlap({a[0]}, array({', '.join(a[1:])}))"
+
         def distinctcountmv(a):
             # exact distinct over all elements: flatten the group's arrays.
             # Fine for the dialect's group-by regime (distinct sets per
@@ -380,6 +388,8 @@ class PinotDialect:
             "DISTINCTCOUNT": distinctcount,
             "DISTINCTCOUNTHLL": distinctcounthll,
             "DISTINCTCOUNTHLLPLUS": distinctcounthllplus,
+            "ARRAYLENGTH": arraylength,
+            "VALUEIN": valuein,
             "COUNTMV": countmv,
             "SUMMV": summv,
             "MINMV": minmv,
@@ -493,16 +503,43 @@ class PinotDialect:
         return sql
 
     def _rewrite_partition_routing(self, sql: str) -> str:
-        """Pinot's partition-based segment routing: an equality predicate
-        on a segment-partitioned column additionally constrains the
-        hash-bucket partition directory, so the scan touches 1/N of the
-        segments. The bucket expression mirrors the ingest-side
-        segment_partition_expr and constant-folds at plan time."""
+        """Pinot's partition-based segment routing: an equality or IN
+        predicate on a segment-partitioned column additionally constrains
+        the hash-bucket partition directory, so the scan touches only the
+        buckets the probed values can live in. The bucket expression
+        mirrors the ingest-side segment_partition_expr and constant-folds
+        at plan time."""
         for col, n in self.segment_partitions.items():
             sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
                 rf"(\1 = \2 AND `__segment_partition` = "
                 rf"pmod(xxhash64(CAST(\2 AS STRING)), {n}))",
+                sql,
+            )
+
+            def in_repl(m: re.Match, _n=n) -> str:
+                vals = [v.strip() for v in m.group(2).split(",")]
+                buckets = ", ".join(
+                    f"pmod(xxhash64(CAST({v} AS STRING)), {_n})" for v in vals
+                )
+                return (
+                    f"({m.group(1)} IN ({m.group(2)}) AND "
+                    f"`__segment_partition` IN ({buckets}))"
+                )
+
+            spans = []
+            pos = 0
+            for lit, seg in _split_literals(sql):
+                if lit:
+                    spans.append((pos, pos + len(seg)))
+                pos += len(seg)
+            pat = re.compile(
+                rf"\b({re.escape(col)})\s+IN\s*\(([^()]*)\)", re.IGNORECASE
+            )
+            sql = pat.sub(
+                lambda m: m.group(0)
+                if any(a <= m.start() < b for a, b in spans)
+                else in_repl(m),
                 sql,
             )
         return sql

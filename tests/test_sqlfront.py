@@ -389,3 +389,49 @@ def test_mv_aggregate_family(engine, spark):
     assert (got["a"]["c"], got["a"]["s"], got["a"]["mn"], got["a"]["mx"]) == (4, 8.0, 1, 3)
     assert got["a"]["av"] == 2.0 and got["a"]["dc"] == 3  # {1,2,3}
     assert (got["b"]["c"], got["b"]["s"], got["b"]["dc"]) == (2, 30.0, 2)
+
+
+def test_valuein_and_arraylength(engine, spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, [])], "id INT, tags ARRAY<STRING>"
+    )
+    engine.register("vi", df)
+    got = engine.sql(
+        "SELECT id, ARRAYLENGTH(tags) AS n FROM vi "
+        "WHERE VALUEIN(tags, 'a', 'c') ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["n"]) for r in got] == [(1, 2), (2, 1)]
+
+
+def test_partition_routing_in_list(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sources import batch as B
+
+    sch = PinotSchema.from_json(_json.dumps({
+        "schemaName": "r2",
+        "dimensionFieldSpecs": [{"name": "user_id", "dataType": "LONG"}],
+        "metricFieldSpecs": [{"name": "v", "dataType": "DOUBLE"}],
+        "dateTimeFieldSpecs": [
+            {"name": "ts_ms", "dataType": "LONG",
+             "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS"}],
+    }))
+    rows = [Row(user_id=i, v=float(i), ts_ms=1_700_000_000_000) for i in range(100)]
+    cfg = B.TableConfig(table_name="r2_routed", time_column="ts_ms",
+                        segment_partition_column="user_id", num_segment_partitions=8)
+    path = B.ingest_batch(spark, sch, cfg, spark.createDataFrame(rows),
+                          warehouse=str(tmp_path), mode="overwrite")
+    eng = PinotEngine(spark)
+    eng.register_ingested("r2_routed", path)
+    rr = eng.rewrite("SELECT COUNT(*) AS c FROM r2_routed WHERE user_id IN (3, 7, 11)")
+    assert rr.sql.count("pmod(xxhash64") == 3 and "IN (" in rr.sql
+    assert (
+        eng.sql("SELECT COUNT(*) AS c FROM r2_routed WHERE user_id IN (3, 7, 11)")
+        .collect()[0]["c"] == 3
+    )
+    # a string literal containing "user_id IN (...)" is untouched
+    rr2 = eng.rewrite("SELECT COUNT(*) AS c FROM r2_routed WHERE 'user_id IN (1)' = 'x'")
+    assert "pmod" not in rr2.sql
