@@ -56,6 +56,8 @@ class JsonIndexConfig:
                                cannot match
       includePaths           — if set, ONLY these path prefixes indexed
       excludePaths           — these path prefixes (and children) excluded
+      excludeFields          — field NAMES excluded anywhere they appear,
+                               even under included paths
     """
 
     max_levels: int | None = None
@@ -63,15 +65,17 @@ class JsonIndexConfig:
     disable_cross_array_unnest: bool = False
     include_paths: set[str] = dc_field(default_factory=set)
     exclude_paths: set[str] = dc_field(default_factory=set)
+    exclude_fields: set[str] = dc_field(default_factory=set)
 
     @classmethod
     def from_json(cls, d: dict) -> "JsonIndexConfig":
         return cls(
-            max_levels=d.get("maxLevels"),
+            max_levels=d.get("maxLevels") if (d.get("maxLevels") or 0) > 0 else None,
             exclude_array=bool(d.get("excludeArray", False)),
             disable_cross_array_unnest=bool(d.get("disableCrossArrayUnnest", False)),
             include_paths=set(d.get("includePaths") or []),
             exclude_paths=set(d.get("excludePaths") or []),
+            exclude_fields=set(d.get("excludeFields") or []),
         )
 
 
@@ -89,6 +93,10 @@ def _path_indexed(components: list[object], cfg: JsonIndexConfig | None) -> bool
     if cfg.max_levels is not None and len(components) > cfg.max_levels:
         return False
     if cfg.exclude_array and any(c == "*" or isinstance(c, int) for c in components):
+        return False
+    if cfg.exclude_fields and any(
+        isinstance(c, str) and c != "*" and c in cfg.exclude_fields for c in components
+    ):
         return False
     p = _path_str(components)
     # a path is excluded if it equals or sits under an excluded prefix

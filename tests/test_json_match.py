@@ -233,3 +233,56 @@ def test_json_index_config_disable_cross_array_unnest(spark):
     )
     # same-array conjunctions still work under the config
     assert df.filter(json_match("j", '"$.p[*].x"=1', schema, config=cfg)).count() == 1
+
+
+def test_json_index_config_golden_person_corpus(spark):
+    """Golden test over the docs' person document (json-index.md:85-110)
+    with the docs' own sample config (json-index.md:56-68): maxLevels=2
+    (array counts as one level, so addresses[*].country is level 3 →
+    unindexed), disableCrossArrayUnnest=true (addresses[*] + skills[*]
+    cannot co-match), excludeFields knocks out a field name everywhere."""
+    from apache_pinot_spark.functions.json import JsonIndexConfig, json_match
+
+    adam = (
+        '{"name": "adam", "age": 20, '
+        '"addresses": [{"country": "us", "street": "main st", "number": 1}, '
+        '{"country": "ca", "street": "second st", "number": 2}], '
+        '"skills": ["english", "programming"]}'
+    )
+    df = spark.createDataFrame([(1, adam)], ["id", "person"])
+    schema = (
+        "struct<name:string, age:bigint, "
+        "addresses:array<struct<country:string,street:string,number:bigint>>, "
+        "skills:array<string>>"
+    )
+    cfg = JsonIndexConfig.from_json(
+        {"maxLevels": 2, "excludeArray": False, "disableCrossArrayUnnest": True,
+         "includePaths": None, "excludePaths": None, "excludeFields": None}
+    )
+    # level-1/2 paths stay queryable
+    assert df.filter(json_match("person", '"$.name"=\'adam\'', schema, cfg)).count() == 1
+    # addresses[*].country is 3 levels (array counted) → unindexed
+    assert (
+        df.filter(json_match("person", '"$.addresses[*].country"=\'us\'', schema, cfg)).count()
+        == 0
+    )
+    # without maxLevels it matches
+    cfg2 = JsonIndexConfig(disable_cross_array_unnest=True)
+    assert (
+        df.filter(json_match("person", '"$.addresses[*].country"=\'us\'', schema, cfg2)).count()
+        == 1
+    )
+    # cross-array unnest disabled: addresses[*] AND skills[*] cannot co-match
+    cross = '"$.addresses[*].country"=\'us\' AND "$.skills[*]"=\'english\''
+    assert df.filter(json_match("person", cross, schema, cfg2)).count() == 0
+    assert df.filter(json_match("person", cross, schema)).count() == 1
+    # excludeFields: 'country' unindexed anywhere, street still queryable
+    cfg3 = JsonIndexConfig.from_json({"excludeFields": ["country"]})
+    assert (
+        df.filter(json_match("person", '"$.addresses[*].country"=\'us\'', schema, cfg3)).count()
+        == 0
+    )
+    assert (
+        df.filter(json_match("person", '"$.addresses[*].street"=\'main st\'', schema, cfg3)).count()
+        == 1
+    )
