@@ -107,6 +107,18 @@ class DateTimeFormat:
     def epoch_millis(self, col: Column) -> Column:
         return F.unix_millis(self.to_timestamp(col))
 
+    @property
+    def unit_millis(self) -> int:
+        return self.size * self._UNIT_MILLIS[self.unit]
+
+    def value_from_epoch_millis(self, ms: int) -> Column:
+        """The column value (in this declared format) representing epoch
+        ``ms`` — the inverse of to_timestamp, used for the primary time
+        column's segment-creation-time sentinel fallback (schema.md:72)."""
+        if self.fmt == "SIMPLE_DATE_FORMAT":
+            return F.date_format(F.timestamp_millis(F.lit(ms)), self.pattern)
+        return F.lit(ms // self.unit_millis)
+
 
 @dataclass
 class Granularity:
@@ -256,14 +268,48 @@ class PinotSchema:
             cols.append(c.alias(f.name))
         return df.select(*cols)
 
-    def apply_sentinels(self, df: DataFrame) -> DataFrame:
+    def _time_sentinel_in_range(self, f: FieldSpec) -> bool:
+        """Is the declared/default null value of a datetime field inside
+        the 1971-2071 UTC validity window (schema.md:72)?"""
+        try:
+            if f.data_type == "TIMESTAMP":
+                ms = int(f.sentinel)
+            elif f.format is not None and f.format.fmt == "EPOCH":
+                ms = int(f.sentinel) * f.format.unit_millis
+            else:
+                return False  # SDF string sentinels are not valid times
+        except (TypeError, ValueError):
+            return False
+        return 31_536_000_000 <= ms < 3_187_296_000_000
+
+    def apply_sentinels(self, df: DataFrame, ingest_time_ms: int | None = None) -> DataFrame:
         """Replace NULLs with Pinot sentinels (schema.md:24-60). MV columns
-        default to a single-element array of the sentinel (schema.md:25)."""
+        default to a single-element array of the sentinel (schema.md:25).
+
+        PRIMARY time column rule (schema.md:72): its value must land in
+        1971-2071 UTC for segment management; when the (default) null
+        value is outside that window, SEGMENT CREATION TIME is used
+        instead — pass ``ingest_time_ms`` to pin it (tests/replays),
+        else the current wall clock applies."""
+        import time as _time
+
         out = df
         for f in self.fields:
             if f.name not in out.columns:
                 continue
-            if f.role == "datetime" and f.data_type == "TIMESTAMP":
+            if (
+                f.role == "datetime"
+                and f.name == self.primary_time_column
+                and not self._time_sentinel_in_range(f)
+            ):
+                ms = ingest_time_ms if ingest_time_ms is not None else int(_time.time() * 1000)
+                if f.data_type == "TIMESTAMP":
+                    sent = F.timestamp_millis(F.lit(ms))
+                else:
+                    sent = f.format.value_from_epoch_millis(ms).cast(
+                        _SPARK_TYPES[f.data_type]
+                    )
+            elif f.role == "datetime" and f.data_type == "TIMESTAMP":
                 sent = F.timestamp_millis(F.lit(int(f.sentinel)))
             elif f.data_type == "TIMESTAMP":
                 sent = F.lit(f.sentinel).cast(_SPARK_TYPES[f.data_type])

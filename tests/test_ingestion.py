@@ -337,3 +337,28 @@ def test_complex_type_transform(spark):
     # row 1 exploded to 2 rows; row 2's empty array kept with NULLs
     assert [(r["id"], r["items.sku"]) for r in rows] == [(1, "a"), (1, "b"), (2, None)]
     assert rows[0]["address.geo.lat"] == 1.0 and rows[2]["attrs.k2"] == "v2"
+
+
+def test_primary_time_null_falls_back_to_ingest_time(schema, spark):
+    # schema.md:72: out-of-window default null value on the PRIMARY time
+    # column → segment creation time is used instead (the LONG_MIN
+    # sentinel would otherwise fail the 1971-2071 validity window)
+    df = spark.createDataFrame(
+        [Row(studentID=1, firstName="a", gender="f", subjects=["m"],
+             score=1.0, timestampInEpoch=None)],
+        schema="studentID INT, firstName STRING, gender STRING, "
+               "subjects ARRAY<STRING>, score FLOAT, timestampInEpoch LONG",
+    )
+    pinned = 1_700_000_000_000
+    out = schema.apply_sentinels(schema.apply_types(df), ingest_time_ms=pinned)
+    assert out.collect()[0]["timestampInEpoch"] == pinned  # 1:MILLISECONDS:EPOCH
+    # a user-declared IN-range default null value is honored instead
+    doc = dict(SCHEMA_DOC)
+    doc["dateTimeFieldSpecs"] = [{
+        "name": "timestampInEpoch", "dataType": "LONG",
+        "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS",
+        "defaultNullValue": 1_600_000_000_000,
+    }]
+    sch2 = PinotSchema.from_json(json.dumps(doc))
+    out2 = sch2.apply_sentinels(sch2.apply_types(df), ingest_time_ms=pinned)
+    assert out2.collect()[0]["timestampInEpoch"] == 1_600_000_000_000
