@@ -51,6 +51,13 @@ class TableConfig:
     time_column: str | None = None
     partition_granularity: str = "1:DAYS"  # segment = time bucket
     sorted_column: str | None = None
+    # invertedIndexColumns (inverted-index.md:3-19): the parquet analogue
+    # of a value→rows bitmap is dictionary encoding + page/row-group
+    # statistics — force dictionary ON for these columns (a
+    # noDictionaryColumns entry would otherwise win) so equality filters
+    # prune at page level; the sorted column doubles as the
+    # sorted-inverted-index fast path (inverted-index.md:21-27).
+    inverted_index_columns: list[str] = dc_field(default_factory=list)
     bloom_filter_columns: list[str] = dc_field(default_factory=list)
     # bloom-filter tuning (bloom-filter.md:13-17): false-positive
     # probability (Pinot default 0.05) and the max filter size in bytes —
@@ -79,6 +86,7 @@ class TableConfig:
             "timeColumn": self.time_column,
             "partitionGranularity": self.partition_granularity,
             "sortedColumn": self.sorted_column,
+            "invertedIndexColumns": self.inverted_index_columns,
             "bloomFilterColumns": self.bloom_filter_columns,
             "bloomFilterFpp": self.bloom_filter_fpp,
             "bloomFilterMaxSizeBytes": self.bloom_filter_max_size_bytes,
@@ -98,6 +106,7 @@ class TableConfig:
             time_column=d.get("timeColumn"),
             partition_granularity=d.get("partitionGranularity", "1:DAYS"),
             sorted_column=d.get("sortedColumn"),
+            inverted_index_columns=d.get("invertedIndexColumns", []),
             bloom_filter_columns=d.get("bloomFilterColumns", []),
             bloom_filter_fpp=d.get("bloomFilterFpp", 0.05),
             bloom_filter_max_size_bytes=d.get("bloomFilterMaxSizeBytes"),
@@ -226,7 +235,11 @@ def ingest_batch(
                 "parquet.bloom.filter.max.bytes", str(config.bloom_filter_max_size_bytes)
             )
     for col in config.no_dictionary_columns:
+        if col in config.inverted_index_columns:
+            continue  # inverted index needs the dictionary; index wins
         writer = writer.option(f"parquet.enable.dictionary#{col}", "false")
+    for col in config.inverted_index_columns:
+        writer = writer.option(f"parquet.enable.dictionary#{col}", "true")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(table_path)

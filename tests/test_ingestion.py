@@ -362,3 +362,23 @@ def test_primary_time_null_falls_back_to_ingest_time(schema, spark):
     sch2 = PinotSchema.from_json(json.dumps(doc))
     out2 = sch2.apply_sentinels(sch2.apply_types(df), ingest_time_ms=pinned)
     assert out2.collect()[0]["timestampInEpoch"] == 1_600_000_000_000
+
+
+def test_inverted_index_columns_config(schema, spark, tmp_path):
+    # inverted-index.md:3-19 — the knob is honored (dictionary forced ON,
+    # beating a conflicting noDictionaryColumns entry) and round-trips
+    cfg = B.TableConfig(
+        table_name="t_inv",
+        time_column="timestampInEpoch",
+        inverted_index_columns=["gender"],
+        no_dictionary_columns=["gender", "firstName"],
+    )
+    df = spark.createDataFrame(
+        [Row(studentID=i, firstName=f"n{i}", gender="f" if i % 2 else "m",
+             subjects=["x"], score=1.0, timestampInEpoch=1_700_000_000_000 + i)
+         for i in range(20)]
+    )
+    path = B.ingest_batch(spark, schema, cfg, df, warehouse=str(tmp_path), mode="overwrite")
+    assert spark.read.parquet(path).count() == 20
+    rt = B.TableConfig.from_json(B.read_table_meta(path)["config"])
+    assert rt.inverted_index_columns == ["gender"]
