@@ -32,6 +32,12 @@ RUNTIME_CONFS = {
     # default per tiny aggregate.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Split-size floor for file scans. The 4 MiB default caps small-SF
+    # scan parallelism at ~3 tasks for a 12 MiB parquet file; 512 KiB lets
+    # local[32] use its cores. At cluster scale this conf is inert: split
+    # size is then governed by totalBytes/defaultParallelism and
+    # maxPartitionBytes, both far above the floor.
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
 
 # Static confs — only settable at session build time.

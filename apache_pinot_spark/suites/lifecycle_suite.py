@@ -406,14 +406,21 @@ df_query(
 
 
 def _hll_sketch_bytes(spark, sf_dir):
-    from apache_pinot_spark.functions.hll import hll_merge_estimate_sql, hll_sketch_sql
+    from apache_pinot_spark.functions.hll import (
+        hll_merge_estimate_sql,
+        hll_pair_sqls,
+        hll_sketch_from_pair_sql,
+    )
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     li.createOrReplaceTempView("__hll_lineitem")
+    reg, rho = hll_pair_sqls("l_partkey", "spark")
     segments = spark.sql(
-        "SELECT pmod(l_orderkey, 8) AS seg, "
-        f"{hll_sketch_sql('l_partkey', 'spark')} AS sketch "
-        "FROM __hll_lineitem GROUP BY pmod(l_orderkey, 8)"
+        "SELECT seg, "
+        f"{hll_sketch_from_pair_sql('__reg', '__rho', 'spark')} AS sketch "
+        "FROM (SELECT pmod(l_orderkey, 8) AS seg, "
+        f"{reg} AS __reg, {rho} AS __rho FROM __hll_lineitem) "
+        "GROUP BY seg"
     )
     segments.createOrReplaceTempView("__hll_segments")
     exact = li.agg(F.countDistinct("l_partkey").alias("exact_dc"))
