@@ -30,24 +30,40 @@ TABLES = [
 ]
 
 
+# (applicationId, sf_dir, table) → DataFrame. Building a parquet relation
+# costs a driver-side footer read (~0.12 s warm); the suite calls
+# load_tables per query, so reusing the lazy DataFrame saves ~10 s across
+# a 50-query run. The test tables are immutable, so the cached file
+# listing can never go stale; ingested/mutated tables use
+# sources.batch.register_table, which never hits this cache. Keyed by
+# applicationId so a new session (new catalog) never sees old relations.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_tables(
-    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None, refresh: bool = False
 ) -> dict[str, DataFrame]:
     """Register each parquet table as a temp view; returns name → DataFrame.
 
     Reads are lazy: Catalyst prunes columns and pushes filters into the
-    parquet scan, so registering all tables costs only file-footer reads.
+    parquet scan, so registering all tables costs only file-footer reads
+    (cached per session — pass refresh=True if the files changed on disk).
     """
     configure(spark)
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses natively;
     # read nanos as LONG and rebuild a microsecond timestamp (Pinot stores
     # time as LONG epoch anyway — reference configuration-reference/schema.md:69).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    app_id = spark.sparkContext.applicationId
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        key = (app_id, sf_dir, name)
+        df = None if refresh else _DF_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _DF_CACHE[key] = df
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

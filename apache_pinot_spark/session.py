@@ -44,7 +44,14 @@ RUNTIME_CONFS = {
 STATIC_CONFS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[N] runs every executor thread inside the driver JVM: the heap
+    # must hold N concurrent task working sets PLUS persisted frames
+    # (dedup/ANN pipelines cache shingle-set and signature arrays). 8g on
+    # a 128 GiB harness caused cache eviction + GC thrash — measured as
+    # 2-4x run-to-run variance on the persist-heavy suite queries. On a
+    # real cluster this maps to executor memory, where the same sizing
+    # logic (working set per core x cores + cached partitions) applies.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
