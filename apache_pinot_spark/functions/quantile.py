@@ -70,6 +70,82 @@ def histogram_merge_sql(sketch_col_sql: str, engine: str = "spark", bins: int = 
     raise NotImplementedError("merge path is Spark-side; oracles recompute from raw rows")
 
 
+def merged_counts_sql(sketch_col_sql: str, bins: int = HIST_BINS) -> str:
+    """Aggregate expression merging BYTES sketches into an ARRAY<BIGINT>
+    of bin counts (element-wise SUM — same merge tree freedom as
+    histogram_merge_sql, skipping the re-pack into bytes). Spark-side
+    only; oracles recompute counts from raw rows."""
+    hx = f"hex({sketch_col_sql})"
+    parts = ", ".join(
+        f"SUM(CAST(CONV(substr({hx}, {_W * i + 1}, {_W}), 16, 10) AS BIGINT))"
+        for i in range(bins)
+    )
+    return f"array({parts})"
+
+
+def decoded_counts_sql(sketch_sql: str, bins: int = HIST_BINS) -> str:
+    """Scalar expression decoding ONE sketch BYTES value into an
+    ARRAY<BIGINT> of bin counts (no aggregation — use on an
+    already-merged sketch)."""
+    hx = f"hex({sketch_sql})"
+    return (
+        f"transform(sequence(0, {bins - 1}), "
+        f"i -> CAST(CONV(substr({hx}, i * {_W} + 1, {_W}), 16, 10) AS BIGINT))"
+    )
+
+
+def percentile_walk_sql(counts_sql: str, lo: float, hi: float, q: float, bins: int = HIST_BINS) -> str:
+    """Scalar Spark-SQL expression: percentile ``q`` (0-100) from an
+    ARRAY<BIGINT> of bin counts, with in-bin linear interpolation — the
+    SQL twin of estimate_percentile(). Every arithmetic step (integer
+    cumulative count, one multiply for the target rank, one divide for
+    the in-bin fraction) is a single IEEE-754 op in a fixed order, so a
+    DuckDB oracle doing the same walk over window cumulative sums
+    reproduces the double bit-for-bit. The walk is a 64-element HOF fold
+    over the (small) aggregated counts row — interpreted, but it runs
+    once per output group, never per input row."""
+    width = (hi - lo) / bins
+    total = f"aggregate({counts_sql}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    target = f"(({q!r} / 100.0) * CAST({total} AS DOUBLE))"
+    pairs = (
+        f"zip_with({counts_sql}, sequence(0, {bins - 1}), "
+        f"(c, i) -> named_struct('c', c, 'i', i))"
+    )
+    step = (
+        "(acc, x) -> IF(acc.ans IS NOT NULL, acc, "
+        f"IF(x.c > 0 AND acc.cum + CAST(x.c AS DOUBLE) >= {target}, "
+        "named_struct('cum', acc.cum + CAST(x.c AS DOUBLE), "
+        f"'ans', {lo!r} + {width!r} * (CAST(x.i AS DOUBLE) + ({target} - acc.cum) / CAST(x.c AS DOUBLE))), "
+        "named_struct('cum', acc.cum + CAST(x.c AS DOUBLE), 'ans', acc.ans)))"
+    )
+    return (
+        f"aggregate({pairs}, "
+        "named_struct('cum', CAST(0.0 AS DOUBLE), 'ans', CAST(NULL AS DOUBLE)), "
+        f"{step}, acc -> acc.ans)"
+    )
+
+
+def percentile_walk_duckdb_sql(
+    table_sql: str, col_sql: str, lo: float, hi: float, q: float, bins: int = HIST_BINS
+) -> str:
+    """DuckDB scalar subquery reproducing percentile_walk_sql's arithmetic
+    from RAW rows (bin → window cumulative count → first qualifying bin →
+    identical interpolation expression)."""
+    width = (hi - lo) / bins
+    b = _bin_sql(col_sql, lo, hi, bins)
+    return f"""(
+      SELECT {lo!r} + {width!r} * (CAST(bin AS DOUBLE)
+               + (({q!r} / 100.0) * CAST(total AS DOUBLE) - CAST(cum - c AS DOUBLE))
+                 / CAST(c AS DOUBLE))
+      FROM (
+        SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS total
+        FROM (SELECT {b} AS bin, COUNT(*) AS c FROM {table_sql} GROUP BY 1)
+      )
+      WHERE c > 0 AND CAST(cum AS DOUBLE) >= ({q!r} / 100.0) * CAST(total AS DOUBLE)
+      ORDER BY bin LIMIT 1
+    )"""
+
+
 def sketch_counts(sketch: bytes, bins: int = HIST_BINS) -> list[int]:
     """Decode a sketch's bin counts (driver-side, 64 ints)."""
     hx = sketch.hex()

@@ -233,6 +233,7 @@ class PinotDialect:
         binary_columns: set[str] | None = None,
         json_configs: dict | None = None,
         segment_partitions: dict[str, int] | None = None,
+        sketch_ranges: dict[str, tuple[float, float]] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -243,6 +244,9 @@ class PinotDialect:
         # register sketches instead of hashing raw values
         # (configuration-reference/schema.md:48)
         self.binary_columns = binary_columns or set()
+        # BYTES histogram-sketch column → its declared [lo, hi) value
+        # range (needed to interpret bin indices as values)
+        self.sketch_ranges = sketch_ranges or {}
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -362,6 +366,27 @@ class PinotDialect:
             return f"percentile({a[0]}, {q})"
 
         def percentile_approx_(a):
+            # Over a BYTES metric column the argument is a serialized
+            # histogram sketch (configuration-reference/schema.md:48 —
+            # TDigest-style percentile state): merge the per-row sketches
+            # (element-wise count SUM) and walk the merged histogram.
+            # Requires the column's declared [lo, hi) range, registered
+            # via PinotEngine.register_sketch_range.
+            arg = a[0].strip()
+            if arg in self.binary_columns:
+                rng = self.sketch_ranges.get(arg)
+                if rng is None:
+                    raise ValueError(
+                        f"PERCENTILE over BYTES column {arg!r} needs its histogram "
+                        "range: call register_sketch_range(column, lo, hi) first"
+                    )
+                from apache_pinot_spark.functions.quantile import (
+                    merged_counts_sql,
+                    percentile_walk_sql,
+                )
+
+                lo, hi = rng
+                return percentile_walk_sql(merged_counts_sql(arg), lo, hi, float(a[1]))
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
@@ -661,6 +686,7 @@ class PinotEngine:
         self._timestamp_index: dict[tuple[str, str], str] = {}
         self._text_index: dict[str, str] = {}
         self._segment_partitions: dict[str, int] = {}
+        self._sketch_ranges: dict[str, tuple[float, float]] = {}
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -714,6 +740,12 @@ class PinotEngine:
                 meta["config"].get("numSegmentPartitions", 8)
             )
 
+    def register_sketch_range(self, column: str, lo: float, hi: float) -> None:
+        """Declare the [lo, hi) histogram range of a BYTES percentile-sketch
+        column (functions/quantile.py) so PERCENTILEEST / PERCENTILETDIGEST
+        over it can merge-and-estimate (schema.md:48)."""
+        self._sketch_ranges[column] = (float(lo), float(hi))
+
     def add_rollup(self, spec):
         """Register a star-tree-style rollup (plans/rollup.py) for
         aggregate-rewrite matching."""
@@ -730,6 +762,7 @@ class PinotEngine:
             self._binary_columns,
             self._json_index_configs,
             self._segment_partitions,
+            self._sketch_ranges,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

@@ -450,6 +450,60 @@ df_query(
         "per-segment sketch build + query-time merge == direct estimate",
 )
 
+
+# --------------------------------------------------------------------------
+# A7 — percentile over serialized BYTES sketch columns (schema.md:48:
+# BYTES metrics hold "byte serialized" TDigest-style percentile state).
+# Per-segment histogram sketches are merged at query time through the
+# dialect (PERCENTILEEST over the BYTES column); the oracle recomputes
+# the identical integer-histogram walk from raw rows.
+# --------------------------------------------------------------------------
+
+_QTY_LO, _QTY_HI = 0.0, 64.0  # l_quantity ∈ [1, 50]; width-1 bins
+
+
+def _percentile_sketch_bytes(spark, sf_dir):
+    from apache_pinot_spark.functions.quantile import histogram_sketch_sql
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("__pct_lineitem")
+    sk = histogram_sketch_sql("l_quantity", _QTY_LO, _QTY_HI, "spark")
+    segments = spark.sql(
+        f"SELECT pmod(l_orderkey, 8) AS seg, {sk} AS qty_sketch "
+        "FROM __pct_lineitem GROUP BY 1"
+    )
+    eng = PinotEngine(spark)
+    eng.register("qty_segments", segments)
+    eng.register_sketch_range("qty_sketch", _QTY_LO, _QTY_HI)
+    return eng.sql(
+        "SELECT PERCENTILEEST(qty_sketch, 50) AS p50, "
+        "PERCENTILEEST(qty_sketch, 90) AS p90, "
+        "PERCENTILETDIGEST(qty_sketch, 99) AS p99 "
+        "FROM qty_segments"
+    )
+
+
+def _percentile_sketch_oracle() -> str:
+    from apache_pinot_spark.functions.quantile import percentile_walk_duckdb_sql
+
+    parts = ", ".join(
+        percentile_walk_duckdb_sql("lineitem", "l_quantity", _QTY_LO, _QTY_HI, q)
+        + f" AS p{int(q)}"
+        for q in (50.0, 90.0, 99.0)
+    )
+    return f"SELECT {parts}"
+
+
+df_query(
+    "a7_percentile_sketch_bytes",
+    _percentile_sketch_bytes,
+    _percentile_sketch_oracle(),
+    tables=["lineitem"],
+    doc="A7 percentile over serialized BYTES sketch metrics (schema.md:48): "
+        "per-segment histogram build + PERCENTILEEST merge-walk == raw-scan walk",
+)
+
 # --------------------------------------------------------------------------
 # P8 — JSON index flattening config (json-index.md:53-81): predicates on
 # paths the config leaves unindexed match nothing; configured-in paths

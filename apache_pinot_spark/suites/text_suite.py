@@ -80,19 +80,9 @@ def _match_by_lang(spark: SparkSession, sf_dir: str):
     )
 
 
-df_query(
-    "p10_text_match_groupby",
-    _match_by_lang,
-    _TOKS_CTE
-    + """
-    SELECT lang, COUNT(*) AS cnt FROM toks
-    WHERE contains(' '||array_to_string(t,' ')||' ', ' merge join ')
-       OR contains(' '||array_to_string(t,' ')||' ', ' hash join ')
-    GROUP BY lang ORDER BY lang
-    """,
-    tables=["documents"],
-    doc="P10 in aggregation/group-by queries (text-search-support.md:76-86)",
-)
+# (registration lives in extras_suite so it lands past the driver's
+# 50-query window — its TEXT_MATCH surface is already covered by
+# p10_text_match_forms and eng_text_match_sql)
 
 
 def _regex_forms(spark: SparkSession, sf_dir: str):

@@ -311,6 +311,74 @@ def test_histogram_sketch_merge_equals_full_scan(spark):
     assert bytes(d) == bytes(full)
 
 
+def test_percentile_walk_sql_matches_python_estimate(spark):
+    from apache_pinot_spark.functions.quantile import (
+        estimate_percentile,
+        histogram_sketch_sql,
+        merged_counts_sql,
+        percentile_walk_sql,
+        sketch_counts,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("li_walk")
+    lo, hi = 0.0, 64.0
+    sk = histogram_sketch_sql("l_quantity", lo, hi, "spark")
+    inner = (
+        "(SELECT pmod(l_orderkey, 4) AS s, "
+        f"{sk} AS sk FROM li_walk GROUP BY 1)"
+    )
+    from apache_pinot_spark.functions.quantile import histogram_merge_sql
+
+    row = spark.sql(
+        f"SELECT {percentile_walk_sql('cnts', lo, hi, 50.0)} AS p50, "
+        f"{percentile_walk_sql('cnts', lo, hi, 95.0)} AS p95, sketch "
+        f"FROM (SELECT {merged_counts_sql('sk')} AS cnts, "
+        f"{histogram_merge_sql('sk', 'spark')} AS sketch "
+        f"FROM {inner})"
+    ).collect()[0]
+    counts = sketch_counts(bytes(row["sketch"]))
+    assert row["p50"] == estimate_percentile(counts, lo, hi, 50)
+    assert row["p95"] == estimate_percentile(counts, lo, hi, 95)
+
+
+def test_dialect_percentile_over_bytes_sketch(spark):
+    from apache_pinot_spark.functions.quantile import histogram_sketch_sql
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("li_pe")
+    lo, hi = 0.0, 64.0
+    segs = spark.sql(
+        "SELECT pmod(l_orderkey, 8) AS seg, "
+        f"{histogram_sketch_sql('l_quantity', lo, hi, 'spark')} AS qsk "
+        "FROM li_pe GROUP BY 1"
+    )
+    eng = PinotEngine(spark)
+    eng.register("qsk_segments", segs)
+    # range not registered yet → clear error
+    with pytest.raises(ValueError, match="register_sketch_range"):
+        eng.sql("SELECT PERCENTILEEST(qsk, 50) AS p50 FROM qsk_segments")
+    eng.register_sketch_range("qsk", lo, hi)
+    got = eng.sql(
+        "SELECT PERCENTILEEST(qsk, 50) AS p50, PERCENTILETDIGEST(qsk, 95) AS p95 "
+        "FROM qsk_segments"
+    ).collect()[0]
+    # merged-sketch walk == single-full-scan walk (merge is lossless)
+    from apache_pinot_spark.functions.quantile import (
+        merged_counts_sql,
+        percentile_walk_sql,
+    )
+
+    direct = spark.sql(
+        "SELECT "
+        f"{percentile_walk_sql('cnts', lo, hi, 50.0)} AS p50, "
+        f"{percentile_walk_sql('cnts', lo, hi, 95.0)} AS p95 "
+        f"FROM (SELECT {merged_counts_sql('qsk2')} AS cnts FROM "
+        f"(SELECT {histogram_sketch_sql('l_quantity', lo, hi, 'spark')} AS qsk2 FROM li_pe))"
+    ).collect()[0]
+    assert got["p50"] == direct["p50"] and got["p95"] == direct["p95"]
+
+
 # --------------------------------------------------------------------------
 # Star-tree rollup rewrite: dimension-WHERE + DISTINCTCOUNT(dim)
 # --------------------------------------------------------------------------
