@@ -79,6 +79,21 @@ class TableConfig:
     # partition-prunes to one bucket.
     segment_partition_column: str | None = None
     num_segment_partitions: int = 8
+    # multi-column form (Pinot's segmentPartitionConfig columnPartitionMap
+    # allows several partitioned columns): column → bucket count. Each
+    # column gets its own bucket directory level; predicates on ANY subset
+    # of the columns prune multiplicatively (e.g. user_id=… AND
+    # event_type=… touches 1/(N_u·N_e) of each day's segments).
+    segment_partition_columns: dict[str, int] = dc_field(default_factory=dict)
+
+    def segment_partition_map(self) -> dict[str, int]:
+        """Column → bucket count, merging the single-column sugar fields
+        with the multi-column map (map wins on conflict)."""
+        m: dict[str, int] = {}
+        if self.segment_partition_column:
+            m[self.segment_partition_column] = self.num_segment_partitions
+        m.update(self.segment_partition_columns)
+        return m
 
     def to_json(self) -> dict:
         return {
@@ -97,6 +112,7 @@ class TableConfig:
             "validateTimeRange": self.validate_time_range,
             "segmentPartitionColumn": self.segment_partition_column,
             "numSegmentPartitions": self.num_segment_partitions,
+            "segmentPartitionMap": self.segment_partition_columns,
         }
 
     @classmethod
@@ -117,11 +133,19 @@ class TableConfig:
             validate_time_range=d.get("validateTimeRange", True),
             segment_partition_column=d.get("segmentPartitionColumn"),
             num_segment_partitions=d.get("numSegmentPartitions", 8),
+            segment_partition_columns=d.get("segmentPartitionMap", {}),
         )
 
 
 TIME_BUCKET_COL = "__time_bucket"
+# bucket-directory column prefix; each partitioned column c materializes
+# as f"{SEGMENT_PARTITION_COL}_{c}" (see segment_partition_col_name)
 SEGMENT_PARTITION_COL = "__segment_partition"
+
+
+def segment_partition_col_name(col: str) -> str:
+    """Name of the bucket directory column for a partitioned column."""
+    return f"{SEGMENT_PARTITION_COL}_{col}"
 
 
 def segment_partition_expr(col: str, num_partitions: int) -> F.Column:
@@ -211,14 +235,10 @@ def ingest_batch(
             TIME_BUCKET_COL, F.date_format(gran.bucket(ts), "yyyyMMddHHmm")
         )
         partition_cols = [TIME_BUCKET_COL]
-    if config.segment_partition_column:
-        df = df.withColumn(
-            SEGMENT_PARTITION_COL,
-            segment_partition_expr(
-                config.segment_partition_column, config.num_segment_partitions
-            ),
-        )
-        partition_cols.append(SEGMENT_PARTITION_COL)
+    for sp_col, sp_n in config.segment_partition_map().items():
+        name = segment_partition_col_name(sp_col)
+        df = df.withColumn(name, segment_partition_expr(sp_col, sp_n))
+        partition_cols.append(name)
     if partition_cols:
         df = df.repartition(*partition_cols)
     if config.sorted_column:
@@ -398,7 +418,9 @@ def purge_records(
     # table is segment-partitioned on the purge key, the semi join prunes
     # to 1/N of each day's data for free.
     part_cols = [
-        c for c in (TIME_BUCKET_COL, SEGMENT_PARTITION_COL) if c in df.columns
+        c
+        for c in df.columns
+        if c == TIME_BUCKET_COL or c.startswith(SEGMENT_PARTITION_COL)
     ]
     hit_parts = (
         df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")

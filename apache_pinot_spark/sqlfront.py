@@ -545,22 +545,25 @@ class PinotDialect:
         buckets the probed values can live in. The bucket expression
         mirrors the ingest-side segment_partition_expr and constant-folds
         at plan time."""
+        from apache_pinot_spark.sources.batch import segment_partition_col_name
+
         for col, n in self.segment_partitions.items():
+            bucket_col = f"`{segment_partition_col_name(col)}`"
             sql = _guarded_sub(
                 rf"\b({re.escape(col)})\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
-                rf"(\1 = \2 AND `__segment_partition` = "
+                rf"(\1 = \2 AND {bucket_col} = "
                 rf"pmod(xxhash64(CAST(\2 AS STRING)), {n}))",
                 sql,
             )
 
-            def in_repl(m: re.Match, _n=n) -> str:
+            def in_repl(m: re.Match, _n=n, _bc=bucket_col) -> str:
                 vals = [v.strip() for v in m.group(2).split(",")]
                 buckets = ", ".join(
                     f"pmod(xxhash64(CAST({v} AS STRING)), {_n})" for v in vals
                 )
                 return (
                     f"({m.group(1)} IN ({m.group(2)}) AND "
-                    f"`__segment_partition` IN ({buckets}))"
+                    f"{_bc} IN ({buckets}))"
                 )
 
             spans = []
@@ -739,6 +742,8 @@ class PinotEngine:
             self._segment_partitions[sp_col] = int(
                 meta["config"].get("numSegmentPartitions", 8)
             )
+        for c, n in (meta["config"].get("segmentPartitionMap") or {}).items():
+            self._segment_partitions[c] = int(n)
 
     def register_sketch_range(self, column: str, lo: float, hi: float) -> None:
         """Declare the [lo, hi) histogram range of a BYTES percentile-sketch

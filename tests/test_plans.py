@@ -304,6 +304,71 @@ def test_segment_partition_routing_prunes_scan(spark, tmp_path):
     assert "__segment_partition" not in rr2.sql
 
 
+def test_multi_column_segment_partition_routing(spark, tmp_path):
+    """segmentPartitionConfig with SEVERAL partitioned columns: each gets
+    its own bucket directory level, and predicates on any subset prune
+    multiplicatively (user_id=… AND event_type=… touches 1/(N_u·N_e) of
+    each day's directories)."""
+    import json as _json
+    import re as _re
+
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sources import batch as B
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from pyspark.sql import Row
+
+    sch = PinotSchema.from_json(_json.dumps({
+        "schemaName": "ev2",
+        "dimensionFieldSpecs": [
+            {"name": "user_id", "dataType": "LONG"},
+            {"name": "event_type", "dataType": "STRING"},
+        ],
+        "metricFieldSpecs": [{"name": "value", "dataType": "DOUBLE"}],
+        "dateTimeFieldSpecs": [
+            {"name": "ts_ms", "dataType": "LONG",
+             "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS"}
+        ],
+    }))
+    rows = [
+        Row(user_id=i, event_type=f"t{i % 3}", value=float(i),
+            ts_ms=1_700_000_000_000)
+        for i in range(300)
+    ]
+    cfg = B.TableConfig(
+        table_name="ev_routed2",
+        time_column="ts_ms",
+        segment_partition_columns={"user_id": 4, "event_type": 4},
+    )
+    path = B.ingest_batch(spark, sch, cfg, spark.createDataFrame(rows),
+                          warehouse=str(tmp_path), mode="overwrite")
+    # both bucket directory levels exist on disk
+    import os
+
+    day_dir = next(p for p in os.listdir(path) if p.startswith("__time_bucket"))
+    u_dir = next(p for p in os.listdir(os.path.join(path, day_dir))
+                 if p.startswith("__segment_partition_user_id"))
+    assert any(
+        p.startswith("__segment_partition_event_type")
+        for p in os.listdir(os.path.join(path, day_dir, u_dir))
+    )
+
+    eng = PinotEngine(spark)
+    eng.register_ingested("ev_routed2", path)
+    sql = ("SELECT COUNT(*) AS c FROM ev_routed2 "
+           "WHERE user_id = 42 AND event_type = 't0'")
+    rr = eng.rewrite(sql)
+    assert "__segment_partition_user_id" in rr.sql
+    assert "__segment_partition_event_type" in rr.sql
+
+    df = eng.sql(sql)
+    assert df.collect()[0][0] == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "__segment_partition_user_id" in m.group(1)
+    assert "__segment_partition_event_type" in m.group(1)
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with the same bucket count must
     sort-merge join with ZERO exchanges — the co-located join shape that
