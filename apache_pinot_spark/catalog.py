@@ -30,14 +30,18 @@ TABLES = [
 ]
 
 
-# (applicationId, sf_dir, table) → DataFrame. Building a parquet relation
-# costs a driver-side footer read (~0.12 s warm); the suite calls
+# (session identity, sf_dir, table) → DataFrame. Building a parquet
+# relation costs a driver-side footer read (~0.12 s warm); the suite calls
 # load_tables per query, so reusing the lazy DataFrame saves ~10 s across
 # a 50-query run. The test tables are immutable, so the cached file
 # listing can never go stale; ingested/mutated tables use
 # sources.batch.register_table, which never hits this cache. Keyed by
-# applicationId so a new session (new catalog) never sees old relations.
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# id(spark) — NOT applicationId: spark.newSession() shares the
+# applicationId but has its own temp catalog, and a DataFrame is bound to
+# the session that built it (createOrReplaceTempView on a sibling session's
+# frame registers the view in the WRONG session). The hit path re-verifies
+# df.sparkSession is the caller's session, guarding id() reuse after GC.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_tables(
@@ -54,11 +58,12 @@ def load_tables(
     # read nanos as LONG and rebuild a microsecond timestamp (Pinot stores
     # time as LONG epoch anyway — reference configuration-reference/schema.md:69).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    app_id = spark.sparkContext.applicationId
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:
-        key = (app_id, sf_dir, name)
+        key = (id(spark), sf_dir, name)
         df = None if refresh else _DF_CACHE.get(key)
+        if df is not None and df.sparkSession is not spark:
+            df = None
         if df is None:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

@@ -228,12 +228,16 @@ def minhash_candidate_pairs(
     construction, and AQE handles stragglers."""
     from pyspark import StorageLevel
 
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
     # PERSIST the banded signatures: the self-join otherwise recomputes the
     # whole shingle→md5→min pipeline for both sides (exchange reuse does
     # not fire across the a/b aliases — measured, not assumed). Cached rows
     # are (key, band, band_hash) triples — num_bands small scalars per doc,
-    # negligible next to the corpus at any scale, spilled to disk if not;
-    # the ContextCleaner evicts them when the query's DataFrames are GC'd.
+    # negligible next to the corpus at any scale, spilled to disk if not.
+    # The cache is released DETERMINISTICALLY before returning (see
+    # lifecycle.materialize_release) — the result pairs are materialized
+    # eagerly so nothing downstream re-reads the intermediates.
     bands = minhash_bands(
         df, text_col, key_col, num_hashes, band_size, shingle_n, portable
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -241,12 +245,13 @@ def minhash_candidate_pairs(
     # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
     # would add a driver round trip for the build side).
     b = bands.alias("b").hint("shuffle_hash")
-    return (
+    pairs = (
         a.join(b, on=["band", "band_hash"], how="inner")
         .filter(F.col("a.key") < F.col("b.key"))
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
         .distinct()
     )
+    return materialize_release(pairs, bands)
 
 
 def jaccard_verify_pairs(
@@ -261,11 +266,14 @@ def jaccard_verify_pairs(
     LSH). Joins are key-equi joins; the shingle sets ride along as array
     columns, set ops are JVM built-ins.
 
-    The per-doc shingle-set projection is PERSISTED: it feeds both the
-    key_a and key_b joins, which would otherwise each recompute the
-    tokenize+shingle pass over the full corpus (the two joins hash on
-    different keys, so no exchange is shared). One cached row per doc."""
+    The per-doc shingle-set projection is PERSISTED for the duration of the
+    call: it feeds both the key_a and key_b joins, which would otherwise
+    each recompute the tokenize+shingle pass over the full corpus (the two
+    joins hash on different keys, so no exchange is shared). One cached row
+    per doc, released deterministically before returning."""
     from pyspark import StorageLevel
+
+    from apache_pinot_spark.operators.lifecycle import materialize_release
 
     toks = tokens_expr(text_col, frozenset())
     sh = (
@@ -278,7 +286,7 @@ def jaccard_verify_pairs(
     b = sh.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
-    return (
+    verified = (
         pairs.join(a, "key_a").join(b, "key_b")
         .select(
             "key_a",
@@ -287,6 +295,7 @@ def jaccard_verify_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return materialize_release(verified, sh)
 
 
 def lsh_verified_pairs(
@@ -309,8 +318,11 @@ def lsh_verified_pairs(
     minhash_candidate_pairs + jaccard_verify_pairs, this removes two full
     corpus tokenize passes — at 100 TB the tokenizer IS the scan cost.
     Cached rows: one shingle-set array per doc (the corpus text itself
-    never rides a shuffle) plus the (key, band, band_hash) triples."""
+    never rides a shuffle) plus the (key, band, band_hash) triples — both
+    released deterministically before returning (lifecycle helper)."""
     from pyspark import StorageLevel
+
+    from apache_pinot_spark.operators.lifecycle import materialize_release
 
     toks = tokens_expr(text_col, frozenset())
     shset_df = (
@@ -335,12 +347,13 @@ def lsh_verified_pairs(
     sb = shset_df.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
-    return (
+    verified = (
         pairs.join(sa, "key_a")
         .join(sb, "key_b")
         .select("key_a", "key_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return materialize_release(verified, shset_df, bands)
 
 
 # --------------------------------------------------------------------------

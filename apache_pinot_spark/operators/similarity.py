@@ -257,24 +257,27 @@ def lsh_candidate_pairs(
     Shuffles on (table, bucket); bucket population ~ N / 2^num_planes."""
     from pyspark import StorageLevel
 
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
     # Only (id, tbl, bucket) rides through the self-join — vectors stay out
     # of the shuffle/broadcast (rescoring rejoins them by id if needed).
     # The signature GEMM (one Arrow pass, see lsh_buckets) is the expensive
     # stage; PERSIST it so the self-join reads it once instead of
     # recomputing both sides (exchange reuse does not fire across the a/b
     # aliases). Cached rows are 3 scalars per (doc, table) — tiny relative
-    # to the corpus at any scale; evicted by the ContextCleaner when the
-    # query's DataFrames go out of scope.
+    # to the corpus at any scale; released deterministically before
+    # returning (lifecycle helper).
     sigs = lsh_buckets(corpus, dim, num_planes, num_tables, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    pairs = (
         a.join(b, on=["tbl", "bucket"], how="inner")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return materialize_release(pairs, sigs)
 
 
 def lsh_topk(

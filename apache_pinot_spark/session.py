@@ -40,18 +40,31 @@ RUNTIME_CONFS = {
     "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
 
+def _default_driver_mem() -> str:
+    """min(32g, 40% of MemTotal), floor 4g. local[N] runs every executor
+    thread inside the driver JVM: the heap must hold N concurrent task
+    working sets plus short-lived persisted frames (dedup/ANN operators
+    cache intermediates for the duration of one call — see
+    operators/lifecycle.py for the deterministic release). Sized from the
+    host rather than hardcoded so smaller machines aren't OOM-killed. On a
+    real cluster this maps to executor memory, where the same sizing logic
+    (working set per core x cores + cached partitions) applies."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(4, min(32, int(gib * 0.4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 # Static confs — only settable at session build time.
 STATIC_CONFS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    # local[N] runs every executor thread inside the driver JVM: the heap
-    # must hold N concurrent task working sets PLUS persisted frames
-    # (dedup/ANN pipelines cache shingle-set and signature arrays). 8g on
-    # a 128 GiB harness caused cache eviction + GC thrash — measured as
-    # 2-4x run-to-run variance on the persist-heavy suite queries. On a
-    # real cluster this maps to executor memory, where the same sizing
-    # logic (working set per core x cores + cached partitions) applies.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
 }
 
 
