@@ -130,7 +130,10 @@ def percentile_walk_duckdb_sql(
 ) -> str:
     """DuckDB scalar subquery reproducing percentile_walk_sql's arithmetic
     from RAW rows (bin → window cumulative count → first qualifying bin →
-    identical interpolation expression)."""
+    identical interpolation expression). NULL rows are filtered out to
+    match the sketch side, where a NULL value never increments any bin —
+    without the filter the NULL group's count would inflate `total` and
+    shift the target rank."""
     width = (hi - lo) / bins
     b = _bin_sql(col_sql, lo, hi, bins)
     return f"""(
@@ -139,7 +142,8 @@ def percentile_walk_duckdb_sql(
                  / CAST(c AS DOUBLE))
       FROM (
         SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS total
-        FROM (SELECT {b} AS bin, COUNT(*) AS c FROM {table_sql} GROUP BY 1)
+        FROM (SELECT {b} AS bin, COUNT(*) AS c FROM {table_sql}
+              WHERE {col_sql} IS NOT NULL GROUP BY 1)
       )
       WHERE c > 0 AND CAST(cum AS DOUBLE) >= ({q!r} / 100.0) * CAST(total AS DOUBLE)
       ORDER BY bin LIMIT 1

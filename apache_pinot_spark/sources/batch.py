@@ -159,23 +159,29 @@ TIME_RANGE_MIN_MS = 31_536_000_000  # 1971-01-01T00:00:00Z
 TIME_RANGE_MAX_MS = 3_187_296_000_000  # 2071-01-01T00:00:00Z
 
 
+def _check_time_window(mn, mx, time_column: str) -> None:
+    if mn is None:
+        return
+    if mn < TIME_RANGE_MIN_MS or mx >= TIME_RANGE_MAX_MS:
+        raise ValueError(
+            f"time column {time_column!r} outside the valid 1971-2071 UTC window "
+            f"(schema.md:72): min={mn} max={mx} epoch-ms; "
+            "fix the source data or the dateTimeFieldSpec format, or set "
+            "TableConfig.validate_time_range=False to bypass"
+        )
+
+
 def validate_time_range(df: DataFrame, schema: PinotSchema, time_column: str) -> None:
     """Enforce the reference's primary-time-column range check: values must
     fall in [1971-01-01, 2071-01-01) UTC. One min/max aggregate over the
-    normalized time — runs map-side-combined, no shuffle growth."""
+    normalized time — runs map-side-combined, no shuffle growth. This is
+    the standalone (extra-pass) form; ingest_batch folds the same check
+    into the write job via an Observation so the data is read once."""
     ts = schema.normalized_time(df, time_column)
     row = df.select(
         F.min(F.unix_millis(ts)).alias("mn"), F.max(F.unix_millis(ts)).alias("mx")
     ).collect()[0]
-    if row["mn"] is None:
-        return
-    if row["mn"] < TIME_RANGE_MIN_MS or row["mx"] >= TIME_RANGE_MAX_MS:
-        raise ValueError(
-            f"time column {time_column!r} outside the valid 1971-2071 UTC window "
-            f"(schema.md:72): min={row['mn']} max={row['mx']} epoch-ms; "
-            "fix the source data or the dateTimeFieldSpec format, or set "
-            "TableConfig.validate_time_range=False to bypass"
-        )
+    _check_time_window(row["mn"], row["mx"], time_column)
 
 
 def derived_columns(df: DataFrame, schema: PinotSchema, config: TableConfig) -> DataFrame:
@@ -221,8 +227,25 @@ def ingest_batch(
 
     df = schema.apply_types(raw)
     df = schema.apply_sentinels(df)
+    obs = None
     if config.time_column and config.validate_time_range:
-        validate_time_range(df, schema, config.time_column)
+        if mode == "overwrite":
+            # Fold the range check into the write job (one pass over the
+            # data instead of a separate min/max aggregate): observe the
+            # normalized-time min/max during the write, verify after, and
+            # roll the written table back on violation. Overwrite-only —
+            # an append rollback would delete pre-existing data.
+            from pyspark.sql import Observation
+
+            obs = Observation("time_range")
+            ts = schema.normalized_time(df, config.time_column)
+            df = df.observe(
+                obs,
+                F.min(F.unix_millis(ts)).alias("mn"),
+                F.max(F.unix_millis(ts)).alias("mx"),
+            )
+        else:
+            validate_time_range(df, schema, config.time_column)
     df = derived_columns(df, schema, config)
 
     table_path = os.path.join(warehouse, config.table_name)
@@ -263,6 +286,13 @@ def ingest_batch(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(table_path)
+    if obs is not None:
+        got = obs.get
+        try:
+            _check_time_window(got["mn"], got["mx"], config.time_column)
+        except ValueError:
+            shutil.rmtree(table_path, ignore_errors=True)
+            raise
 
     _write_table_meta(table_path, schema, config, writer_cols)
     register_table(spark, config.table_name, table_path)

@@ -589,24 +589,65 @@ class PinotDialect:
         get the fast shape — (reg, rho) computed once per row in a wrapped
         FROM subquery, 64 cheap MAX(CASE) partials over the pair (3.7x
         measured at sf0.1; identical estimates). Statements where the FROM
-        cannot be safely wrapped (joins/subqueries) fall back to the
-        self-contained inline expression."""
+        cannot be safely wrapped fall back to the self-contained inline
+        expression. The fast path requires the ONE match to sit at
+        parenthesis depth 0 with no table alias after it: wrapping a
+        derived table's inner FROM would inject the pair projection below
+        a projection that drops it (AnalysisException), and 'FROM t alias'
+        would turn into 'FROM (…) t alias' (parse error)."""
         from apache_pinot_spark.functions.hll import (
             hll_estimate_from_pair_sql,
             hll_estimate_sql,
             hll_pair_sqls,
         )
 
-        matches = list(_FROM_RE.finditer(sql))
-        if len(matches) == 1:
-            m = matches[0]
-            tbl = m.group(1)
+        def _safe(m: re.Match) -> bool:
+            if sql[: m.start()].count("(") != sql[: m.start()].count(")"):
+                return False  # inside a subquery/derived table
+            tail = sql[m.end():].lstrip()
+            return tail == "" or re.match(
+                r"(?i)(WHERE|GROUP|ORDER|LIMIT|HAVING)\b", tail
+            ) is not None
+
+        def _find_wrap_target() -> tuple[int, int, str, str] | None:
+            """(start, end, from_body, alias) of the one depth-0 FROM clause
+            — a plain table or a derived table '(…) alias' — or None."""
+            matches = list(_FROM_RE.finditer(sql))
+            if len(matches) == 1 and _safe(matches[0]):
+                m = matches[0]
+                return m.start(), m.end(), m.group(1), m.group(1)
+            # depth-0 derived table: FROM ( … ) alias
+            for dm in re.finditer(r"(?i)\bFROM\s*\(", sql):
+                if sql[: dm.start()].count("(") != sql[: dm.start()].count(")"):
+                    continue
+                depth, i = 1, dm.end()
+                while i < len(sql) and depth:
+                    if sql[i] == "(":
+                        depth += 1
+                    elif sql[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    return None
+                am = re.match(r"\s*([A-Za-z_]\w*)", sql[i:])
+                if not am or am.group(1).upper() in (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "ON",
+                    "CROSS", "LEFT", "RIGHT", "INNER", "UNION",
+                ):
+                    return None
+                end = i + am.end()
+                return dm.start(), end, sql[dm.start() + 4 : end], am.group(1)
+            return None
+
+        target = _find_wrap_target()
+        if target is not None:
+            start, end, body, alias = target
             proj_parts = []
             for k, arg in enumerate(self._hll_args):
                 reg, rho = hll_pair_sqls(arg, "spark")
                 proj_parts.append(f"{reg} AS __hll_reg_{k}, {rho} AS __hll_rho_{k}")
-            wrapped = f"FROM (SELECT *, {', '.join(proj_parts)} FROM {tbl}) {tbl}"
-            sql = sql[: m.start()] + wrapped + sql[m.end():]
+            wrapped = f"FROM (SELECT *, {', '.join(proj_parts)} FROM {body}) {alias}"
+            sql = sql[:start] + wrapped + sql[end:]
             for k in range(len(self._hll_args)):
                 sql = sql.replace(
                     f"__PINOT_HLL_EST_{k}__",

@@ -22,6 +22,3 @@ from apache_pinot_spark.suites import json_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import dedup_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import similarity_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402
-
-# past-the-window additive queries — keep LAST (see extras_suite docstring)
-from apache_pinot_spark.suites import extras_suite  # noqa: F401,E402

@@ -7,9 +7,10 @@ Consolidated layout (driver checks at most 50 declared queries, so each
 TEXT_MATCH form is one output column of a shared scan instead of its own
 query; the per-form engine functions keep dedicated tests in
 tests/test_text_match.py):
-  p10_text_match_forms   — term / phrase / prefix / boolean counts
-  p10_text_match_groupby — TEXT_MATCH inside aggregation
-  p11_p12_regex          — TEXT_CONTAINS token regex + raw REGEXP_LIKE
+  p10_text_match_forms — term / phrase / prefix / boolean counts, GROUPED
+                         by lang (covers TEXT_MATCH inside aggregation —
+                         text-search-support.md:76-86 — in the same scan)
+  p11_p12_regex        — TEXT_CONTAINS token regex + raw REGEXP_LIKE
 """
 
 from __future__ import annotations
@@ -42,12 +43,19 @@ def _cnt(cond):
 
 
 def _match_forms(spark: SparkSession, sf_dir: str):
+    # GROUP BY lang so the one declared query covers both the four match
+    # forms AND the TEXT_MATCH-inside-aggregation surface (the reference's
+    # group-by example, text-search-support.md:76-86) in a single scan.
     d = _docs(spark, sf_dir)
-    return d.agg(
-        _cnt(text_match("text", "spark")).alias("cnt_term"),
-        _cnt(text_match("text", '"table scan"')).alias("cnt_phrase"),
-        _cnt(text_match("text", "val*")).alias("cnt_prefix"),
-        _cnt(text_match("text", '"table scan" AND (spark flink)')).alias("cnt_boolean"),
+    return (
+        d.groupBy("lang")
+        .agg(
+            _cnt(text_match("text", "spark")).alias("cnt_term"),
+            _cnt(text_match("text", '"table scan"')).alias("cnt_phrase"),
+            _cnt(text_match("text", "val*")).alias("cnt_prefix"),
+            _cnt(text_match("text", '"table scan" AND (spark flink)')).alias("cnt_boolean"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -56,33 +64,19 @@ df_query(
     _match_forms,
     _TOKS_CTE
     + """
-    SELECT
+    SELECT lang,
       CAST(count_if(list_contains(t, 'spark')) AS BIGINT) AS cnt_term,
       CAST(count_if(contains(' '||array_to_string(t,' ')||' ', ' table scan ')) AS BIGINT) AS cnt_phrase,
       CAST(count_if(len(list_filter(t, x -> x LIKE 'val%')) > 0) AS BIGINT) AS cnt_prefix,
       CAST(count_if(contains(' '||array_to_string(t,' ')||' ', ' table scan ')
                AND (list_contains(t, 'spark') OR list_contains(t, 'flink'))) AS BIGINT) AS cnt_boolean
-    FROM toks
+    FROM toks GROUP BY lang ORDER BY lang
     """,
     tables=["documents"],
     doc="P10 term (text-search-support.md:398-409), phrase (:346-383), "
-        "prefix (:484-499), and boolean (:411-480) forms in one scan",
+        "prefix (:484-499), and boolean (:411-480) forms, grouped by lang "
+        "(TEXT_MATCH in aggregation, :76-86), one scan",
 )
-
-
-def _match_by_lang(spark: SparkSession, sf_dir: str):
-    return (
-        _docs(spark, sf_dir)
-        .filter(text_match("text", '"merge join" OR "hash join"'))
-        .groupBy("lang")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("lang")
-    )
-
-
-# (registration lives in extras_suite so it lands past the driver's
-# 50-query window — its TEXT_MATCH surface is already covered by
-# p10_text_match_forms and eng_text_match_sql)
 
 
 def _regex_forms(spark: SparkSession, sf_dir: str):

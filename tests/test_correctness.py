@@ -66,3 +66,19 @@ def test_query_matches_oracle(name, spark, duck):
                 exact = False
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
     assert exact, f"{name}: values equal but stringified forms differ (hash risk)"
+
+
+def test_registry_is_exactly_the_driver_window():
+    """The driver's correctness ledger covers the FIRST 50 registered
+    queries; a 51st registration silently loses its ledger row (bit us in
+    rounds 1 and 3). Every declared query must be inside the window and
+    oracle-backed."""
+    import apache_pinot_spark.suites  # noqa: F401
+    from apache_pinot_spark.querysuite import REGISTRY
+
+    assert len(REGISTRY) == 50, (
+        f"declared suite must be exactly the driver's 50-query window, got "
+        f"{len(REGISTRY)}: trim or fold (see suites/__init__.py)"
+    )
+    no_oracle = [n for n, q in REGISTRY.items() if q.oracle is None]
+    assert no_oracle == [], f"queries without a DuckDB oracle: {no_oracle}"
