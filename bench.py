@@ -114,15 +114,31 @@ def main() -> None:
         "FROM (SELECT DISTINCT k FROM __warm_hll) u"
     ).collect()
 
-    timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in querysuite.REGISTRY]
     extra = [n for n in sorted(querysuite.REGISTRY) if n not in names]
-    for name in names + extra:
-        q = querysuite.REGISTRY[name]
-        t0 = time.perf_counter()
-        rows = q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+
+    def run_suite() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names + extra:
+            q = querysuite.REGISTRY[name]
+            t0 = time.perf_counter()
+            rows = q.fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            assert rows is not None
+        return timings
+
+    # Two back-to-back passes: run 1 is the headline (includes per-plan
+    # codegen, the honest first-query cost); run 2 demonstrates stability —
+    # a suite whose numbers move several-x between adjacent runs can't
+    # support any perf conclusion (bit us in round 3).
+    timings = run_suite()
+    timings2 = run_suite()
+    ratios = [
+        max(timings[n], timings2[n]) / max(1e-9, min(timings[n], timings2[n]))
+        for n in timings
+        # sub-200ms queries are timer noise, not instability signal
+        if max(timings[n], timings2[n]) > 0.2
+    ]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -131,6 +147,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n": 2,
+        "run2_total": round(sum(timings2.values()), 4),
+        "run2_queries": timings2,
+        "max_query_ratio_run1_vs_run2": round(max(ratios), 2) if ratios else 1.0,
     }
     print(json.dumps(out))
     spark.stop()
