@@ -115,6 +115,14 @@ class PinotCatalog:
         with open(os.path.join(self.warehouse, "_schemas", f"{name}.json")) as fh:
             return PinotSchema.from_json(json.load(fh))
 
+    def schema_doc(self, name: str) -> dict:
+        """Raw stored schema document (the REST GET /schemas/{name} body)."""
+        import json
+        import os
+
+        with open(os.path.join(self.warehouse, "_schemas", f"{name}.json")) as fh:
+            return json.load(fh)
+
     def list_schemas(self) -> list[str]:
         import os
 

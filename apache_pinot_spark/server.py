@@ -1,0 +1,140 @@
+"""S6 — controller/broker HTTP surface over PinotCatalog + PinotEngine.
+
+The reference exposes its catalog DDL and query entry points as REST
+endpoints (basics/Architecture.md:71-79: controller admin endpoints;
+:121-152: the broker's `POST /query/sql` returning the JSON result
+envelope). This module is the HTTP shim over the Python equivalents —
+stdlib `http.server` only (the container has no web framework), threaded
+so a Spark driver can serve queries while tests call it.
+
+Endpoints (paths follow the reference's controller/broker split):
+  POST /query/sql            {"sql": "..."} → broker envelope (S5)
+  GET  /health               liveness
+  GET  /schemas              schema names
+  POST /schemas              create schema from the JSON schema doc
+  GET  /schemas/{name}       one schema doc
+  GET  /tables               table names
+  GET  /tables/{name}        table metadata (_pinot_table.json)
+  GET  /tables/{name}/segments  segment (partition directory) list
+  DELETE /tables/{name}      drop table
+
+Single-process scope: this is the documented single-node stand-in for the
+controller quorum — state lives in the catalog's warehouse directory, so
+a restart re-attaches via PinotCatalog.attach_all.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _jsonable(o):
+    """JSON-encode envelope values DuckDB/Spark may emit (bytes, Decimal,
+    datetimes) the way the reference's broker does: binary as hex,
+    temporals as ISO strings, decimals as numbers."""
+    import datetime
+    import decimal
+
+    if isinstance(o, (bytes, bytearray)):
+        return o.hex()
+    if isinstance(o, decimal.Decimal):
+        return float(o)
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+class PinotHttpServer:
+    """Thin REST layer; see module docstring. Serves on a daemon thread:
+    ``srv = PinotHttpServer(engine, catalog); port = srv.start()``."""
+
+    def __init__(self, engine, catalog=None, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.catalog = catalog
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # silence per-request stderr
+                pass
+
+            def _reply(self, code: int, payload):
+                body = json.dumps(payload, default=_jsonable).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                try:
+                    if parts == ["health"]:
+                        return self._reply(200, {"status": "OK"})
+                    if parts == ["schemas"]:
+                        return self._reply(200, server.catalog.list_schemas())
+                    if len(parts) == 2 and parts[0] == "schemas":
+                        return self._reply(200, server.catalog.schema_doc(parts[1]))
+                    if parts == ["tables"]:
+                        return self._reply(200, {"tables": server.catalog.list_tables()})
+                    if len(parts) == 2 and parts[0] == "tables":
+                        return self._reply(200, server.catalog.table_meta(parts[1]))
+                    if len(parts) == 3 and parts[0] == "tables" and parts[2] == "segments":
+                        return self._reply(200, server.catalog.list_segments(parts[1]))
+                    return self._reply(404, {"error": f"no route {self.path}"})
+                except FileNotFoundError:
+                    return self._reply(404, {"error": "not found"})
+                except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                    return self._reply(500, {"error": str(e)[:500]})
+
+            def do_POST(self):
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                try:
+                    if parts == ["query", "sql"]:
+                        sql = self._body().get("sql", "")
+                        return self._reply(200, server.engine.query(sql))
+                    if parts == ["schemas"]:
+                        doc = self._body()
+                        sch = server.catalog.create_schema(doc)
+                        return self._reply(200, {"status": f"{sch.schema_name} created"})
+                    return self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001
+                    return self._reply(500, {"error": str(e)[:500]})
+
+            def do_DELETE(self):
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                try:
+                    if len(parts) == 2 and parts[0] == "tables":
+                        server.catalog.drop_table(parts[1])
+                        return self._reply(200, {"status": f"{parts[1]} dropped"})
+                    return self._reply(404, {"error": f"no route {self.path}"})
+                except FileNotFoundError:
+                    return self._reply(404, {"error": "not found"})
+                except Exception as e:  # noqa: BLE001
+                    return self._reply(500, {"error": str(e)[:500]})
+
+        return Handler
