@@ -114,6 +114,11 @@ def main() -> None:
         "FROM (SELECT DISTINCT k FROM __warm_hll) u"
     ).collect()
 
+    # Flush warmup-ingest dirty pages before timing starts: the lifecycle
+    # warmup writes ~0.5 GB of parquet, and kernel writeback overlapping
+    # the first timed queries showed up as random 3-10x outliers on them.
+    os.sync()
+
     names = [n for n in BENCH_QUERIES if n in querysuite.REGISTRY]
     extra = [n for n in sorted(querysuite.REGISTRY) if n not in names]
 
