@@ -292,9 +292,27 @@ sql_query(
 # dimension side; verified in tests/test_plans.py.
 # --------------------------------------------------------------------------
 
+# The dimension side (customer⋈orders) is pre-joined in an aliased
+# subquery and hint-broadcast so the FACT table streams as the probe:
+# without the restructure, at sf0.1 the whole lineitem scan fits under
+# the 64 MB threshold and Catalyst broadcasts the fact table (600 k-row
+# driver-side hashed relation — measured 2 s ↔ 21 s swings in-suite, and
+# flatly wrong at 100 TB where lineitem must stream).
 sql_query(
     "join_customer_revenue",
     """
+    SELECT /*+ BROADCAST(co) */ co.c_mktsegment,
+           COUNT(DISTINCT co.o_orderkey) AS num_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT /*+ BROADCAST(c) */ c.c_mktsegment, o.o_orderkey
+          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey) co
+      ON co.o_orderkey = l.l_orderkey
+    GROUP BY co.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    oracle="""
     SELECT c.c_mktsegment,
            COUNT(DISTINCT o.o_orderkey) AS num_orders,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
@@ -306,7 +324,7 @@ sql_query(
     ORDER BY c_mktsegment
     """,
     tables=["customer", "orders", "lineitem"],
-    doc="3-way star join; dims broadcast; TPC-H Q3 family",
+    doc="3-way star join; dims broadcast (hint-pinned); TPC-H Q3 family",
 )
 
 # (A second 3-way star join, region→nation→supplier, was collapsed into

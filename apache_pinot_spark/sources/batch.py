@@ -438,45 +438,44 @@ def purge_records(
         spark.catalog.refreshByPath(table_path)
         return n_before - n_after
 
-    # One job, not one per segment: find hit partitions (semi join), then
-    # rewrite ALL of them in a single dynamic-partition-overwrite write of
-    # the surviving rows — partitions without hits are untouched on disk.
-    # At 100 TB this is `hit segments` worth of IO in one shuffle-free
-    # pass, and the per-job scheduling overhead no longer scales with the
-    # number of segments a user appears in. Handles one- or two-level
-    # layouts (time bucket, optionally + segment partition): when the
-    # table is segment-partitioned on the purge key, the semi join prunes
-    # to 1/N of each day's data for free.
+    # Two jobs total, regardless of segment count. Job 1: ONE broadcast
+    # left join + per-partition aggregate computes, for every partition,
+    # its total and surviving row counts — hit partitions (kept < total),
+    # the purge accounting, and the fully-purged set all come from this
+    # single pass. Job 2: a dynamic-partition-overwrite write of the
+    # surviving rows of ONLY the hit partitions — untouched partitions
+    # stay as-is on disk. At 100 TB this is one full metadata-cheap scan
+    # plus `hit segments` worth of rewrite IO; per-job scheduling overhead
+    # does not scale with the number of segments a user appears in.
+    # Handles one- or two-level layouts (time bucket, optionally + segment
+    # partition): when the table is segment-partitioned on the purge key,
+    # partition pruning cuts the rewrite to 1/N of each day's data free.
     part_cols = [
         c
         for c in df.columns
         if c == TIME_BUCKET_COL or c.startswith(SEGMENT_PARTITION_COL)
     ]
-    hit_parts = (
-        df.join(F.broadcast(purge_keys), on=key_column, how="leftsemi")
-        .select(*part_cols)
-        .distinct()
+    marked = purge_keys.withColumn("__purged", F.lit(1))
+    stats = (
+        df.join(F.broadcast(marked), on=key_column, how="left")
+        .groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("__total"),
+            F.count(F.when(F.col("__purged").isNull(), 1)).alias("__kept"),
+        )
         .collect()
     )
-    if not hit_parts:
+    hit = [r for r in stats if r["__kept"] < r["__total"]]
+    if not hit:
         return 0
-    from pyspark import StorageLevel
-
-    hit_tuples = spark.createDataFrame(hit_parts)
-    hit_df = df.join(F.broadcast(hit_tuples), on=part_cols, how="leftsemi")
-    n_before = hit_df.count()
-    kept = hit_df.join(F.broadcast(purge_keys), on=key_column, how="left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
+    n_before = sum(r["__total"] for r in hit)
+    n_after = sum(r["__kept"] for r in hit)
+    hit_tuples = spark.createDataFrame(
+        [tuple(r[c] for c in part_cols) for r in hit], df.select(*part_cols).schema
     )
-    # survivor accounting from the KEPT plan, computed BEFORE the write:
-    # dynamic overwrite leaves a fully-purged partition's old files in
-    # place (no output rows → nothing replaced), so reading the table back
-    # would double-count them
-    per_part = {
-        tuple(r[c] for c in part_cols): r["count"]
-        for r in kept.groupBy(*part_cols).count().collect()
-    }
-    n_after = sum(per_part.values())
+    kept = df.join(F.broadcast(hit_tuples), on=part_cols, how="leftsemi").join(
+        F.broadcast(purge_keys), on=key_column, how="left_anti"
+    )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -486,13 +485,13 @@ def purge_records(
         ).parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        kept.unpersist()
-    # drop partitions whose every row was purged (no output → not replaced)
-    for row in hit_parts:
-        key = tuple(row[c] for c in part_cols)
-        if key not in per_part:
+    # drop partitions whose every row was purged: dynamic overwrite wrote
+    # no output for them, so their old files are still on disk
+    for r in hit:
+        if r["__kept"] == 0:
             part_dir = os.path.join(
-                table_path, *[f"{c}={v}" for c, v in zip(part_cols, key)]
+                table_path,
+                *[f"{c}={r[c]}" for c in part_cols],
             )
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)
