@@ -113,6 +113,19 @@ def main() -> None:
         "SELECT DISTINCTCOUNTHLL(k) AS h, DISTINCTCOUNT(k) AS d "
         "FROM (SELECT DISTINCT k FROM __warm_hll) u"
     ).collect()
+    # ... and the JSON_MATCH shared-extraction (exists-carrier) shape.
+    weng.register(
+        "__warm_json",
+        spark.range(256).selectExpr(
+            "to_json(named_struct('k', id % 100)) AS props",
+            "CAST(id % 5 AS STRING) AS event_type",
+        ),
+    )
+    weng.sql(
+        "SELECT event_type, COUNT(*) AS cnt FROM __warm_json "
+        "WHERE JSON_MATCH(props, '\"$.k\">=50 AND \"$.k\"<80') "
+        "GROUP BY event_type ORDER BY event_type"
+    ).collect()
 
     # Flush warmup-ingest dirty pages before timing starts: the lifecycle
     # warmup writes ~0.5 GB of parquet, and kernel writeback overlapping
