@@ -51,6 +51,23 @@ def test_dimension_join_broadcasts(spark, tables):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_fact_table_streams_in_star_join(spark):
+    """join_customer_revenue must stream the fact table (lineitem) as the
+    probe side and broadcast the pre-joined dimension side. Size-based
+    planning broadcasts the fact scan whenever the local SF fits the
+    threshold — survivable locally, structurally wrong at 100 TB (and the
+    driver-side 600k-row hash build measured 2-21s swings in-suite)."""
+    import apache_pinot_spark.suites  # noqa: F401
+    from apache_pinot_spark.querysuite import REGISTRY
+
+    plan = _plan(REGISTRY["join_customer_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # plan text prints a BroadcastExchange directly above its build-side
+    # subtree: the streamed lineitem scan must appear before every
+    # BroadcastExchange, never under one
+    assert plan.index("lineitem.parquet") < plan.index("BroadcastExchange")
+
+
 def test_partial_aggregation_before_shuffle(spark, tables):
     df = tables["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
     plan = _plan(df)
