@@ -118,6 +118,8 @@ def make_batch_committer(
     import os
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+
         batch_dir = os.path.join(table_path, f"__stream_batch={batch_id}")
         if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
             return  # replay of an already-committed batch: idempotent skip
@@ -126,11 +128,94 @@ def make_batch_committer(
         if config.time_column:
             writer = writer.partitionBy(TIME_BUCKET_COL)
         writer.parquet(batch_dir)
+        # Record which SOURCE files this batch consumed (file sources only;
+        # non-file sources yield ''): consuming_view subtracts them from
+        # the source listing to find the not-yet-committed tail. Metadata-
+        # sized job — distinct over input_file_name reads no data columns.
+        try:
+            files = [
+                r[0]
+                for r in batch_df.select(F.input_file_name()).distinct().collect()
+                if r[0]
+            ]
+            if files:
+                with open(os.path.join(batch_dir, "_pinot_source_files.json"), "w") as fh:
+                    _json.dump(sorted(files), fh)
+        except Exception:
+            pass  # freshness metadata is best-effort; the commit stands
         st.last_commit_ms = int(time.time() * 1000)
         st.batches += 1
         st.rows += batch_df.sparkSession.read.parquet(batch_dir).count()
 
     return commit_batch
+
+
+def consuming_view(
+    spark: SparkSession,
+    schema: PinotSchema,
+    config: TableConfig,
+    source_dir: str,
+    table_path: str,
+    source_format: str = "json",
+    source_schema=None,  # DDL string or StructType
+) -> DataFrame:
+    """ST1 sub-trigger consuming-segment freshness (Architecture.md:171):
+    Pinot serves rows from the in-flight consuming segment BEFORE it
+    completes; a micro-batch pipeline's floor is otherwise the trigger
+    interval. This view restores the reference semantics for file
+    sources: committed segments UNION a batch read of the source files no
+    committed batch has consumed yet (each commit records its source
+    files — `_pinot_source_files.json`). A row dropped into the source
+    directory is queryable immediately, before any trigger fires, through
+    the SAME normalize pipeline as the stream — so schema, sentinels, and
+    derived index columns match the committed half exactly.
+
+    Scale shape: the committed half is a partitioned parquet scan (prunes
+    normally); the consuming tail is a listing diff (metadata-only) plus
+    a scan of only the uncommitted files — exactly the size of the
+    consuming segment, independent of table history."""
+    import glob
+    import json as _json
+    import os
+
+    def _path(uri: str) -> str:
+        # input_file_name() yields file:///abs/path (or file:/abs/path);
+        # normalize both sides to plain absolute paths
+        if "://" in uri:
+            uri = uri.split("://", 1)[1]
+        elif uri.startswith("file:"):
+            uri = uri[5:]
+        return os.path.abspath(uri)
+
+    committed: set[str] = set()
+    exists = os.path.isdir(table_path)
+    if exists:
+        for meta in glob.glob(
+            os.path.join(table_path, "__stream_batch=*", "_pinot_source_files.json")
+        ):
+            with open(meta) as fh:
+                committed.update(_path(u) for u in _json.load(fh))
+    pending = [
+        p
+        for p in sorted(glob.glob(os.path.join(source_dir, "*")))
+        if os.path.isfile(p) and os.path.abspath(p) not in committed
+    ]
+    reader = spark.read.format(source_format)
+    if source_schema:
+        reader = reader.schema(source_schema)
+    halves = []
+    if exists:
+        halves.append(spark.read.parquet(table_path).drop("__stream_batch"))
+    if pending:
+        tail = normalize_stream(reader.load(pending), schema, config)
+        halves.append(tail)
+    if not halves:
+        raise ValueError(f"nothing to read: no commits in {table_path!r} and no source files")
+    out = halves[0]
+    for h in halves[1:]:
+        common = [c for c in out.columns if c in set(h.columns)]
+        out = out.select(*common).unionByName(h.select(*common))
+    return out
 
 
 def hybrid_view(

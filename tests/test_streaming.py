@@ -242,3 +242,60 @@ def test_stateful_running_totals(spark, tmp_path):
         assert got["b"] == (1, 10.0)
     finally:
         q.stop()
+
+
+def test_consuming_view_sub_trigger_freshness(spark, tmp_path_factory):
+    """ST1: a file dropped in the source dir is queryable through
+    consuming_view BEFORE any trigger fires (here: the stream is stopped),
+    through the same normalize pipeline as the committed half; once the
+    stream commits it, the view result is unchanged (no duplicates)."""
+    root = tmp_path_factory.mktemp("consuming")
+    src = root / "src"
+    src.mkdir()
+    table = str(root / "table")
+    ckpt = str(root / "ckpt")
+    _write_source_file(
+        src, 0,
+        [{"user": "u1", "page": "spark streaming", "n": 1, "ts_ms": BASE_MS}],
+    )
+    state = R.ConsumingState()
+    stream = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    q = R.ingest_stream(spark, SCHEMA, CFG, stream, table, ckpt,
+                        trigger_seconds=0.5, state=state)
+    deadline = time.time() + 60
+    while state.batches < 1 and time.time() < deadline:
+        time.sleep(0.25)
+    q.stop()  # no more triggers will fire
+
+    # in-flight rows: new file with NO stream running
+    _write_source_file(
+        src, 1,
+        [{"user": "u9", "page": "consuming segment", "n": 7, "ts_ms": BASE_MS + 1000}],
+    )
+    view = R.consuming_view(
+        spark, SCHEMA, CFG, str(src), table,
+        source_format="json", source_schema=_SRC_SCHEMA,
+    )
+    assert view.count() == 2  # committed row + in-flight row
+    live = view.filter(F.col("user") == "u9")
+    assert live.count() == 1
+    # the consuming tail went through the SAME normalize pipeline (ST5)
+    assert "$page$tokens" in view.columns
+    assert "consuming" in live.select("$page$tokens").collect()[0][0]
+    # committed half alone does NOT see the row (proves sub-trigger)
+    assert spark.read.parquet(table).count() == 1
+
+    # restart the stream; once the file commits, the view is stable
+    state2 = R.ConsumingState()
+    stream2 = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    q2 = R.ingest_stream(spark, SCHEMA, CFG, stream2, table, ckpt,
+                         trigger_seconds=0.5, state=state2)
+    deadline = time.time() + 60
+    while state2.batches < 1 and time.time() < deadline:
+        time.sleep(0.25)
+    q2.stop()
+    view2 = R.consuming_view(
+        spark, SCHEMA, CFG, str(src), table,
+        source_format="json", source_schema=_SRC_SCHEMA,
+    )
+    assert view2.count() == 2  # no duplicates after commit
