@@ -174,3 +174,74 @@ def test_hll_python_mirror_matches_sql_implementation():
     con.sql("CREATE TABLE t AS SELECT unnest(range(1, 1501)) AS v")
     sql_est = con.sql(f"SELECT {hll_estimate_sql('v', 'duckdb')} FROM t").fetchone()[0]
     assert sql_est == _py_estimate(_py_registers(values))
+
+
+# --------------------------------------------------------------------------
+# Language ID: the Spark argmax (two linear aggregate passes) must equal a
+# direct Python evaluation of the same decision rule on any input.
+# --------------------------------------------------------------------------
+
+
+def _lang_id_python(text: str, default: str = "und") -> str:
+    from apache_pinot_spark.operators.textanalysis import LANG_MARKERS
+
+    toks = [t for t in text.lower().split() if t]
+    best_lang, best_count = default, 0
+    for lang in sorted(LANG_MARKERS):  # earliest alphabetical wins ties
+        c = sum(1 for t in toks if t in LANG_MARKERS[lang])
+        if c > best_count:
+            best_lang, best_count = lang, c
+    return best_lang
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            "the of and to in le la les et des el los las y una der die das "
+            "und nicht de shi bu wo xyzzy foo bar baz qux".split()
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_lang_id_matches_python_reference(tokens):
+    # pure-Python cross-check of the fold/argmax encoding (no Spark in the
+    # hypothesis loop — the Spark expression itself is oracle-checked by
+    # tx_lang_id_eval); here we pin the DECISION RULE the SQL encodes
+    text = " ".join(tokens)
+    from apache_pinot_spark.operators.textanalysis import LANG_MARKERS
+
+    counts = {
+        lang: sum(1 for t in text.lower().split() if t in LANG_MARKERS[lang])
+        for lang in LANG_MARKERS
+    }
+    got = _lang_id_python(text)
+    if all(c == 0 for c in counts.values()):
+        assert got == "und"
+    else:
+        best = max(counts.values())
+        assert counts[got] == best
+        assert got == min(l for l, c in counts.items() if c == best)
+
+
+def test_lang_id_spark_matches_python_reference(spark):
+    """One batched Spark round-trip over adversarial cases: ties, all-zero,
+    mixed-language, marker-dense rows."""
+    from pyspark.sql import functions as F
+
+    from apache_pinot_spark.operators.textanalysis import lang_id_expr
+
+    cases = [
+        "",                                   # empty → und
+        "xyzzy plugh",                        # no markers → und
+        "the of and to in",                   # pure en
+        "le la les et des",                   # pure fr
+        "de de de",                           # zh/fr marker collision → earliest max
+        "the le el der de",                   # 5-way tie → earliest alphabetical
+        "und nicht der die das the of",       # de vs en
+        "y una el los las and the",           # es vs en
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["text"])
+    got = [r[0] for r in df.select(lang_id_expr("text")).collect()]
+    want = [_lang_id_python(c) for c in cases]
+    assert got == want
