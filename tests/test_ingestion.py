@@ -382,3 +382,57 @@ def test_inverted_index_columns_config(schema, spark, tmp_path):
     assert spark.read.parquet(path).count() == 20
     rt = B.TableConfig.from_json(B.read_table_meta(path)["config"])
     assert rt.inverted_index_columns == ["gender"]
+
+
+# --------------------------------------------------------------------------
+# S1 — multi-format sources: the reference's batch ingestion accepts CSV /
+# JSON / ORC / Parquet (basics/Architecture.md:192-196 batch flow). One
+# dataset round-trips through each reader into the same segment store with
+# identical results.
+# --------------------------------------------------------------------------
+
+_FMT_SCHEMA_DOC = {
+    "schemaName": "fmt_events",
+    "dimensionFieldSpecs": [
+        {"name": "event_id", "dataType": "LONG"},
+        {"name": "event_type", "dataType": "STRING"},
+    ],
+    "metricFieldSpecs": [{"name": "value", "dataType": "DOUBLE"}],
+    "dateTimeFieldSpecs": [
+        {"name": "ts_ms", "dataType": "LONG", "format": "1:MILLISECONDS:EPOCH",
+         "granularity": "1:DAYS"}
+    ],
+}
+
+_FMT_ROWS = [
+    (1, "view", 1.5, 1_700_000_000_000),
+    (2, "click", 2.5, 1_700_086_400_000),
+    (3, "view", 0.5, 1_700_172_800_000),
+]
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_ingest_batch_multi_format(spark, tmp_path, fmt):
+    src_df = spark.createDataFrame(
+        _FMT_ROWS, "event_id LONG, event_type STRING, value DOUBLE, ts_ms LONG"
+    )
+    src = str(tmp_path / f"src_{fmt}")
+    writer = src_df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(src)
+
+    schema = PinotSchema.from_json(json.dumps(_FMT_SCHEMA_DOC))
+    cfg = B.TableConfig(table_name=f"fmt_{fmt}", time_column="ts_ms")
+    path = B.ingest_batch(
+        spark, schema, cfg, src, fmt=fmt,
+        warehouse=str(tmp_path / "wh"), mode="overwrite",
+    )
+    out = spark.read.parquet(path)
+    got = sorted(
+        (r["event_id"], r["event_type"], r["value"], r["ts_ms"])
+        for r in out.collect()
+    )
+    assert got == sorted(_FMT_ROWS)
+    # time-bucketed segments: one day-partition per distinct day
+    assert len(B.list_segments(path)) == 3
