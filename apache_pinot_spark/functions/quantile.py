@@ -29,10 +29,15 @@ _W = 8  # hex chars per bin (32-bit count)
 
 
 def _bin_sql(col_sql: str, lo: float, hi: float, bins: int) -> str:
+    # NULL must stay NULL (never counted in any bin): GREATEST/LEAST SKIP
+    # null arguments in both Spark and DuckDB, so without the CASE guard a
+    # NULL value silently lands in the clamp floor — bin 0 — and corrupts
+    # the histogram with phantom low-end counts.
     width = (hi - lo) / bins
     return (
+        f"CASE WHEN {col_sql} IS NULL THEN NULL ELSE "
         f"LEAST(GREATEST(CAST(FLOOR((CAST({col_sql} AS DOUBLE) - {lo!r}) / {width!r}) "
-        f"AS INT), 0), {bins - 1})"
+        f"AS INT), 0), {bins - 1}) END"
     )
 
 

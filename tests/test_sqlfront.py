@@ -503,3 +503,34 @@ def test_partition_routing_in_list(spark, tmp_path):
     # a string literal containing "user_id IN (...)" is untouched
     rr2 = eng.rewrite("SELECT COUNT(*) AS c FROM r2_routed WHERE 'user_id IN (1)' = 'x'")
     assert "pmod" not in rr2.sql
+
+
+def test_percentile_walk_oracle_ignores_nulls(spark):
+    """The sketch side never increments a bin for NULL values; the DuckDB
+    walk oracle must filter NULLs the same way or its total (and target
+    rank) shifts. Built from a table WITH NULLs to pin the parity."""
+    import duckdb
+
+    from apache_pinot_spark.functions.quantile import (
+        estimate_percentile,
+        histogram_sketch_sql,
+        percentile_walk_duckdb_sql,
+        sketch_counts,
+    )
+
+    rows = [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)] * 5
+    spark.createDataFrame(rows, "x DOUBLE").createOrReplaceTempView("nulls_q")
+    lo, hi = 0.0, 16.0
+    sk = spark.sql(
+        f"SELECT {histogram_sketch_sql('x', lo, hi, 'spark')} AS m FROM nulls_q"
+    ).collect()[0]["m"]
+    spark_est = estimate_percentile(sketch_counts(bytes(sk)), lo, hi, 50)
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE nulls_q AS SELECT * FROM (VALUES "
+            + ", ".join(f"({v})" for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+            + ", (NULL), (NULL), (NULL), (NULL), (NULL)) t(x)")
+    duck_est = con.sql(
+        "SELECT " + percentile_walk_duckdb_sql("nulls_q", "x", lo, hi, 50.0) + " AS p"
+    ).fetchone()[0]
+    assert abs(spark_est - duck_est) < 1e-9
