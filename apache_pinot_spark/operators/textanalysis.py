@@ -191,12 +191,15 @@ def lang_id_expr(col: Column | str, default: str = "und") -> Column:
     # acc starts at (c=0, i=len) → index len maps to the default slot; a
     # strict > keeps the earliest language on ties and rejects all-zero.
     lang_arr = F.array(*[F.lit(lang) for lang in langs], F.lit(default))
-    return F.aggregate(
+    best = F.aggregate(
         entries,
         F.struct(F.lit(0).alias("c"), F.lit(len(langs)).cast("int").alias("i")),
         lambda acc, e: F.when(e["c"] > acc["c"], e).otherwise(acc),
         lambda acc: F.element_at(lang_arr, acc["i"] + 1),
     )
+    # NULL text → NULL token array → NULL fold: map to the default, the
+    # way a CASE-chain oracle falls through its ELSE branch
+    return F.coalesce(best, F.lit(default))
 
 
 # --------------------------------------------------------------------------

@@ -245,3 +245,11 @@ def test_lang_id_spark_matches_python_reference(spark):
     got = [r[0] for r in df.select(lang_id_expr("text")).collect()]
     want = [_lang_id_python(c) for c in cases]
     assert got == want
+
+
+def test_lang_id_null_text_maps_to_default(spark):
+    from apache_pinot_spark.operators.textanalysis import lang_id_expr
+
+    df = spark.createDataFrame([(None,), ("the of and",)], "text STRING")
+    got = sorted(r[0] for r in df.select(lang_id_expr("text")).collect())
+    assert got == ["en", "und"]
