@@ -40,11 +40,14 @@ def main() -> None:
     spark = get_spark("apache-pinot-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: force JVM startup, parquet footer reads, codegen, and the
-    # Arrow Python-worker pool (pandas-UDF queries otherwise bill worker
-    # spawn to the first timed query) outside the timed region.
+    # Warmup: force JVM startup, parquet reads, codegen, and the Arrow
+    # Python-worker pool (pandas-UDF queries otherwise bill worker spawn
+    # to the first timed query) outside the timed region. The read must
+    # touch every column's data pages — count() is metadata-only under
+    # aggregate pushdown and leaves the OS page cache cold, which showed
+    # up as a 2-3x penalty across the first timed queries on a fresh host.
     for name, df in load_tables(spark, sf_dir).items():
-        df.count()
+        df.selectExpr("max(xxhash64(struct(*)))").collect()
 
     def _warm_workers(batches):
         import numpy  # noqa: F401  (preload heavy imports in workers)
