@@ -250,3 +250,42 @@ def winnow_fingerprints(
         .filter(F.col("__rn") <= keep)
         .select("key", "fp")
     )
+
+
+# --------------------------------------------------------------------------
+# Character entropy (gibberish / boilerplate signal)
+# --------------------------------------------------------------------------
+
+
+def char_entropy(df, text_col: str = "text", key_col: str = "doc_id"):
+    """(key, entropy) rows: Shannon entropy in bits over the per-document
+    character distribution — low entropy flags repeated boilerplate,
+    high entropy flags random/gibberish content; both are standard
+    curation cut signals.
+
+    Scale shape: explode to one (key, char) row per character (slim
+    2-column rows), ONE groupBy(key, char) count with map-side partial
+    aggregation, then the entropy sum per key — a second tiny aggregate
+    over at most |alphabet| rows per doc. The text payload itself never
+    rides a shuffle. NULL text yields no rows (no signal, matching the
+    other per-doc operators)."""
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    chars = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("key", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("key").agg(
+        F.sum("c").alias("n"),
+        # sum of c*log2(c) lets entropy come from ONE pass:
+        # H = log2(n) - (1/n) * sum(c*log2(c))
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c"))).alias("clogc"),
+    )
+    return per_doc.select(
+        "key",
+        (F.log2(F.col("n")) - F.col("clogc") / F.col("n")).alias("entropy"),
+    )

@@ -338,3 +338,30 @@ def test_ivf_kmeans_refinement_improves_objective(emb):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+
+    from apache_pinot_spark.operators.textanalysis import char_entropy
+
+    cases = {
+        1: "aaaa",            # zero entropy
+        2: "abab",            # 1 bit
+        3: "abcd",            # 2 bits
+        4: "hello world",     # mixed
+        5: None,              # no signal → absent
+    }
+    df = spark.createDataFrame(list(cases.items()), "doc_id INT, text STRING")
+    got = {r["key"]: r["entropy"] for r in char_entropy(df).collect()}
+
+    def h(s):
+        from collections import Counter
+
+        c = Counter(s)
+        n = len(s)
+        return -sum(v / n * math.log2(v / n) for v in c.values())
+
+    assert set(got) == {1, 2, 3, 4}
+    for k in got:
+        assert abs(got[k] - h(cases[k])) < 1e-9
