@@ -165,3 +165,40 @@ def hll_merge_estimate_sql(sketch_col_sql: str, engine: str = "spark", m: int = 
     )
     terms = [f"MAX(CAST({conv(r)} AS INT))" for r in range(m)]
     return _estimate_from_max_terms(terms, engine, m)
+
+
+def hll_estimate_fold_sql(col_sql: str, m: int = HLL_M) -> str:
+    """Spark-side fallback aggregate for statements whose FROM cannot be
+    wrapped with the pair projection (joins, multi-table from-lists).
+
+    Shape: collect_set(value) then ONE linear higher-order fold updating a
+    64-slot register array (md5 computed once per distinct value via a
+    single-element transform binding), finished by the standard
+    register-order estimate chain. Registers and the left-associated
+    summation are IDENTICAL to hll_estimate_sql, so the estimate is
+    bit-for-bit the same.
+
+    Why not the inline 64×MAX(CASE md5…) expression: at this expression
+    size Spark's generated hash-aggregate splits into a janino nested
+    class that dies with IllegalAccessError (BufferedRowIterator.
+    partitionIndex) at runtime — the compact HOF fold stays interpreted
+    and safe. Memory note: collect_set is cardinality-bound per group
+    (like exact DISTINCTCOUNT); the scalable register path is the wrapped
+    pair projection, which every single-FROM statement gets."""
+    assert m == HLL_M
+    reg, rho = _reg_sql("h"), _rho_sql("h")
+    update = (
+        # transform's (elem, idx) lambda indexes from 0 — idx IS the register
+        f"element_at(transform(array(md5(v)), h -> "
+        f"transform(acc, (cur, i) -> "
+        f"CASE WHEN i = {reg} THEN GREATEST(cur, {rho}) ELSE cur END)), 1)"
+    )
+    inv = _pow2_inv("rr", "spark")
+    finish = (
+        f"CAST(FLOOR({HLL_ALPHA!r} * {m} * {m} / "
+        f"aggregate(acc, CAST(0.0 AS DOUBLE), (s, rr) -> s + {inv})) AS BIGINT)"
+    )
+    return (
+        f"aggregate(collect_set(CAST({col_sql} AS STRING)), "
+        f"array_repeat(0, {m}), (acc, v) -> {update}, acc -> {finish})"
+    )

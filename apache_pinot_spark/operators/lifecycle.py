@@ -22,6 +22,20 @@ which the ContextCleaner reclaims when the returned frame is dropped. At
 100 TB the result partitions spill to local disk like any other
 MEMORY_AND_DISK block; the alternative (recomputing the full
 tokenize→hash→join pipeline per downstream action) costs far more.
+
+Two deliberate tradeoffs, for callers to know:
+  * The operator becomes EAGER — the job runs at call time, so building
+    the plan and then sampling/limiting it no longer skips work. The
+    operators using this helper produce small result sets by design, so
+    the full run is what any downstream action would have paid anyway.
+  * localCheckpoint blocks live on the current executors and are NOT
+    recomputable: if an executor holding blocks is lost (dynamic
+    allocation, preemption), later actions on the returned frame fail
+    rather than recompute. On clusters where that risk matters, re-derive
+    the frame (operators are deterministic) or persist the RESULT to
+    reliable storage; the alternative default — leaking the corpus-sized
+    intermediates until GC — costs more in practice (round-3 bench swung
+    up to 8x from exactly that).
 """
 
 from __future__ import annotations

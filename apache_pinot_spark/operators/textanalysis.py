@@ -264,20 +264,20 @@ def char_entropy(df, text_col: str = "text", key_col: str = "doc_id"):
     curation cut signals.
 
     Scale shape: explode to one (key, char) row per character (slim
-    2-column rows), ONE groupBy(key, char) count with map-side partial
-    aggregation, then the entropy sum per key — a second tiny aggregate
-    over at most |alphabet| rows per doc. The text payload itself never
-    rides a shuffle. NULL text yields no rows (no signal, matching the
-    other per-doc operators)."""
+    2-column rows), then rebalance THOSE slim rows across cores before
+    the groupBy(key, char) count (single-file inputs arrive as one
+    partition; repartitioning after the explode means only (key, char)
+    pairs ride the rebalance shuffle, never the document text), map-side
+    partial aggregation, then the entropy sum per key — a second tiny
+    aggregate over at most |alphabet| rows per doc. NULL text yields no
+    rows (no signal, matching the other per-doc operators)."""
     from pyspark.sql import functions as F
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
     chars = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.split(F.col(text_col), "")).alias("ch"),
     ).filter(F.col("ch") != "")
+    chars = chars.repartition(df.sparkSession.sparkContext.defaultParallelism)
     counts = chars.groupBy("key", "ch").agg(F.count("*").alias("c"))
     per_doc = counts.groupBy("key").agg(
         F.sum("c").alias("n"),

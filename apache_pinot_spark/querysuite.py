@@ -292,16 +292,20 @@ sql_query(
 # dimension side; verified in tests/test_plans.py.
 # --------------------------------------------------------------------------
 
-# The dimension side (customer⋈orders) is pre-joined in an aliased
-# subquery and hint-broadcast so the FACT table streams as the probe:
-# without the restructure, at sf0.1 the whole lineitem scan fits under
-# the 64 MB threshold and Catalyst broadcasts the fact table (600 k-row
-# driver-side hashed relation — measured 2 s ↔ 21 s swings in-suite, and
-# flatly wrong at 100 TB where lineitem must stream).
+# The canonical TPC-H Q3 scale plan, pinned by hints: the customer dim
+# broadcasts (genuinely small at any SF), and the fact join runs as a
+# SHUFFLE (sort-merge) join on orderkey — MERGE(l) — because BOTH other
+# static choices are wrong at 100 TB: size-based planning broadcasts the
+# pruned lineitem scan whenever the local SF fits the threshold (600 k-row
+# driver-side hashed relation, measured 2 s ↔ 21 s swings in-suite), and
+# broadcasting the pre-joined customer⋈orders side ships an
+# orders-cardinality relation past the threshold. AQE may still convert
+# the shuffle join to broadcast at runtime from MEASURED sizes — the only
+# safe basis for that call. (Locally the SMJ is also ~2x faster.)
 sql_query(
     "join_customer_revenue",
     """
-    SELECT /*+ BROADCAST(co) */ co.c_mktsegment,
+    SELECT /*+ MERGE(l) */ co.c_mktsegment,
            COUNT(DISTINCT co.o_orderkey) AS num_orders,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

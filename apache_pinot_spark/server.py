@@ -26,21 +26,34 @@ a restart re-attaches via PinotCatalog.attach_all.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# Catalog object names reachable over HTTP: a conservative identifier
+# shape. Anything else (.., %2F tricks, absolute paths) is rejected with
+# 400 BEFORE it can reach os.path.join — BaseHTTPRequestHandler does NOT
+# normalize the request path, so 'DELETE /tables/..' would otherwise
+# rmtree the warehouse's parent.
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+
+
+def _safe_name(name: str) -> bool:
+    return bool(_SAFE_NAME.match(name)) and ".." not in name
 
 
 def _jsonable(o):
     """JSON-encode envelope values DuckDB/Spark may emit (bytes, Decimal,
     datetimes) the way the reference's broker does: binary as hex,
-    temporals as ISO strings, decimals as numbers."""
+    temporals as ISO strings, big decimals as strings (a float cast would
+    silently round past 15-16 significant digits)."""
     import datetime
     import decimal
 
     if isinstance(o, (bytes, bytearray)):
         return o.hex()
     if isinstance(o, decimal.Decimal):
-        return float(o)
+        return str(o)
     if isinstance(o, (datetime.datetime, datetime.date)):
         return o.isoformat()
     raise TypeError(f"not JSON serializable: {type(o)}")
@@ -90,6 +103,13 @@ class PinotHttpServer:
                 n = int(self.headers.get("Content-Length", 0))
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def _name(self, raw: str):
+                """Validated catalog object name, or None (400 already sent)."""
+                if _safe_name(raw):
+                    return raw
+                self._reply(400, {"error": f"invalid name {raw!r}"})
+                return None
+
             def do_GET(self):
                 parts = [p for p in self.path.split("?")[0].split("/") if p]
                 try:
@@ -98,13 +118,19 @@ class PinotHttpServer:
                     if parts == ["schemas"]:
                         return self._reply(200, server.catalog.list_schemas())
                     if len(parts) == 2 and parts[0] == "schemas":
-                        return self._reply(200, server.catalog.schema_doc(parts[1]))
+                        if (name := self._name(parts[1])) is None:
+                            return None
+                        return self._reply(200, server.catalog.schema_doc(name))
                     if parts == ["tables"]:
                         return self._reply(200, {"tables": server.catalog.list_tables()})
                     if len(parts) == 2 and parts[0] == "tables":
-                        return self._reply(200, server.catalog.table_meta(parts[1]))
+                        if (name := self._name(parts[1])) is None:
+                            return None
+                        return self._reply(200, server.catalog.table_meta(name))
                     if len(parts) == 3 and parts[0] == "tables" and parts[2] == "segments":
-                        return self._reply(200, server.catalog.list_segments(parts[1]))
+                        if (name := self._name(parts[1])) is None:
+                            return None
+                        return self._reply(200, server.catalog.list_segments(name))
                     return self._reply(404, {"error": f"no route {self.path}"})
                 except FileNotFoundError:
                     return self._reply(404, {"error": "not found"})
@@ -119,6 +145,10 @@ class PinotHttpServer:
                         return self._reply(200, server.engine.query(sql))
                     if parts == ["schemas"]:
                         doc = self._body()
+                        if not _safe_name(str(doc.get("schemaName", ""))):
+                            return self._reply(
+                                400, {"error": "invalid or missing schemaName"}
+                            )
                         sch = server.catalog.create_schema(doc)
                         return self._reply(200, {"status": f"{sch.schema_name} created"})
                     return self._reply(404, {"error": f"no route {self.path}"})
@@ -129,8 +159,10 @@ class PinotHttpServer:
                 parts = [p for p in self.path.split("?")[0].split("/") if p]
                 try:
                     if len(parts) == 2 and parts[0] == "tables":
-                        server.catalog.drop_table(parts[1])
-                        return self._reply(200, {"status": f"{parts[1]} dropped"})
+                        if (name := self._name(parts[1])) is None:
+                            return None
+                        server.catalog.drop_table(name)
+                        return self._reply(200, {"status": f"{name} dropped"})
                     return self._reply(404, {"error": f"no route {self.path}"})
                 except FileNotFoundError:
                     return self._reply(404, {"error": "not found"})

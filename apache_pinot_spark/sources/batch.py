@@ -232,9 +232,10 @@ def ingest_batch(
         if mode == "overwrite":
             # Fold the range check into the write job (one pass over the
             # data instead of a separate min/max aggregate): observe the
-            # normalized-time min/max during the write, verify after, and
-            # roll the written table back on violation. Overwrite-only —
-            # an append rollback would delete pre-existing data.
+            # normalized-time min/max during the write. The write goes to
+            # a staging directory and only swaps in after the check
+            # passes, so a violation leaves any pre-existing table
+            # untouched. Overwrite-only — append keeps the pre-pass.
             from pyspark.sql import Observation
 
             obs = Observation("time_range")
@@ -285,14 +286,21 @@ def ingest_batch(
         writer = writer.option(f"parquet.enable.dictionary#{col}", "true")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(table_path)
     if obs is not None:
+        staging = table_path + ".ingesting"
+        shutil.rmtree(staging, ignore_errors=True)
+        writer.parquet(staging)
         got = obs.get
         try:
             _check_time_window(got["mn"], got["mx"], config.time_column)
         except ValueError:
-            shutil.rmtree(table_path, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
             raise
+        shutil.rmtree(table_path, ignore_errors=True)
+        os.rename(staging, table_path)
+        spark.catalog.refreshByPath(table_path)
+    else:
+        writer.parquet(table_path)
 
     _write_table_meta(table_path, schema, config, writer_cols)
     register_table(spark, config.table_name, table_path)

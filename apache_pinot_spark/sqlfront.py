@@ -596,46 +596,64 @@ class PinotDialect:
         a projection that drops it (AnalysisException), and 'FROM t alias'
         would turn into 'FROM (…) t alias' (parse error)."""
         from apache_pinot_spark.functions.hll import (
+            hll_estimate_fold_sql,
             hll_estimate_from_pair_sql,
-            hll_estimate_sql,
             hll_pair_sqls,
         )
 
-        def _safe(m: re.Match) -> bool:
-            if sql[: m.start()].count("(") != sql[: m.start()].count(")"):
-                return False  # inside a subquery/derived table
-            tail = sql[m.end():].lstrip()
+        # Literal-masked copy for all POSITION work: same length as sql, so
+        # offsets line up, but string-literal contents are blanked — a ')'
+        # or 'FROM' inside a quoted value must not steer the scan.
+        masked = "".join(
+            seg if not lit else "'" + " " * (len(seg) - 2) + "'"
+            if len(seg) >= 2 else seg
+            for lit, seg in _split_literals(sql)
+        )
+
+        def _tail_ok(pos: int) -> bool:
+            tail = masked[pos:].lstrip()
             return tail == "" or re.match(
                 r"(?i)(WHERE|GROUP|ORDER|LIMIT|HAVING)\b", tail
             ) is not None
 
+        def _safe(m: re.Match) -> bool:
+            if masked[: m.start()].count("(") != masked[: m.start()].count(")"):
+                return False  # inside a subquery/derived table
+            return _tail_ok(m.end())
+
         def _find_wrap_target() -> tuple[int, int, str, str] | None:
             """(start, end, from_body, alias) of the one depth-0 FROM clause
-            — a plain table or a derived table '(…) alias' — or None."""
-            matches = list(_FROM_RE.finditer(sql))
+            — a plain table or a derived table '(…) alias' — or None. The
+            clause must be the WHOLE from-list (followed only by
+            WHERE/GROUP/ORDER/LIMIT/HAVING or end): wrapping one side of a
+            join would put the other side's columns out of scope for the
+            injected pair projection."""
+            matches = list(_FROM_RE.finditer(masked))
             if len(matches) == 1 and _safe(matches[0]):
                 m = matches[0]
                 return m.start(), m.end(), m.group(1), m.group(1)
             # depth-0 derived table: FROM ( … ) alias
-            for dm in re.finditer(r"(?i)\bFROM\s*\(", sql):
-                if sql[: dm.start()].count("(") != sql[: dm.start()].count(")"):
+            for dm in re.finditer(r"(?i)\bFROM\s*\(", masked):
+                if masked[: dm.start()].count("(") != masked[: dm.start()].count(")"):
                     continue
                 depth, i = 1, dm.end()
-                while i < len(sql) and depth:
-                    if sql[i] == "(":
+                while i < len(masked) and depth:
+                    if masked[i] == "(":
                         depth += 1
-                    elif sql[i] == ")":
+                    elif masked[i] == ")":
                         depth -= 1
                     i += 1
                 if depth:
                     return None
-                am = re.match(r"\s*([A-Za-z_]\w*)", sql[i:])
+                am = re.match(r"\s*([A-Za-z_]\w*)", masked[i:])
                 if not am or am.group(1).upper() in (
                     "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "ON",
                     "CROSS", "LEFT", "RIGHT", "INNER", "UNION",
                 ):
                     return None
                 end = i + am.end()
+                if not _tail_ok(end):
+                    return None  # JOIN/comma after the alias: not wrappable
                 return dm.start(), end, sql[dm.start() + 4 : end], am.group(1)
             return None
 
@@ -654,8 +672,13 @@ class PinotDialect:
                     hll_estimate_from_pair_sql(f"__hll_reg_{k}", f"__hll_rho_{k}", "spark"),
                 )
             return sql
+        # Unsafe FROM shapes (joins, multi-table lists): the compact
+        # collect_set + HOF fold — the inline 64xMAX(CASE md5...) form
+        # dies in Spark's generated hash-aggregate at this expression
+        # size (janino nested-class IllegalAccessError). Bit-identical
+        # estimates; cardinality-bound memory like exact DISTINCTCOUNT.
         for k, arg in enumerate(self._hll_args):
-            sql = sql.replace(f"__PINOT_HLL_EST_{k}__", hll_estimate_sql(arg, "spark"))
+            sql = sql.replace(f"__PINOT_HLL_EST_{k}__", hll_estimate_fold_sql(arg))
         return sql
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

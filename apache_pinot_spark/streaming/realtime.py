@@ -189,17 +189,29 @@ def consuming_view(
 
     committed: set[str] = set()
     exists = os.path.isdir(table_path)
+    manifests_complete = True
     if exists:
-        for meta in glob.glob(
-            os.path.join(table_path, "__stream_batch=*", "_pinot_source_files.json")
-        ):
+        for bdir in glob.glob(os.path.join(table_path, "__stream_batch=*")):
+            meta = os.path.join(bdir, "_pinot_source_files.json")
+            if not os.path.isfile(meta):
+                # A committed batch with no source manifest (pre-feature
+                # table, or the best-effort record failed): its rows exist
+                # but we can't tell which source files produced them —
+                # unioning the "pending" tail could double-count. Degrade
+                # to committed-only freshness rather than duplicate rows.
+                manifests_complete = False
+                continue
             with open(meta) as fh:
                 committed.update(_path(u) for u in _json.load(fh))
-    pending = [
-        p
-        for p in sorted(glob.glob(os.path.join(source_dir, "*")))
-        if os.path.isfile(p) and os.path.abspath(p) not in committed
-    ]
+    pending = (
+        [
+            p
+            for p in sorted(glob.glob(os.path.join(source_dir, "*")))
+            if os.path.isfile(p) and os.path.abspath(p) not in committed
+        ]
+        if manifests_complete
+        else []
+    )
     reader = spark.read.format(source_format)
     if source_schema:
         reader = reader.schema(source_schema)

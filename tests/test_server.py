@@ -122,3 +122,25 @@ def test_unknown_route_404(http_server):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_path_traversal_rejected(http_server):
+    import os
+
+    port = http_server.port
+    for method, path in [
+        ("DELETE", "/tables/.."),
+        ("GET", "/tables/../secrets"),
+        ("GET", "/schemas/.."),
+    ]:
+        try:
+            _req(port, method, path)
+            raise AssertionError(f"{method} {path} should have been rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 404)
+    # warehouse parent still intact (nothing rmtree'd)
+    assert os.path.isdir(os.path.dirname(http_server_warehouse(http_server)))
+
+
+def http_server_warehouse(srv):
+    return srv.catalog.warehouse

@@ -534,3 +534,35 @@ def test_percentile_walk_oracle_ignores_nulls(spark):
         "SELECT " + percentile_walk_duckdb_sql("nulls_q", "x", lo, hi, 50.0) + " AS p"
     ).fetchone()[0]
     assert abs(spark_est - duck_est) < 1e-9
+
+
+def test_hll_join_shape_falls_back_to_inline(spark):
+    """DISTINCTCOUNTHLL over a join of two derived tables must NOT take
+    the pair-projection wrap (the argument's columns would go out of
+    scope); the inline fallback still answers correctly."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register("hll_t1", spark.range(100).selectExpr("id AS k"))
+    eng.register("hll_t2", spark.range(100).selectExpr("id AS k", "id % 10 AS x"))
+    r = eng.sql(
+        "SELECT DISTINCTCOUNTHLL(b.x) AS h FROM (SELECT k FROM hll_t1) a "
+        "JOIN (SELECT k, x FROM hll_t2) b ON a.k = b.k"
+    ).collect()
+    assert r[0][0] >= 1  # small-cardinality HLL is biased high; must run
+
+
+def test_hll_paren_inside_literal_does_not_break_wrap(spark):
+    """A ')' inside a string literal must not truncate the derived-table
+    scan (the depth counter works on a literal-masked copy)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "hll_lit", spark.range(50).selectExpr("id AS k", "concat('v', id % 7) AS s")
+    )
+    r = eng.sql(
+        "SELECT DISTINCTCOUNTHLL(k) AS h FROM "
+        "(SELECT k FROM hll_lit WHERE s <> 'a)b') q"
+    ).collect()
+    assert r[0][0] >= 1
