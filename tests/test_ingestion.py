@@ -436,3 +436,28 @@ def test_ingest_batch_multi_format(spark, tmp_path, fmt):
     assert got == sorted(_FMT_ROWS)
     # time-bucketed segments: one day-partition per distinct day
     assert len(B.list_segments(path)) == 3
+
+
+def test_failed_time_validation_preserves_existing_table(spark, tmp_path):
+    """Overwrite ingest whose time column violates the 1971-2071 window
+    must fail WITHOUT destroying the previously ingested table (the write
+    goes to a staging dir and only swaps in after the check passes)."""
+    schema = PinotSchema.from_json(json.dumps(_FMT_SCHEMA_DOC))
+    cfg = B.TableConfig(table_name="safe_ow", time_column="ts_ms")
+    wh = str(tmp_path / "wh")
+    good = spark.createDataFrame(
+        _FMT_ROWS, "event_id LONG, event_type STRING, value DOUBLE, ts_ms LONG"
+    )
+    path = B.ingest_batch(spark, schema, cfg, good, warehouse=wh, mode="overwrite")
+    assert spark.read.parquet(path).count() == len(_FMT_ROWS)
+
+    bad = spark.createDataFrame(
+        [(9, "bad", 1.0, 10_000)],  # 1970-01-01T00:00:10 — before the window
+        "event_id LONG, event_type STRING, value DOUBLE, ts_ms LONG",
+    )
+    with pytest.raises(ValueError, match="1971-2071"):
+        B.ingest_batch(spark, schema, cfg, bad, warehouse=wh, mode="overwrite")
+    # old table untouched, staging cleaned up
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == len(_FMT_ROWS)
+    assert not os.path.exists(path + ".ingesting")
