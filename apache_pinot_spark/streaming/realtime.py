@@ -393,3 +393,51 @@ def running_totals_stateful(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_within_key_stateful(
+    stream_df: DataFrame,
+    key_col: str,
+    id_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exactly-once-per-(key, id) dedup via applyInPandasWithState:
+    emits each (key, id) the FIRST time it appears across the whole stream,
+    suppressing replays and cross-batch duplicates — the stateful shape
+    upsert/dedup-configured Pinot realtime tables provide (dedup config on
+    the table keeps the first row per primary key).
+
+    State per key is the set of seen ids (bounded by per-key id
+    cardinality; ``timeout_minutes`` opts into processing-time expiry for
+    unbounded id spaces — same contract as running_totals_stateful).
+    Arrow-batched; ids are compared as strings so any key type works."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} STRING, {id_col} STRING"
+    state_schema = "seen ARRAY<STRING>"
+    timeout_ms = timeout_minutes * 60 * 1000 if timeout_minutes else None
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        seen = set(state.get[0]) if state.exists else set()
+        fresh = []
+        for pdf in pdfs:
+            for v in pdf[id_col].astype(str):
+                if v not in seen:
+                    seen.add(v)
+                    fresh.append(v)
+        state.update((list(seen),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield _pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -299,3 +299,42 @@ def test_consuming_view_sub_trigger_freshness(spark, tmp_path_factory):
         source_format="json", source_schema=_SRC_SCHEMA,
     )
     assert view2.count() == 2  # no duplicates after commit
+
+
+def test_dedup_within_key_stateful(spark, tmp_path_factory):
+    """ST6/upsert-dedup: each (key, id) is emitted exactly once across
+    micro-batches; replays and cross-batch duplicates are suppressed."""
+    root = tmp_path_factory.mktemp("dedup_state")
+    src = root / "src"
+    src.mkdir()
+    _write_source_file(
+        src, 0,
+        [{"user": "u1", "page": "a", "n": 1, "ts_ms": BASE_MS},
+         {"user": "u1", "page": "a", "n": 1, "ts_ms": BASE_MS},  # in-batch dup
+         {"user": "u1", "page": "b", "n": 2, "ts_ms": BASE_MS},
+         {"user": "u2", "page": "a", "n": 3, "ts_ms": BASE_MS}],
+    )
+    stream = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    out = R.dedup_within_key_stateful(stream, "user", "page")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("dedup_state")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate + one genuinely new id
+        _write_source_file(
+            src, 1,
+            [{"user": "u1", "page": "a", "n": 9, "ts_ms": BASE_MS + 1},   # dup
+             {"user": "u1", "page": "c", "n": 4, "ts_ms": BASE_MS + 1}],  # new
+        )
+        q.processAllAvailable()
+        rows = sorted(
+            (r["user"], r["page"])
+            for r in spark.sql("SELECT * FROM dedup_state").collect()
+        )
+        assert rows == [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "a")]
+    finally:
+        q.stop()
