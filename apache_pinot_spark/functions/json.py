@@ -346,30 +346,11 @@ def _compile_context_group_elem(e: Column, rest: list[object], pred: _Pred) -> C
     )
 
 
-def _collect_scalar_path_counts(node: object, cfg: JsonIndexConfig | None, out: dict) -> None:
-    """Count how many scalar predicates extract each JSON path — the
-    compile step shares extractions for paths used more than once."""
-    if isinstance(node, _BoolNode):
-        for ch in node.children:
-            _collect_scalar_path_counts(ch, cfg, out)
-        return
-    pred: _Pred = node
-    if not _path_indexed(pred.path, cfg):
-        return  # compiles to lit(False), no extraction
-    if _split_at_wildcard(pred.path) is not None:
-        return  # wildcard paths navigate the typed (from_json) column
-    if not pred.path and pred.op in ("IS NULL", "IS NOT NULL"):
-        return  # root-null tests the raw text
-    p = _jsonpath(pred.path)
-    out[p] = out.get(p, 0) + 1
-
-
 def _compile_node(
     node: object,
     raw: Column,
     parsed: Column | None,
     cfg: JsonIndexConfig | None = None,
-    shared: dict | None = None,
 ) -> Column:
     if isinstance(node, _BoolNode):
         # Wildcard predicates that are direct AND siblings share array
@@ -397,14 +378,14 @@ def _compile_node(
                         "pass schema= or register the table with infer_json_schema"
                     )
                 conds.append(_compile_context_group(parsed, prefix, preds))
-            conds.extend(_compile_node(ch, raw, parsed, cfg, shared) for ch in others)
+            conds.extend(_compile_node(ch, raw, parsed, cfg) for ch in others)
             out = conds[0]
             for c in conds[1:]:
                 out = out & c
             return out
-        out = _compile_node(node.children[0], raw, parsed, cfg, shared)
+        out = _compile_node(node.children[0], raw, parsed, cfg)
         for ch in node.children[1:]:
-            out = out | _compile_node(ch, raw, parsed, cfg, shared)
+            out = out | _compile_node(ch, raw, parsed, cfg)
         return out
     pred: _Pred = node
     if not _path_indexed(pred.path, cfg):
@@ -420,8 +401,7 @@ def _compile_node(
         # raw document text.
         is_null = raw.isNull() | (F.trim(raw) == F.lit("null"))
         return is_null if pred.op == "IS NULL" else ~is_null
-    p = _jsonpath(pred.path)
-    extracted = shared[p] if shared and p in shared else F.get_json_object(raw, p)
+    extracted = F.get_json_object(raw, _jsonpath(pred.path))
     return _scalar_compare(extracted, pred)
 
 
@@ -440,31 +420,19 @@ def json_match(
     flattening rules (json-index.md:53-81): predicates on paths the
     config leaves unindexed match nothing, as in Pinot.
 
-    Paths referenced by MORE than one predicate (e.g. '"$.k">=50 AND
-    "$.k"<60') are extracted ONCE: the extractions ride a one-element
-    struct array and the boolean tree is compiled inside an `exists`
-    lambda, where referencing a lambda-variable field is free. Catalyst's
-    subexpression elimination does not reliably collapse repeated
-    get_json_object calls, and each one re-parses the document.
+    Paths referenced by more than one predicate (e.g. '"$.k">=50 AND
+    "$.k"<60') compile to repeated get_json_object calls on purpose:
+    within one codegen'd operator Spark's subexpression elimination
+    evaluates the duplicates once, and a plain projection stays inside
+    whole-stage codegen. (A round-4 variant routed the shared extraction
+    through an `exists` lambda carrier; higher-order functions are
+    interpreted, and the carrier measured ~2x slower than the duplicated
+    codegen'd extraction at every document size tested.)
     """
     c = F.col(col) if isinstance(col, str) else col
     parsed = F.from_json(c, schema) if schema is not None else None
     tree = parse_json_filter(filter_expr)
-    counts: dict[str, int] = {}
-    _collect_scalar_path_counts(tree, config, counts)
-    repeated = sorted(p for p, n in counts.items() if n > 1)
-    if not repeated:
-        return _compile_node(tree, c, parsed, config)
-    fields = {p: f"__jx{i}" for i, p in enumerate(repeated)}
-    carrier = F.array(
-        F.struct(*[F.get_json_object(c, p).alias(fields[p]) for p in repeated])
-    )
-    return F.exists(
-        carrier,
-        lambda s: _compile_node(
-            tree, c, parsed, config, shared={p: s[fields[p]] for p in repeated}
-        ),
-    )
+    return _compile_node(tree, c, parsed, config)
 
 
 _TYPE_MAP = {
