@@ -286,8 +286,14 @@ def jaccard_verify_pairs(
     b = sh.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
+    # BROADCAST THE PAIRS SIDE. Left to its own size estimates the planner
+    # broadcasts the shingle-set frame (5000 rows of arrays fits under the
+    # threshold at bench SF) — serializing the corpus-derived arrays
+    # through the driver, which is both the slow path here and exactly the
+    # plan that breaks at real scale, where the pair set is the small side
+    # by LSH construction and the shingle frame is corpus-sized.
     verified = (
-        pairs.join(a, "key_a").join(b, "key_b")
+        F.broadcast(pairs).join(a, "key_a").join(b, "key_b")
         .select(
             "key_a",
             "key_b",
@@ -347,8 +353,14 @@ def lsh_verified_pairs(
     sb = shset_df.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
+    # Broadcast the candidate pairs, stream the shingle-set frame from
+    # cache: without the hint the planner broadcasts the corpus-derived
+    # array frame through the driver (it fits the threshold at bench SF),
+    # which measured 2x slower with multi-x run-to-run spikes and is the
+    # wrong side at any real scale (see jaccard_verify_pairs).
     verified = (
-        pairs.join(sa, "key_a")
+        F.broadcast(pairs)
+        .join(sa, "key_a")
         .join(sb, "key_b")
         .select("key_a", "key_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -11,17 +11,22 @@ pressure (measured 3 s ↔ 22 s run-to-run swings on identical queries).
 
 `materialize_release` closes the lifecycle inside the operator:
 
-  1. eagerly `localCheckpoint` the FINAL result — runs the job once, stores
-     only the (small) result partitions on the executors, and truncates the
-     lineage so nothing downstream can ever re-trigger the intermediates;
-  2. `unpersist` every heavy intermediate immediately.
+  1. release the materialized results of PREVIOUS calls whose Python
+     handle has died (a weakref sweep — the ContextCleaner would do the
+     same eventually, but only after a JVM GC, and on a large heap GC is
+     rare enough for dead blocks to linger for dozens of queries);
+  2. eagerly materialize the FINAL result — runs the job once, stores
+     only the (small) result partitions, and truncates the lineage so
+     nothing downstream can ever re-trigger the intermediates;
+  3. `unpersist` every heavy intermediate immediately.
 
-The residual footprint is the checkpointed result itself (candidate/verified
-pairs — orders of magnitude smaller than the corpus-derived intermediates),
-which the ContextCleaner reclaims when the returned frame is dropped. At
-100 TB the result partitions spill to local disk like any other
-MEMORY_AND_DISK block; the alternative (recomputing the full
-tokenize→hash→join pipeline per downstream action) costs far more.
+The residual footprint is the live materialized results themselves
+(candidate/verified pairs — orders of magnitude smaller than the
+corpus-derived intermediates); each is reclaimed by the sweep on the next
+call after its frame is dropped. At 100 TB the result partitions spill to
+local disk like any other MEMORY_AND_DISK block; the alternative
+(recomputing the full tokenize→hash→join pipeline per downstream action)
+costs far more.
 
 Two deliberate tradeoffs, for callers to know:
   * The operator becomes EAGER — the job runs at call time, so building
@@ -31,23 +36,70 @@ Two deliberate tradeoffs, for callers to know:
   * localCheckpoint blocks live on the current executors and are NOT
     recomputable: if an executor holding blocks is lost (dynamic
     allocation, preemption), later actions on the returned frame fail
-    rather than recompute. On clusters where that risk matters, re-derive
-    the frame (operators are deterministic) or persist the RESULT to
-    reliable storage; the alternative default — leaking the corpus-sized
-    intermediates until GC — costs more in practice (round-3 bench swung
-    up to 8x from exactly that).
+    rather than recompute. Single-node that risk is zero; on a
+    preemptible cluster pass `reliable=True`, which writes the result to
+    the session warehouse as a parquet table and reads it back —
+    executor loss then costs a re-read, not a failure.
 """
 
 from __future__ import annotations
 
+import uuid
+import weakref
+
 from pyspark.sql import DataFrame
 
+# (weakref to the returned frame, cleanup callback freeing its storage).
+# Swept at the start of every materialize_release call.
+_live_results: list[tuple[weakref.ref, object]] = []
 
-def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Run `result` now (localCheckpoint, eager), then unpersist every frame
-    in `cached`. Returns the checkpointed result: same schema and values,
-    lineage truncated to the stored partitions."""
-    out = result.localCheckpoint(eager=True)
+
+def _sweep_dead_results() -> None:
+    alive = []
+    for ref, cleanup in _live_results:
+        if ref() is None:
+            try:
+                cleanup()
+            except Exception:
+                pass  # context gone / already cleaned — nothing to free
+        else:
+            alive.append((ref, cleanup))
+    _live_results[:] = alive
+
+
+def materialize_release(
+    result: DataFrame, *cached: DataFrame, reliable: bool = False
+) -> DataFrame:
+    """Run `result` now, then unpersist every frame in `cached`. Returns
+    the materialized result: same schema and values, lineage truncated to
+    the stored copy.
+
+    reliable=False (default): localCheckpoint — blocks on current
+    executors, fastest, not recomputable on executor loss.
+    reliable=True: parquet table in the session warehouse — survives
+    executor loss (and unpersist-all), costs one write+read of a small
+    result set.
+    """
+    _sweep_dead_results()
+    if reliable:
+        spark = result.sparkSession
+        name = f"__mr_{uuid.uuid4().hex[:12]}"
+        result.write.format("parquet").saveAsTable(name)
+        out = spark.table(name)
+        _live_results.append(
+            (weakref.ref(out), lambda: spark.sql(f"DROP TABLE IF EXISTS {name}"))
+        )
+    else:
+        out = result.localCheckpoint(eager=True)
+        try:
+            # The checkpointed plan is a single LogicalRDD; its .rdd() is
+            # the exact RDD holding the blocks (DataFrame.rdd would wrap
+            # it in a fresh deserializer pipeline whose unpersist frees
+            # nothing).
+            jrdd = out._jdf.queryExecution().analyzed().rdd()
+            _live_results.append((weakref.ref(out), lambda: jrdd.unpersist(False)))
+        except Exception:
+            pass  # Spark Connect / API drift: ContextCleaner timing applies
     for df in cached:
         df.unpersist()
     return out

@@ -41,20 +41,28 @@ RUNTIME_CONFS = {
 }
 
 def _default_driver_mem() -> str:
-    """min(32g, 40% of MemTotal), floor 4g. local[N] runs every executor
+    """min(16g, 40% of MemTotal), floor 4g. local[N] runs every executor
     thread inside the driver JVM: the heap must hold N concurrent task
     working sets plus short-lived persisted frames (dedup/ANN operators
     cache intermediates for the duration of one call — see
     operators/lifecycle.py for the deterministic release). Sized from the
-    host rather than hardcoded so smaller machines aren't OOM-killed. On a
-    real cluster this maps to executor memory, where the same sizing logic
+    host rather than hardcoded so smaller machines aren't OOM-killed.
+
+    The cap is 16g DELIBERATELY, not "as much as the host has": with a
+    32g ceiling on a 128 GiB host, G1 almost never collected and kept
+    committing fresh pages instead; the VM-level cost of that expansion
+    (page-fault/compaction storms, ~150 CPU-s of *kernel* time) hit
+    random queries with 3-10x latency spikes. A 16g heap collects
+    regularly, keeps RSS bounded, and measured strictly more stable at
+    identical throughput (20-run max 2.6s vs 18s+ spikes). On a real
+    cluster this maps to executor memory, where the same sizing logic
     (working set per core x cores + cached partitions) applies."""
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     gib = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(4, min(32, int(gib * 0.4)))}g"
+                    return f"{max(4, min(16, int(gib * 0.4)))}g"
     except OSError:
         pass
     return "8g"
