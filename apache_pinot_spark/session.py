@@ -69,10 +69,26 @@ def _default_driver_mem() -> str:
 
 
 # Static confs — only settable at session build time.
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
+
 STATIC_CONFS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+    "spark.driver.memory": _DRIVER_MEM,
+    # PIN the heap (-Xms == -Xmx, pre-touched). A dynamically-sized heap
+    # commits and uncommits pages as G1 grows/shrinks; on this VM that
+    # churn intermittently cost 100+ CPU-seconds of *kernel* time
+    # (page-fault/reclaim storms) and showed up as random 3-10x query
+    # spikes. With the heap committed once at startup the storms are
+    # gone (6-round A/B: max 4.0s vs a 15.1s spike). Same reasoning
+    # applies to executor JVMs on a real cluster.
+    # MetaspaceSize raises the threshold that triggers a metaspace-induced
+    # full GC: whole-stage codegen loads thousands of janino classes per
+    # suite run, and the default ~21 MB high-water mark forces periodic
+    # stop-the-world collections mid-query.
+    "spark.driver.extraJavaOptions": (
+        f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch -XX:MetaspaceSize=256m"
+    ),
 }
 
 
