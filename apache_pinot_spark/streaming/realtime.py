@@ -188,10 +188,13 @@ def consuming_view(
         return os.path.abspath(uri)
 
     committed: set[str] = set()
-    exists = os.path.isdir(table_path)
+    batch_dirs: list[str] = []
     manifests_complete = True
-    if exists:
-        for bdir in glob.glob(os.path.join(table_path, "__stream_batch=*")):
+    if os.path.isdir(table_path):
+        for bdir in sorted(glob.glob(os.path.join(table_path, "__stream_batch=*"))):
+            if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+                continue  # partial attempt: its rows arrive via `pending`
+            batch_dirs.append(bdir)
             meta = os.path.join(bdir, "_pinot_source_files.json")
             if not os.path.isfile(meta):
                 # A committed batch with no source manifest (pre-feature
@@ -216,8 +219,19 @@ def consuming_view(
     if source_schema:
         reader = reader.schema(source_schema)
     halves = []
-    if exists:
-        halves.append(spark.read.parquet(table_path).drop("__stream_batch"))
+    if batch_dirs:
+        # Read EXACTLY the batch directories observed during the manifest
+        # scan, not the whole table path: the committed half is otherwise
+        # evaluated lazily at action time, and a micro-batch committing a
+        # pending file between view construction and the action would put
+        # that file's rows in BOTH halves (manifest set snapshotted
+        # eagerly, parquet listing taken later). Pinning the directory
+        # list makes both halves one consistent snapshot.
+        halves.append(
+            spark.read.option("basePath", table_path)
+            .parquet(*batch_dirs)
+            .drop("__stream_batch")
+        )
     if pending:
         tail = normalize_stream(reader.load(pending), schema, config)
         halves.append(tail)
@@ -350,7 +364,7 @@ def running_totals_stateful(
     stream_df: DataFrame,
     key_col: str,
     value_col: str,
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key
     running count + sum maintained across micro-batches (the shape for
@@ -367,11 +381,19 @@ def running_totals_stateful(
 
     out_schema = f"{key_col} STRING, events BIGINT, total DOUBLE"
     state_schema = "events BIGINT, total DOUBLE"
-    timeout_ms = timeout_minutes * 60 * 1000 if timeout_minutes else None
+    timeout_ms = int(timeout_minutes * 60 * 1000) if timeout_minutes else None
 
     def update(key, pdfs, state: GroupState):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            # Expiry firing: drop the state instead of re-arming it —
+            # without this branch the timeout would rewrite the state and
+            # reschedule itself forever, and the documented bounded-state
+            # expiry would never actually remove anything.
+            state.remove()
+            yield _pd.DataFrame({key_col: [], "events": [], "total": []})
+            return
         events, total = (state.get if state.exists else (0, 0.0))
         for pdf in pdfs:
             events += len(pdf)
@@ -399,7 +421,7 @@ def dedup_within_key_stateful(
     stream_df: DataFrame,
     key_col: str,
     id_col: str,
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming exactly-once-per-(key, id) dedup via applyInPandasWithState:
     emits each (key, id) the FIRST time it appears across the whole stream,
@@ -415,11 +437,19 @@ def dedup_within_key_stateful(
 
     out_schema = f"{key_col} STRING, {id_col} STRING"
     state_schema = "seen ARRAY<STRING>"
-    timeout_ms = timeout_minutes * 60 * 1000 if timeout_minutes else None
+    timeout_ms = int(timeout_minutes * 60 * 1000) if timeout_minutes else None
 
     def update(key, pdfs, state: GroupState):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            # Expiry firing: remove the seen-set rather than re-arming the
+            # timeout (see running_totals_stateful) — ids seen after the
+            # expiry count as fresh again, the documented tradeoff of
+            # bounded state over an unbounded id space.
+            state.remove()
+            yield _pd.DataFrame({key_col: [], id_col: []})
+            return
         seen = set(state.get[0]) if state.exists else set()
         fresh = []
         for pdf in pdfs:

@@ -338,3 +338,91 @@ def test_dedup_within_key_stateful(spark, tmp_path_factory):
         assert rows == [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "a")]
     finally:
         q.stop()
+
+
+def test_stateful_timeout_expires_state(spark, tmp_path_factory):
+    """The opt-in processing-time timeout must actually REMOVE state: an
+    id seen before the expiry is re-emitted when it reappears after it.
+    (Regression: the update fn previously re-armed the timeout instead of
+    branching on state.hasTimedOut, so expiry never removed anything.)"""
+    root = tmp_path_factory.mktemp("dedup_timeout")
+    src = root / "src"
+    src.mkdir()
+    _write_source_file(
+        src, 0, [{"user": "u1", "page": "a", "n": 1, "ts_ms": BASE_MS}]
+    )
+    stream = spark.readStream.schema(_SRC_SCHEMA).json(str(src))
+    out = R.dedup_within_key_stateful(stream, "user", "page",
+                                      timeout_minutes=0.02)  # 1.2 s
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("dedup_timeout")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .start()
+    )
+    def _sink_rows():
+        return [
+            (r["user"], r["page"])
+            for r in spark.sql("SELECT * FROM dedup_timeout").collect()
+        ]
+
+    def _wait_for(pred, seconds=60):
+        deadline = time.time() + seconds
+        while time.time() < deadline:
+            if pred(_sink_rows()):
+                return True
+            time.sleep(0.25)
+        return False
+
+    # NOTE: with a registered timeout Spark schedules state-cleanup
+    # batches continuously, so processAllAvailable() never settles —
+    # poll the sink with deadlines instead.
+    try:
+        assert _wait_for(lambda rows: ("u1", "a") in rows)
+        time.sleep(2.5)  # let the processing-time timeout elapse
+        # a batch for ANOTHER key gives Spark a trigger in which u1's
+        # timed-out state is processed and removed
+        _write_source_file(
+            src, 1, [{"user": "u2", "page": "z", "n": 1, "ts_ms": BASE_MS + 1}]
+        )
+        assert _wait_for(lambda rows: ("u2", "z") in rows)
+        time.sleep(1.0)
+        # the same (key, id) after expiry must be fresh again
+        _write_source_file(
+            src, 2, [{"user": "u1", "page": "a", "n": 9, "ts_ms": BASE_MS + 2}]
+        )
+        assert _wait_for(lambda rows: rows.count(("u1", "a")) == 2), _sink_rows()
+    finally:
+        q.stop()
+
+
+def test_consuming_view_snapshot_is_race_free(spark, tmp_path_factory):
+    """A batch that commits a pending source file AFTER the view is built
+    but BEFORE it is actioned must not double-count that file: the
+    committed half is pinned to the batch directories observed at
+    construction time (regression for the committed-half-read-lazily
+    TOCTOU)."""
+    root = tmp_path_factory.mktemp("consuming_race")
+    src = root / "src"
+    src.mkdir()
+    table = str(root / "table")
+    _write_source_file(
+        src, 0, [{"user": "u1", "page": "first", "n": 1, "ts_ms": BASE_MS}]
+    )
+    commit = R.make_batch_committer(SCHEMA, CFG, table, R.ConsumingState())
+    commit(spark.read.schema(_SRC_SCHEMA).json(str(src / "batch_0.json")), 0)
+
+    # a second source file is pending when the view is built
+    _write_source_file(
+        src, 1, [{"user": "u2", "page": "second", "n": 2, "ts_ms": BASE_MS + 1}]
+    )
+    view = R.consuming_view(
+        spark, SCHEMA, CFG, str(src), table,
+        source_format="json", source_schema=_SRC_SCHEMA,
+    )
+    # ... and a micro-batch commits that pending file before any action
+    commit(spark.read.schema(_SRC_SCHEMA).json(str(src / "batch_1.json")), 1)
+    assert spark.read.parquet(table).count() == 2  # both committed now
+    # the snapshot still counts each row exactly once
+    assert view.count() == 2
+    assert view.filter(F.col("user") == "u2").count() == 1
