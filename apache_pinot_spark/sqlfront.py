@@ -983,7 +983,38 @@ class PinotEngine:
             done.set()
             sc.setJobGroup("", "")
 
-    def _scan_stats(self, sql: str, n_projected: int, n_rows: int) -> dict:
+    @staticmethod
+    def _filter_output_rows(df) -> int | None:
+        """Rows that survived the query's own Filter operator, read from
+        the EXECUTED plan's SQLMetrics — zero additional Spark jobs. Walks
+        the physical tree (unwrapping AQE roots and query stages) and
+        returns the FilterExec numOutputRows; with several Filters (one
+        per join side, subqueries) it returns None rather than guess."""
+        try:
+            stack = [df._jdf.queryExecution().executedPlan()]
+            vals = []
+            while stack:
+                node = stack.pop()
+                name = node.getClass().getSimpleName()
+                if name == "AdaptiveSparkPlanExec":
+                    node = node.executedPlan()
+                    name = node.getClass().getSimpleName()
+                if name == "FilterExec":
+                    m = node.metrics()
+                    if m.contains("numOutputRows"):
+                        vals.append(m.apply("numOutputRows").value())
+                if name.endswith("QueryStageExec"):
+                    stack.append(node.plan())
+                ch = node.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            if len(vals) == 1:
+                return int(vals[0])
+            return None
+        except Exception:
+            return None
+
+    def _scan_stats(self, sql: str, n_projected: int, n_rows: int, df=None) -> dict:
         """Honest envelope scan statistics (basics/Architecture.md:143-148):
         totalDocs = docs in the queried table, numDocsScanned = docs the
         filter SELECTED (scanned for projection — not rows returned),
@@ -992,7 +1023,10 @@ class PinotEngine:
         index shortcut yet), numEntriesScannedPostFilter = selected docs ×
         projected columns. Single-table queries only; joins/subqueries get
         -1 (Pinot's own stats are per-table too). Counts are parquet
-        metadata / cached, plus one COUNT(*) job for the WHERE clause."""
+        metadata / cached; the WHERE selectivity is read from the executed
+        job's FilterExec metric (`_filter_output_rows`), NOT a second
+        COUNT(*) job — at scale re-running the filter would double every
+        envelope query's scan cost."""
         out = {
             "totalDocs": -1,
             "numDocsScanned": n_rows,
@@ -1018,11 +1052,8 @@ class PinotEngine:
             out["numEntriesScannedPostFilter"] = total * n_projected
             return out
         where = wm.group(1).strip()
-        try:
-            matched = self.spark.sql(
-                f"SELECT COUNT(*) FROM {tbl} WHERE {where}"  # noqa: S608
-            ).collect()[0][0]
-        except Exception:
+        matched = self._filter_output_rows(df) if df is not None else None
+        if matched is None:
             return out
         filter_cols = {
             c for c in self._dfs[tbl].columns
@@ -1086,7 +1117,7 @@ class PinotEngine:
             n_segments = len(df.inputFiles())
         except Exception:
             n_segments = 0
-        stats = self._scan_stats(sql, len(df.schema.fields), len(rows))
+        stats = self._scan_stats(sql, len(df.schema.fields), len(rows), df=df)
         return {
             "resultTable": {
                 "dataSchema": {

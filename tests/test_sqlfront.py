@@ -566,3 +566,20 @@ def test_hll_paren_inside_literal_does_not_break_wrap(spark):
         "(SELECT k FROM hll_lit WHERE s <> 'a)b') q"
     ).collect()
     assert r[0][0] >= 1
+
+
+def test_scan_stats_launch_no_extra_jobs(engine, spark):
+    """numDocsScanned comes from the executed plan's FilterExec metric:
+    deriving the envelope stats must not launch any additional Spark job
+    (previously a COUNT(*) re-ran the WHERE per envelope query)."""
+    sql = "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 LIMIT 5"
+    rr = engine.rewrite(sql)
+    df = spark.sql(rr.sql)
+    rows = df.collect()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    stats = engine._scan_stats(rr.sql, len(df.schema.fields), len(rows), df=df)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "scan stats must not run extra jobs"
+    assert stats["totalDocs"] > 0
+    assert 0 < stats["numDocsScanned"] <= stats["totalDocs"]
