@@ -234,6 +234,7 @@ class PinotDialect:
         json_configs: dict | None = None,
         segment_partitions: dict[str, int] | None = None,
         sketch_ranges: dict[str, tuple[float, float]] | None = None,
+        tdigest_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -247,6 +248,11 @@ class PinotDialect:
         # BYTES histogram-sketch column → its declared [lo, hi) value
         # range (needed to interpret bin indices as values)
         self.sketch_ranges = sketch_ranges or {}
+        # BYTES columns holding serialized t-digests (tdunning MergingDigest
+        # VERBOSE — the Pinot object-serde wire format, schema.md:48):
+        # PERCENTILETDIGEST over one merges-and-estimates via the
+        # registered pandas grouped-agg UDF (functions/tdigest.py)
+        self.tdigest_columns = tdigest_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -373,6 +379,13 @@ class PinotDialect:
             # Requires the column's declared [lo, hi) range, registered
             # via PinotEngine.register_sketch_range.
             arg = a[0].strip()
+            if arg in self.tdigest_columns:
+                # serialized-t-digest BYTES metric: merge the group's
+                # blobs and estimate in rank space (functions/tdigest.py;
+                # UDF registered by PinotEngine.register_tdigest_column)
+                from apache_pinot_spark.functions.tdigest import UDF_NAME
+
+                return f"{UDF_NAME}({arg}, {float(a[1])!r})"
             if arg in self.binary_columns:
                 rng = self.sketch_ranges.get(arg)
                 if rng is None:
@@ -754,6 +767,7 @@ class PinotEngine:
         self._text_index: dict[str, str] = {}
         self._segment_partitions: dict[str, int] = {}
         self._sketch_ranges: dict[str, tuple[float, float]] = {}
+        self._tdigest_columns: set[str] = set()
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -815,6 +829,17 @@ class PinotEngine:
         over it can merge-and-estimate (schema.md:48)."""
         self._sketch_ranges[column] = (float(lo), float(hi))
 
+    def register_tdigest_column(self, column: str) -> None:
+        """Declare a BYTES column as serialized t-digest percentile state
+        (tdunning MergingDigest VERBOSE — Pinot's object-serde wire
+        format, schema.md:48). PERCENTILETDIGEST/PERCENTILEEST over it
+        merges the group's digests and estimates, via the pandas
+        grouped-agg UDF in functions/tdigest.py."""
+        from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
+
+        register_tdigest_udfs(self.spark)
+        self._tdigest_columns.add(column)
+
     def add_rollup(self, spec):
         """Register a star-tree-style rollup (plans/rollup.py) for
         aggregate-rewrite matching."""
@@ -832,6 +857,7 @@ class PinotEngine:
             self._json_index_configs,
             self._segment_partitions,
             self._sketch_ranges,
+            self._tdigest_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
