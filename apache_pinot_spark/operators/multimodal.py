@@ -1,11 +1,24 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_stub=True` (default) produces a deterministic fake derived from the
-content bytes so the full pipeline — schema, partitioning, batch shapes,
-UDF signatures — is real and testable; `decode_stub=False` raises
-NotImplementedError at the exact point a real decoder (PIL/libav) plugs in.
+Decode is behind a CAPABILITY PROBE (`image_decoder()` / `audio_decoder()`):
+
+* ``decode_stub=None`` (auto, the default): use a real decoder when one is
+  importable — PIL for images; soundfile, else the stdlib ``wave`` module
+  (WAV/PCM), for audio — and fall back to the deterministic stub when not.
+* ``decode_stub=True``: force the stub — a deterministic fake derived from
+  the content bytes, so schema, partitioning, batch shapes, and UDF
+  signatures are testable on any machine with bit-stable output.
+* ``decode_stub=False``: require a real decoder; raises
+  NotImplementedError at the plug point when none is importable.
+
+On the real path a per-item decode failure yields NULL features (the
+id/byte-accounting columns still populate): at 100 TB a corrupt blob must
+not kill the job — filter `features IS NULL` downstream for the reject
+stream. The probe runs on the DRIVER and the decision ships in the
+closure, so a heterogeneous cluster can't split-brain between stub and
+real output within one query (executors missing the driver's decoder
+fail loudly instead).
 
 Scale design: mapInPandas streams Arrow record batches — content bytes
 never materialize on the driver; `spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -58,18 +71,66 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
     return [int.from_bytes(d[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(n)]
 
 
+def image_decoder() -> str | None:
+    """Capability probe: name of the importable image decoder ("pil"), or
+    None. Probed on the driver; the result ships in the worker closure."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return None
+
+
+def audio_decoder() -> str | None:
+    """Capability probe: "soundfile" (any libsndfile format), else "wave"
+    (stdlib, WAV/PCM only — present in every CPython), else None."""
+    try:
+        import soundfile  # noqa: F401
+
+        return "soundfile"
+    except ImportError:
+        pass
+    try:
+        import wave  # noqa: F401
+
+        return "wave"
+    except ImportError:
+        return None
+
+
+def _resolve(decode_stub: bool | None, probe) -> str | None:
+    """Map the decode_stub tri-state to a concrete decoder name or None
+    (= stub). Raises at the plug point when real decode is demanded but
+    no decoder is importable."""
+    if decode_stub is True:
+        return None
+    decoder = probe()
+    if decoder is None and decode_stub is False:
+        raise NotImplementedError(
+            "real decode requested (decode_stub=False) but no decoder is "
+            "importable in this environment — install PIL (images) or "
+            "soundfile (audio); WAV works via the stdlib wave module"
+        )
+    return decoder
+
+
 def extract_image_features(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
-    decode_stub: bool = True,
+    decode_stub: bool | None = None,
     feature_dim: int = 8,
 ) -> DataFrame:
     """Decode + featurize images via mapInPandas (Arrow batches).
 
-    Real pipeline shape: batches of (id, content) → decoded pixels →
-    feature vector. The decode is the only stubbed step.
+    Pipeline shape: batches of (id, content) → decoded pixels → feature
+    vector. Decoder selection per the module capability probe; the real
+    (PIL) featurizer is a feature_dim-pixel grayscale thumbnail in [0,1]
+    — deterministic, resolution-invariant, and enough to drive dedup /
+    ANN plumbing tests; swap in a model embedding at the same plug point.
     """
+    decoder = _resolve(decode_stub, image_decoder)
 
     out_schema = T.StructType(
         [
@@ -88,17 +149,26 @@ def extract_image_features(
 
         import pandas as _pd
 
-        def _feats(content, n):
+        def _stub_feats(content, n):
             d = _hl.sha256(content or b"").digest()
             return [int.from_bytes(d[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(n)]
 
+        def _pil_feats(content, n):
+            # real decode: grayscale thumbnail, n pixels normalized to [0,1];
+            # corrupt/undecodable blobs -> None (reject stream, never a crash)
+            import io as _io
+
+            try:
+                from PIL import Image as _Image
+
+                with _Image.open(_io.BytesIO(content or b"")) as im:
+                    px = im.convert("L").resize((n, 1)).getdata()
+                return [p / 255.0 for p in px]
+            except Exception:
+                return None
+
+        feats = _stub_feats if decoder is None else _pil_feats
         for pdf in batches:
-            if not decode_stub:
-                # Plug point for a real decoder:
-                #   from PIL import Image; Image.open(io.BytesIO(b)) ...
-                raise NotImplementedError(
-                    "image decode requires an imaging library not present in this container"
-                )
             contents = pdf[content_col]
             yield _pd.DataFrame(
                 {
@@ -107,7 +177,7 @@ def extract_image_features(
                     "digest": contents.map(
                         lambda b: _hl.sha256(b or b"").hexdigest()
                     ),
-                    "features": contents.map(lambda b: _feats(b, feature_dim)),
+                    "features": contents.map(lambda b: feats(b, feature_dim)),
                 }
             )
 
@@ -126,20 +196,56 @@ def resize_images(
     target_h: int,
     content_col: str = "content",
     meta_col: str = "meta",
-    decode_stub: bool = True,
+    decode_stub: bool | None = None,
 ) -> DataFrame:
-    """Resize plumbing: output schema mirrors input with updated metadata;
-    content passes through untouched in stub mode (a real impl re-encodes)."""
-    if not decode_stub:
-        raise NotImplementedError("image resize requires an imaging library")
-    return df.withColumn(
-        meta_col,
-        F.struct(
-            F.col(f"{meta_col}.format").alias("format"),
-            F.lit(target_w).alias("width"),
-            F.lit(target_h).alias("height"),
-        ),
-    )
+    """Resize: with a real decoder (PIL), decode → resize → re-encode via
+    mapInPandas, updating metadata; in stub mode only the metadata struct
+    changes and content passes through untouched. Output schema mirrors
+    the input either way. Undecodable blobs pass through unresized with
+    their original metadata (reject stream semantics)."""
+    decoder = _resolve(decode_stub, image_decoder)
+    if decoder is None:
+        return df.withColumn(
+            meta_col,
+            F.struct(
+                F.col(f"{meta_col}.format").alias("format"),
+                F.lit(target_w).alias("width"),
+                F.lit(target_h).alias("height"),
+            ),
+        )
+
+    cols = list(df.columns)
+    schema = df.schema
+
+    def run(batches):
+        import io as _io
+
+        from PIL import Image as _Image
+
+        for pdf in batches:
+            new_content, new_w, new_h = [], [], []
+            for b, meta in zip(pdf[content_col], pdf[meta_col]):
+                try:
+                    with _Image.open(_io.BytesIO(b or b"")) as im:
+                        fmt = im.format or "PNG"
+                        out = _io.BytesIO()
+                        im.resize((target_w, target_h)).save(out, format=fmt)
+                    new_content.append(out.getvalue())
+                    new_w.append(target_w)
+                    new_h.append(target_h)
+                except Exception:
+                    new_content.append(b)
+                    new_w.append(meta["width"] if meta else None)
+                    new_h.append(meta["height"] if meta else None)
+            pdf = pdf.copy()
+            pdf[content_col] = new_content
+            pdf[meta_col] = [
+                {"format": (m["format"] if m else None), "width": w, "height": h}
+                for m, w, h in zip(pdf[meta_col], new_w, new_h)
+            ]
+            yield pdf[cols]
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def sample_video_frames(
@@ -188,14 +294,18 @@ def extract_audio_features(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
-    decode_stub: bool = True,
+    decode_stub: bool | None = None,
     n_bands: int = 8,
 ) -> DataFrame:
-    """Decode + featurize audio via mapInPandas (Arrow batches): the real
-    pipeline shape is bytes → PCM decode → per-band energies. Decode is
-    the stubbed step (no audio libs in the container); the stub derives a
-    deterministic per-band energy profile from byte-range sums so schema,
-    batch flow, and downstream joins are fully testable."""
+    """Decode + featurize audio via mapInPandas (Arrow batches): bytes →
+    PCM decode → per-band RMS energies over n_bands equal time slices,
+    each in [0,1] (normalized to full scale). Decoder per the module
+    capability probe: soundfile when importable, else the stdlib ``wave``
+    module (WAV/PCM — so this real path runs in any CPython), else the
+    deterministic byte-profile stub. Undecodable blobs yield NULL
+    band_energy on the real path."""
+    decoder = _resolve(decode_stub, audio_decoder)
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -209,7 +319,7 @@ def extract_audio_features(
     def run(batches):
         import pandas as _pd
 
-        def _bands(b, n):
+        def _stub_bands(b, n):
             b = b or b"\x00"
             step = max(len(b) // n, 1)
             out = []
@@ -218,18 +328,65 @@ def extract_audio_features(
                 out.append(sum(chunk) / (255.0 * len(chunk)))
             return out
 
+        def _pcm_bands(x, n):
+            # x: mono float signal in [-1, 1]; per-band RMS over n slices
+            import numpy as _np
+
+            if x.size == 0:
+                return [0.0] * n
+            out = []
+            edges = _np.linspace(0, x.size, n + 1).astype(int)
+            for i in range(n):
+                seg = x[edges[i] : edges[i + 1]]
+                out.append(float(_np.sqrt(_np.mean(seg * seg))) if seg.size else 0.0)
+            return out
+
+        def _wave_decode(b):
+            import io as _io
+            import wave as _wave
+
+            import numpy as _np
+
+            with _wave.open(_io.BytesIO(b), "rb") as w:
+                nch, sw, _, nframes = w.getparams()[:4]
+                raw = w.readframes(nframes)
+            if sw == 1:  # unsigned 8-bit PCM
+                x = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.float64)
+                x = (x - 128.0) / 128.0
+            elif sw == 2:
+                x = _np.frombuffer(raw, dtype="<i2").astype(_np.float64) / 32768.0
+            elif sw == 4:
+                x = _np.frombuffer(raw, dtype="<i4").astype(_np.float64) / 2147483648.0
+            else:
+                raise ValueError(f"unsupported PCM sample width {sw}")
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            return x
+
+        def _sf_decode(b):
+            import io as _io
+
+            import numpy as _np
+            import soundfile as _sf
+
+            x, _sr = _sf.read(_io.BytesIO(b), dtype="float64", always_2d=True)
+            return _np.asarray(x).mean(axis=1)
+
+        def _real_bands(b, n):
+            try:
+                x = _sf_decode(b) if decoder == "soundfile" else _wave_decode(b)
+                return _pcm_bands(x, n)
+            except Exception:
+                return None
+
+        bands = _stub_bands if decoder is None else _real_bands
         for pdf in batches:
-            if not decode_stub:
-                # Plug point for a real decoder (e.g. soundfile/libav):
-                raise NotImplementedError(
-                    "audio decode requires an audio library not present in this container"
-                )
             contents = pdf[content_col]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "n_bytes": contents.map(lambda b: len(b or b"")).astype("int32"),
-                    "band_energy": contents.map(lambda b: _bands(b, n_bands)),
+                    "band_energy": contents.map(lambda b: bands(b, n_bands)),
                 }
             )
 

@@ -26,7 +26,10 @@ def _media(spark: SparkSession, sf_dir: str):
 
 
 def _features(spark, sf_dir):
-    feats = multimodal.extract_image_features(_media(spark, sf_dir))
+    # decode_stub=True pinned: the driver hash-compares against a sha/size
+    # oracle, which must not change if an imaging library appears in the
+    # environment (the real-decode path is covered by pytest instead)
+    feats = multimodal.extract_image_features(_media(spark, sf_dir), decode_stub=True)
     return feats.select("media_id", "n_bytes", "digest").orderBy("media_id")
 
 

@@ -240,14 +240,30 @@ def test_audio_feature_extraction(spark):
 
     rows = [(i, bytes(range(i, i + 64)), ("wav", 16000, 16000 * 4)) for i in range(4)]
     df = spark.createDataFrame(rows, multimodal.AUDIO_SCHEMA)
-    out = multimodal.extract_audio_features(df, n_bands=8).orderBy("media_id").collect()
+    # stub pinned: deterministic byte-profile features on any machine
+    out = (
+        multimodal.extract_audio_features(df, decode_stub=True, n_bands=8)
+        .orderBy("media_id")
+        .collect()
+    )
     assert len(out) == 4
     assert all(len(r["band_energy"]) == 8 for r in out)
     assert all(0.0 <= e <= 1.0 for r in out for e in r["band_energy"])
-    again = multimodal.extract_audio_features(df, n_bands=8).orderBy("media_id").collect()
+    again = (
+        multimodal.extract_audio_features(df, decode_stub=True, n_bands=8)
+        .orderBy("media_id")
+        .collect()
+    )
     assert [r["band_energy"] for r in again] == [r["band_energy"] for r in out]
-    with pytest.raises(Exception):  # decode plug point is honest
-        multimodal.extract_audio_features(df, decode_stub=False).collect()
+    # real decode (stdlib wave is always importable): garbage bytes are a
+    # reject stream — NULL band_energy, never a crash
+    real = (
+        multimodal.extract_audio_features(df, decode_stub=False, n_bands=8)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert all(r["band_energy"] is None for r in real)
+    assert [r["n_bytes"] for r in real] == [64] * 4
 
 
 def test_audio_chunking_plan(spark):
