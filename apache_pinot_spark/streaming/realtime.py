@@ -158,6 +158,7 @@ def consuming_view(
     table_path: str,
     source_format: str = "json",
     source_schema=None,  # DDL string or StructType
+    source_projection=None,  # DataFrame -> DataFrame, pre-normalize (e.g. kafka_value_rows)
 ) -> DataFrame:
     """ST1 sub-trigger consuming-segment freshness (Architecture.md:171):
     Pinot serves rows from the in-flight consuming segment BEFORE it
@@ -233,8 +234,12 @@ def consuming_view(
             .drop("__stream_batch")
         )
     if pending:
-        tail = normalize_stream(reader.load(pending), schema, config)
-        halves.append(tail)
+        tail = reader.load(pending)
+        if source_projection is not None:
+            # wire-format sources (e.g. Kafka-shaped records) project their
+            # payload into rows before the shared normalize pipeline
+            tail = source_projection(tail)
+        halves.append(normalize_stream(tail, schema, config))
     if not halves:
         raise ValueError(f"nothing to read: no commits in {table_path!r} and no source files")
     out = halves[0]
@@ -266,6 +271,40 @@ def hybrid_view(
     return df
 
 
+import pyspark.sql.types as _T
+
+# The Kafka source's fixed output schema (Spark Structured Streaming Kafka
+# integration contract): every record the connector emits has exactly
+# these columns. A mock source producing THIS shape exercises everything
+# downstream of the broker connection — kafka_value_rows, the normalize
+# pipeline, segment commits, consuming view, hybrid federation — which is
+# the whole realtime trace of Architecture.md:198-204 minus the socket.
+KAFKA_WIRE_SCHEMA = _T.StructType(
+    [
+        _T.StructField("key", _T.BinaryType()),
+        _T.StructField("value", _T.BinaryType()),
+        _T.StructField("topic", _T.StringType()),
+        _T.StructField("partition", _T.IntegerType()),
+        _T.StructField("offset", _T.LongType()),
+        _T.StructField("timestamp", _T.TimestampType()),
+        _T.StructField("timestampType", _T.IntegerType()),
+    ]
+)
+
+
+def kafka_value_rows(raw: DataFrame, value_schema: str) -> DataFrame:
+    """Project Kafka wire records (KAFKA_WIRE_SCHEMA — binary JSON
+    payloads in `value`) into typed rows via the declared schema. Works
+    on batch and streaming frames; rows whose payload fails to parse get
+    all-NULL fields (from_json semantics) and flow to the sentinel pass
+    rather than killing the stream."""
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    ).select("r.*")
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -275,14 +314,13 @@ def kafka_stream(
 ) -> DataFrame:
     """S2's production source (Architecture.md:198-204 consumes
     Kafka/Kinesis): build the readStream and project the JSON value
-    payload through the declared schema. The returned stream plugs
-    straight into ingest_stream — the file-stream tests exercise the
-    identical downstream pipeline.
+    payload through the declared schema (kafka_value_rows). The returned
+    stream plugs straight into ingest_stream — the Kafka-shaped contract
+    test (tests/test_kafka_contract.py) drives the identical downstream
+    pipeline end-to-end from a mock source emitting KAFKA_WIRE_SCHEMA.
 
     Requires the spark-sql-kafka connector on the classpath; without it
-    (this container) Spark raises at stream start, not here."""
-    from pyspark.sql import functions as F
-
+    (this container) Spark raises DATA_SOURCE_NOT_FOUND here at load()."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -290,9 +328,7 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
-    ).select("r.*")
+    return kafka_value_rows(raw, value_schema)
 
 
 # --------------------------------------------------------------------------
