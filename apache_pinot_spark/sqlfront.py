@@ -216,6 +216,9 @@ _GROUPBY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 class RewriteResult:
     sql: str
     options: dict[str, str] = field(default_factory=dict)
+    # advisory rewrite notes (e.g. a scale-relevant fallback was taken);
+    # surfaced so query authors see cost cliffs instead of silent reverts
+    notes: list[str] = field(default_factory=list)
 
 
 class PinotDialect:
@@ -689,9 +692,18 @@ class PinotDialect:
         # collect_set + HOF fold — the inline 64xMAX(CASE md5...) form
         # dies in Spark's generated hash-aggregate at this expression
         # size (janino nested-class IllegalAccessError). Bit-identical
-        # estimates; cardinality-bound memory like exact DISTINCTCOUNT.
+        # estimates; cardinality-bound memory like exact DISTINCTCOUNT —
+        # which silently defeats HLL's constant-state point, so the
+        # fallback is LOUD: a rewrite note lands in RewriteResult.notes.
         for k, arg in enumerate(self._hll_args):
             sql = sql.replace(f"__PINOT_HLL_EST_{k}__", hll_estimate_fold_sql(arg))
+            self._rewrite_notes.append(
+                f"DISTINCTCOUNTHLL({arg}): FROM shape (join/multi-table) fell "
+                "back to the collect_set fold — per-group memory is "
+                "cardinality-bound like exact DISTINCTCOUNT, not constant HLL "
+                "state. For high-cardinality columns aggregate the HLL in a "
+                "single-table subquery first."
+            )
         return sql
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
@@ -704,6 +716,7 @@ class PinotDialect:
                     options[k.strip()] = v.strip()
             sql = sql[: m.start()].rstrip()
         self._hll_args = []
+        self._rewrite_notes: list[str] = []
         sql = rewrite_calls(sql, self._handlers())
         sql = self._rewrite_mv_predicates(sql)
         sql = self._rewrite_partition_routing(sql)
@@ -711,7 +724,7 @@ class PinotDialect:
         sql = self._rewrite_top(sql)
         if self._hll_args:
             sql = self._expand_hll(sql)
-        return RewriteResult(sql, options)
+        return RewriteResult(sql, options, self._rewrite_notes)
 
 
 # --------------------------------------------------------------------------

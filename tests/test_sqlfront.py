@@ -545,11 +545,18 @@ def test_hll_join_shape_falls_back_to_inline(spark):
     eng = PinotEngine(spark)
     eng.register("hll_t1", spark.range(100).selectExpr("id AS k"))
     eng.register("hll_t2", spark.range(100).selectExpr("id AS k", "id % 10 AS x"))
-    r = eng.sql(
+    join_sql = (
         "SELECT DISTINCTCOUNTHLL(b.x) AS h FROM (SELECT k FROM hll_t1) a "
         "JOIN (SELECT k, x FROM hll_t2) b ON a.k = b.k"
-    ).collect()
+    )
+    r = eng.sql(join_sql).collect()
     assert r[0][0] >= 1  # small-cardinality HLL is biased high; must run
+    # the fallback is loud: its cardinality-bound memory cost (vs constant
+    # HLL state) surfaces as a rewrite note, not a silent revert
+    rr = eng.rewrite(join_sql)
+    assert any("cardinality-bound" in n for n in rr.notes)
+    # ...and the single-table fast path stays note-free
+    assert eng.rewrite("SELECT DISTINCTCOUNTHLL(k) AS h FROM hll_t1").notes == []
 
 
 def test_hll_paren_inside_literal_does_not_break_wrap(spark):
