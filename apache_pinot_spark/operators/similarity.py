@@ -495,13 +495,26 @@ def ivf_assign(
     the deterministic seed; empty clusters keep their previous centroid.
     The default 0 keeps the SQL-oracle-reproducible hash-sample behavior
     (the declared correctness query uses it); refined centroids trade
-    oracle parity for recall — use for production indexes. Returns
-    (assigned_df with a `cluster` column, centroid list)."""
+    oracle parity for recall (measured table in SCALE.md) — use for
+    production indexes. Returns (assigned_df with a `cluster` column,
+    centroid list).
+
+    Lifecycle: with iterations > 0 the (id, v) projection is read by
+    every Lloyd pass, so it is persisted for the loop and swapped for the
+    materialized final assignment via materialize_release — without this
+    each pass re-ran the corpus scan + Arrow decode from scratch and the
+    refinement cost grew with lineage instead of staying one GEMM pass
+    per iteration. The 0-iteration path stays fully lazy (no persist, no
+    checkpoint): one assign pass fused into the downstream plan."""
     import numpy as np
+
+    from apache_pinot_spark.operators.lifecycle import materialize_release
 
     v = _spread(corpus).select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
+    if kmeans_iterations > 0:
+        v = v.persist()
     cent_rows = (
         v.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
@@ -526,7 +539,10 @@ def ivf_assign(
         cnorm[cnorm == 0] = 1.0
 
     centroids = [(i, list(cmat[i])) for i in range(len(cmat))]
-    return _assign_to_centroids(v, cmat, cnorm), centroids
+    final = _assign_to_centroids(v, cmat, cnorm)
+    if kmeans_iterations > 0:
+        final = materialize_release(final, v)
+    return final, centroids
 
 
 def ivf_topk(

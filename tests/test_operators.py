@@ -356,6 +356,32 @@ def test_ivf_kmeans_refinement_improves_objective(emb):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ivf_refined_centroids_recall_at_least_baseline(emb):
+    """The production pin behind SCALE.md's recall table: spherical-Lloyd
+    refinement must not lose recall vs the hash-sample centroids at the
+    same probe budget. Fully deterministic (hash-order seed + Lloyd), so
+    this is a stable inequality, not a flaky statistical bound."""
+    from apache_pinot_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 50)
+    truth: dict[int, set[int]] = {}
+    for r in similarity.brute_force_topk(emb, queries, k=10, dim=64).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(iters: int, nprobe: int) -> float:
+        got: dict[int, set[int]] = {}
+        for r in similarity.ivf_topk(
+            emb, queries, dim=64, k=10, num_clusters=8, nprobe=nprobe,
+            kmeans_iterations=iters,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & t) / len(t) for q, t in truth.items()) / len(truth)
+
+    for nprobe in (2, 4):
+        base, refined = recall(0, nprobe), recall(3, nprobe)
+        assert refined >= base, (nprobe, base, refined)
+
+
 def test_char_entropy_matches_python(spark):
     import math
 
