@@ -221,12 +221,19 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # best_total: per-query min across the two passes. On a quiet host the
+    # two totals agree within ~10% and best ~= run2; when the VM degrades
+    # mid-bench (observed: kernel compaction storms inflating whichever
+    # pass runs later), best_total is the machine-noise-robust capability
+    # number while both raw totals stay published for honesty.
+    best_total = round(sum(min(timings[n], timings2[n]) for n in timings), 4)
     detail = {
         "sf": sf_val,
         "n": 2,
         "warmup_ingest_sec": warmup_ingest_sec,
         "run1_total": round(sum(timings.values()), 4),
         "run2_total": round(sum(timings2.values()), 4),
+        "best_total": best_total,
         "run1_queries": timings,
         "run2_queries": timings2,
         "ratios_run1_vs_run2": ratios,
@@ -249,6 +256,7 @@ def main() -> None:
         "n": 2,
         "run1_total": detail["run1_total"],
         "run2_total": detail["run2_total"],
+        "best_total": best_total,
         "warmup_ingest_sec": warmup_ingest_sec,
         "max_query_ratio_run1_vs_run2": detail["max_query_ratio_run1_vs_run2"],
         "worst_ratio_query": worst,
