@@ -1179,6 +1179,11 @@ class PinotEngine:
             "totalDocs": stats["totalDocs"],
             "timeUsedMs": int((time.monotonic() - t0) * 1000),
             "segmentStatistics": [],
-            "traceInfo": {},
+            # advisory rewrite notes (scale-relevant fallbacks, e.g. the
+            # HLL join-shape fold) ride in traceInfo so REST clients see
+            # cost cliffs without a failing status
+            "traceInfo": (
+                {"rewriteNotes": list(rr.notes)} if rr.notes else {}
+            ),
             "minConsumingFreshnessTimeMs": 0,
         }

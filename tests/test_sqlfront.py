@@ -557,6 +557,10 @@ def test_hll_join_shape_falls_back_to_inline(spark):
     assert any("cardinality-bound" in n for n in rr.notes)
     # ...and the single-table fast path stays note-free
     assert eng.rewrite("SELECT DISTINCTCOUNTHLL(k) AS h FROM hll_t1").notes == []
+    # REST clients see the note through the broker envelope's traceInfo
+    env = eng.query(join_sql)
+    assert env["exceptions"] == []
+    assert any("cardinality-bound" in n for n in env["traceInfo"]["rewriteNotes"])
 
 
 def test_hll_paren_inside_literal_does_not_break_wrap(spark):
