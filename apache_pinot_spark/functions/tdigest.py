@@ -247,7 +247,18 @@ def serialize(d: TDigest) -> bytes:
 
 
 def deserialize(blob: bytes) -> TDigest:
-    """Parse a MergingDigest VERBOSE blob; reject SMALL explicitly."""
+    """Parse a VERBOSE t-digest blob; reject SMALL explicitly.
+
+    Both tdunning digest classes share encoding code 1 but lay the
+    centroid block out differently, and the class is implicit on the
+    wire — Java deserializes with the class it expects. The declared
+    centroid count makes the layouts length-distinguishable, so both are
+    accepted:
+
+      MergingDigest: 32 + 16n bytes — float64 weight[n], float64 mean[n]
+      AVLTreeDigest: 32 + 12n bytes — float64 mean[n],  int32  count[n]
+
+    (n = 0 is identical in both and trivially empty.)"""
     if len(blob) < 4:
         raise ValueError("t-digest blob too short for encoding header")
     (encoding,) = struct.unpack_from(">i", blob, 0)
@@ -259,13 +270,19 @@ def deserialize(blob: bytes) -> TDigest:
     if encoding != VERBOSE_ENCODING:
         raise ValueError(f"unknown t-digest encoding code {encoding}")
     vmin, vmax, compression, n = struct.unpack_from(">dddi", blob, 4)
-    need = 32 + 16 * n
-    if len(blob) < need:
-        raise ValueError(
-            f"t-digest blob truncated: {n} centroids need {need} bytes, got {len(blob)}"
+    if len(blob) >= 32 + 16 * n:  # MergingDigest layout (the Pinot default)
+        weight = np.asarray(struct.unpack_from(f">{n}d", blob, 32))
+        mean = np.asarray(struct.unpack_from(f">{n}d", blob, 32 + 8 * n))
+    elif len(blob) >= 32 + 12 * n:  # AVLTreeDigest layout
+        mean = np.asarray(struct.unpack_from(f">{n}d", blob, 32))
+        weight = np.asarray(
+            struct.unpack_from(f">{n}i", blob, 32 + 8 * n), dtype=np.float64
         )
-    weight = np.asarray(struct.unpack_from(f">{n}d", blob, 32))
-    mean = np.asarray(struct.unpack_from(f">{n}d", blob, 32 + 8 * n))
+    else:
+        raise ValueError(
+            f"t-digest blob truncated: {n} centroids need "
+            f"{32 + 12 * n} (AVL) or {32 + 16 * n} (Merging) bytes, got {len(blob)}"
+        )
     return TDigest(mean, weight, vmin, vmax, compression)
 
 

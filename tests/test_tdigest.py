@@ -53,6 +53,28 @@ def test_roundtrip():
     assert (back.min, back.max, back.compression) == (d.min, d.max, d.compression)
 
 
+def test_avltree_verbose_layout_accepted():
+    """The other tdunning class's VERBOSE layout (means block then int32
+    counts block, 32+12n bytes) — distinguished from MergingDigest's
+    32+16n by the declared centroid count."""
+    avl = (
+        struct.pack(">i", 1)
+        + struct.pack(">d", 1.0)
+        + struct.pack(">d", 5.0)
+        + struct.pack(">d", 100.0)
+        + struct.pack(">i", 2)
+        + struct.pack(">2d", 1.5, 4.0)  # means block...
+        + struct.pack(">2i", 2, 3)      # ...then int32 counts
+    )
+    d = deserialize(avl)
+    assert d.mean.tolist() == [1.5, 4.0]
+    assert d.weight.tolist() == [2.0, 3.0]
+    assert (d.min, d.max, d.compression) == (1.0, 5.0, 100.0)
+    # truncated below the AVL size is still an error
+    with pytest.raises(ValueError, match="truncated"):
+        deserialize(avl[:-5])
+
+
 def test_small_encoding_rejected():
     with pytest.raises(ValueError, match="SMALL encoding"):
         deserialize(struct.pack(">i", 2) + b"\x00" * 40)
