@@ -517,3 +517,50 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
     assert answer_from_rollup(
         spark, spec, ["dim"], [AggRequest("COUNT", None, "cnt")]
     ).agg(F.sum("cnt")).collect()[0][0] == 2010
+
+
+# --------------------------------------------------------------------------
+# Sweeping anti-pattern net over EVERY declared driver query (round 5):
+# one test that catches a scale regression in any of the 50 plans before
+# the bench does. Checked on the compiled physical plan, not execution.
+# --------------------------------------------------------------------------
+
+
+def test_declared_plans_free_of_scale_antipatterns(spark):
+    """No unbounded cartesian products and no row-at-a-time Python UDFs
+    (BatchEvalPython) anywhere in the declared suite. Arrow-batched
+    Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) is the
+    sanctioned slow path; BroadcastNestedLoopJoin is allowed ONLY for the
+    operators that deliberately broadcast a tiny query side (brute-force
+    ANN and its near-dup wrapper)."""
+    import apache_pinot_spark.suites  # noqa: F401  (populate the registry)
+    from apache_pinot_spark import querysuite
+
+    # deliberate tiny-side broadcast cross joins (documented in
+    # operators/similarity.py): the broadcast side is bounded by
+    # construction, so the nested-loop join is the intended plan
+    bnlj_ok = {
+        "sim_bruteforce_topk",
+        "sim_cosine_near_dup_pairs",
+        "sim_ivf_topk",
+        "sim_lsh_topk",
+        # single-ROW build side (a global aggregate attached to every row —
+        # the scalar-subquery shape): nested-loop against one broadcast row
+        # is a constant-attach, not a quadratic join
+        "a6_hll_sketch_bytes",     # merged-sketch row × estimate projection
+        "dedup_exact_groups",      # global dup-stats row × group rows
+    }
+    offenders: dict[str, list[str]] = {}
+    for name in sorted(querysuite.REGISTRY):
+        df = querysuite.REGISTRY[name].fn(spark, SF)
+        plan = _plan(df)
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython(row-at-a-time Python UDF)")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("BroadcastNestedLoopJoin(unexpected)")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
