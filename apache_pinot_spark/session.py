@@ -41,28 +41,37 @@ RUNTIME_CONFS = {
 }
 
 def _default_driver_mem() -> str:
-    """min(16g, 40% of MemTotal), floor 4g. local[N] runs every executor
+    """min(8g, 40% of MemTotal), floor 4g. local[N] runs every executor
     thread inside the driver JVM: the heap must hold N concurrent task
     working sets plus short-lived persisted frames (dedup/ANN operators
     cache intermediates for the duration of one call — see
     operators/lifecycle.py for the deterministic release). Sized from the
     host rather than hardcoded so smaller machines aren't OOM-killed.
 
-    The cap is 16g DELIBERATELY, not "as much as the host has": with a
-    32g ceiling on a 128 GiB host, G1 almost never collected and kept
-    committing fresh pages instead; the VM-level cost of that expansion
-    (page-fault/compaction storms, ~150 CPU-s of *kernel* time) hit
-    random queries with 3-10x latency spikes. A 16g heap collects
-    regularly, keeps RSS bounded, and measured strictly more stable at
-    identical throughput (20-run max 2.6s vs 18s+ spikes). On a real
-    cluster this maps to executor memory, where the same sizing logic
-    (working set per core x cores + cached partitions) applies."""
+    The cap is DELIBERATELY small, not "as much as the host has" — two
+    rounds of A/B established that on this VM, suite latency variance
+    scales with resident set size, not with heap headroom:
+      * 32g ceiling (round 3): G1 almost never collected, kept committing
+        fresh pages; page-fault/compaction storms cost ~150 CPU-s of
+        kernel time and hit random queries with 3-10x spikes.
+      * 16g pinned (round 4): stable immediately after start, but a
+        kernel page-scanning daemon on this host charges time
+        proportional to process RSS — the longer the JVM lives, the
+        slower identical queries get (observed: a pure-JVM query 1.3 s →
+        64 s between adjacent passes, zero GC, 195 CPU-s of kernel time).
+      * 8g pinned (round 5 A/B): identical best-pass throughput at sf0.1
+        (best_total 35.4 vs 35.3 s), run-to-run worst ratio 1.9x vs up
+        to 71x — half the RSS, half the scan exposure.
+    6g was NOT safe: the blocked-GEMM ANN operators spilled (55 s vs
+    2 s). On a real cluster this maps to executor memory, where the same
+    sizing logic (working set per core x cores + cached partitions)
+    applies and the host-daemon concern is moot."""
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     gib = int(line.split()[1]) / (1024 * 1024)
-                    return f"{max(4, min(16, int(gib * 0.4)))}g"
+                    return f"{max(4, min(8, int(gib * 0.4)))}g"
     except OSError:
         pass
     return "8g"
