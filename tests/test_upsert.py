@@ -1,0 +1,188 @@
+"""Upsert-table semantics (operators/upsert.py): full / partial modes,
+delete tombstones, plan shape, DuckDB differential, streaming changelog."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_pinot_spark.operators import upsert as U
+
+
+def _events(spark):
+    rows = [
+        # (pk, comparison ts, seq, value, tags, deleted)
+        ("k1", 10, 0, 1.0, ["a"], False),
+        ("k1", 20, 1, 2.0, ["b"], False),
+        ("k1", 15, 2, 9.0, ["c"], False),
+        ("k2", 5, 3, 4.0, ["x"], False),
+        ("k2", 5, 4, 6.0, ["y"], False),  # same ts as above: seq breaks the tie
+        ("k3", 1, 5, 7.0, ["z"], False),
+        ("k3", 2, 6, 8.0, ["w"], True),  # tombstoned by its latest version
+    ]
+    return spark.createDataFrame(
+        rows, "pk string, ts long, seq long, value double, tags array<string>, deleted boolean"
+    )
+
+
+def test_full_upsert_latest_wins(spark):
+    cfg = U.UpsertConfig(primary_keys=["pk"], comparison_column="ts", sequence_column="seq")
+    out = U.full_upsert_view(_events(spark).drop("deleted"), cfg)
+    got = {r["pk"]: (r["ts"], r["value"]) for r in out.collect()}
+    assert got == {"k1": (20, 2.0), "k2": (5, 6.0), "k3": (2, 8.0)}
+    assert out.columns == ["pk", "ts", "seq", "value", "tags"]  # input order kept
+
+
+def test_full_upsert_delete_tombstone(spark):
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
+        delete_column="deleted",
+    )
+    out = U.upsert_view(_events(spark), cfg)
+    assert sorted(r["pk"] for r in out.collect()) == ["k1", "k2"]  # k3 tombstoned
+
+
+def test_partial_upsert_strategies(spark):
+    rows = [
+        ("k1", 10, 1.0, "first", ["a"], 3.0),
+        ("k1", 20, 2.0, None, ["b", "a"], 1.0),
+        ("k1", 30, 4.0, None, ["c"], 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "pk string, ts long, inc double, ow string, tags array<string>, m double"
+    )
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], mode="PARTIAL", comparison_column="ts",
+        partial_strategies={"inc": "INCREMENT", "ow": "OVERWRITE", "tags": "UNION", "m": "MAX"},
+    )
+    r = U.upsert_view(df, cfg).collect()[0]
+    assert r["ts"] == 30  # comparison column resolves FORCE_OVERWRITE
+    assert r["inc"] == 7.0
+    assert r["ow"] == "first"  # later nulls don't clobber (OVERWRITE skips null)
+    assert r["tags"] == ["a", "b", "c"]  # comparison order, distinct
+    assert r["m"] == 3.0
+
+
+def test_partial_upsert_append_ignore_min_force(spark):
+    rows = [("k", 1, ["a"], "x", 5.0, "old"), ("k", 2, ["b"], "y", 3.0, None)]
+    df = spark.createDataFrame(
+        rows, "pk string, ts long, ar array<string>, ig string, mn double, fo string"
+    )
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], mode="PARTIAL", comparison_column="ts",
+        partial_strategies={
+            "ar": "APPEND", "ig": "IGNORE", "mn": "MIN", "fo": "FORCE_OVERWRITE",
+        },
+    )
+    r = U.upsert_view(df, cfg).collect()[0]
+    assert r["ar"] == ["a", "b"]
+    assert r["ig"] == "x"
+    assert r["mn"] == 3.0
+    assert r["fo"] is None  # FORCE_OVERWRITE takes the latest value even when null
+
+
+def test_upsert_config_validation():
+    with pytest.raises(ValueError, match="mode"):
+        U.UpsertConfig(primary_keys=["pk"], mode="BOTH")
+    with pytest.raises(ValueError, match="strategy"):
+        U.UpsertConfig(primary_keys=["pk"], partial_strategies={"c": "SQUARE"})
+    with pytest.raises(ValueError, match="primary key"):
+        U.UpsertConfig(primary_keys=[])
+
+
+def test_full_upsert_plan_single_shuffle_with_partial_agg(spark):
+    """Scale assert: ONE Exchange (the pk shuffle) and a map-side partial
+    aggregate before it — the reason this beats the row_number() window."""
+    cfg = U.UpsertConfig(primary_keys=["pk"], comparison_column="ts")
+    plan = U.full_upsert_view(
+        _events(spark).drop("deleted"), cfg
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # struct-valued max_by buffers compile to SortAggregate, still with a
+    # map-side partial_max_by below the Exchange — that's the combine.
+    partial_lines = [
+        ln for ln in plan.splitlines() if "Aggregate" in ln and "partial_max_by" in ln
+    ]
+    assert partial_lines, plan
+
+
+def test_full_upsert_matches_duckdb_window_oracle(spark, duck):
+    """Differential: latest-event-per-user over the real events table vs
+    DuckDB's row_number() formulation of the same semantics."""
+    from tests.conftest import SF_CORRECTNESS
+
+    ev = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    cfg = U.UpsertConfig(
+        primary_keys=["user_id"], comparison_column="ts", sequence_column="event_id"
+    )
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in U.upsert_view(ev.select("user_id", "ts", "event_id", "value"), cfg).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in duck.sql(
+            "SELECT user_id, event_id FROM ("
+            "  SELECT user_id, event_id,"
+            "         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+            "  FROM events) WHERE rn = 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_upsert_stateful_streaming_changelog(spark, tmp_path_factory):
+    """Streaming FULL upsert: update-mode changelog emits a key's row
+    when a new version wins; stale versions never surface."""
+    root = tmp_path_factory.mktemp("upsert_state")
+    src = root / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write(idx, rows):
+        (src / f"b{idx}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    write(0, [{"pk": "a", "ts": 10, "value": 1.0}, {"pk": "b", "ts": 10, "value": 2.0}])
+    stream = spark.readStream.schema(schema).json(str(src))
+    cfg = U.UpsertConfig(primary_keys=["pk"], comparison_column="ts")
+    out = U.upsert_stateful(stream, cfg)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("upsert_changelog")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # newer version for a; STALE version for b (must not re-emit)
+        write(1, [{"pk": "a", "ts": 20, "value": 9.0}, {"pk": "b", "ts": 5, "value": 0.0}])
+        q.processAllAvailable()
+        rows = [
+            (r["pk"], r["ts"], r["value"])
+            for r in spark.sql("SELECT * FROM upsert_changelog").collect()
+        ]
+        assert ("a", 20, 9.0) in rows and ("a", 10, 1.0) in rows
+        assert ("b", 10, 2.0) in rows
+        assert ("b", 5, 0.0) not in rows  # stale version suppressed
+        # current state of the table = last emit per key
+        latest = {}
+        for pk, ts, v in rows:
+            if pk not in latest or ts >= latest[pk][0]:
+                latest[pk] = (ts, v)
+        assert latest == {"a": (20, 9.0), "b": (10, 2.0)}
+    finally:
+        q.stop()
+
+
+def test_upsert_stateful_rejects_partial_mode(spark):
+    cfg = U.UpsertConfig(primary_keys=["pk"], mode="PARTIAL", comparison_column="ts")
+    with pytest.raises(ValueError, match="FULL"):
+        U.upsert_stateful(spark.range(1).withColumnRenamed("id", "pk"), cfg)
