@@ -1,0 +1,209 @@
+"""Funnel analysis — windowed multi-step conversion over an event
+stream, aggregation-native.
+
+The reference docs mirror does not cover funnels, but the public system
+ships a funnel family (FUNNEL_MAX_STEP / FUNNEL_MATCH_STEP /
+FUNNEL_COMPLETE_COUNT / FUNNEL_COUNT: per correlation id, how deep into
+an ordered list of step predicates did the id get within a time
+window). The windowed-funnel semantics implemented here are the
+industry-standard ones those functions share (also ClickHouse's
+windowFunnel): max step k such that some chain of events e1 ≤ … ≤ ek
+exists where e_i matches step i, events are in timestamp order, and
+ts(e_k) − ts(e_1) ≤ window.
+
+Spark mapping (scale-first):
+
+  * Step matching is a map-side projection: each event is tested
+    against every step predicate and NON-MATCHING EVENTS ARE DROPPED
+    BEFORE THE SHUFFLE — at 100 TB the shuffle carries only the funnel
+    events (typically a tiny fraction), as slim (entity, ts, step)
+    rows.
+  * One shuffle on the entity: collect_list of (ts, step) structs with
+    map-side partial aggregation, array_sort, then a linear
+    F.aggregate fold computing the chain DP entirely JVM-side (the
+    lambda state is an array of chain-start timestamps, one per
+    level — no Python, no explosion of the expression tree: lambda
+    variables are referenced, not re-embedded).
+  * Per-entity state is O(n_steps); per-entity event lists are bounded
+    by that entity's funnel-event count. Entities hot enough to
+    overflow a task should be pre-capped with `max_events_per_entity`
+    (keeps the EARLIEST events — funnels measure first conversion).
+
+Mode notes: this is the default ("any other events in between are
+ignored") windowed-funnel mode. The chain-start timestamp for level 1
+advances to the latest step-1 event seen, which is exactly right for
+this mode: a later entry event can only widen the window for later
+steps, and already-reached deeper levels are never unset. Strict modes
+(strict_order / strict_increase / strict_deduplication) are not
+implemented; they need richer per-level state and break the
+ignore-interleaved contract most funnel dashboards assume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _matched_events(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    max_events_per_entity: int | None,
+) -> DataFrame:
+    """(entity, ts_ms, step) rows for funnel events only — the map-side
+    filter that keeps non-funnel traffic out of the shuffle. An event
+    matching several steps yields one row per matched step (each
+    predicate is evaluated independently, as in the public funnel
+    functions)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ→LTZ cast is lossless here: the engine pins the session to
+        # UTC (catalog.load_tables), and unix_millis needs an LTZ input.
+        ts = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    elif isinstance(dt, T.NumericType):
+        ts = F.col(ts_col).cast("long")  # caller's epoch-ms (engine norm)
+    else:
+        raise TypeError(f"funnel ts column {ts_col!r} must be timestamp or epoch-ms, got {dt}")
+    tagged = df.select(
+        F.col(entity_col).alias("__entity"),
+        ts.alias("__ts"),
+        F.filter(
+            F.array(*[F.when(p, F.lit(i + 1)) for i, p in enumerate(steps)]),
+            lambda s: s.isNotNull(),
+        ).alias("__steps"),
+    ).where((F.size("__steps") > 0) & F.col("__ts").isNotNull())
+    out = tagged.select("__entity", "__ts", F.explode("__steps").alias("__step"))
+    if max_events_per_entity is not None:
+        # Bounded per-entity state for pathological hot entities: keep the
+        # earliest events (first-conversion semantics). Costs one extra
+        # shuffle (window rank) — opt-in.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__entity").orderBy("__ts", "__step")
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_events_per_entity)
+            .drop("__rn")
+        )
+    return out
+
+
+def _fold_max_step(n_steps: int, window_ms: int) -> Column:
+    """The chain DP as a JVM fold over the per-entity sorted event array
+    (column name `__evs`): state[i] = chain-start timestamp for level
+    i+1 (null = unreached). Levels form a non-null prefix, so max step
+    is the count of non-null entries."""
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n_steps)])
+    state = F.aggregate(
+        F.col("__evs"),
+        init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: F.when(
+                e["__step"] == i + 1,
+                F.when(i == 0, e["__ts"]).otherwise(
+                    # F.get is 0-based and null-safe: previous level's
+                    # chain start, null at level 0 (branch above) or if
+                    # the previous level is unreached.
+                    F.when(
+                        (e["__ts"] - F.get(acc, i - 1)) <= window_ms,
+                        F.get(acc, i - 1),
+                    ).otherwise(v)
+                ),
+            ).otherwise(v),
+        ),
+    )
+    return F.size(F.filter(state, lambda v: v.isNotNull()))
+
+
+def funnel_max_step(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None = None,
+) -> DataFrame:
+    """(entity, max_step) — how deep each entity got within the window.
+    Entities with no funnel events at all do not appear (their step is
+    0 by definition; left-join the entity dimension if you need them)."""
+    ev = _matched_events(df, entity_col, ts_col, steps, max_events_per_entity)
+    return (
+        ev.groupBy("__entity")
+        .agg(F.array_sort(F.collect_list(F.struct("__ts", "__step"))).alias("__evs"))
+        .select(
+            F.col("__entity").alias(entity_col),
+            _fold_max_step(len(steps), window_ms).alias("max_step"),
+        )
+    )
+
+
+def funnel_match_step(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None = None,
+) -> DataFrame:
+    """(entity, matched array<int>) — per-step 0/1 indicators, the
+    FUNNEL_MATCH_STEP shape (matched[k-1] = 1 iff the entity reached
+    step k)."""
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    n = len(steps)
+    return ms.select(
+        entity_col,
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda k: F.when(k <= F.col("max_step"), 1).otherwise(0),
+        ).alias("matched"),
+    )
+
+
+def funnel_count(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None = None,
+) -> DataFrame:
+    """(step, entities) — the funnel chart: for each step k (1..n), how
+    many entities reached step k or deeper. Zero-conversion steps are
+    present with entities = 0. The cumulative pass runs on at most
+    n_steps rows (post-aggregation), so its single-partition window is
+    free."""
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    # Reduce to ≤ n_steps rows FIRST (one aggregate over the entity
+    # frame), then resolve "entities reaching ≥ k" with a range join of
+    # two tiny frames — both sides post-aggregation, broadcast for free.
+    per_depth = ms.groupBy("max_step").agg(F.count("*").alias("__c"))
+    all_steps = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    return (
+        all_steps.join(per_depth, per_depth["max_step"] >= all_steps["step"], "left")
+        .groupBy("step")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("entities"))
+        .orderBy("step")
+    )
+
+
+def funnel_complete_count(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None = None,
+) -> DataFrame:
+    """Single-row (completed) — entities that reached the final step
+    within the window (FUNNEL_COMPLETE_COUNT)."""
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    return ms.where(F.col("max_step") >= len(steps)).agg(
+        F.count("*").alias("completed")
+    )

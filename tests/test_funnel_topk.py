@@ -1,0 +1,205 @@
+"""Funnel analysis (operators/funnel.py) + windowed top-k
+(operators/topk.py): DP semantics vs a brute-force chain oracle, real
+events-table differential, plan shape, DuckDB top-k cross-check."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators import funnel as FU
+from apache_pinot_spark.operators import topk as TK
+
+STEPS = lambda: [  # noqa: E731 — view -> click -> purchase
+    F.col("event_type") == "view",
+    F.col("event_type") == "click",
+    F.col("event_type") == "purchase",
+]
+
+
+def _df(spark, rows):
+    # rows: (user, ts_ms, event_type)
+    return spark.createDataFrame(rows, "user string, ts long, event_type string")
+
+
+def test_funnel_chain_within_window(spark):
+    df = _df(spark, [("u", 0, "view"), ("u", 500, "click"), ("u", 900, "purchase")])
+    got = FU.funnel_max_step(df, "user", "ts", STEPS(), window_ms=1000).collect()
+    assert got[0]["max_step"] == 3
+
+
+def test_funnel_window_expiry_breaks_chain(spark):
+    df = _df(spark, [("u", 0, "view"), ("u", 500, "click"), ("u", 1600, "purchase")])
+    got = FU.funnel_max_step(df, "user", "ts", STEPS(), window_ms=1000).collect()
+    assert got[0]["max_step"] == 2  # purchase lands outside view@0 + 1s
+
+
+def test_funnel_later_entry_reopens_window(spark):
+    # first view is stale, but a second view restarts the clock
+    df = _df(
+        spark,
+        [("u", 0, "view"), ("u", 2000, "view"), ("u", 2500, "click"),
+         ("u", 2900, "purchase")],
+    )
+    got = FU.funnel_max_step(df, "user", "ts", STEPS(), window_ms=1000).collect()
+    assert got[0]["max_step"] == 3
+
+
+def test_funnel_order_matters_and_other_events_ignored(spark):
+    df = _df(
+        spark,
+        [("u", 0, "purchase"), ("u", 100, "error"), ("u", 200, "click"),
+         ("u", 300, "view")],
+    )
+    got = FU.funnel_max_step(df, "user", "ts", STEPS(), window_ms=10_000).collect()
+    assert got[0]["max_step"] == 1  # only the view counts; order is wrong for more
+
+
+def test_funnel_count_match_complete(spark):
+    df = _df(
+        spark,
+        [
+            ("a", 0, "view"), ("a", 1, "click"), ("a", 2, "purchase"),
+            ("b", 0, "view"), ("b", 1, "click"),
+            ("c", 0, "view"),
+            ("d", 0, "error"),  # no funnel events at all
+        ],
+    )
+    steps = STEPS()
+    counts = {r["step"]: r["entities"] for r in
+              FU.funnel_count(df, "user", "ts", steps, 1000).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
+    matched = {r["user"]: r["matched"] for r in
+               FU.funnel_match_step(df, "user", "ts", steps, 1000).collect()}
+    assert matched == {"a": [1, 1, 1], "b": [1, 1, 0], "c": [1, 0, 0]}
+    assert FU.funnel_complete_count(df, "user", "ts", steps, 1000).collect()[0][
+        "completed"
+    ] == 1
+
+
+def test_funnel_multi_step_event_counts_for_each_predicate(spark):
+    # one event matching steps 1 AND 2 (overlapping predicates) can serve
+    # as both chain links, including at the same timestamp
+    df = spark.createDataFrame(
+        [("u", 0, "view", 1), ("u", 10, "any", 9)],
+        "user string, ts long, event_type string, v int",
+    )
+    steps = [F.col("event_type") == "view", F.col("v") >= 0]
+    got = FU.funnel_max_step(df, "user", "ts", steps, 1000).collect()
+    assert got[0]["max_step"] == 2
+
+
+def test_funnel_rejects_bad_ts_type(spark):
+    df = _df(spark, [("u", 0, "view")]).withColumn("s", F.lit("x"))
+    with pytest.raises(TypeError, match="timestamp or epoch-ms"):
+        FU.funnel_max_step(df, "user", "s", STEPS(), 1000)
+
+
+def _brute_max_step(events, n_steps, window_ms):
+    """Independent oracle: longest k with an index-ordered chain of steps
+    1..k within the window, over the same (ts, step) sort order."""
+    evs = sorted(events)
+    best = 0
+    for k in range(n_steps, 0, -1):
+        for combo in itertools.combinations(range(len(evs)), k):
+            if all(evs[c][1] == i + 1 for i, c in enumerate(combo)) and (
+                evs[combo[-1]][0] - evs[combo[0]][0] <= window_ms
+            ):
+                best = k
+                break
+        if best:
+            break
+    return best
+
+
+def test_funnel_matches_bruteforce_on_real_events(spark):
+    """Differential on the real events table: view->click->purchase per
+    user inside a 6-hour window, DP vs exhaustive chain search."""
+    from apache_pinot_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    window_ms = 6 * 3600 * 1000
+    got = {
+        r["user_id"]: r["max_step"]
+        for r in FU.funnel_max_step(ev, "user_id", "ts", STEPS(), window_ms).collect()
+    }
+    step_of = {"view": 1, "click": 2, "purchase": 3}
+    pdf = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_type",
+    ).toPandas()
+    by_user: dict = {}
+    for row in pdf.itertuples(index=False):
+        if row.event_type in step_of:
+            by_user.setdefault(row.user_id, []).append((row.ms, step_of[row.event_type]))
+    want = {u: _brute_max_step(evs, 3, window_ms) for u, evs in by_user.items()}
+    want = {u: s for u, s in want.items() if s > 0}
+    assert got == want
+
+
+def test_funnel_plan_filters_before_single_shuffle(spark):
+    """Scale assert: non-funnel events are dropped below the one entity
+    Exchange (slim rows through the shuffle), and the DP fold is pure
+    JVM (no Python workers in the plan)."""
+    df = _df(spark, [("u", 0, "view")])
+    plan = FU.funnel_max_step(
+        df, "user", "ts", STEPS(), 1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "Arrow" not in plan
+    # the matched-steps filter must sit on the scan side of the exchange
+    # (toString prints top-down, so the map side is after the Exchange line)
+    _, _, post = plan.partition("Exchange")
+    assert "Filter" in post
+
+
+def test_windowed_topk_basic_and_ties(spark):
+    rows = [
+        ("2024-01-01 00:00:05", "a", 10.0), ("2024-01-01 00:00:20", "a", 5.0),
+        ("2024-01-01 00:00:40", "b", 12.0), ("2024-01-01 00:00:50", "c", 12.0),
+        ("2024-01-01 00:01:10", "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "t string, k string, v double").select(
+        F.col("t").cast("timestamp").alias("t"), "k", "v"
+    )
+    out = TK.windowed_topk(df, "t", "1 minute", ["k"], F.sum("v"), k=2).collect()
+    first = sorted(
+        [(r["k"], r["metric"], r["rank"]) for r in out if r["window_start"].minute == 0]
+    )
+    # minute 0: a=15, b=12, c=12 -> top2 = a, then b (tie with c breaks by key)
+    assert first == [("a", 15.0, 1), ("b", 12.0, 2)]
+    second = [(r["k"], r["rank"]) for r in out if r["window_start"].minute == 1]
+    assert second == [("b", 1)]
+
+
+def test_windowed_topk_matches_duckdb(spark, duck):
+    from apache_pinot_spark.catalog import load_tables
+    from tests.conftest import SF_CORRECTNESS
+
+    ev = load_tables(spark, SF_CORRECTNESS)["events"]
+    got = {
+        (str(r["window_start"]), r["event_type"], r["rank"])
+        for r in TK.windowed_topk(
+            ev, "ts", "1 day", ["event_type"], F.count("*"), k=2
+        ).collect()
+    }
+    want = {
+        (str(r[0]), r[1], r[2])
+        for r in duck.sql(
+            "SELECT ws, event_type, rank FROM ("
+            "  SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) ws, event_type,"
+            "         row_number() OVER (PARTITION BY ws ORDER BY count(*) DESC, event_type) rank"
+            "  FROM events GROUP BY 1, 2) WHERE rank <= 2"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_windowed_topk_validates_k(spark):
+    df = spark.range(1).select(F.current_timestamp().alias("t"), F.col("id"))
+    with pytest.raises(ValueError, match="k must be"):
+        TK.windowed_topk(df, "t", "1 minute", ["id"], F.count("*"), k=0)
