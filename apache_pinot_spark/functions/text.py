@@ -5,7 +5,9 @@ Reference semantics (basics/indexing/text-search-support.md):
   * expression types (lines 34-40, 321-539): phrase '"w1 w2"' (exact
     in-order adjacency), term 'Java', boolean AND with implicit OR for
     juxtaposed operands, grouping '(...)', prefix 'stream*',
-    regex '/pattern/'
+    regex '/pattern/'; plus the Lucene proximity form '"w1 w2"~N' the
+    public engine accepts through its Lucene query parser (in-order
+    reading — see _sloppy_phrase)
   * matching is case-insensitive (line 378)
   * the default English stop-word set (lines 251-257) is dropped at both
     index and query time, with per-column include/exclude overrides
@@ -69,13 +71,14 @@ class _Node:
     kind: str  # 'term' | 'prefix' | 'phrase' | 'regex' | 'and' | 'or'
     value: str | None = None
     children: list["_Node"] | None = None
+    slop: int = 0  # phrase proximity: '"w1 w2"~N' (0 = exact adjacency)
 
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<phrase>"(?:\\.|[^"])*")
+      | (?P<phrase>"(?:\\.|[^"])*"(?:~\d+)?)
       | (?P<regex>/(?:\\.|[^/])*/)
       | (?P<word>[^\s()]+)
     )""",
@@ -155,7 +158,12 @@ class _Parser:
             return node
         if kind == "phrase":
             self.i += 1
-            return _Node("phrase", value=val[1:-1].replace('\\"', '"'))
+            slop = 0
+            body = val
+            if not body.endswith('"'):  # trailing ~N proximity suffix
+                body, _, digits = body.rpartition("~")
+                slop = int(digits)
+            return _Node("phrase", value=body[1:-1].replace('\\"', '"'), slop=slop)
         if kind == "regex":
             self.i += 1
             return _Node("regex", value=val[1:-1].replace("\\/", "/"))
@@ -206,6 +214,8 @@ def _compile(node: _Node, tokens: Column, joined: Column, stop_words: frozenset[
             return F.lit(True)
         if len(terms) == 1:
             return F.array_contains(tokens, terms[0])
+        if node.slop > 0:
+            return _sloppy_phrase(terms, node.slop, tokens)
         # Adjacency-in-order over the stop-word-filtered token stream:
         # substring match on the space-joined canonical form.
         return joined.contains(" " + " ".join(terms) + " ")
@@ -216,6 +226,36 @@ def _compile(node: _Node, tokens: Column, joined: Column, stop_words: frozenset[
         pat = "(?i)^(?:" + node.value + ")$"
         return F.exists(tokens, lambda t: t.rlike(pat))
     raise AssertionError(node.kind)
+
+
+def _sloppy_phrase(terms: list[str], slop: int, tokens: Column) -> Column:
+    """Proximity phrase '"w1 … wk"~N': terms must appear IN ORDER with at
+    most N extra tokens interleaved (span ≤ k-1+N positions), over the
+    same analyzed token stream as exact phrases. This is the in-order
+    reading of Lucene's sloppy phrase; the divergence is documented —
+    Lucene's position-edit-distance also admits transpositions at
+    slop ≥ 2, which this engine does not.
+
+    JVM shape: positions of the FIRST term (one transform + filter),
+    then for each such position an rlike over the space-joined window of
+    the next k-1+N tokens checking the remaining terms as an in-order
+    subsequence. All built-ins, codegen-friendly; cost is
+    O(first-term occurrences × window) per row."""
+    k = len(terms)
+    span_after = k - 1 + slop  # window length after the anchor position
+    sub_pat = " " + "(?: \\S+)* ".join(re.escape(t) for t in terms[1:]) + " "
+    first_positions = F.filter(
+        F.transform(tokens, lambda t, i: F.when(t == terms[0], i)),
+        lambda p: p.isNotNull(),
+    )
+    return F.exists(
+        first_positions,
+        lambda p: F.concat(
+            F.lit(" "),
+            F.array_join(F.slice(tokens, p + 2, span_after), " "),
+            F.lit(" "),
+        ).rlike(sub_pat),
+    )
 
 
 def text_match(

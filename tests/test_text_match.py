@@ -181,3 +181,75 @@ def test_stop_word_overrides(spark):
     # exclude 'and' from stop words → it becomes a searchable token
     assert df.filter(text_match("t", '"and"', exclude_stop_words={"and"})).count() == 1
     assert df2.filter(text_match("t", '"and"', exclude_stop_words={"and"})).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Phrase proximity: '"w1 w2"~N' (Lucene slop syntax, in-order reading)
+# --------------------------------------------------------------------------
+
+
+def test_phrase_slop_allows_bounded_gaps(spark):
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="distributed query engine"),          # adjacent
+            Row(id=2, t="distributed columnar query engine"), # 1 extra token
+            Row(id=3, t="distributed very fast analytical query engine"),  # 3 extra
+            Row(id=4, t="query engine that is distributed"),  # wrong order
+        ]
+    )
+
+    def ids(expr):
+        return sorted(r["id"] for r in df.filter(text_match("t", expr)).collect())
+
+    assert ids('"distributed query"') == [1]          # exact adjacency only
+    assert ids('"distributed query"~0') == [1]        # ~0 == exact
+    assert ids('"distributed query"~1') == [1, 2]
+    assert ids('"distributed query"~3') == [1, 2, 3]
+    assert ids('"distributed engine"~1') == [1]       # id1: 1 token between
+    assert ids('"distributed engine"~2') == [1, 2]    # id2: 2 tokens between
+
+
+def test_phrase_slop_three_terms_and_stopwords(spark):
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="load the data into new tables quickly"),
+            Row(id=2, t="load data tables"),
+            Row(id=3, t="tables data load"),
+        ]
+    )
+    # stop words ('the', 'into') vanish from the token stream first, so
+    # analyzed tokens for id=1 are: load data new tables quickly
+    def ids(expr):
+        return sorted(r["id"] for r in df.filter(text_match("t", expr)).collect())
+
+    assert ids('"load data tables"') == [2]
+    assert ids('"load data tables"~1') == [1, 2]   # id1: one extra token 'new'
+    assert ids('"load data tables"~9') == [1, 2]   # order still required (not id3)
+
+
+def test_phrase_slop_multiple_anchor_occurrences(spark):
+    """A stale first-term occurrence must not mask a later valid chain."""
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame(
+        [Row(t="alpha zz zz zz zz zz alpha beta")]  # first alpha too far from beta
+    )
+    assert df.filter(text_match("t", '"alpha beta"~1')).count() == 1
+
+
+def test_phrase_slop_parses_inside_booleans(spark):
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import parse_text_expression, text_match
+
+    ast = parse_text_expression('"a b"~2 AND other')
+    assert ast.kind == "and" and ast.children[0].slop == 2
+    df = spark.createDataFrame([Row(t="a x b plus other stuff")])
+    assert df.filter(text_match("t", '"a b"~2 AND other')).count() == 1
+    assert df.filter(text_match("t", '"a b"~2 AND missing')).count() == 0
