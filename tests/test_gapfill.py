@@ -1,0 +1,104 @@
+"""Gapfill (operators/gapfill.py): dense grids, both public fill modes,
+validation, DuckDB differential on the events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators.gapfill import gapfill
+
+
+def _df(spark):
+    rows = [  # (series, ts_ms, v) — bucket size 100, range [0, 500)
+        ("a", 10, 1.0), ("a", 110, 2.0), ("a", 430, 5.0),
+        ("b", 210, 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts long, v double")
+
+
+def test_gapfill_dense_grid_and_previous_fill(spark):
+    out = gapfill(
+        _df(spark), "ts", bucket_ms=100, start_ms=0, end_ms=500,
+        key_cols=["k"], aggs={"v": F.sum("v")},
+        fill={"v": ("FILL_PREVIOUS_VALUE", None)},
+    ).collect()
+    got = {(r["k"], r["bucket_ms_start"]): r["v"] for r in out}
+    assert len(got) == 10  # 2 series x 5 buckets, no gaps
+    assert [got[("a", b)] for b in range(0, 500, 100)] == [1.0, 2.0, 2.0, 2.0, 5.0]
+    # series b: leading buckets stay null (no default), then carry
+    assert [got[("b", b)] for b in range(0, 500, 100)] == [None, None, 7.0, 7.0, 7.0]
+
+
+def test_gapfill_default_fill_and_leading_default(spark):
+    out = gapfill(
+        _df(spark), "ts", bucket_ms=100, start_ms=0, end_ms=500,
+        key_cols=["k"], aggs={"v": F.sum("v"), "n": F.count("*")},
+        fill={"v": ("FILL_DEFAULT_VALUE", 0.0), "n": ("FILL_PREVIOUS_VALUE", 0)},
+    ).collect()
+    got = {(r["k"], r["bucket_ms_start"]): (r["v"], r["n"]) for r in out}
+    assert got[("a", 200)] == (0.0, 1)   # v default-filled, n carried from b=100
+    assert got[("b", 0)] == (0.0, 0)     # leading: default fills both
+    assert got[("b", 200)] == (7.0, 1)   # observed bucket untouched
+
+
+def test_gapfill_rows_outside_range_ignored(spark):
+    df = spark.createDataFrame([("a", -50, 9.0), ("a", 120, 1.0), ("a", 900, 9.0)],
+                               "k string, ts long, v double")
+    out = gapfill(df, "ts", 100, 0, 300, ["k"], {"v": F.sum("v")}).collect()
+    assert sorted((r["bucket_ms_start"], r["v"]) for r in out) == [
+        (0, None), (100, 1.0), (200, None)
+    ]
+
+
+def test_gapfill_validation():
+    with pytest.raises(ValueError, match="bucket_ms"):
+        gapfill(None, "ts", 0, 0, 100, [], {})
+    with pytest.raises(ValueError, match="fill mode"):
+        gapfill(None, "ts", 1, 0, 100, [], {"v": F.sum("v")},
+                fill={"v": ("FILL_SIDEWAYS", 0)})
+    with pytest.raises(ValueError, match="not an output"):
+        gapfill(None, "ts", 1, 0, 100, [], {"v": F.sum("v")},
+                fill={"w": ("FILL_DEFAULT_VALUE", 0)})
+
+
+def test_gapfill_matches_duckdb_on_events(spark, duck):
+    """Differential: per-event-type daily event counts with previous-fill
+    over a fixed 10-day range, vs generate_series + window carry in
+    DuckDB."""
+    from apache_pinot_spark.catalog import load_tables
+    from tests.conftest import SF_CORRECTNESS
+
+    ev = load_tables(spark, SF_CORRECTNESS)["events"]
+    day = 86_400_000
+    start = 1_704_067_200_000  # 2024-01-01
+    end = start + 10 * day
+    out = gapfill(
+        ev.select("event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+                  "value"),
+        "ms", day, start, end, ["event_type"],
+        {"cnt": F.count("*")},
+        fill={"cnt": ("FILL_PREVIOUS_VALUE", 0)},
+    )
+    got = {(r["event_type"], r["bucket_ms_start"]): r["cnt"] for r in out.collect()}
+    want_rows = duck.sql(f"""
+        WITH obs AS (
+          SELECT event_type,
+                 {start} + ((epoch_ms(CAST(ts AS TIMESTAMP)) - {start}) // {day}) * {day} AS b,
+                 count(*) AS cnt
+          FROM events
+          WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= {start}
+            AND epoch_ms(CAST(ts AS TIMESTAMP)) < {end}
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT s.event_type, g.b
+          FROM (SELECT DISTINCT event_type FROM obs) s
+          CROSS JOIN (SELECT unnest(generate_series({start}, {end - 1}, {day})) AS b) g)
+        SELECT grid.event_type, grid.b,
+               coalesce(last_value(obs.cnt IGNORE NULLS) OVER (
+                 PARTITION BY grid.event_type ORDER BY grid.b
+                 ROWS UNBOUNDED PRECEDING), 0) AS cnt
+        FROM grid LEFT JOIN obs ON grid.event_type = obs.event_type AND grid.b = obs.b
+    """).fetchall()
+    want = {(r[0], r[1]): r[2] for r in want_rows}
+    assert got == want and len(got) >= 10
