@@ -1,0 +1,232 @@
+"""Theta sketches — approximate distinct counting WITH set algebra
+(union / intersection / difference), the capability HLL lacks.
+
+The public system exposes DISTINCT_COUNT_THETA_SKETCH: per-group theta
+sketches that can be combined with set expressions at query time
+("users who did A and B" from two filtered sketches), which plain
+DISTINCTCOUNTHLL cannot answer (HLL unions, but never intersects).
+This module implements the standard theta-sketch framework (Dasgupta,
+Lang, Rhodes, Thorne: "Theta-Sketch Framework" / the KMV bottom-k
+family):
+
+  * A sketch is (cut, entries): entries = the retained distinct 64-bit
+    hash values, all < cut, capped at nominal size k. cut = 2^64 means
+    the sketch is EXACT (all distinct hashes retained). theta is the
+    normalized cut (cut / 2^64).
+  * estimate = |entries| / theta.
+  * union: cut = min(cuts), keep distinct entries < cut, trim to the k
+    smallest (new cut = the (k+1)-th smallest entry) if over k.
+  * intersect: cut = min(cuts), keep entries present in BOTH and
+    < cut. a_not_b: entries of A below cut and absent from B.
+
+The cut is kept as an EXACT integer (never a rounded float64 theta) so
+trim/filter boundary comparisons are deterministic; only the final
+estimate converts to float.
+
+Hashing is `pandas.util.hash_pandas_object` (vectorized 64-bit,
+deterministic fixed-key SipHash) — NOT MurmurHash3-x64-128/seed-9001,
+which is what the Apache DataSketches wire format requires, so blobs
+here are deliberately NOT DataSketches-wire-compatible and use their
+own self-describing layout (magic + k + n + exact-flag + cut +
+uint64 entries). Cross-system BYTES interop would need the exact
+murmur pipeline including per-type canonical byte encodings;
+documented divergence (the t-digest module, functions/tdigest.py, is
+the wire-interop precedent where the format is hash-free).
+
+Scale shape (100 TB): identical to tdigest_sketch — a mapInPandas
+pass emits one ≤k-entry partial sketch per (group, Arrow batch)
+(map-side combine), then groupBy + applyInPandas merges the
+constant-size partials. Only sketches shuffle, never raw rows;
+per-group state is bounded by k·8 bytes regardless of cardinality —
+the constant-state property the HLL fold fallback (functions/hll.py)
+loses in join shapes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint inference needs 'pd.*'
+
+DEFAULT_NOMINAL = 4096  # nominal entries k (datasketches' default lg_k=12)
+_MAGIC = b"THSK"
+_EXACT_CUT = 1 << 64  # Python int: "retain everything"
+
+
+class ThetaSketch:
+    """(cut, sorted uint64 entries) with nominal cap k. ``cut`` is a
+    Python int in (0, 2^64]; all entries are < cut."""
+
+    __slots__ = ("cut", "entries", "k")
+
+    def __init__(self, cut: int, entries: np.ndarray, k: int = DEFAULT_NOMINAL):
+        self.cut = int(cut)
+        self.entries = np.asarray(entries, dtype=np.uint64)
+        self.k = int(k)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def empty(cls, k: int = DEFAULT_NOMINAL) -> "ThetaSketch":
+        return cls(_EXACT_CUT, np.empty(0, dtype=np.uint64), k)
+
+    @classmethod
+    def from_hashes(cls, hashes: np.ndarray, k: int = DEFAULT_NOMINAL) -> "ThetaSketch":
+        h = np.unique(np.asarray(hashes, dtype=np.uint64))  # sorted distinct
+        return cls(_EXACT_CUT, h, k)._trim()
+
+    @classmethod
+    def from_values(cls, values: "pd.Series", k: int = DEFAULT_NOMINAL) -> "ThetaSketch":
+        v = values.dropna()
+        if v.empty:
+            return cls.empty(k)
+        h = pd.util.hash_pandas_object(v, index=False).to_numpy(dtype=np.uint64)
+        return cls.from_hashes(h, k)
+
+    def _trim(self) -> "ThetaSketch":
+        """Enforce the nominal cap: keep the k smallest entries, set cut
+        to the (k+1)-th smallest (the standard QuickSelect compact rule,
+        so estimate = k / theta)."""
+        if self.entries.size <= self.k:
+            return self
+        return ThetaSketch(int(self.entries[self.k]), self.entries[: self.k], self.k)
+
+    def _below(self, cut: int) -> np.ndarray:
+        if cut >= _EXACT_CUT:
+            return self.entries
+        return self.entries[self.entries < np.uint64(cut)]
+
+    # -- estimation --------------------------------------------------------
+    @property
+    def theta(self) -> float:
+        return self.cut / _EXACT_CUT
+
+    @property
+    def is_exact(self) -> bool:
+        return self.cut >= _EXACT_CUT
+
+    def estimate(self) -> float:
+        # exact integer ratio, converted to float once
+        return float(self.entries.size * _EXACT_CUT / self.cut)
+
+    # -- set algebra -------------------------------------------------------
+    def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        cut = min(self.cut, other.cut)
+        merged = np.union1d(self._below(cut), other._below(cut))
+        return ThetaSketch(cut, merged, min(self.k, other.k))._trim()
+
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        cut = min(self.cut, other.cut)
+        common = np.intersect1d(self._below(cut), other._below(cut))
+        return ThetaSketch(cut, common, min(self.k, other.k))
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        cut = min(self.cut, other.cut)
+        kept = np.setdiff1d(self._below(cut), other.entries)
+        return ThetaSketch(cut, kept, self.k)
+
+
+def union_all(sketches: Iterable[ThetaSketch]) -> ThetaSketch:
+    out: ThetaSketch | None = None
+    for s in sketches:
+        out = s if out is None else out.union(s)
+    return out if out is not None else ThetaSketch.empty()
+
+
+# -- wire format (engine-local; see module doc for the interop stance) -----
+def serialize(s: ThetaSketch) -> bytes:
+    exact = 1 if s.is_exact else 0
+    head = _MAGIC + struct.pack(">iqBQ", s.k, s.entries.size, exact,
+                                0 if exact else s.cut)
+    return head + s.entries.astype(">u8").tobytes()
+
+
+def deserialize(blob: bytes) -> ThetaSketch:
+    if len(blob) < 25 or blob[:4] != _MAGIC:
+        raise ValueError("not a theta-sketch blob (bad magic)")
+    k, n, exact, cut = struct.unpack_from(">iqBQ", blob, 4)
+    need = 25 + 8 * n
+    if len(blob) < need:
+        raise ValueError(f"theta-sketch blob truncated: need {need}, got {len(blob)}")
+    entries = np.frombuffer(blob, dtype=">u8", count=n, offset=25).astype(np.uint64)
+    return ThetaSketch(_EXACT_CUT if exact else cut, entries, k)
+
+
+def merge_blobs(blobs: Iterable[bytes]) -> ThetaSketch:
+    return union_all(deserialize(b) for b in blobs if b is not None)
+
+
+# -- Spark integration -----------------------------------------------------
+def theta_sketch(df, keys: list[str], value_col: str,
+                 k: int = DEFAULT_NOMINAL, out_col: str = "theta"):
+    """Per-group theta-sketch BYTES column, built map-side-first (same
+    partial/final contract as tdigest_sketch: raw rows reduce to ≤k
+    hashes per group per Arrow batch before any shuffle)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[kk] for kk in keys] + [StructField(out_col, BinaryType())]
+    )
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # self-contained closure: runs on Python workers (imports inside)
+        import pandas as _pd
+
+        from apache_pinot_spark.functions import theta as _t
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for kv, grp in pdf.groupby(keys, dropna=False, sort=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                rows.append(
+                    (*kv, _t.serialize(_t.ThetaSketch.from_values(grp[value_col], k)))
+                )
+            yield _pd.DataFrame(rows, columns=[*keys, out_col])
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from apache_pinot_spark.functions import theta as _t
+
+        head = pdf.iloc[[0]][keys].copy()
+        head[out_col] = [_t.serialize(_t.merge_blobs(pdf[out_col]))]
+        return head
+
+    return (
+        df.select(*keys, value_col)
+        .mapInPandas(partials, schema)
+        .groupBy(*keys)
+        .applyInPandas(merge, schema)
+    )
+
+
+ESTIMATE_UDF = "pinot_theta_estimate"
+UNION_UDF = "pinot_theta_union"
+
+
+def register_theta_udfs(spark) -> None:
+    """SQL surface over BYTES sketch columns: ``pinot_theta_union(blob)``
+    (grouped-agg union returning a merged blob) and
+    ``pinot_theta_estimate(blob)`` (scalar estimate per blob) —
+    composable as estimate(union(...)) with GROUP BY, the
+    DISTINCT_COUNT_THETA_SKETCH query shape. Idempotent per session."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pinot_theta_union(blobs: pd.Series) -> bytes:
+        from apache_pinot_spark.functions import theta as _t
+
+        return _t.serialize(_t.merge_blobs(blobs.dropna()))
+
+    @pandas_udf("double")
+    def pinot_theta_estimate(blobs: pd.Series) -> pd.Series:
+        from apache_pinot_spark.functions import theta as _t
+
+        return blobs.map(
+            lambda b: float("nan") if b is None else _t.deserialize(b).estimate()
+        )
+
+    spark.udf.register(UNION_UDF, pinot_theta_union)
+    spark.udf.register(ESTIMATE_UDF, pinot_theta_estimate)
