@@ -44,6 +44,7 @@ loses in join shapes.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Iterable, Iterator
 
@@ -200,6 +201,96 @@ def theta_sketch(df, keys: list[str], value_col: str,
         .groupBy(*keys)
         .applyInPandas(merge, schema)
     )
+
+
+def theta_sketch_global(df, value_col: str, k: int = DEFAULT_NOMINAL) -> ThetaSketch:
+    """One sketch over the whole frame (no grouping): mapInPandas emits
+    ≤k-entry partial blobs (one per Arrow batch), which are merged on
+    the driver. The collect is bounded — #partial-blobs × (25 + 8k)
+    bytes — the standard sketch-aggregation driver cost, independent of
+    row count."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType([StructField("blob", BinaryType())])
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        from apache_pinot_spark.functions import theta as _t
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield _pd.DataFrame(
+                {"blob": [_t.serialize(_t.ThetaSketch.from_values(pdf[value_col], k))]}
+            )
+
+    blobs = [r["blob"] for r in df.select(value_col).mapInPandas(partials, schema).collect()]
+    merged = merge_blobs(blobs)
+    return merged if blobs else ThetaSketch.empty(k)
+
+
+_SET_OPS = {"SET_UNION", "SET_INTERSECT", "SET_DIFF"}
+_SET_TOKEN = re.compile(
+    r"\s*(SET_UNION|SET_INTERSECT|SET_DIFF|\(|\)|,|\$\d+)\s*", re.IGNORECASE
+)
+
+
+def evaluate_set_expression(expr: str, sketches: dict[str, ThetaSketch]) -> ThetaSketch:
+    """Evaluate a post-aggregation set expression over named sketches —
+    the public DISTINCT_COUNT_THETA_SKETCH combinator surface:
+    ``SET_UNION($1, $2, …)``, ``SET_INTERSECT(…)``, ``SET_DIFF(a, b)``
+    (exactly two arguments), nesting allowed, ``$k`` referencing the
+    k-th filtered sketch."""
+    toks: list[str] = []
+    pos = 0
+    while pos < len(expr):
+        m = _SET_TOKEN.match(expr, pos)
+        if not m or m.end() == pos:
+            if expr[pos:].strip() == "":
+                break
+            raise ValueError(f"theta set expression: cannot parse {expr[pos:]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+
+    def parse(i: int) -> tuple[ThetaSketch, int]:
+        t = toks[i]
+        if t.startswith("$"):
+            if t not in sketches:
+                raise ValueError(f"theta set expression: unknown sketch ref {t}")
+            return sketches[t], i + 1
+        op = t.upper()
+        if op not in _SET_OPS:
+            raise ValueError(f"theta set expression: expected operator or $k, got {t!r}")
+        if i + 1 >= len(toks) or toks[i + 1] != "(":
+            raise ValueError(f"theta set expression: {op} needs parenthesized args")
+        args: list[ThetaSketch] = []
+        i += 2
+        while True:
+            s, i = parse(i)
+            args.append(s)
+            if i >= len(toks):
+                raise ValueError("theta set expression: unbalanced parentheses")
+            if toks[i] == ",":
+                i += 1
+                continue
+            if toks[i] == ")":
+                i += 1
+                break
+            raise ValueError(f"theta set expression: expected ',' or ')', got {toks[i]!r}")
+        if op == "SET_DIFF":
+            if len(args) != 2:
+                raise ValueError("SET_DIFF takes exactly two arguments")
+            return args[0].a_not_b(args[1]), i
+        out = args[0]
+        for s in args[1:]:
+            out = out.union(s) if op == "SET_UNION" else out.intersect(s)
+        return out, i
+
+    result, end = parse(0)
+    if end != len(toks):
+        raise ValueError(f"theta set expression: trailing tokens {toks[end:]}")
+    return result
 
 
 ESTIMATE_UDF = "pinot_theta_estimate"

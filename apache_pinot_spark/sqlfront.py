@@ -238,6 +238,7 @@ class PinotDialect:
         segment_partitions: dict[str, int] | None = None,
         sketch_ranges: dict[str, tuple[float, float]] | None = None,
         tdigest_columns: set[str] | None = None,
+        theta_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -256,6 +257,10 @@ class PinotDialect:
         # PERCENTILETDIGEST over one merges-and-estimates via the
         # registered pandas grouped-agg UDF (functions/tdigest.py)
         self.tdigest_columns = tdigest_columns or set()
+        # BYTES columns holding serialized theta sketches (engine-local
+        # layout, functions/theta.py): DISTINCTCOUNTTHETASKETCH over one
+        # merges-and-estimates via the registered UDF pair
+        self.theta_columns = theta_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -329,6 +334,35 @@ class PinotDialect:
         def distinctcounthllplus(a):
             # Spark-native HLL++ (fast JVM path, NOT oracle-reproducible)
             return f"approx_count_distinct({a[0]})"
+
+        def distinctcountthetasketch(a):
+            # Over a BYTES theta-sketch column (register_theta_column):
+            # union the group's sketches, estimate, round to a count —
+            # the public function's return shape. Over a raw column the
+            # engine answers EXACTLY (COUNT DISTINCT): the sketch is an
+            # approximation device, not a semantic; exact is both a valid
+            # estimate and oracle-reproducible. Set-expression forms go
+            # through PinotEngine.theta_set_estimate.
+            from apache_pinot_spark.functions.theta import ESTIMATE_UDF, UNION_UDF
+
+            arg = a[0].strip()
+            if arg in self.theta_columns:
+                return f"CAST(ROUND({ESTIMATE_UDF}({UNION_UDF}({arg}))) AS BIGINT)"
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def distinctcountrawthetasketch(a):
+            # RAW variant: the merged serialized sketch itself (hex), for
+            # clients that post-aggregate across queries.
+            from apache_pinot_spark.functions.theta import UNION_UDF
+
+            arg = a[0].strip()
+            if arg not in self.theta_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTRAWTHETASKETCH({arg}): column is not a "
+                    "registered theta-sketch BYTES column "
+                    "(PinotEngine.register_theta_column)"
+                )
+            return f"hex({UNION_UDF}({arg}))"
 
         # -- multi-valued aggregate family (public Pinot surface; the
         # reference documents MV columns at schema.md:25 — these aggregate
@@ -440,6 +474,8 @@ class PinotDialect:
             "DISTINCTCOUNT": distinctcount,
             "DISTINCTCOUNTHLL": distinctcounthll,
             "DISTINCTCOUNTHLLPLUS": distinctcounthllplus,
+            "DISTINCTCOUNTTHETASKETCH": distinctcountthetasketch,
+            "DISTINCTCOUNTRAWTHETASKETCH": distinctcountrawthetasketch,
             "ARRAYLENGTH": arraylength,
             "VALUEIN": valuein,
             "COUNTMV": countmv,
@@ -781,6 +817,7 @@ class PinotEngine:
         self._segment_partitions: dict[str, int] = {}
         self._sketch_ranges: dict[str, tuple[float, float]] = {}
         self._tdigest_columns: set[str] = set()
+        self._theta_columns: set[str] = set()
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -853,6 +890,50 @@ class PinotEngine:
         register_tdigest_udfs(self.spark)
         self._tdigest_columns.add(column)
 
+    def register_theta_column(self, column: str) -> None:
+        """Declare a BYTES column as serialized theta-sketch distinct
+        state (engine-local layout, functions/theta.py).
+        DISTINCTCOUNTTHETASKETCH over it unions the group's sketches and
+        estimates; DISTINCTCOUNTRAWTHETASKETCH returns the merged blob."""
+        from apache_pinot_spark.functions.theta import register_theta_udfs
+
+        register_theta_udfs(self.spark)
+        self._theta_columns.add(column)
+
+    def theta_set_estimate(
+        self,
+        table: str,
+        column: str,
+        predicates: list[str],
+        expression: str,
+        k: int | None = None,
+    ) -> float:
+        """The public DISTINCT_COUNT_THETA_SKETCH set-expression form:
+        build one theta sketch of ``column`` per WHERE-style predicate
+        ($1..$n in order), combine them with ``expression``
+        (SET_UNION / SET_INTERSECT / SET_DIFF over $k), return the
+        estimate. Example::
+
+            theta_set_estimate("events", "user_id",
+                               ["event_type = 'view'",
+                                "event_type = 'purchase'"],
+                               "SET_INTERSECT($1, $2)")
+
+        Each per-predicate sketch is built distributed (map-side partials,
+        functions.theta.theta_sketch_global); only ≤k-entry partial blobs
+        reach the driver."""
+        from apache_pinot_spark.functions import theta as _t
+
+        if not predicates:
+            raise ValueError("theta_set_estimate needs at least one predicate")
+        kk = k or _t.DEFAULT_NOMINAL
+        df = self._dfs[table]
+        sketches = {
+            f"${i + 1}": _t.theta_sketch_global(df.where(p).select(column), column, kk)
+            for i, p in enumerate(predicates)
+        }
+        return _t.evaluate_set_expression(expression, sketches).estimate()
+
     def add_rollup(self, spec):
         """Register a star-tree-style rollup (plans/rollup.py) for
         aggregate-rewrite matching."""
@@ -871,6 +952,7 @@ class PinotEngine:
             self._segment_partitions,
             self._sketch_ranges,
             self._tdigest_columns,
+            self._theta_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

@@ -114,3 +114,85 @@ def test_spark_partials_stay_bounded(spark):
         assert s.entries.size <= 256
         # ~14k distinct per group sketched at k=256: within 4 sigma
         assert abs(s.estimate() - 100_000 / 7) / (100_000 / 7) < 4 / np.sqrt(255)
+
+
+# --------------------------------------------------------------------------
+# SQL dialect surface + set expressions (DISTINCT_COUNT_THETA_SKETCH shape)
+# --------------------------------------------------------------------------
+
+
+def test_dialect_theta_over_raw_column_is_exact(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    got = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(user_id) AS u FROM events"
+    ).collect()[0]["u"]
+    assert got == 15
+
+
+def test_dialect_theta_over_bytes_column(spark):
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    sk = TH.theta_sketch(ev, ["event_type"], "user_id", out_col="theta")
+    eng = PinotEngine(spark)
+    eng.register("theta_by_type", sk)
+    eng.register_theta_column("theta")
+    got = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(theta) AS u FROM theta_by_type"
+    ).collect()[0]["u"]
+    assert got == 15  # 15 users, exact-mode sketches, LONG return
+    raw = eng.sql(
+        "SELECT DISTINCTCOUNTRAWTHETASKETCH(theta) AS blob FROM theta_by_type"
+    ).collect()[0]["blob"]
+    assert TH.deserialize(bytes.fromhex(raw)).estimate() == 15.0
+
+
+def test_dialect_raw_theta_requires_registration(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    with pytest.raises(ValueError, match="not a.*registered theta"):
+        eng.sql("SELECT DISTINCTCOUNTRAWTHETASKETCH(user_id) FROM events")
+
+
+def test_set_expression_evaluator():
+    a, b, c = _sk(range(0, 100)), _sk(range(50, 150)), _sk(range(140, 160))
+    sks = {"$1": a, "$2": b, "$3": c}
+    assert TH.evaluate_set_expression("$1", sks).estimate() == 100.0
+    assert TH.evaluate_set_expression("SET_UNION($1, $2)", sks).estimate() == 150.0
+    assert TH.evaluate_set_expression("SET_INTERSECT($1, $2)", sks).estimate() == 50.0
+    assert TH.evaluate_set_expression("SET_DIFF($1, $2)", sks).estimate() == 50.0
+    nested = TH.evaluate_set_expression(
+        "SET_INTERSECT(SET_UNION($1, $3), $2)", sks
+    ).estimate()
+    assert nested == 60.0  # (0..100 u 140..160) n (50..150) = 50..100 + 140..150
+    for bad in ("SET_DIFF($1)", "SET_JOIN($1, $2)", "$9", "SET_UNION($1", "$1 $2"):
+        with pytest.raises(ValueError):
+            TH.evaluate_set_expression(bad, sks)
+
+
+def test_engine_theta_set_estimate_end_to_end(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    est = eng.theta_set_estimate(
+        "events", "user_id",
+        ["event_type = 'view'", "event_type = 'purchase'"],
+        "SET_INTERSECT($1, $2)",
+    )
+    ev = eng._dfs["events"]
+    truth = (
+        ev.where("event_type = 'view'").select("user_id").distinct()
+        .intersect(ev.where("event_type = 'purchase'").select("user_id").distinct())
+        .count()
+    )
+    assert est == float(truth)
+    with pytest.raises(ValueError, match="at least one predicate"):
+        eng.theta_set_estimate("events", "user_id", [], "$1")
