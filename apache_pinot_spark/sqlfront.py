@@ -818,6 +818,7 @@ class PinotEngine:
         self._sketch_ranges: dict[str, tuple[float, float]] = {}
         self._tdigest_columns: set[str] = set()
         self._theta_columns: set[str] = set()
+        self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
@@ -938,6 +939,22 @@ class PinotEngine:
         """Register a star-tree-style rollup (plans/rollup.py) for
         aggregate-rewrite matching."""
         self._rollups.append(spec)
+
+    def register_upsert_table(self, name: str, df: DataFrame, upsert_cfg) -> None:
+        """Register a table with upsert semantics (public upsert-enabled
+        realtime tables: primaryKeyColumns + upsertConfig): every SQL
+        query against ``name`` sees the RESOLVED view — one row per
+        primary key, latest by the comparison column, tombstones applied
+        (operators/upsert.py). The raw version-history frame stays
+        queryable as ``<name>_raw`` — the public ``skipUpsert=true``
+        escape. Works on any frame, including a hybrid/consuming view, so
+        re-registering after new segments commit refreshes the
+        resolution."""
+        from apache_pinot_spark.operators.upsert import upsert_view
+
+        self.register(name, upsert_view(df, upsert_cfg))
+        self.register(f"{name}_raw", df)
+        self._upsert_tables[name] = upsert_cfg
 
     @property
     def dialect(self) -> PinotDialect:

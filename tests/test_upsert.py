@@ -186,3 +186,33 @@ def test_upsert_stateful_rejects_partial_mode(spark):
     cfg = U.UpsertConfig(primary_keys=["pk"], mode="PARTIAL", comparison_column="ts")
     with pytest.raises(ValueError, match="FULL"):
         U.upsert_stateful(spark.range(1).withColumnRenamed("id", "pk"), cfg)
+
+
+def test_engine_register_upsert_table(spark):
+    """Table-level integration: SQL against the registered name resolves
+    upsert; <name>_raw is the skipUpsert escape; re-registering after new
+    versions arrive refreshes the view."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
+        delete_column="deleted",
+    )
+    eng.register_upsert_table("orders_up", _events(spark), cfg)
+    rows = {r["pk"]: r["value"] for r in
+            eng.sql("SELECT pk, value FROM orders_up ORDER BY pk").collect()}
+    assert rows == {"k1": 2.0, "k2": 6.0}  # latest per key, k3 tombstoned
+    raw_n = eng.sql("SELECT COUNT(*) AS n FROM orders_up_raw").collect()[0]["n"]
+    assert raw_n == 7  # full version history via skipUpsert escape
+
+    newer = _events(spark).union(
+        spark.createDataFrame(
+            [("k1", 99, 9, 42.0, ["zz"], False)],
+            "pk string, ts long, seq long, value double, tags array<string>, deleted boolean",
+        )
+    )
+    eng.register_upsert_table("orders_up", newer, cfg)
+    assert eng.sql(
+        "SELECT value FROM orders_up WHERE pk = 'k1'"
+    ).collect()[0]["value"] == 42.0
