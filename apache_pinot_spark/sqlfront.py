@@ -440,6 +440,43 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        def frequent_sketch(a):
+            # FREQUENTSTRINGSSKETCH / FREQUENTLONGSSKETCH: per-group
+            # frequent-items blob as hex (clients deserialize for top-k +
+            # error bounds — functions/freqitems.py). PinotEngine registers
+            # the UDF at construction (register_freq_udfs).
+            from apache_pinot_spark.functions.freqitems import SKETCH_UDF
+
+            return f"hex({SKETCH_UDF}({a[0]}))"
+
+        def vector_similarity(a):
+            # Public vector-index query surface: VECTOR_SIMILARITY(col,
+            # queryVector[, topK]) scored here as cosine similarity (the
+            # vector index default), computed as a sequential JVM fold
+            # (deterministic left-assoc order — the engine's float-parity
+            # rule). The optional third argument is the index's candidate
+            # budget hint; result size is governed by ORDER BY … LIMIT as
+            # in the public engine, so the hint is accepted and ignored.
+            # Index-accelerated retrieval is operators/similarity.py
+            # (brute-force / LSH / IVF); this is the scoring expression.
+            # Dimension mismatch scores NULL (zip_with null-pads), so bad
+            # query vectors sort last instead of erroring mid-scan.
+            v1, v2 = a[0], a[1]
+            dot = (
+                f"aggregate(zip_with({v1}, {v2}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+            )
+            n1 = (
+                f"sqrt(aggregate({v1}, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            )
+            n2 = (
+                f"sqrt(aggregate({v2}, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            )
+            return f"(({dot}) / nullif(({n1}) * ({n2}), 0.0))"
+
         def json_extract(a):
             default = a[3] if len(a) > 3 else None
             return json_extract_scalar_sql(a[0], _unquote(a[1]), _unquote(a[2]), default)
@@ -487,6 +524,9 @@ class PinotDialect:
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
+            "FREQUENTSTRINGSSKETCH": frequent_sketch,
+            "FREQUENTLONGSSKETCH": frequent_sketch,
+            "VECTOR_SIMILARITY": vector_similarity,
             "JSON_EXTRACT_SCALAR": json_extract,
             "TEXT_MATCH": text_match,
             "TEXT_CONTAINS": text_contains,
@@ -820,6 +860,11 @@ class PinotEngine:
         self._theta_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
+        # needs no column declaration (unlike tdigest/theta), so register
+        # eagerly: FREQUENTSTRINGSSKETCH works on any column out of the box
+        from apache_pinot_spark.functions.freqitems import register_freq_udfs
+
+        register_freq_udfs(spark)
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)

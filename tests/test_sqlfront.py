@@ -594,3 +594,50 @@ def test_scan_stats_launch_no_extra_jobs(engine, spark):
     assert after == before, "scan stats must not run extra jobs"
     assert stats["totalDocs"] > 0
     assert 0 < stats["numDocsScanned"] <= stats["totalDocs"]
+
+
+def test_vector_similarity_cosine_scoring(spark):
+    """VECTOR_SIMILARITY(col, query[, topK]): cosine score usable in
+    SELECT and ORDER BY ... LIMIT (the public vector-query shape)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["embeddings"])
+    # dimension must match the column's (64): zip_with null-pads otherwise
+    q = "ARRAY(1.0" + ", 0.0" * 63 + ")"
+    top = eng.sql(
+        f"SELECT vec_id, VECTOR_SIMILARITY(embedding, {q}, 5) AS score "
+        f"FROM embeddings ORDER BY score DESC LIMIT 5"
+    ).collect()
+    assert len(top) == 5
+    assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(4))
+    # cross-check the winner against a numpy cosine over the same data
+    import numpy as np
+
+    pdf = eng._dfs["embeddings"].select("vec_id", "embedding").toPandas()
+    qv = np.zeros(len(pdf["embedding"][0])); qv[0] = 1.0
+    def cos(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(v) * np.linalg.norm(qv)
+        return float(v @ qv / n) if n else None
+    best = pdf.assign(s=pdf["embedding"].map(cos)).nlargest(1, "s")
+    assert top[0]["vec_id"] == int(best["vec_id"].iloc[0])
+    assert abs(top[0]["score"] - float(best["s"].iloc[0])) < 1e-9
+
+
+def test_vector_similarity_identical_and_orthogonal(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "vt",
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [0.0, 0.0])],
+            "id int, v array<double>",
+        ),
+    )
+    rows = {r["id"]: r["s"] for r in eng.sql(
+        "SELECT id, VECTOR_SIMILARITY(v, ARRAY(1.0, 0.0)) AS s FROM vt LIMIT 10"
+    ).collect()}
+    assert rows[1] == 1.0 and rows[2] == 0.0
+    assert rows[3] is None  # zero vector: undefined, not a div-by-zero
