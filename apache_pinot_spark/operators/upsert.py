@@ -197,6 +197,23 @@ def upsert_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     return full_upsert_view(df, cfg)
 
 
+def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
+    """Table-level dedup (the public dedup-config on realtime tables):
+    the FIRST record per primary key wins and later duplicates are
+    invisible — the mirror image of full upsert (min_by instead of
+    max_by, same single map-side-combined shuffle). The streaming
+    flavor of this contract is
+    streaming.realtime.dedup_within_key_stateful."""
+    ord_c = _ordering(cfg)
+    payload = [c for c in df.columns if c not in cfg.primary_keys]
+    first = (
+        df.groupBy(*cfg.primary_keys)
+        .agg(F.min_by(F.struct(*payload), ord_c).alias("__w"))
+        .select(*cfg.primary_keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+    )
+    return first.select(*df.columns)
+
+
 # --------------------------------------------------------------------------
 # Streaming changelog flavor
 # --------------------------------------------------------------------------

@@ -440,6 +440,27 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        def lookup(a):
+            # Public LOOKUP('dimTable', 'valueColumn', 'pkColumn', pkExpr
+            # [, pkColumn2, pkExpr2…]): decorate fact rows with a
+            # dimension attribute. Compiled to a correlated scalar
+            # subquery — Catalyst rewrites it to a (broadcast-able) left
+            # outer join, which is exactly the dimension-join plan the
+            # public engine's lookup join runs; missing keys yield NULL,
+            # same contract.
+            if len(a) < 4 or len(a) % 2 != 0:
+                raise ValueError(
+                    "LOOKUP needs (dimTable, valueColumn, pkColumn, pkExpr"
+                    "[, pkColumn2, pkExpr2…])"
+                )
+            tbl, val = _unquote(a[0]), _unquote(a[1])
+            pairs = [
+                f"{_unquote(a[i])} = ({a[i + 1]})" for i in range(2, len(a), 2)
+            ]
+            return (
+                f"(SELECT first({val}) FROM {tbl} WHERE {' AND '.join(pairs)})"
+            )
+
         def frequent_sketch(a):
             # FREQUENTSTRINGSSKETCH / FREQUENTLONGSSKETCH: per-group
             # frequent-items blob as hex (clients deserialize for top-k +
@@ -524,6 +545,7 @@ class PinotDialect:
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
+            "LOOKUP": lookup,
             "FREQUENTSTRINGSSKETCH": frequent_sketch,
             "FREQUENTLONGSSKETCH": frequent_sketch,
             "VECTOR_SIMILARITY": vector_similarity,
@@ -1000,6 +1022,16 @@ class PinotEngine:
         self.register(name, upsert_view(df, upsert_cfg))
         self.register(f"{name}_raw", df)
         self._upsert_tables[name] = upsert_cfg
+
+    def register_dedup_table(self, name: str, df: DataFrame, dedup_cfg) -> None:
+        """Register a table with dedup semantics (public dedup config:
+        first record per primary key wins, later duplicates are dropped).
+        Same raw escape as upsert tables (``<name>_raw``)."""
+        from apache_pinot_spark.operators.upsert import dedup_keep_first_view
+
+        self.register(name, dedup_keep_first_view(df, dedup_cfg))
+        self.register(f"{name}_raw", df)
+        self._upsert_tables[name] = dedup_cfg
 
     @property
     def dialect(self) -> PinotDialect:

@@ -641,3 +641,40 @@ def test_vector_similarity_identical_and_orthogonal(spark):
     ).collect()}
     assert rows[1] == 1.0 and rows[2] == 0.0
     assert rows[3] is None  # zero vector: undefined, not a div-by-zero
+
+
+def test_lookup_function_decorates_fact_rows(spark):
+    """LOOKUP('dim', 'value', 'pk', keyExpr): dimension decoration via a
+    correlated scalar subquery (Catalyst plans the broadcast-able left
+    join); missing keys yield NULL."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["nation", "region"])
+    rows = eng.sql(
+        "SELECT n_name, LOOKUP('region', 'r_name', 'r_regionkey', n_regionkey) AS rname "
+        "FROM nation ORDER BY n_name LIMIT 30"
+    ).collect()
+    assert len(rows) == 25
+    want = {
+        (r["n_name"], r["r_name"])
+        for r in eng._dfs["nation"].join(
+            eng._dfs["region"],
+            eng._dfs["nation"].n_regionkey == eng._dfs["region"].r_regionkey,
+        ).select("n_name", "r_name").collect()
+    }
+    assert {(r["n_name"], r["rname"]) for r in rows} == want
+    # missing key -> NULL, not a dropped row
+    missing = eng.sql(
+        "SELECT LOOKUP('region', 'r_name', 'r_regionkey', 999) AS rname "
+        "FROM nation LIMIT 1"
+    ).collect()[0]["rname"]
+    assert missing is None
+
+
+def test_lookup_validates_arity(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    with pytest.raises(ValueError, match="LOOKUP needs"):
+        eng.rewrite("SELECT LOOKUP('t', 'v', 'pk') FROM x")

@@ -216,3 +216,21 @@ def test_engine_register_upsert_table(spark):
     assert eng.sql(
         "SELECT value FROM orders_up WHERE pk = 'k1'"
     ).collect()[0]["value"] == 42.0
+
+
+def test_dedup_keep_first_view_and_engine(spark):
+    """Table-level dedup config: FIRST record per key wins (mirror of
+    upsert), both as an operator and through the engine registration."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    cfg = U.UpsertConfig(primary_keys=["pk"], comparison_column="ts",
+                         sequence_column="seq")
+    out = U.dedup_keep_first_view(_events(spark), cfg)
+    got = {r["pk"]: (r["ts"], r["value"]) for r in out.collect()}
+    assert got == {"k1": (10, 1.0), "k2": (5, 4.0), "k3": (1, 7.0)}
+
+    eng = PinotEngine(spark)
+    eng.register_dedup_table("clicks_dd", _events(spark), cfg)
+    n = eng.sql("SELECT COUNT(*) AS n FROM clicks_dd").collect()[0]["n"]
+    assert n == 3
+    assert eng.sql("SELECT COUNT(*) AS n FROM clicks_dd_raw").collect()[0]["n"] == 7
