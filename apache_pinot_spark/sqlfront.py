@@ -440,6 +440,71 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        def st_point(a):
+            # point = struct<x,y> (functions/geo.py); optional third
+            # isGeography flag is a storage hint in the public engine —
+            # accepted and ignored (distance picks the semantics).
+            return (
+                f"named_struct('x', CAST({a[0]} AS DOUBLE), "
+                f"'y', CAST({a[1]} AS DOUBLE))"
+            )
+
+        def st_geomfromtext(a):
+            # POINT literals become struct literals; POLYGON literals
+            # pass through as text for ST_CONTAINS/ST_WITHIN to compile
+            # (a polygon has no fixed-width struct form).
+            from apache_pinot_spark.functions.geo import parse_wkt_point
+
+            wkt = _unquote(a[0])
+            if wkt.upper().lstrip().startswith("POINT"):
+                x, y = parse_wkt_point(wkt)
+                return f"named_struct('x', {x!r}D, 'y', {y!r}D)"
+            return a[0]
+
+        def st_distance(a):
+            # geography semantics: haversine meters (closed-form JVM math)
+            p, q = f"({a[0]})", f"({a[1]})"
+            return (
+                f"(2 * 6371008.7714 * asin(sqrt("
+                f"power(sin(radians({q}.y - {p}.y) / 2), 2) + "
+                f"cos(radians({p}.y)) * cos(radians({q}.y)) * "
+                f"power(sin(radians({q}.x - {p}.x) / 2), 2))))"
+            )
+
+        def st_contains(a):
+            # ST_CONTAINS(polygonWKT, point): the polygon must be a WKT
+            # LITERAL (directly or via ST_GEOMFROMTEXT) — it compiles once
+            # into an edge-array literal with the ray-cast fold from
+            # functions/geo.py. Arbitrary geometry COLUMNS are not
+            # supported (documented divergence; the public engine also
+            # precompiles literal geometries against its geo index).
+            from apache_pinot_spark.functions.geo import parse_wkt_polygon
+
+            lit = a[0].strip()
+            if not (lit.startswith("'") and lit.endswith("'")):
+                raise ValueError(
+                    "ST_CONTAINS/ST_WITHIN: the polygon must be a WKT string "
+                    "literal (optionally wrapped in ST_GEOMFROMTEXT)"
+                )
+            rings = parse_wkt_polygon(_unquote(lit))
+            edges = ", ".join(
+                f"named_struct('x1', {x1!r}D, 'y1', {y1!r}D, "
+                f"'x2', {x2!r}D, 'y2', {y2!r}D)"
+                for ring in rings
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+            )
+            p = f"({a[1]})"
+            return (
+                f"aggregate(array({edges}), false, (acc, e) -> "
+                f"CASE WHEN ((e.y1 > {p}.y) != (e.y2 > {p}.y)) AND "
+                f"({p}.x < (e.x2 - e.x1) * ({p}.y - e.y1) / (e.y2 - e.y1) + e.x1) "
+                f"THEN NOT acc ELSE acc END)"
+            )
+
+        def st_within(a):
+            # ST_WITHIN(point, polygon) == ST_CONTAINS(polygon, point)
+            return st_contains([a[1], a[0]])
+
         def lookup(a):
             # Public LOOKUP('dimTable', 'valueColumn', 'pkColumn', pkExpr
             # [, pkColumn2, pkExpr2…]): decorate fact rows with a
@@ -546,6 +611,12 @@ class PinotDialect:
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
             "LOOKUP": lookup,
+            "ST_POINT": st_point,
+            "ST_GEOMFROMTEXT": st_geomfromtext,
+            "ST_GEOGFROMTEXT": st_geomfromtext,
+            "ST_DISTANCE": st_distance,
+            "ST_CONTAINS": st_contains,
+            "ST_WITHIN": st_within,
             "FREQUENTSTRINGSSKETCH": frequent_sketch,
             "FREQUENTLONGSSKETCH": frequent_sketch,
             "VECTOR_SIMILARITY": vector_similarity,

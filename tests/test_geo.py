@@ -1,0 +1,130 @@
+"""Geospatial (functions/geo.py + ST_* dialect surface): haversine
+accuracy, ray-cast containment incl. holes, WKT parsing, radius search
+with its pushdown bbox, and the SQL handlers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions import geo as G
+
+
+def test_haversine_known_distances(spark):
+    # Paris (2.3522, 48.8566) — London (-0.1276, 51.5072) ≈ 343.5 km
+    df = spark.range(1).select(
+        G.haversine_m(F.lit(2.3522), F.lit(48.8566), F.lit(-0.1276), F.lit(51.5072))
+        .alias("d")
+    )
+    d = df.collect()[0]["d"]
+    assert abs(d - 343_550) < 1500  # within sphere-model tolerance
+    # zero distance and quarter-meridian sanity
+    z = spark.range(1).select(
+        G.haversine_m(F.lit(10.0), F.lit(20.0), F.lit(10.0), F.lit(20.0)).alias("d")
+    ).collect()[0]["d"]
+    assert z == 0.0
+    q = spark.range(1).select(
+        G.haversine_m(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(90.0)).alias("d")
+    ).collect()[0]["d"]
+    assert abs(q - math.pi / 2 * G.EARTH_RADIUS_M) < 1.0
+
+
+def test_st_distance_geometry_euclidean(spark):
+    df = spark.range(1).select(
+        G.st_distance(G.st_point(0.0, 0.0), G.st_point(3.0, 4.0), geography=False)
+        .alias("d")
+    )
+    assert df.collect()[0]["d"] == 5.0
+
+
+def test_wkt_parsing():
+    assert G.parse_wkt_point("POINT (2.5 -3.5)") == (2.5, -3.5)
+    rings = G.parse_wkt_polygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert rings == [[(0, 0), (10, 0), (10, 10), (0, 10)]]  # closing vertex dropped
+    assert G.polygon_bbox("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))") == (0, 0, 10, 10)
+    for bad in ("POINT (1)", "MULTIPOLYGON (((0 0, 1 0, 1 1)))",
+                "POLYGON ((0 0, 1 1))", "LINESTRING (0 0, 1 1)"):
+        with pytest.raises(ValueError):
+            (G.parse_wkt_point if bad.startswith("POINT") else G.parse_wkt_polygon)(bad)
+
+
+def test_st_contains_with_hole(spark):
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    pts = [(5.0, 2.0, True),   # inside shell, outside hole
+           (5.0, 5.0, False),  # inside the hole
+           (11.0, 5.0, False), # outside shell
+           (1.0, 9.0, True)]
+    df = spark.createDataFrame(pts, "x double, y double, want boolean")
+    out = df.select("want", G.st_contains(wkt, G.st_point(F.col("x"), F.col("y")))
+                    .alias("got")).collect()
+    assert all(r["want"] == r["got"] for r in out)
+
+
+def test_points_within_radius_with_pushdown_bbox(spark):
+    # ring of points at known distances from a Berlin-ish center
+    center_lon, center_lat = 13.4, 52.5
+    rows = []
+    for i, km in enumerate([1, 5, 20, 80, 300]):
+        dlat = math.degrees(km * 1000 / G.EARTH_RADIUS_M)
+        rows.append((i, center_lon, center_lat + dlat, km))
+    df = spark.createDataFrame(rows, "id long, lon double, lat double, km long")
+    out = G.points_within_radius(df, "lon", "lat", center_lon, center_lat, 25_000)
+    got = sorted(r["km"] for r in out.collect())
+    assert got == [1, 5, 20]
+    assert all(abs(r["distance_m"] - r["km"] * 1000) < 50 for r in out.collect())
+    # the bbox must reach the scan as plain range filters (pushdown-able)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan and "lat" in plan
+
+
+def test_grid_cell_bucketing(spark):
+    df = spark.createDataFrame(
+        [(13.40, 52.50), (13.45, 52.55), (14.6, 52.5), (13.4, -33.9)],
+        "lon double, lat double",
+    )
+    cells = [r["c"] for r in df.select(G.grid_cell(F.col("lon"), F.col("lat"), 1.0)
+                                       .alias("c")).collect()]
+    assert cells[0] == cells[1]          # same 1° cell
+    assert cells[0] != cells[2]          # neighbor cell east
+    assert cells[0] != cells[3]          # other hemisphere
+    assert cells[2] - cells[0] == 1      # east neighbor differs by 1
+
+
+def test_sql_st_family(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "places",
+        spark.createDataFrame(
+            [("a", 2.3522, 48.8566), ("b", -0.1276, 51.5072), ("c", 5.0, 5.0)],
+            "name string, lon double, lat double",
+        ),
+    )
+    d = eng.sql(
+        "SELECT ST_DISTANCE(ST_POINT(lon, lat), ST_GEOGFROMTEXT('POINT (2.3522 48.8566)')) AS d "
+        "FROM places WHERE name = 'b' LIMIT 1"
+    ).collect()[0]["d"]
+    assert abs(d - 343_550) < 1500
+    inside = eng.sql(
+        "SELECT name FROM places "
+        "WHERE ST_CONTAINS(ST_GEOMFROMTEXT('POLYGON ((0 0, 10 0, 10 60, 0 60, 0 0))'), "
+        "ST_POINT(lon, lat)) ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in inside] == ["a", "c"]  # b's lon (-0.13) is west of 0
+    within = eng.sql(
+        "SELECT name FROM places "
+        "WHERE ST_WITHIN(ST_POINT(lon, lat), 'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))') "
+        "LIMIT 10"
+    ).collect()
+    assert [r["name"] for r in within] == ["c"]
+
+
+def test_sql_st_contains_rejects_column_polygon(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    with pytest.raises(ValueError, match="WKT string literal"):
+        eng.rewrite("SELECT ST_CONTAINS(geom_col, ST_POINT(1, 2)) FROM t")
