@@ -203,3 +203,18 @@ def test_windowed_topk_validates_k(spark):
     df = spark.range(1).select(F.current_timestamp().alias("t"), F.col("id"))
     with pytest.raises(ValueError, match="k must be"):
         TK.windowed_topk(df, "t", "1 minute", ["id"], F.count("*"), k=0)
+
+
+def test_windowed_topk_plan_shape(spark):
+    """Scale assert: partial aggregation below the (bucket, key) shuffle;
+    the rank window runs over post-aggregation rows; no Python."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "a", 1.0)], "t string, k string, v double"
+    ).select(F.col("t").cast("timestamp").alias("t"), "k", "v")
+    plan = TK.windowed_topk(
+        df, "t", "1 minute", ["k"], F.sum("v"), 2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan          # map-side combine before shuffle
+    assert plan.count("Exchange") == 2    # agg shuffle + window repartition
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

@@ -102,3 +102,19 @@ def test_gapfill_matches_duckdb_on_events(spark, duck):
     """).fetchall()
     want = {(r[0], r[1]): r[2] for r in want_rows}
     assert got == want and len(got) >= 10
+
+
+def test_gapfill_plan_shape(spark):
+    """Scale assert: the bucketing aggregate partial-combines map-side;
+    the grid side is built from a DISTINCT (itself partial-aggregated),
+    and nothing cartesian or Python-side appears."""
+    df = spark.createDataFrame([("a", 10, 1.0)], "k string, ts long, v double")
+    from pyspark.sql import functions as F
+    plan = gapfill(
+        df, "ts", 100, 0, 500, ["k"], {"v": F.sum("v")},
+        fill={"v": ("FILL_PREVIOUS_VALUE", None)},
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "Generate explode" in plan or "Explode" in plan.replace("explode", "Explode")
