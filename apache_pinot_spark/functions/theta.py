@@ -252,8 +252,12 @@ def evaluate_set_expression(expr: str, sketches: dict[str, ThetaSketch]) -> Thet
             raise ValueError(f"theta set expression: cannot parse {expr[pos:]!r}")
         toks.append(m.group(1))
         pos = m.end()
+    if not toks:
+        raise ValueError("theta set expression: empty expression")
 
     def parse(i: int) -> tuple[ThetaSketch, int]:
+        if i >= len(toks):
+            raise ValueError("theta set expression: unexpected end of expression")
         t = toks[i]
         if t.startswith("$"):
             if t not in sketches:

@@ -1,0 +1,190 @@
+"""Randomized differentials + hypothesis properties for the late-round
+operators. Spark-side checks batch many random cases into ONE job
+(per-entity isolation makes that sound); pure-Python invariants
+(deterministic sketch guarantees, parsers) go through hypothesis."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions import freqitems as FI
+from apache_pinot_spark.functions import theta as TH
+from apache_pinot_spark.operators import funnel as FU
+from apache_pinot_spark.operators import upsert as U
+from tests.test_funnel_topk import _brute_max_step
+
+# --------------------------------------------------------------------------
+# Batched Spark differentials (seeded random, one job for ~60 cases)
+# --------------------------------------------------------------------------
+
+
+def test_funnel_dp_vs_bruteforce_randomized(spark):
+    """60 random event histories (dense timestamps, duplicate steps,
+    simultaneous events) — every entity's DP answer must equal the
+    exhaustive chain search."""
+    rng = random.Random(42)
+    n_steps, window = 3, 50
+    rows, truth = [], {}
+    for case in range(60):
+        entity = f"e{case}"
+        evs = [
+            (rng.randrange(0, 200), rng.randrange(1, n_steps + 1))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        truth[entity] = _brute_max_step(evs, n_steps, window)
+        rows += [(entity, ts, s) for ts, s in evs]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    steps = [F.col("s") == i for i in range(1, n_steps + 1)]
+    got = {
+        r["e"]: r["max_step"]
+        for r in FU.funnel_max_step(df, "e", "ts", steps, window).collect()
+    }
+    # every generated event matches SOME step, so every entity appears —
+    # including max_step 0 (funnel events but no step-1 entry)
+    assert got == truth
+
+
+def _ref_partial_merge(history, strategies):
+    """Reference partial-upsert fold: apply each strategy over versions
+    in comparison order (pure Python, independent of the Spark impl)."""
+    out = {}
+    ordered = sorted(history, key=lambda r: r["ts"])
+    for col, strat in strategies.items():
+        vals = [r[col] for r in ordered]
+        if strat == "OVERWRITE":
+            nn = [v for v in vals if v is not None]
+            out[col] = nn[-1] if nn else None
+        elif strat == "FORCE_OVERWRITE":
+            out[col] = vals[-1]
+        elif strat == "IGNORE":
+            out[col] = vals[0]
+        elif strat == "INCREMENT":
+            nn = [v for v in vals if v is not None]
+            out[col] = sum(nn) if nn else None  # SUM over no values is NULL
+        elif strat == "MAX":
+            nn = [v for v in vals if v is not None]
+            out[col] = max(nn) if nn else None
+        elif strat == "MIN":
+            nn = [v for v in vals if v is not None]
+            out[col] = min(nn) if nn else None
+    return out
+
+
+def test_partial_upsert_vs_reference_randomized(spark):
+    """50 random version histories; every scalar merge strategy must
+    match the pure-Python fold (distinct ts per key keeps order total)."""
+    rng = random.Random(7)
+    strategies = {
+        "a": "OVERWRITE", "b": "FORCE_OVERWRITE", "c": "IGNORE",
+        "d": "INCREMENT", "e": "MAX", "f": "MIN",
+    }
+    rows, truth = [], {}
+    for k in range(50):
+        key = f"k{k}"
+        ts_values = rng.sample(range(1000), rng.randrange(1, 8))  # unique ts
+        history = []
+        for ts in ts_values:
+            r = {"ts": ts}
+            for col in strategies:
+                r[col] = None if rng.random() < 0.3 else float(rng.randrange(-50, 50))
+            history.append(r)
+        truth[key] = _ref_partial_merge(history, strategies)
+        rows += [
+            (key, h["ts"], h["a"], h["b"], h["c"], h["d"], h["e"], h["f"])
+            for h in history
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "pk string, ts long, a double, b double, c double, d double, e double, f double",
+    )
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], mode="PARTIAL", comparison_column="ts",
+        partial_strategies=strategies,
+    )
+    for r in U.upsert_view(df, cfg).collect():
+        want = truth[r["pk"]]
+        for col in strategies:
+            assert r[col] == want[col], (r["pk"], col, r[col], want[col])
+
+
+# --------------------------------------------------------------------------
+# Hypothesis: deterministic sketch invariants + parser robustness
+# --------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 200), max_size=400), st.integers(4, 64))
+@settings(max_examples=150, deadline=None)
+def test_freq_sketch_guarantee_holds_for_any_stream(stream, m):
+    """Misra-Gries invariants are DETERMINISTIC (not probabilistic):
+    offset ≤ N/(m+1) and truth ∈ [lower_bound, estimate] for every item
+    of every stream and every map size."""
+    s = FI.FreqSketch.from_values(stream, m=m)
+    assert s.max_error <= len(stream) // (m + 1)
+    from collections import Counter
+
+    for item, n in Counter(str(v) for v in stream).items():
+        assert s.lower_bound(item) <= n <= s.estimate(item)
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 300), max_size=200), min_size=1, max_size=5),
+    st.integers(4, 32),
+)
+@settings(max_examples=60, deadline=None)
+def test_freq_sketch_merge_guarantee(parts, m):
+    merged = FI.merge_all([FI.FreqSketch.from_values(p, m=m) for p in parts])
+    from collections import Counter
+
+    total = Counter(str(v) for p in parts for v in p)
+    for item, n in total.items():
+        assert merged.lower_bound(item) <= n <= merged.estimate(item)
+    assert merged.max_error <= sum(len(p) for p in parts) // (m + 1)
+    # serde survives any merge result byte-exactly
+    assert FI.serialize(FI.deserialize(FI.serialize(merged))) == FI.serialize(merged)
+
+
+@given(st.sets(st.integers(0, 10_000), max_size=300),
+       st.sets(st.integers(0, 10_000), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_theta_exact_mode_set_algebra_is_exact(a, b):
+    """While sketches stay in exact mode (k above the cardinality), the
+    set algebra IS set algebra — equality, not approximation."""
+    import pandas as pd
+
+    ska = TH.ThetaSketch.from_values(pd.Series(sorted(a), dtype="Int64"), k=4096)
+    skb = TH.ThetaSketch.from_values(pd.Series(sorted(b), dtype="Int64"), k=4096)
+    assert ska.union(skb).estimate() == float(len(a | b))
+    assert ska.intersect(skb).estimate() == float(len(a & b))
+    assert ska.a_not_b(skb).estimate() == float(len(a - b))
+    blob = TH.serialize(ska.union(skb))
+    assert TH.serialize(TH.deserialize(blob)) == blob
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_set_expression_parser_never_crashes_unexpectedly(expr):
+    """The theta set-expression parser raises ValueError on junk, never
+    anything else (and never hangs)."""
+    import pandas as pd
+
+    sks = {"$1": TH.ThetaSketch.from_values(pd.Series([1, 2, 3]))}
+    try:
+        TH.evaluate_set_expression(expr, sks)
+    except ValueError:
+        pass
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_wkt_parsers_raise_value_error_only(s):
+    from apache_pinot_spark.functions.geo import parse_wkt_point, parse_wkt_polygon
+
+    for fn in (parse_wkt_point, parse_wkt_polygon):
+        try:
+            fn(s)
+        except ValueError:
+            pass

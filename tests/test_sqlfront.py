@@ -678,3 +678,21 @@ def test_lookup_validates_arity(spark):
     eng = PinotEngine(spark)
     with pytest.raises(ValueError, match="LOOKUP needs"):
         eng.rewrite("SELECT LOOKUP('t', 'v', 'pk') FROM x")
+
+
+def test_envelope_handles_new_function_surface(engine):
+    """The broker envelope must serve every late-round function shape:
+    sketch longs, hex blobs, lookup decoration, geo doubles/structs."""
+    for sql, want_types in [
+        ("SELECT DISTINCTCOUNTTHETASKETCH(user_id) FROM events", ["LONG"]),
+        ("SELECT event_type, FREQUENTSTRINGSSKETCH(user_id) FROM events "
+         "GROUP BY event_type", ["STRING", "STRING"]),
+        ("SELECT n_name, LOOKUP('region', 'r_name', 'r_regionkey', n_regionkey) "
+         "FROM nation LIMIT 3", ["STRING", "STRING"]),
+        ("SELECT ST_DISTANCE(ST_POINT(1.0, 2.0), ST_POINT(3.0, 4.0)) "
+         "FROM nation LIMIT 1", ["DOUBLE"]),
+    ]:
+        env = engine.query(sql)
+        assert env["exceptions"] == [], (sql, env["exceptions"])
+        assert env["resultTable"]["dataSchema"]["columnDataTypes"] == want_types
+        assert env["resultTable"]["rows"]
