@@ -440,6 +440,27 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        def clpdecode(a):
+            # CLPDECODE(logtypeCol, dictionaryVarsCol, encodedVarsCol):
+            # reassemble a CLP-encoded log message (functions/clp.py) —
+            # the same single JVM fold, emitted as SQL text.
+            lt, dv, ev = a[0], a[1], a[2]
+            e_ph, d_ph = "\x11", "\x12"
+            fold = (
+                f"aggregate(split({lt}, ' ', -1), "
+                f"named_struct('pieces', cast(array() as array<string>), 'd', 0, 'e', 0), "
+                f"(acc, t) -> CASE "
+                f"WHEN t = '{e_ph}' THEN named_struct("
+                f"'pieces', concat(acc.pieces, array(cast(element_at({ev}, acc.e + 1) as string))), "
+                f"'d', acc.d, 'e', acc.e + 1) "
+                f"WHEN t = '{d_ph}' THEN named_struct("
+                f"'pieces', concat(acc.pieces, array(element_at({dv}, acc.d + 1))), "
+                f"'d', acc.d + 1, 'e', acc.e) "
+                f"ELSE named_struct('pieces', concat(acc.pieces, array(t)), "
+                f"'d', acc.d, 'e', acc.e) END)"
+            )
+            return f"array_join(({fold}).pieces, ' ')"
+
         def st_point(a):
             # point = struct<x,y> (functions/geo.py); optional third
             # isGeography flag is a storage hint in the public engine —
@@ -611,6 +632,7 @@ class PinotDialect:
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
             "LOOKUP": lookup,
+            "CLPDECODE": clpdecode,
             "ST_POINT": st_point,
             "ST_GEOMFROMTEXT": st_geomfromtext,
             "ST_GEOGFROMTEXT": st_geomfromtext,

@@ -1,0 +1,103 @@
+"""CLP-style log encoding (functions/clp.py): template extraction,
+variable typing, exact round-trip (including a randomized batch), plan
+shape, and the compression claim (logtype cardinality collapses)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.functions import clp as C
+
+
+def test_encode_splits_template_and_vars(spark):
+    df = spark.createDataFrame(
+        [("Task task_123 failed after 500 ms with code -1",)], "msg string"
+    )
+    r = C.clp_encode(df, "msg").collect()[0]
+    assert r["msg_logtype"] == "Task \x12 failed after \x11 ms with code \x11"
+    assert r["msg_dictionaryVars"] == ["task_123"]
+    assert r["msg_encodedVars"] == [500, -1]
+
+
+def test_decode_round_trip_exact(spark):
+    msgs = [
+        "Task task_123 failed after 500 ms with code -1",
+        "plain words only",
+        "double  space   and uuid 550e8400-e29b 41d4",
+        "float 0.50 stays dictionary",  # non-integer numeric → dict (lossless)
+        "",
+        "42",
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    enc = C.clp_encode(df, "msg", drop_original=False)
+    out = enc.withColumn(
+        "back", C.clp_decode("msg_logtype", "msg_dictionaryVars", "msg_encodedVars")
+    ).collect()
+    for r in out:
+        assert r["back"] == r["msg"], (r["msg"], r["back"])
+
+
+def test_round_trip_randomized_batch(spark):
+    """300 random messages mixing words, ints, hexes, floats, repeated
+    spaces, and placeholder bytes — one Spark job, every row must
+    round-trip byte-exactly."""
+    rng = random.Random(3)
+    vocab = ["error", "GET", "/api/v2", "took", "ok", "", " ",
+             "1234", "-7", "0.25", "0xdeadbeef", "id_42x", "\x11", "\x12weird"]
+    msgs = [" ".join(rng.choices(vocab, k=rng.randrange(0, 12))) for _ in range(300)]
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    bad = (
+        C.clp_encode(df, "msg", drop_original=False)
+        .withColumn(
+            "back",
+            C.clp_decode("msg_logtype", "msg_dictionaryVars", "msg_encodedVars"),
+        )
+        .where(F.col("back") != F.col("msg"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_logtype_cardinality_collapses(spark):
+    """The compression premise: many distinct messages, few templates."""
+    df = spark.range(5000).select(
+        F.concat(
+            F.lit("request "), F.col("id").cast("string"),
+            F.lit(" served in "), (F.col("id") % 97).cast("string"), F.lit(" ms"),
+        ).alias("msg")
+    )
+    enc = C.clp_encode(df, "msg")
+    assert enc.select("msg_logtype").distinct().count() == 1
+    assert enc.count() == 5000
+    # variable search runs on slim arrays, not message text
+    hits = enc.where(F.array_contains(F.col("msg_encodedVars"), 4321)).count()
+    assert hits == 1
+
+
+def test_clp_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([("a 1 b",)], "msg string")
+    plan = (
+        C.clp_encode(df, "msg", drop_original=False)
+        .withColumn(
+            "back",
+            C.clp_decode("msg_logtype", "msg_dictionaryVars", "msg_encodedVars"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan  # pure map-side
+
+
+def test_clpdecode_sql_surface(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    msgs = ["Task task_9 failed after 42 ms", "no vars here"]
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    eng = PinotEngine(spark)
+    eng.register("logs", C.clp_encode(df, "msg", drop_original=False))
+    out = eng.sql(
+        "SELECT msg, CLPDECODE(msg_logtype, msg_dictionaryVars, msg_encodedVars) AS back "
+        "FROM logs LIMIT 10"
+    ).collect()
+    assert all(r["back"] == r["msg"] for r in out) and len(out) == 2
