@@ -194,6 +194,26 @@ def _unquote(arg: str) -> str:
     raise ValueError(f"expected a string literal, got {arg!r}")
 
 
+_ISO_DUR_RE = re.compile(
+    r"^P(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?"
+    r"(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _iso8601_duration_ms(s: str) -> int:
+    """ISO-8601 day/time duration → milliseconds (the ago() argument
+    grammar: P…DT…H…M…S; calendar units — years/months — are rejected
+    because they have no fixed millisecond width)."""
+    m = _ISO_DUR_RE.match(s.strip().upper())
+    if not m or not any(m.groupdict().values()):
+        raise ValueError(
+            f"ago(): cannot parse ISO-8601 duration {s!r} (use P[n]DT[n]H[n]M[n]S; "
+            "calendar units are not supported)"
+        )
+    g = {k: float(v) if v else 0.0 for k, v in m.groupdict().items()}
+    return int((((g["d"] * 24 + g["h"]) * 60 + g["m"]) * 60 + g["s"]) * 1000)
+
+
 # --------------------------------------------------------------------------
 # Dialect rewriter
 # --------------------------------------------------------------------------
@@ -440,6 +460,60 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        # -- scalar-function compatibility pack (public Pinot names whose
+        # Spark spelling or semantics differ; same-named functions —
+        # md5, lower, trim, abs, round, regexp_like… — already pass
+        # through to Spark untouched)
+        def regexp_extract_(a):
+            # Pinot regexpExtract(value, regexp[, group[, default]]):
+            # Spark returns '' on no-match where Pinot returns the
+            # default (or null) — nullif+coalesce restores that. (A
+            # legitimately-empty capture also maps to the default; the
+            # residual divergence of this mapping.)
+            group = a[2] if len(a) > 2 else "0"
+            base = f"nullif(regexp_extract({a[0]}, {a[1]}, {group}), '')"
+            return f"coalesce({base}, {a[3]})" if len(a) > 3 else base
+
+        def strpos(a):
+            # Pinot strpos = Java String.indexOf: 0-based, -1 if absent.
+            # Spark instr is 1-based with 0 for absent — shift by one.
+            return f"(instr({a[0]}, {a[1]}) - 1)"
+
+        def now_(a):
+            return "unix_millis(current_timestamp())"  # Pinot now() = epoch ms
+
+        def ago(a):
+            # ago('PT1H30M') = now − ISO-8601 duration, in epoch ms
+            ms = _iso8601_duration_ms(_unquote(a[0]))
+            return f"(unix_millis(current_timestamp()) - {ms})"
+
+        def substr_(a):
+            # Pinot substr(col, start[, end]): 0-based start, exclusive
+            # end, end = -1 → to end of string
+            if len(a) == 2 or (len(a) == 3 and a[2].strip() == "-1"):
+                return f"substring({a[0]}, ({a[1]}) + 1)"
+            return f"substring({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+
+        def histogram(a):
+            # HISTOGRAM(col, lower, upper, numBins): equal-width bin
+            # counts as an array; bins are [lo, hi) except the last,
+            # which includes the upper edge. Bin edges are literals at
+            # rewrite time, so this compiles to numBins SUM(CASE …)
+            # aggregates — partial-aggregated, one shuffle, no UDF.
+            col, lo, hi, n = a[0], float(a[1]), float(a[2]), int(a[3])
+            if n < 1 or hi <= lo:
+                raise ValueError("HISTOGRAM needs upper > lower and numBins >= 1")
+            width = (hi - lo) / n
+            sums = []
+            for i in range(n):
+                b_lo, b_hi = lo + i * width, lo + (i + 1) * width
+                hi_op = "<=" if i == n - 1 else "<"
+                sums.append(
+                    f"SUM(CASE WHEN ({col}) >= {b_lo!r} AND ({col}) {hi_op} {b_hi!r} "
+                    f"THEN 1 ELSE 0 END)"
+                )
+            return f"array({', '.join(sums)})"
+
         def clpdecode(a):
             # CLPDECODE(logtypeCol, dictionaryVarsCol, encodedVarsCol):
             # reassemble a CLP-encoded log message (functions/clp.py) —
@@ -633,6 +707,29 @@ class PinotDialect:
             "PERCENTILEEST": percentile_approx_,
             "LOOKUP": lookup,
             "CLPDECODE": clpdecode,
+            "REGEXPEXTRACT": regexp_extract_,
+            "STRPOS": strpos,
+            "NOW": now_,
+            "AGO": ago,
+            "SUBSTR": substr_,
+            "HISTOGRAM": histogram,
+            "TOBASE64": lambda a: f"base64({a[0]})",
+            "FROMBASE64": lambda a: f"unbase64({a[0]})",
+            "SHA": lambda a: f"sha1({a[0]})",
+            "SHA256": lambda a: f"sha2({a[0]}, 256)",
+            "SHA512": lambda a: f"sha2({a[0]}, 512)",
+            "CODEPOINT": lambda a: f"ascii({a[0]})",
+            "CHR": lambda a: f"char({a[0]})",
+            "ENCODEURL": lambda a: f"url_encode({a[0]})",
+            "DECODEURL": lambda a: f"url_decode({a[0]})",
+            "TOEPOCHSECONDS": lambda a: f"floor(({a[0]}) / 1000)",
+            "TOEPOCHMINUTES": lambda a: f"floor(({a[0]}) / 60000)",
+            "TOEPOCHHOURS": lambda a: f"floor(({a[0]}) / 3600000)",
+            "TOEPOCHDAYS": lambda a: f"floor(({a[0]}) / 86400000)",
+            "FROMEPOCHSECONDS": lambda a: f"(({a[0]}) * 1000)",
+            "FROMEPOCHMINUTES": lambda a: f"(({a[0]}) * 60000)",
+            "FROMEPOCHHOURS": lambda a: f"(({a[0]}) * 3600000)",
+            "FROMEPOCHDAYS": lambda a: f"(({a[0]}) * 86400000)",
             "ST_POINT": st_point,
             "ST_GEOMFROMTEXT": st_geomfromtext,
             "ST_GEOGFROMTEXT": st_geomfromtext,

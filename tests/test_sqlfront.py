@@ -696,3 +696,61 @@ def test_envelope_handles_new_function_surface(engine):
         assert env["exceptions"] == [], (sql, env["exceptions"])
         assert env["resultTable"]["dataSchema"]["columnDataTypes"] == want_types
         assert env["resultTable"]["rows"]
+
+
+# --------------------------------------------------------------------------
+# Scalar compatibility pack + HISTOGRAM
+# --------------------------------------------------------------------------
+
+
+def test_scalar_compat_pack(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register("one", spark.range(1))
+    def scalar(expr):
+        return eng.sql(f"SELECT {expr} AS v FROM one LIMIT 1").collect()[0]["v"]
+
+    assert scalar("REGEXPEXTRACT('ab-12-cd', '([0-9]+)', 1)") == "12"
+    assert scalar("REGEXPEXTRACT('no digits', '([0-9]+)', 1, 'none')") == "none"
+    assert scalar("STRPOS('hello', 'll')") == 2       # 0-based, Java indexOf
+    assert scalar("STRPOS('hello', 'zz')") == -1
+    assert scalar("SUBSTR('abcdef', 1, 4)") == "bcd"  # 0-based, exclusive end
+    assert scalar("SUBSTR('abcdef', 2)") == "cdef"
+    assert scalar("SUBSTR('abcdef', 2, -1)") == "cdef"
+    assert scalar("TOBASE64(FROMBASE64('cGlub3Q='))") == "cGlub3Q="
+    assert scalar("SHA256(CAST('x' AS BINARY))") == (
+        "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
+    assert scalar("CODEPOINT('A')") == 65
+    assert scalar("CHR(66)") == "B"
+    assert scalar("ENCODEURL('a b/c')") == "a+b%2Fc"
+    assert scalar("DECODEURL('a+b%2Fc')") == "a b/c"
+    assert scalar("TOEPOCHSECONDS(1704067200123)") == 1704067200
+    assert scalar("FROMEPOCHDAYS(2)") == 2 * 86_400_000
+    now_ms = scalar("NOW()")
+    hour_ago = scalar("AGO('PT1H')")
+    assert 3_590_000 < now_ms - hour_ago <= 3_600_000 + 10_000
+    with pytest.raises(ValueError, match="ISO-8601"):
+        eng.rewrite("SELECT AGO('P1M') FROM one")  # calendar unit rejected
+
+
+def test_histogram_aggregate(spark, duck):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem"])
+    got = eng.sql(
+        "SELECT HISTOGRAM(l_quantity, 0, 50, 5) AS h FROM lineitem"
+    ).collect()[0]["h"]
+    want = [
+        r[0]
+        for r in duck.sql(
+            "SELECT count(*) FILTER (l_quantity >= b.lo AND "
+            "(l_quantity < b.hi OR (b.hi = 50 AND l_quantity <= 50))) "
+            "FROM lineitem, (SELECT unnest(generate_series(0, 4)) * 10 AS lo, "
+            "(unnest(generate_series(0, 4)) + 1) * 10 AS hi) b GROUP BY b.lo ORDER BY b.lo"
+        ).fetchall()
+    ]
+    assert got == want and sum(got) > 0
+    with pytest.raises(ValueError, match="HISTOGRAM needs"):
+        eng.rewrite("SELECT HISTOGRAM(x, 10, 0, 4) FROM t")
