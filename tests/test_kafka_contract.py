@@ -176,3 +176,34 @@ def test_kafka_stream_raises_without_connector(spark):
     error, not a silent no-op."""
     with pytest.raises(Exception, match="(?i)kafka"):
         R.kafka_stream(spark, "localhost:9092", TOPIC, VALUE_DDL)
+
+
+def test_realtime_upsert_over_consuming_view(kafka_env):
+    """Stream-ingestion-with-upsert end-to-end: a newer version of an
+    existing key arrives on the wire; after its batch commits, the
+    upsert view over the consuming view serves exactly one row per key —
+    the latest by comparison column — while the raw view keeps history."""
+    spark, src, table, q, state = kafka_env
+    from apache_pinot_spark.operators.upsert import UpsertConfig, upsert_view
+
+    before = state.rows
+    _wire_file(
+        src, 7,
+        [{"user": "u1", "page": "kafka quickstart REVISED", "n": 9,
+          "ts_ms": BASE_MS + 10_000}],
+    )
+    deadline = time.time() + 90
+    while state.rows < before + 1 and time.time() < deadline:
+        time.sleep(0.25)
+    view = R.consuming_view(
+        spark, SCHEMA, CFG, str(src), table,
+        source_format="parquet", source_schema=R.KAFKA_WIRE_SCHEMA,
+        source_projection=lambda df: R.kafka_value_rows(df, VALUE_DDL),
+    )
+    cfg = UpsertConfig(primary_keys=["user"], comparison_column="ts_ms")
+    resolved = upsert_view(view.select("user", "page", "n", "ts_ms"), cfg)
+    rows = {r["user"]: (r["page"], r["n"]) for r in resolved.collect()}
+    assert rows["u1"] == ("kafka quickstart REVISED", 9)  # latest version wins
+    assert resolved.where("user = 'u1'").count() == 1
+    # raw history keeps both versions of u1
+    assert view.where("user = 'u1'").count() >= 2
