@@ -166,6 +166,82 @@ def grid_cell(lon: Column, lat: Column, cell_deg: float = 1.0) -> Column:
     return iy * stride + ix
 
 
+GEO_CELL_COL = "__geo_cell"
+
+
+def write_geo_partitioned(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    cell_deg: float = 1.0,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a points table partitioned by its grid cell — the
+    engine's geo-index layout (the role the public H3 index plays):
+    each cell is a partition directory, so spatial predicates prune to
+    the touched cells before any file is opened. Pick ``cell_deg``
+    near your typical query radius (too fine → many tiny partitions;
+    too coarse → no pruning)."""
+    (
+        df.withColumn(GEO_CELL_COL, grid_cell(F.col(lon_col), F.col(lat_col), cell_deg))
+        .write.partitionBy(GEO_CELL_COL)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def _covering_cells(
+    min_lon: float, max_lon: float, min_lat: float, max_lat: float, cell_deg: float
+) -> list[int]:
+    """All grid-cell keys intersecting a bbox (the partition candidate
+    set for routing)."""
+    stride = int(math.ceil(360.0 / cell_deg)) + 1
+    ix0 = int(math.floor((min_lon + 180.0) / cell_deg))
+    ix1 = int(math.floor((max_lon + 180.0) / cell_deg))
+    iy0 = int(math.floor((min_lat + 90.0) / cell_deg))
+    iy1 = int(math.floor((max_lat + 90.0) / cell_deg))
+    return [
+        iy * stride + ix for iy in range(iy0, iy1 + 1) for ix in range(ix0, ix1 + 1)
+    ]
+
+
+def radius_query_partitioned(
+    spark,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    center_lon: float,
+    center_lat: float,
+    radius_m: float,
+    cell_deg: float = 1.0,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Radius search over a geo-partitioned table: the covering cells of
+    the search bbox become an IN-list on the PARTITION column (directory
+    pruning — untouched cells are never listed or read), then the same
+    bbox + exact haversine as points_within_radius. ``cell_deg`` must
+    match the written layout. A radius covering more than ``max_cells``
+    cells skips the cell filter (the bbox still prunes row groups)."""
+    lat_pad = math.degrees(radius_m / EARTH_RADIUS_M)
+    cos_lat = math.cos(math.radians(center_lat))
+    lon_pad = (
+        180.0
+        if abs(center_lat) > 85.0 or cos_lat <= 0
+        else math.degrees(radius_m / (EARTH_RADIUS_M * cos_lat))
+    )
+    df = spark.read.parquet(path)
+    cells = _covering_cells(
+        center_lon - lon_pad, center_lon + lon_pad,
+        center_lat - lat_pad, center_lat + lat_pad, cell_deg,
+    )
+    if len(cells) <= max_cells:
+        df = df.where(F.col(GEO_CELL_COL).isin(cells))
+    return points_within_radius(
+        df, lon_col, lat_col, center_lon, center_lat, radius_m
+    ).drop(GEO_CELL_COL)
+
+
 def points_within_radius(
     df: DataFrame,
     lon_col: str,

@@ -128,3 +128,36 @@ def test_sql_st_contains_rejects_column_polygon(spark):
     eng = PinotEngine(spark)
     with pytest.raises(ValueError, match="WKT string literal"):
         eng.rewrite("SELECT ST_CONTAINS(geom_col, ST_POINT(1, 2)) FROM t")
+
+
+def test_geo_partitioned_layout_prunes_cells(spark, tmp_path):
+    """The geo-index layout: a radius query lists/reads ONLY the
+    partition directories of covering cells (checked via inputFiles),
+    and returns the same rows as the unpartitioned search."""
+    import math as _math
+
+    center_lon, center_lat = 13.4, 52.5
+    rows = []
+    for i in range(200):  # spread points over ~20 degrees of longitude
+        rows.append((i, center_lon - 10 + i * 0.1, center_lat))
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    path = str(tmp_path / "geo_table")
+    G.write_geo_partitioned(df, path, "lon", "lat", cell_deg=1.0)
+
+    radius = 60_000.0  # ~0.9 deg of longitude at 52.5N
+    out = G.radius_query_partitioned(
+        spark, path, "lon", "lat", center_lon, center_lat, radius, cell_deg=1.0
+    )
+    want = {
+        r["id"]
+        for r in G.points_within_radius(
+            df, "lon", "lat", center_lon, center_lat, radius
+        ).collect()
+    }
+    assert {r["id"] for r in out.collect()} == want and want
+    # pruning: the scan carries the covering-cell IN-list as a PARTITION
+    # filter (directory pruning) and the bbox as pushed data filters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{G.GEO_CELL_COL}" in plan, plan
+    assert "GreaterThanOrEqual(lat" in plan  # bbox reached PushedFilters
+    assert "distance_m" in out.columns and G.GEO_CELL_COL not in out.columns
