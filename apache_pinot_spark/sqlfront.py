@@ -514,6 +514,68 @@ class PinotDialect:
                 )
             return f"array({', '.join(sums)})"
 
+        def _funnel_max_step_sql(a) -> str:
+            # FUNNELMAXSTEP(tsExpr, windowMs, numSteps, cond1 … condN
+            # [, mode]): the windowed-funnel aggregate (operators/
+            # funnel.py semantics) as pure SQL — per-row matched-step
+            # structs, flatten+sort per group, then the chain-DP fold.
+            # Group rows by the correlation id (GROUP BY user_id …), as
+            # in the public funnel functions.
+            if len(a) >= 4 and a[-1].strip().startswith("'"):
+                mode = _unquote(a[-1]).lower()
+                if mode not in ("", "keep_all"):
+                    raise ValueError(
+                        f"funnel mode {mode!r} not supported (default/keep_all "
+                        "only; strict modes need frontier state — see "
+                        "operators/funnel.py)"
+                    )
+                a = a[:-1]
+            if len(a) < 4:
+                raise ValueError(
+                    "FUNNELMAXSTEP needs (tsExpr, windowMs, numSteps, cond1, …)"
+                )
+            ts, window, n = a[0], int(a[1]), int(a[2])
+            conds = a[3:]
+            if len(conds) != n:
+                raise ValueError(
+                    f"FUNNELMAXSTEP declared {n} steps but got {len(conds)} predicates"
+                )
+            per_row = (
+                "filter(array("
+                + ", ".join(
+                    f"CASE WHEN ({c}) THEN named_struct("
+                    f"'ts', CAST({ts} AS BIGINT), 'st', {i + 1}) END"
+                    for i, c in enumerate(conds)
+                )
+                + "), x -> x IS NOT NULL)"
+            )
+            evs = f"array_sort(flatten(collect_list({per_row})))"
+            state = (
+                f"aggregate({evs}, array_repeat(CAST(NULL AS BIGINT), {n}), "
+                f"(acc, e) -> transform(acc, (v, i) -> "
+                f"CASE WHEN e.st = i + 1 THEN "
+                f"(CASE WHEN i = 0 THEN e.ts ELSE "
+                f"(CASE WHEN (e.ts - get(acc, i - 1)) <= {window} "
+                f"THEN get(acc, i - 1) ELSE v END) END) "
+                f"ELSE v END))"
+            )
+            return f"size(filter({state}, v -> v IS NOT NULL))"
+
+        def funnel_max_step(a):
+            return _funnel_max_step_sql(a)
+
+        def funnel_match_step(a):
+            # array of per-step 0/1 flags. NOT a transform-lambda over the
+            # max-step expression: aggregates are illegal inside lambda
+            # functions, so emit one CASE per step — Catalyst de-dupes the
+            # identical aggregate subtrees into a single buffer.
+            n = int(a[2])
+            ms = _funnel_max_step_sql(a)
+            flags = ", ".join(
+                f"CASE WHEN {k + 1} <= ({ms}) THEN 1 ELSE 0 END" for k in range(n)
+            )
+            return f"array({flags})"
+
         def clpdecode(a):
             # CLPDECODE(logtypeCol, dictionaryVarsCol, encodedVarsCol):
             # reassemble a CLP-encoded log message (functions/clp.py) —
@@ -707,6 +769,10 @@ class PinotDialect:
             "PERCENTILEEST": percentile_approx_,
             "LOOKUP": lookup,
             "CLPDECODE": clpdecode,
+            "FUNNELMAXSTEP": funnel_max_step,
+            "FUNNEL_MAX_STEP": funnel_max_step,
+            "FUNNELMATCHSTEP": funnel_match_step,
+            "FUNNEL_MATCH_STEP": funnel_match_step,
             "REGEXPEXTRACT": regexp_extract_,
             "STRPOS": strpos,
             "NOW": now_,

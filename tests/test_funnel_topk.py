@@ -218,3 +218,46 @@ def test_windowed_topk_plan_shape(spark):
     assert plan.count("Exchange") == 2    # agg shuffle + window repartition
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_sql_aggregate_matches_operator(spark):
+    """FUNNEL_MAX_STEP / FUNNEL_MATCH_STEP as SQL GROUP BY aggregates
+    must agree with the DataFrame operator on the real events table."""
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    window = 6 * 3600 * 1000
+    sql_got = {
+        r["user_id"]: (r["ms"], r["flags"])
+        for r in eng.sql(
+            f"SELECT user_id, "
+            f"FUNNEL_MAX_STEP(unix_millis(CAST(ts AS TIMESTAMP)), {window}, 3, "
+            f"  event_type = 'view', event_type = 'click', event_type = 'purchase') AS ms, "
+            f"FUNNEL_MATCH_STEP(unix_millis(CAST(ts AS TIMESTAMP)), {window}, 3, "
+            f"  event_type = 'view', event_type = 'click', event_type = 'purchase') AS flags "
+            f"FROM events GROUP BY user_id LIMIT 1000"
+        ).collect()
+    }
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    op_got = {
+        r["user_id"]: r["max_step"]
+        for r in FU.funnel_max_step(ev, "user_id", "ts", STEPS(), window).collect()
+    }
+    assert len(sql_got) == 15
+    for uid, (ms, flags) in sql_got.items():
+        assert ms == op_got.get(uid, 0)
+        assert flags == [1 if k + 1 <= ms else 0 for k in range(3)]
+
+
+def test_funnel_sql_validation(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    with pytest.raises(ValueError, match="declared 3 steps but got 2"):
+        eng.rewrite("SELECT FUNNEL_MAX_STEP(ts, 1000, 3, a = 1, b = 2) FROM t GROUP BY u")
+    with pytest.raises(ValueError, match="strict modes"):
+        eng.rewrite(
+            "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_order') FROM t GROUP BY u"
+        )
