@@ -662,6 +662,15 @@ class PinotDialect:
             # ST_WITHIN(point, polygon) == ST_CONTAINS(polygon, point)
             return st_contains([a[1], a[0]])
 
+        def in_subquery(a):
+            # Public IN_SUBQUERY(expr, 'subquery sql') = semi-join against
+            # the subquery's (single-column) result; the partitioned
+            # variant is a routing hint in the public engine, identical
+            # semantics here. The inner SQL is itself dialect-rewritten so
+            # Pinot functions work inside it.
+            inner = self.rewrite(_unquote(a[1])).sql.rstrip("; \n")
+            return f"(({a[0]}) IN ({inner}))"
+
         def lookup(a):
             # Public LOOKUP('dimTable', 'valueColumn', 'pkColumn', pkExpr
             # [, pkColumn2, pkExpr2…]): decorate fact rows with a
@@ -768,6 +777,8 @@ class PinotDialect:
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
             "LOOKUP": lookup,
+            "IN_SUBQUERY": in_subquery,
+            "IN_PARTITIONED_SUBQUERY": in_subquery,
             "CLPDECODE": clpdecode,
             "FUNNELMAXSTEP": funnel_max_step,
             "FUNNEL_MAX_STEP": funnel_max_step,

@@ -754,3 +754,31 @@ def test_histogram_aggregate(spark, duck):
     assert got == want and sum(got) > 0
     with pytest.raises(ValueError, match="HISTOGRAM needs"):
         eng.rewrite("SELECT HISTOGRAM(x, 10, 0, 4) FROM t")
+
+
+def test_in_subquery_semi_join(spark):
+    """IN_SUBQUERY(expr, 'sql'): semi-join against the subquery result,
+    with the inner SQL dialect-rewritten too."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["nation", "region", "customer"])
+    got = eng.sql(
+        "SELECT n_name FROM nation WHERE "
+        "IN_SUBQUERY(n_regionkey, 'SELECT r_regionkey FROM region WHERE r_name = ''ASIA''') "
+        "ORDER BY n_name LIMIT 30"
+    ).collect()
+    want = sorted(
+        r["n_name"]
+        for r in eng.sql(
+            "SELECT n_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' LIMIT 30"
+        ).collect()
+    )
+    assert [r["n_name"] for r in got] == want and len(want) == 5
+    # partitioned variant: same semantics
+    n = eng.sql(
+        "SELECT COUNT(*) AS c FROM nation WHERE "
+        "IN_PARTITIONED_SUBQUERY(n_regionkey, 'SELECT r_regionkey FROM region') LIMIT 1"
+    ).collect()[0]["c"]
+    assert n == 25
