@@ -29,14 +29,17 @@ Spark mapping (scale-first):
     overflow a task should be pre-capped with `max_events_per_entity`
     (keeps the EARLIEST events — funnels measure first conversion).
 
-Mode notes: this is the default ("any other events in between are
-ignored") windowed-funnel mode. The chain-start timestamp for level 1
-advances to the latest step-1 event seen, which is exactly right for
-this mode: a later entry event can only widen the window for later
-steps, and already-reached deeper levels are never unset. Strict modes
-(strict_order / strict_increase / strict_deduplication) are not
-implemented; they need richer per-level state and break the
-ignore-interleaved contract most funnel dashboards assume.
+Mode notes: the JVM fold implements the default ("any other events in
+between are ignored") windowed-funnel mode. The chain-start timestamp
+for level 1 advances to the latest step-1 event seen, which is exactly
+right for this mode: a later entry event can only widen the window for
+later steps, and already-reached deeper levels are never unset.
+STRICT_INCREASE (chain timestamps strictly increasing) is implemented
+EXACTLY in funnel_max_step_strict_increase via per-level Pareto
+frontiers (single-chain greedy state is provably wrong there — see its
+docstring). strict_order / strict_deduplication remain unimplemented:
+their public semantics are interleaving-sensitive in ways that break
+the ignore-interleaved contract most funnel dashboards assume.
 """
 
 from __future__ import annotations
@@ -140,6 +143,73 @@ def funnel_max_step(
             _fold_max_step(len(steps), window_ms).alias("max_step"),
         )
     )
+
+
+def funnel_max_step_strict_increase(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None = None,
+) -> DataFrame:
+    """STRICT_INCREASE mode: chain events must have STRICTLY increasing
+    timestamps (the default mode allows ties). Unlike the default mode,
+    a single greedy chain-start per level is NOT exact here — a chain
+    is characterized by (start_ts, last_ts), extension needs
+    ts − start ≤ window AND ts > last, and neither coordinate dominates
+    the other (counter-example: A@0 B@3 B@5 C@5, window 10 — keeping
+    B's later last_ts kills the valid A@0,B@3,C@5 chain). So this mode
+    keeps the exact PARETO FRONTIER of (max start, min last) pairs per
+    level, which is variable-size state — run as an Arrow
+    applyInPandas over the same slim filtered rows and single entity
+    shuffle as the default mode. Per-entity cost is
+    O(events × frontier); cap hot entities with
+    ``max_events_per_entity`` (the frontier is bounded by the event
+    count). Output matches funnel_max_step's shape."""
+    n_steps = len(steps)
+    ev = _matched_events(df, entity_col, ts_col, steps, max_events_per_entity)
+    out_field = df.schema[entity_col]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([out_field, T.StructField("max_step", T.IntegerType())])
+
+    def per_entity(pdf):
+        import pandas as _pd
+
+        events = sorted(zip(pdf["__ts"], pdf["__step"]))
+        # levels[i]: Pareto frontier of (start, last), start strictly
+        # decreasing / last strictly decreasing after pruning
+        levels: list[list[tuple[int, int]]] = [[] for _ in range(n_steps)]
+
+        def add(level: int, start: int, last: int) -> None:
+            fr = levels[level]
+            for s, l in fr:
+                if s >= start and l <= last:
+                    return  # dominated
+            fr[:] = [(s, l) for s, l in fr if not (start >= s and last <= l)]
+            fr.append((start, last))
+
+        for ts, st in events:
+            ts, st = int(ts), int(st)
+            if st == 1:
+                add(0, ts, ts)
+            else:
+                # snapshot: an event cannot chain onto a pair it created
+                # (ts > last rules that out anyway — strict increase)
+                for start, last in list(levels[st - 2]):
+                    if ts - start <= window_ms and ts > last:
+                        add(st - 1, start, ts)
+        max_step = 0
+        for i in range(n_steps):
+            if levels[i]:
+                max_step = i + 1
+        return _pd.DataFrame({
+            out_field.name: [pdf["__entity"].iloc[0]],
+            "max_step": [max_step],
+        })
+
+    return ev.groupBy("__entity").applyInPandas(per_entity, schema)
 
 
 def funnel_match_step(

@@ -525,9 +525,10 @@ class PinotDialect:
                 mode = _unquote(a[-1]).lower()
                 if mode not in ("", "keep_all"):
                     raise ValueError(
-                        f"funnel mode {mode!r} not supported (default/keep_all "
-                        "only; strict modes need frontier state — see "
-                        "operators/funnel.py)"
+                        f"funnel mode {mode!r} not supported in SQL (default/"
+                        "keep_all only — STRICT_INCREASE needs variable-size "
+                        "frontier state, available as the DataFrame operator "
+                        "operators/funnel.funnel_max_step_strict_increase)"
                     )
                 a = a[:-1]
             if len(a) < 4:

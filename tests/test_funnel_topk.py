@@ -257,7 +257,67 @@ def test_funnel_sql_validation(spark):
     eng = PinotEngine(spark)
     with pytest.raises(ValueError, match="declared 3 steps but got 2"):
         eng.rewrite("SELECT FUNNEL_MAX_STEP(ts, 1000, 3, a = 1, b = 2) FROM t GROUP BY u")
-    with pytest.raises(ValueError, match="strict modes"):
+    with pytest.raises(ValueError, match="not supported in SQL"):
         eng.rewrite(
             "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_order') FROM t GROUP BY u"
         )
+
+
+def _brute_max_step_strict(events, n_steps, window_ms):
+    """Exhaustive oracle for STRICT_INCREASE: chains need strictly
+    increasing timestamps."""
+    evs = sorted(events)
+    best = 0
+    for k in range(n_steps, 0, -1):
+        for combo in itertools.combinations(range(len(evs)), k):
+            if (
+                all(evs[c][1] == i + 1 for i, c in enumerate(combo))
+                and all(evs[combo[i]][0] < evs[combo[i + 1]][0] for i in range(k - 1))
+                and evs[combo[-1]][0] - evs[combo[0]][0] <= window_ms
+            ):
+                best = k
+                break
+        if best:
+            break
+    return best
+
+
+def test_strict_increase_keeps_pareto_frontier(spark):
+    """The greedy-killer case: a later B with a worse last_ts must not
+    shadow the earlier B that still admits C (docstring counter-example)."""
+    df = _df(spark, [("u", 0, "view"), ("u", 3, "click"), ("u", 5, "click"),
+                     ("u", 5, "purchase")])
+    got = FU.funnel_max_step_strict_increase(
+        df, "user", "ts", STEPS(), window_ms=10
+    ).collect()
+    assert got[0]["max_step"] == 3  # chain view@0, click@3, purchase@5
+
+
+def test_strict_increase_rejects_ties(spark):
+    df = _df(spark, [("u", 0, "view"), ("u", 0, "click")])
+    strict = FU.funnel_max_step_strict_increase(
+        df, "user", "ts", STEPS(), 1000
+    ).collect()[0]["max_step"]
+    default = FU.funnel_max_step(df, "user", "ts", STEPS(), 1000).collect()[0]["max_step"]
+    assert strict == 1 and default == 2  # ties chain only in default mode
+
+
+def test_strict_increase_vs_bruteforce_randomized(spark):
+    import random
+
+    rng = random.Random(99)
+    n_steps, window = 3, 30
+    rows, truth = [], {}
+    for case in range(60):
+        entity = f"s{case}"
+        evs = [(rng.randrange(0, 60), rng.randrange(1, n_steps + 1))
+               for _ in range(rng.randrange(1, 12))]  # dense ts: many ties
+        truth[entity] = _brute_max_step_strict(evs, n_steps, window)
+        rows += [(entity, ts, s) for ts, s in evs]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    steps = [F.col("s") == i for i in range(1, n_steps + 1)]
+    got = {
+        r["e"]: r["max_step"]
+        for r in FU.funnel_max_step_strict_increase(df, "e", "ts", steps, window).collect()
+    }
+    assert got == truth
