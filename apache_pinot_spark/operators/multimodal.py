@@ -72,14 +72,17 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
 
 
 def image_decoder() -> str | None:
-    """Capability probe: name of the importable image decoder ("pil"), or
-    None. Probed on the driver; the result ships in the worker closure."""
+    """Capability probe: "pil" when importable (any format), else "png" —
+    the pure-stdlib PNG codec (operators/png_codec.py), present in every
+    CPython, so the image REAL path is never entirely absent; non-PNG
+    blobs on that tier flow to the reject stream. Probed on the driver;
+    the result ships in the worker closure."""
     try:
         import PIL.Image  # noqa: F401
 
         return "pil"
     except ImportError:
-        return None
+        return "png"
 
 
 def audio_decoder() -> str | None:
@@ -167,7 +170,26 @@ def extract_image_features(
             except Exception:
                 return None
 
-        feats = _stub_feats if decoder is None else _pil_feats
+        def _png_feats(content, n):
+            # stdlib tier: same contract as the PIL path (n-pixel
+            # grayscale thumbnail in [0,1]; undecodable -> None), box
+            # average instead of PIL's resampling kernel
+            from apache_pinot_spark.operators.png_codec import (
+                box_resize,
+                decode_png,
+                luma,
+            )
+
+            px = decode_png(bytes(content or b""))
+            if px is None:
+                return None
+            return [float(v) for v in luma(box_resize(px, n, 1))[0]]
+
+        feats = (
+            _stub_feats
+            if decoder is None
+            else (_png_feats if decoder == "png" else _pil_feats)
+        )
         for pdf in batches:
             contents = pdf[content_col]
             yield _pd.DataFrame(
@@ -220,17 +242,38 @@ def resize_images(
     def run(batches):
         import io as _io
 
-        from PIL import Image as _Image
+        if decoder == "pil":
+            from PIL import Image as _Image
+
+            def _resize(b):
+                with _Image.open(_io.BytesIO(b or b"")) as im:
+                    fmt = im.format or "PNG"
+                    out = _io.BytesIO()
+                    im.resize((target_w, target_h)).save(out, format=fmt)
+                return out.getvalue()
+
+        else:  # stdlib PNG tier: decode -> box resize -> re-encode
+            from apache_pinot_spark.operators.png_codec import (
+                box_resize,
+                decode_png,
+                encode_png,
+            )
+
+            def _resize(b):
+                px = decode_png(bytes(b or b""))
+                if px is None:
+                    raise ValueError("not a decodable PNG")
+                small = box_resize(px, target_w, target_h)
+                # gray(+alpha) re-encodes gray; color re-encodes RGB
+                if small.shape[2] <= 2:
+                    return encode_png(small[:, :, 0])
+                return encode_png(small[:, :, :3])
 
         for pdf in batches:
             new_content, new_w, new_h = [], [], []
             for b, meta in zip(pdf[content_col], pdf[meta_col]):
                 try:
-                    with _Image.open(_io.BytesIO(b or b"")) as im:
-                        fmt = im.format or "PNG"
-                        out = _io.BytesIO()
-                        im.resize((target_w, target_h)).save(out, format=fmt)
-                    new_content.append(out.getvalue())
+                    new_content.append(_resize(b))
                     new_w.append(target_w)
                     new_h.append(target_h)
                 except Exception:

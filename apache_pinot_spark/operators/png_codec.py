@@ -1,0 +1,166 @@
+"""Minimal pure-stdlib PNG codec (zlib + struct) — the in-container
+image tier of the multimodal decode probe.
+
+The multimodal operators (operators/multimodal.py) need a REAL image
+decode path in environments without PIL; PNG is fully decodable with
+nothing but the standard library (the format is zlib-deflate over
+per-scanline filtered samples — RFC 2083). Scope, checked up front and
+rejected with None rather than guessed:
+
+  decode: 8-bit samples, non-interlaced, color types 0 (gray),
+          2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
+          scanline filters (None/Sub/Up/Average/Paeth).
+  encode: 8-bit gray (H×W) or RGB (H×W×3), filter 0 scanlines.
+
+This is a capability tier, not an imaging library: enough to decode
+real PNG corpora into pixel arrays for featurization/resize, with
+corrupt or out-of-scope blobs flowing to the reject stream (None) —
+never an exception mid-scan.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> "np.ndarray | None":
+    """PNG bytes → H×W×C uint8 array (C per color type; palette expands
+    to RGB). None for anything out of scope or corrupt."""
+    try:
+        if not data or not data.startswith(PNG_MAGIC):
+            return None
+        pos = len(PNG_MAGIC)
+        ihdr = None
+        plte = None
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                return None
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + body + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        if color not in _CHANNELS or w == 0 or h == 0:
+            return None
+        ch = _CHANNELS[color]
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            row_start = y * (stride + 1)
+            ftype = raw[row_start]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=row_start + 1
+            ).astype(np.int32)
+            if ftype == 0:  # None
+                cur = line
+            elif ftype == 1:  # Sub
+                cur = line.copy()
+                for x in range(ch, stride):
+                    cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                cur = (line + prev) & 0xFF
+            elif ftype == 3:  # Average
+                cur = line.copy()
+                for x in range(stride):
+                    left = cur[x - ch] if x >= ch else 0
+                    cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                cur = line.copy()
+                for x in range(stride):
+                    a = cur[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        px = out.reshape(h, w, ch)
+        if color == 3:
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            px = plte[px[:, :, 0]]
+        return px
+    except Exception:
+        return None
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """H×W (gray) or H×W×3 (RGB) uint8 → PNG bytes (filter-0 rows)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        body = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+        body = a
+    else:
+        raise ValueError(f"encode_png takes HxW gray or HxWx3 RGB, got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def luma(px: "np.ndarray") -> "np.ndarray":
+    """H×W×C → H×W float grayscale in [0,1] (ITU-R 601 luma for color;
+    alpha channels are ignored — featurization wants content, not
+    transparency)."""
+    f = px.astype(np.float64) / 255.0
+    c = px.shape[2]
+    if c == 1 or c == 2:  # gray / gray+alpha
+        return f[:, :, 0]
+    return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+
+
+def box_resize(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Box-average resize of H×W×C uint8 via edge-index binning —
+    deterministic, no resampling kernel dependencies."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.zeros((out_h, out_w, c), dtype=np.uint8)
+    f = px.astype(np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
+    return out

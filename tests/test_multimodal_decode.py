@@ -30,7 +30,8 @@ def _wav_bytes(x: np.ndarray, sample_rate: int = 8000, channels: int = 1) -> byt
 def test_probe_reports_available_decoders():
     # wave is stdlib: the audio probe can never be None
     assert multimodal.audio_decoder() in ("soundfile", "wave")
-    assert multimodal.image_decoder() in ("pil", None)
+    # png_codec is stdlib: the image probe can never be None either
+    assert multimodal.image_decoder() in ("pil", "png")
 
 
 def test_audio_real_decode_wav_band_energy(spark):
@@ -90,29 +91,26 @@ def test_audio_auto_prefers_real_decode(spark):
     assert row["band_energy"] == pytest.approx([0.0, 0.0], abs=1e-12)
 
 
-def test_image_auto_falls_back_or_decodes(spark):
-    """Auto mode is environment-stable: equals the stub without PIL,
-    real thumbnail features with it."""
+def test_image_auto_decodes_and_stub_stays_forceable(spark):
+    """Auto mode always has a REAL image tier now (stdlib PNG when PIL is
+    absent): garbage bytes flow to the reject stream (features None,
+    digests intact), and decode_stub=True still forces the sha-derived
+    stub for oracle-reproducible pipelines."""
     rows = [(i, bytes([i]) * 32, ("png", 4, 4)) for i in range(3)]
     df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
     auto = multimodal.extract_image_features(df).orderBy("media_id").collect()
-    if multimodal.image_decoder() is None:
-        stub = (
-            multimodal.extract_image_features(df, decode_stub=True)
-            .orderBy("media_id")
-            .collect()
-        )
-        assert [r["features"] for r in auto] == [r["features"] for r in stub]
-        with pytest.raises(NotImplementedError, match="no decoder"):
-            multimodal.extract_image_features(df, decode_stub=False)
-    else:
-        # garbage bytes on the real path: reject stream, digests intact
-        assert all(r["features"] is None for r in auto)
-        assert all(r["digest"] for r in auto)
+    assert all(r["features"] is None for r in auto)  # not decodable anywhere
+    assert all(r["digest"] for r in auto)
+    stub = (
+        multimodal.extract_image_features(df, decode_stub=True)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert all(r["features"] is not None for r in stub)
 
 
 @pytest.mark.skipif(
-    multimodal.image_decoder() is None, reason="no imaging library in container"
+    multimodal.image_decoder() != "pil", reason="PIL not in container"
 )
 def test_image_real_decode_thumbnail_features(spark):
     """Activates wherever PIL exists: features are the normalized
@@ -138,7 +136,7 @@ def test_image_real_decode_thumbnail_features(spark):
 
 
 @pytest.mark.skipif(
-    multimodal.image_decoder() is None, reason="no imaging library in container"
+    multimodal.image_decoder() != "pil", reason="PIL not in container"
 )
 def test_image_real_resize_reencodes(spark):
     from PIL import Image
