@@ -1,0 +1,106 @@
+"""Document chunking and deterministic corpus splits — the two
+row-shaping passes between curation and training.
+
+Chunking: models consume fixed token windows, corpora come as whole
+documents. `chunk_documents` explodes each document into overlapping
+token-window chunks (window/stride in tokens, final short chunk kept)
+entirely with JVM array expressions: tokenize once, generate chunk
+start offsets with sequence(), slice+join per chunk — map-side only,
+zero shuffle, no Python. Chunk ids are (doc_id, chunk_index) so
+provenance survives all downstream shuffles.
+
+Splits: train/validation/test membership must be DETERMINISTIC (stable
+across runs and cluster sizes — random() resamples per task retry and
+leaks rows across splits) and KEYED (all chunks of a document land in
+the same split, or eval leaks training text). `split_column` hashes
+the key with a salt into [0, 1000) per-mille buckets; `assign_splits`
+maps fraction thresholds onto that. Changing the salt re-deals the
+corpus; keeping it pins membership forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 128,
+    stride_tokens: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """One row per (document, chunk): (id_col, chunk_index, chunk_text,
+    n_tokens). ``stride_tokens`` defaults to the window (no overlap);
+    stride < window overlaps chunks. Trailing chunks shorter than
+    ``min_tokens`` are dropped (a stride-aligned tail shorter than the
+    window but >= min_tokens is kept — models pad it)."""
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    stride = stride_tokens if stride_tokens is not None else window_tokens
+    if not 1 <= stride <= window_tokens:
+        raise ValueError(
+            f"stride_tokens must be in [1, window_tokens], got {stride}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, … while a chunk of >= min_tokens remains
+    starts = F.when(
+        n >= min_tokens,
+        F.sequence(F.lit(1), F.greatest(n - min_tokens + 1, F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            F.array_join(F.slice(toks, s, window_tokens), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(window_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(id_col, F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_index").alias("chunk_index"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def split_column(key: Column | str, salt: str = "v1") -> Column:
+    """Deterministic per-mille bucket in [0, 1000) from (key, salt) —
+    xxhash64, so the same key always lands in the same bucket on any
+    cluster, and a new salt re-deals the corpus."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(k.cast("string"), F.lit(salt)), F.lit(1000))
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a split label column keyed on ``key_col``. ``fractions`` maps
+    label → fraction (must sum to 1 within per-mille resolution);
+    default 98/1/1 train/validation/test. All rows sharing a key get
+    the same label — chunk at will afterwards without leakage."""
+    fr = fractions or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    mills = {k: round(v * 1000) for k, v in fr.items()}
+    if sum(mills.values()) != 1000:
+        raise ValueError(
+            f"split fractions must sum to 1.0 at per-mille resolution, got {fr}"
+        )
+    bucket = split_column(key_col, salt)
+    expr = None
+    lo = 0
+    for label, width in mills.items():
+        cond = (bucket >= lo) & (bucket < lo + width)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += width
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,88 @@
+"""Chunking + deterministic splits (operators/chunking.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators import chunking as CH
+
+
+def _doc(spark, text, doc_id=1):
+    return spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+
+
+def test_chunking_no_overlap(spark):
+    df = _doc(spark, " ".join(f"t{i}" for i in range(10)))
+    out = CH.chunk_documents(df, window_tokens=4).orderBy("chunk_index").collect()
+    assert [(r["chunk_index"], r["chunk_text"], r["n_tokens"]) for r in out] == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t8 t9", 2),  # stride-aligned tail kept, padded downstream
+    ]
+
+
+def test_chunking_overlap_and_min_tokens(spark):
+    df = _doc(spark, "a b c d e")
+    out = CH.chunk_documents(
+        df, window_tokens=3, stride_tokens=2, min_tokens=2
+    ).orderBy("chunk_index").collect()
+    assert [r["chunk_text"] for r in out] == ["a b c", "c d e"]
+    # start 5 would yield 1-token chunk 'e' -> dropped by min_tokens=2
+
+
+def test_chunking_edge_cases_and_validation(spark):
+    assert CH.chunk_documents(_doc(spark, "   "), window_tokens=4).count() == 0
+    assert CH.chunk_documents(_doc(spark, "one"), window_tokens=4).count() == 1
+    with pytest.raises(ValueError, match="window_tokens"):
+        CH.chunk_documents(_doc(spark, "x"), window_tokens=0)
+    with pytest.raises(ValueError, match="stride_tokens"):
+        CH.chunk_documents(_doc(spark, "x"), window_tokens=4, stride_tokens=5)
+
+
+def test_chunking_is_map_side_only(spark):
+    plan = CH.chunk_documents(
+        _doc(spark, "a b c"), window_tokens=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_chunking_real_documents(spark):
+    from apache_pinot_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    out = CH.chunk_documents(docs, window_tokens=64, stride_tokens=48)
+    assert out.count() >= docs.where("text IS NOT NULL AND trim(text) != ''").count()
+    assert out.agg(F.max("n_tokens")).collect()[0][0] <= 64
+
+
+def test_splits_deterministic_and_keyed(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = CH.assign_splits(df, "doc_id")
+    b = CH.assign_splits(df, "doc_id")
+    assert a.exceptAll(b).count() == 0  # bit-stable across runs
+    resalted = CH.assign_splits(df, "doc_id", salt="v2")
+    moved = a.join(resalted.withColumnRenamed("split", "s2"), "doc_id").where(
+        "split != s2"
+    ).count()
+    assert moved > 0  # a new salt re-deals
+    # distribution ~ 98/1/1 at per-mille resolution
+    dist = {r["split"]: r["c"] for r in a.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert abs(dist["train"] - 9800) < 200
+    assert 0 < dist["validation"] < 300 and 0 < dist["test"] < 300
+    # keyed: all chunks of one doc share its split
+    chunks = CH.chunk_documents(
+        spark.createDataFrame([(7, " ".join("w" * 9))], "doc_id long, text string"),
+        window_tokens=3,
+    )
+    labeled = CH.assign_splits(chunks, "doc_id")
+    assert labeled.select("split").distinct().count() == 1
+
+
+def test_splits_fraction_validation(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        CH.assign_splits(df, "k", fractions={"a": 0.5, "b": 0.4})
+    custom = CH.assign_splits(df, "k", fractions={"a": 0.5, "b": 0.5})
+    assert set(r["split"] for r in custom.collect()) <= {"a", "b"}
