@@ -514,6 +514,16 @@ class PinotDialect:
                 )
             return f"array({', '.join(sums)})"
 
+        def lastwithtime(a):
+            # Public LASTWITHTIME(dataCol, timeCol, 'dataType'): value of
+            # the row with the max time — max_by. The dataType is the
+            # public engine's serde hint; Spark's types flow through, so
+            # it is accepted and ignored.
+            return f"max_by({a[0]}, {a[1]})"
+
+        def firstwithtime(a):
+            return f"min_by({a[0]}, {a[1]})"
+
         def _funnel_max_step_sql(a) -> str:
             # FUNNELMAXSTEP(tsExpr, windowMs, numSteps, cond1 … condN
             # [, mode]): the windowed-funnel aggregate (operators/
@@ -781,6 +791,8 @@ class PinotDialect:
             "IN_SUBQUERY": in_subquery,
             "IN_PARTITIONED_SUBQUERY": in_subquery,
             "CLPDECODE": clpdecode,
+            "LASTWITHTIME": lastwithtime,
+            "FIRSTWITHTIME": firstwithtime,
             "FUNNELMAXSTEP": funnel_max_step,
             "FUNNEL_MAX_STEP": funnel_max_step,
             "FUNNELMATCHSTEP": funnel_match_step,

@@ -782,3 +782,26 @@ def test_in_subquery_semi_join(spark):
         "IN_PARTITIONED_SUBQUERY(n_regionkey, 'SELECT r_regionkey FROM region') LIMIT 1"
     ).collect()[0]["c"]
     assert n == 25
+
+
+def test_last_first_with_time_aggregates(spark, duck):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    got = {
+        (r["user_id"], r["last_et"], r["first_et"])
+        for r in eng.sql(
+            "SELECT user_id, LASTWITHTIME(event_type, ts, 'STRING') AS last_et, "
+            "FIRSTWITHTIME(event_type, ts, 'STRING') AS first_et "
+            "FROM events GROUP BY user_id LIMIT 1000"
+        ).collect()
+    }
+    want = {
+        (r[0], r[1], r[2])
+        for r in duck.sql(
+            "SELECT user_id, max_by(event_type, ts), min_by(event_type, ts) "
+            "FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 15
