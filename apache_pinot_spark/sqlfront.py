@@ -514,6 +514,23 @@ class PinotDialect:
                 )
             return f"array({', '.join(sums)})"
 
+        def exact_distinct(a):
+            # SEGMENTPARTITIONEDDISTINCTCOUNT: the public engine's
+            # no-global-merge exact distinct for partition-aligned data —
+            # Spark's COUNT(DISTINCT) already partial-aggregates per
+            # partition and merges, so the plain form IS the optimized
+            # shape here. DISTINCTCOUNTBITMAP is the public exact bitmap
+            # sketch; exact distinct is the same answer.
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def arg_min(a):
+            # ARG_MIN(measuring, projection): projection value at the
+            # minimum of the measuring expression
+            return f"min_by({a[1]}, {a[0]})"
+
+        def arg_max(a):
+            return f"max_by({a[1]}, {a[0]})"
+
         def lastwithtime(a):
             # Public LASTWITHTIME(dataCol, timeCol, 'dataType'): value of
             # the row with the max time — max_by. The dataType is the
@@ -791,6 +808,12 @@ class PinotDialect:
             "IN_SUBQUERY": in_subquery,
             "IN_PARTITIONED_SUBQUERY": in_subquery,
             "CLPDECODE": clpdecode,
+            "SEGMENTPARTITIONEDDISTINCTCOUNT": exact_distinct,
+            "DISTINCTCOUNTBITMAP": exact_distinct,
+            "ARG_MIN": arg_min,
+            "ARGMIN": arg_min,
+            "ARG_MAX": arg_max,
+            "ARGMAX": arg_max,
             "LASTWITHTIME": lastwithtime,
             "FIRSTWITHTIME": firstwithtime,
             "FUNNELMAXSTEP": funnel_max_step,

@@ -805,3 +805,21 @@ def test_last_first_with_time_aggregates(spark, duck):
         ).fetchall()
     }
     assert got == want and len(got) >= 15
+
+
+def test_exact_distinct_aliases_and_arg_minmax(spark, duck):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    r = eng.sql(
+        "SELECT SEGMENTPARTITIONEDDISTINCTCOUNT(user_id) AS a, "
+        "DISTINCTCOUNTBITMAP(event_type) AS b, "
+        "ARG_MAX(ts, event_id) AS latest_id, ARG_MIN(ts, event_id) AS first_id "
+        "FROM events LIMIT 1"
+    ).collect()[0]
+    want = duck.sql(
+        "SELECT COUNT(DISTINCT user_id), COUNT(DISTINCT event_type), "
+        "max_by(event_id, ts), min_by(event_id, ts) FROM events"
+    ).fetchone()
+    assert (r["a"], r["b"], r["latest_id"], r["first_id"]) == want
