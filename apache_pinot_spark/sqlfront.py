@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apache_pinot_spark.catalog import load_tables
@@ -212,6 +213,95 @@ def _iso8601_duration_ms(s: str) -> int:
         )
     g = {k: float(v) if v else 0.0 for k, v in m.groupdict().items()}
     return int((((g["d"] * 24 + g["h"]) * 60 + g["m"]) * 60 + g["s"]) * 1000)
+
+
+_GAPFILL_RE = re.compile(r"\bGAPFILL\s*\(", re.IGNORECASE)
+_BUCKET_UNITS_MS = {
+    "MILLISECONDS": 1,
+    "SECONDS": 1_000,
+    "MINUTES": 60_000,
+    "HOURS": 3_600_000,
+    "DAYS": 86_400_000,
+}
+
+
+def _parse_time_spec_ms(spec: str) -> int:
+    """'N:UNIT' (the public timeBucket grammar subset) → milliseconds."""
+    parts = spec.strip().split(":")
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1].upper() not in _BUCKET_UNITS_MS:
+        raise ValueError(
+            f"GAPFILL: cannot parse bucket spec {spec!r} (expected 'N:UNIT', "
+            f"UNIT in {sorted(_BUCKET_UNITS_MS)})"
+        )
+    return int(parts[0]) * _BUCKET_UNITS_MS[parts[1].upper()]
+
+
+def _parse_fill_default(arg: str):
+    a = arg.strip()
+    if a.startswith("'"):
+        return _unquote(a)
+    try:
+        return int(a)
+    except ValueError:
+        return float(a)
+
+
+def _parse_gapfill(sql: str):
+    """Detect + parse the public GAPFILL table-function projection:
+    GAPFILL(timeExpr, 'format', 'startMs', 'endMs', 'N:UNIT',
+    FILL(col, 'mode'[, default])…, TIMESERIESON(k1, …)) AS alias.
+    Returns (inner_sql, alias, start_ms, end_ms, bucket_ms, keys,
+    fills) — inner_sql is the query with the GAPFILL call replaced by
+    `timeExpr AS alias` — or None when the statement has no GAPFILL.
+    Epoch-millis format only ('1:MILLISECONDS:EPOCH'); other time
+    formats raise rather than guess."""
+    m = _GAPFILL_RE.search(sql)
+    if m is None:
+        return None
+    end, args = _scan_call(sql, m.end() - 1)
+    am = re.match(r"\s+AS\s+([A-Za-z_]\w*)", sql[end:], re.IGNORECASE)
+    if am is None:
+        raise ValueError("GAPFILL: the call needs an output alias (… AS time_col)")
+    alias = am.group(1)
+    if len(args) < 5:
+        raise ValueError(
+            "GAPFILL needs (timeExpr, 'format', 'start', 'end', 'bucket', …)"
+        )
+    fmt = _unquote(args[1])
+    if not fmt.upper().startswith("1:MILLISECONDS:EPOCH"):
+        raise ValueError(
+            f"GAPFILL: unsupported time format {fmt!r} — the engine's gapfill "
+            "runs on epoch-millis ('1:MILLISECONDS:EPOCH'); bucket upstream"
+        )
+    start_ms, end_ms = int(_unquote(args[2])), int(_unquote(args[3]))
+    bucket_ms = _parse_time_spec_ms(_unquote(args[4]))
+    keys: list[str] = []
+    fills: dict[str, tuple[str, object]] = {}
+    for extra in args[5:]:
+        e = extra.strip()
+        fm = re.match(r"(FILL|TIMESERIESON)\s*\(", e, re.IGNORECASE)
+        if not fm:
+            raise ValueError(f"GAPFILL: unexpected argument {e!r}")
+        _, inner = _scan_call(e, fm.end() - 1)
+        if fm.group(1).upper() == "TIMESERIESON":
+            keys = [k.strip() for k in inner]
+        else:
+            if len(inner) < 2:
+                raise ValueError("FILL needs (column, 'mode'[, default])")
+            col, mode = inner[0].strip(), _unquote(inner[1]).upper()
+            default = _parse_fill_default(inner[2]) if len(inner) > 2 else None
+            if mode == "FILL_DEFAULT_VALUE" and default is None:
+                raise ValueError(
+                    f"FILL({col}, 'FILL_DEFAULT_VALUE') needs an explicit "
+                    "default third argument"
+                )
+            fills[col] = (mode, default)
+    if not keys:
+        raise ValueError("GAPFILL needs TIMESERIESON(key, …) naming the series")
+    inner_sql = (
+        sql[: m.start()] + f"{args[0].strip()} AS {alias}" + sql[end + am.end() :]
+    )
+    return inner_sql, alias, start_ms, end_ms, bucket_ms, keys, fills
 
 
 # --------------------------------------------------------------------------
@@ -1356,11 +1446,46 @@ class PinotEngine:
         return self.dialect.rewrite(pinot_sql)
 
     def sql(self, pinot_sql: str) -> DataFrame:
+        gap = _parse_gapfill(pinot_sql)
+        if gap is not None:
+            return self._run_gapfill(*gap)
         rewritten = self.rewrite(pinot_sql).sql
         hit = self._try_rollup(rewritten)
         if hit is not None:
             return hit
         return self.spark.sql(rewritten)
+
+    def _run_gapfill(self, inner_sql, alias, start_ms, end_ms, bucket_ms, keys, fills):
+        """Execute the GAPFILL table-function form (public gapfill query
+        syntax): run the query with GAPFILL's time expression projected
+        as ``alias``, then densify the (series × bucket) grid with
+        operators/gapfill.py. The observed rows are already one per
+        (series, bucket) — the inner aggregation did that — so the
+        operator's per-bucket aggregate is first()."""
+        from apache_pinot_spark.operators.gapfill import gapfill as _gapfill
+
+        observed = self.sql(inner_sql)
+        value_cols = [c for c in observed.columns if c != alias and c not in keys]
+        unknown = set(fills) - set(value_cols)
+        if unknown:
+            raise ValueError(
+                f"GAPFILL: FILL over non-projected columns {sorted(unknown)}; "
+                f"projected value columns: {value_cols}"
+            )
+        out = _gapfill(
+            observed,
+            alias,
+            bucket_ms,
+            start_ms,
+            end_ms,
+            keys,
+            {c: F.first(c) for c in value_cols},
+            fill=fills or None,
+        )
+        return out.select(
+            F.col("bucket_ms_start").alias(alias),
+            *[c for c in observed.columns if c != alias],
+        )
 
     # -- star-tree / rollup aggregate rewrite (SURVEY §4) --------------------
     _SIMPLE_AGG_RE = re.compile(

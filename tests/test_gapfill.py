@@ -118,3 +118,66 @@ def test_gapfill_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
     assert "Generate explode" in plan or "Explode" in plan.replace("explode", "Explode")
+
+
+def test_gapfill_sql_table_function_form(spark, duck):
+    """The public GAPFILL projection syntax end-to-end through the
+    engine: inner aggregation buckets per (series, day), GAPFILL
+    densifies [start, end) with previous-fill — results equal the
+    DataFrame operator over the same observed frame."""
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000  # 2024-01-01
+    end = start + 10 * day
+    out = eng.sql(
+        f"SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '{start}', '{end}', '1:DAYS', "
+        f"  FILL(cnt, 'FILL_PREVIOUS_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+        f"  event_type, cnt "
+        f"FROM (SELECT dateTrunc('DAY', ts) AS b, event_type, COUNT(*) AS cnt "
+        f"      FROM events GROUP BY dateTrunc('DAY', ts), event_type)"
+    )
+    got = {(r["event_type"], r["b"]): r["cnt"] for r in out.collect()}
+    assert out.columns == ["b", "event_type", "cnt"]
+
+    ev = load_tables(spark, SF_CORRECTNESS)["events"]
+    want_df = gapfill(
+        ev.select("event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")),
+        "ms", day, start, end, ["event_type"], {"cnt": F.count("*")},
+        fill={"cnt": ("FILL_PREVIOUS_VALUE", 0)},
+    )
+    want = {(r["event_type"], r["bucket_ms_start"]): r["cnt"] for r in want_df.collect()}
+    assert got == want and len(got) >= 10
+
+
+def test_gapfill_sql_validation():
+    from apache_pinot_spark.sqlfront import _parse_gapfill
+
+    assert _parse_gapfill("SELECT x FROM t") is None
+    base = "SELECT GAPFILL(b, {fmt}, '0', '100', {bucket}{extra}) AS b, k FROM t"
+    good = base.format(fmt="'1:MILLISECONDS:EPOCH'", bucket="'10:MILLISECONDS'",
+                       extra=", TIMESERIESON(k)")
+    inner, alias, s, e, w, keys, fills = _parse_gapfill(good)
+    assert (alias, s, e, w, keys, fills) == ("b", 0, 100, 10, ["k"], {})
+    assert inner.startswith("SELECT b AS b, k FROM t")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported time format"):
+        _parse_gapfill(base.format(fmt="'1:DAYS:SIMPLE_DATE_FORMAT'",
+                                   bucket="'10:MILLISECONDS'", extra=", TIMESERIESON(k)"))
+    with _pt.raises(ValueError, match="TIMESERIESON"):
+        _parse_gapfill(base.format(fmt="'1:MILLISECONDS:EPOCH'",
+                                   bucket="'10:MILLISECONDS'", extra=""))
+    with _pt.raises(ValueError, match="bucket spec"):
+        _parse_gapfill(base.format(fmt="'1:MILLISECONDS:EPOCH'",
+                                   bucket="'monthly'", extra=", TIMESERIESON(k)"))
+    with _pt.raises(ValueError, match="explicit.*default"):
+        _parse_gapfill(base.format(fmt="'1:MILLISECONDS:EPOCH'",
+                                   bucket="'10:MILLISECONDS'",
+                                   extra=", FILL(v, 'FILL_DEFAULT_VALUE'), TIMESERIESON(k)"))
+    with _pt.raises(ValueError, match="output alias"):
+        _parse_gapfill("SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '0', '1', "
+                       "'1:MILLISECONDS', TIMESERIESON(k)), k FROM t")
