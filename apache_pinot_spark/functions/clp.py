@@ -12,24 +12,26 @@ template ONCE (dictionary-encoded by parquet automatically) and the
 variables as slim typed arrays compresses and searches far better
 than raw text.
 
-This engine's mapping (all pure JVM expressions, no UDFs):
+Variables are extracted IN PLACE (CLP's model): the logtype keeps
+every delimiter and space verbatim, with one placeholder byte per
+variable, so `user=1234, path=/a/b1` has logtype
+`user=\\x11, path=\\x12` — ints embedded in punctuation still become
+encoded variables. Two passes of pure JVM regex, no UDFs:
 
-  * Tokens are space-separated runs. Integer tokens become ENCODED
-    variables (array<long>, lossless text round-trip); any other token
-    containing a digit — uuids, hex ids, floats, "task_123" — becomes
-    a DICTIONARY variable (array<string>). Everything else stays in
-    the logtype, with one placeholder char per variable ('\\x11' for
-    encoded, '\\x12' for dictionary, the CLP convention).
-  * Simplification vs full CLP, documented: CLP also splits on
-    punctuation delimiters inside tokens and float-encodes decimals
-    into longs; here tokens are whitespace-delimited and non-integer
-    numerics go to the dictionary. Round-trip is EXACT (including
-    repeated spaces — empty split tokens are static), which full CLP's
-    float encoding cannot always promise.
-  * A raw token that already contains a placeholder byte is forced
-    into the dictionary so decode can never mis-substitute.
-  * Decode rebuilds the message with a single JVM fold whose state is
-    (pieces, next-dict-index, next-encoded-index) — linear, no Python.
+  1. integer runs not embedded in a word/number
+     (`(?<![\\w.+-])-?\\d+(?![\\w.+-])`) → '\\x11' placeholders +
+     array<long> encodedVars (lossless text round-trip);
+  2. remaining digit-bearing token runs (`[\\w.+-]*\\d[\\w.+-]*` —
+     uuids, hexes, floats, "task_123") → '\\x12' placeholders +
+     array<string> dictionaryVars.
+
+Decode interleaves split-parts with the placeholder sequence in one
+indexed fold — byte-exact reconstruction, including all whitespace
+and punctuation. Simplification vs full CLP, documented: non-integer
+numerics go to the dictionary instead of CLP's float-to-long encoding
+(which is lossy for trailing zeros); a message already containing a
+placeholder byte is stored as one whole-message dictionary variable
+(exact, rare, never ambiguous).
 
 Why it scales: the logtype column has tiny cardinality (templates),
 so parquet dictionary-encodes it and predicates like
@@ -46,51 +48,43 @@ from pyspark.sql import functions as F
 ENCODED_PLACEHOLDER = "\x11"
 DICT_PLACEHOLDER = "\x12"
 
-_INT_RE = "^-?[0-9]+$"
-_HAS_DIGIT_RE = "[0-9]"
+#: standalone integer runs (not embedded in a word, decimal, or
+#: sign/hyphen compound — those stay for the dictionary pass)
+INT_PATTERN = r"(?<![\w.+-])-?\d+(?![\w.+-])"
+#: digit-bearing token runs left after integer extraction
+DICT_PATTERN = r"[\w.+-]*\d[\w.+-]*"
+_PLACEHOLDER_CLASS = f"[{ENCODED_PLACEHOLDER}{DICT_PLACEHOLDER}]"
 
 
-def _tokens(col: Column) -> Column:
-    # split on single spaces, KEEPING empty tokens: "a  b" → [a, '', b],
-    # so join(' ') reconstructs the original spacing exactly
-    return F.split(col, " ", -1)
-
-
-def _is_encoded(t: Column) -> Column:
-    return t.rlike(_INT_RE)
-
-
-def _is_dict(t: Column) -> Column:
-    # any digit-bearing non-integer token; plus placeholder-byte escapes
-    return (~_is_encoded(t)) & (
-        t.rlike(_HAS_DIGIT_RE)
-        | t.contains(ENCODED_PLACEHOLDER)
-        | t.contains(DICT_PLACEHOLDER)
-    )
+def _has_placeholder(c: Column) -> Column:
+    return c.rlike(_PLACEHOLDER_CLASS)
 
 
 def clp_logtype(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    toks = _tokens(c)
-    return F.array_join(
-        F.transform(
-            toks,
-            lambda t: F.when(_is_encoded(t), F.lit(ENCODED_PLACEHOLDER))
-            .when(_is_dict(t), F.lit(DICT_PLACEHOLDER))
-            .otherwise(t),
-        ),
-        " ",
-    )
+    after_int = F.regexp_replace(c, INT_PATTERN, ENCODED_PLACEHOLDER)
+    template = F.regexp_replace(after_int, DICT_PATTERN, DICT_PLACEHOLDER)
+    return F.when(c.isNull(), None).when(
+        _has_placeholder(c), F.lit(DICT_PLACEHOLDER)  # escape: whole-message var
+    ).otherwise(template)
 
 
 def clp_dictionary_vars(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(_tokens(c), _is_dict)
+    after_int = F.regexp_replace(c, INT_PATTERN, ENCODED_PLACEHOLDER)
+    return F.when(c.isNull(), None).when(
+        _has_placeholder(c), F.array(c)
+    ).otherwise(F.regexp_extract_all(after_int, F.lit(DICT_PATTERN), F.lit(0)))
 
 
 def clp_encoded_vars(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(F.filter(_tokens(c), _is_encoded), lambda t: t.cast("long"))
+    ints = F.transform(
+        F.regexp_extract_all(c, F.lit(INT_PATTERN), F.lit(0)), lambda t: t.cast("long")
+    )
+    return F.when(c.isNull(), None).when(
+        _has_placeholder(c), F.array().cast("array<long>")
+    ).otherwise(ints)
 
 
 def clp_encode(df: DataFrame, col: str, drop_original: bool = True) -> DataFrame:
@@ -108,48 +102,44 @@ def clp_encode(df: DataFrame, col: str, drop_original: bool = True) -> DataFrame
 def clp_decode(
     logtype: Column | str, dictionary_vars: Column | str, encoded_vars: Column | str
 ) -> Column:
-    """CLPDECODE: reassemble the original message. One fold over the
-    logtype tokens; state carries the next index into each variable
-    array. NULL logtype decodes to NULL (as the public function's
-    default-null form)."""
+    """CLPDECODE: reassemble the original message byte-exactly. The
+    logtype splits into literal parts around placeholder bytes; one
+    indexed fold interleaves parts with the right variable stream
+    (placeholder order recovered via regexp_extract_all). NULL logtype
+    decodes to NULL."""
     lt = F.col(logtype) if isinstance(logtype, str) else logtype
     dv = F.col(dictionary_vars) if isinstance(dictionary_vars, str) else dictionary_vars
     ev = F.col(encoded_vars) if isinstance(encoded_vars, str) else encoded_vars
-    toks = _tokens(lt)
+    phs = F.regexp_extract_all(lt, F.lit(_PLACEHOLDER_CLASS), F.lit(0))
+    parts = F.split(lt, _PLACEHOLDER_CLASS, -1)
     state = F.aggregate(
-        toks,
+        phs,
         F.struct(
-            F.array().cast("array<string>").alias("pieces"),
+            F.element_at(parts, 1).alias("s"),
             F.lit(0).alias("d"),
             F.lit(0).alias("e"),
         ),
-        lambda acc, t: F.when(
-            t == ENCODED_PLACEHOLDER,
+        lambda acc, p: F.when(
+            p == ENCODED_PLACEHOLDER,
             F.struct(
                 F.concat(
-                    acc["pieces"],
-                    F.array(F.element_at(ev, acc["e"] + 1).cast("string")),
-                ).alias("pieces"),
+                    acc["s"],
+                    F.element_at(ev, acc["e"] + 1).cast("string"),
+                    F.element_at(parts, acc["d"] + acc["e"] + 2),
+                ).alias("s"),
                 acc["d"].alias("d"),
                 (acc["e"] + 1).alias("e"),
             ),
-        )
-        .when(
-            t == DICT_PLACEHOLDER,
+        ).otherwise(
             F.struct(
                 F.concat(
-                    acc["pieces"], F.array(F.element_at(dv, acc["d"] + 1))
-                ).alias("pieces"),
+                    acc["s"],
+                    F.element_at(dv, acc["d"] + 1),
+                    F.element_at(parts, acc["d"] + acc["e"] + 2),
+                ).alias("s"),
                 (acc["d"] + 1).alias("d"),
-                acc["e"].alias("e"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc["pieces"], F.array(t)).alias("pieces"),
-                acc["d"].alias("d"),
                 acc["e"].alias("e"),
             )
         ),
     )
-    return F.array_join(state["pieces"], " ")
+    return state["s"]

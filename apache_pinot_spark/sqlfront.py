@@ -697,23 +697,23 @@ class PinotDialect:
         def clpdecode(a):
             # CLPDECODE(logtypeCol, dictionaryVarsCol, encodedVarsCol):
             # reassemble a CLP-encoded log message (functions/clp.py) —
-            # the same single JVM fold, emitted as SQL text.
+            # the same placeholder/parts interleave fold, as SQL text.
             lt, dv, ev = a[0], a[1], a[2]
-            e_ph, d_ph = "\x11", "\x12"
+            e_ph, cls = "\x11", "[\x11\x12]"
+            parts = f"split({lt}, '{cls}', -1)"
             fold = (
-                f"aggregate(split({lt}, ' ', -1), "
-                f"named_struct('pieces', cast(array() as array<string>), 'd', 0, 'e', 0), "
-                f"(acc, t) -> CASE "
-                f"WHEN t = '{e_ph}' THEN named_struct("
-                f"'pieces', concat(acc.pieces, array(cast(element_at({ev}, acc.e + 1) as string))), "
+                f"aggregate(regexp_extract_all({lt}, '{cls}', 0), "
+                f"named_struct('s', element_at({parts}, 1), 'd', 0, 'e', 0), "
+                f"(acc, p) -> CASE WHEN p = '{e_ph}' THEN named_struct("
+                f"'s', concat(acc.s, cast(element_at({ev}, acc.e + 1) as string), "
+                f"element_at({parts}, acc.d + acc.e + 2)), "
                 f"'d', acc.d, 'e', acc.e + 1) "
-                f"WHEN t = '{d_ph}' THEN named_struct("
-                f"'pieces', concat(acc.pieces, array(element_at({dv}, acc.d + 1))), "
-                f"'d', acc.d + 1, 'e', acc.e) "
-                f"ELSE named_struct('pieces', concat(acc.pieces, array(t)), "
-                f"'d', acc.d, 'e', acc.e) END)"
+                f"ELSE named_struct("
+                f"'s', concat(acc.s, element_at({dv}, acc.d + 1), "
+                f"element_at({parts}, acc.d + acc.e + 2)), "
+                f"'d', acc.d + 1, 'e', acc.e) END)"
             )
-            return f"array_join(({fold}).pieces, ' ')"
+            return f"({fold}).s"
 
         def st_point(a):
             # point = struct<x,y> (functions/geo.py); optional third

@@ -1,6 +1,7 @@
-"""CLP-style log encoding (functions/clp.py): template extraction,
-variable typing, exact round-trip (including a randomized batch), plan
-shape, and the compression claim (logtype cardinality collapses)."""
+"""CLP-style log encoding (functions/clp.py): in-place template
+extraction, variable typing, byte-exact round-trip (including a
+randomized punctuation-heavy batch), plan shape, and the compression
+claim (logtype cardinality collapses)."""
 
 from __future__ import annotations
 
@@ -21,14 +22,28 @@ def test_encode_splits_template_and_vars(spark):
     assert r["msg_encodedVars"] == [500, -1]
 
 
+def test_encode_extracts_variables_in_place(spark):
+    """The CLP point: ints embedded in punctuation still become encoded
+    variables; every delimiter stays verbatim in the logtype."""
+    df = spark.createDataFrame(
+        [("user=1234, path=/a/b1 [INFO] 99%",)], "msg string"
+    )
+    r = C.clp_encode(df, "msg").collect()[0]
+    assert r["msg_logtype"] == "user=\x11, path=/a/\x12 [INFO] \x11%"
+    assert r["msg_dictionaryVars"] == ["b1"]
+    assert r["msg_encodedVars"] == [1234, 99]
+
+
 def test_decode_round_trip_exact(spark):
     msgs = [
         "Task task_123 failed after 500 ms with code -1",
         "plain words only",
         "double  space   and uuid 550e8400-e29b 41d4",
         "float 0.50 stays dictionary",  # non-integer numeric → dict (lossless)
+        "user=1234,path=/a/b9?q=3&r=0x7f",
         "",
         "42",
+        "\x11 raw placeholder bytes \x12",  # escape: whole-message dict var
     ]
     df = spark.createDataFrame([(m,) for m in msgs], "msg string")
     enc = C.clp_encode(df, "msg", drop_original=False)
@@ -40,12 +55,13 @@ def test_decode_round_trip_exact(spark):
 
 
 def test_round_trip_randomized_batch(spark):
-    """300 random messages mixing words, ints, hexes, floats, repeated
-    spaces, and placeholder bytes — one Spark job, every row must
-    round-trip byte-exactly."""
+    """300 random messages mixing words, embedded ints, hexes, floats,
+    punctuation, repeated spaces, and placeholder bytes — one Spark job,
+    every row must round-trip byte-exactly."""
     rng = random.Random(3)
-    vocab = ["error", "GET", "/api/v2", "took", "ok", "", " ",
-             "1234", "-7", "0.25", "0xdeadbeef", "id_42x", "\x11", "\x12weird"]
+    vocab = ["error", "GET", "/api/v2", "took", "ok", "", " ", "a=5,b=77",
+             "1234", "-7", "0.25", "0xdeadbeef", "id_42x", "[WARN]", "(3)",
+             "x:9;y:10", "\x11", "\x12weird", "50%..", "t=-3"]
     msgs = [" ".join(rng.choices(vocab, k=rng.randrange(0, 12))) for _ in range(300)]
     df = spark.createDataFrame([(m,) for m in msgs], "msg string")
     bad = (
@@ -61,11 +77,12 @@ def test_round_trip_randomized_batch(spark):
 
 
 def test_logtype_cardinality_collapses(spark):
-    """The compression premise: many distinct messages, few templates."""
+    """The compression premise: many distinct messages, few templates —
+    including ids embedded in key=value punctuation."""
     df = spark.range(5000).select(
         F.concat(
-            F.lit("request "), F.col("id").cast("string"),
-            F.lit(" served in "), (F.col("id") % 97).cast("string"), F.lit(" ms"),
+            F.lit("req id="), F.col("id").cast("string"),
+            F.lit(" served in "), (F.col("id") % 97).cast("string"), F.lit("ms"),
         ).alias("msg")
     )
     enc = C.clp_encode(df, "msg")
@@ -92,7 +109,7 @@ def test_clp_plan_is_jvm_only(spark):
 def test_clpdecode_sql_surface(spark):
     from apache_pinot_spark.sqlfront import PinotEngine
 
-    msgs = ["Task task_9 failed after 42 ms", "no vars here"]
+    msgs = ["Task task_9 failed after 42 ms", "no vars here", "k=7,v=xy3"]
     df = spark.createDataFrame([(m,) for m in msgs], "msg string")
     eng = PinotEngine(spark)
     eng.register("logs", C.clp_encode(df, "msg", drop_original=False))
@@ -100,4 +117,4 @@ def test_clpdecode_sql_surface(spark):
         "SELECT msg, CLPDECODE(msg_logtype, msg_dictionaryVars, msg_encodedVars) AS back "
         "FROM logs LIMIT 10"
     ).collect()
-    assert all(r["back"] == r["msg"] for r in out) and len(out) == 2
+    assert all(r["back"] == r["msg"] for r in out) and len(out) == 3
