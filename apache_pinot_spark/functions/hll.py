@@ -167,6 +167,27 @@ def hll_merge_estimate_sql(sketch_col_sql: str, engine: str = "spark", m: int = 
     return _estimate_from_max_terms(terms, engine, m)
 
 
+def hll_merge_sketch_sql(sketch_col_sql: str, engine: str = "spark", m: int = HLL_M) -> str:
+    """Aggregate expression merging BYTES sketches and returning the
+    MERGED SKETCH bytes (not the estimate) — the RAW query form clients
+    use to post-aggregate across queries. Same element-wise register max
+    as hll_merge_estimate_sql, re-serialized through the canonical
+    hex layout."""
+    assert m == HLL_M
+    hx = f"hex({sketch_col_sql})" if engine == "spark" else f"to_hex({sketch_col_sql})"
+    if engine == "spark":
+        terms = [
+            f"lpad(hex(COALESCE(MAX(CAST(CONV(substr({hx}, {2 * r + 1}, 2), 16, 10) AS INT)), 0)), 2, '0')"
+            for r in range(m)
+        ]
+        return f"unhex(concat({', '.join(terms)}))"
+    terms = [
+        f"lpad(to_hex(COALESCE(MAX(from_hex(substr({hx}, {2 * r + 1}, 2))::INT), 0)), 2, '0')"
+        for r in range(m)
+    ]
+    return f"from_hex(concat({', '.join(terms)}))"
+
+
 def hll_estimate_fold_sql(col_sql: str, m: int = HLL_M) -> str:
     """Spark-side fallback aggregate for statements whose FROM cannot be
     wrapped with the pair projection (joins, multi-table from-lists).

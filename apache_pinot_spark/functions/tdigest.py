@@ -339,6 +339,8 @@ def tdigest_sketch(df, keys: list[str], value_col: str,
 
 
 UDF_NAME = "pinot_tdigest_pct"
+RAW_UDF_NAME = "pinot_tdigest_raw"
+BUILD_RAW_UDF_NAME = "pinot_tdigest_build"
 
 
 def register_tdigest_udfs(spark) -> None:
@@ -355,4 +357,21 @@ def register_tdigest_udfs(spark) -> None:
             return float("nan")
         return d.quantile(float(q.iloc[0]) / 100.0)
 
+    @pandas_udf("binary")
+    def pinot_tdigest_raw(blobs: pd.Series) -> bytes:
+        # RAW form over a BYTES digest column: the MERGED serialized
+        # digest (clients post-aggregate across queries)
+        return serialize(merge_blobs(blobs.dropna()))
+
+    @pandas_udf("binary")
+    def pinot_tdigest_build(values: pd.Series) -> bytes:
+        # RAW form over a raw numeric column: build-and-serialize
+        import numpy as _np
+
+        return serialize(
+            TDigest.from_values(values.dropna().to_numpy(dtype=_np.float64))
+        )
+
     spark.udf.register(UDF_NAME, pinot_tdigest_pct)
+    spark.udf.register(RAW_UDF_NAME, pinot_tdigest_raw)
+    spark.udf.register(BUILD_RAW_UDF_NAME, pinot_tdigest_build)

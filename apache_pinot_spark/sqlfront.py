@@ -604,6 +604,67 @@ class PinotDialect:
                 )
             return f"array({', '.join(sums)})"
 
+        def distinctcountrawhll(a):
+            # RAW HLL form: the MERGED serialized register sketch as hex,
+            # for clients that post-aggregate estimates across queries.
+            # Defined over BYTES sketch columns (raw columns use
+            # DISTINCTCOUNTHLL; building a sketch there is one call away
+            # via the ingestion layout).
+            from apache_pinot_spark.functions.hll import hll_merge_sketch_sql
+
+            arg = a[0].strip()
+            if arg not in self.binary_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTRAWHLL({arg}): column is not a BYTES HLL "
+                    "sketch column (raw columns: use DISTINCTCOUNTHLL)"
+                )
+            return f"hex({hll_merge_sketch_sql(arg, 'spark')})"
+
+        def percentilerawtdigest(a):
+            # RAW t-digest form: serialized digest hex. Over a registered
+            # t-digest BYTES column the group's blobs merge; over a raw
+            # numeric column the digest is built from values. The
+            # percentile argument exists in the public signature but does
+            # not shape the RAW output — accepted and ignored.
+            from apache_pinot_spark.functions.tdigest import (
+                BUILD_RAW_UDF_NAME,
+                RAW_UDF_NAME,
+            )
+
+            arg = a[0].strip()
+            if arg in self.tdigest_columns:
+                return f"hex({RAW_UDF_NAME}({arg}))"
+            return f"hex({BUILD_RAW_UDF_NAME}(CAST({a[0]} AS DOUBLE)))"
+
+        def id_set(a):
+            # ID_SET(col): serialized set of the group's distinct values
+            # (engine-local layout: base64 of the comma-joined sorted
+            # values), consumed by IN_ID_SET in a later query.
+            return (
+                f"base64(cast(array_join(sort_array(collect_set("
+                f"cast({a[0]} as string))), ',') as binary))"
+            )
+
+        def in_id_set(a):
+            # IN_ID_SET(expr, 'base64'): membership against an ID_SET
+            # blob. The literal decodes at rewrite time into an IN list
+            # (values are broadcast with the plan); very large sets
+            # belong in IN_SUBQUERY instead, and say so.
+            import base64 as _b64
+
+            blob = _unquote(a[1])
+            decoded = _b64.b64decode(blob).decode() if blob else ""
+            values = decoded.split(",") if decoded else []
+            if not values:
+                return "FALSE"
+            if len(values) > 10_000:
+                raise ValueError(
+                    f"IN_ID_SET: {len(values)} ids is too large for an "
+                    "inline set — use IN_SUBQUERY against the source table"
+                )
+            quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+            return f"(cast({a[0]} as string) IN ({quoted}))"
+
         def exact_distinct(a):
             # SEGMENTPARTITIONEDDISTINCTCOUNT: the public engine's
             # no-global-merge exact distinct for partition-aligned data —
@@ -681,6 +742,12 @@ class PinotDialect:
 
         def funnel_max_step(a):
             return _funnel_max_step_sql(a)
+
+        def funnel_complete_count(a):
+            # completed traversals per group: with per-correlation-id
+            # grouping this is the 0/1 completion flag
+            n = int(a[2])
+            return f"(CASE WHEN ({_funnel_max_step_sql(a)}) >= {n} THEN 1 ELSE 0 END)"
 
         def funnel_match_step(a):
             # array of per-step 0/1 flags. NOT a transform-lambda over the
@@ -898,6 +965,14 @@ class PinotDialect:
             "IN_SUBQUERY": in_subquery,
             "IN_PARTITIONED_SUBQUERY": in_subquery,
             "CLPDECODE": clpdecode,
+            "DISTINCTCOUNTRAWHLL": distinctcountrawhll,
+            "PERCENTILERAWTDIGEST": percentilerawtdigest,
+            "IDSET": id_set,
+            "ID_SET": id_set,
+            "INIDSET": in_id_set,
+            "IN_ID_SET": in_id_set,
+            "FUNNELCOMPLETECOUNT": funnel_complete_count,
+            "FUNNEL_COMPLETE_COUNT": funnel_complete_count,
             "SEGMENTPARTITIONEDDISTINCTCOUNT": exact_distinct,
             "DISTINCTCOUNTBITMAP": exact_distinct,
             "ARG_MIN": arg_min,
@@ -1275,11 +1350,15 @@ class PinotEngine:
         self._theta_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
-        # needs no column declaration (unlike tdigest/theta), so register
-        # eagerly: FREQUENTSTRINGSSKETCH works on any column out of the box
+        # these need no column declaration, so register eagerly:
+        # FREQUENTSTRINGSSKETCH and PERCENTILERAWTDIGEST(rawCol, …) work
+        # on any column out of the box (theta stays lazy — its BYTES
+        # path is the only one needing registration)
         from apache_pinot_spark.functions.freqitems import register_freq_udfs
+        from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
 
         register_freq_udfs(spark)
+        register_tdigest_udfs(spark)
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)

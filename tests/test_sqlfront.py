@@ -823,3 +823,91 @@ def test_exact_distinct_aliases_and_arg_minmax(spark, duck):
         "max_by(event_id, ts), min_by(event_id, ts) FROM events"
     ).fetchone()
     assert (r["a"], r["b"], r["latest_id"], r["first_id"]) == want
+
+
+def test_raw_sketch_forms_and_idset(spark, duck):
+    """RAW sketch query forms + the ID_SET / IN_ID_SET round trip."""
+    import base64
+
+    from apache_pinot_spark.functions.hll import hll_estimate_sql
+    from apache_pinot_spark.functions.tdigest import deserialize as td_deser
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events", "lineitem"])
+
+    # PERCENTILERAWTDIGEST over a raw column: blob deserializes and its
+    # median tracks the exact percentile (UDFs register with the engine)
+    raw = eng.sql(
+        "SELECT PERCENTILERAWTDIGEST(l_quantity, 50) AS blob FROM lineitem"
+    ).collect()[0]["blob"]
+    d = td_deser(bytes.fromhex(raw))
+    exact_median = duck.sql("SELECT median(l_quantity) FROM lineitem").fetchone()[0]
+    assert abs(d.quantile(0.5) - exact_median) <= 1.0
+
+    # ID_SET -> IN_ID_SET round trip: purchase users re-used as a filter
+    blob = eng.sql(
+        "SELECT ID_SET(user_id) AS s FROM events WHERE event_type = 'purchase'"
+    ).collect()[0]["s"]
+    n = eng.sql(
+        f"SELECT COUNT(*) AS c FROM events WHERE IN_ID_SET(user_id, '{blob}')"
+    ).collect()[0]["c"]
+    want = duck.sql(
+        "SELECT count(*) FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')"
+    ).fetchone()[0]
+    assert n == want
+    # empty set -> matches nothing
+    empty = base64.b64encode(b"").decode()
+    assert eng.sql(
+        f"SELECT COUNT(*) AS c FROM events WHERE IN_ID_SET(user_id, '{empty}')"
+    ).collect()[0]["c"] == 0
+
+
+def test_distinctcountrawhll_merges_bytes_sketches(spark):
+    from apache_pinot_spark.functions.hll import (
+        hll_estimate_sql,
+        hll_merge_estimate_sql,
+        hll_sketch_sql,
+    )
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem"])
+    # build per-segment sketches, register as a BYTES table
+    segs = eng.sql(
+        f"SELECT {hll_sketch_sql('l_partkey', 'spark')} AS sk "
+        "FROM lineitem GROUP BY pmod(l_orderkey, 4)"
+    )
+    eng.register("hll_segs", segs)
+    raw = eng.sql("SELECT DISTINCTCOUNTRAWHLL(sk) AS m FROM hll_segs").collect()[0]["m"]
+    # the merged sketch re-estimates to the direct single-pass estimate
+    est_direct = eng.sql(
+        f"SELECT {hll_estimate_sql('l_partkey', 'spark')} AS e FROM lineitem"
+    ).collect()[0]["e"]
+    eng.register("merged", spark.sql(f"SELECT unhex('{raw}') AS msk"))
+    est_merged = eng.sql(
+        f"SELECT {hll_merge_estimate_sql('msk', 'spark')} AS e FROM merged"
+    ).collect()[0]["e"]
+    assert est_merged == est_direct
+    import pytest as _pt
+    with _pt.raises(ValueError, match="BYTES HLL"):
+        eng.sql("SELECT DISTINCTCOUNTRAWHLL(l_partkey) FROM lineitem")
+
+
+def test_funnel_complete_count_sql(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    window = 30 * 24 * 3600 * 1000
+    rows = eng.sql(
+        f"SELECT user_id, "
+        f"FUNNEL_COMPLETE_COUNT(unix_millis(CAST(ts AS TIMESTAMP)), {window}, 2, "
+        f"  event_type = 'view', event_type = 'purchase') AS done, "
+        f"FUNNEL_MAX_STEP(unix_millis(CAST(ts AS TIMESTAMP)), {window}, 2, "
+        f"  event_type = 'view', event_type = 'purchase') AS ms "
+        f"FROM events GROUP BY user_id LIMIT 100"
+    ).collect()
+    assert rows and all(r["done"] == (1 if r["ms"] >= 2 else 0) for r in rows)
+    assert any(r["done"] == 1 for r in rows)
