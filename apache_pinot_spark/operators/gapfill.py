@@ -57,7 +57,9 @@ def gapfill(
     time, plans/schema.normalized_time).
 
     Output: (*key_cols, bucket_ms_start, *aggs) ordered by nothing —
-    order downstream if needed.
+    order downstream if needed. NULL series keys are not supported (the
+    grid join is an equi-join, where NULL never matches) — coalesce or
+    filter them upstream.
     """
     if bucket_ms <= 0 or end_ms <= start_ms:
         raise ValueError("gapfill needs bucket_ms > 0 and end_ms > start_ms")

@@ -139,12 +139,19 @@ def _partial_agg(col: str, strat: str, ord_c: Column) -> Column:
         return F.sum(c).alias(col)
     if strat in ("APPEND", "UNION"):
         # Order-correct array merge: collect (ord, array) pairs, sort by
-        # ord, flatten. collect_list order is nondeterministic pre-sort,
-        # deterministic after. UNION additionally dedups elements.
+        # ord, drop null-array versions (column absent from that event —
+        # flatten would otherwise NULL the whole merge), flatten.
+        # collect_list order is nondeterministic pre-sort, deterministic
+        # after. UNION additionally dedups elements.
         merged = F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(ord_c.alias("o"), c.alias("v")))),
-                lambda x: x["v"],
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ord_c.alias("o"), c.alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ),
+                lambda v: v.isNotNull(),
             )
         )
         if strat == "UNION":

@@ -234,3 +234,17 @@ def test_dedup_keep_first_view_and_engine(spark):
     n = eng.sql("SELECT COUNT(*) AS n FROM clicks_dd").collect()[0]["n"]
     assert n == 3
     assert eng.sql("SELECT COUNT(*) AS n FROM clicks_dd_raw").collect()[0]["n"] == 7
+
+
+def test_partial_upsert_append_skips_null_array_versions(spark):
+    """A version where the array column was absent (NULL) must not void
+    the APPEND/UNION merge — it contributes nothing."""
+    df = spark.createDataFrame(
+        [("k", 1, ["a"]), ("k", 2, None), ("k", 3, ["b", "a"])],
+        "pk string, ts long, ar array<string>",
+    )
+    for strat, want in (("APPEND", ["a", "b", "a"]), ("UNION", ["a", "b"])):
+        cfg = U.UpsertConfig(primary_keys=["pk"], mode="PARTIAL",
+                             comparison_column="ts",
+                             partial_strategies={"ar": strat})
+        assert U.upsert_view(df, cfg).collect()[0]["ar"] == want
