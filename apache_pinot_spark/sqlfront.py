@@ -638,11 +638,13 @@ class PinotDialect:
 
         def id_set(a):
             # ID_SET(col): serialized set of the group's distinct values
-            # (engine-local layout: base64 of the comma-joined sorted
-            # values), consumed by IN_ID_SET in a later query.
+            # (engine-local layout: base64 of the JSON array of sorted
+            # values — JSON escaping makes arbitrary characters, commas
+            # and quotes included, round-trip safely), consumed by
+            # IN_ID_SET in a later query.
             return (
-                f"base64(cast(array_join(sort_array(collect_set("
-                f"cast({a[0]} as string))), ',') as binary))"
+                f"base64(cast(to_json(sort_array(collect_set("
+                f"cast({a[0]} as string)))) as binary))"
             )
 
         def in_id_set(a):
@@ -651,10 +653,15 @@ class PinotDialect:
             # (values are broadcast with the plan); very large sets
             # belong in IN_SUBQUERY instead, and say so.
             import base64 as _b64
+            import json as _json
 
             blob = _unquote(a[1])
-            decoded = _b64.b64decode(blob).decode() if blob else ""
-            values = decoded.split(",") if decoded else []
+            decoded = _b64.b64decode(blob).decode() if blob else "[]"
+            values = _json.loads(decoded) if decoded.strip() else []
+            if not isinstance(values, list) or not all(
+                isinstance(v, str) for v in values
+            ):
+                raise ValueError("IN_ID_SET: blob is not a serialized ID_SET")
             if not values:
                 return "FALSE"
             if len(values) > 10_000:

@@ -944,7 +944,7 @@ def test_remaining_scalar_mappings_and_alias_forms(spark):
     assert "FUNNELMATCHSTEP" not in d.rewrite(
         "SELECT FUNNELMATCHSTEP(ts, 10, 1, a = 1) FROM t GROUP BY u").sql
     import base64
-    blob = base64.b64encode(b"7").decode()
+    blob = base64.b64encode(b'["7"]').decode()
     assert "INIDSET" not in d.rewrite(f"SELECT INIDSET(x, '{blob}') FROM t").sql
     assert "FREQUENTLONGSSKETCH" not in d.rewrite(
         "SELECT FREQUENTLONGSSKETCH(x) FROM t").sql
@@ -961,3 +961,27 @@ def test_every_dialect_handler_is_exercised_in_tests():
     blob = "".join(open(f).read().upper() for f in glob.glob("tests/*.py"))
     missing = [n for n in sorted(PinotDialect()._handlers()) if n not in blob]
     assert not missing, f"dialect handlers with no test mention: {missing}"
+
+
+def test_id_set_round_trips_hostile_values(spark):
+    """ID_SET values containing commas/quotes must survive the blob
+    round trip (JSON-array serialization, not naive joining)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "vals",
+        spark.createDataFrame(
+            [("a,b",), ('q"uote',), ("plain",), ("x','y",)], "v string"
+        ),
+    )
+    blob = eng.sql("SELECT ID_SET(v) AS s FROM vals").collect()[0]["s"]
+    n = eng.sql(
+        f"SELECT COUNT(*) AS c FROM vals WHERE IN_ID_SET(v, '{blob}')"
+    ).collect()[0]["c"]
+    assert n == 4  # every value matches itself
+    import pytest as _pt
+    import base64 as _b64
+    bad = _b64.b64encode(b"7").decode()
+    with _pt.raises(ValueError, match="not a serialized ID_SET"):
+        eng.rewrite(f"SELECT IN_ID_SET(v, '{bad}') FROM vals")
