@@ -95,7 +95,14 @@ def _estimate_from_max_terms(terms: list[str], engine: str, m: int = HLL_M) -> s
 def hll_estimate_sql(col_sql: str, engine: str = "spark", m: int = HLL_M) -> str:
     """Aggregate SQL expression estimating COUNT(DISTINCT col). Usable
     anywhere an aggregate goes (GROUP BY contexts included). NULLs are
-    ignored (md5(NULL) = NULL never matches a register)."""
+    ignored (md5(NULL) = NULL never matches a register).
+
+    NOTE for all *_sql builders here: the generated text is TARGET-
+    dialect SQL (Spark or DuckDB) — run it through spark.sql / duckdb,
+    never through PinotEngine.sql, whose Pinot-dialect rewriter would
+    reinterpret functions like substr() (0-based in Pinot, 1-based
+    here). Dialect HANDLER output is safe (handler output is never
+    rescanned)."""
     assert m == HLL_M, "register layout is fixed at 64 (2 hex chars)"
     return _estimate_from_max_terms(_max_rho_terms(col_sql, engine, m), engine, m)
 

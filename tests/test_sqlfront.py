@@ -874,19 +874,22 @@ def test_distinctcountrawhll_merges_bytes_sketches(spark):
     from tests.conftest import SF_CORRECTNESS
 
     eng = PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem"])
-    # build per-segment sketches, register as a BYTES table
-    segs = eng.sql(
+    # scaffolding expressions (hll_*_sql) are SPARK-dialect SQL — they
+    # contain substr() with Spark's 1-based semantics, which eng.sql
+    # would reinterpret as Pinot's 0-based SUBSTR — so they run through
+    # spark.sql; only the feature under test goes through the engine
+    segs = spark.sql(
         f"SELECT {hll_sketch_sql('l_partkey', 'spark')} AS sk "
         "FROM lineitem GROUP BY pmod(l_orderkey, 4)"
     )
     eng.register("hll_segs", segs)
     raw = eng.sql("SELECT DISTINCTCOUNTRAWHLL(sk) AS m FROM hll_segs").collect()[0]["m"]
     # the merged sketch re-estimates to the direct single-pass estimate
-    est_direct = eng.sql(
+    est_direct = spark.sql(
         f"SELECT {hll_estimate_sql('l_partkey', 'spark')} AS e FROM lineitem"
     ).collect()[0]["e"]
-    eng.register("merged", spark.sql(f"SELECT unhex('{raw}') AS msk"))
-    est_merged = eng.sql(
+    spark.sql(f"SELECT unhex('{raw}') AS msk").createOrReplaceTempView("merged")
+    est_merged = spark.sql(
         f"SELECT {hll_merge_estimate_sql('msk', 'spark')} AS e FROM merged"
     ).collect()[0]["e"]
     assert est_merged == est_direct
