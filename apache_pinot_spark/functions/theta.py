@@ -147,6 +147,16 @@ def deserialize(blob: bytes) -> ThetaSketch:
     if len(blob) < 25 or blob[:4] != _MAGIC:
         raise ValueError("not a theta-sketch blob (bad magic)")
     k, n, exact, cut = struct.unpack_from(">iqBQ", blob, 4)
+    # Hostile-blob hardening (same stance as ID_SET / freqitems): a
+    # negative n would make frombuffer(count=-1) swallow the whole tail,
+    # k < 1 breaks estimate()'s k-th order statistic, and a non-exact
+    # sketch with cut == 0 divides by zero in estimate().
+    if n < 0:
+        raise ValueError(f"theta-sketch blob invalid: negative entry count {n}")
+    if k < 1:
+        raise ValueError(f"theta-sketch blob invalid: nominal entries k={k} < 1")
+    if not exact and not 0 < cut < 2**64:
+        raise ValueError(f"theta-sketch blob invalid: estimation-mode theta {cut}")
     need = 25 + 8 * n
     if len(blob) < need:
         raise ValueError(f"theta-sketch blob truncated: need {need}, got {len(blob)}")

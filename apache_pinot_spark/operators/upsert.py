@@ -278,6 +278,14 @@ def upsert_stateful(
         for pdf in pdfs:
             for row in pdf.to_dict("records"):
                 o = ord_of(row)
+                # Null ordering values: the batch views' max_by ignores
+                # rows whose ordering expr is NULL — mirror that instead
+                # of letting None poison the tuple comparison (TypeError
+                # would fail the streaming task). Arrow→pandas surfaces
+                # SQL NULL as None, NaN, or NaT depending on dtype; the
+                # p != p arm catches the float/datetime forms.
+                if any(p is None or p != p for p in o):
+                    continue
                 if best is None or o >= best[0]:
                     best = (o, row)
                     changed = True

@@ -421,6 +421,7 @@ def purge_records(
     table_path: str,
     purge_keys: DataFrame,
     key_column: str,
+    max_purge_keys: int = 1_000_000,
 ) -> int:
     """S8 GDPR purge (Concepts.md:72; record-level delete from an immutable
     store, Architecture.md:18): left-anti rewrite of ONLY the partitions
@@ -429,8 +430,22 @@ def purge_records(
 
     The key set is MATERIALIZED first (GDPR purge sets are small by
     nature): the caller's DataFrame may be a lazy plan over the very table
-    being rewritten, which would re-scan deleted files mid-loop."""
-    keys = [r[0] for r in purge_keys.select(key_column).distinct().collect()]
+    being rewritten, which would re-scan deleted files mid-loop. The
+    collect is BOUNDED (same stance as ivf_topk's max_query_rows guard):
+    more than ``max_purge_keys`` distinct keys raises instead of risking
+    a silent driver OOM — chunk the purge or raise the bound explicitly."""
+    keys = [
+        r[0]
+        for r in purge_keys.select(key_column)
+        .distinct()
+        .limit(max_purge_keys + 1)
+        .collect()
+    ]
+    if len(keys) > max_purge_keys:
+        raise ValueError(
+            f"purge_records key set exceeds max_purge_keys={max_purge_keys}; "
+            "chunk the purge keys or raise the bound explicitly"
+        )
     purge_keys = spark.createDataFrame(
         [(k,) for k in keys], purge_keys.select(key_column).schema
     )

@@ -669,7 +669,14 @@ class PinotDialect:
                     f"IN_ID_SET: {len(values)} ids is too large for an "
                     "inline set — use IN_SUBQUERY against the source table"
                 )
-            quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+            # Escape for Spark's string-literal grammar: backslash IS an
+            # escape character in the default parser, so a value holding
+            # one (or a crafted  x\') OR ...  tail) would otherwise break
+            # out of the literal and become live SQL.
+            quoted = ", ".join(
+                "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+                for v in values
+            )
             return f"(cast({a[0]} as string) IN ({quoted}))"
 
         def exact_distinct(a):
@@ -860,7 +867,17 @@ class PinotDialect:
             # variant is a routing hint in the public engine, identical
             # semantics here. The inner SQL is itself dialect-rewritten so
             # Pinot functions work inside it.
-            inner = self.rewrite(_unquote(a[1])).sql.rstrip("; \n")
+            # rewrite() resets per-query accumulators (_hll_args,
+            # _rewrite_notes); save/restore them so an outer
+            # DISTINCTCOUNTHLL placeholder still resolves and outer notes
+            # survive, and surface the inner query's notes to the caller.
+            saved_hll, saved_notes = self._hll_args, self._rewrite_notes
+            try:
+                inner_res = self.rewrite(_unquote(a[1]))
+            finally:
+                self._hll_args, self._rewrite_notes = saved_hll, saved_notes
+            self._rewrite_notes.extend(inner_res.notes)
+            inner = inner_res.sql.rstrip("; \n")
             return f"(({a[0]}) IN ({inner}))"
 
         def lookup(a):
@@ -1799,6 +1816,24 @@ class PinotEngine:
         get Pinot's implicit LIMIT (default 10)."""
         t0 = time.monotonic()
         try:
+            gap = _parse_gapfill(pinot_sql)
+            if gap is not None:
+                # Mirror sql(): GAPFILL is a table function the rewriter
+                # can't express — run the operator and wrap the result,
+                # instead of letting Spark choke on an unknown function.
+                rr = RewriteResult(pinot_sql, {}, [])
+                sql = pinot_sql
+                df = self._run_gapfill(*gap)
+                rows = df.collect()
+                groups_cap = self.num_groups_limit
+            else:
+                return self._query_rewritten(pinot_sql, t0)
+        except Exception as e:  # parse/analysis/execution error → envelope
+            return self._error_envelope(e, t0)
+        return self._result_envelope(rr, sql, df, rows, groups_cap, t0)
+
+    def _query_rewritten(self, pinot_sql: str, t0: float) -> dict:
+        try:
             rr = self.rewrite(pinot_sql)
             sql = rr.sql
             is_selection = not _GROUPBY_RE.search(sql) and not _AGG_RE.search(
@@ -1819,25 +1854,31 @@ class PinotEngine:
             else:
                 rows = df.collect()
         except Exception as e:  # parse/analysis/execution error → envelope
-            return {
-                "resultTable": {"dataSchema": {"columnDataTypes": [], "columnNames": []}, "rows": []},
-                "exceptions": [{"errorCode": 200, "message": str(e)[:500]}],
-                "numServersQueried": 0,
-                "numServersResponded": 0,
-                "numSegmentsQueried": 0,
-                "numSegmentsProcessed": 0,
-                "numSegmentsMatched": 0,
-                "numConsumingSegmentsQueried": 0,
-                "numDocsScanned": 0,
-                "numEntriesScannedInFilter": 0,
-                "numEntriesScannedPostFilter": 0,
-                "numGroupsLimitReached": False,
-                "totalDocs": 0,
-                "timeUsedMs": int((time.monotonic() - t0) * 1000),
-                "segmentStatistics": [],
-                "traceInfo": {},
-                "minConsumingFreshnessTimeMs": 0,
-            }
+            return self._error_envelope(e, t0)
+        return self._result_envelope(rr, sql, df, rows, groups_cap, t0)
+
+    def _error_envelope(self, e: Exception, t0: float) -> dict:
+        return {
+            "resultTable": {"dataSchema": {"columnDataTypes": [], "columnNames": []}, "rows": []},
+            "exceptions": [{"errorCode": 200, "message": str(e)[:500]}],
+            "numServersQueried": 0,
+            "numServersResponded": 0,
+            "numSegmentsQueried": 0,
+            "numSegmentsProcessed": 0,
+            "numSegmentsMatched": 0,
+            "numConsumingSegmentsQueried": 0,
+            "numDocsScanned": 0,
+            "numEntriesScannedInFilter": 0,
+            "numEntriesScannedPostFilter": 0,
+            "numGroupsLimitReached": False,
+            "totalDocs": 0,
+            "timeUsedMs": int((time.monotonic() - t0) * 1000),
+            "segmentStatistics": [],
+            "traceInfo": {},
+            "minConsumingFreshnessTimeMs": 0,
+        }
+
+    def _result_envelope(self, rr, sql, df, rows, groups_cap, t0) -> dict:
         groups_limited = False
         if _GROUPBY_RE.search(sql) and len(rows) > groups_cap:
             rows = rows[:groups_cap]  # the sentinel row (cap+1) proves the cut

@@ -153,6 +153,33 @@ def test_gapfill_sql_table_function_form(spark, duck):
     assert got == want and len(got) >= 10
 
 
+def test_gapfill_through_broker_envelope(spark):
+    """PinotEngine.query() (the broker-envelope path) must route GAPFILL
+    through the table-function parser like sql() does — not hand Spark an
+    unknown function and return an error envelope."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000
+    end = start + 3 * day
+    q = (
+        f"SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '{start}', '{end}', '1:DAYS', "
+        f"  FILL(cnt, 'FILL_PREVIOUS_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+        f"  event_type, cnt "
+        f"FROM (SELECT dateTrunc('DAY', ts) AS b, event_type, COUNT(*) AS cnt "
+        f"      FROM events GROUP BY dateTrunc('DAY', ts), event_type)"
+    )
+    env = eng.query(q)
+    assert env["exceptions"] == []
+    names = env["resultTable"]["dataSchema"]["columnNames"]
+    assert names == ["b", "event_type", "cnt"]
+    rows = env["resultTable"]["rows"]
+    want = {tuple(r) for r in eng.sql(q).collect()}
+    assert {tuple(r) for r in rows} == want and len(rows) >= 3
+
+
 def test_gapfill_sql_validation():
     from apache_pinot_spark.sqlfront import _parse_gapfill
 

@@ -151,6 +151,16 @@ def test_purge(ingested):
     assert left.count() == 18
 
 
+def test_purge_key_set_is_bounded(ingested):
+    """The driver-side key materialization is bounded-or-raise (same
+    stance as ivf_topk.max_query_rows) — an oversized key frame must
+    raise, not risk a silent driver OOM."""
+    spark, path, cfg = ingested
+    big = spark.range(10).withColumnRenamed("id", "studentID")
+    with pytest.raises(ValueError, match="max_purge_keys"):
+        B.purge_records(spark, path, big, "studentID", max_purge_keys=5)
+
+
 def test_reload_with_layout(ingested, schema, tmp_path_factory):
     spark, path, cfg = ingested
     wh = os.path.dirname(path)

@@ -784,6 +784,41 @@ def test_in_subquery_semi_join(spark):
     assert n == 25
 
 
+def test_in_subquery_preserves_outer_hll_state(spark):
+    """The nested rewrite inside IN_SUBQUERY must not clobber the outer
+    query's accumulated DISTINCTCOUNTHLL placeholders or rewrite notes
+    (regression: __PINOT_HLL_EST_0__ was left unresolved)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["nation", "region", "customer"])
+    q = (
+        "SELECT DISTINCTCOUNTHLL(c_nationkey) AS est FROM customer WHERE "
+        "IN_SUBQUERY(c_nationkey, "
+        "'SELECT n_nationkey FROM nation WHERE n_regionkey = 2')"
+    )
+    assert "__PINOT_HLL_EST_0__" not in eng.rewrite(q).sql
+    est = eng.sql(q).collect()[0]["est"]
+    # Same estimate as the hand-written IN (subquery) form — the HLL
+    # placeholder resolved against the filtered rows. (Absolute value is
+    # the engine's documented no-linear-counting estimator, biased high
+    # at tiny cardinalities — parity, not accuracy, is the contract.)
+    want = eng.sql(
+        "SELECT DISTINCTCOUNTHLL(c_nationkey) AS est FROM customer WHERE "
+        "c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"
+    ).collect()[0]["est"]
+    assert est == want and est > 0
+    # inner-query rewrite notes surface on the outer result: an inner
+    # HLL over a join shape produces the loud fallback note
+    rr = eng.rewrite(
+        "SELECT COUNT(*) AS c FROM customer WHERE IN_SUBQUERY(c_nationkey, "
+        "'SELECT n_nationkey FROM nation n JOIN region r "
+        "ON n.n_regionkey = r.r_regionkey "
+        "WHERE DISTINCTCOUNTHLL(n.n_nationkey) >= 0')"
+    )
+    assert any("fell" in n or "fallback" in n for n in rr.notes)
+
+
 def test_last_first_with_time_aggregates(spark, duck):
     from apache_pinot_spark.sqlfront import PinotEngine
     from tests.conftest import SF_CORRECTNESS
@@ -975,14 +1010,22 @@ def test_id_set_round_trips_hostile_values(spark):
     eng.register(
         "vals",
         spark.createDataFrame(
-            [("a,b",), ('q"uote',), ("plain",), ("x','y",)], "v string"
+            [
+                ("a,b",),
+                ('q"uote',),
+                ("plain",),
+                ("x','y",),
+                ("back\\slash",),
+                ("x\\') OR 1=1 --",),  # literal-breakout injection attempt
+            ],
+            "v string",
         ),
     )
     blob = eng.sql("SELECT ID_SET(v) AS s FROM vals").collect()[0]["s"]
     n = eng.sql(
         f"SELECT COUNT(*) AS c FROM vals WHERE IN_ID_SET(v, '{blob}')"
     ).collect()[0]["c"]
-    assert n == 4  # every value matches itself
+    assert n == 6  # every value matches itself (backslashes included)
     import pytest as _pt
     import base64 as _b64
     bad = _b64.b64encode(b"7").decode()

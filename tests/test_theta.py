@@ -66,6 +66,22 @@ def test_serde_round_trip_and_errors():
         TH.deserialize(blob[:40])
 
 
+def test_deserialize_rejects_hostile_headers():
+    """Crafted headers must raise, not mis-read the tail or divide by
+    zero later: negative n, k < 1, estimation-mode theta of 0."""
+    import struct
+
+    def craft(k, n, exact, cut, payload=b""):
+        return TH._MAGIC + struct.pack(">iqBQ", k, n, exact, cut) + payload
+
+    with pytest.raises(ValueError, match="negative entry count"):
+        TH.deserialize(craft(4096, -1, 1, 0))
+    with pytest.raises(ValueError, match="k=0"):
+        TH.deserialize(craft(0, 0, 1, 0))
+    with pytest.raises(ValueError, match="estimation-mode theta"):
+        TH.deserialize(craft(4096, 0, 0, 0))
+
+
 def test_spark_build_and_sql_set_expression(spark):
     """The DISTINCT_COUNT_THETA_SKETCH query shape end-to-end: build
     per-group sketches, union + estimate through the SQL UDFs, and

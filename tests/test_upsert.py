@@ -162,8 +162,12 @@ def test_upsert_stateful_streaming_changelog(spark, tmp_path_factory):
     )
     try:
         q.processAllAvailable()
-        # newer version for a; STALE version for b (must not re-emit)
-        write(1, [{"pk": "a", "ts": 20, "value": 9.0}, {"pk": "b", "ts": 5, "value": 0.0}])
+        # newer version for a; STALE version for b (must not re-emit);
+        # null ordering value for c (ignored like batch max_by — must
+        # not TypeError the task or surface a row)
+        write(1, [{"pk": "a", "ts": 20, "value": 9.0},
+                  {"pk": "b", "ts": 5, "value": 0.0},
+                  {"pk": "c", "ts": None, "value": 3.0}])
         q.processAllAvailable()
         rows = [
             (r["pk"], r["ts"], r["value"])
@@ -172,6 +176,7 @@ def test_upsert_stateful_streaming_changelog(spark, tmp_path_factory):
         assert ("a", 20, 9.0) in rows and ("a", 10, 1.0) in rows
         assert ("b", 10, 2.0) in rows
         assert ("b", 5, 0.0) not in rows  # stale version suppressed
+        assert not any(pk == "c" for pk, _, _ in rows)  # null ordering ignored
         # current state of the table = last emit per key
         latest = {}
         for pk, ts, v in rows:
