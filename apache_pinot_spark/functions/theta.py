@@ -23,15 +23,20 @@ The cut is kept as an EXACT integer (never a rounded float64 theta) so
 trim/filter boundary comparisons are deterministic; only the final
 estimate converts to float.
 
-Hashing is `pandas.util.hash_pandas_object` (vectorized 64-bit,
-deterministic fixed-key SipHash) — NOT MurmurHash3-x64-128/seed-9001,
-which is what the Apache DataSketches wire format requires, so blobs
-here are deliberately NOT DataSketches-wire-compatible and use their
-own self-describing layout (magic + k + n + exact-flag + cut +
-uint64 entries). Cross-system BYTES interop would need the exact
-murmur pipeline including per-type canonical byte encodings;
-documented divergence (the t-digest module, functions/tdigest.py, is
-the wire-interop precedent where the format is hash-free).
+WIRE-COMPATIBLE with Apache DataSketches (since round 6): hashing is
+MurmurHash3-x64-128 seed 9001 (h1 >> 1, zero rejected — the exact
+datasketches update pipeline, vectorized in numpy), the hash domain is
+[1, 2^63-1), and serialize/deserialize speak the published compact-theta
+layout (functions/theta_wire.py — byte-identical round trips golden-
+tested against datasketches-java 6.2.0, which ships on Spark's
+classpath). A migrating Pinot user's serialized BYTES sketch columns
+(reference configuration-reference/schema.md:48) load, merge, and
+estimate here directly, and blobs built here heapify in any DataSketches
+implementation. Integers hash as 8-byte LE longs, strings as UTF-8
+bytes, doubles as canonicalized Double.doubleToLongBits — matching the
+datasketches update() overload contracts, so the SAME VALUES produce the
+SAME SKETCH ENTRIES across systems (set algebra between a Pinot-built
+and an engine-built sketch is meaningful, not just parseable).
 
 Scale shape (100 TB): identical to tdigest_sketch — a mapInPandas
 pass emits one ≤k-entry partial sketch per (group, Arrow batch)
@@ -51,14 +56,17 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd  # module-level: pandas_udf type-hint inference needs 'pd.*'
 
+from apache_pinot_spark.functions import theta_wire as _wire
+
 DEFAULT_NOMINAL = 4096  # nominal entries k (datasketches' default lg_k=12)
-_MAGIC = b"THSK"
-_EXACT_CUT = 1 << 64  # Python int: "retain everything"
+DEFAULT_SEED = _wire.DEFAULT_SEED  # 9001, DataSketches/Pinot default
+_EXACT_CUT = _wire.LONG_MAX  # 2^63-1 (initial theta): "retain everything"
 
 
 class ThetaSketch:
     """(cut, sorted uint64 entries) with nominal cap k. ``cut`` is a
-    Python int in (0, 2^64]; all entries are < cut."""
+    Python int in (0, 2^63-1]; all entries are < cut (the DataSketches
+    hash domain — murmur3 h1 >> 1)."""
 
     __slots__ = ("cut", "entries", "k")
 
@@ -74,15 +82,47 @@ class ThetaSketch:
 
     @classmethod
     def from_hashes(cls, hashes: np.ndarray, k: int = DEFAULT_NOMINAL) -> "ThetaSketch":
-        h = np.unique(np.asarray(hashes, dtype=np.uint64))  # sorted distinct
-        return cls(_EXACT_CUT, h, k)._trim()
+        h = np.asarray(hashes, dtype=np.uint64)
+        # datasketches rejects hash 0 and hashes >= initial theta
+        h = h[(h != np.uint64(0)) & (h < np.uint64(_EXACT_CUT))]
+        return cls(_EXACT_CUT, np.unique(h), k)._trim()
 
     @classmethod
     def from_values(cls, values: "pd.Series", k: int = DEFAULT_NOMINAL) -> "ThetaSketch":
+        """Hash a pandas Series with the per-type canonical encodings of
+        datasketches update(): ints/datetimes as 8-byte LE longs, floats
+        as canonicalized doubleToLongBits, strings as UTF-8, bytes raw —
+        all via the vectorized murmur batches in theta_wire."""
         v = values.dropna()
         if v.empty:
             return cls.empty(k)
-        h = pd.util.hash_pandas_object(v, index=False).to_numpy(dtype=np.uint64)
+        kind = v.dtype.kind
+        if kind in "iub":
+            h = _wire.hash64_longs(v.to_numpy(dtype=np.int64))
+        elif kind == "f":
+            h = _wire.hash64_longs(_wire.java_double_bits(v.to_numpy(dtype=np.float64)))
+        elif kind == "M":
+            h = _wire.hash64_longs(v.to_numpy(dtype="datetime64[ns]").view(np.int64))
+        else:
+            encoded = [
+                x if isinstance(x, bytes)
+                else (x.encode("utf-8") if isinstance(x, str) else None)
+                for x in v
+            ]
+            # mixed/odd object values fall back to their canonical long
+            # or string form (matches the datasketches overload a Java
+            # caller would hit)
+            for i, (x, e) in enumerate(zip(v, encoded)):
+                if e is None:
+                    if isinstance(x, (int, np.integer)):
+                        encoded[i] = struct.pack("<q", int(x))
+                    elif isinstance(x, (float, np.floating)):
+                        encoded[i] = struct.pack(
+                            "<q", int(_wire.java_double_bits(np.array([x]))[0])
+                        )
+                    else:
+                        encoded[i] = str(x).encode("utf-8")
+            h = _wire.hash64_bytes(encoded)
         return cls.from_hashes(h, k)
 
     def _trim(self) -> "ThetaSketch":
@@ -135,37 +175,29 @@ def union_all(sketches: Iterable[ThetaSketch]) -> ThetaSketch:
     return out if out is not None else ThetaSketch.empty()
 
 
-# -- wire format (engine-local; see module doc for the interop stance) -----
-def serialize(s: ThetaSketch) -> bytes:
-    exact = 1 if s.is_exact else 0
-    head = _MAGIC + struct.pack(">iqBQ", s.k, s.entries.size, exact,
-                                0 if exact else s.cut)
-    return head + s.entries.astype(">u8").tobytes()
+# -- wire format (Apache DataSketches compact theta; theta_wire.py) --------
+def serialize(s: ThetaSketch, seed: int = DEFAULT_SEED) -> bytes:
+    """The DataSketches compact-theta wire form — heapifiable by
+    datasketches-java/cpp/py and loadable as a Pinot BYTES sketch
+    column. The nominal k is not part of the wire format (DataSketches
+    doesn't serialize it for compact sketches); deserialize takes it as
+    a parameter."""
+    return _wire.serialize_compact(s.entries, s.cut, seed)
 
 
-def deserialize(blob: bytes) -> ThetaSketch:
-    if len(blob) < 25 or blob[:4] != _MAGIC:
-        raise ValueError("not a theta-sketch blob (bad magic)")
-    k, n, exact, cut = struct.unpack_from(">iqBQ", blob, 4)
-    # Hostile-blob hardening (same stance as ID_SET / freqitems): a
-    # negative n would make frombuffer(count=-1) swallow the whole tail,
-    # k < 1 breaks estimate()'s k-th order statistic, and a non-exact
-    # sketch with cut == 0 divides by zero in estimate().
-    if n < 0:
-        raise ValueError(f"theta-sketch blob invalid: negative entry count {n}")
-    if k < 1:
-        raise ValueError(f"theta-sketch blob invalid: nominal entries k={k} < 1")
-    if not exact and not 0 < cut < 2**64:
-        raise ValueError(f"theta-sketch blob invalid: estimation-mode theta {cut}")
-    need = 25 + 8 * n
-    if len(blob) < need:
-        raise ValueError(f"theta-sketch blob truncated: need {need}, got {len(blob)}")
-    entries = np.frombuffer(blob, dtype=">u8", count=n, offset=25).astype(np.uint64)
-    return ThetaSketch(_EXACT_CUT if exact else cut, entries, k)
+def deserialize(blob: bytes, k: int = DEFAULT_NOMINAL,
+                seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Parse any DataSketches compact-theta blob (empty / single-item /
+    exact / estimation, ordered or not) with seed-hash validation and
+    the hostile-blob bounds checks (theta_wire.deserialize_compact)."""
+    entries, theta_long = _wire.deserialize_compact(blob, seed)
+    return ThetaSketch(theta_long, entries, k)
 
 
-def merge_blobs(blobs: Iterable[bytes]) -> ThetaSketch:
-    return union_all(deserialize(b) for b in blobs if b is not None)
+def merge_blobs(blobs: Iterable[bytes], k: int = DEFAULT_NOMINAL) -> ThetaSketch:
+    """k is a merge-time parameter (the wire format doesn't carry it —
+    DataSketches unions take lgNomEntries the same way)."""
+    return union_all(deserialize(b, k=k) for b in blobs if b is not None)
 
 
 # -- Spark integration -----------------------------------------------------
@@ -202,7 +234,7 @@ def theta_sketch(df, keys: list[str], value_col: str,
         from apache_pinot_spark.functions import theta as _t
 
         head = pdf.iloc[[0]][keys].copy()
-        head[out_col] = [_t.serialize(_t.merge_blobs(pdf[out_col]))]
+        head[out_col] = [_t.serialize(_t.merge_blobs(pdf[out_col], k))]
         return head
 
     return (
@@ -236,7 +268,7 @@ def theta_sketch_global(df, value_col: str, k: int = DEFAULT_NOMINAL) -> ThetaSk
             )
 
     blobs = [r["blob"] for r in df.select(value_col).mapInPandas(partials, schema).collect()]
-    merged = merge_blobs(blobs)
+    merged = merge_blobs(blobs, k)
     return merged if blobs else ThetaSketch.empty(k)
 
 

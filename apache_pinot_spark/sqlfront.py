@@ -367,8 +367,10 @@ class PinotDialect:
         # PERCENTILETDIGEST over one merges-and-estimates via the
         # registered pandas grouped-agg UDF (functions/tdigest.py)
         self.tdigest_columns = tdigest_columns or set()
-        # BYTES columns holding serialized theta sketches (engine-local
-        # layout, functions/theta.py): DISTINCTCOUNTTHETASKETCH over one
+        # BYTES columns holding serialized theta sketches (Apache
+        # DataSketches compact-theta wire format, functions/theta.py —
+        # a migrating Pinot user's sketch columns load directly):
+        # DISTINCTCOUNTTHETASKETCH over one
         # merges-and-estimates via the registered UDF pair
         self.theta_columns = theta_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema

@@ -253,3 +253,64 @@ def test_lang_id_null_text_maps_to_default(spark):
     df = spark.createDataFrame([(None,), ("the of and",)], "text STRING")
     got = sorted(r[0] for r in df.select(lang_id_expr("text")).collect())
     assert got == ["en", "und"]
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_murmur3_vectorized_matches_scalar_reference(datas, seed):
+    """The numpy-vectorized murmur batch (theta hot path) must agree
+    bit-for-bit with the scalar spec transcription on arbitrary
+    variable-length inputs — two independent implementations of the
+    public algorithm cross-checking each other."""
+    import numpy as np
+
+    from apache_pinot_spark.functions import theta_wire as W
+
+    got = W.hash64_bytes(datas, seed)
+    want = np.array(
+        [(W.murmur3_x64_128(d, seed)[0] >> 1) if d else 0 for d in datas],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_murmur3_long_path_matches_byte_path(vals):
+    """update(long) == update(8-byte LE bytes) — the datasketches
+    contract the vectorized long fast-path must preserve."""
+    import struct
+
+    import numpy as np
+
+    from apache_pinot_spark.functions import theta_wire as W
+
+    got = W.hash64_longs(np.array(vals, dtype=np.int64))
+    want = W.hash64_bytes([struct.pack("<q", v) for v in vals])
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=500),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=40, deadline=None)
+def test_theta_wire_round_trip_and_merge_equals_rebuild(vals, nseg):
+    """Wire round trip is byte-identical and segment-merge == rebuild
+    for arbitrary value multisets split across segments."""
+    import numpy as np
+    import pandas as pd
+
+    from apache_pinot_spark.functions import theta as TH
+
+    segs = [vals[i::nseg] for i in range(nseg)]
+    blobs = [TH.serialize(TH.ThetaSketch.from_values(pd.Series(s), 128))
+             for s in segs]
+    merged = TH.merge_blobs(blobs, 128)
+    rebuilt = TH.ThetaSketch.from_values(pd.Series(vals), 128)
+    assert merged.estimate() == rebuilt.estimate()
+    assert np.array_equal(merged.entries, rebuilt.entries)
+    for b in blobs:
+        assert TH.serialize(TH.deserialize(b, k=128)) == b
