@@ -37,9 +37,42 @@ later steps, and already-reached deeper levels are never unset.
 STRICT_INCREASE (chain timestamps strictly increasing) is implemented
 EXACTLY in funnel_max_step_strict_increase via per-level Pareto
 frontiers (single-chain greedy state is provably wrong there — see its
-docstring). strict_order / strict_deduplication remain unimplemented:
-their public semantics are interleaving-sensitive in ways that break
-the ignore-interleaved contract most funnel dashboards assume.
+docstring).
+
+strict_order / strict_deduplication (round 6) pin ClickHouse's
+documented windowFunnel modes — the public semantics Pinot's funnel
+settings mirror — as single-scan state machines (the modes are
+operational: one pass over the time-ordered events, deterministic
+scalar state, so a JVM fold is exact; no frontier needed):
+
+  * strict_order — interleaving breaks the funnel. Once a step-1 event
+    has been seen, ANY event that is not the next expected step kills
+    further progress: a non-matching event ("A→B→D→C stops at D, level
+    2" per the ClickHouse docs), or a step event whose previous level
+    is unreached. Two pinned corners from the reference scan order:
+    a repeated step-1 event only refreshes the chain start (it never
+    kills — the entry-step branch precedes the kill checks), and at
+    equal timestamps the non-matching event sorts first (events sort
+    by (ts, step) with non-matches as step 0, matching the reference's
+    (timestamp, cond-index) pair sort). This mode is
+    interleaving-sensitive BY DEFINITION, so the pre-shuffle
+    funnel-event filter cannot apply: all events of the stream shuffle
+    as slim (entity, ts, step-or-0) rows — the documented cost of
+    asking for it.
+  * strict_deduplication — a repeated condition interrupts processing:
+    when an event matches step k (k > 1) and level k is already
+    reached, the scan stops and the funnel value IS k — even if deeper
+    levels had already been reached (the reference implementation
+    returns the repeat's own step index; completing the last step
+    returns immediately, which this fold mirrors by latching the
+    result at full depth). A repeated step-1 event never interrupts
+    (entry-branch precedence again). Non-matching events are ignored,
+    so the pre-shuffle filter stays.
+
+Both modes are verified against an independent pure-Python reference
+scan on randomized histories plus hand-pinned corner fixtures
+(tests/test_funnel_topk.py). Combined modes (e.g. strict_order +
+strict_increase) raise — pick one.
 """
 
 from __future__ import annotations
@@ -54,12 +87,16 @@ def _matched_events(
     ts_col: str,
     steps: list[Column],
     max_events_per_entity: int | None,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """(entity, ts_ms, step) rows for funnel events only — the map-side
     filter that keeps non-funnel traffic out of the shuffle. An event
     matching several steps yields one row per matched step (each
     predicate is evaluated independently, as in the public funnel
-    functions)."""
+    functions). ``keep_unmatched`` (strict_order mode only) emits
+    non-matching events as step 0 instead of dropping them — the mode's
+    semantics make interleaved traffic significant, so it must ride the
+    shuffle."""
     from pyspark.sql import types as T
 
     dt = df.schema[ts_col].dataType
@@ -78,7 +115,16 @@ def _matched_events(
             F.array(*[F.when(p, F.lit(i + 1)) for i, p in enumerate(steps)]),
             lambda s: s.isNotNull(),
         ).alias("__steps"),
-    ).where((F.size("__steps") > 0) & F.col("__ts").isNotNull())
+    ).where(F.col("__ts").isNotNull())
+    if keep_unmatched:
+        tagged = tagged.withColumn(
+            "__steps",
+            F.when(F.size("__steps") > 0, F.col("__steps")).otherwise(
+                F.array(F.lit(0))
+            ),
+        )
+    else:
+        tagged = tagged.where(F.size("__steps") > 0)
     out = tagged.select("__entity", "__ts", F.explode("__steps").alias("__step"))
     if max_events_per_entity is not None:
         # Bounded per-entity state for pathological hot entities: keep the
@@ -123,6 +169,92 @@ def _fold_max_step(n_steps: int, window_ms: int) -> Column:
     return F.size(F.filter(state, lambda v: v.isNotNull()))
 
 
+def _fold_strict_order(n_steps: int, window_ms: int) -> Column:
+    """strict_order single-scan state machine as a JVM fold over `__evs`
+    (which includes step-0 rows for non-matching events): state =
+    (level chain-starts, entered?, dead?). See module docstring for the
+    pinned rules."""
+    init = F.struct(
+        F.array(*[F.lit(None).cast("long") for _ in range(n_steps)]).alias("lv"),
+        F.lit(False).alias("fst"),
+        F.lit(False).alias("dead"),
+    )
+
+    def step(acc, e):
+        st, ts = e["__step"], e["__ts"]
+        lv = acc["lv"]
+        dead2 = acc["dead"] | (
+            acc["fst"]
+            & ((st == 0) | ((st > 1) & F.get(lv, st - 2).isNull()))
+        )
+        lv2 = F.transform(
+            lv,
+            lambda v, i: F.when(acc["dead"], v)
+            .when((st == 1) & (i == 0), ts)
+            .when(
+                (st == i + 1)
+                & (i > 0)
+                & F.get(lv, i - 1).isNotNull()
+                & ((ts - F.get(lv, i - 1)) <= window_ms),
+                F.get(lv, i - 1),
+            )
+            .otherwise(v),
+        )
+        return F.struct(
+            lv2.alias("lv"),
+            (acc["fst"] | (st == 1)).alias("fst"),
+            dead2.alias("dead"),
+        )
+
+    state = F.aggregate(F.col("__evs"), init, step)
+    return F.size(F.filter(state["lv"], lambda v: v.isNotNull()))
+
+
+def _fold_strict_dedup(n_steps: int, window_ms: int) -> Column:
+    """strict_deduplication single-scan fold: a repeated condition
+    (k > 1, level k already reached) latches the result at k; completing
+    the last step latches at n (the reference returns immediately in
+    both cases — the latch freezes all later state changes)."""
+    init = F.struct(
+        F.array(*[F.lit(None).cast("long") for _ in range(n_steps)]).alias("lv"),
+        F.lit(None).cast("int").alias("ret"),
+    )
+
+    def step(acc, e):
+        st, ts = e["__step"], e["__ts"]
+        lv, done = acc["lv"], acc["ret"].isNotNull()
+        dup = (st > 1) & F.get(lv, st - 1).isNotNull()
+        ext_ok = (
+            (st > 1)
+            & ~dup
+            & F.get(lv, st - 2).isNotNull()
+            & ((ts - F.get(lv, st - 2)) <= window_ms)
+        )
+        ret2 = (
+            F.when(done, acc["ret"])
+            .when(dup, st.cast("int"))
+            .when(ext_ok & (st == n_steps), F.lit(n_steps))
+            .otherwise(F.lit(None).cast("int"))
+        )
+        lv2 = F.transform(
+            lv,
+            lambda v, i: F.when(done, v)
+            .when((st == 1) & (i == 0), ts)
+            .when((st == i + 1) & (i > 0) & ext_ok, F.get(lv, i - 1))
+            .otherwise(v),
+        )
+        return F.struct(lv2.alias("lv"), ret2.alias("ret"))
+
+    state = F.aggregate(F.col("__evs"), init, step)
+    return F.coalesce(
+        state["ret"], F.size(F.filter(state["lv"], lambda v: v.isNotNull()))
+    )
+
+
+_MODES = ("", "default", "keep_all", "strict_increase", "strict_order",
+          "strict_deduplication")
+
+
 def funnel_max_step(
     df: DataFrame,
     entity_col: str,
@@ -130,17 +262,36 @@ def funnel_max_step(
     steps: list[Column],
     window_ms: int,
     max_events_per_entity: int | None = None,
+    mode: str = "default",
 ) -> DataFrame:
     """(entity, max_step) — how deep each entity got within the window.
     Entities with no funnel events at all do not appear (their step is
-    0 by definition; left-join the entity dimension if you need them)."""
-    ev = _matched_events(df, entity_col, ts_col, steps, max_events_per_entity)
+    0 by definition; left-join the entity dimension if you need them).
+    ``mode``: default/keep_all, strict_increase, strict_order,
+    strict_deduplication (one at a time — see module docstring)."""
+    mode = (mode or "default").lower()
+    if mode not in _MODES:
+        raise ValueError(f"funnel mode {mode!r} not in {_MODES}")
+    if mode == "strict_increase":
+        return funnel_max_step_strict_increase(
+            df, entity_col, ts_col, steps, window_ms, max_events_per_entity
+        )
+    ev = _matched_events(
+        df, entity_col, ts_col, steps, max_events_per_entity,
+        keep_unmatched=(mode == "strict_order"),
+    )
+    if mode == "strict_order":
+        fold = _fold_strict_order(len(steps), window_ms)
+    elif mode == "strict_deduplication":
+        fold = _fold_strict_dedup(len(steps), window_ms)
+    else:
+        fold = _fold_max_step(len(steps), window_ms)
     return (
         ev.groupBy("__entity")
         .agg(F.array_sort(F.collect_list(F.struct("__ts", "__step"))).alias("__evs"))
         .select(
             F.col("__entity").alias(entity_col),
-            _fold_max_step(len(steps), window_ms).alias("max_step"),
+            fold.alias("max_step"),
         )
     )
 
@@ -219,11 +370,13 @@ def funnel_match_step(
     steps: list[Column],
     window_ms: int,
     max_events_per_entity: int | None = None,
+    mode: str = "default",
 ) -> DataFrame:
     """(entity, matched array<int>) — per-step 0/1 indicators, the
     FUNNEL_MATCH_STEP shape (matched[k-1] = 1 iff the entity reached
     step k)."""
-    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms,
+                         max_events_per_entity, mode)
     n = len(steps)
     return ms.select(
         entity_col,
@@ -241,13 +394,15 @@ def funnel_count(
     steps: list[Column],
     window_ms: int,
     max_events_per_entity: int | None = None,
+    mode: str = "default",
 ) -> DataFrame:
     """(step, entities) — the funnel chart: for each step k (1..n), how
     many entities reached step k or deeper. Zero-conversion steps are
     present with entities = 0. The cumulative pass runs on at most
     n_steps rows (post-aggregation), so its single-partition window is
     free."""
-    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms,
+                         max_events_per_entity, mode)
     # Reduce to ≤ n_steps rows FIRST (one aggregate over the entity
     # frame), then resolve "entities reaching ≥ k" with a range join of
     # two tiny frames — both sides post-aggregation, broadcast for free.
@@ -270,10 +425,12 @@ def funnel_complete_count(
     steps: list[Column],
     window_ms: int,
     max_events_per_entity: int | None = None,
+    mode: str = "default",
 ) -> DataFrame:
     """Single-row (completed) — entities that reached the final step
     within the window (FUNNEL_COMPLETE_COUNT)."""
-    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms, max_events_per_entity)
+    ms = funnel_max_step(df, entity_col, ts_col, steps, window_ms,
+                         max_events_per_entity, mode)
     return ms.where(F.col("max_step") >= len(steps)).agg(
         F.count("*").alias("completed")
     )

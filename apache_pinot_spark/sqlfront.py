@@ -715,13 +715,16 @@ class PinotDialect:
             # structs, flatten+sort per group, then the chain-DP fold.
             # Group rows by the correlation id (GROUP BY user_id …), as
             # in the public funnel functions.
+            mode = ""
             if len(a) >= 4 and a[-1].strip().startswith("'"):
                 mode = _unquote(a[-1]).lower()
-                if mode not in ("", "keep_all"):
+                if mode not in ("", "keep_all", "strict_order",
+                                "strict_deduplication"):
                     raise ValueError(
                         f"funnel mode {mode!r} not supported in SQL (default/"
-                        "keep_all only — STRICT_INCREASE needs variable-size "
-                        "frontier state, available as the DataFrame operator "
+                        "keep_all/strict_order/strict_deduplication — "
+                        "STRICT_INCREASE needs variable-size frontier state, "
+                        "available as the DataFrame operator "
                         "operators/funnel.funnel_max_step_strict_increase)"
                     )
                 a = a[:-1]
@@ -744,7 +747,59 @@ class PinotDialect:
                 )
                 + "), x -> x IS NOT NULL)"
             )
+            if mode == "strict_order":
+                # interleaving matters: non-matching events ride along as
+                # step 0 (operators/funnel.py module doc pins the rules)
+                per_row = (
+                    f"(CASE WHEN size({per_row}) = 0 THEN "
+                    f"array(named_struct('ts', CAST({ts} AS BIGINT), 'st', 0)) "
+                    f"ELSE {per_row} END)"
+                )
             evs = f"array_sort(flatten(collect_list({per_row})))"
+            if mode == "strict_order":
+                state = (
+                    f"aggregate({evs}, "
+                    f"named_struct('lv', array_repeat(CAST(NULL AS BIGINT), {n}), "
+                    f"'fst', false, 'dead', false), "
+                    f"(acc, e) -> named_struct("
+                    f"'lv', transform(acc.lv, (v, i) -> CASE "
+                    f"WHEN acc.dead THEN v "
+                    f"WHEN e.st = 1 AND i = 0 THEN e.ts "
+                    f"WHEN e.st = i + 1 AND i > 0 AND get(acc.lv, i - 1) IS NOT NULL "
+                    f"AND e.ts - get(acc.lv, i - 1) <= {window} "
+                    f"THEN get(acc.lv, i - 1) ELSE v END), "
+                    f"'fst', acc.fst OR e.st = 1, "
+                    f"'dead', acc.dead OR (acc.fst AND (e.st = 0 OR "
+                    f"(e.st > 1 AND get(acc.lv, e.st - 2) IS NULL)))), "
+                    f"acc -> size(filter(acc.lv, v -> v IS NOT NULL)))"
+                )
+                return state
+            if mode == "strict_deduplication":
+                state = (
+                    f"aggregate({evs}, "
+                    f"named_struct('lv', array_repeat(CAST(NULL AS BIGINT), {n}), "
+                    f"'ret', CAST(NULL AS INT)), "
+                    f"(acc, e) -> CASE WHEN acc.ret IS NOT NULL THEN acc "
+                    f"ELSE named_struct("
+                    f"'lv', transform(acc.lv, (v, i) -> CASE "
+                    f"WHEN e.st = 1 AND i = 0 THEN e.ts "
+                    f"WHEN e.st = i + 1 AND i > 0 "
+                    f"AND get(acc.lv, e.st - 1) IS NULL "
+                    f"AND get(acc.lv, i - 1) IS NOT NULL "
+                    f"AND e.ts - get(acc.lv, i - 1) <= {window} "
+                    f"THEN get(acc.lv, i - 1) ELSE v END), "
+                    f"'ret', CASE "
+                    f"WHEN e.st > 1 AND get(acc.lv, e.st - 1) IS NOT NULL "
+                    f"THEN CAST(e.st AS INT) "
+                    f"WHEN e.st = {n} AND {n} > 1 "
+                    f"AND get(acc.lv, {n} - 1) IS NULL "
+                    f"AND get(acc.lv, {n} - 2) IS NOT NULL "
+                    f"AND e.ts - get(acc.lv, {n} - 2) <= {window} "
+                    f"THEN {n} ELSE CAST(NULL AS INT) END) END, "
+                    f"acc -> coalesce(acc.ret, "
+                    f"size(filter(acc.lv, v -> v IS NOT NULL))))"
+                )
+                return state
             state = (
                 f"aggregate({evs}, array_repeat(CAST(NULL AS BIGINT), {n}), "
                 f"(acc, e) -> transform(acc, (v, i) -> "

@@ -259,7 +259,11 @@ def test_funnel_sql_validation(spark):
         eng.rewrite("SELECT FUNNEL_MAX_STEP(ts, 1000, 3, a = 1, b = 2) FROM t GROUP BY u")
     with pytest.raises(ValueError, match="not supported in SQL"):
         eng.rewrite(
-            "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_order') FROM t GROUP BY u"
+            "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_increase') FROM t GROUP BY u"
+        )
+    with pytest.raises(ValueError, match="not supported in SQL"):
+        eng.rewrite(
+            "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_odor') FROM t GROUP BY u"
         )
 
 
@@ -321,3 +325,179 @@ def test_strict_increase_vs_bruteforce_randomized(spark):
         for r in FU.funnel_max_step_strict_increase(df, "e", "ts", steps, window).collect()
     }
     assert got == truth
+
+
+# --------------------------------------------------------------------------
+# strict_order / strict_deduplication (round 6): pinned ClickHouse
+# windowFunnel semantics — independent Python reference scan + corner
+# fixtures + randomized differentials (DataFrame fold AND SQL form).
+# --------------------------------------------------------------------------
+
+
+def _ref_strict_scan(events, n_steps, window_ms, mode):
+    """Independent single-scan reference for the pinned strict modes.
+    events: (ts, step) pairs, step 0 = matches no condition (only
+    meaningful for strict_order; ignored otherwise)."""
+    lv = [None] * n_steps
+    first = False
+    for ts, st in sorted(events):
+        if st == 0:
+            if mode == "strict_order" and first:
+                break
+            continue
+        if st == 1:
+            lv[0] = ts
+            first = True
+        elif mode == "strict_deduplication" and lv[st - 1] is not None:
+            return st  # repeat interrupts; returns the repeat's own index
+        elif mode == "strict_order" and first and lv[st - 2] is None:
+            break  # out-of-order step kills further progress
+        elif lv[st - 2] is not None and ts - lv[st - 2] <= window_ms:
+            lv[st - 1] = lv[st - 2]
+            if st == n_steps and mode == "strict_deduplication":
+                return n_steps  # completion latches before any later dup
+    for i in range(n_steps):
+        if lv[i] is None:
+            return i
+    return n_steps
+
+
+def test_strict_order_corner_fixtures(spark):
+    window = 1000
+    cases = [
+        # (rows as (ts, event_type), expected) — D is a non-funnel event
+        ([(0, "view"), (1, "click"), (2, "other"), (3, "purchase")], 2),
+        # repeated entry step refreshes, never kills
+        ([(0, "view"), (1, "view"), (2, "click"), (3, "purchase")], 3),
+        # out-of-order step kills (click before purchase missing)
+        ([(0, "view"), (1, "purchase"), (2, "click"), (3, "purchase")], 1),
+        # pre-entry noise is ignored
+        ([(0, "other"), (1, "click"), (2, "view"), (3, "click"), (4, "purchase")], 3),
+        # tie: killer sorts before the step at the same ts (step 0 < k)
+        ([(0, "view"), (5, "other"), (5, "click")], 1),
+    ]
+    for i, (evs, want) in enumerate(cases):
+        df = _df(spark, [(f"u{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", STEPS(), window, mode="strict_order"
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+
+
+def test_strict_dedup_corner_fixtures(spark):
+    window = 1000
+    three = STEPS()
+    cases3 = [
+        ([(0, "view"), (1, "click"), (2, "click"), (3, "purchase")], 2),
+        # completion latches BEFORE a later duplicate
+        ([(0, "view"), (1, "click"), (2, "purchase"), (3, "click")], 3),
+        # repeated entry never interrupts
+        ([(0, "view"), (1, "view"), (2, "click")], 2),
+        # interleaved non-funnel events are ignored in this mode
+        ([(0, "view"), (1, "other"), (2, "click"), (3, "purchase")], 3),
+    ]
+    for i, (evs, want) in enumerate(cases3):
+        df = _df(spark, [(f"d{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", three, window, mode="strict_deduplication"
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+    # 4-step: a mid-level repeat AFTER deeper progress returns the
+    # repeat's index (2), discarding the reached depth 3 — the pinned
+    # reference-implementation early return
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 1, 2), ("u", 2, 3), ("u", 3, 2)],
+        "e string, ts long, s int",
+    )
+    steps4 = [F.col("s") == k for k in range(1, 5)]
+    got = FU.funnel_max_step(
+        df, "e", "ts", steps4, window, mode="strict_deduplication"
+    ).collect()[0]["max_step"]
+    assert got == 2
+
+
+def test_strict_modes_vs_reference_randomized(spark):
+    import random
+
+    rng = random.Random(1234)
+    n_steps, window = 3, 40
+    rows, evs_by_entity = [], {}
+    for case in range(80):
+        entity = f"m{case}"
+        evs = [(rng.randrange(0, 80), rng.randrange(0, n_steps + 1))
+               for _ in range(rng.randrange(1, 14))]  # step 0 = no match
+        evs_by_entity[entity] = evs
+        rows += [(entity, ts, s) for ts, s in evs]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    steps = [F.col("s") == i for i in range(1, n_steps + 1)]
+    for mode in ("strict_order", "strict_deduplication"):
+        got = {
+            r["e"]: r["max_step"]
+            for r in FU.funnel_max_step(
+                df, "e", "ts", steps, window, mode=mode
+            ).collect()
+        }
+        truth = {
+            e: _ref_strict_scan(evs, n_steps, window, mode)
+            for e, evs in evs_by_entity.items()
+        }
+        if mode == "strict_deduplication":
+            # entities with zero matching events don't appear (pre-shuffle
+            # filter retained in this mode); their truth is 0
+            truth = {e: t for e, t in truth.items()
+                     if any(s > 0 for _, s in evs_by_entity[e])}
+        assert got == truth, mode
+
+
+def test_strict_modes_sql_matches_operator(spark):
+    import random
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    rng = random.Random(77)
+    rows = []
+    for case in range(40):
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((f"q{case}", rng.randrange(0, 60), rng.randrange(0, 4)))
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    eng = PinotEngine(spark)
+    eng.register("funnel_events", df)
+    steps = [F.col("s") == i for i in range(1, 4)]
+    window = 25
+    for mode in ("strict_order", "strict_deduplication"):
+        sql_got = {
+            r["e"]: r["ms"]
+            for r in eng.sql(
+                f"SELECT e, FUNNEL_MAX_STEP(ts, {window}, 3, "
+                f"s = 1, s = 2, s = 3, '{mode}') AS ms "
+                f"FROM funnel_events GROUP BY e LIMIT 1000"
+            ).collect()
+        }
+        op = {
+            r["e"]: r["max_step"]
+            for r in FU.funnel_max_step(
+                df, "e", "ts", steps, window, mode=mode
+            ).collect()
+        }
+        # SQL GROUP BY includes every entity; the operator omits
+        # filtered-empty ones (their value is 0)
+        for e, ms in sql_got.items():
+            assert ms == op.get(e, 0), (mode, e)
+
+
+def test_funnel_mode_validation_and_dispatch(spark):
+    df = _df(spark, [("u", 0, "view"), ("u", 1, "click")])
+    with pytest.raises(ValueError, match="funnel mode"):
+        FU.funnel_max_step(df, "user", "ts", STEPS(), 10, mode="bogus")
+    via_mode = FU.funnel_max_step(
+        df, "user", "ts", STEPS(), 10, mode="strict_increase"
+    ).collect()[0]["max_step"]
+    direct = FU.funnel_max_step_strict_increase(
+        df, "user", "ts", STEPS(), 10
+    ).collect()[0]["max_step"]
+    assert via_mode == direct == 2
+    # the funnel-chart + completion forms accept the mode too
+    chart = FU.funnel_count(
+        df, "user", "ts", STEPS(), 10, mode="strict_order"
+    ).collect()
+    assert [(r["step"], r["entities"]) for r in chart] == [(1, 1), (2, 1), (3, 0)]
