@@ -246,6 +246,38 @@ def _parse_fill_default(arg: str):
         return float(a)
 
 
+def _enclosing_subquery(sql: str, pos: int) -> tuple[int, int] | None:
+    """Innermost balanced ``( SELECT … )`` span containing ``pos``
+    (string literals skipped), or None when the position sits in the
+    top-level statement. Supports the public aggregate-over-gapfill
+    shape: the GAPFILL projection lives in a subquery and the outer
+    query aggregates the densified rows."""
+    stack: list[int] = []
+    best: tuple[int, int] | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # skip '…''…' literals
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                lo = stack.pop()
+                if lo < pos < i and sql[lo + 1 : i].lstrip()[:6].upper() == "SELECT":
+                    if best is None or lo > best[0]:
+                        best = (lo, i)
+        i += 1
+    return best
+
+
 def _parse_gapfill(sql: str):
     """Detect + parse the public GAPFILL table-function projection:
     GAPFILL(timeExpr, 'format', 'startMs', 'endMs', 'N:UNIT',
@@ -837,13 +869,32 @@ class PinotDialect:
             # reassemble a CLP-encoded log message (functions/clp.py) —
             # the same placeholder/parts interleave fold, as SQL text.
             lt, dv, ev = a[0], a[1], a[2]
-            e_ph, cls = "\x11", "[\x11\x12]"
+            e_ph, f_ph, cls = "\x11", "\x13", "[\x11\x12\x13]"
             parts = f"split({lt}, '{cls}', -1)"
+            # packed-float rendering (functions/clp.py unpack_float_str):
+            # sign bit 62, frac-digit count bits 56-59, mantissa bits 0-55
+            pows = ", ".join(str(10**i) + "L" for i in range(16))
+            v = f"element_at({ev}, acc.e + 1)"
+            mant = f"({v} & {(1 << 56) - 1})"
+            powv = (
+                f"element_at(array({pows}), "
+                f"cast(shiftright({v}, 56) % 16 + 1 as int))"
+            )
+            fstr = (
+                f"(CASE WHEN shiftright({v}, 62) % 2 = 1 THEN '-' ELSE '' END) "
+                f"|| cast(({mant} div {powv}) as string) || '.' || "
+                f"lpad(cast(({mant} % {powv}) as string), "
+                f"cast(shiftright({v}, 56) % 16 as int), '0')"
+            )
             fold = (
                 f"aggregate(regexp_extract_all({lt}, '{cls}', 0), "
                 f"named_struct('s', element_at({parts}, 1), 'd', 0, 'e', 0), "
                 f"(acc, p) -> CASE WHEN p = '{e_ph}' THEN named_struct("
                 f"'s', concat(acc.s, cast(element_at({ev}, acc.e + 1) as string), "
+                f"element_at({parts}, acc.d + acc.e + 2)), "
+                f"'d', acc.d, 'e', acc.e + 1) "
+                f"WHEN p = '{f_ph}' THEN named_struct("
+                f"'s', concat(acc.s, {fstr}, "
                 f"element_at({parts}, acc.d + acc.e + 2)), "
                 f"'d', acc.d, 'e', acc.e + 1) "
                 f"ELSE named_struct("
@@ -1606,14 +1657,45 @@ class PinotEngine:
         return self.dialect.rewrite(pinot_sql)
 
     def sql(self, pinot_sql: str) -> DataFrame:
-        gap = _parse_gapfill(pinot_sql)
-        if gap is not None:
-            return self._run_gapfill(*gap)
+        gdf = self._maybe_gapfill(pinot_sql)
+        if gdf is not None:
+            return gdf
         rewritten = self.rewrite(pinot_sql).sql
         hit = self._try_rollup(rewritten)
         if hit is not None:
             return hit
         return self.spark.sql(rewritten)
+
+    def _maybe_gapfill(self, sql: str) -> DataFrame | None:
+        """Route a statement containing GAPFILL. Two public shapes:
+
+        * projection form — GAPFILL in the top-level SELECT: densify the
+          statement's own aggregated rows (round-5 behavior).
+        * aggregate-over-gapfill (nested outer query, round 6): the
+          GAPFILL projection sits in a subquery and the outer query
+          aggregates the densified series (the public "occupied slots
+          per hour" shape). The subquery runs through the gapfill
+          operator, lands as a temp view, and the outer statement —
+          itself fully dialect-capable — runs against it.
+        """
+        m = _GAPFILL_RE.search(sql)
+        if m is None:
+            return None
+        span = _enclosing_subquery(sql, m.start())
+        if span is None:
+            return self._run_gapfill(*_parse_gapfill(sql))
+        lo, hi = span
+        gdf = self._run_gapfill(*_parse_gapfill(sql[lo + 1 : hi]))
+        self._gapfill_seq = getattr(self, "_gapfill_seq", 0) + 1
+        view = f"__pinot_gapfill_{self._gapfill_seq}"
+        gdf.createOrReplaceTempView(view)
+        try:
+            # keep any trailing subquery alias: "( … ) t" → "view t"
+            out = self.sql(sql[:lo] + view + sql[hi + 1 :])
+        finally:
+            # analysis has resolved the view into the plan; the name can go
+            self.spark.catalog.dropTempView(view)
+        return out
 
     def _run_gapfill(self, inner_sql, alias, start_ms, end_ms, bucket_ms, keys, fills):
         """Execute the GAPFILL table-function form (public gapfill query
@@ -1873,14 +1955,13 @@ class PinotEngine:
         get Pinot's implicit LIMIT (default 10)."""
         t0 = time.monotonic()
         try:
-            gap = _parse_gapfill(pinot_sql)
-            if gap is not None:
+            df = self._maybe_gapfill(pinot_sql)
+            if df is not None:
                 # Mirror sql(): GAPFILL is a table function the rewriter
                 # can't express — run the operator and wrap the result,
                 # instead of letting Spark choke on an unknown function.
                 rr = RewriteResult(pinot_sql, {}, [])
                 sql = pinot_sql
-                df = self._run_gapfill(*gap)
                 rows = df.collect()
                 groups_cap = self.num_groups_limit
             else:

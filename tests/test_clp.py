@@ -39,7 +39,7 @@ def test_decode_round_trip_exact(spark):
         "Task task_123 failed after 500 ms with code -1",
         "plain words only",
         "double  space   and uuid 550e8400-e29b 41d4",
-        "float 0.50 stays dictionary",  # non-integer numeric → dict (lossless)
+        "float 0.50 encodes packed",  # canonical decimal → encodedVars (r6)
         "user=1234,path=/a/b9?q=3&r=0x7f",
         "",
         "42",
@@ -118,3 +118,69 @@ def test_clpdecode_sql_surface(spark):
         "FROM logs LIMIT 10"
     ).collect()
     assert all(r["back"] == r["msg"] for r in out) and len(out) == 3
+
+
+def test_float_variables_pack_into_encoded_stream(spark):
+    """Canonical decimals get the CLP float-to-long treatment: packed
+    longs in the SAME encodedVars stream as ints (appearance order),
+    '\\x13' placeholders, dictionary untouched; non-canonical numerics
+    still fall to the dictionary."""
+    df = spark.createDataFrame(
+        [("lat=-3.14 n=42 pct=0.500 v=007.5 r=1.2.3",)], "msg string"
+    )
+    r = C.clp_encode(df, "msg").collect()[0]
+    assert r["msg_logtype"] == "lat=\x13 n=\x11 pct=\x13 v=\x12 r=\x12"
+    assert r["msg_dictionaryVars"] == ["007.5", "1.2.3"]
+    evs = r["msg_encodedVars"]
+    assert len(evs) == 3 and evs[1] == 42  # -3.14, 42, 0.500 in order
+    # the packed values decode to the exact renderings
+    back = spark.range(1).select(
+        *[
+            C.unpack_float_str(F.lit(v)).alias(f"f{i}")
+            for i, v in ((0, evs[0]), (2, evs[2]))
+        ]
+    ).collect()[0]
+    assert (back["f0"], back["f2"]) == ("-3.14", "0.500")
+
+
+def test_float_round_trip_randomized(spark):
+    """500 random float-bearing messages — trailing zeros, negatives,
+    long mantissas straddling the 15-digit cutoff, non-canonical forms —
+    must round-trip byte-exactly through BOTH the DataFrame decode and
+    the CLPDECODE SQL surface."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    rng = random.Random(11)
+
+    def rand_float():
+        ip = str(rng.randrange(0, 10 ** rng.randrange(1, 9)))
+        fp = "".join(rng.choice("0123456789") for _ in range(rng.randrange(1, 9)))
+        return f"{'-' if rng.random() < 0.4 else ''}{ip}.{fp}"
+
+    vocab = ["x", "=", " ", ",", "[ok]", "007.5", "1e-3", "9.", ".25",
+             "123456789012345.5", "12345678901234.5", "0.000"]
+    msgs = [
+        " ".join(
+            rng.choice([rand_float(), rng.choice(vocab)])
+            for _ in range(rng.randrange(1, 10))
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+    enc = C.clp_encode(df, "msg", drop_original=False)
+    bad = (
+        enc.withColumn(
+            "back",
+            C.clp_decode("msg_logtype", "msg_dictionaryVars", "msg_encodedVars"),
+        )
+        .where(F.col("back") != F.col("msg"))
+        .count()
+    )
+    assert bad == 0
+    eng = PinotEngine(spark)
+    eng.register("flogs", enc)
+    sql_bad = eng.sql(
+        "SELECT COUNT(*) AS c FROM flogs WHERE "
+        "CLPDECODE(msg_logtype, msg_dictionaryVars, msg_encodedVars) <> msg"
+    ).collect()[0]["c"]
+    assert sql_bad == 0

@@ -208,3 +208,75 @@ def test_gapfill_sql_validation():
     with _pt.raises(ValueError, match="output alias"):
         _parse_gapfill("SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '0', '1', "
                        "'1:MILLISECONDS', TIMESERIESON(k)), k FROM t")
+
+
+def test_gapfill_nested_aggregate_over_gapfill(spark):
+    """The public aggregate-over-gapfill shape: outer query aggregates
+    the densified series (per-bucket totals across all series) — checked
+    against running the projection form and aggregating its rows."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000
+    end = start + 5 * day
+    inner = (
+        f"SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '{start}', '{end}', '1:DAYS', "
+        f"  FILL(cnt, 'FILL_PREVIOUS_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+        f"  event_type, cnt "
+        f"FROM (SELECT dateTrunc('DAY', ts) AS b, event_type, COUNT(*) AS cnt "
+        f"      FROM events GROUP BY dateTrunc('DAY', ts), event_type)"
+    )
+    nested = (
+        f"SELECT b, SUM(cnt) AS total, COUNT(*) AS series "
+        f"FROM ({inner}) g GROUP BY b ORDER BY b"
+    )
+    got = [(r["b"], r["total"], r["series"]) for r in eng.sql(nested).collect()]
+    flat = eng.sql(inner).collect()
+    agg: dict = {}
+    for r in flat:
+        t, c = agg.get(r["b"], (0, 0))
+        agg[r["b"]] = (t + r["cnt"], c + 1)
+    want = sorted((b, t, c) for b, (t, c) in agg.items())
+    assert got == want and len(got) == 5
+    # every bucket counts every series (the gapfill densified the grid)
+    n_series = len({r["event_type"] for r in flat})
+    assert all(c == n_series for _, _, c in got)
+
+
+def test_gapfill_nested_through_broker_envelope(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000
+    q = (
+        f"SELECT SUM(cnt) AS total FROM ("
+        f"SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '{start}', '{start + 2 * day}', "
+        f"'1:DAYS', FILL(cnt, 'FILL_PREVIOUS_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+        f"event_type, cnt "
+        f"FROM (SELECT dateTrunc('DAY', ts) AS b, event_type, COUNT(*) AS cnt "
+        f"      FROM events GROUP BY dateTrunc('DAY', ts), event_type)) g"
+    )
+    env = eng.query(q)
+    assert env["exceptions"] == []
+    assert env["resultTable"]["dataSchema"]["columnNames"] == ["total"]
+    assert env["resultTable"]["rows"][0][0] == eng.sql(q).collect()[0]["total"]
+
+
+def test_gapfill_nested_malformed_still_raises(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    with pytest.raises(ValueError, match="TIMESERIESON"):
+        eng.sql(
+            "SELECT SUM(v) FROM (SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', "
+            "'0', '100', '10:MILLISECONDS') AS b, v FROM t) g GROUP BY b"
+        )
+    with pytest.raises(ValueError, match="output alias"):
+        eng.sql(
+            "SELECT SUM(v) FROM (SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', "
+            "'0', '100', '10:MILLISECONDS', TIMESERIESON(k)), v FROM t) g"
+        )
