@@ -72,17 +72,34 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
 
 
 def image_decoder() -> str | None:
-    """Capability probe: "pil" when importable (any format), else "png" —
-    the pure-stdlib PNG codec (operators/png_codec.py), present in every
-    CPython, so the image REAL path is never entirely absent; non-PNG
-    blobs on that tier flow to the reject stream. Probed on the driver;
-    the result ships in the worker closure."""
+    """Capability probe: "pil" when importable (any format), else
+    "stdlib" — the pure-stdlib codecs (operators/png_codec.py +
+    operators/jpeg_codec.py: PNG fully, baseline-sequential JPEG —
+    together the dominant web-corpus formats), present in every CPython,
+    so the image REAL path is never entirely absent; other formats on
+    that tier flow to the reject stream. Probed on the driver; the
+    result ships in the worker closure."""
     try:
         import PIL.Image  # noqa: F401
 
         return "pil"
     except ImportError:
-        return "png"
+        return "stdlib"
+
+
+def decode_image_stdlib(data: bytes) -> "object | None":
+    """Magic-dispatched stdlib decode: PNG or baseline JPEG → H×W×C
+    uint8 array; None for anything else (reject stream)."""
+    from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
+    from apache_pinot_spark.operators.png_codec import PNG_MAGIC, decode_png
+
+    if not data:
+        return None
+    if data.startswith(PNG_MAGIC):
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    return None
 
 
 def audio_decoder() -> str | None:
@@ -170,17 +187,17 @@ def extract_image_features(
             except Exception:
                 return None
 
-        def _png_feats(content, n):
+        def _stdlib_feats(content, n):
             # stdlib tier: same contract as the PIL path (n-pixel
             # grayscale thumbnail in [0,1]; undecodable -> None), box
-            # average instead of PIL's resampling kernel
-            from apache_pinot_spark.operators.png_codec import (
-                box_resize,
-                decode_png,
-                luma,
+            # average instead of PIL's resampling kernel; PNG or
+            # baseline JPEG by magic
+            from apache_pinot_spark.operators.multimodal import (
+                decode_image_stdlib,
             )
+            from apache_pinot_spark.operators.png_codec import box_resize, luma
 
-            px = decode_png(bytes(content or b""))
+            px = decode_image_stdlib(bytes(content or b""))
             if px is None:
                 return None
             return [float(v) for v in luma(box_resize(px, n, 1))[0]]
@@ -188,7 +205,7 @@ def extract_image_features(
         feats = (
             _stub_feats
             if decoder is None
-            else (_png_feats if decoder == "png" else _pil_feats)
+            else (_stdlib_feats if decoder == "stdlib" else _pil_feats)
         )
         for pdf in batches:
             contents = pdf[content_col]
@@ -252,18 +269,27 @@ def resize_images(
                     im.resize((target_w, target_h)).save(out, format=fmt)
                 return out.getvalue()
 
-        else:  # stdlib PNG tier: decode -> box resize -> re-encode
+        else:  # stdlib tier: decode -> box resize -> re-encode, format-
+            # preserving (PNG stays PNG, JPEG re-encodes baseline JPEG)
+            from apache_pinot_spark.operators.jpeg_codec import encode_jpeg
+            from apache_pinot_spark.operators.multimodal import (
+                decode_image_stdlib,
+            )
             from apache_pinot_spark.operators.png_codec import (
                 box_resize,
-                decode_png,
                 encode_png,
             )
 
             def _resize(b):
-                px = decode_png(bytes(b or b""))
+                raw = bytes(b or b"")
+                px = decode_image_stdlib(raw)
                 if px is None:
-                    raise ValueError("not a decodable PNG")
+                    raise ValueError("not a decodable PNG/JPEG")
                 small = box_resize(px, target_w, target_h)
+                if raw[:2] == b"\xff\xd8":
+                    if small.shape[2] == 1:
+                        return encode_jpeg(small[:, :, 0])
+                    return encode_jpeg(small[:, :, :3])
                 # gray(+alpha) re-encodes gray; color re-encodes RGB
                 if small.shape[2] <= 2:
                     return encode_png(small[:, :, 0])

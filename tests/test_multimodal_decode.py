@@ -31,7 +31,7 @@ def test_probe_reports_available_decoders():
     # wave is stdlib: the audio probe can never be None
     assert multimodal.audio_decoder() in ("soundfile", "wave")
     # png_codec is stdlib: the image probe can never be None either
-    assert multimodal.image_decoder() in ("pil", "png")
+    assert multimodal.image_decoder() in ("pil", "stdlib")
 
 
 def test_audio_real_decode_wav_band_energy(spark):
