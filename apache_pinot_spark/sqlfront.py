@@ -381,6 +381,7 @@ class PinotDialect:
         sketch_ranges: dict[str, tuple[float, float]] | None = None,
         tdigest_columns: set[str] | None = None,
         theta_columns: set[str] | None = None,
+        clearspring_hll_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -405,6 +406,12 @@ class PinotDialect:
         # DISTINCTCOUNTTHETASKETCH over one
         # merges-and-estimates via the registered UDF pair
         self.theta_columns = theta_columns or set()
+        # BYTES columns holding CLEARSPRING (stream-lib) serialized HLLs —
+        # the reference's own DISTINCTCOUNTHLL sketch-column wire format
+        # (functions/hll_clearspring.py, byte-golden vs stream-2.9.8):
+        # DISTINCTCOUNTHLL over one register-max merges and estimates in
+        # the clearspring domain instead of the portable register path
+        self.clearspring_hll_columns = clearspring_hll_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -466,6 +473,13 @@ class PinotDialect:
             from apache_pinot_spark.functions.hll import hll_merge_estimate_sql
 
             arg = a[0].strip()
+            if arg in self.clearspring_hll_columns:
+                from apache_pinot_spark.functions.hll_clearspring import (
+                    ESTIMATE_UDF,
+                    MERGE_UDF,
+                )
+
+                return f"{ESTIMATE_UDF}({MERGE_UDF}({arg}))"
             if arg in self.binary_columns:
                 return hll_merge_estimate_sql(a[0], "spark")
             try:
@@ -647,6 +661,10 @@ class PinotDialect:
             from apache_pinot_spark.functions.hll import hll_merge_sketch_sql
 
             arg = a[0].strip()
+            if arg in self.clearspring_hll_columns:
+                from apache_pinot_spark.functions.hll_clearspring import MERGE_UDF
+
+                return f"hex({MERGE_UDF}({arg}))"
             if arg not in self.binary_columns:
                 raise ValueError(
                     f"DISTINCTCOUNTRAWHLL({arg}): column is not a BYTES HLL "
@@ -1480,6 +1498,7 @@ class PinotEngine:
         self._sketch_ranges: dict[str, tuple[float, float]] = {}
         self._tdigest_columns: set[str] = set()
         self._theta_columns: set[str] = set()
+        self._clearspring_hll_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -1564,13 +1583,30 @@ class PinotEngine:
 
     def register_theta_column(self, column: str) -> None:
         """Declare a BYTES column as serialized theta-sketch distinct
-        state (engine-local layout, functions/theta.py).
-        DISTINCTCOUNTTHETASKETCH over it unions the group's sketches and
-        estimates; DISTINCTCOUNTRAWTHETASKETCH returns the merged blob."""
+        state (Apache DataSketches compact-theta wire format,
+        functions/theta.py — a migrating user's sketch columns load
+        directly). DISTINCTCOUNTTHETASKETCH over it unions the group's
+        sketches and estimates; DISTINCTCOUNTRAWTHETASKETCH returns the
+        merged blob."""
         from apache_pinot_spark.functions.theta import register_theta_udfs
 
         register_theta_udfs(self.spark)
         self._theta_columns.add(column)
+
+    def register_clearspring_hll_column(self, column: str) -> None:
+        """Declare a BYTES column as CLEARSPRING-serialized HLL state —
+        the reference's own DISTINCTCOUNTHLL sketch-column wire format
+        (stream-lib HyperLogLog.getBytes(), schema.md:48), as a
+        migrating user's tables hold it. DISTINCTCOUNTHLL over it
+        register-max merges + estimates in the clearspring domain
+        (functions/hll_clearspring.py, byte-golden vs stream-2.9.8);
+        DISTINCTCOUNTRAWHLL returns the merged wire blob as hex."""
+        from apache_pinot_spark.functions.hll_clearspring import (
+            register_clearspring_udfs,
+        )
+
+        register_clearspring_udfs(self.spark)
+        self._clearspring_hll_columns.add(column)
 
     def theta_set_estimate(
         self,
@@ -1651,6 +1687,7 @@ class PinotEngine:
             self._sketch_ranges,
             self._tdigest_columns,
             self._theta_columns,
+            self._clearspring_hll_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
