@@ -382,6 +382,7 @@ class PinotDialect:
         tdigest_columns: set[str] | None = None,
         theta_columns: set[str] | None = None,
         clearspring_hll_columns: set[str] | None = None,
+        kll_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -412,6 +413,11 @@ class PinotDialect:
         # DISTINCTCOUNTHLL over one register-max merges and estimates in
         # the clearspring domain instead of the portable register path
         self.clearspring_hll_columns = clearspring_hll_columns or set()
+        # BYTES columns holding serialized DataSketches KllDoublesSketch
+        # percentile state (functions/kll_wire.py, read-side interop):
+        # PERCENTILEKLL over one merges in weighted-sample space and
+        # estimates with the library's sorted-view rule
+        self.kll_columns = kll_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -597,6 +603,36 @@ class PinotDialect:
                 return percentile_walk_sql(merged_counts_sql(arg), lo, hi, float(a[1]))
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
+
+        def percentile_kll(a):
+            # PERCENTILEKLL(col, pct): over a registered KLL BYTES column
+            # (register_kll_column) the group's serialized
+            # KllDoublesSketch blobs merge in weighted-sample space and
+            # estimate with the library's sorted-view rule
+            # (functions/kll_wire.py — read-side DataSketches interop).
+            # Raw numeric columns take the deterministic
+            # percentile_approx path like PERCENTILEEST.
+            arg = a[0].strip()
+            if arg in self.kll_columns:
+                from apache_pinot_spark.functions.kll_wire import PCT_UDF
+
+                return f"{PCT_UDF}({arg}, {float(a[1])!r})"
+            q = float(a[1]) / 100.0
+            return f"percentile_approx({a[0]}, {q})"
+
+        def percentile_raw_kll(a):
+            # Serializing a MERGED KLL sketch needs the randomized
+            # compaction algorithm (nondeterministic by design, even in
+            # the reference library) — incompatible with this engine's
+            # determinism/oracle contract. Estimates work
+            # (PERCENTILEKLL); the raw-blob form is an explicit no.
+            raise ValueError(
+                "PERCENTILERAWKLL is not supported: re-serializing a merged "
+                "KLL sketch requires randomized compaction (nondeterministic "
+                "by design). Use PERCENTILEKLL for estimates over KLL BYTES "
+                "columns, or PERCENTILERAWTDIGEST for a deterministic "
+                "mergeable raw-sketch form."
+            )
 
         # -- scalar-function compatibility pack (public Pinot names whose
         # Spark spelling or semantics differ; same-named functions —
@@ -1111,6 +1147,8 @@ class PinotDialect:
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
+            "PERCENTILEKLL": percentile_kll,
+            "PERCENTILERAWKLL": percentile_raw_kll,
             "LOOKUP": lookup,
             "IN_SUBQUERY": in_subquery,
             "IN_PARTITIONED_SUBQUERY": in_subquery,
@@ -1499,6 +1537,7 @@ class PinotEngine:
         self._tdigest_columns: set[str] = set()
         self._theta_columns: set[str] = set()
         self._clearspring_hll_columns: set[str] = set()
+        self._kll_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -1608,6 +1647,18 @@ class PinotEngine:
         register_clearspring_udfs(self.spark)
         self._clearspring_hll_columns.add(column)
 
+    def register_kll_column(self, column: str) -> None:
+        """Declare a BYTES column as serialized DataSketches
+        KllDoublesSketch percentile state (the reference's PERCENTILEKLL
+        sketch columns, schema.md:48). PERCENTILEKLL over it merges the
+        group's blobs in weighted-sample space and estimates with the
+        library's sorted-view rule (functions/kll_wire.py — read-side
+        wire interop, parse golden-tested against datasketches-java)."""
+        from apache_pinot_spark.functions.kll_wire import register_kll_udfs
+
+        register_kll_udfs(self.spark)
+        self._kll_columns.add(column)
+
     def theta_set_estimate(
         self,
         table: str,
@@ -1688,6 +1739,7 @@ class PinotEngine:
             self._tdigest_columns,
             self._theta_columns,
             self._clearspring_hll_columns,
+            self._kll_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:

@@ -1,0 +1,134 @@
+"""KLL doubles wire interop (functions/kll_wire.py): parse + quantile
+rule golden-tested against the REAL datasketches-java KllDoublesSketch,
+weighted-sample merge bounds, validation, and the PERCENTILEKLL SQL
+surface over migrated BYTES columns."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from apache_pinot_spark.functions import kll_wire as KW
+
+_RANKS = (0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+def _kll(spark):
+    jvm = spark._jvm
+    try:
+        jvm.org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(8)
+    except Exception:
+        pytest.skip("datasketches-java not on the Spark classpath")
+    return jvm.org.apache.datasketches.kll.KllDoublesSketch
+
+
+def test_parse_and_quantiles_match_library_exactly(spark):
+    """Every rank (extremes included) of a library-built sketch must
+    answer IDENTICALLY here — exact mode and the compacted estimation
+    regime, default and non-default k."""
+    K = _kll(spark)
+    rng = random.Random(7)
+    for n, k in [(1, 200), (5, 200), (100, 200), (10_000, 200),
+                 (50_000, 160), (3, 8)]:
+        sk = K.newHeapInstance(k)
+        for _ in range(n):
+            sk.update(rng.uniform(-1000, 1000))
+        blob = bytes(x & 0xFF for x in sk.toByteArray())
+        p = KW.parse_kll_doubles(blob)
+        assert (p.n, p.k) == (n, k)
+        assert int(p.weights.sum()) == n  # exact-weight invariant
+        for r in _RANKS:
+            assert KW.kll_quantile(blob, r) == sk.getQuantile(r), (n, k, r)
+    # empty sketch parses to n=0 and quantile raises (library throws too)
+    empty = bytes(x & 0xFF for x in K.newHeapInstance(200).toByteArray())
+    assert KW.parse_kll_doubles(empty).n == 0
+    with pytest.raises(ValueError, match="empty"):
+        KW.kll_quantile(empty, 0.5)
+
+
+def test_weighted_sample_merge_is_a_valid_estimator(spark):
+    """Merging blobs in weighted-sample space: deterministic, and the
+    estimates stay within the per-sketch normalized-rank error bound of
+    the true quantiles (KLL k=200 ≈ 1.65% rank error; allow the summed
+    two-sketch budget)."""
+    K = _kll(spark)
+    rng = random.Random(13)
+    all_vals = []
+    blobs = []
+    for seg in range(3):
+        sk = K.newHeapInstance(200)
+        vals = [rng.gauss(seg * 10, 50) for _ in range(40_000)]
+        for v in vals:
+            sk.update(v)
+        all_vals += vals
+        blobs.append(bytes(x & 0xFF for x in sk.toByteArray()))
+    all_vals.sort()
+    n = len(all_vals)
+    for r in (0.1, 0.5, 0.9):
+        est = KW.kll_quantile(blobs, r)
+        # normalized rank of the estimate in the true data
+        true_rank = np.searchsorted(all_vals, est) / n
+        assert abs(true_rank - r) < 0.05, (r, est, true_rank)
+    assert KW.kll_quantile(blobs, 0.0) == min(all_vals)
+    assert KW.kll_quantile(blobs, 1.0) == max(all_vals)
+
+
+def test_hostile_blob_validation():
+    with pytest.raises(ValueError, match="too short"):
+        KW.parse_kll_doubles(b"\x05")
+    with pytest.raises(ValueError, match="family"):
+        KW.parse_kll_doubles(struct.pack("<BBBBHBB", 5, 1, 3, 0, 200, 8, 0))
+    with pytest.raises(ValueError, match="serial version"):
+        KW.parse_kll_doubles(struct.pack("<BBBBHBB", 5, 9, 15, 0, 200, 8, 0))
+    with pytest.raises(ValueError, match="k="):
+        KW.parse_kll_doubles(struct.pack("<BBBBHBB", 5, 1, 15, 0, 2, 8, 0))
+    # full preamble with absurd level count
+    head = struct.pack("<BBBBHBB", 5, 1, 15, 0, 200, 8, 0)
+    head += struct.pack("<QHBB", 10, 200, 99, 0)
+    with pytest.raises(ValueError, match="levels=99"):
+        KW.parse_kll_doubles(head + b"\x00" * 64)
+    # weights-vs-n mismatch caught (claims n=10, carries one weight-1 item)
+    bad = struct.pack("<BBBBHBB", 5, 1, 15, 0, 200, 8, 0)
+    bad += struct.pack("<QHBB", 10, 200, 1, 0) + struct.pack("<I", 0)
+    bad += struct.pack("<dd", 0.0, 1.0) + struct.pack("<d", 0.5)
+    with pytest.raises(ValueError, match="weights sum"):
+        KW.parse_kll_doubles(bad)
+
+
+def test_percentilekll_sql_over_migrated_bytes_columns(spark):
+    """The migration scenario: per-segment KLL blobs built by the real
+    library, registered as a BYTES column — PERCENTILEKLL merges and
+    estimates; raw numeric columns keep the deterministic fallback;
+    PERCENTILERAWKLL is an explicit, documented no."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    K = _kll(spark)
+    rng = random.Random(3)
+    rows = []
+    all_vals = []
+    for seg in range(4):
+        sk = K.newHeapInstance(200)
+        vals = [rng.uniform(0, 1000) for _ in range(5000)]
+        for v in vals:
+            sk.update(v)
+        all_vals += vals
+        rows.append((seg, bytes(x & 0xFF for x in sk.toByteArray())))
+    eng = PinotEngine(spark)
+    eng.register("seg_kll", spark.createDataFrame(rows, "seg int, lat binary"))
+    eng.register_kll_column("lat")
+    got = eng.sql(
+        "SELECT PERCENTILEKLL(lat, 95) AS p95 FROM seg_kll"
+    ).collect()[0]["p95"]
+    all_vals.sort()
+    true_rank = np.searchsorted(all_vals, got) / len(all_vals)
+    assert abs(true_rank - 0.95) < 0.05
+    # raw-column fallback still parses and runs
+    eng.register("nums", spark.range(101).selectExpr("CAST(id AS DOUBLE) v"))
+    assert eng.sql(
+        "SELECT PERCENTILEKLL(v, 50) AS m FROM nums"
+    ).collect()[0]["m"] == pytest.approx(50.0, abs=1.0)
+    with pytest.raises(ValueError, match="PERCENTILERAWKLL is not supported"):
+        eng.rewrite("SELECT PERCENTILERAWKLL(lat, 95) FROM seg_kll")
