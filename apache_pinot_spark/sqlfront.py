@@ -383,6 +383,7 @@ class PinotDialect:
         theta_columns: set[str] | None = None,
         clearspring_hll_columns: set[str] | None = None,
         kll_columns: set[str] | None = None,
+        freq_wire_columns: dict[str, str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -418,6 +419,11 @@ class PinotDialect:
         # PERCENTILEKLL over one merges in weighted-sample space and
         # estimates with the library's sorted-view rule
         self.kll_columns = kll_columns or set()
+        # BYTES columns holding serialized DataSketches frequencies
+        # sketches (functions/freq_wire.py), column → 'longs' | 'strings':
+        # FREQUENT*SKETCH over one merges in the wire domain and returns
+        # the merged wire blob (hex) instead of the engine-local format
+        self.freq_wire_columns = freq_wire_columns or {}
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -1070,6 +1076,19 @@ class PinotDialect:
             # the UDF at construction (register_freq_udfs).
             from apache_pinot_spark.functions.freqitems import SKETCH_UDF
 
+            arg = a[0].strip()
+            kind = self.freq_wire_columns.get(arg)
+            if kind is not None:
+                # migrated DataSketches wire column: merge + re-emit in
+                # the WIRE format (functions/freq_wire.py), so existing
+                # clients keep deserializing with the reference library
+                from apache_pinot_spark.functions.freq_wire import (
+                    MERGE_LONGS_UDF,
+                    MERGE_STRINGS_UDF,
+                )
+
+                udf = MERGE_LONGS_UDF if kind == "longs" else MERGE_STRINGS_UDF
+                return f"hex({udf}({arg}))"
             return f"hex({SKETCH_UDF}({a[0]}))"
 
         def vector_similarity(a):
@@ -1538,6 +1557,7 @@ class PinotEngine:
         self._theta_columns: set[str] = set()
         self._clearspring_hll_columns: set[str] = set()
         self._kll_columns: set[str] = set()
+        self._freq_wire_columns: dict[str, str] = {}
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -1659,6 +1679,20 @@ class PinotEngine:
         register_kll_udfs(self.spark)
         self._kll_columns.add(column)
 
+    def register_freq_wire_column(self, column: str, kind: str) -> None:
+        """Declare a BYTES column as serialized DataSketches frequencies
+        state (the reference's FREQUENTLONGSSKETCH /
+        FREQUENTSTRINGSSKETCH columns), kind 'longs' or 'strings'.
+        FREQUENT*SKETCH over it merges in count space and returns the
+        merged WIRE blob as hex — heapifiable by the reference library
+        (functions/freq_wire.py, byte-validated vs datasketches-java)."""
+        if kind not in ("longs", "strings"):
+            raise ValueError("freq wire column kind must be 'longs' or 'strings'")
+        from apache_pinot_spark.functions.freq_wire import register_freq_wire_udfs
+
+        register_freq_wire_udfs(self.spark)
+        self._freq_wire_columns[column] = kind
+
     def theta_set_estimate(
         self,
         table: str,
@@ -1740,6 +1774,7 @@ class PinotEngine:
             self._theta_columns,
             self._clearspring_hll_columns,
             self._kll_columns,
+            self._freq_wire_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
