@@ -562,6 +562,60 @@ class PinotDialect:
         def arraylength(a):
             return f"cardinality({a[0]})"
 
+        # -- statistical aggregate pack (public aggregation surface:
+        # variance/stddev pop+samp, covariance, skewness, kurtosis,
+        # fourth moment, mode, minmaxrange, distinct sum/avg, exact
+        # decimal sum). Spark's skewness/kurtosis use the population
+        # central-moment formulas (kurtosis = n·m4/m2² − 3), the same
+        # convention as the public engine's fourth-moment family.
+        def minmaxrange(a):
+            return f"(MAX({a[0]}) - MIN({a[0]}))"
+
+        def distinctsum(a):
+            return f"SUM(DISTINCT {a[0]})"
+
+        def distinctavg(a):
+            return f"AVG(DISTINCT {a[0]})"
+
+        def sumprecision(a):
+            # SUMPRECISION(col, precision[, scale]): exact decimal sum —
+            # the overflow-proof SUM the public engine offers for money
+            # columns; result keeps the declared precision/scale.
+            if len(a) < 2:
+                raise ValueError("SUMPRECISION needs (column, precision[, scale])")
+            prec = int(a[1])
+            scale = int(a[2]) if len(a) > 2 else 0
+            if not 1 <= prec <= 38 or not 0 <= scale <= prec:
+                raise ValueError(
+                    f"SUMPRECISION: invalid precision/scale ({prec}, {scale})"
+                )
+            return f"SUM(CAST({a[0]} AS DECIMAL({prec},{scale})))"
+
+        def fourthmoment(a):
+            # central 4th moment Σ(x−μ)⁴/n, recovered from Spark's excess
+            # kurtosis: m4 = (kurtosis + 3) · var_pop²
+            return f"((kurtosis({a[0]}) + 3) * POWER(var_pop({a[0]}), 2))"
+
+        def mode_(a):
+            # MODE(col[, 'MIN'|'MAX']): most frequent value as DOUBLE;
+            # ties reduce with MIN by default (the public contract).
+            # Spark's deterministic mode returns the LOWEST tied value,
+            # which IS the MIN reducer; MAX negates twice. The AVG
+            # reducer needs the whole tie set — explicit no.
+            reducer = _unquote(a[1]).upper() if len(a) > 1 else "MIN"
+            if reducer == "MIN":
+                return f"CAST(mode({a[0]}, true) AS DOUBLE)"
+            if reducer == "MAX":
+                return f"CAST(-mode(-({a[0]}), true) AS DOUBLE)"
+            raise ValueError(
+                f"MODE reducer {reducer!r} not supported (MIN/MAX; AVG "
+                "over the tie set is not expressible as a single "
+                "deterministic Spark aggregate)"
+            )
+
+        def minmaxrangemv(a):
+            return f"(MAX(array_max({a[0]})) - MIN(array_min({a[0]})))"
+
         def valuein(a):
             # Pinot VALUEIN(mvCol, v1, v2, ...): in filter context, true
             # iff ANY element is in the value set
@@ -1157,6 +1211,23 @@ class PinotDialect:
             "DISTINCTCOUNTRAWTHETASKETCH": distinctcountrawthetasketch,
             "ARRAYLENGTH": arraylength,
             "VALUEIN": valuein,
+            "VARPOP": lambda a: f"var_pop({a[0]})",
+            "VARSAMP": lambda a: f"var_samp({a[0]})",
+            "VARIANCE": lambda a: f"var_samp({a[0]})",
+            "STDDEVPOP": lambda a: f"stddev_pop({a[0]})",
+            "STDDEVSAMP": lambda a: f"stddev_samp({a[0]})",
+            "STDDEV": lambda a: f"stddev_samp({a[0]})",
+            "COVARPOP": lambda a: f"covar_pop({a[0]}, {a[1]})",
+            "COVARSAMP": lambda a: f"covar_samp({a[0]}, {a[1]})",
+            "SKEWNESS": lambda a: f"skewness({a[0]})",
+            "KURTOSIS": lambda a: f"kurtosis({a[0]})",
+            "FOURTHMOMENT": fourthmoment,
+            "MODE": mode_,
+            "MINMAXRANGE": minmaxrange,
+            "MINMAXRANGEMV": minmaxrangemv,
+            "DISTINCTSUM": distinctsum,
+            "DISTINCTAVG": distinctavg,
+            "SUMPRECISION": sumprecision,
             "COUNTMV": countmv,
             "SUMMV": summv,
             "MINMV": minmv,

@@ -1,0 +1,142 @@
+"""Statistical aggregate pack (public aggregation surface): every new
+dialect aggregate differential-tested against DuckDB on the real
+lineitem/events tables — moment formulas written out explicitly where
+the two engines' built-in conventions differ (DuckDB ships SAMPLE
+skewness/kurtosis; the engine pins the POPULATION central-moment
+convention of the reference's fourth-moment family)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from apache_pinot_spark.sqlfront import PinotEngine
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def eng(spark):
+    return PinotEngine(spark, SF_SMOKE, tables=["lineitem", "events", "orders"])
+
+
+def test_variance_stddev_covariance_vs_duckdb(eng, duck):
+    got = eng.sql(
+        "SELECT VARPOP(l_quantity) AS vp, VARSAMP(l_quantity) AS vs, "
+        "VARIANCE(l_quantity) AS v, STDDEVPOP(l_quantity) AS sp, "
+        "STDDEVSAMP(l_quantity) AS ss, STDDEV(l_quantity) AS s, "
+        "COVARPOP(l_quantity, l_extendedprice) AS cp, "
+        "COVARSAMP(l_quantity, l_extendedprice) AS cs "
+        "FROM lineitem LIMIT 1"
+    ).collect()[0]
+    want = duck.sql(
+        "SELECT var_pop(l_quantity), var_samp(l_quantity), "
+        "stddev_pop(l_quantity), stddev_samp(l_quantity), "
+        "covar_pop(l_quantity, l_extendedprice), "
+        "covar_samp(l_quantity, l_extendedprice) FROM lineitem"
+    ).fetchone()
+    assert got["vp"] == pytest.approx(want[0], rel=1e-9)
+    assert got["vs"] == got["v"] == pytest.approx(want[1], rel=1e-9)
+    assert got["sp"] == pytest.approx(want[2], rel=1e-9)
+    assert got["ss"] == got["s"] == pytest.approx(want[3], rel=1e-9)
+    assert got["cp"] == pytest.approx(want[4], rel=1e-9)
+    assert got["cs"] == pytest.approx(want[5], rel=1e-9)
+
+
+def test_skewness_kurtosis_fourthmoment_population_convention(eng, duck):
+    """Explicit population central moments in DuckDB (not its sample
+    built-ins) must reproduce the engine's SKEWNESS / KURTOSIS /
+    FOURTHMOMENT."""
+    got = eng.sql(
+        "SELECT SKEWNESS(l_quantity) AS sk, KURTOSIS(l_quantity) AS ku, "
+        "FOURTHMOMENT(l_quantity) AS m4 FROM lineitem LIMIT 1"
+    ).collect()[0]
+    n, m2, m3, m4 = duck.sql(
+        "WITH s AS (SELECT avg(l_quantity) AS mu FROM lineitem) "
+        "SELECT count(*), "
+        "sum(pow(l_quantity - mu, 2)) / count(*), "
+        "sum(pow(l_quantity - mu, 3)) / count(*), "
+        "sum(pow(l_quantity - mu, 4)) / count(*) "
+        "FROM lineitem, s"
+    ).fetchone()
+    assert got["sk"] == pytest.approx(m3 / m2**1.5, rel=1e-6)
+    assert got["ku"] == pytest.approx(m4 / m2**2 - 3, rel=1e-6)
+    assert got["m4"] == pytest.approx(m4, rel=1e-6)
+
+
+def test_mode_reducers_and_tie_pinning(spark):
+    eng = PinotEngine(spark)
+    eng.register(
+        "mv", spark.createDataFrame([(3,), (3,), (1,), (1,), (2,)], "v int")
+    )
+    row = eng.sql(
+        "SELECT MODE(v) AS lo, MODE(v, 'MIN') AS lo2, MODE(v, 'MAX') AS hi "
+        "FROM mv LIMIT 1"
+    ).collect()[0]
+    assert (row["lo"], row["lo2"], row["hi"]) == (1.0, 1.0, 3.0)
+    with pytest.raises(ValueError, match="MODE reducer"):
+        eng.rewrite("SELECT MODE(v, 'AVG') FROM mv")
+
+
+def test_mode_vs_duckdb_on_events(eng, duck):
+    got = eng.sql(
+        "SELECT event_type, MODE(user_id) AS m FROM events "
+        "GROUP BY event_type ORDER BY event_type LIMIT 100"
+    ).collect()
+    # per-group mode with MIN tie-break, computed as explicit truth
+    want = {}
+    for et, uid, cnt in duck.sql(
+        "SELECT event_type, user_id, count(*) FROM events GROUP BY 1, 2"
+    ).fetchall():
+        cur = want.get(et)
+        if cur is None or cnt > cur[1] or (cnt == cur[1] and uid < cur[0]):
+            want[et] = (uid, cnt)
+    assert {r["event_type"]: r["m"] for r in got} == {
+        et: float(uid) for et, (uid, cnt) in want.items()
+    }
+
+
+def test_minmaxrange_distinct_sum_avg_sumprecision(eng, duck):
+    got = eng.sql(
+        "SELECT MINMAXRANGE(l_quantity) AS r, DISTINCTSUM(l_linenumber) AS ds, "
+        "DISTINCTAVG(l_linenumber) AS da, "
+        "SUMPRECISION(l_extendedprice, 28, 2) AS sp FROM lineitem LIMIT 1"
+    ).collect()[0]
+    want = duck.sql(
+        "SELECT max(l_quantity) - min(l_quantity), "
+        "sum(DISTINCT l_linenumber), avg(DISTINCT l_linenumber), "
+        "sum(CAST(l_extendedprice AS DECIMAL(28,2))) FROM lineitem"
+    ).fetchone()
+    assert got["r"] == want[0]
+    assert got["ds"] == want[1]
+    assert got["da"] == pytest.approx(want[2], rel=1e-9)
+    assert float(got["sp"]) == pytest.approx(float(want[3]), abs=0.01)
+    with pytest.raises(ValueError, match="precision/scale"):
+        eng.rewrite("SELECT SUMPRECISION(l_quantity, 99) FROM lineitem")
+    with pytest.raises(ValueError, match="needs"):
+        eng.rewrite("SELECT SUMPRECISION(l_quantity) FROM lineitem")
+
+
+def test_minmaxrangemv_over_array_column(spark):
+    eng = PinotEngine(spark)
+    eng.register(
+        "arrs",
+        spark.createDataFrame(
+            [([1.0, 5.0],), ([2.0, 9.0],), ([0.5, 3.0],)], "a array<double>"
+        ),
+    )
+    got = eng.sql("SELECT MINMAXRANGEMV(a) AS r FROM arrs LIMIT 1").collect()[0]["r"]
+    assert got == 8.5  # max 9.0 − min 0.5
+
+
+def test_group_by_shapes_stay_partial_aggregated(eng):
+    """Scale assert: the new aggregates ride the normal hash-aggregate
+    path (map-side partials; no window, no Python)."""
+    df = eng.sql(
+        "SELECT l_returnflag, VARPOP(l_quantity) AS v, MODE(l_linenumber) AS m "
+        "FROM lineitem GROUP BY l_returnflag LIMIT 100"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Python" not in plan and "Window" not in plan
+    assert math.isfinite(df.collect()[0]["v"])
