@@ -230,3 +230,27 @@ def hll_estimate_fold_sql(col_sql: str, m: int = HLL_M) -> str:
         f"aggregate(collect_set(CAST({col_sql} AS STRING)), "
         f"array_repeat(0, {m}), (acc, v) -> {update}, acc -> {finish})"
     )
+
+
+def hll_estimate_fold_over_set_sql(set_sql: str, m: int = HLL_M) -> str:
+    """The same register fold + estimate over an ARBITRARY
+    array<string> aggregate expression (e.g. the flattened distinct
+    elements of a multi-value column for DISTINCTCOUNTHLLMV) — register
+    math identical to hll_estimate_fold_sql, so estimates agree with
+    the scalar DISTINCTCOUNTHLL over the exploded elements."""
+    assert m == HLL_M
+    reg, rho = _reg_sql("h"), _rho_sql("h")
+    update = (
+        f"element_at(transform(array(md5(v)), h -> "
+        f"transform(acc, (cur, i) -> "
+        f"CASE WHEN i = {reg} THEN GREATEST(cur, {rho}) ELSE cur END)), 1)"
+    )
+    inv = _pow2_inv("rr", "spark")
+    finish = (
+        f"CAST(FLOOR({HLL_ALPHA!r} * {m} * {m} / "
+        f"aggregate(acc, CAST(0.0 AS DOUBLE), (s, rr) -> s + {inv})) AS BIGINT)"
+    )
+    return (
+        f"aggregate({set_sql}, "
+        f"array_repeat(0, {m}), (acc, v) -> {update}, acc -> {finish})"
+    )

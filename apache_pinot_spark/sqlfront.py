@@ -616,6 +616,66 @@ class PinotDialect:
         def minmaxrangemv(a):
             return f"(MAX(array_max({a[0]})) - MIN(array_min({a[0]})))"
 
+        # -- MV aggregate variants over the flattened element stream.
+        # Memory note (stated per the loud-fallback policy): the
+        # collect_list/percentile forms hold the group's MV ELEMENTS in
+        # the aggregation buffer — bounded by elements-per-group like
+        # exact DISTINCTCOUNT, not constant-state. Element nulls are
+        # dropped first (every engine aggregate ignores SQL NULLs).
+        def _flat_elements(col: str) -> str:
+            return f"flatten(collect_list(filter({col}, x -> x IS NOT NULL)))"
+
+        def _distinct_elements_str(col: str) -> str:
+            return (
+                f"array_distinct(flatten(collect_list("
+                f"filter(CAST({col} AS ARRAY<STRING>), x -> x IS NOT NULL))))"
+            )
+
+        def distinctsummv(a):
+            # sum of DISTINCT elements across the group's arrays — one
+            # transform binding so the distinct array is computed once
+            return (
+                f"element_at(transform(array(array_distinct({_flat_elements(a[0])})), "
+                f"d -> aggregate(d, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))), 1)"
+            )
+
+        def distinctavgmv(a):
+            return (
+                f"element_at(transform(array(array_distinct({_flat_elements(a[0])})), "
+                f"d -> aggregate(d, CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE)) / cardinality(d)), 1)"
+            )
+
+        def distinctcounthllmv(a):
+            # the portable register fold over the distinct MV elements —
+            # estimate identical to DISTINCTCOUNTHLL over the exploded
+            # column (functions/hll.py shares the register math)
+            from apache_pinot_spark.functions.hll import (
+                hll_estimate_fold_over_set_sql,
+            )
+
+            return hll_estimate_fold_over_set_sql(_distinct_elements_str(a[0]))
+
+        def percentilemv(a):
+            # exact interpolated percentile over the group's elements —
+            # the same convention as the scalar PERCENTILE handler
+            # (Spark percentile()); the sorted flattened array binds once
+            # through a single-element transform. PERCENTILEEST/TDIGEST
+            # MV forms share it (an approx contract satisfied exactly).
+            q = float(a[1]) / 100.0
+            flat = f"array_sort({_flat_elements(a[0])})"
+            pos = f"({q!r} * (cardinality(arr) - 1))"
+            lo1 = f"(CAST(FLOOR({pos}) AS INT) + 1)"
+            return (
+                f"element_at(transform(array({flat}), arr -> "
+                f"CASE WHEN cardinality(arr) = 0 THEN CAST(NULL AS DOUBLE) "
+                f"ELSE CAST(element_at(arr, {lo1}) AS DOUBLE) + "
+                f"({pos} - FLOOR({pos})) * "
+                f"(CAST(element_at(arr, LEAST({lo1} + 1, cardinality(arr))) AS DOUBLE) "
+                f"- CAST(element_at(arr, {lo1}) AS DOUBLE)) END), 1)"
+            )
+
         def valuein(a):
             # Pinot VALUEIN(mvCol, v1, v2, ...): in filter context, true
             # iff ANY element is in the value set
@@ -1225,6 +1285,13 @@ class PinotDialect:
             "MODE": mode_,
             "MINMAXRANGE": minmaxrange,
             "MINMAXRANGEMV": minmaxrangemv,
+            "DISTINCTSUMMV": distinctsummv,
+            "DISTINCTAVGMV": distinctavgmv,
+            "DISTINCTCOUNTHLLMV": distinctcounthllmv,
+            "PERCENTILEMV": percentilemv,
+            "PERCENTILEESTMV": percentilemv,
+            "PERCENTILETDIGESTMV": percentilemv,
+            "PERCENTILEKLLMV": percentilemv,
             "DISTINCTSUM": distinctsum,
             "DISTINCTAVG": distinctavg,
             "SUMPRECISION": sumprecision,

@@ -140,3 +140,49 @@ def test_group_by_shapes_stay_partial_aggregated(eng):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert "Python" not in plan and "Window" not in plan
     assert math.isfinite(df.collect()[0]["v"])
+
+
+def test_mv_aggregate_variants(spark, duck):
+    """DISTINCTSUMMV / DISTINCTAVGMV / PERCENTILEMV (+EST/TDIGEST/KLL
+    aliases) / DISTINCTCOUNTHLLMV over array columns, differential
+    against DuckDB on the exploded elements."""
+    eng = PinotEngine(spark)
+    rows = [
+        (1, [1.0, 2.0, 2.0, None]),
+        (2, [2.0, 5.0]),
+        (3, [0.5]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>")
+    eng.register("mvt", df)
+    got = eng.sql(
+        "SELECT DISTINCTSUMMV(a) AS ds, DISTINCTAVGMV(a) AS da, "
+        "PERCENTILEMV(a, 50) AS p50, PERCENTILEESTMV(a, 90) AS p90, "
+        "PERCENTILETDIGESTMV(a, 90) AS p90b, PERCENTILEKLLMV(a, 90) AS p90c "
+        "FROM mvt LIMIT 1"
+    ).collect()[0]
+    duck.sql("CREATE OR REPLACE TABLE mv_el AS SELECT * FROM (VALUES "
+             "(1.0),(2.0),(2.0),(2.0),(5.0),(0.5)) t(v)")
+    want_ds, want_da, want_p50, want_p90 = duck.sql(
+        "SELECT (SELECT sum(DISTINCT v) FROM mv_el), "
+        "(SELECT avg(DISTINCT v) FROM mv_el), "
+        "(SELECT quantile_cont(v, 0.5) FROM mv_el), "
+        "(SELECT quantile_cont(v, 0.9) FROM mv_el)"
+    ).fetchone()
+    assert got["ds"] == pytest.approx(want_ds)
+    assert got["da"] == pytest.approx(want_da)
+    assert got["p50"] == pytest.approx(want_p50)  # interpolated convention
+    assert got["p90"] == got["p90b"] == got["p90c"] == pytest.approx(want_p90)
+    # HLLMV estimate == scalar DISTINCTCOUNTHLL over the exploded column
+    eng.register(
+        "mvx",
+        df.selectExpr("explode(filter(a, x -> x IS NOT NULL)) AS v"),
+    )
+    hll_mv = eng.sql("SELECT DISTINCTCOUNTHLLMV(a) AS h FROM mvt LIMIT 1").collect()[0]["h"]
+    hll_scalar = eng.sql("SELECT DISTINCTCOUNTHLL(v) AS h FROM mvx LIMIT 1").collect()[0]["h"]
+    assert hll_mv == hll_scalar
+    # grouped shape stays a hash aggregate with no Python
+    plan = eng.sql(
+        "SELECT id % 2 AS g, PERCENTILEMV(a, 50) AS p FROM mvt GROUP BY id % 2"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
