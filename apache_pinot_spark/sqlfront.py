@@ -568,6 +568,55 @@ class PinotDialect:
         # decimal sum). Spark's skewness/kurtosis use the population
         # central-moment formulas (kurtosis = n·m4/m2² − 3), the same
         # convention as the public engine's fourth-moment family.
+        def _fmt_to_millis(col: str, fmt: "DateTimeFormat") -> str:
+            if fmt.fmt == "SIMPLE_DATE_FORMAT":
+                return (
+                    f"unix_millis(to_timestamp(CAST({col} AS STRING), "
+                    f"'{fmt.pattern}'))"
+                )
+            if fmt.fmt == "TIMESTAMP":
+                return f"unix_millis(CAST({col} AS TIMESTAMP))"
+            return f"(CAST({col} AS BIGINT) * {fmt.unit_millis})"
+
+        def datetimeconvert(a):
+            # DATETIMECONVERT(col, inputFormat, outputFormat,
+            # outputGranularity): the public time-normalization
+            # workhorse. All three specs are literals, so this compiles
+            # to pure arithmetic / to_timestamp expressions (the
+            # plans/schema.DateTimeFormat grammar, schema.md:69-71):
+            # input → epoch ms → floor to the granularity → output form.
+            from apache_pinot_spark.plans.schema import DateTimeFormat
+
+            if len(a) != 4:
+                raise ValueError(
+                    "DATETIMECONVERT needs (col, inputFormat, outputFormat, "
+                    "outputGranularity)"
+                )
+            infmt = DateTimeFormat.parse(_unquote(a[1]))
+            outfmt = DateTimeFormat.parse(_unquote(a[2]))
+            gran = _parse_time_spec_ms(_unquote(a[3]))
+            bucketed = f"(({_fmt_to_millis(a[0], infmt)}) DIV {gran} * {gran})"
+            if outfmt.fmt == "SIMPLE_DATE_FORMAT":
+                return (
+                    f"date_format(timestamp_millis({bucketed}), "
+                    f"'{outfmt.pattern}')"
+                )
+            if outfmt.fmt == "TIMESTAMP":
+                return f"timestamp_millis({bucketed})"
+            return f"({bucketed} DIV {outfmt.unit_millis})"
+
+        def timeconvert(a):
+            # TIMECONVERT(col, fromUnit, toUnit): integer unit change
+            from apache_pinot_spark.plans.schema import DateTimeFormat
+
+            units = DateTimeFormat._UNIT_MILLIS
+            fu, tu = _unquote(a[1]).upper(), _unquote(a[2]).upper()
+            if fu not in units or tu not in units:
+                raise ValueError(
+                    f"TIMECONVERT units must be in {sorted(units)}: {fu}, {tu}"
+                )
+            return f"(CAST({a[0]} AS BIGINT) * {units[fu]} DIV {units[tu]})"
+
         def minmaxrange(a):
             return f"(MAX({a[0]}) - MIN({a[0]}))"
 
@@ -1353,6 +1402,33 @@ class PinotDialect:
             "FROMEPOCHMINUTES": lambda a: f"(({a[0]}) * 60000)",
             "FROMEPOCHHOURS": lambda a: f"(({a[0]}) * 3600000)",
             "FROMEPOCHDAYS": lambda a: f"(({a[0]}) * 86400000)",
+            # rounded/bucket variants (public transform surface):
+            # ROUNDED floors the epoch value to a multiple of n in ITS
+            # OWN unit; BUCKET divides into n-unit bucket ordinals;
+            # FROMEPOCH…BUCKET inverts back to epoch millis
+            **{
+                f"TOEPOCH{u}ROUNDED": (
+                    lambda a, ms=ms: f"(floor(({a[0]}) / {ms}) DIV ({a[1]}) * ({a[1]}))"
+                )
+                for u, ms in (("SECONDS", 1000), ("MINUTES", 60000),
+                              ("HOURS", 3600000), ("DAYS", 86400000))
+            },
+            **{
+                f"TOEPOCH{u}BUCKET": (
+                    lambda a, ms=ms: f"(floor(({a[0]}) / {ms}) DIV ({a[1]}))"
+                )
+                for u, ms in (("SECONDS", 1000), ("MINUTES", 60000),
+                              ("HOURS", 3600000), ("DAYS", 86400000))
+            },
+            **{
+                f"FROMEPOCH{u}BUCKET": (
+                    lambda a, ms=ms: f"(({a[0]}) * ({a[1]}) * {ms})"
+                )
+                for u, ms in (("SECONDS", 1000), ("MINUTES", 60000),
+                              ("HOURS", 3600000), ("DAYS", 86400000))
+            },
+            "DATETIMECONVERT": datetimeconvert,
+            "TIMECONVERT": timeconvert,
             "ST_POINT": st_point,
             "ST_GEOMFROMTEXT": st_geomfromtext,
             "ST_GEOGFROMTEXT": st_geomfromtext,

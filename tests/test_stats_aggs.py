@@ -186,3 +186,78 @@ def test_mv_aggregate_variants(spark, duck):
         "SELECT id % 2 AS g, PERCENTILEMV(a, 50) AS p FROM mvt GROUP BY id % 2"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_datetimeconvert_and_timeconvert(eng, duck):
+    """DATETIMECONVERT across format families (EPOCH units,
+    SIMPLE_DATE_FORMAT, TIMESTAMP) with granularity bucketing, and
+    TIMECONVERT unit changes — differential against explicit DuckDB
+    arithmetic on the events table."""
+    got = eng.sql(
+        "SELECT DATETIMECONVERT(unix_millis(CAST(ts AS TIMESTAMP)), "
+        "  '1:MILLISECONDS:EPOCH', '1:HOURS:EPOCH', '1:HOURS') AS h, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY h LIMIT 2000"
+    ).collect()
+    want = duck.sql(
+        "SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h, count(*) "
+        "FROM events GROUP BY 1 ORDER BY h"
+    ).fetchall()
+    assert [(r["h"], r["cnt"]) for r in got] == [(r[0], r[1]) for r in want]
+    # SDF output + 15-minute bucketing
+    row = eng.sql(
+        "SELECT DATETIMECONVERT(unix_millis(CAST(ts AS TIMESTAMP)), "
+        "  '1:MILLISECONDS:EPOCH', '1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd', "
+        "  '1:DAYS') AS d FROM events ORDER BY ts LIMIT 1"
+    ).collect()[0]
+    wd = duck.sql(
+        "SELECT strftime(min(CAST(ts AS TIMESTAMP)), '%Y%m%d') FROM events"
+    ).fetchone()[0]
+    assert row["d"] == wd
+    # SDF input -> epoch minutes, and TIMESTAMP output form
+    eng2 = PinotEngine(eng.spark)
+    eng2.register(
+        "sdf", eng.spark.createDataFrame([("20240102",)], "d string")
+    )
+    r2 = eng2.sql(
+        "SELECT DATETIMECONVERT(d, '1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd', "
+        "  '1:MINUTES:EPOCH', '1:DAYS') AS m, "
+        "DATETIMECONVERT(d, '1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd', "
+        "  '1:MILLISECONDS:TIMESTAMP', '1:DAYS') AS t FROM sdf LIMIT 1"
+    ).collect()[0]
+    assert r2["m"] == 1_704_153_600_000 // 60000
+    assert str(r2["t"]).startswith("2024-01-02 00:00:00")
+    # TIMECONVERT + rounded/bucket epoch family
+    r3 = eng2.sql(
+        "SELECT TIMECONVERT(90061000, 'MILLISECONDS', 'SECONDS') AS s, "
+        "TIMECONVERT(25, 'HOURS', 'DAYS') AS d, "
+        "TOEPOCHMINUTESROUNDED(90061000, 10) AS mr, "
+        "TOEPOCHMINUTESBUCKET(90061000, 10) AS mb, "
+        "FROMEPOCHMINUTESBUCKET(150, 10) AS fb FROM sdf LIMIT 1"
+    ).collect()[0]
+    assert (r3["s"], r3["d"]) == (90061, 1)
+    assert r3["mr"] == 1500 and r3["mb"] == 150  # 1501 min -> floor(/10)
+    assert r3["fb"] == 150 * 10 * 60000
+    # the whole rounded/bucket family across units (one query, exact):
+    # 90061000 ms = 90061 s = 1501 min = 25 h = 1 day and 1:01:01
+    r4 = eng2.sql(
+        "SELECT TOEPOCHSECONDSROUNDED(90061000, 100) AS sr, "
+        "TOEPOCHSECONDSBUCKET(90061000, 100) AS sb, "
+        "TOEPOCHHOURSROUNDED(90061000, 12) AS hr, "
+        "TOEPOCHHOURSBUCKET(90061000, 12) AS hb, "
+        "TOEPOCHDAYSROUNDED(954061000000, 7) AS dr, "
+        "TOEPOCHDAYSBUCKET(954061000000, 7) AS db, "
+        "FROMEPOCHSECONDSBUCKET(900, 100) AS fs, "
+        "FROMEPOCHHOURSBUCKET(2, 12) AS fh, "
+        "FROMEPOCHDAYSBUCKET(3, 7) AS fd FROM sdf LIMIT 1"
+    ).collect()[0]
+    assert (r4["sr"], r4["sb"]) == (90000, 900)
+    assert (r4["hr"], r4["hb"]) == (24, 2)
+    days = 954061000000 // 86400000  # 11042
+    assert (r4["dr"], r4["db"]) == (days // 7 * 7, days // 7)
+    assert r4["fs"] == 900 * 100 * 1000
+    assert r4["fh"] == 2 * 12 * 3600000
+    assert r4["fd"] == 3 * 7 * 86400000
+    with pytest.raises(ValueError, match="TIMECONVERT units"):
+        eng2.rewrite("SELECT TIMECONVERT(1, 'FORTNIGHTS', 'DAYS') FROM sdf")
+    with pytest.raises(ValueError, match="DATETIMECONVERT needs"):
+        eng2.rewrite("SELECT DATETIMECONVERT(d, '1:DAYS:EPOCH') FROM sdf")
