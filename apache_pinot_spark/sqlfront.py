@@ -696,6 +696,22 @@ class PinotDialect:
                 f"(acc, x) -> acc + CAST(x AS DOUBLE)) / cardinality(d)), 1)"
             )
 
+        def distinctcountbitmapmv(a):
+            # exact distinct over MV elements (scalar
+            # DISTINCTCOUNTBITMAP's convention: the bitmap sketch is
+            # exact, so the plain distinct count IS the answer)
+            return (
+                f"cardinality(array_distinct({_flat_elements(a[0])}))"
+            )
+
+        def arrayagg(a):
+            # ARRAYAGG(col, 'dataType'[, isDistinct]): group values as an
+            # array; the dataType is the public serde hint (accepted,
+            # types flow through Spark), optional distinct flag
+            distinct = len(a) > 2 and a[2].strip().strip("'").lower() == "true"
+            inner = f"collect_list({a[0]})"
+            return f"array_distinct({inner})" if distinct else inner
+
         def distinctcounthllmv(a):
             # the portable register fold over the distinct MV elements —
             # estimate identical to DISTINCTCOUNTHLL over the exploded
@@ -1337,6 +1353,8 @@ class PinotDialect:
             "DISTINCTSUMMV": distinctsummv,
             "DISTINCTAVGMV": distinctavgmv,
             "DISTINCTCOUNTHLLMV": distinctcounthllmv,
+            "DISTINCTCOUNTBITMAPMV": distinctcountbitmapmv,
+            "ARRAYAGG": arrayagg,
             "PERCENTILEMV": percentilemv,
             "PERCENTILEESTMV": percentilemv,
             "PERCENTILETDIGESTMV": percentilemv,

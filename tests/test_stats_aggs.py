@@ -261,3 +261,30 @@ def test_datetimeconvert_and_timeconvert(eng, duck):
         eng2.rewrite("SELECT TIMECONVERT(1, 'FORTNIGHTS', 'DAYS') FROM sdf")
     with pytest.raises(ValueError, match="DATETIMECONVERT needs"):
         eng2.rewrite("SELECT DATETIMECONVERT(d, '1:DAYS:EPOCH') FROM sdf")
+
+
+def test_arrayagg_and_distinctcountbitmapmv(spark, duck):
+    eng = PinotEngine(spark)
+    eng.register(
+        "aa",
+        spark.createDataFrame(
+            [(1, "x", [1, 2]), (1, "y", [2, 3]), (2, "x", [5])],
+            "g int, s string, a array<int>",
+        ),
+    )
+    got = eng.sql(
+        "SELECT g, ARRAYAGG(s, 'STRING') AS vals, "
+        "ARRAYAGG(s, 'STRING', true) AS dvals, "
+        "DISTINCTCOUNTBITMAPMV(a) AS dc "
+        "FROM aa GROUP BY g ORDER BY g LIMIT 10"
+    ).collect()
+    by_g = {r["g"]: r for r in got}
+    assert sorted(by_g[1]["vals"]) == ["x", "y"] and by_g[1]["dc"] == 3
+    assert sorted(by_g[1]["dvals"]) == ["x", "y"]
+    assert by_g[2]["vals"] == ["x"] and by_g[2]["dc"] == 1
+    # distinct flag dedups repeated values
+    eng.register("aa2", spark.createDataFrame([(1, "x"), (1, "x")], "g int, s string"))
+    r = eng.sql(
+        "SELECT ARRAYAGG(s, 'STRING', true) AS d FROM aa2 GROUP BY g LIMIT 1"
+    ).collect()[0]
+    assert r["d"] == ["x"]
