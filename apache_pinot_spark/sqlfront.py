@@ -568,11 +568,16 @@ class PinotDialect:
         # decimal sum). Spark's skewness/kurtosis use the population
         # central-moment formulas (kurtosis = n·m4/m2² − 3), the same
         # convention as the public engine's fourth-moment family.
+        def _sql_quote(s2: str) -> str:
+            # re-embedding a pattern into generated SQL: escape quote
+            # characters so a pattern containing ' cannot break out
+            return s2.replace("\\", "\\\\").replace("'", "''")
+
         def _fmt_to_millis(col: str, fmt: "DateTimeFormat") -> str:
             if fmt.fmt == "SIMPLE_DATE_FORMAT":
                 return (
                     f"unix_millis(to_timestamp(CAST({col} AS STRING), "
-                    f"'{fmt.pattern}'))"
+                    f"'{_sql_quote(fmt.pattern)}'))"
                 )
             if fmt.fmt == "TIMESTAMP":
                 return f"unix_millis(CAST({col} AS TIMESTAMP))"
@@ -599,7 +604,7 @@ class PinotDialect:
             if outfmt.fmt == "SIMPLE_DATE_FORMAT":
                 return (
                     f"date_format(timestamp_millis({bucketed}), "
-                    f"'{outfmt.pattern}')"
+                    f"'{_sql_quote(outfmt.pattern)}')"
                 )
             if outfmt.fmt == "TIMESTAMP":
                 return f"timestamp_millis({bucketed})"
