@@ -215,15 +215,19 @@ def register_freq_wire_udfs(spark) -> None:
     def pinot_freq_wire_merge_longs(blobs: pd.Series) -> bytes:
         from apache_pinot_spark.functions import freq_wire as _f
 
-        return _f.serialize_longs_sketch(_f.merge_blobs(blobs.dropna(), "longs"))
+        present = blobs.dropna()
+        if present.empty:
+            return None  # all-NULL group → NULL blob, not a failed job
+        return _f.serialize_longs_sketch(_f.merge_blobs(present, "longs"))
 
     @pandas_udf("binary")
     def pinot_freq_wire_merge_strings(blobs: pd.Series) -> bytes:
         from apache_pinot_spark.functions import freq_wire as _f
 
-        return _f.serialize_strings_sketch(
-            _f.merge_blobs(blobs.dropna(), "strings")
-        )
+        present = blobs.dropna()
+        if present.empty:
+            return None
+        return _f.serialize_strings_sketch(_f.merge_blobs(present, "strings"))
 
     spark.udf.register(MERGE_LONGS_UDF, pinot_freq_wire_merge_longs)
     spark.udf.register(MERGE_STRINGS_UDF, pinot_freq_wire_merge_strings)

@@ -157,29 +157,18 @@ def _murmur2_matrix(mat: np.ndarray, seed: int = -1) -> np.ndarray:
 
 
 def hash_bytes_batch(values: list[bytes], seed: int = -1) -> np.ndarray:
-    """Vectorized murmur2_32 for variable-length byte strings (grouped
-    by length, lockstep matrices — theta_wire's batching scheme)."""
-    n = len(values)
-    out = np.zeros(n, dtype=np.uint32)
-    if n == 0:
-        return out
-    lengths = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
-    order = np.argsort(lengths, kind="stable")
-    sorted_lengths = lengths[order]
-    start = 0
-    while start < n:
-        length = sorted_lengths[start]
-        stop = int(np.searchsorted(sorted_lengths, length, side="right"))
-        idx = order[start:stop]
-        if length > 0:
-            buf = b"".join(values[i] for i in idx)
-            mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), length)
-            out[idx] = _murmur2_matrix(mat, seed)
-        else:
-            # hash(empty) is defined (seed ^ 0 avalanche) — compute scalar
-            out[idx] = np.uint32(murmur2_32(b"", seed) & _M32)
-        start = stop
-    return out
+    """Vectorized murmur2_32 for variable-length byte strings — the
+    shared group-by-length driver (theta_wire.batch_hash_by_length) with
+    the murmur2 matrix kernel. hash(empty) IS defined in this family
+    (seed ^ 0 avalanche), unlike the theta pipeline's 0 sentinel."""
+    from apache_pinot_spark.functions.theta_wire import batch_hash_by_length
+
+    return batch_hash_by_length(
+        values,
+        lambda mat: _murmur2_matrix(mat, seed),
+        empty_value=murmur2_32(b"", seed) & _M32,
+        dtype=np.uint32,
+    )
 
 
 def hash_series(values: "pd.Series") -> np.ndarray:
@@ -197,16 +186,28 @@ def hash_series(values: "pd.Series") -> np.ndarray:
         for x in values
     ]
     if any(e is None for e in encoded):
+        # mixed/odd object values: mirror the MurmurHash.hash(Object)
+        # dispatch — numeric types route through hashLong (floats via
+        # their RAW double bits, stream-lib does NOT canonicalize -0.0);
+        # everything else through its string form
+        long_bits: dict[int, int] = {}
         for i, (x, e) in enumerate(zip(values, encoded)):
             if e is None:
-                if isinstance(x, (int, np.integer)):
-                    encoded[i] = None  # marker: long path below
+                if isinstance(x, (bool, np.bool_)):
+                    # Java Boolean is not a Number: the dispatch falls to
+                    # hash(toString()) — "true"/"false"
+                    encoded[i] = (b"true" if x else b"false")
+                elif isinstance(x, (int, np.integer)):
+                    long_bits[i] = int(x)
+                elif isinstance(x, (float, np.floating)):
+                    long_bits[i] = struct.unpack(
+                        "<q", struct.pack("<d", float(x))
+                    )[0]
                 else:
                     encoded[i] = str(x).encode("utf-8")
-        out = hash_bytes_batch([e or b"" for e in encoded])
-        for i, (x, e) in enumerate(zip(values, encoded)):
-            if e is None:
-                out[i] = np.uint32(hash_long(int(x)) & _M32)
+        out = hash_bytes_batch([e if e is not None else b"" for e in encoded])
+        for i, bits in long_bits.items():
+            out[i] = np.uint32(hash_long(bits) & _M32)
         return out
     return hash_bytes_batch(encoded)
 
@@ -386,7 +387,10 @@ def register_clearspring_udfs(spark) -> None:
     def pinot_cshll_merge(blobs: pd.Series) -> bytes:
         from apache_pinot_spark.functions import hll_clearspring as _c
 
-        return _c.merge_blobs(blobs.dropna()).serialize()
+        present = blobs.dropna()
+        if present.empty:
+            return None  # all-NULL group → NULL blob (estimate maps to NULL)
+        return _c.merge_blobs(present).serialize()
 
     @pandas_udf("long")
     def pinot_cshll_estimate(blobs: pd.Series) -> pd.Series:

@@ -184,6 +184,12 @@ def register_kll_udfs(spark) -> None:
     def pinot_kll_pct(blobs: pd.Series, pct: pd.Series) -> float:
         from apache_pinot_spark.functions import kll_wire as _k
 
-        return _k.kll_quantile(list(blobs.dropna()), float(pct.iloc[0]) / 100.0)
+        present = [
+            b for b in blobs.dropna()
+            if _k.parse_kll_doubles(bytes(b)).n > 0
+        ]
+        if not present:
+            return None  # all-NULL/empty group → NULL, not a failed job
+        return _k.kll_quantile(present, float(pct.iloc[0]) / 100.0)
 
     spark.udf.register(PCT_UDF, pinot_kll_pct)

@@ -227,14 +227,16 @@ def hash64_longs(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     return h1 >> np.uint64(1)
 
 
-def hash64_bytes(values: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Theta update-hash for variable-length byte strings (h1 >> 1):
-    values are grouped by length so every group hashes as one lockstep
-    numpy matrix — batch cost is O(total bytes), not O(rows) Python
-    calls. Empty values are skipped by datasketches (update("") is a
-    no-op); they hash here to the 0 sentinel the caller already drops."""
+def batch_hash_by_length(values: list[bytes], matrix_fn, empty_value: int,
+                         dtype=np.uint64) -> np.ndarray:
+    """Shared driver for vectorized variable-length byte hashing: group
+    values by length so every group hashes as one lockstep numpy matrix
+    — batch cost is O(total bytes), not O(rows) Python calls.
+    ``matrix_fn(mat)`` hashes one (n, L) uint8 matrix; ``empty_value``
+    is the result for zero-length inputs (hash families disagree on
+    whether the empty input is defined)."""
     n = len(values)
-    out = np.zeros(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=dtype)
     if n == 0:
         return out
     lengths = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
@@ -248,9 +250,22 @@ def hash64_bytes(values: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
         if length > 0:
             buf = b"".join(values[i] for i in idx)
             mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), length)
-            out[idx] = _murmur_h1_matrix(mat, seed) >> np.uint64(1)
+            out[idx] = matrix_fn(mat)
+        else:
+            out[idx] = empty_value
         start = stop
     return out
+
+
+def hash64_bytes(values: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Theta update-hash for variable-length byte strings (h1 >> 1).
+    Empty values are skipped by datasketches (update("") is a no-op);
+    they hash here to the 0 sentinel the caller already drops."""
+    return batch_hash_by_length(
+        values,
+        lambda mat: _murmur_h1_matrix(mat, seed) >> np.uint64(1),
+        empty_value=0,
+    )
 
 
 def java_double_bits(values: np.ndarray) -> np.ndarray:

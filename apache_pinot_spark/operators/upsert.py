@@ -266,11 +266,18 @@ def upsert_stateful(
             return
 
         def ord_of(row) -> tuple:
+            # Null ordering fields sort LOWEST (matching the batch views'
+            # max_by over an ordering STRUCT, where a null field sorts
+            # first): each part becomes (present?, value), so None/NaN
+            # loses to any real value without ever reaching a None-vs-
+            # value comparison (which would TypeError the task), and a
+            # key whose only rows have null ordering still surfaces —
+            # exactly like the batch view of the same data.
             parts = []
-            if cmp_col:
-                parts.append(row[cmp_col])
-            if seq_col:
-                parts.append(row[seq_col])
+            for colname in (cmp_col, seq_col):
+                if colname:
+                    p = row[colname]
+                    parts.append((0, 0) if p is None or p != p else (1, p))
             return tuple(parts)
 
         best = pickle.loads(state.get[0]) if state.exists else None  # (ord, rowdict)
@@ -278,14 +285,6 @@ def upsert_stateful(
         for pdf in pdfs:
             for row in pdf.to_dict("records"):
                 o = ord_of(row)
-                # Null ordering values: the batch views' max_by ignores
-                # rows whose ordering expr is NULL — mirror that instead
-                # of letting None poison the tuple comparison (TypeError
-                # would fail the streaming task). Arrow→pandas surfaces
-                # SQL NULL as None, NaN, or NaT depending on dtype; the
-                # p != p arm catches the float/datetime forms.
-                if any(p is None or p != p for p in o):
-                    continue
                 if best is None or o >= best[0]:
                     best = (o, row)
                     changed = True

@@ -647,8 +647,14 @@ class PinotDialect:
 
         def fourthmoment(a):
             # central 4th moment Σ(x−μ)⁴/n, recovered from Spark's excess
-            # kurtosis: m4 = (kurtosis + 3) · var_pop²
-            return f"((kurtosis({a[0]}) + 3) * POWER(var_pop({a[0]}), 2))"
+            # kurtosis: m4 = (kurtosis + 3) · var_pop². Constant groups:
+            # kurtosis is NaN at zero variance but the true m4 is exactly
+            # 0 — guard it (identical aggregate expressions dedup in the
+            # plan, so var_pop is computed once).
+            return (
+                f"(CASE WHEN var_pop({a[0]}) = 0 THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE (kurtosis({a[0]}) + 3) * POWER(var_pop({a[0]}), 2) END)"
+            )
 
         def mode_(a):
             # MODE(col[, 'MIN'|'MAX']): most frequent value as DOUBLE;
@@ -1031,6 +1037,16 @@ class PinotDialect:
                     f"array(named_struct('ts', CAST({ts} AS BIGINT), 'st', 0)) "
                     f"ELSE {per_row} END)"
                 )
+            # NULL-timestamp events contribute nothing in ANY mode — the
+            # DataFrame operator filters them pre-shuffle
+            # (_matched_events WHERE __ts IS NOT NULL); without this
+            # guard a null-ts struct sorts first and poisons the fold
+            # state (lv[0] = NULL in the default fold; a spurious
+            # fst/kill in strict_order).
+            per_row = (
+                f"(CASE WHEN CAST({ts} AS BIGINT) IS NULL THEN "
+                f"array() ELSE {per_row} END)"
+            )
             evs = f"array_sort(flatten(collect_list({per_row})))"
             if mode == "strict_order":
                 state = (

@@ -154,3 +154,18 @@ def test_sql_surface_over_migrated_columns(spark):
     assert back.getEstimate("x") == 13 and back.getEstimate("y") == 5
     with pytest.raises(ValueError, match="longs' or 'strings"):
         eng.register_freq_wire_column("fi", "floats")
+
+
+def test_all_null_group_returns_null(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "fi_holes",
+        spark.createDataFrame([(1, None)], "g int, fi binary"),
+    )
+    eng.register_freq_wire_column("fi", "strings")
+    got = eng.sql(
+        "SELECT FREQUENTSTRINGSSKETCH(fi) AS s FROM fi_holes LIMIT 1"
+    ).collect()[0]["s"]
+    assert got is None

@@ -501,3 +501,25 @@ def test_funnel_mode_validation_and_dispatch(spark):
         df, "user", "ts", STEPS(), 10, mode="strict_order"
     ).collect()
     assert [(r["step"], r["entities"]) for r in chart] == [(1, 1), (2, 1), (3, 0)]
+
+
+def test_strict_and_default_sql_ignore_null_timestamps(spark):
+    """NULL-ts events contribute nothing in ANY SQL funnel mode — the
+    DataFrame operator's pre-shuffle filter, mirrored (review finding:
+    a null-ts struct used to poison the fold state)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    rows = [("u", None, 1), ("u", 1, 1), ("u", 2, 2), ("u", 3, 3),
+            ("v", None, 2), ("v", 1, 1), ("v", 2, 2)]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    eng = PinotEngine(spark)
+    eng.register("nulls_f", df)
+    for mode in ("", ", 'strict_order'", ", 'strict_deduplication'"):
+        got = {
+            r["e"]: r["ms"]
+            for r in eng.sql(
+                f"SELECT e, FUNNEL_MAX_STEP(ts, 1000, 3, s = 1, s = 2, s = 3"
+                f"{mode}) AS ms FROM nulls_f GROUP BY e LIMIT 10"
+            ).collect()
+        }
+        assert got == {"u": 3, "v": 2}, (mode, got)

@@ -191,3 +191,38 @@ def test_java_built_blobs_queryable_in_sql(spark):
     eng.register_clearspring_hll_column("hll")
     got = eng.sql("SELECT DISTINCTCOUNTHLL(hll) AS u FROM seg_hll").collect()[0]["u"]
     assert got == 130  # linear-counting regime: exact
+
+
+def test_object_dtype_float_dispatch_matches_library(spark):
+    """Object-dtype Series mixing strings and floats must still hash
+    floats through hashLong(raw double bits) — byte-identical sketches
+    vs the library over the same mixed values (review finding)."""
+    jvm = _stream_lib(spark)
+    HLL = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLog
+    jh = HLL(10)
+    for v in ["a", 2.5, "b", -0.0, 7]:
+        jh.offer(v)
+    mine = C.ClearspringHLL(10)
+    mine.offer_values(pd.Series(["a", 2.5, "b", -0.0, 7], dtype=object))
+    assert bytes(x & 0xFF for x in jh.getBytes()) == mine.serialize()
+
+
+def test_all_null_group_returns_null_not_error(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register(
+        "holes",
+        spark.createDataFrame(
+            [(1, C.ClearspringHLL(8).serialize()), (2, None)],
+            "g int, hll binary",
+        ),
+    )
+    eng.register_clearspring_hll_column("hll")
+    got = {
+        r["g"]: r["u"]
+        for r in eng.sql(
+            "SELECT g, DISTINCTCOUNTHLL(hll) AS u FROM holes GROUP BY g LIMIT 10"
+        ).collect()
+    }
+    assert got == {1: 0, 2: None}  # NULL group → NULL, job survives

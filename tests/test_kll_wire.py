@@ -132,3 +132,20 @@ def test_percentilekll_sql_over_migrated_bytes_columns(spark):
     ).collect()[0]["m"] == pytest.approx(50.0, abs=1.0)
     with pytest.raises(ValueError, match="PERCENTILERAWKLL is not supported"):
         eng.rewrite("SELECT PERCENTILERAWKLL(lat, 95) FROM seg_kll")
+
+
+def test_all_null_or_empty_group_returns_null(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    K = _kll(spark)
+    empty = bytes(x & 0xFF for x in K.newHeapInstance(200).toByteArray())
+    eng = PinotEngine(spark)
+    eng.register(
+        "kll_holes",
+        spark.createDataFrame([(1, None), (1, empty)], "g int, lat binary"),
+    )
+    eng.register_kll_column("lat")
+    got = eng.sql(
+        "SELECT PERCENTILEKLL(lat, 50) AS p FROM kll_holes GROUP BY g LIMIT 1"
+    ).collect()[0]["p"]
+    assert got is None  # NULL, not a failed job

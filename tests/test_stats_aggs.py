@@ -288,3 +288,12 @@ def test_arrayagg_and_distinctcountbitmapmv(spark, duck):
         "SELECT ARRAYAGG(s, 'STRING', true) AS d FROM aa2 GROUP BY g LIMIT 1"
     ).collect()[0]
     assert r["d"] == ["x"]
+
+
+def test_fourthmoment_constant_group_is_zero(spark):
+    eng = PinotEngine(spark)
+    eng.register("const", spark.createDataFrame([(1, 5.0)] * 4, "g int, v double"))
+    row = eng.sql(
+        "SELECT FOURTHMOMENT(v) AS m4, KURTOSIS(v) AS k FROM const LIMIT 1"
+    ).collect()[0]
+    assert row["m4"] == 0.0  # true m4 of a constant; was NaN pre-guard

@@ -163,10 +163,11 @@ def test_upsert_stateful_streaming_changelog(spark, tmp_path_factory):
     try:
         q.processAllAvailable()
         # newer version for a; STALE version for b (must not re-emit);
-        # null ordering value for c (ignored like batch max_by — must
-        # not TypeError the task or surface a row)
+        # null ordering for c's ONLY row (must surface, like the batch
+        # view); null ordering for b (sorts lowest: loses to ts=10)
         write(1, [{"pk": "a", "ts": 20, "value": 9.0},
                   {"pk": "b", "ts": 5, "value": 0.0},
+                  {"pk": "b", "ts": None, "value": -1.0},
                   {"pk": "c", "ts": None, "value": 3.0}])
         q.processAllAvailable()
         rows = [
@@ -176,13 +177,17 @@ def test_upsert_stateful_streaming_changelog(spark, tmp_path_factory):
         assert ("a", 20, 9.0) in rows and ("a", 10, 1.0) in rows
         assert ("b", 10, 2.0) in rows
         assert ("b", 5, 0.0) not in rows  # stale version suppressed
-        assert not any(pk == "c" for pk, _, _ in rows)  # null ordering ignored
+        assert ("b", None, -1.0) not in rows  # null ordering loses to ts=10
+        assert ("c", None, 3.0) in rows  # only-null-ordering key surfaces
         # current state of the table = last emit per key
         latest = {}
         for pk, ts, v in rows:
-            if pk not in latest or ts >= latest[pk][0]:
-                latest[pk] = (ts, v)
-        assert latest == {"a": (20, 9.0), "b": (10, 2.0)}
+            key = (-1, -1) if ts is None else (0, ts)  # null sorts lowest
+            if pk not in latest or key >= latest[pk][0]:
+                latest[pk] = (key, ts, v)
+        assert {pk: (ts, v) for pk, (_, ts, v) in latest.items()} == {
+            "a": (20, 9.0), "b": (10, 2.0), "c": (None, 3.0)
+        }
     finally:
         q.stop()
 
