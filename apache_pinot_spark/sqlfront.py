@@ -384,6 +384,7 @@ class PinotDialect:
         clearspring_hll_columns: set[str] | None = None,
         kll_columns: set[str] | None = None,
         freq_wire_columns: dict[str, str] | None = None,
+        hllplus_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -424,6 +425,12 @@ class PinotDialect:
         # FREQUENT*SKETCH over one merges in the wire domain and returns
         # the merged wire blob (hex) instead of the engine-local format
         self.freq_wire_columns = freq_wire_columns or {}
+        # BYTES columns holding stream-lib HyperLogLogPlus blobs (the
+        # reference's DISTINCTCOUNTHLLPLUS sketch columns;
+        # functions/hllplus_wire.py — byte-golden vs stream-2.9.8):
+        # DISTINCTCOUNTHLLPLUS over one merges + estimates in the wire
+        # domain instead of Spark's native HLL++
+        self.hllplus_columns = hllplus_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -502,7 +509,18 @@ class PinotDialect:
             return f"__PINOT_HLL_EST_{k}__"
 
         def distinctcounthllplus(a):
-            # Spark-native HLL++ (fast JVM path, NOT oracle-reproducible)
+            # Over a registered HLL++ BYTES column: merge + estimate the
+            # migrated stream-lib blobs (functions/hllplus_wire.py).
+            # Raw columns: Spark-native HLL++ (fast JVM path, NOT
+            # oracle-reproducible).
+            arg = a[0].strip()
+            if arg in self.hllplus_columns:
+                from apache_pinot_spark.functions.hllplus_wire import (
+                    ESTIMATE_UDF,
+                    MERGE_UDF,
+                )
+
+                return f"{ESTIMATE_UDF}({MERGE_UDF}({arg}))"
             return f"approx_count_distinct({a[0]})"
 
         def distinctcountthetasketch(a):
@@ -1811,6 +1829,7 @@ class PinotEngine:
         self._clearspring_hll_columns: set[str] = set()
         self._kll_columns: set[str] = set()
         self._freq_wire_columns: dict[str, str] = {}
+        self._hllplus_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -1946,6 +1965,20 @@ class PinotEngine:
         register_freq_wire_udfs(self.spark)
         self._freq_wire_columns[column] = kind
 
+    def register_hllplus_column(self, column: str) -> None:
+        """Declare a BYTES column as stream-lib HyperLogLogPlus state —
+        the reference's DISTINCTCOUNTHLLPLUS sketch-column wire format
+        (HyperLogLogPlus.getBytes(), sparse and normal regimes).
+        DISTINCTCOUNTHLLPLUS over it merges + estimates in the wire
+        domain (functions/hllplus_wire.py, byte-golden vs
+        stream-2.9.8)."""
+        from apache_pinot_spark.functions.hllplus_wire import (
+            register_hllplus_udfs,
+        )
+
+        register_hllplus_udfs(self.spark)
+        self._hllplus_columns.add(column)
+
     def theta_set_estimate(
         self,
         table: str,
@@ -2028,6 +2061,7 @@ class PinotEngine:
             self._clearspring_hll_columns,
             self._kll_columns,
             self._freq_wire_columns,
+            self._hllplus_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
