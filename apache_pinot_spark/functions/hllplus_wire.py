@@ -467,6 +467,7 @@ def merge_blobs(blobs) -> HyperLogLogPlusSketch:
 
 MERGE_UDF = "pinot_hllplus_merge"
 ESTIMATE_UDF = "pinot_hllplus_estimate"
+BUILD_UDF = "pinot_hllplus_build"
 
 
 def register_hllplus_udfs(spark) -> None:
@@ -494,5 +495,17 @@ def register_hllplus_udfs(spark) -> None:
             else _w.HyperLogLogPlusSketch.deserialize(bytes(b)).cardinality()
         )
 
+    @pandas_udf("binary")
+    def pinot_hllplus_build(values: pd.Series) -> bytes:
+        # RAW form over a raw column: build a WIRE sketch from the
+        # group's values (default p=14/sp=25, the stream-lib default) —
+        # the emitted blob loads in the reference client libraries
+        from apache_pinot_spark.functions import hllplus_wire as _w
+
+        sk = _w.HyperLogLogPlusSketch(14, 25)
+        sk.offer_values(values)
+        return sk.serialize()
+
     spark.udf.register(MERGE_UDF, pinot_hllplus_merge)
     spark.udf.register(ESTIMATE_UDF, pinot_hllplus_estimate)
+    spark.udf.register(BUILD_UDF, pinot_hllplus_build)

@@ -523,6 +523,38 @@ class PinotDialect:
                 return f"{ESTIMATE_UDF}({MERGE_UDF}({arg}))"
             return f"approx_count_distinct({a[0]})"
 
+        def distinctcountrawhllplus(a):
+            # RAW HLL++ form: the merged (or freshly built) sketch as a
+            # hex WIRE blob, loadable by the reference client libraries
+            # (functions/hllplus_wire.py). Registered BYTES columns
+            # merge; raw columns build at the stream-lib default p/sp.
+            from apache_pinot_spark.functions.hllplus_wire import (
+                BUILD_UDF,
+                MERGE_UDF,
+            )
+
+            arg = a[0].strip()
+            if arg in self.hllplus_columns:
+                return f"hex({MERGE_UDF}({arg}))"
+            return f"hex({BUILD_UDF}({arg}))"
+
+        def distinctcountsmarthll(a):
+            # Public SMART form: exact counting below a size threshold,
+            # HLL above. A single deterministic expression cannot switch
+            # representation mid-aggregate, so this engine always takes
+            # the EXACT branch — every answer the smart form could give
+            # is within its error envelope (exact ⊂ approximate), and
+            # the threshold argument is accepted and ignored. Memory is
+            # cardinality-bound like DISTINCTCOUNT; callers needing
+            # constant state at scale use DISTINCTCOUNTHLL explicitly.
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def percentilesmarttdigest(a):
+            # SMART t-digest: exact below threshold, digest above — same
+            # stance, served by the deterministic percentile_approx path
+            q = float(a[1]) / 100.0
+            return f"percentile_approx({a[0]}, {q})"
+
         def distinctcountthetasketch(a):
             # Over a BYTES theta-sketch column (register_theta_column):
             # union the group's sketches, estimate, round to a count —
@@ -1417,6 +1449,9 @@ class PinotDialect:
             "IN_PARTITIONED_SUBQUERY": in_subquery,
             "CLPDECODE": clpdecode,
             "DISTINCTCOUNTRAWHLL": distinctcountrawhll,
+            "DISTINCTCOUNTRAWHLLPLUS": distinctcountrawhllplus,
+            "DISTINCTCOUNTSMARTHLL": distinctcountsmarthll,
+            "PERCENTILESMARTTDIGEST": percentilesmarttdigest,
             "PERCENTILERAWTDIGEST": percentilerawtdigest,
             "IDSET": id_set,
             "ID_SET": id_set,
@@ -1978,6 +2013,15 @@ class PinotEngine:
 
         register_hllplus_udfs(self.spark)
         self._hllplus_columns.add(column)
+
+    def enable_hllplus_raw(self) -> None:
+        """Register the HLL++ UDFs without declaring a column — lets
+        DISTINCTCOUNTRAWHLLPLUS build wire sketches over raw columns."""
+        from apache_pinot_spark.functions.hllplus_wire import (
+            register_hllplus_udfs,
+        )
+
+        register_hllplus_udfs(self.spark)
 
     def theta_set_estimate(
         self,

@@ -187,3 +187,47 @@ def test_sql_surface_over_migrated_columns(spark):
     assert eng.sql(
         "SELECT DISTINCTCOUNTHLLPLUS(hllp) AS u FROM holes GROUP BY g LIMIT 1"
     ).collect()[0]["u"] is None
+
+
+def test_rawhllplus_and_smart_forms(spark):
+    """DISTINCTCOUNTRAWHLLPLUS emits WIRE blobs (merge over registered
+    columns, build over raw columns — both load in the library);
+    DISTINCTCOUNTSMARTHLL / PERCENTILESMARTTDIGEST take the exact/
+    deterministic branches of their threshold contracts."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    jvm = _stream_lib(spark)
+    eng = PinotEngine(spark)
+    eng.register("vals", spark.range(300).selectExpr("id AS v", "id % 3 AS g"))
+    eng.enable_hllplus_raw()
+    hexblob = eng.sql(
+        "SELECT DISTINCTCOUNTRAWHLLPLUS(v) AS s FROM vals"
+    ).collect()[0]["s"]
+    mine = W.HyperLogLogPlusSketch.deserialize(bytes.fromhex(hexblob))
+    assert mine.cardinality() == 300  # sparse linear counting: exact
+    back = _java_build(spark, bytes.fromhex(hexblob))
+    assert back.cardinality() == 300
+    # merged RAW over a registered BYTES column
+    HLLP = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLogPlus
+
+    def jblob(lo, hi):
+        h = HLLP(14, 25)
+        for i in range(lo, hi):
+            h.offer(i)
+        return bytes(x & 0xFF for x in h.getBytes())
+
+    eng.register(
+        "segs", spark.createDataFrame(
+            [(0, jblob(0, 100)), (1, jblob(50, 200))], "seg int, hp binary"
+        )
+    )
+    eng.register_hllplus_column("hp")
+    raw = eng.sql("SELECT DISTINCTCOUNTRAWHLLPLUS(hp) AS s FROM segs").collect()[0]["s"]
+    assert _java_build(spark, bytes.fromhex(raw)).cardinality() == 200
+    # SMART forms: exact distinct / deterministic percentile
+    row = eng.sql(
+        "SELECT DISTINCTCOUNTSMARTHLL(v, 1000) AS d, "
+        "PERCENTILESMARTTDIGEST(v, 50) AS p FROM vals"
+    ).collect()[0]
+    assert row["d"] == 300
+    assert abs(row["p"] - 149.5) <= 1.0
