@@ -35,7 +35,13 @@ the stream-lib hash64(Object) dispatch):
         k = idx_sp << 1                              (rho recoverable)
 
 Normal registers: idx = hash >>> (64 - p),
-rho = nlz64((hash << p) | (1 << (p - 1))) + 1, register-max.
+rho = nlz64((hash << p) | (1 << (p - 1))) + 1, register-max, clamped at
+31 (5-bit registers). Known divergence, documented rather than
+reproduced: stream-lib's RegisterSet stores rho UNMASKED, so a rho > 31
+(expected once per ~2^31 distinct values) bleeds a bit into the
+adjacent register in the reference — a reference-side defect this
+implementation does not emulate; at such inputs bytes can differ and
+estimates differ infinitesimally.
 
 Cardinality: sparse → linear counting over m_sp = 2^sp; normal → the
 HLL++ pipeline (raw estimate, k-nearest-neighbor bias correction for
@@ -240,7 +246,7 @@ class HyperLogLogPlusSketch:
     registers) representation — mirroring stream-lib state exactly so
     serialization is byte-identical."""
 
-    __slots__ = ("p", "sp", "sparse", "sparse_set", "registers")
+    __slots__ = ("p", "sp", "sparse", "sparse_map", "registers")
 
     def __init__(self, p: int = 14, sp: int = 25):
         if not 4 <= p <= 28 or (sp != 0 and not p <= sp <= 32):
@@ -248,7 +254,11 @@ class HyperLogLogPlusSketch:
         self.p = p
         self.sp = sp
         self.sparse = sp != 0
-        self.sparse_set: set[int] = set()
+        # idx → encoded k; ONE entry per sparse index (the reference
+        # dedups same-idx flag entries keeping the max-rho = smallest-k
+        # encoding — pinned empirically at p=20/sp=25 where same-idx
+        # collisions actually occur)
+        self.sparse_map: dict[int, int] = {}
         self.registers = (
             None if self.sparse else np.zeros(1 << p, dtype=np.uint8)
         )
@@ -266,8 +276,13 @@ class HyperLogLogPlusSketch:
     def offer_hashed(self, hashes: np.ndarray) -> None:
         h = np.asarray(hashes, dtype=np.uint64)
         if self.sparse:
-            self.sparse_set.update(int(k) for k in self._encode_sparse(h))
-            if len(self.sparse_set) <= self._sparse_threshold:
+            for k in self._encode_sparse(h):
+                k = int(k)
+                idx = self._idx_of(k)
+                cur = self.sparse_map.get(idx)
+                if cur is None or k < cur:
+                    self.sparse_map[idx] = k
+            if len(self.sparse_map) <= self._sparse_threshold:
                 return
             self._to_normal()
             return  # the sparse entries already carry these hashes
@@ -293,7 +308,7 @@ class HyperLogLogPlusSketch:
         return (k >> 7) if (k & 1) else (k >> 1)
 
     def _sorted_sparse(self) -> list[int]:
-        return sorted(self.sparse_set, key=lambda k: (self._idx_of(k), k))
+        return [self.sparse_map[i] for i in sorted(self.sparse_map)]
 
     def _sparse_decode(self, k: int) -> tuple[int, int]:
         """encoded sparse int → (normal idx, normal rho)."""
@@ -310,13 +325,13 @@ class HyperLogLogPlusSketch:
 
     def _to_normal(self) -> None:
         regs = np.zeros(self.m, dtype=np.uint8)
-        for k in self.sparse_set:
+        for k in self.sparse_map.values():
             idx, rho = self._sparse_decode(k)
             if rho > regs[idx]:
                 regs[idx] = min(rho, 31)
         self.registers = regs
         self.sparse = False
-        self.sparse_set = set()
+        self.sparse_map = {}
 
     def _normal_update(self, h: np.ndarray) -> None:
         p = self.p
@@ -334,21 +349,35 @@ class HyperLogLogPlusSketch:
     def cardinality(self) -> int:
         if self.sparse:
             sm = 1 << self.sp
-            zeros = sm - len(self.sparse_set)
+            zeros = sm - len(self.sparse_map)
             return int(round(sm * math.log(sm / zeros)))
         m = self.m
-        alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+        if self.p == 4:
+            alpha_mm = 0.673 * m * m
+        elif self.p == 5:
+            alpha_mm = 0.697 * m * m
+        elif self.p == 6:
+            alpha_mm = 0.709 * m * m
+        else:
+            alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
         reg = self.registers.astype(np.float64)
         est = alpha_mm / np.power(2.0, -reg).sum()
         est_prime = est - self._bias(est) if est <= 5 * m else est
         zeros = int((self.registers == 0).sum())
         h = m * math.log(m / zeros) if zeros > 0 else est_prime
-        result = h if h <= THRESHOLD_DATA[self.p - 4] else est_prime
+        # the published tables stop at p=18; above that the reference
+        # takes bias 0 and decides H-vs-est' on the raw-estimate range
+        if self.p - 4 < len(THRESHOLD_DATA):
+            result = h if h <= THRESHOLD_DATA[self.p - 4] else est_prime
+        else:
+            result = h if est <= 5 * m else est_prime
         return int(round(result))
 
     def _bias(self, est: float) -> float:
         """k-nearest-neighbor (k=6) interpolation in the published
         raw-estimate → bias tables (the stream-lib estimateBias)."""
+        if self.p - 4 >= len(RAW_ESTIMATE_DATA):
+            return 0.0  # reference behavior above the published range
         raw = RAW_ESTIMATE_DATA[self.p - 4]
         bias = BIAS_DATA[self.p - 4]
         dists = [(r - est) ** 2 for r in raw]
@@ -364,16 +393,21 @@ class HyperLogLogPlusSketch:
             )
         out = HyperLogLogPlusSketch(self.p, self.sp)
         if self.sparse and other.sparse:
-            out.sparse_set = self.sparse_set | other.sparse_set
-            if len(out.sparse_set) > out._sparse_threshold:
+            merged = dict(self.sparse_map)
+            for idx, k in other.sparse_map.items():
+                cur = merged.get(idx)
+                if cur is None or k < cur:
+                    merged[idx] = k
+            out.sparse_map = merged
+            if len(merged) > out._sparse_threshold:
                 out._to_normal()
             return out
         out.sparse = False
-        out.sparse_set = set()
+        out.sparse_map = {}
         out.registers = np.zeros(out.m, dtype=np.uint8)
         for side in (self, other):
             if side.sparse:
-                for k in side.sparse_set:
+                for k in side.sparse_map.values():
                     idx, rho = side._sparse_decode(k)
                     if rho > out.registers[idx]:
                         out.registers[idx] = min(rho, 31)
@@ -388,7 +422,7 @@ class HyperLogLogPlusSketch:
         _write_varint(out, self.sp)
         if self.sparse:
             _write_varint(out, 1)
-            _write_varint(out, len(self.sparse_set))
+            _write_varint(out, len(self.sparse_map))
             prev = 0
             for k in self._sorted_sparse():  # idx order; deltas wrap mod 2^32
                 _write_varint(out, (k - prev) & 0xFFFFFFFF)
@@ -415,19 +449,26 @@ class HyperLogLogPlusSketch:
         p, pos = _read_varint(blob, pos)
         sp, pos = _read_varint(blob, pos)
         fmt, pos = _read_varint(blob, pos)
-        out = cls(p, sp if fmt == 1 else sp)
+        out = cls(p, sp)
         if fmt == 1:
+            if sp == 0 or sp < p:
+                raise ValueError(
+                    f"HLL++ blob invalid: SPARSE format with sp={sp}, p={p}"
+                )
             n, pos = _read_varint(blob, pos)
-            if n < 0 or n > (1 << 26):
+            if n < 0 or n > (1 << min(sp, 26)):
                 raise ValueError(f"HLL++ blob invalid: sparse count {n}")
             cur = 0
-            ks = set()
+            smap: dict[int, int] = {}
             for _ in range(n):
                 d, pos = _read_varint(blob, pos)
                 cur = (cur + d) & 0xFFFFFFFF
-                ks.add(cur)
+                idx = cls._idx_of(cur)
+                prev = smap.get(idx)
+                if prev is None or cur < prev:
+                    smap[idx] = cur
             out.sparse = True
-            out.sparse_set = ks
+            out.sparse_map = smap
             return out
         if fmt != 0:
             raise ValueError(f"HLL++ blob invalid: format {fmt}")
@@ -448,7 +489,7 @@ class HyperLogLogPlusSketch:
             )
             regs[lane::6] = lane_regs[: regs[lane::6].size]
         out.sparse = False
-        out.sparse_set = set()
+        out.sparse_map = {}
         out.registers = regs
         return out
 

@@ -521,6 +521,12 @@ class PinotDialect:
                 )
 
                 return f"{ESTIMATE_UDF}({MERGE_UDF}({arg}))"
+            if arg in self.binary_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTHLLPLUS({arg}): BYTES column not declared "
+                    "as HLL++ state — call register_hllplus_column first "
+                    "(counting distinct serialized blobs is never the intent)"
+                )
             return f"approx_count_distinct({a[0]})"
 
         def distinctcountrawhllplus(a):
@@ -536,7 +542,17 @@ class PinotDialect:
             arg = a[0].strip()
             if arg in self.hllplus_columns:
                 return f"hex({MERGE_UDF}({arg}))"
-            return f"hex({BUILD_UDF}({arg}))"
+            if arg in self.binary_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTRAWHLLPLUS({arg}): BYTES column not "
+                    "declared as HLL++ state — call register_hllplus_column "
+                    "first (building a sketch OF serialized blobs is never "
+                    "the intent)"
+                )
+            # the CAST renders values with the JVM's own toString — exact
+            # Long/Double rendering parity on any JVM, and nullable int
+            # columns stay exact (no Arrow float64 coercion in the UDF)
+            return f"hex({BUILD_UDF}(CAST({arg} AS STRING)))"
 
         def distinctcountsmarthll(a):
             # Public SMART form: exact counting below a size threshold,
@@ -1872,10 +1888,12 @@ class PinotEngine:
         # on any column out of the box (theta stays lazy — its BYTES
         # path is the only one needing registration)
         from apache_pinot_spark.functions.freqitems import register_freq_udfs
+        from apache_pinot_spark.functions.hllplus_wire import register_hllplus_udfs
         from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
 
         register_freq_udfs(spark)
         register_tdigest_udfs(spark)
+        register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)

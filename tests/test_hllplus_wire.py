@@ -197,9 +197,8 @@ def test_rawhllplus_and_smart_forms(spark):
     from apache_pinot_spark.sqlfront import PinotEngine
 
     jvm = _stream_lib(spark)
-    eng = PinotEngine(spark)
+    eng = PinotEngine(spark)  # HLL++ UDFs register eagerly
     eng.register("vals", spark.range(300).selectExpr("id AS v", "id % 3 AS g"))
-    eng.enable_hllplus_raw()
     hexblob = eng.sql(
         "SELECT DISTINCTCOUNTRAWHLLPLUS(v) AS s FROM vals"
     ).collect()[0]["s"]
@@ -231,3 +230,96 @@ def test_rawhllplus_and_smart_forms(spark):
     ).collect()[0]
     assert row["d"] == 300
     assert abs(row["p"] - 149.5) <= 1.0
+
+
+def test_rawhllplus_jvm_rendering_and_guards(spark):
+    """The build path renders values with the JVM's own toString (CAST
+    to STRING), so nullable int columns hash identically to non-null
+    ones (review finding: Arrow float64 coercion) and doubles match the
+    running JVM exactly; undeclared BYTES columns raise instead of
+    silently sketching blobs."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    jvm = _stream_lib(spark)
+    HLLP = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLogPlus
+    eng = PinotEngine(spark)
+    eng.register(
+        "with_null",
+        spark.createDataFrame([(1,), (2,), (None,)], "v long"),
+    )
+    eng.register("no_null", spark.createDataFrame([(1,), (2,)], "v long"))
+    b1 = eng.sql("SELECT DISTINCTCOUNTRAWHLLPLUS(v) AS s FROM with_null").collect()[0]["s"]
+    b2 = eng.sql("SELECT DISTINCTCOUNTRAWHLLPLUS(v) AS s FROM no_null").collect()[0]["s"]
+    assert b1 == b2  # NULL presence must not change the hash domain
+    jh = HLLP(14, 25)
+    jh.offer(1)
+    jh.offer(2)
+    assert bytes.fromhex(b1) == bytes(x & 0xFF for x in jh.getBytes())
+    # doubles render via the JVM: parity with offers of the same Doubles
+    eng.register(
+        "dbls", spark.createDataFrame([(1.5,), (0.25e-9,), (1e23,)], "v double")
+    )
+    b3 = eng.sql("SELECT DISTINCTCOUNTRAWHLLPLUS(v) AS s FROM dbls").collect()[0]["s"]
+    jd = HLLP(14, 25)
+    for v in (1.5, 0.25e-9, 1e23):
+        jd.offer(float(v))
+    assert bytes.fromhex(b3) == bytes(x & 0xFF for x in jd.getBytes())
+    # undeclared BYTES columns: loud error, not a sketch of blobs
+    eng.register("blobs", spark.createDataFrame([(b"\x01\x02",)], "b binary"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="register_hllplus_column"):
+        eng.rewrite("SELECT DISTINCTCOUNTHLLPLUS(b) FROM blobs")
+    with _pt.raises(ValueError, match="register_hllplus_column"):
+        eng.rewrite("SELECT DISTINCTCOUNTRAWHLLPLUS(b) FROM blobs")
+
+
+def test_sparse_same_index_dedup_keeps_max_rho(spark):
+    """Same-idx flag-entry collisions dedup keeping the max-rho (min-k)
+    encoding — byte parity at p=20/sp=25 where collisions actually
+    occur (review finding origin)."""
+    import pandas as pd
+
+    jvm = _stream_lib(spark)
+    HLLP = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLogPlus
+    jh = HLLP(20, 25)
+    vals = [f"user{i}" for i in range(200_000)]
+    for v in vals:
+        jh.offer(v)
+    mine = W.HyperLogLogPlusSketch(20, 25)
+    mine.offer_values(pd.Series(vals, dtype=object))
+    assert bytes(x & 0xFF for x in jh.getBytes()) == mine.serialize()
+    assert mine.cardinality() == jh.cardinality()
+
+
+def test_small_p_and_above_table_range_cardinality(spark):
+    """p=4/5/6 alpha special cases and the p>18 bias-0 branch (review
+    findings): exact cardinality parity at the precision extremes."""
+    import pandas as pd
+
+    jvm = _stream_lib(spark)
+    HLLP = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLogPlus
+    for p, sp, n in [(4, 0, 500), (5, 0, 500), (6, 0, 300),
+                     (19, 0, 300_000), (20, 25, 150_000)]:
+        jh = HLLP(p, sp)
+        vals = [f"k{i}" for i in range(n)]
+        for v in vals:
+            jh.offer(v)
+        mine = W.HyperLogLogPlusSketch(p, sp)
+        mine.offer_values(pd.Series(vals, dtype=object))
+        assert mine.cardinality() == jh.cardinality(), (p, sp, n)
+        assert bytes(x & 0xFF for x in jh.getBytes()) == mine.serialize()
+
+
+def test_hostile_sparse_blobs_rejected():
+    import struct
+
+    # SPARSE format claiming sp=0
+    with pytest.raises(ValueError, match="SPARSE format with sp=0"):
+        W.HyperLogLogPlusSketch.deserialize(
+            struct.pack(">i", -2) + bytes([14, 0, 1, 2, 1, 1])
+        )
+    # sparse count beyond 2^sp
+    with pytest.raises(ValueError, match="sparse count"):
+        W.HyperLogLogPlusSketch.deserialize(
+            struct.pack(">i", -2) + bytes([4, 10, 1, 0x90, 0x20])
+        )
