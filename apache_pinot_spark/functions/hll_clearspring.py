@@ -38,6 +38,15 @@ values, foreign blobs load and merge, and cardinalities agree exactly
 Scale shape: same two-phase contract as theta/tdigest — vectorized
 numpy hashing per Arrow batch (values grouped by byte length; no
 per-row Python), constant m-byte state per group, register-max merge.
+
+Known divergence, documented rather than emulated: a blob whose
+registers are saturated at 31 makes stream-lib's `1 << 31` int
+arithmetic overflow and return a nonsense cardinality (observed
+Long.MAX_VALUE). Register 31 is UNREACHABLE through real offers (the
+32-bit hash caps rho at 32 − log2m + 1 ≤ 29 for log2m ≥ 4), so only a
+crafted blob hits it; this implementation returns the mathematically
+defined estimate instead. Every reachable register state is
+cardinality-exact against the jar (tests).
 """
 
 from __future__ import annotations

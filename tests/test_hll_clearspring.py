@@ -226,3 +226,21 @@ def test_all_null_group_returns_null_not_error(spark):
         ).collect()
     }
     assert got == {1: 0, 2: None}  # NULL group → NULL, job survives
+
+
+def test_high_register_regimes_match_library(spark):
+    """Crafted register states across the reachable range (and the
+    large-estimate regime) must estimate identically to the jar; the
+    rho=31-saturated state is the documented unreachable divergence
+    (stream-lib's 1<<31 overflow) and is NOT asserted equal."""
+    jvm = _stream_lib(spark)
+    Builder = jvm.com.clearspring.analytics.stream.cardinality.HyperLogLog.Builder
+    rng = np.random.default_rng(3)
+    for regs in (
+        rng.integers(24, 30, 4096).astype(np.uint8),  # est >> 2^32/30
+        rng.integers(8, 14, 4096).astype(np.uint8),
+        rng.integers(0, 29, 4096).astype(np.uint8),   # includes zeros
+    ):
+        mine = C.ClearspringHLL(12, regs)
+        back = Builder.build(bytearray(mine.serialize()))
+        assert back.cardinality() == mine.cardinality()
