@@ -1579,6 +1579,35 @@ class PinotDialect:
                 out[am.group(1)] = p.strip()[: am.start()].strip()
         return out
 
+    _PSEUDO_COLUMNS = {
+        # the public engine's virtual document columns: $docId is the
+        # row's position within its segment, $segmentName the segment
+        # it lives in, $hostName the serving host. Spark-first mapping:
+        # the low 33 bits of monotonically_increasing_id() ARE the
+        # per-partition record number (the partition is the segment
+        # analog), input_file_name() is the segment file, and the
+        # driver host stands in for the server. Quoted ("$docId") and
+        # bare forms both rewrite.
+        "$docId": "(monotonically_increasing_id() & 8589934591)",
+        "$segmentName": (
+            "regexp_extract(input_file_name(), '([^/]+)\\.parquet', 1)"
+        ),
+        "$hostName": None,  # filled per-call (driver hostname literal)
+    }
+
+    def _rewrite_pseudo_columns(self, sql: str) -> str:
+        if "$" not in sql:
+            return sql
+        import socket
+
+        for name, expr in self._PSEUDO_COLUMNS.items():
+            if expr is None:
+                expr = f"'{socket.gethostname()}'"
+            for form in (f'"{name}"', name):
+                if form in sql:
+                    sql = sql.replace(form, expr)
+        return sql
+
     def _rewrite_alias_in_where(self, sql: str) -> str:
         """Pinot allows WHERE on a SELECT alias (timestamp-index.md:33-39).
 
@@ -1812,6 +1841,7 @@ class PinotDialect:
             sql = sql[: m.start()].rstrip()
         self._hll_args = []
         self._rewrite_notes: list[str] = []
+        sql = self._rewrite_pseudo_columns(sql)
         sql = rewrite_calls(sql, self._handlers())
         sql = self._rewrite_mv_predicates(sql)
         sql = self._rewrite_partition_routing(sql)

@@ -1031,3 +1031,31 @@ def test_id_set_round_trips_hostile_values(spark):
     bad = _b64.b64encode(b"7").decode()
     with _pt.raises(ValueError, match="not a serialized ID_SET"):
         eng.rewrite(f"SELECT IN_ID_SET(v, '{bad}') FROM vals")
+
+
+def test_segment_pseudo_columns(spark, tmp_path):
+    """The public $docId / $segmentName / $hostName virtual columns:
+    per-partition record number, source segment file, serving host."""
+    import socket
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    df = spark.range(100).selectExpr("id AS v")
+    path = str(tmp_path / "segtbl")
+    df.repartition(4).write.parquet(path)
+    eng = PinotEngine(spark)
+    eng.register("segtbl", spark.read.parquet(path))
+    rows = eng.sql(
+        'SELECT v, "$docId" AS did, "$segmentName" AS seg, '
+        "$hostName AS host FROM segtbl LIMIT 200"
+    ).collect()
+    assert len(rows) == 100
+    segs = {r["seg"] for r in rows}
+    assert len(segs) == 4 and all(s.startswith("part-") for s in segs)
+    assert all(r["host"] == socket.gethostname() for r in rows)
+    # $docId restarts from 0 within each segment file
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["seg"], []).append(r["did"])
+    for seg, dids in by_seg.items():
+        assert sorted(dids) == list(range(len(dids))), seg
