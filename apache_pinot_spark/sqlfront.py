@@ -385,6 +385,7 @@ class PinotDialect:
         kll_columns: set[str] | None = None,
         freq_wire_columns: dict[str, str] | None = None,
         hllplus_columns: set[str] | None = None,
+        bitmap_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -431,6 +432,12 @@ class PinotDialect:
         # DISTINCTCOUNTHLLPLUS over one merges + estimates in the wire
         # domain instead of Spark's native HLL++
         self.hllplus_columns = hllplus_columns or set()
+        # BYTES columns holding SERIALIZED RoaringBitmaps (the public
+        # DistinctCountBitmapAggregationFunction convention for BYTES
+        # input; functions/bitmap_wire.py — byte-golden vs
+        # RoaringBitmap-1.3.0): DISTINCTCOUNTBITMAP over one ORs the
+        # blobs and counts instead of hashing raw values
+        self.bitmap_columns = bitmap_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -599,6 +606,38 @@ class PinotDialect:
                     "(PinotEngine.register_theta_column)"
                 )
             return f"hex({UNION_UDF}({arg}))"
+
+        def distinctcountbitmap(a):
+            # Over a BYTES column registered as serialized RoaringBitmaps
+            # (register_bitmap_column): OR the blobs, count the union —
+            # the public DistinctCountBitmapAggregationFunction BYTES
+            # behavior (functions/bitmap_wire.py, byte-golden vs the
+            # RoaringBitmap jar). Over a raw column the bitmap is only
+            # an exact-set carrier, so COUNT DISTINCT is the same
+            # answer computed JVM-side.
+            from apache_pinot_spark.functions.bitmap_wire import CARD_UDF
+
+            arg = a[0].strip()
+            if arg in self.bitmap_columns:
+                return f"{CARD_UDF}({arg})"
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def distinctcountrawbitmap(a):
+            # RAW convention (engine extension mirroring the sketch
+            # family's RAW forms): the merged serialized bitmap as hex,
+            # for clients that post-aggregate across queries. Requires a
+            # registered bitmap BYTES column — for raw columns use
+            # ID_SET, the engine's portable exact-set carrier.
+            from apache_pinot_spark.functions.bitmap_wire import UNION_UDF as BM_UNION
+
+            arg = a[0].strip()
+            if arg not in self.bitmap_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTRAWBITMAP({arg}): column is not a "
+                    "registered RoaringBitmap BYTES column "
+                    "(PinotEngine.register_bitmap_column)"
+                )
+            return f"hex({BM_UNION}({arg}))"
 
         # -- multi-valued aggregate family (public Pinot surface; the
         # reference documents MV columns at schema.md:25 — these aggregate
@@ -1476,7 +1515,8 @@ class PinotDialect:
             "FUNNELCOMPLETECOUNT": funnel_complete_count,
             "FUNNEL_COMPLETE_COUNT": funnel_complete_count,
             "SEGMENTPARTITIONEDDISTINCTCOUNT": exact_distinct,
-            "DISTINCTCOUNTBITMAP": exact_distinct,
+            "DISTINCTCOUNTBITMAP": distinctcountbitmap,
+            "DISTINCTCOUNTRAWBITMAP": distinctcountrawbitmap,
             "ARG_MIN": arg_min,
             "ARGMIN": arg_min,
             "ARG_MAX": arg_max,
@@ -1911,6 +1951,7 @@ class PinotEngine:
         self._kll_columns: set[str] = set()
         self._freq_wire_columns: dict[str, str] = {}
         self._hllplus_columns: set[str] = set()
+        self._bitmap_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -2006,6 +2047,19 @@ class PinotEngine:
 
         register_theta_udfs(self.spark)
         self._theta_columns.add(column)
+
+    def register_bitmap_column(self, column: str) -> None:
+        """Declare a BYTES column as SERIALIZED RoaringBitmap state (the
+        public DistinctCountBitmapAggregationFunction convention for
+        BYTES input; functions/bitmap_wire.py — byte-golden against the
+        RoaringBitmap-1.3.0 jar on Spark's classpath, portable-spec
+        format incl. run containers). DISTINCTCOUNTBITMAP over it ORs
+        the group's bitmaps and counts the union;
+        DISTINCTCOUNTRAWBITMAP returns the merged wire blob as hex."""
+        from apache_pinot_spark.functions.bitmap_wire import register_bitmap_udfs
+
+        register_bitmap_udfs(self.spark)
+        self._bitmap_columns.add(column)
 
     def register_clearspring_hll_column(self, column: str) -> None:
         """Declare a BYTES column as CLEARSPRING-serialized HLL state —
@@ -2154,6 +2208,7 @@ class PinotEngine:
             self._kll_columns,
             self._freq_wire_columns,
             self._hllplus_columns,
+            self._bitmap_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
