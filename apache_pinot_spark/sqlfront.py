@@ -386,6 +386,7 @@ class PinotDialect:
         freq_wire_columns: dict[str, str] | None = None,
         hllplus_columns: set[str] | None = None,
         bitmap_columns: set[str] | None = None,
+        tuple_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -438,6 +439,11 @@ class PinotDialect:
         # RoaringBitmap-1.3.0): DISTINCTCOUNTBITMAP over one ORs the
         # blobs and counts instead of hashing raw values
         self.bitmap_columns = bitmap_columns or set()
+        # BYTES columns holding serialized DataSketches tuple sketches
+        # with integer summaries (functions/tuple_wire.py, validated
+        # against datasketches-java): the DISTINCTCOUNTTUPLESKETCH /
+        # SUMVALUES / AVGVALUE family merges in the wire domain
+        self.tuple_columns = tuple_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -606,6 +612,49 @@ class PinotDialect:
                     "(PinotEngine.register_theta_column)"
                 )
             return f"hex({UNION_UDF}({arg}))"
+
+        def _require_tuple(arg: str, fn: str) -> str:
+            arg = arg.strip()
+            if arg not in self.tuple_columns:
+                raise ValueError(
+                    f"{fn}({arg}): column is not a registered tuple-sketch "
+                    "BYTES column (PinotEngine.register_tuple_column)"
+                )
+            return arg
+
+        def distinctcounttuplesketch(a):
+            # Over a BYTES integer-sum tuple-sketch column
+            # (register_tuple_column): merge the group's sketches in the
+            # DataSketches wire domain and report the distinct estimate.
+            # Over a raw column: exact, same stance as the theta form.
+            from apache_pinot_spark.functions.tuple_wire import ESTIMATE_UDF as TE
+
+            arg = a[0].strip()
+            if arg in self.tuple_columns:
+                return f"CAST(ROUND({TE}({arg})) AS BIGINT)"
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def distinctcountrawintegersumtuplesketch(a):
+            from apache_pinot_spark.functions.tuple_wire import UNION_UDF as TU
+
+            arg = _require_tuple(a[0], "DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH")
+            return f"hex({TU}({arg}))"
+
+        def sumvaluesintegersumtuplesketch(a):
+            # Raw sum of the merged sketch's RETAINED summaries (the
+            # merge-then-report convention; tuple_wire.sum_values) —
+            # deterministic, and equal to the true total in the exact
+            # (sub-nominal) regime.
+            from apache_pinot_spark.functions.tuple_wire import SUMVALUES_UDF as TS
+
+            arg = _require_tuple(a[0], "SUMVALUESINTEGERSUMTUPLESKETCH")
+            return f"{TS}({arg})"
+
+        def avgvalueintegersumtuplesketch(a):
+            from apache_pinot_spark.functions.tuple_wire import AVGVALUE_UDF as TA
+
+            arg = _require_tuple(a[0], "AVGVALUEINTEGERSUMTUPLESKETCH")
+            return f"{TA}({arg})"
 
         def distinctcountbitmap(a):
             # Over a BYTES column registered as serialized RoaringBitmaps
@@ -1517,6 +1566,10 @@ class PinotDialect:
             "SEGMENTPARTITIONEDDISTINCTCOUNT": exact_distinct,
             "DISTINCTCOUNTBITMAP": distinctcountbitmap,
             "DISTINCTCOUNTRAWBITMAP": distinctcountrawbitmap,
+            "DISTINCTCOUNTTUPLESKETCH": distinctcounttuplesketch,
+            "DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH": distinctcountrawintegersumtuplesketch,
+            "SUMVALUESINTEGERSUMTUPLESKETCH": sumvaluesintegersumtuplesketch,
+            "AVGVALUEINTEGERSUMTUPLESKETCH": avgvalueintegersumtuplesketch,
             "ARG_MIN": arg_min,
             "ARGMIN": arg_min,
             "ARG_MAX": arg_max,
@@ -1952,6 +2005,7 @@ class PinotEngine:
         self._freq_wire_columns: dict[str, str] = {}
         self._hllplus_columns: set[str] = set()
         self._bitmap_columns: set[str] = set()
+        self._tuple_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -2060,6 +2114,20 @@ class PinotEngine:
 
         register_bitmap_udfs(self.spark)
         self._bitmap_columns.add(column)
+
+    def register_tuple_column(self, column: str) -> None:
+        """Declare a BYTES column as serialized DataSketches
+        integer-summary TUPLE sketch state (functions/tuple_wire.py —
+        validated against the datasketches-java jar on Spark's
+        classpath; serial version 3, murmur3 seed 9001 hash domain).
+        DISTINCTCOUNTTUPLESKETCH / SUMVALUESINTEGERSUMTUPLESKETCH /
+        AVGVALUEINTEGERSUMTUPLESKETCH over it merge the group's blobs
+        in the wire domain; DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH
+        returns the merged blob as hex."""
+        from apache_pinot_spark.functions.tuple_wire import register_tuple_udfs
+
+        register_tuple_udfs(self.spark)
+        self._tuple_columns.add(column)
 
     def register_clearspring_hll_column(self, column: str) -> None:
         """Declare a BYTES column as CLEARSPRING-serialized HLL state —
@@ -2209,6 +2277,7 @@ class PinotEngine:
             self._freq_wire_columns,
             self._hllplus_columns,
             self._bitmap_columns,
+            self._tuple_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
