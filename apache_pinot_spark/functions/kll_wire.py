@@ -37,15 +37,14 @@ weighted retained items reproduces the library's own sorted-view rule:
 Merging across blobs here happens in WEIGHTED-SAMPLE space (concat the
 (item, weight) pairs, evaluate the same rule): this is a deterministic
 valid estimator whose error is bounded by the per-sketch errors.
-Re-serializing a merged KLL sketch is deliberately OUT: KLL compaction
-is randomized by design (the library's own merges are
-run-to-run nondeterministic), which would break this engine's
-determinism/oracle contract — documented, raised explicitly by
-PERCENTILERAWKLL.
 
-Building sketches from raw values is also out (same randomness
-argument); raw columns answer through the engine's deterministic
-percentile paths instead.
+WRITE side (build_kll_doubles / merge_kll_blobs): the library's own
+compaction is randomized, so byte-parity with a Java build is not a
+meaningful target; instead a DETERMINISTIC compactor (alternating
+parity — a de-randomization of the same 2-to-1 step) emits structurally
+valid wire state that heapifies in datasketches-java (jar-validated in
+tests/test_kll_wire.py), keeping this engine's reproducibility/oracle
+contract while giving migrating users loadable blobs.
 """
 
 from __future__ import annotations
@@ -171,7 +170,152 @@ def kll_quantile(blobs, rank: float, inclusive: bool = True) -> float:
     return quantile_from_samples(items, weights, total, rank, inclusive)
 
 
+# --------------------------------------------------------------------------
+# WRITE side: deterministic KLL builder + serializer.
+#
+# The library's own compaction is randomized (each compaction picks an
+# even/odd offset by coin flip) — that is why byte-level build parity is
+# not a meaningful target.  But a DETERMINISTIC compactor (alternating
+# parity, a published de-randomization of the same 2-to-1 step) still
+# produces STRUCTURALLY VALID KLL state: the serialized blob heapifies
+# in datasketches-java and answers quantiles within the sketch's error
+# envelope, while OUR output is reproducible run-to-run — which is what
+# this engine's determinism/oracle contract needs.  The wire layout
+# requires the library's EXACT level-capacity rule (items are stored
+# right-aligned against computeTotalItemCapacity(k, m, numLevels); the
+# terminal levels boundary is implied by it), reproduced below from the
+# public KllHelper arithmetic: cap(level) = max(m, round(k·(2/3)^depth))
+# computed exactly as ((2k·2^depth)/3^depth + 1) >> 1.
+# --------------------------------------------------------------------------
+_M = 8  # the library's fixed min level width
+
+
+def _level_capacity(k: int, num_levels: int, level: int) -> int:
+    depth = num_levels - level - 1
+    if depth > 30:
+        return _M
+    cap = (((2 * k) << depth) // (3**depth) + 1) >> 1
+    return max(_M, cap)
+
+
+def _total_capacity(k: int, num_levels: int) -> int:
+    return sum(_level_capacity(k, num_levels, lv) for lv in range(num_levels))
+
+
+def _compact_levels(levels: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Deterministic KLL compaction: while any level overflows its
+    capacity (or total retained exceeds total capacity), compact the
+    lowest overfull level — sort, promote every other item (alternating
+    parity), odd leftover stays.  Growing numLevels shrinks lower-level
+    capacities (depth increases), so loop to a fixed point."""
+    parity = 0
+    while True:
+        nl = len(levels)
+        caps = [_level_capacity(k, nl, lv) for lv in range(nl)]
+        over = [
+            lv for lv in range(nl)
+            if levels[lv].size > caps[lv]
+        ]
+        if not over and sum(a.size for a in levels) <= sum(caps):
+            return levels
+        if not over:
+            # total over but no single level over: compact the largest
+            over = [int(np.argmax([a.size for a in levels]))]
+        lv = over[0]
+        src = np.sort(levels[lv])
+        odd = src.size % 2
+        keep = src[:odd]  # odd leftover: the smallest item stays, weight 1
+        # the even-count block compacts 2-to-1: survivors at the chosen
+        # parity double their weight, the others transfer theirs
+        promoted = src[odd + parity :: 2]
+        parity ^= 1
+        levels[lv] = keep
+        if lv + 1 == len(levels):
+            levels.append(np.empty(0))
+        levels[lv + 1] = np.sort(np.concatenate([levels[lv + 1], promoted]))
+
+
+def _serialize_levels(levels: list[np.ndarray], k: int, n: int,
+                      min_item: float, max_item: float,
+                      min_k: int | None = None) -> bytes:
+    num_levels = len(levels)
+    retained = sum(a.size for a in levels)
+    cap = _total_capacity(k, num_levels)
+    assert retained <= cap, "compaction must fit capacity before serialize"
+    offsets = np.zeros(num_levels, np.int64)
+    # right-aligned: level0 starts at cap - retained; terminal == cap
+    pos = cap - retained
+    for lv in range(num_levels):
+        offsets[lv] = pos
+        pos += levels[lv].size
+    out = bytearray()
+    # flags 2 = LEVEL_ZERO_SORTED (every level we emit is sorted)
+    out += struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 2, k, _M, 0)
+    out += struct.pack("<QHBB", n, min_k if min_k is not None else k,
+                       num_levels, 0)
+    out += offsets.astype("<u4").tobytes()
+    out += struct.pack("<dd", min_item, max_item)
+    for a in levels:
+        out += np.sort(a).astype("<f8").tobytes()
+    return bytes(out)
+
+
+def build_kll_doubles(values: np.ndarray, k: int = 200) -> bytes:
+    """Build a serialized KllDoublesSketch from raw values with the
+    deterministic compactor (write side of a KLL migration: the blob
+    heapifies in datasketches-java).  k must be in the library's
+    accepted range [8, 65535]."""
+    if not 8 <= k <= 65535:
+        raise ValueError(f"KLL k {k} outside [8, 65535]")
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        return struct.pack("<BBBBHBB", 2, 1, _FAMILY_KLL, _F_EMPTY, k, _M, 0)
+    if v.size == 1:
+        return struct.pack("<BBBBHBB", 2, 2, _FAMILY_KLL, _F_SINGLE,
+                           k, _M, 0) + struct.pack("<d", float(v[0]))
+    levels = _compact_levels([v.copy()], k)
+    return _serialize_levels(levels, k, int(v.size),
+                             float(v.min()), float(v.max()))
+
+
+def merge_kll_blobs(blobs) -> bytes:
+    """Deterministically merge serialized KLL sketches into one valid
+    serialized sketch (k = min of inputs, the library's merge rule for
+    accuracy bookkeeping).  KLL weights are exact powers of two, so
+    every parsed (item, weight) pair maps back to level log2(weight);
+    stacking per-level and re-compacting with the deterministic rule
+    yields loadable wire state — the PERCENTILERAWKLL shape."""
+    parsed = [parse_kll_doubles(bytes(b)) for b in blobs if b is not None]
+    parsed = [p for p in parsed if p.n > 0]
+    if not parsed:
+        raise ValueError("KLL merge: no non-empty sketches")
+    k = min(p.k for p in parsed)
+    n = sum(p.n for p in parsed)
+    if n == 1:
+        only = next(p for p in parsed if p.n == 1)
+        return build_kll_doubles(only.items, k)
+    levels: list[np.ndarray] = []
+    for p in parsed:
+        lv_idx = np.log2(p.weights.astype(np.float64)).astype(np.int64)
+        for lv in range(int(lv_idx.max()) + 1):
+            while len(levels) <= lv:
+                levels.append(np.empty(0))
+            sel = p.items[lv_idx == lv]
+            if sel.size:
+                levels[lv] = np.concatenate([levels[lv], sel])
+    levels = _compact_levels(levels, k)
+    return _serialize_levels(
+        levels, k, n,
+        float(min(p.min_item for p in parsed)),
+        float(max(p.max_item for p in parsed)),
+        min_k=k,
+    )
+
+
 PCT_UDF = "pinot_kll_pct"
+RAW_UDF = "pinot_kll_raw"
+BUILD_UDF = "pinot_kll_build"
 
 
 def register_kll_udfs(spark) -> None:
@@ -192,4 +336,25 @@ def register_kll_udfs(spark) -> None:
             return None  # all-NULL/empty group → NULL, not a failed job
         return _k.kll_quantile(present, float(pct.iloc[0]) / 100.0)
 
+    @pandas_udf("binary")
+    def pinot_kll_raw(blobs: pd.Series) -> bytes:
+        from apache_pinot_spark.functions import kll_wire as _k
+
+        present = [
+            b for b in blobs.dropna()
+            if _k.parse_kll_doubles(bytes(b)).n > 0
+        ]
+        if not present:
+            return None
+        return _k.merge_kll_blobs(present)
+
+    @pandas_udf("binary")
+    def pinot_kll_build(values: pd.Series, kk: pd.Series) -> bytes:
+        from apache_pinot_spark.functions import kll_wire as _k
+
+        v = pd.to_numeric(values.dropna()).to_numpy(dtype="float64")
+        return _k.build_kll_doubles(v, int(kk.iloc[0]))
+
     spark.udf.register(PCT_UDF, pinot_kll_pct)
+    spark.udf.register(RAW_UDF, pinot_kll_raw)
+    spark.udf.register(BUILD_UDF, pinot_kll_build)

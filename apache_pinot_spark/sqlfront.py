@@ -418,7 +418,7 @@ class PinotDialect:
         # the clearspring domain instead of the portable register path
         self.clearspring_hll_columns = clearspring_hll_columns or set()
         # BYTES columns holding serialized DataSketches KllDoublesSketch
-        # percentile state (functions/kll_wire.py, read-side interop):
+        # percentile state (functions/kll_wire.py, jar-validated both ways):
         # PERCENTILEKLL over one merges in weighted-sample space and
         # estimates with the library's sorted-view rule
         self.kll_columns = kll_columns or set()
@@ -959,7 +959,7 @@ class PinotDialect:
             # (register_kll_column) the group's serialized
             # KllDoublesSketch blobs merge in weighted-sample space and
             # estimate with the library's sorted-view rule
-            # (functions/kll_wire.py — read-side DataSketches interop).
+            # (functions/kll_wire.py — DataSketches wire interop).
             # Raw numeric columns take the deterministic
             # percentile_approx path like PERCENTILEEST.
             arg = a[0].strip()
@@ -971,18 +971,24 @@ class PinotDialect:
             return f"percentile_approx({a[0]}, {q})"
 
         def percentile_raw_kll(a):
-            # Serializing a MERGED KLL sketch needs the randomized
-            # compaction algorithm (nondeterministic by design, even in
-            # the reference library) — incompatible with this engine's
-            # determinism/oracle contract. Estimates work
-            # (PERCENTILEKLL); the raw-blob form is an explicit no.
-            raise ValueError(
-                "PERCENTILERAWKLL is not supported: re-serializing a merged "
-                "KLL sketch requires randomized compaction (nondeterministic "
-                "by design). Use PERCENTILEKLL for estimates over KLL BYTES "
-                "columns, or PERCENTILERAWTDIGEST for a deterministic "
-                "mergeable raw-sketch form."
-            )
+            # PERCENTILERAWKLL(col[, pct[, k]]): the merged serialized
+            # sketch itself (hex), for clients that post-aggregate.
+            # Over a registered KLL BYTES column the group's blobs merge
+            # level-wise and re-compact with the DETERMINISTIC compactor
+            # (kll_wire.merge_kll_blobs — the library's own compaction
+            # is randomized; ours de-randomizes the same 2-to-1 step, so
+            # the blob is valid loadable KLL state AND reproducible).
+            # Over a raw numeric column the sketch is built the same way
+            # (kll_wire.build_kll_doubles, jar-heapify-validated). The
+            # pct argument only matters to the estimate form; accepted
+            # and ignored here like the reference's raw forms.
+            from apache_pinot_spark.functions.kll_wire import BUILD_UDF, RAW_UDF
+
+            arg = a[0].strip()
+            if arg in self.kll_columns:
+                return f"hex({RAW_UDF}({arg}))"
+            k = int(float(a[2])) if len(a) > 2 else 200
+            return f"hex({BUILD_UDF}(CAST({a[0]} AS DOUBLE), {k}))"
 
         # -- scalar-function compatibility pack (public Pinot names whose
         # Spark spelling or semantics differ; same-named functions —
@@ -2149,8 +2155,9 @@ class PinotEngine:
         KllDoublesSketch percentile state (the reference's PERCENTILEKLL
         sketch columns, schema.md:48). PERCENTILEKLL over it merges the
         group's blobs in weighted-sample space and estimates with the
-        library's sorted-view rule (functions/kll_wire.py — read-side
-        wire interop, parse golden-tested against datasketches-java)."""
+        library's sorted-view rule; PERCENTILERAWKLL re-serializes the
+        deterministic merge as loadable wire state (functions/kll_wire.py,
+        both directions jar-validated against datasketches-java)."""
         from apache_pinot_spark.functions.kll_wire import register_kll_udfs
 
         register_kll_udfs(self.spark)

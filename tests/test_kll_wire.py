@@ -102,7 +102,8 @@ def test_percentilekll_sql_over_migrated_bytes_columns(spark):
     """The migration scenario: per-segment KLL blobs built by the real
     library, registered as a BYTES column — PERCENTILEKLL merges and
     estimates; raw numeric columns keep the deterministic fallback;
-    PERCENTILERAWKLL is an explicit, documented no."""
+    PERCENTILERAWKLL returns a deterministic merged wire blob that the
+    library heapifies."""
     from apache_pinot_spark.sqlfront import PinotEngine
 
     K = _kll(spark)
@@ -130,8 +131,26 @@ def test_percentilekll_sql_over_migrated_bytes_columns(spark):
     assert eng.sql(
         "SELECT PERCENTILEKLL(v, 50) AS m FROM nums"
     ).collect()[0]["m"] == pytest.approx(50.0, abs=1.0)
-    with pytest.raises(ValueError, match="PERCENTILERAWKLL is not supported"):
-        eng.rewrite("SELECT PERCENTILERAWKLL(lat, 95) FROM seg_kll")
+    # RAW form over the registered column: merged blob, loadable by the
+    # real library, with the full merged n
+    raw_hex = eng.sql(
+        "SELECT PERCENTILERAWKLL(lat, 95) AS blob FROM seg_kll"
+    ).collect()[0]["blob"]
+    merged = KW.parse_kll_doubles(bytes.fromhex(raw_hex))
+    assert merged.n == len(all_vals)
+    h = K.heapify(
+        spark._jvm.org.apache.datasketches.memory.Memory.wrap(
+            bytearray(bytes.fromhex(raw_hex))
+        )
+    )
+    assert h.getN() == len(all_vals)
+    assert abs(h.getQuantile(0.95) - all_vals[int(0.95 * len(all_vals))]) < 50
+    # RAW over a raw numeric column: deterministic build, same contract
+    raw2 = eng.sql(
+        "SELECT PERCENTILERAWKLL(v, 50) AS blob FROM nums"
+    ).collect()[0]["blob"]
+    built = KW.parse_kll_doubles(bytes.fromhex(raw2))
+    assert built.n == 101 and built.min_item == 0.0 and built.max_item == 100.0
 
 
 def test_all_null_or_empty_group_returns_null(spark):
@@ -149,3 +168,66 @@ def test_all_null_or_empty_group_returns_null(spark):
         "SELECT PERCENTILEKLL(lat, 50) AS p FROM kll_holes GROUP BY g LIMIT 1"
     ).collect()[0]["p"]
     assert got is None  # NULL, not a failed job
+
+
+def test_deterministic_build_heapifies_in_library(spark):
+    """WRITE side: blobs built by the deterministic compactor must load
+    in datasketches-java with the exact n/min/max and quantiles inside
+    the sketch envelope — across empty/single/sub-k/compacted regimes —
+    and be byte-identical run-to-run (the de-randomization's point)."""
+    K = _kll(spark)
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 5, 199, 200, 201, 5000, 100_000):
+        vals = rng.normal(50, 10, n)
+        blob = KW.build_kll_doubles(vals, k=200)
+        assert blob == KW.build_kll_doubles(vals.copy(), k=200)
+        p = KW.parse_kll_doubles(blob)
+        assert p.n == n
+        if n:
+            assert int(p.weights.sum()) == n
+        h = K.heapify(
+            jvm.org.apache.datasketches.memory.Memory.wrap(bytearray(blob))
+        )
+        assert h.getN() == n
+        if n:
+            assert h.getMinItem() == vals.min()
+            assert h.getMaxItem() == vals.max()
+            for q in (0.1, 0.5, 0.9):
+                true = np.quantile(vals, q, method="inverted_cdf")
+                assert abs(h.getQuantile(q) - true) <= max(
+                    2.0, 0.08 * abs(true)
+                )
+
+
+def test_deterministic_merge_of_library_blobs(spark):
+    """Merged blob of REAL library sketches: level-wise stack + the
+    deterministic compactor → valid loadable state with the summed n,
+    global min/max, and a java-side merge accepting it."""
+    K = _kll(spark)
+    jvm = spark._jvm
+    rng = np.random.default_rng(11)
+    blobs, allv = [], []
+    for seg in range(5):
+        sk = K.newHeapInstance(200)
+        vs = rng.normal(seg * 10, 5, 20_000)
+        for v in vs:
+            sk.update(float(v))
+        allv.append(vs)
+        blobs.append(bytes(x & 0xFF for x in sk.toByteArray()))
+    merged = KW.merge_kll_blobs(blobs)
+    assert merged == KW.merge_kll_blobs(list(blobs))  # deterministic
+    av = np.concatenate(allv)
+    h = K.heapify(
+        jvm.org.apache.datasketches.memory.Memory.wrap(bytearray(merged))
+    )
+    assert h.getN() == av.size
+    assert h.getMinItem() == av.min() and h.getMaxItem() == av.max()
+    assert abs(h.getQuantile(0.5) - np.quantile(av, 0.5)) < 2.0
+    tgt = K.newHeapInstance(200)
+    tgt.merge(h)
+    assert tgt.getN() == av.size
+    # k follows the library's merge rule: min of the inputs
+    small = KW.build_kll_doubles(np.arange(1000, dtype=float), k=128)
+    m2 = KW.parse_kll_doubles(KW.merge_kll_blobs(blobs + [small]))
+    assert m2.k == 128
