@@ -1081,27 +1081,51 @@ class PinotDialect:
             return f"hex({BUILD_RAW_UDF_NAME}(CAST({a[0]} AS DOUBLE)))"
 
         def id_set(a):
-            # ID_SET(col): serialized set of the group's distinct values
-            # (engine-local layout: base64 of the JSON array of sorted
-            # values — JSON escaping makes arbitrary characters, commas
-            # and quotes included, round-trip safely), consumed by
-            # IN_ID_SET in a later query.
-            return (
-                f"base64(cast(to_json(sort_array(collect_set("
-                f"cast({a[0]} as string)))) as binary))"
-            )
+            # ID_SET(col[, 'options']): serialized set of the group's
+            # distinct values, consumed by IN_ID_SET in a later query.
+            # Integer columns emit the PUBLIC Pinot IdSet carrier
+            # (type-tagged RoaringBitmap / Roaring64NavigableMap wire,
+            # functions/idset_wire.py — byte-validated against the
+            # RoaringBitmap jar), so idsets round-trip with a real Pinot
+            # deployment; other types keep the engine-local JSON layout
+            # (documented divergence: Pinot hashes non-int types, which
+            # is not exactly invertible). The public options string
+            # (sizeThresholdInBytes/expectedInsertions/fpp) tunes the
+            # bloom fallback we never take — accepted, ignored.
+            from apache_pinot_spark.functions.idset_wire import BUILD_UDF as ID_B
+
+            return f"{ID_B}({a[0]})"
 
         def in_id_set(a):
             # IN_ID_SET(expr, 'base64'): membership against an ID_SET
-            # blob. The literal decodes at rewrite time into an IN list
-            # (values are broadcast with the plan); very large sets
-            # belong in IN_SUBQUERY instead, and say so.
+            # blob — either carrier (auto-detected: Pinot IdSet payloads
+            # lead with a type byte 0-3, the JSON layout with '[').  The
+            # literal decodes at rewrite time into an IN list (values are
+            # broadcast with the plan); very large sets belong in
+            # IN_SUBQUERY instead, and say so.
             import base64 as _b64
             import json as _json
 
             blob = _unquote(a[1])
-            decoded = _b64.b64decode(blob).decode() if blob else "[]"
-            values = _json.loads(decoded) if decoded.strip() else []
+            raw = _b64.b64decode(blob) if blob else b"\x00"
+            if raw and raw[0] in (0, 1, 2, 3):
+                from apache_pinot_spark.functions.idset_wire import parse_idset
+
+                ints = parse_idset(raw)
+                if ints.size == 0:
+                    return "FALSE"
+                if ints.size > 10_000:
+                    raise ValueError(
+                        f"IN_ID_SET: {ints.size} ids is too large for an "
+                        "inline set — use IN_SUBQUERY against the source table"
+                    )
+                vals = ", ".join(str(int(v)) for v in ints)
+                return f"(cast({a[0]} as bigint) IN ({vals}))"
+            decoded = raw.decode() if raw.strip() else "[]"
+            try:
+                values = _json.loads(decoded) if decoded.strip() else []
+            except ValueError:
+                raise ValueError("IN_ID_SET: blob is not a serialized ID_SET")
             if not isinstance(values, list) or not all(
                 isinstance(v, str) for v in values
             ):
@@ -2020,11 +2044,15 @@ class PinotEngine:
         # path is the only one needing registration)
         from apache_pinot_spark.functions.freqitems import register_freq_udfs
         from apache_pinot_spark.functions.hllplus_wire import register_hllplus_udfs
+        from apache_pinot_spark.functions.idset_wire import register_idset_udfs
+        from apache_pinot_spark.functions.kll_wire import register_kll_udfs
         from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
 
         register_freq_udfs(spark)
         register_tdigest_udfs(spark)
         register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
+        register_idset_udfs(spark)  # ID_SET works on any column undeclared
+        register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)
