@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: pandas_udf type-hint inference needs 'pd.*'
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -355,3 +356,27 @@ def text_contains_sql(col_sql: str, pattern: str) -> str:
     toks = tokens_sql(col_sql, frozenset())
     pat = "(?i)^(?:" + pattern + ")$"
     return f"exists({toks}, t -> t RLIKE {_sq(pat)})"
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (the public normalize(str[, form]) transform —
+# java.text.Normalizer semantics). No Spark builtin exists; a vectorized
+# pandas UDF over Python's unicodedata (same Unicode normalization
+# algorithm) serves it. Registered eagerly by PinotEngine.
+# --------------------------------------------------------------------------
+NORMALIZE_UDF = "pinot_normalize"
+
+
+def register_normalize_udf(spark) -> None:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def pinot_normalize(s: pd.Series, form: pd.Series) -> pd.Series:
+        import unicodedata
+
+        f = form.iloc[0] if len(form) else "NFC"
+        return s.map(
+            lambda x: unicodedata.normalize(f, x) if x is not None else None
+        )
+
+    spark.udf.register(NORMALIZE_UDF, pinot_normalize)

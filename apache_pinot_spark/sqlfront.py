@@ -195,6 +195,9 @@ def _unquote(arg: str) -> str:
     raise ValueError(f"expected a string literal, got {arg!r}")
 
 
+# the public jsonPathDouble missing-path sentinel (Double.NEGATIVE_INFINITY)
+_NEG_INF_SQL = "CAST('-Infinity' AS DOUBLE)"
+
 _ISO_DUR_RE = re.compile(
     r"^P(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?"
     r"(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
@@ -1413,6 +1416,60 @@ class PinotDialect:
             # ST_WITHIN(point, polygon) == ST_CONTAINS(polygon, point)
             return st_contains([a[1], a[0]])
 
+        def _epoch_dt(field_fn):
+            """Public epoch-millis datetime extractors (year/hour/… take
+            MILLISECONDS since epoch, optional timezone id) that share
+            names with Spark's date/timestamp extractors.  Emit a dual
+            branch on typeof(): integer input takes the Pinot
+            epoch-millis reading, date/timestamp/string input keeps the
+            Spark reading — both branches must merely analyze, so each
+            casts its own way."""
+
+            def h(a):
+                tz = _sql_quote(_unquote(a[1])) if len(a) > 1 else None
+                # the integer branch casts via STRING so the expression
+                # ANALYZES for date/timestamp input too (only the taken
+                # branch's value matters; CAST(DATE AS BIGINT) would fail
+                # analysis outright)
+                ms = f"timestamp_millis(CAST(CAST({a[0]} AS STRING) AS BIGINT))"
+                ts = f"CAST({a[0]} AS TIMESTAMP)"
+                if tz:
+                    ms = f"from_utc_timestamp({ms}, '{tz}')"
+                    ts = f"from_utc_timestamp({ts}, '{tz}')"
+                return (
+                    f"(CASE WHEN typeof({a[0]}) IN "
+                    f"('bigint','int','smallint','tinyint') "
+                    f"THEN {field_fn(ms)} ELSE {field_fn(ts)} END)"
+                )
+
+            return h
+
+        def hammingdistance(a):
+            # Pinot hammingDistance(s1, s2): -1 when lengths differ,
+            # else the count of differing positions — a JVM-side
+            # zip_with fold, no UDF
+            return (
+                f"(CASE WHEN length({a[0]}) != length({a[1]}) THEN -1 "
+                f"ELSE aggregate(zip_with(split({a[0]}, ''), "
+                f"split({a[1]}, ''), (x, y) -> IF(x <=> y, 0, 1)), 0, "
+                f"(acc, v) -> acc + v) END)"
+            )
+
+        def split_(a):
+            # Pinot split(str, delimiter) treats the delimiter as a
+            # LITERAL; Spark's split() is regex-based — \Q…\E quoting
+            # makes any delimiter safe (incl. '.', '|'), literal or
+            # column-valued
+            return f"split({a[0]}, concat('\\\\Q', {a[1]}, '\\\\E'))"
+
+        def normalize_(a):
+            form = _unquote(a[1]).upper() if len(a) > 1 else "NFC"
+            if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+                raise ValueError(f"NORMALIZE: unknown form {form!r}")
+            from apache_pinot_spark.functions.text import NORMALIZE_UDF
+
+            return f"{NORMALIZE_UDF}({a[0]}, '{form}')"
+
         def in_subquery(a):
             # Public IN_SUBQUERY(expr, 'subquery sql') = semi-join against
             # the subquery's (single-column) result; the partitioned
@@ -1612,6 +1669,83 @@ class PinotDialect:
             "FUNNEL_MATCH_STEP": funnel_match_step,
             "REGEXPEXTRACT": regexp_extract_,
             "STRPOS": strpos,
+            # JSONPATH family (public jsonPath* transforms): served by
+            # get_json_object's jayway-syntax subset ($.a.b[0], [*]);
+            # numeric forms coerce through DOUBLE (Pinot coerces string
+            # numbers too, and (long)3.7 truncates), missing paths fall
+            # to the public defaults — Long.MIN_VALUE / -Infinity — or
+            # the caller's third argument
+            "JSONPATH": lambda a: f"get_json_object({a[0]}, {a[1]})",
+            "JSONPATHSTRING": lambda a: (
+                f"COALESCE(get_json_object({a[0]}, {a[1]}), "
+                f"{a[2] if len(a) > 2 else 'NULL'})"
+            ),
+            "JSONPATHLONG": lambda a: (
+                f"CAST(COALESCE(CAST(get_json_object({a[0]}, {a[1]}) AS DOUBLE), "
+                f"{a[2] if len(a) > 2 else str(-(1 << 63))}) AS BIGINT)"
+            ),
+            "JSONPATHDOUBLE": lambda a: (
+                f"COALESCE(CAST(get_json_object({a[0]}, {a[1]}) AS DOUBLE), "
+                f"{a[2] if len(a) > 2 else _NEG_INF_SQL})"
+            ),
+            "JSONPATHARRAY": lambda a: (
+                f"from_json(get_json_object({a[0]}, {a[1]}), 'array<string>')"
+            ),
+            # epoch-millis datetime extractors (optional tz id); DAYOFWEEK
+            # follows the public Joda convention Monday=1..Sunday=7 (Spark
+            # says Sunday=1)
+            "YEAR": _epoch_dt(lambda t: f"year({t})"),
+            "YEAROFWEEK": _epoch_dt(lambda t: f"extract(YEAROFWEEK FROM {t})"),
+            "MONTH": _epoch_dt(lambda t: f"month({t})"),
+            "MONTHOFYEAR": _epoch_dt(lambda t: f"month({t})"),
+            "WEEK": _epoch_dt(lambda t: f"weekofyear({t})"),
+            "WEEKOFYEAR": _epoch_dt(lambda t: f"weekofyear({t})"),
+            "DAYOFYEAR": _epoch_dt(lambda t: f"dayofyear({t})"),
+            "DOY": _epoch_dt(lambda t: f"dayofyear({t})"),
+            "DAYOFMONTH": _epoch_dt(lambda t: f"day({t})"),
+            "DAY": _epoch_dt(lambda t: f"day({t})"),
+            "DAYOFWEEK": _epoch_dt(lambda t: f"(pmod(dayofweek({t}) + 5, 7) + 1)"),
+            "DOW": _epoch_dt(lambda t: f"(pmod(dayofweek({t}) + 5, 7) + 1)"),
+            "HOUR": _epoch_dt(lambda t: f"hour({t})"),
+            "MINUTE": _epoch_dt(lambda t: f"minute({t})"),
+            "SECOND": _epoch_dt(lambda t: f"second({t})"),
+            "MILLISECOND": _epoch_dt(
+                lambda t: f"CAST(pmod(unix_millis({t}), 1000) AS INT)"
+            ),
+            "QUARTER": _epoch_dt(lambda t: f"quarter({t})"),
+            # typed MV array transforms (public arrayFooTYPE families —
+            # the TYPE suffix only picks the Java overload; one Spark
+            # form serves all of them). arrayIndexOf is 0-based with -1
+            # for absent (array_position is 1-based with 0); arraySlice
+            # is 0-based end-exclusive (slice is 1-based length-counted)
+            **{
+                f"{base}{t}": fn
+                for t in ("INT", "LONG", "FLOAT", "DOUBLE", "STRING")
+                for base, fn in (
+                    ("ARRAYREVERSE", lambda a: f"reverse({a[0]})"),
+                    ("ARRAYDISTINCT", lambda a: f"array_distinct({a[0]})"),
+                    ("ARRAYSORT", lambda a: f"array_sort({a[0]})"),
+                    ("ARRAYUNION", lambda a: f"array_union({a[0]}, {a[1]})"),
+                    ("ARRAYCONCAT", lambda a: f"concat({a[0]}, {a[1]})"),
+                    ("ARRAYCONTAINS", lambda a: f"array_contains({a[0]}, {a[1]})"),
+                    (
+                        "ARRAYINDEXOF",
+                        lambda a: f"(array_position({a[0]}, {a[1]}) - 1)",
+                    ),
+                    (
+                        "ARRAYSLICE",
+                        lambda a: (
+                            f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
+                        ),
+                    ),
+                )
+            },
+            "SPLIT": split_,
+            "HAMMINGDISTANCE": hammingdistance,
+            "REMOVE": lambda a: f"replace({a[0]}, {a[1]}, '')",
+            "NORMALIZE": normalize_,
+            "URLENCODE": lambda a: f"url_encode({a[0]})",
+            "URLDECODE": lambda a: f"url_decode({a[0]})",
             "NOW": now_,
             "AGO": ago,
             "SUBSTR": substr_,
@@ -2053,6 +2187,9 @@ class PinotEngine:
         register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
         register_idset_udfs(spark)  # ID_SET works on any column undeclared
         register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
+        from apache_pinot_spark.functions.text import register_normalize_udf
+
+        register_normalize_udf(spark)  # NORMALIZE(str[, form])
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)
