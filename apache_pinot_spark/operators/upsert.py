@@ -81,10 +81,31 @@ class UpsertConfig:
     partial_strategies: dict[str, str] = field(default_factory=dict)
     default_strategy: str = "OVERWRITE"
     delete_column: str | None = None
+    # public upsertConfig.metadataTTL (in comparison-column units): keys
+    # whose comparison value falls behind max(comparison) - ttl leave
+    # the metadata map, so their rows become visible AS-IS (frozen past,
+    # possibly duplicated) while the live window keeps resolving —
+    # upsert_view reproduces exactly that visible behavior
+    metadata_ttl: float | None = None
+    # public dropOutOfOrderRecord / outOfOrderRecordColumn: arrival-order
+    # semantics, honored by the streaming changelog (upsert_stateful);
+    # the batch views have no arrival order to judge by (documented there)
+    drop_out_of_order_record: bool = False
+    out_of_order_record_column: str | None = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("FULL", "PARTIAL"):
             raise ValueError(f"upsert mode must be FULL or PARTIAL, got {self.mode!r}")
+        if self.metadata_ttl is not None:
+            if self.comparison_column is None:
+                raise ValueError("metadata_ttl requires a comparison_column")
+            if self.metadata_ttl <= 0:
+                raise ValueError(f"metadata_ttl must be positive, got {self.metadata_ttl}")
+        if self.drop_out_of_order_record and self.out_of_order_record_column:
+            raise ValueError(
+                "dropOutOfOrderRecord and outOfOrderRecordColumn are mutually "
+                "exclusive (a dropped record cannot also be marked)"
+            )
         for col, strat in {**self.partial_strategies, "": self.default_strategy}.items():
             if strat not in STRATEGIES:
                 raise ValueError(
@@ -198,10 +219,27 @@ def upsert_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     """The query-time upsert resolution (what a SELECT against an
     upsert table sees). Pass the raw frame through unchanged to get the
     public `skipUpsert=true` behavior — there is deliberately no flag
-    here; callers just query the underlying table."""
-    if cfg.mode == "PARTIAL":
-        return partial_upsert_view(df, cfg)
-    return full_upsert_view(df, cfg)
+    here; callers just query the underlying table.
+
+    With ``metadata_ttl`` set, only rows inside the TTL window behind
+    the table's max comparison value resolve per key; older rows show
+    AS-IS (the public engine's behavior once their keys expire from the
+    metadata map — frozen past, duplicates possible). The watermark is
+    a 1-row aggregate broadcast back onto the scan: no collect, and the
+    fact side streams once."""
+    resolve = partial_upsert_view if cfg.mode == "PARTIAL" else full_upsert_view
+    if cfg.metadata_ttl is None:
+        return resolve(df, cfg)
+    comp = F.col(cfg.comparison_column)
+    bound = df.agg(
+        (F.max(comp) - F.lit(cfg.metadata_ttl)).alias("__upsert_wm")
+    )
+    joined = df.crossJoin(F.broadcast(bound))
+    frozen = joined.where(comp < F.col("__upsert_wm")).drop("__upsert_wm")
+    live = joined.where(
+        comp.isNull() | (comp >= F.col("__upsert_wm"))
+    ).drop("__upsert_wm")
+    return frozen.unionByName(resolve(live, cfg)).select(*df.columns)
 
 
 def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
@@ -242,6 +280,15 @@ def upsert_stateful(
     deliberately batch-only: APPEND/UNION state would grow unboundedly
     per key, which is exactly what the state store should not hold —
     run partial merges in the batch view over committed segments.
+
+    Out-of-order arrivals (a record whose ordering is BELOW the key's
+    current winner — the public dropOutOfOrderRecord /
+    outOfOrderRecordColumn semantics, which only make sense with
+    arrival order, i.e. here, not in the batch views): by default and
+    with ``drop_out_of_order_record`` they never reach the changelog
+    (they cannot win); with ``out_of_order_record_column`` set they ARE
+    emitted, flagged true in that column, while winners carry false —
+    the schema gains the flag column.
     """
     if cfg.mode != "FULL":
         raise ValueError("upsert_stateful implements FULL mode only (see docstring)")
@@ -250,7 +297,19 @@ def upsert_stateful(
     cols = stream_df.columns
     pk = list(cfg.primary_keys)
     cmp_col, seq_col = cfg.comparison_column, cfg.sequence_column
+    ooo_col = cfg.out_of_order_record_column
+    if ooo_col in cols:
+        raise ValueError(
+            f"outOfOrderRecordColumn {ooo_col!r} collides with an input column"
+        )
     out_schema = stream_df.schema
+    if ooo_col:
+        from pyspark.sql import types as _T
+
+        out_schema = _T.StructType(
+            out_schema.fields + [_T.StructField(ooo_col, _T.BooleanType(), True)]
+        )
+    out_cols = cols + ([ooo_col] if ooo_col else [])
     state_schema = "payload BINARY"
     timeout_ms = int(timeout_minutes * 60 * 1000) if timeout_minutes else None
 
@@ -259,7 +318,7 @@ def upsert_stateful(
 
         import pandas as _pd
 
-        empty = _pd.DataFrame({c: [] for c in cols})
+        empty = _pd.DataFrame({c: [] for c in out_cols})
         if state.hasTimedOut:
             state.remove()
             yield empty
@@ -282,20 +341,27 @@ def upsert_stateful(
 
         best = pickle.loads(state.get[0]) if state.exists else None  # (ord, rowdict)
         changed = False
+        late = []  # out-of-order arrivals, only kept when flagged
         for pdf in pdfs:
             for row in pdf.to_dict("records"):
                 o = ord_of(row)
                 if best is None or o >= best[0]:
                     best = (o, row)
                     changed = True
+                elif ooo_col:
+                    late.append({**row, ooo_col: True})
         if best is not None:
             state.update((pickle.dumps(best),))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
+        out = []
         if changed:
-            yield _pd.DataFrame([best[1]], columns=cols)
-        else:
-            yield empty
+            win = dict(best[1])
+            if ooo_col:
+                win[ooo_col] = False
+            out.append(win)
+        out.extend(late)
+        yield _pd.DataFrame(out, columns=out_cols) if out else empty
 
     return stream_df.groupBy(*pk).applyInPandasWithState(
         update,

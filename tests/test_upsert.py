@@ -258,3 +258,107 @@ def test_partial_upsert_append_skips_null_array_versions(spark):
                              comparison_column="ts",
                              partial_strategies={"ar": strat})
         assert U.upsert_view(df, cfg).collect()[0]["ar"] == want
+
+
+def test_metadata_ttl_frozen_past(spark, duck):
+    """upsertConfig.metadataTTL: keys older than max(comparison) - TTL
+    leave the metadata map, so their rows show AS-IS (frozen past,
+    duplicates visible) while the live window keeps resolving — the
+    public engine's visible behavior after expiry, differentialed
+    against a DuckDB window oracle split at the same watermark."""
+    df = _events(spark)
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
+        metadata_ttl=10.0,
+    )
+    got = sorted(
+        (r["pk"], r["ts"], r["seq"]) for r in U.upsert_view(df, cfg).collect()
+    )
+    # max(ts) = 20 → watermark 10: rows with ts < 10 are frozen as-is
+    # (k2 both rows, k3 both rows), rows with ts >= 10 resolve (k1 → 20)
+    df.toPandas().to_csv("/tmp/_ttl_events.csv", index=False)
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            """
+            WITH t AS (SELECT pk, ts, seq FROM '/tmp/_ttl_events.csv'),
+            wm AS (SELECT max(ts) - 10 AS w FROM t)
+            SELECT pk, ts, seq FROM t, wm WHERE ts < w
+            UNION ALL
+            SELECT pk, ts, seq FROM (
+              SELECT pk, ts, seq,
+                     row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) rn
+              FROM t, wm WHERE ts >= w
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert ("k1", 20, 1) in got and ("k1", 10, 0) not in got  # live resolves
+    assert ("k2", 5, 3) in got and ("k2", 5, 4) in got  # frozen duplicates
+    with pytest.raises(ValueError, match="comparison_column"):
+        U.UpsertConfig(primary_keys=["pk"], metadata_ttl=5.0)
+    with pytest.raises(ValueError, match="positive"):
+        U.UpsertConfig(
+            primary_keys=["pk"], comparison_column="ts", metadata_ttl=0.0
+        )
+
+
+def test_upsert_stateful_out_of_order_column(spark, tmp_path_factory):
+    """outOfOrderRecordColumn: out-of-order arrivals surface in the
+    changelog flagged true; winners carry false; the two knobs are
+    mutually exclusive."""
+    root = tmp_path_factory.mktemp("upsert_ooo")
+    src = root / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write(idx, rows):
+        (src / f"b{idx}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    write(0, [{"pk": "a", "ts": 10, "value": 1.0}])
+    stream = spark.readStream.schema(schema).json(str(src))
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], comparison_column="ts",
+        out_of_order_record_column="is_ooo",
+    )
+    out = U.upsert_stateful(stream, cfg)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("upsert_ooo")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(1, [{"pk": "a", "ts": 5, "value": 0.5},   # out of order
+                  {"pk": "a", "ts": 20, "value": 2.0}])  # new winner
+        q.processAllAvailable()
+        rows = {
+            (r["pk"], r["ts"], r["value"]): r["is_ooo"]
+            for r in spark.sql("SELECT * FROM upsert_ooo").collect()
+        }
+        assert rows[("a", 10, 1.0)] is False
+        assert rows[("a", 20, 2.0)] is False
+        assert rows[("a", 5, 0.5)] is True  # surfaced, flagged
+    finally:
+        q.stop()
+    with pytest.raises(ValueError, match="mutually"):
+        U.UpsertConfig(
+            primary_keys=["pk"], comparison_column="ts",
+            drop_out_of_order_record=True, out_of_order_record_column="f",
+        )
+    with pytest.raises(ValueError, match="collides"):
+        U.upsert_stateful(
+            spark.readStream.schema(schema).json(str(src)),
+            U.UpsertConfig(
+                primary_keys=["pk"], comparison_column="ts",
+                out_of_order_record_column="value",
+            ),
+        )
