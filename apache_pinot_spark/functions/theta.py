@@ -341,6 +341,9 @@ def evaluate_set_expression(expr: str, sketches: dict[str, ThetaSketch]) -> Thet
 
 ESTIMATE_UDF = "pinot_theta_estimate"
 UNION_UDF = "pinot_theta_union"
+BUILD_UDF = "pinot_theta_build"
+SETEXPR_UDF = "pinot_theta_setexpr"
+SETEXPR_RAW_UDF = "pinot_theta_setexpr_raw"
 
 
 def register_theta_udfs(spark) -> None:
@@ -365,5 +368,44 @@ def register_theta_udfs(spark) -> None:
             lambda b: float("nan") if b is None else _t.deserialize(b).estimate()
         )
 
+    @pandas_udf("binary")
+    def pinot_theta_build(values: pd.Series, k: pd.Series) -> bytes:
+        # grouped-agg build from RAW values (the filtered-sketch leg of
+        # the in-SQL set-expression form over non-sketch columns)
+        from apache_pinot_spark.functions import theta as _t
+
+        return _t.serialize(
+            _t.ThetaSketch.from_values(values.dropna(), int(k.iloc[0]))
+        )
+
+    def _eval_setexpr(exprs: pd.Series, blob_arrays: pd.Series):
+        from apache_pinot_spark.functions import theta as _t
+
+        out = []
+        for e, arr in zip(exprs, blob_arrays):
+            sketches = {
+                f"${i + 1}": (
+                    _t.ThetaSketch.empty()
+                    if b is None
+                    else _t.deserialize(bytes(b))
+                )
+                for i, b in enumerate(arr if arr is not None else [])
+            }
+            out.append(_t.evaluate_set_expression(e, sketches))
+        return out
+
+    @pandas_udf("double")
+    def pinot_theta_setexpr(exprs: pd.Series, blobs: pd.Series) -> pd.Series:
+        return pd.Series([s.estimate() for s in _eval_setexpr(exprs, blobs)])
+
+    @pandas_udf("binary")
+    def pinot_theta_setexpr_raw(exprs: pd.Series, blobs: pd.Series) -> pd.Series:
+        from apache_pinot_spark.functions import theta as _t
+
+        return pd.Series([_t.serialize(s) for s in _eval_setexpr(exprs, blobs)])
+
     spark.udf.register(UNION_UDF, pinot_theta_union)
     spark.udf.register(ESTIMATE_UDF, pinot_theta_estimate)
+    spark.udf.register(BUILD_UDF, pinot_theta_build)
+    spark.udf.register(SETEXPR_UDF, pinot_theta_setexpr)
+    spark.udf.register(SETEXPR_RAW_UDF, pinot_theta_setexpr_raw)

@@ -248,15 +248,33 @@ def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     invisible — the mirror image of full upsert (min_by instead of
     max_by, same single map-side-combined shuffle). The streaming
     flavor of this contract is
-    streaming.realtime.dedup_within_key_stateful."""
-    ord_c = _ordering(cfg)
-    payload = [c for c in df.columns if c not in cfg.primary_keys]
-    first = (
-        df.groupBy(*cfg.primary_keys)
-        .agg(F.min_by(F.struct(*payload), ord_c).alias("__w"))
-        .select(*cfg.primary_keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
-    )
-    return first.select(*df.columns)
+    streaming.realtime.dedup_within_key_stateful.
+
+    ``metadata_ttl`` mirrors the public dedup-config metadataTTL over
+    its dedupTimeColumn (= comparison_column here): only the TTL window
+    behind max(time) dedups; older rows show as-is, the metadata-map
+    expiry behavior — same broadcast-watermark shape as upsert_view."""
+
+    def keep_first(d: DataFrame, c: UpsertConfig) -> DataFrame:
+        ord_c = _ordering(c)
+        payload = [x for x in d.columns if x not in c.primary_keys]
+        first = (
+            d.groupBy(*c.primary_keys)
+            .agg(F.min_by(F.struct(*payload), ord_c).alias("__w"))
+            .select(*c.primary_keys, *[F.col(f"__w.{x}").alias(x) for x in payload])
+        )
+        return first.select(*d.columns)
+
+    if cfg.metadata_ttl is None:
+        return keep_first(df, cfg)
+    comp = F.col(cfg.comparison_column)
+    bound = df.agg((F.max(comp) - F.lit(cfg.metadata_ttl)).alias("__dedup_wm"))
+    joined = df.crossJoin(F.broadcast(bound))
+    frozen = joined.where(comp < F.col("__dedup_wm")).drop("__dedup_wm")
+    live = joined.where(
+        comp.isNull() | (comp >= F.col("__dedup_wm"))
+    ).drop("__dedup_wm")
+    return frozen.unionByName(keep_first(live, cfg)).select(*df.columns)
 
 
 # --------------------------------------------------------------------------

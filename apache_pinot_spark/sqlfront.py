@@ -587,16 +587,86 @@ class PinotDialect:
             q = float(a[1]) / 100.0
             return f"percentile_approx({a[0]}, {q})"
 
+        def _theta_setexpr_args(a):
+            """Parse the public multi-arg form: (column[, 'params'],
+            'predicate1', …, 'predicateN', 'SET_EXPR($1,…)').  Returns
+            (col, k, predicates, expression) or None for the plain
+            1-arg / col+params forms."""
+            import re as _re
+
+            if len(a) < 3 and not (len(a) == 2 and "=" in a[1]):
+                return None
+            col = a[0].strip()
+            rest = [(_unquote(x)) for x in a[1:]]
+            k = None
+            if rest and "=" in rest[0] and _re.match(
+                r"(?i)\s*(nominalEntries|samplingProbability|accuracy)\s*=",
+                rest[0],
+            ):
+                m = _re.search(r"(?i)nominalEntries\s*=\s*(\d+)", rest[0])
+                k = int(m.group(1)) if m else None
+                rest = rest[1:]
+            if not rest:
+                return (col, k, [], None)  # params-only form
+            expr = rest[-1]
+            preds = rest[:-1]
+            refs = [int(x) for x in _re.findall(r"\$(\d+)", expr)]
+            if refs and (not preds or max(refs) > len(preds) or min(refs) < 1):
+                raise ValueError(
+                    f"theta set expression references ${max(refs) if refs else 0} "
+                    f"but only {len(preds)} filter predicates were given"
+                )
+            return (col, k, preds, expr)
+
+        def _theta_filtered_legs(col, k, preds):
+            """One merged-sketch SQL expression per filter predicate:
+            BYTES sketch columns union the matching blobs; raw columns
+            build a sketch from the matching values — both grouped-agg,
+            map-side-combined, one pass over the scan for ALL legs."""
+            from apache_pinot_spark.functions.theta import (
+                BUILD_UDF,
+                DEFAULT_NOMINAL,
+                UNION_UDF,
+            )
+
+            kk = k or DEFAULT_NOMINAL
+            legs = []
+            for p in preds:
+                guarded = f"CASE WHEN ({p}) THEN {col} END"
+                if col in self.theta_columns:
+                    legs.append(f"{UNION_UDF}({guarded})")
+                else:
+                    legs.append(f"{BUILD_UDF}({guarded}, {kk})")
+            return legs
+
         def distinctcountthetasketch(a):
             # Over a BYTES theta-sketch column (register_theta_column):
             # union the group's sketches, estimate, round to a count —
             # the public function's return shape. Over a raw column the
             # engine answers EXACTLY (COUNT DISTINCT): the sketch is an
             # approximation device, not a semantic; exact is both a valid
-            # estimate and oracle-reproducible. Set-expression forms go
-            # through PinotEngine.theta_set_estimate.
-            from apache_pinot_spark.functions.theta import ESTIMATE_UDF, UNION_UDF
+            # estimate and oracle-reproducible.
+            # The multi-arg set-expression form — (col[, 'params'],
+            # 'pred1', …, 'SET_INTERSECT($1, $2)') — compiles to one
+            # aggregate pass building a filtered sketch per predicate
+            # (CASE-guarded, so the scan runs ONCE) combined by the
+            # expression evaluator; PinotEngine.theta_set_estimate stays
+            # as the programmatic twin.
+            from apache_pinot_spark.functions.theta import (
+                ESTIMATE_UDF,
+                SETEXPR_UDF,
+                UNION_UDF,
+            )
 
+            parsed = _theta_setexpr_args(a)
+            if parsed is not None and parsed[3] is not None:
+                col, k, preds, expr = parsed
+                legs = _theta_filtered_legs(col, k, preds)
+                e = _sql_quote(expr)
+                return (
+                    f"CAST(ROUND({SETEXPR_UDF}('{e}', "
+                    f"array({', '.join(legs)}))) AS BIGINT)"
+                )
             arg = a[0].strip()
             if arg in self.theta_columns:
                 return f"CAST(ROUND({ESTIMATE_UDF}({UNION_UDF}({arg}))) AS BIGINT)"
@@ -604,9 +674,19 @@ class PinotDialect:
 
         def distinctcountrawthetasketch(a):
             # RAW variant: the merged serialized sketch itself (hex), for
-            # clients that post-aggregate across queries.
-            from apache_pinot_spark.functions.theta import UNION_UDF
+            # clients that post-aggregate across queries. Supports the
+            # same multi-arg set-expression form as the estimate
+            # function (returns the combined sketch's wire blob).
+            from apache_pinot_spark.functions.theta import SETEXPR_RAW_UDF, UNION_UDF
 
+            parsed = _theta_setexpr_args(a)
+            if parsed is not None and parsed[3] is not None:
+                col, k, preds, expr = parsed
+                legs = _theta_filtered_legs(col, k, preds)
+                e = _sql_quote(expr)
+                return (
+                    f"hex({SETEXPR_RAW_UDF}('{e}', array({', '.join(legs)})))"
+                )
             arg = a[0].strip()
             if arg not in self.theta_columns:
                 raise ValueError(

@@ -331,3 +331,78 @@ def test_engine_theta_set_estimate_end_to_end(spark):
     assert est == float(truth)
     with pytest.raises(ValueError, match="at least one predicate"):
         eng.theta_set_estimate("events", "user_id", [], "$1")
+
+
+def test_in_sql_set_expression_form(spark):
+    """The public multi-arg DISTINCT_COUNT_THETA_SKETCH form in SQL —
+    (col[, 'nominalEntries=…'], 'pred1', …, 'SET_EXPR($1,…)') — over
+    BOTH a raw column (filtered sketches built in one CASE-guarded
+    aggregate pass) and a registered BYTES sketch column (filtered
+    unions), checked against the exact set algebra; the RAW twin
+    returns the combined sketch's wire blob."""
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["events"])
+    ev = load_tables(spark, SF_SMOKE)["events"]
+
+    truth_both = (
+        ev.where("event_type = 'view'").select("user_id").distinct()
+        .intersect(
+            ev.where("event_type = 'purchase'").select("user_id").distinct()
+        )
+        .count()
+    )
+    got = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(user_id, 'nominalEntries=4096', "
+        "'event_type = ''view''', 'event_type = ''purchase''', "
+        "'SET_INTERSECT($1, $2)') AS u FROM events"
+    ).collect()[0]["u"]
+    assert got == truth_both
+
+    truth_only_view = (
+        ev.where("event_type = 'view'").select("user_id").distinct()
+        .exceptAll(
+            ev.where("event_type = 'purchase'").select("user_id").distinct()
+        )
+        .count()
+    )
+    got2 = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(user_id, "
+        "'event_type = ''view''', 'event_type = ''purchase''', "
+        "'SET_DIFF($1, $2)') AS u FROM events"
+    ).collect()[0]["u"]
+    assert got2 == truth_only_view
+
+    # RAW twin: blob of the combined sketch, estimate matches
+    raw_hex = eng.sql(
+        "SELECT DISTINCTCOUNTRAWTHETASKETCH(user_id, "
+        "'event_type = ''view''', 'event_type = ''purchase''', "
+        "'SET_INTERSECT($1, $2)') AS b FROM events"
+    ).collect()[0]["b"]
+    assert round(TH.deserialize(bytes.fromhex(raw_hex)).estimate()) == truth_both
+
+    # BYTES sketch column path: per-type sketches, filter on a dim
+    sk = TH.theta_sketch(ev, ["event_type"], "user_id", k=4096, out_col="theta")
+    eng.register("theta_t", sk)
+    eng.register_theta_column("theta")
+    got3 = eng.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(theta, "
+        "'event_type = ''view''', 'event_type = ''purchase''', "
+        "'SET_UNION($1, $2)') AS u FROM theta_t"
+    ).collect()[0]["u"]
+    truth_union = (
+        ev.where("event_type IN ('view', 'purchase')")
+        .select("user_id").distinct().count()
+    )
+    assert got3 == truth_union
+
+    # malformed: $3 with two predicates must fail at REWRITE time
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="references"):
+        eng.rewrite(
+            "SELECT DISTINCTCOUNTTHETASKETCH(user_id, 'a = ''x''', "
+            "'SET_UNION($1, $3)') FROM events"
+        )

@@ -362,3 +362,24 @@ def test_upsert_stateful_out_of_order_column(spark, tmp_path_factory):
                 out_of_order_record_column="value",
             ),
         )
+
+
+def test_dedup_metadata_ttl(spark):
+    """Dedup-config metadataTTL: duplicates older than the TTL window
+    behind max(dedupTimeColumn) reappear (metadata expired); the live
+    window keeps first-wins."""
+    df = _events(spark)
+    cfg = U.UpsertConfig(
+        primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
+        metadata_ttl=10.0,
+    )
+    got = sorted(
+        (r["pk"], r["ts"], r["seq"]) for r in U.dedup_keep_first_view(df, cfg).collect()
+    )
+    # watermark = 20 - 10 = 10: k1 rows at ts 10/15/20 → first (10) wins
+    # once... ts=10 is >= wm so k1 lives dedup to (10, seq 0); k2/k3 all
+    # frozen (ts < 10) and show as-is
+    assert ("k1", 10, 0) in got
+    assert ("k1", 20, 1) not in got and ("k1", 15, 2) not in got
+    assert ("k2", 5, 3) in got and ("k2", 5, 4) in got
+    assert ("k3", 1, 5) in got and ("k3", 2, 6) in got
