@@ -88,6 +88,14 @@ class RoaringBitmap32:
 
     __slots__ = ("containers",)
 
+    # HYBRID containers, exactly like the libraries themselves: a key
+    # maps to EITHER a sorted-unique uint16 value array (array rep,
+    # card <= 4096) OR a uint64[1024] bitset (bitmap rep).  Parsing a
+    # sparse blob must NOT expand every 3-value array container into a
+    # 64 KiB bitset — at 100 TB the union hot path is dominated by
+    # exactly that case (thousands of sparse per-segment bitmaps per
+    # group).  The rep is distinguished by dtype; the WIRE form is
+    # always decided by cardinality, so serialization is rep-agnostic.
     def __init__(self, containers: dict[int, np.ndarray] | None = None):
         self.containers = containers or {}
 
@@ -97,10 +105,7 @@ class RoaringBitmap32:
         v = np.asarray(values)
         if v.size == 0:
             return cls()
-        if v.dtype.kind in ("i", "u"):
-            vv = v.astype(np.int64)
-        else:
-            vv = v.astype(np.int64)
+        vv = v.astype(np.int64)
         if vv.size and (vv.min() < 0 or vv.max() > 0xFFFFFFFF):
             raise ValueError(
                 "RoaringBitmap32 holds uint32 values; got value outside "
@@ -108,43 +113,80 @@ class RoaringBitmap32:
             )
         u = np.unique(vv.astype(np.uint32))
         keys = (u >> np.uint32(16)).astype(np.int64)
-        lows = (u & np.uint32(0xFFFF)).astype(np.int64)
+        lows = (u & np.uint32(0xFFFF)).astype(np.uint16)
         out: dict[int, np.ndarray] = {}
         start = 0
         for key, count in zip(*np.unique(keys, return_counts=True)):
-            bits = np.zeros(1 << 16, dtype=np.uint8)
-            bits[lows[start : start + count]] = 1
-            out[int(key)] = _bits_to_words(bits)
+            sel = lows[start : start + count]
+            if count <= _ARRAY_MAX:
+                out[int(key)] = np.ascontiguousarray(sel)
+            else:
+                bits = np.zeros(1 << 16, dtype=np.uint8)
+                bits[sel.astype(np.int64)] = 1
+                out[int(key)] = _bits_to_words(bits)
             start += count
         return cls(out)
 
     # -- set algebra -------------------------------------------------------
     def union_inplace(self, other: "RoaringBitmap32") -> "RoaringBitmap32":
-        for k, w in other.containers.items():
+        for k, theirs in other.containers.items():
             mine = self.containers.get(k)
             if mine is None:
-                self.containers[k] = w.copy()
+                self.containers[k] = theirs.copy()
+            elif mine.dtype == np.uint64 and theirs.dtype == np.uint64:
+                np.bitwise_or(mine, theirs, out=mine)
+            elif mine.dtype == np.uint16 and theirs.dtype == np.uint16:
+                u = np.union1d(mine, theirs)
+                self.containers[k] = (
+                    u if u.size <= _ARRAY_MAX else _values_to_words(u)
+                )
             else:
-                np.bitwise_or(mine, w, out=mine)
+                words, vals = (
+                    (mine, theirs) if mine.dtype == np.uint64 else (theirs, mine)
+                )
+                w = words if words is mine else words.copy()
+                _or_values_into_words(w, vals)
+                self.containers[k] = w
         return self
 
     def cardinality(self) -> int:
-        return sum(_popcount(w) for w in self.containers.values())
+        return sum(
+            (c.size if c.dtype == np.uint16 else _popcount(c))
+            for c in self.containers.values()
+        )
 
     def to_values(self) -> np.ndarray:
         """All values, ascending, as uint32 (test/debug surface)."""
         parts = []
         for k in sorted(self.containers):
-            lows = _words_to_values(self.containers[k]).astype(np.uint32)
+            c = self.containers[k]
+            lows = (c if c.dtype == np.uint16 else _words_to_values(c)).astype(
+                np.uint32
+            )
             parts.append((np.uint32(k) << np.uint32(16)) | lows)
         return np.concatenate(parts) if parts else np.zeros(0, np.uint32)
 
     def contains(self, value: int) -> bool:
-        w = self.containers.get(value >> 16)
-        if w is None:
+        c = self.containers.get(value >> 16)
+        if c is None:
             return False
         low = value & 0xFFFF
-        return bool((int(w[low >> 6]) >> (low & 63)) & 1)
+        if c.dtype == np.uint16:
+            i = int(np.searchsorted(c, np.uint16(low)))
+            return i < c.size and int(c[i]) == low
+        return bool((int(c[low >> 6]) >> (low & 63)) & 1)
+
+
+def _values_to_words(vals: np.ndarray) -> np.ndarray:
+    bits = np.zeros(1 << 16, dtype=np.uint8)
+    bits[vals.astype(np.int64)] = 1
+    return _bits_to_words(bits)
+
+
+def _or_values_into_words(words: np.ndarray, vals: np.ndarray) -> None:
+    idx = (vals.astype(np.int64) >> 6)
+    masks = np.left_shift(np.uint64(1), (vals.astype(np.uint64) & np.uint64(63)))
+    np.bitwise_or.at(words, idx, masks)
 
 
 def _num_runs(bits: np.ndarray) -> int:
@@ -164,6 +206,17 @@ def _runs_of(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts.astype(np.uint16), (ends - starts - 1).astype(np.uint16)
 
 
+def _runs_of_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths-1) of the runs in a sorted-unique value array —
+    the array-rep twin of _runs_of, no bitset expansion."""
+    vv = vals.astype(np.int64)
+    brk = np.flatnonzero(np.diff(vv) > 1)
+    s_idx = np.concatenate(([0], brk + 1))
+    e_idx = np.concatenate((brk, [vv.size - 1]))
+    starts = vv[s_idx]
+    return starts.astype(np.uint16), (vv[e_idx] - starts).astype(np.uint16)
+
+
 def serialize(bm: RoaringBitmap32, run_optimize: bool = False) -> bytes:
     """Portable serialization, byte-identical to the Java library.
 
@@ -180,29 +233,38 @@ def serialize(bm: RoaringBitmap32, run_optimize: bool = False) -> bytes:
     payloads: list[bytes] = []
     is_run: list[bool] = []
     for k in keys:
-        words = bm.containers[k]
-        card = _popcount(words)
+        c = bm.containers[k]
+        if c.dtype == np.uint16:
+            vals, card = c, int(c.size)
+        else:
+            card = _popcount(c)
+            vals = None  # extracted lazily only if the wire form needs it
         if card == 0:
             raise ValueError("empty container in serialize (internal)")
         cards.append(card)
-        bits = np.unpackbits(words.view(np.uint8), bitorder="little")
         use_run = False
         if run_optimize:
-            nruns = _num_runs(bits)
-            run_size = 2 + 4 * nruns
+            if vals is not None:
+                starts, lens = _runs_of_values(vals)
+            else:
+                starts, lens = _runs_of(
+                    np.unpackbits(c.view(np.uint8), bitorder="little")
+                )
+            run_size = 2 + 4 * starts.size
             cur_size = 8192 if card > _ARRAY_MAX else 2 * card
             use_run = run_size < cur_size
         is_run.append(use_run)
         if use_run:
-            starts, lens = _runs_of(bits)
             payloads.append(
                 struct.pack("<H", starts.size)
                 + np.column_stack([starts, lens]).astype("<u2").tobytes()
             )
         elif card > _ARRAY_MAX:
-            payloads.append(words.astype("<u8").tobytes())
+            w = c if vals is None else _values_to_words(vals)
+            payloads.append(w.astype("<u8").tobytes())
         else:
-            payloads.append(_words_to_values(words).astype("<u2").tobytes())
+            v = vals if vals is not None else _words_to_values(c)
+            payloads.append(v.astype("<u2").tobytes())
 
     has_run = any(is_run)
     out = bytearray()
@@ -273,37 +335,108 @@ def deserialize(blob: bytes) -> RoaringBitmap32:
                 raise ValueError("roaring blob truncated in run payload")
             pairs = np.frombuffer(blob, "<u2", 2 * nruns, pos).astype(np.int64)
             pos += 4 * nruns
-            bits = np.zeros(1 << 16, dtype=np.uint8)
-            for r in range(nruns):
-                start, ln = pairs[2 * r], pairs[2 * r + 1]
-                bits[start : start + ln + 1] = 1
-            words = _bits_to_words(bits)
+            total = int((pairs[1::2] + 1).sum())
+            if total <= _ARRAY_MAX:
+                rep = np.sort(
+                    np.concatenate(
+                        [
+                            np.arange(
+                                pairs[2 * r], pairs[2 * r] + pairs[2 * r + 1] + 1
+                            )
+                            for r in range(nruns)
+                        ]
+                        or [np.zeros(0, np.int64)]
+                    )
+                ).astype(np.uint16)
+            else:
+                bits = np.zeros(1 << 16, dtype=np.uint8)
+                for r in range(nruns):
+                    start, ln = pairs[2 * r], pairs[2 * r + 1]
+                    bits[start : start + ln + 1] = 1
+                rep = _bits_to_words(bits)
         elif card > _ARRAY_MAX:
             if len(blob) < pos + 8192:
                 raise ValueError("roaring blob truncated in bitmap payload")
-            words = np.frombuffer(blob, "<u8", _WORDS, pos).copy()
+            rep = np.frombuffer(blob, "<u8", _WORDS, pos).copy()
             pos += 8192
         else:
             if len(blob) < pos + 2 * card:
                 raise ValueError("roaring blob truncated in array payload")
-            vals = np.frombuffer(blob, "<u2", card, pos)
+            # array containers stay value arrays — the sparse-blob parse
+            # must not cost 64 KiB of bitset per 3-value container
+            # (unique also normalizes hostile unsorted/duplicated blobs)
+            rep = np.unique(np.frombuffer(blob, "<u2", card, pos))
             pos += 2 * card
-            bits = np.zeros(1 << 16, dtype=np.uint8)
-            bits[vals.astype(np.int64)] = 1
-            words = _bits_to_words(bits)
         if key in containers:
             raise ValueError(f"roaring blob: duplicate container key {key}")
-        containers[int(key)] = words
+        containers[int(key)] = rep
     return RoaringBitmap32(containers)
 
 
+def blob_to_codes(blob: bytes) -> np.ndarray:
+    """One VECTORIZED pass: every value in the blob as a uint32 code.
+
+    This is the union hot path's parser — the structural deserialize()
+    loops per container, which at fleet scale (thousands of sparse
+    per-segment bitmaps per group, hundreds of containers each) is tens
+    of millions of Python iterations.  Here the common shape (cookie
+    12346, all-array containers) costs a FIXED number of numpy calls
+    per blob: headers via two frombuffers, then the whole payload
+    region reinterpreted as one uint16 array with per-container high
+    bits repeated on top.  Bitmap/run containers fall back to the
+    per-container loop (they are by definition few and dense)."""
+    if len(blob) < 4:
+        raise ValueError("roaring blob too short for a cookie")
+    (cookie,) = struct.unpack_from("<I", blob, 0)
+    pos = 4
+    if (cookie & 0xFFFF) == SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        nrb = (size + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(blob, np.uint8, nrb, pos), bitorder="little"
+        )[:size].astype(bool)
+        pos += nrb
+        has_offsets = size >= NO_OFFSET_THRESHOLD
+    elif cookie == SERIAL_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<I", blob, 4)
+        run_flags = None
+        pos = 8
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap: cookie {cookie & 0xFFFF}")
+    if size < 0 or size > (1 << 16):
+        raise ValueError(f"roaring blob: invalid container count {size}")
+    if len(blob) < pos + 4 * size:
+        raise ValueError("roaring blob truncated in descriptive header")
+    desc = np.frombuffer(blob, "<u2", 2 * size, pos)
+    keys = desc[0::2].astype(np.uint32)
+    cards = desc[1::2].astype(np.int64) + 1
+    pos += 4 * size
+    if has_offsets:
+        pos += 4 * size
+    if run_flags is None and bool((cards <= _ARRAY_MAX).all()):
+        total = int(cards.sum())
+        if len(blob) < pos + 2 * total:
+            raise ValueError("roaring blob truncated in array payload")
+        lows = np.frombuffer(blob, "<u2", total, pos).astype(np.uint32)
+        highs = np.repeat(keys << np.uint32(16), cards)
+        return highs | lows
+    # dense / run-bearing blob: the structural parser handles every case
+    parsed = deserialize(blob)
+    return parsed.to_values()
+
+
+def merge_codes(blobs: Iterable[bytes]) -> np.ndarray:
+    """Distinct uint32 codes across blobs — ONE concatenate + unique,
+    the bulk-union shape (no per-blob set algebra)."""
+    parts = [blob_to_codes(bytes(b)) for b in blobs if b is not None]
+    if not parts:
+        return np.zeros(0, np.uint32)
+    return np.unique(np.concatenate(parts))
+
+
 def merge_blobs(blobs: Iterable[bytes]) -> RoaringBitmap32:
-    acc = RoaringBitmap32()
-    for b in blobs:
-        if b is None:
-            continue
-        acc.union_inplace(deserialize(bytes(b)))
-    return acc
+    return RoaringBitmap32.from_values(merge_codes(blobs).astype(np.int64))
 
 
 # --------------------------------------------------------------------------
@@ -330,7 +463,8 @@ def register_bitmap_udfs(spark) -> None:
 
     @pandas_udf("long")
     def pinot_bitmap_card(blobs: pd.Series) -> int:
-        return merge_blobs(blobs.dropna()).cardinality()
+        # count-only: skip rebuilding containers entirely
+        return int(merge_codes(blobs.dropna()).size)
 
     @pandas_udf("binary")
     def pinot_bitmap_build(values: pd.Series) -> bytes:

@@ -274,3 +274,42 @@ def points_within_radius(
     )
     dist = haversine_m(lon, lat, F.lit(center_lon), F.lit(center_lat))
     return boxed.withColumn("distance_m", dist).where(F.col("distance_m") <= radius_m)
+
+
+# -- area ------------------------------------------------------------------
+def polygon_area_planar(rings: list[list[tuple[float, float]]]) -> float:
+    """Cartesian polygon area (shoelace; holes subtract). The public
+    ST_Area semantics for GEOMETRY input — coordinate units squared."""
+    total = 0.0
+    for idx, ring in enumerate(rings):
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        s = 0.0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            s += x1 * y2 - x2 * y1
+        area = abs(s) / 2.0
+        total += area if idx == 0 else -area
+    return total
+
+
+def polygon_area_spherical(rings: list[list[tuple[float, float]]]) -> float:
+    """Spherical polygon area in m² (the GEOGRAPHY reading): the
+    Chamberlain & Duquette line-integral formula (NASA JPL publication
+    2007; the same closed form GIS libraries use for sphere-model
+    geodesic area), holes subtract."""
+    import math
+
+    total = 0.0
+    for idx, ring in enumerate(rings):
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        s = 0.0
+        for (lon1, lat1), (lon2, lat2) in zip(pts, pts[1:]):
+            s += math.radians(lon2 - lon1) * (
+                math.sin(math.radians(lat1)) + math.sin(math.radians(lat2))
+            )
+        area = abs(s) * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+        total += area if idx == 0 else -area
+    return total

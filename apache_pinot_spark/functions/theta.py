@@ -196,8 +196,20 @@ def deserialize(blob: bytes, k: int = DEFAULT_NOMINAL,
 
 def merge_blobs(blobs: Iterable[bytes], k: int = DEFAULT_NOMINAL) -> ThetaSketch:
     """k is a merge-time parameter (the wire format doesn't carry it —
-    DataSketches unions take lgNomEntries the same way)."""
-    return union_all(deserialize(b, k=k) for b in blobs if b is not None)
+    DataSketches unions take lgNomEntries the same way).
+
+    Bulk union: min-cut across all blobs, ONE concatenate + unique over
+    the surviving entries, ONE trim — the same state the library's
+    Union reaches by inserting every input into one table, and flat in
+    blob count where pairwise union1d would rescan the accumulator per
+    blob (thousands of per-segment sketches per group)."""
+    parsed = [deserialize(b, k=k) for b in blobs if b is not None]
+    if not parsed:
+        return ThetaSketch.empty(k)
+    cut = min(p.cut for p in parsed)
+    parts = [p._below(cut) for p in parsed]
+    merged = np.unique(np.concatenate(parts))
+    return ThetaSketch(cut, merged, min(min(p.k for p in parsed), k))._trim()
 
 
 # -- Spark integration -----------------------------------------------------

@@ -275,9 +275,38 @@ def deserialize(blob: bytes, k: int = DEFAULT_NOMINAL,
 
 def merge_blobs(blobs: Iterable[bytes],
                 k: int = DEFAULT_NOMINAL) -> IntegerTupleSketch:
-    return union_all(
-        (deserialize(bytes(b), k) for b in blobs if b is not None), k
-    )
+    """Bulk union: ONE concatenate + unique + scatter-combine across
+    all blobs (min-cut first, trim once at the end) instead of per-blob
+    pairwise set algebra — the same state the library's own Union
+    reaches by inserting every input into one QuickSelect table, and
+    the shape that stays flat when a group holds thousands of
+    per-segment sketches."""
+    parsed = [deserialize(bytes(b), k) for b in blobs if b is not None]
+    if not parsed:
+        return IntegerTupleSketch.empty(k)
+    mode = parsed[0].mode
+    nonempty = [p for p in parsed if p.hashes.size]
+    for p in nonempty:
+        if p.mode != mode and parsed[0].hashes.size:
+            raise ValueError("cannot union tuple sketches of different modes")
+    cut = min(p.cut for p in parsed)
+    below = [p._below(cut) for p in nonempty]
+    if not below:
+        return IntegerTupleSketch(cut, np.zeros(0, np.uint64),
+                                  np.zeros(0, np.int64), k, mode)
+    allh = np.concatenate([h for h, _ in below])
+    allv = np.concatenate([v for _, v in below])
+    uniq, inv = np.unique(allh, return_inverse=True)
+    if mode == MODE_SUM:
+        merged = np.zeros(uniq.size, np.int64)
+        np.add.at(merged, inv, allv)
+    elif mode == MODE_ALWAYS_ONE:
+        merged = np.ones(uniq.size, np.int64)
+    else:
+        fill = _INT32_MAX if mode == MODE_MIN else _INT32_MIN
+        merged = np.full(uniq.size, fill, np.int64)
+        (np.minimum if mode == MODE_MIN else np.maximum).at(merged, inv, allv)
+    return IntegerTupleSketch(cut, uniq, merged, k, mode)._trim()
 
 
 # --------------------------------------------------------------------------

@@ -1462,6 +1462,55 @@ class PinotDialect:
                 f"power(sin(radians({q}.x - {p}.x) / 2), 2))))"
             )
 
+        def st_astext(a):
+            # point struct -> WKT text. Numeric rendering follows
+            # Spark's double-to-string (always a decimal point), not
+            # JTS's integer-shortening — same geometry, noted formatting
+            # divergence.
+            p = f"({a[0]})"
+            return (
+                f"concat('POINT (', CAST({p}.x AS STRING), ' ', "
+                f"CAST({p}.y AS STRING), ')')"
+            )
+
+        def st_equals(a):
+            # point equality, null-safe per coordinate
+            p, q = f"({a[0]})", f"({a[1]})"
+            return f"(({p}.x <=> {q}.x) AND ({p}.y <=> {q}.y))"
+
+        def st_area(a):
+            # ST_AREA('POLYGON(...)' [, 'geography']): the polygon is a
+            # WKT LITERAL (like ST_CONTAINS), so the area folds to a
+            # CONSTANT at rewrite time — zero per-row cost. Default is
+            # the GEOMETRY reading (Cartesian shoelace, coordinate
+            # units²); the 'geography' flag takes the spherical m²
+            # reading (Chamberlain–Duquette, functions/geo.py). Points
+            # and rings-with-holes follow the public semantics (holes
+            # subtract; a point has zero area).
+            from apache_pinot_spark.functions.geo import (
+                parse_wkt_polygon,
+                polygon_area_planar,
+                polygon_area_spherical,
+            )
+
+            try:
+                wkt = _unquote(a[0])
+            except ValueError:
+                raise ValueError(
+                    "ST_AREA: the argument must be a WKT string literal "
+                    "(optionally wrapped in ST_GEOMFROMTEXT/ST_GEOGFROMTEXT)"
+                )
+            if wkt.upper().lstrip().startswith("POINT"):
+                return "0.0D"
+            rings = parse_wkt_polygon(wkt)
+            geography = len(a) > 1 and _unquote(a[1]).lower() == "geography"
+            area = (
+                polygon_area_spherical(rings)
+                if geography
+                else polygon_area_planar(rings)
+            )
+            return f"{area!r}D"
+
         def st_contains(a):
             # ST_CONTAINS(polygonWKT, point): the polygon must be a WKT
             # LITERAL (directly or via ST_GEOMFROMTEXT) — it compiles once
@@ -1877,6 +1926,9 @@ class PinotDialect:
             "ST_POINT": st_point,
             "ST_GEOMFROMTEXT": st_geomfromtext,
             "ST_GEOGFROMTEXT": st_geomfromtext,
+            "ST_ASTEXT": st_astext,
+            "ST_EQUALS": st_equals,
+            "ST_AREA": st_area,
             "ST_DISTANCE": st_distance,
             "ST_CONTAINS": st_contains,
             "ST_WITHIN": st_within,

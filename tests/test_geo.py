@@ -161,3 +161,44 @@ def test_geo_partitioned_layout_prunes_cells(spark, tmp_path):
     assert f"PartitionFilters: [{G.GEO_CELL_COL}" in plan, plan
     assert "GreaterThanOrEqual(lat" in plan  # bbox reached PushedFilters
     assert "distance_m" in out.columns and G.GEO_CELL_COL not in out.columns
+
+
+def test_st_area_astext_equals(spark):
+    """ST_AREA folds WKT-literal polygons to constants (planar default,
+    spherical m² with the geography flag, holes subtract, points are
+    zero); ST_ASTEXT round-trips point structs; ST_EQUALS is null-safe
+    point equality."""
+    import math
+
+    import pytest as _pt
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    eng = PinotEngine(spark)
+    eng.register("geo1", spark.range(1).selectExpr("CAST(id AS DOUBLE) z"))
+
+    def one(expr):
+        return eng.sql(f"SELECT {expr} AS v FROM geo1").collect()[0]["v"]
+
+    # unit square, with a quarter hole
+    sq = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+    hole = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert one(f"ST_AREA('{sq}')") == _pt.approx(16.0)
+    assert one(f"ST_AREA('{hole}')") == _pt.approx(16.0 - 4.0)
+    assert one(f"ST_AREA(ST_GEOMFROMTEXT('{sq}'))") == _pt.approx(16.0)
+    assert one("ST_AREA('POINT(3 4)')") == 0.0
+    # spherical: a 1°x1° square at the equator ≈ (111.19 km)² and the
+    # constant folds into the PLAN (no per-row work)
+    deg = "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"
+    sph = one(f"ST_AREA('{deg}', 'geography')")
+    km = 6_371_008.7714 * math.pi / 180 / 1000  # km per degree
+    assert sph / 1e6 == _pt.approx(km * km, rel=0.01)  # within cos(1°) skew
+    assert str(one(f"ST_AREA('{sq}')")) in eng.rewrite(
+        f"SELECT ST_AREA('{sq}') FROM geo1"
+    ).sql
+    with _pt.raises(ValueError, match="literal"):
+        eng.rewrite("SELECT ST_AREA(z) FROM geo1")
+    # astext / equals
+    assert one("ST_ASTEXT(ST_POINT(1.5, -2.0))") == "POINT (1.5 -2.0)"
+    assert one("ST_EQUALS(ST_POINT(1, 2), ST_POINT(1, 2))") is True
+    assert one("ST_EQUALS(ST_POINT(1, 2), ST_POINT(1, 3))") is False
