@@ -351,6 +351,11 @@ _AGG_RE = re.compile(
 # TRIM(LEADING '0' FROM substr(...))), not a table reference.
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)(?![\w.]|\s*\()", re.IGNORECASE)
 _OPTION_RE = re.compile(r"\bOPTION\s*\(([^)]*)\)\s*;?\s*$", re.IGNORECASE)
+# the statement-prefix form of query options: SET key=value; SELECT …
+_SET_STMT_RE = re.compile(
+    r"^\s*SET\s+(\w+)\s*=\s*('(?:[^']|'')*'|[^;]+?)\s*;", re.IGNORECASE
+)
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 _TOP_RE = re.compile(r"\bTOP\s+(\d+)\b", re.IGNORECASE)
 _LIMIT_RE = re.compile(r"\bLIMIT\s+\d+", re.IGNORECASE)
 _ORDERBY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -2222,6 +2227,15 @@ class PinotDialect:
     def rewrite(self, pinot_sql: str) -> RewriteResult:
         sql = pinot_sql.strip()
         options: dict[str, str] = {}
+        # the public `SET key=value; SELECT …` prefix form — same option
+        # namespace as the OPTION(...) suffix (which wins on conflict,
+        # being closer to the statement)
+        while m := _SET_STMT_RE.match(sql):
+            v = m.group(2).strip()
+            if v.startswith("'"):
+                v = _unquote(v)
+            options[m.group(1)] = v
+            sql = sql[m.end() :].lstrip()
         if m := _OPTION_RE.search(sql):
             for kv in m.group(1).split(","):
                 if "=" in kv:
@@ -2588,14 +2602,45 @@ class PinotEngine:
         return self.dialect.rewrite(pinot_sql)
 
     def sql(self, pinot_sql: str) -> DataFrame:
+        if m := _EXPLAIN_RE.match(pinot_sql):
+            return self._explain_plan(pinot_sql[m.end() :])
         gdf = self._maybe_gapfill(pinot_sql)
         if gdf is not None:
             return gdf
-        rewritten = self.rewrite(pinot_sql).sql
-        hit = self._try_rollup(rewritten)
-        if hit is not None:
-            return hit
+        rr = self.rewrite(pinot_sql)
+        rewritten = rr.sql
+        # public useStarTree=false option: bypass the rollup rewrite and
+        # answer from the raw table
+        if rr.options.get("useStarTree", "true").strip().lower() != "false":
+            hit = self._try_rollup(rewritten)
+            if hit is not None:
+                return hit
         return self.spark.sql(rewritten)
+
+    def _explain_plan(self, inner_sql: str) -> DataFrame:
+        """The public ``EXPLAIN PLAN FOR <query>`` statement: a relation
+        of (Operator, Operator_Id, Parent_Id) rows — the public result
+        shape — describing THIS engine's physical plan (Spark operators
+        rather than Pinot server operators: the honest answer here).
+        Ids are pre-order; the root's parent is -1."""
+        df = self.sql(inner_sql)
+        tree = df._jdf.queryExecution().executedPlan().treeString()
+        rows = []
+        stack: list[tuple[int, int]] = []  # (depth, id)
+        for line in tree.splitlines():
+            if not line.strip():
+                continue
+            stripped = line.lstrip(" :+-")
+            depth = (len(line) - len(stripped)) // 3
+            node_id = len(rows)
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            stack.append((depth, node_id))
+            rows.append((stripped.rstrip(), node_id, parent))
+        return self.spark.createDataFrame(
+            rows, "Operator string, Operator_Id int, Parent_Id int"
+        )
 
     def _maybe_gapfill(self, sql: str) -> DataFrame | None:
         """Route a statement containing GAPFILL. Two public shapes:
@@ -2886,6 +2931,12 @@ class PinotEngine:
         get Pinot's implicit LIMIT (default 10)."""
         t0 = time.monotonic()
         try:
+            if m := _EXPLAIN_RE.match(pinot_sql):
+                df = self._explain_plan(pinot_sql[m.end() :])
+                rr = RewriteResult(pinot_sql, {}, [])
+                return self._result_envelope(
+                    rr, pinot_sql, df, df.collect(), self.num_groups_limit, t0
+                )
             df = self._maybe_gapfill(pinot_sql)
             if df is not None:
                 # Mirror sql(): GAPFILL is a table function the rewriter

@@ -1059,3 +1059,64 @@ def test_segment_pseudo_columns(spark, tmp_path):
         by_seg.setdefault(r["seg"], []).append(r["did"])
     for seg, dids in by_seg.items():
         assert sorted(dids) == list(range(len(dids))), seg
+
+
+def test_explain_plan_for_and_set_options(spark):
+    """The public EXPLAIN PLAN FOR statement returns the
+    (Operator, Operator_Id, Parent_Id) relation (pre-order ids, root
+    parent -1, child ids pointing at their actual parents) over THIS
+    engine's physical plan; SET key=value; prefixes merge into the
+    option namespace (OPTION suffix winning on conflict); and
+    useStarTree=false bypasses the rollup rewrite."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = PinotEngine(spark, SF_SMOKE, tables=["lineitem"])
+    plan = eng.sql(
+        "EXPLAIN PLAN FOR SELECT l_returnflag, COUNT(*) AS c FROM lineitem "
+        "WHERE l_quantity > 10 GROUP BY l_returnflag"
+    ).collect()
+    assert [r["Operator_Id"] for r in plan] == list(range(len(plan)))
+    assert plan[0]["Parent_Id"] == -1
+    ops = " ".join(r["Operator"] for r in plan)
+    assert "HashAggregate" in ops and "FileScan" in ops
+    by_id = {r["Operator_Id"]: r for r in plan}
+    for r in plan[1:]:
+        assert r["Parent_Id"] in by_id  # every child points at a real node
+    # envelope path carries the same relation
+    env = eng.query("EXPLAIN PLAN FOR SELECT COUNT(*) AS c FROM lineitem")
+    assert env["resultTable"]["dataSchema"]["columnNames"] == [
+        "Operator", "Operator_Id", "Parent_Id",
+    ]
+    assert env["resultTable"]["rows"]
+    # SET prefix form
+    rr = eng.dialect.rewrite(
+        "SET timeoutMs=5000; SET useStarTree='false'; "
+        "SELECT COUNT(*) FROM lineitem OPTION(numGroupsLimit=7)"
+    )
+    assert rr.options == {
+        "timeoutMs": "5000", "useStarTree": "false", "numGroupsLimit": "7",
+    }
+    assert rr.sql.upper().startswith("SELECT")
+    # useStarTree=false: the rollup rewrite must NOT hit (plan reads the
+    # raw table even when a rollup could serve the aggregate)
+    import tempfile
+
+    from apache_pinot_spark.plans.rollup import RollupSpec, build_rollup
+
+    eng2 = PinotEngine(spark, SF_SMOKE, tables=["lineitem"])
+    spec = RollupSpec(
+        table="lineitem", dimensions=["l_returnflag"], metrics=["l_quantity"]
+    )
+    build_rollup(spark, eng2._dfs["lineitem"], spec,
+                 warehouse=tempfile.mkdtemp(prefix="st_opt_"))
+    eng2.add_rollup(spec)
+    q = "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"
+    with_st = eng2.sql(q)
+    without = eng2.sql(f"SET useStarTree='false'; {q}")
+    assert "rollup" in with_st._jdf.queryExecution().executedPlan().treeString().lower()
+    assert "rollup" not in without._jdf.queryExecution().executedPlan().treeString().lower()
+    # answers agree either way
+    a = {(r["l_returnflag"], round(r["s"], 2)) for r in with_st.collect()}
+    b = {(r["l_returnflag"], round(r["s"], 2)) for r in without.collect()}
+    assert a == b
