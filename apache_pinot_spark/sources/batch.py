@@ -85,6 +85,15 @@ class TableConfig:
     # of the columns prune multiplicatively (e.g. user_id=… AND
     # event_type=… touches 1/(N_u·N_e) of each day's segments).
     segment_partition_columns: dict[str, int] = dc_field(default_factory=dict)
+    # BYTES sketch-state columns (configuration-reference/schema.md:48
+    # names serialized sketch metric columns) → wire kind, one of:
+    # theta | tuple | bitmap | tdigest | kll | hllplus | hll_clearspring
+    # | freq_longs | freq_strings. Declaring them here makes the
+    # migration wiring CONFIG-DRIVEN: PinotEngine.register_ingested
+    # (and apply_sketch_columns) routes each to the matching
+    # register_*_column call, so the right merge domain serves
+    # DISTINCTCOUNT*/PERCENTILE*/FREQUENT* automatically.
+    sketch_columns: dict[str, str] = dc_field(default_factory=dict)
 
     def segment_partition_map(self) -> dict[str, int]:
         """Column → bucket count, merging the single-column sugar fields
@@ -113,6 +122,7 @@ class TableConfig:
             "segmentPartitionColumn": self.segment_partition_column,
             "numSegmentPartitions": self.num_segment_partitions,
             "segmentPartitionMap": self.segment_partition_columns,
+            "sketchColumns": self.sketch_columns,
         }
 
     @classmethod
@@ -134,6 +144,7 @@ class TableConfig:
             segment_partition_column=d.get("segmentPartitionColumn"),
             num_segment_partitions=d.get("numSegmentPartitions", 8),
             segment_partition_columns=d.get("segmentPartitionMap", {}),
+            sketch_columns=d.get("sketchColumns", {}),
         )
 
 

@@ -2389,6 +2389,34 @@ class PinotEngine:
             )
         for c, n in (meta["config"].get("segmentPartitionMap") or {}).items():
             self._segment_partitions[c] = int(n)
+        self.apply_sketch_columns(meta["config"].get("sketchColumns") or {})
+
+    def apply_sketch_columns(self, mapping: dict[str, str]) -> None:
+        """Config-driven sketch-column wiring (TableConfig.sketch_columns
+        / the table config's sketchColumns map): route each declared
+        BYTES column to its wire-format registration so the matching
+        aggregate functions merge in the right domain — the whole-table
+        answer to the reference's serialized sketch metric columns
+        (schema.md:48) without imperative per-column calls."""
+        routes = {
+            "theta": self.register_theta_column,
+            "tuple": self.register_tuple_column,
+            "bitmap": self.register_bitmap_column,
+            "tdigest": self.register_tdigest_column,
+            "kll": self.register_kll_column,
+            "hllplus": self.register_hllplus_column,
+            "hll_clearspring": self.register_clearspring_hll_column,
+            "freq_longs": lambda c: self.register_freq_wire_column(c, "longs"),
+            "freq_strings": lambda c: self.register_freq_wire_column(c, "strings"),
+        }
+        for col, kind in mapping.items():
+            route = routes.get(str(kind).lower())
+            if route is None:
+                raise ValueError(
+                    f"sketchColumns[{col!r}]: unknown sketch kind {kind!r}; "
+                    f"expected one of {sorted(routes)}"
+                )
+            route(col)
 
     def register_sketch_range(self, column: str, lo: float, hi: float) -> None:
         """Declare the [lo, hi) histogram range of a BYTES percentile-sketch
