@@ -1941,6 +1941,14 @@ class PinotDialect:
             "FREQUENTLONGSSKETCH": frequent_sketch,
             "VECTOR_SIMILARITY": vector_similarity,
             "JSON_EXTRACT_SCALAR": json_extract,
+            "JSONEXTRACTSCALAR": json_extract,  # the camelCase public spelling
+            # jsonExtractKey(json, 'path'): the KEYS at the path, as the
+            # public function returns them
+            "JSONEXTRACTKEY": lambda a: (
+                f"json_object_keys(get_json_object({a[0]}, {a[1]}))"
+            ),
+            # jsonFormat(anyComplexValue): render as JSON text
+            "JSONFORMAT": lambda a: f"to_json({a[0]})",
             "TEXT_MATCH": text_match,
             "TEXT_CONTAINS": text_contains,
             "JSON_MATCH": json_match,

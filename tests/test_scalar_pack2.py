@@ -166,3 +166,17 @@ def test_typed_array_variants_all_types(eng):
         assert _one(eng, f"ARRAYINDEXOF{t}({arr}, {two})") == 2
         assert [int(float(x)) for x in _one(eng, f"ARRAYSLICE{t}({arr}, 0, 2)")] == [3, 1]
     assert _one(eng, "DOY(ms)") == 1
+
+
+def test_json_extract_key_format_and_camelcase(eng):
+    """jsonExtractKey returns the keys at a path; jsonFormat renders
+    complex values as JSON text; JSONEXTRACTSCALAR (the camelCase
+    public spelling, uppercased) reaches the same handler as
+    JSON_EXTRACT_SCALAR."""
+    assert sorted(_one(eng, "JSONEXTRACTKEY(js, '$.a')")) == ["arr", "b", "s"]
+    assert _one(eng, "JSONFORMAT(mv)") == "[3,1,2,1]"
+    assert (
+        _one(eng, "JSONEXTRACTSCALAR(js, '$.a.s', 'STRING')")
+        == _one(eng, "JSON_EXTRACT_SCALAR(js, '$.a.s', 'STRING')")
+        == "hi"
+    )
