@@ -1717,7 +1717,7 @@ class PinotDialect:
             schema = self.json_schemas.get(col)
             return json_match_sql(col, _unquote(a[1]), schema, self.json_configs.get(col))
 
-        return {
+        handlers = {
             "ADD": add,
             "SUB": sub,
             "MULT": mult,
@@ -1953,6 +1953,37 @@ class PinotDialect:
             "TEXT_CONTAINS": text_contains,
             "JSON_MATCH": json_match,
         }
+        # The public engine canonicalizes function names by CASE and
+        # UNDERSCORE insensitivity (textMatch == TEXT_MATCH ==
+        # text_match). Full canonicalization would need the tokenizer to
+        # segment arbitrary spellings; what users actually type is (a)
+        # the flat camelCase form of our underscored names and (b) the
+        # docs' underscored spellings of the flat sketch names — both
+        # covered here by explicit aliasing, collision-checked.
+        for name in list(handlers):
+            flat = name.replace("_", "")
+            if "_" in name and flat not in handlers:
+                handlers[flat] = handlers[name]
+        for spelled in (
+            "DISTINCT_COUNT", "DISTINCT_COUNT_HLL", "DISTINCT_COUNT_RAW_HLL",
+            "DISTINCT_COUNT_HLL_PLUS", "DISTINCT_COUNT_RAW_HLL_PLUS",
+            "DISTINCT_COUNT_BITMAP", "DISTINCT_COUNT_RAW_BITMAP",
+            "DISTINCT_COUNT_SMART_HLL", "DISTINCT_COUNT_THETA_SKETCH",
+            "DISTINCT_COUNT_RAW_THETA_SKETCH", "DISTINCT_COUNT_TUPLE_SKETCH",
+            "DISTINCT_COUNT_RAW_INTEGER_SUM_TUPLE_SKETCH",
+            "SUM_VALUES_INTEGER_SUM_TUPLE_SKETCH",
+            "AVG_VALUE_INTEGER_SUM_TUPLE_SKETCH",
+            "DISTINCT_SUM", "DISTINCT_AVG",
+            "PERCENTILE_EST", "PERCENTILE_TDIGEST", "PERCENTILE_RAW_TDIGEST",
+            "PERCENTILE_KLL", "PERCENTILE_RAW_KLL", "PERCENTILE_SMART_TDIGEST",
+            "FREQUENT_STRINGS_SKETCH", "FREQUENT_LONGS_SKETCH",
+            "SEGMENT_PARTITIONED_DISTINCT_COUNT", "MIN_MAX_RANGE",
+            "LAST_WITH_TIME", "FIRST_WITH_TIME",
+        ):
+            flat = spelled.replace("_", "")
+            if flat in handlers and spelled not in handlers:
+                handlers[spelled] = handlers[flat]
+        return handlers
 
     # -- clause-level rewrites ---------------------------------------------
     @staticmethod

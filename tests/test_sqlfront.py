@@ -997,8 +997,35 @@ def test_every_dialect_handler_is_exercised_in_tests():
     from apache_pinot_spark.sqlfront import PinotDialect
 
     blob = "".join(open(f).read().upper() for f in glob.glob("tests/*.py"))
-    missing = [n for n in sorted(PinotDialect()._handlers()) if n not in blob]
+    # the alias layer (underscore-insensitive public spellings) maps to
+    # the same handlers — a name is covered if its underscore-stripped
+    # canonical form is exercised
+    flatblob = blob.replace("_", "")
+    missing = [
+        n
+        for n in sorted(PinotDialect()._handlers())
+        if n not in blob and n.replace("_", "") not in flatblob
+    ]
     assert not missing, f"dialect handlers with no test mention: {missing}"
+
+
+def test_underscore_insensitive_aliases(spark):
+    """The public engine resolves function names case- and underscore-
+    insensitively: the docs' underscored sketch spellings and the flat
+    camelCase forms of underscored names must reach the same handlers
+    (same rewritten SQL)."""
+    d = PinotDialect()
+    pairs = [
+        ("SELECT DISTINCT_COUNT_HLL(x) FROM t", "SELECT DISTINCTCOUNTHLL(x) FROM t"),
+        ("SELECT PERCENTILE_TDIGEST(x, 95) FROM t", "SELECT PERCENTILETDIGEST(x, 95) FROM t"),
+        ("SELECT DISTINCT_COUNT_THETA_SKETCH(x) FROM t", "SELECT DISTINCTCOUNTTHETASKETCH(x) FROM t"),
+        ("SELECT SEGMENT_PARTITIONED_DISTINCT_COUNT(x) FROM t", "SELECT SEGMENTPARTITIONEDDISTINCTCOUNT(x) FROM t"),
+        ("SELECT LAST_WITH_TIME(v, ts, 'LONG') FROM t", "SELECT LASTWITHTIME(v, ts, 'LONG') FROM t"),
+        ("SELECT x FROM t WHERE TEXTMATCH(body, 'foo')", "SELECT x FROM t WHERE TEXT_MATCH(body, 'foo')"),
+        ("SELECT x FROM t WHERE JSONMATCH(js, '\"$.a\" = 1')", "SELECT x FROM t WHERE JSON_MATCH(js, '\"$.a\" = 1')"),
+    ]
+    for a, b in pairs:
+        assert d.rewrite(a).sql == d.rewrite(b).sql, (a, b)
 
 
 def test_id_set_round_trips_hostile_values(spark):
