@@ -1767,6 +1767,21 @@ class PinotDialect:
             "PERCENTILE": percentile,
             "PERCENTILETDIGEST": percentile_approx_,
             "PERCENTILEEST": percentile_approx_,
+            # PERCENTILERAWEST returns a serialized Pinot QuantileDigest —
+            # an engine-internal byte format with no public library in
+            # this container to validate against (unlike the tdigest/KLL
+            # raw forms, which are jar-golden-tested). Estimates work
+            # (PERCENTILEEST); the raw q-digest blob form is an explicit,
+            # documented no.
+            "PERCENTILERAWEST": lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    "PERCENTILERAWEST is not supported: the QuantileDigest "
+                    "wire format is engine-internal with no public library "
+                    "to validate against. Use PERCENTILEEST for estimates, "
+                    "or PERCENTILERAWTDIGEST / PERCENTILERAWKLL for "
+                    "jar-validated mergeable raw-sketch forms."
+                )
+            ),
             "PERCENTILEKLL": percentile_kll,
             "PERCENTILERAWKLL": percentile_raw_kll,
             "LOOKUP": lookup,
@@ -3034,7 +3049,13 @@ class PinotEngine:
             groups_cap = int(rr.options.get("numGroupsLimit", self.num_groups_limit))
             if _GROUPBY_RE.search(sql) and not _LIMIT_RE.search(sql):
                 sql = sql.rstrip().rstrip(";") + f" LIMIT {groups_cap + 1}"
-            df = self.spark.sql(sql)
+            # the envelope path gets the same rollup acceleration as
+            # sql() (and the same useStarTree=false bypass)
+            df = None
+            if rr.options.get("useStarTree", "true").strip().lower() != "false":
+                df = self._try_rollup(sql)
+            if df is None:
+                df = self.spark.sql(sql)
             timeout_ms = int(rr.options.get("timeoutMs", 0)) or None
             if timeout_ms:
                 rows = self._collect_with_timeout(df, timeout_ms, pinot_sql)

@@ -1147,3 +1147,36 @@ def test_explain_plan_for_and_set_options(spark):
     a = {(r["l_returnflag"], round(r["s"], 2)) for r in with_st.collect()}
     b = {(r["l_returnflag"], round(r["s"], 2)) for r in without.collect()}
     assert a == b
+
+
+def test_envelope_rollup_and_percentilerawest(spark, tmp_path):
+    """The broker-envelope path gets the same rollup acceleration as
+    sql() (same answers, rollup scan in the plan) and honors
+    useStarTree=false; PERCENTILERAWEST rejects with guidance (the
+    QuantileDigest wire format has no public library to validate
+    against)."""
+    from apache_pinot_spark.plans.rollup import RollupSpec, build_rollup
+
+    eng = PinotEngine(spark, "/root/testdata/sf0.001", tables=["lineitem"])
+    spec = RollupSpec(
+        table="lineitem", dimensions=["l_returnflag"], metrics=["l_quantity"]
+    )
+    build_rollup(spark, eng._dfs["lineitem"], spec, warehouse=str(tmp_path))
+    eng.add_rollup(spec)
+    q = ("SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem "
+         "GROUP BY l_returnflag ORDER BY l_returnflag")
+    env = eng.query(q)
+    direct = spark.sql(
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    got = {tuple(r) for r in env["resultTable"]["rows"]}
+    want = {(r["l_returnflag"], r["s"]) for r in direct}
+    assert {(a, round(float(b), 2)) for a, b in got} == {
+        (a, round(float(b), 2)) for a, b in want
+    }
+    env2 = eng.query(f"SET useStarTree='false'; {q}")
+    got2 = {(a, round(float(b), 2)) for a, b in env2["resultTable"]["rows"]}
+    assert got2 == {(a, round(float(b), 2)) for a, b in want}
+    with pytest.raises(ValueError, match="PERCENTILERAWEST"):
+        eng.rewrite("SELECT PERCENTILERAWEST(l_quantity, 50) FROM lineitem")
