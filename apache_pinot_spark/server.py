@@ -151,6 +151,29 @@ class PinotHttpServer:
                             )
                         sch = server.catalog.create_schema(doc)
                         return self._reply(200, {"status": f"{sch.schema_name} created"})
+                    if (
+                        len(parts) == 3
+                        and parts[0] == "tables"
+                        and parts[2] == "sketchColumns"
+                    ):
+                        # config-driven sketch-column wiring over HTTP:
+                        # {"col": "theta" | "bitmap" | "kll" | …} routes
+                        # each BYTES column to its wire-format
+                        # registration (PinotEngine.apply_sketch_columns)
+                        if (self._name(parts[1])) is None:
+                            return None
+                        mapping = self._body()
+                        if not isinstance(mapping, dict) or not all(
+                            isinstance(k, str) and isinstance(v, str)
+                            for k, v in mapping.items()
+                        ):
+                            return self._reply(
+                                400, {"error": "body must map column -> sketch kind"}
+                            )
+                        server.engine.apply_sketch_columns(mapping)
+                        return self._reply(
+                            200, {"status": f"{len(mapping)} sketch columns wired"}
+                        )
                     return self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001
                     return self._reply(500, {"error": str(e)[:500]})

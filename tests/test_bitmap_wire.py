@@ -247,3 +247,44 @@ def test_null_and_two_phase_union(spark):
     direct = BW.merge_blobs([b1, b2, b3])
     twop = BW.merge_blobs([p12, b3])
     assert BW.serialize(twop) == BW.serialize(direct)
+
+
+def test_fuzz_wire_parity_with_java(spark):
+    """Seeded fuzz: random container mixes (sparse arrays, dense
+    runs, full-container spans, random strides across distant high
+    keys) must serialize byte-identically to the jar, both plain and
+    runOptimize()d, and parse back to the same set."""
+    jvm = spark._jvm
+    try:
+        _jbitmap(jvm, [1])
+    except Exception:
+        pytest.skip("RoaringBitmap jar not on the Spark classpath")
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    for trial in range(12):
+        chunks = []
+        for _ in range(rng.integers(1, 5)):
+            base = int(rng.integers(0, 2**32 - 70_000))
+            kind = rng.integers(0, 4)
+            if kind == 0:  # sparse scatter
+                chunks.append(base + rng.choice(60_000, rng.integers(1, 300), replace=False))
+            elif kind == 1:  # dense run
+                n = int(rng.integers(1, 30_000))
+                chunks.append(np.arange(base, base + n))
+            elif kind == 2:  # strided (run-hostile)
+                chunks.append(base + np.arange(0, 40_000, int(rng.integers(2, 9))))
+            else:  # several short runs
+                for _ in range(int(rng.integers(2, 6))):
+                    s = base + int(rng.integers(0, 50_000))
+                    chunks.append(np.arange(s, s + int(rng.integers(1, 50))))
+        vals = np.unique(np.concatenate(chunks) % (2**32)).astype(np.int64)
+        ours = BW.RoaringBitmap32.from_values(vals)
+        jbm = _jbitmap(jvm, [int(v) for v in vals])
+        assert BW.serialize(ours) == _jser(jvm, jbm), f"plain trial {trial}"
+        jbm.runOptimize()
+        opt = BW.serialize(ours, run_optimize=True)
+        assert opt == _jser(jvm, jbm), f"runopt trial {trial}"
+        back = BW.deserialize(opt)
+        assert back.cardinality() == vals.size
+        assert np.array_equal(back.to_values(), vals.astype(np.uint32))

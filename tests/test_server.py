@@ -5,6 +5,7 @@ endpoints over a real socket with urllib — no web framework involved."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -144,3 +145,44 @@ def test_path_traversal_rejected(http_server):
 
 def http_server_warehouse(srv):
     return srv.catalog.warehouse
+
+
+def test_sketch_columns_over_http(http_server, spark):
+    """POST /tables/{name}/sketchColumns wires wire-format registrations
+    config-driven over HTTP; bad bodies and unknown kinds are 4xx/5xx,
+    and a registered theta column answers DISTINCTCOUNTTHETASKETCH
+    through /query/sql."""
+    import numpy as np
+    import pandas as pd
+
+    from apache_pinot_spark.functions import theta as TH
+
+    port = http_server.port
+    blobs = [
+        ("g", TH.serialize(TH.ThetaSketch.from_values(pd.Series(
+            np.arange(seg * 100, seg * 100 + 400)))))
+        for seg in range(3)
+    ]
+    df = spark.createDataFrame(blobs, "g string, u_theta binary")
+    http_server.engine.register("http_theta_t", df)
+    code, body = _req(
+        port, "POST", "/tables/http_theta_t/sketchColumns",
+        {"u_theta": "theta"},
+    )
+    assert code == 200 and "wired" in body["status"]
+    code, env = _req(
+        port, "POST", "/query/sql",
+        {"sql": "SELECT DISTINCTCOUNTTHETASKETCH(u_theta) AS u FROM http_theta_t"},
+    )
+    assert code == 200 and env["resultTable"]["rows"][0][0] == 600
+    # malformed body and unknown kind
+    try:
+        _req(port, "POST", "/tables/http_theta_t/sketchColumns", ["nope"])
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    try:
+        _req(port, "POST", "/tables/http_theta_t/sketchColumns", {"x": "cpc"})
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
