@@ -189,14 +189,6 @@ def _or_values_into_words(words: np.ndarray, vals: np.ndarray) -> None:
     np.bitwise_or.at(words, idx, masks)
 
 
-def _num_runs(bits: np.ndarray) -> int:
-    """Number of runs in a 65536-element 0/1 array (rising edges)."""
-    if not bits.any():
-        return 0
-    d = np.diff(bits.astype(np.int8))
-    return int((d == 1).sum()) + int(bits[0])
-
-
 def _runs_of(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, lengths-1) of the runs in a 0/1 array, uint16 pairs."""
     padded = np.concatenate(([0], bits.astype(np.int8), [0]))
@@ -468,12 +460,20 @@ def register_bitmap_udfs(spark) -> None:
 
     @pandas_udf("binary")
     def pinot_bitmap_build(values: pd.Series) -> bytes:
-        v = pd.to_numeric(values.dropna()).to_numpy()
-        return serialize(RoaringBitmap32.from_values(v))
+        from apache_pinot_spark.functions.bitmap_wire import _build_blob
+
+        return _build_blob(values)
 
     spark.udf.register(UNION_UDF, pinot_bitmap_union)
     spark.udf.register(CARD_UDF, pinot_bitmap_card)
     spark.udf.register(BUILD_UDF, pinot_bitmap_build)
+
+
+def _build_blob(values: "pd.Series") -> bytes:
+    """Shared build body for the registered UDF and bitmap_aggregate —
+    one place to fix value coercion."""
+    v = pd.to_numeric(values.dropna()).to_numpy()
+    return serialize(RoaringBitmap32.from_values(v))
 
 
 def bitmap_aggregate(df, keys: list[str], value_col: str):
@@ -487,8 +487,9 @@ def bitmap_aggregate(df, keys: list[str], value_col: str):
 
     @pandas_udf("binary")
     def build(values: pd.Series) -> bytes:
-        v = pd.to_numeric(values.dropna()).to_numpy()
-        return serialize(RoaringBitmap32.from_values(v))
+        from apache_pinot_spark.functions.bitmap_wire import _build_blob
+
+        return _build_blob(values)
 
     return df.groupBy(*[F.col(k) for k in keys]).agg(
         build(F.col(value_col)).alias("bitmap")

@@ -182,21 +182,28 @@ BUILD_UDF = "pinot_idset_build"
 
 
 def register_idset_udfs(spark) -> None:
-    """ID_SET's grouped-agg builder: integer input -> the Pinot wire
-    carrier (base64), other dtypes -> the engine-local JSON layout
-    (sorted distinct strings) that IN_ID_SET also accepts.  Runtime
-    dtype dispatch because the dialect does not track column types."""
+    """ID_SET's grouped-agg builder: integer COLUMNS -> the Pinot wire
+    carrier (base64), other types -> the engine-local JSON layout
+    (sorted distinct strings) that IN_ID_SET also accepts.
+
+    The dispatch key is the SQL-side typeof() string (second argument,
+    emitted by the handler), NOT the pandas dtype: Arrow ships an int64
+    column containing NULLs to pandas as float64, so dtype-sniffing
+    would silently flip an integer column to the JSON carrier (with
+    '1.0'-formatted values that match nothing) whenever a null happened
+    to be present."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def pinot_idset_build(values: pd.Series) -> str:
+    def pinot_idset_build(values: pd.Series, sqltype: pd.Series) -> str:
         import base64 as _b64
         import json as _json
 
         from apache_pinot_spark.functions import idset_wire as _iw
 
         present = values.dropna()
-        if pd.api.types.is_integer_dtype(present.dtype):
+        t = str(sqltype.iloc[0]).lower() if len(sqltype) else ""
+        if t in ("tinyint", "smallint", "int", "bigint"):
             ints = present.to_numpy(dtype="int64")
             return _b64.b64encode(_iw.serialize_idset(ints)).decode()
         strs = sorted(set(str(x) for x in present))

@@ -216,11 +216,10 @@ def _compact_levels(levels: list[np.ndarray], k: int) -> list[np.ndarray]:
             lv for lv in range(nl)
             if levels[lv].size > caps[lv]
         ]
-        if not over and sum(a.size for a in levels) <= sum(caps):
-            return levels
         if not over:
-            # total over but no single level over: compact the largest
-            over = [int(np.argmax([a.size for a in levels]))]
+            # every level within its capacity ⇒ total within total
+            # capacity too — done
+            return levels
         lv = over[0]
         src = np.sort(levels[lv])
         odd = src.size % 2
@@ -340,13 +339,16 @@ def register_kll_udfs(spark) -> None:
     def pinot_kll_raw(blobs: pd.Series) -> bytes:
         from apache_pinot_spark.functions import kll_wire as _k
 
-        present = [
-            b for b in blobs.dropna()
-            if _k.parse_kll_doubles(bytes(b)).n > 0
-        ]
-        if not present:
-            return None
-        return _k.merge_kll_blobs(present)
+        # single parse pass: merge_kll_blobs drops empty sketches itself
+        # and raises only when NOTHING is non-empty — map that case to
+        # NULL (all-NULL/empty group must not fail the job)
+        present = [b for b in blobs.dropna()]
+        try:
+            return _k.merge_kll_blobs(present)
+        except ValueError as e:
+            if "no non-empty" in str(e):
+                return None
+            raise
 
     @pandas_udf("binary")
     def pinot_kll_build(values: pd.Series, kk: pd.Series) -> bytes:

@@ -284,10 +284,13 @@ def merge_blobs(blobs: Iterable[bytes],
     parsed = [deserialize(bytes(b), k) for b in blobs if b is not None]
     if not parsed:
         return IntegerTupleSketch.empty(k)
-    mode = parsed[0].mode
     nonempty = [p for p in parsed if p.hashes.size]
+    # mode comes from the first NON-EMPTY sketch (an empty blob carries
+    # no mode byte and defaults to SUM — it must not dictate how real
+    # summaries combine), and every non-empty input must agree
+    mode = nonempty[0].mode if nonempty else parsed[0].mode
     for p in nonempty:
-        if p.mode != mode and parsed[0].hashes.size:
+        if p.mode != mode:
             raise ValueError("cannot union tuple sketches of different modes")
     cut = min(p.cut for p in parsed)
     below = [p._below(cut) for p in nonempty]

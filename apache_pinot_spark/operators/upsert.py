@@ -221,12 +221,16 @@ def upsert_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     public `skipUpsert=true` behavior — there is deliberately no flag
     here; callers just query the underlying table.
 
-    With ``metadata_ttl`` set, only rows inside the TTL window behind
-    the table's max comparison value resolve per key; older rows show
-    AS-IS (the public engine's behavior once their keys expire from the
-    metadata map — frozen past, duplicates possible). The watermark is
-    a 1-row aggregate broadcast back onto the scan: no collect, and the
-    fact side streams once."""
+    With ``metadata_ttl`` set, the TTL window behind the table's max
+    comparison value resolves per key as usual, and rows OLDER than the
+    watermark resolve per key AMONG THEMSELVES: a key expires from the
+    public engine's metadata map carrying its as-of-expiry winner (the
+    validDocIds computed while the key was live persist), so the old
+    winner stays visible — and if the key reappears in the live window,
+    BOTH that old winner and the new live winner show (the documented
+    TTL duplicate caveat). Resolving the two regions independently is
+    exactly that contract. The watermark is a 1-row aggregate broadcast
+    back onto the scan: no collect, and the fact side streams once."""
     resolve = partial_upsert_view if cfg.mode == "PARTIAL" else full_upsert_view
     if cfg.metadata_ttl is None:
         return resolve(df, cfg)
@@ -239,7 +243,11 @@ def upsert_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     live = joined.where(
         comp.isNull() | (comp >= F.col("__upsert_wm"))
     ).drop("__upsert_wm")
-    return frozen.unionByName(resolve(live, cfg)).select(*df.columns)
+    return (
+        resolve(frozen, cfg)
+        .unionByName(resolve(live, cfg))
+        .select(*df.columns)
+    )
 
 
 def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
@@ -251,9 +259,11 @@ def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     streaming.realtime.dedup_within_key_stateful.
 
     ``metadata_ttl`` mirrors the public dedup-config metadataTTL over
-    its dedupTimeColumn (= comparison_column here): only the TTL window
-    behind max(time) dedups; older rows show as-is, the metadata-map
-    expiry behavior — same broadcast-watermark shape as upsert_view."""
+    its dedupTimeColumn (= comparison_column here): each side of the
+    watermark keeps first-wins among itself, so an expired key's
+    original survivor stays visible and a reappearing key yields one
+    duplicate across the boundary (the documented TTL caveat) — same
+    broadcast-watermark shape as upsert_view."""
 
     def keep_first(d: DataFrame, c: UpsertConfig) -> DataFrame:
         ord_c = _ordering(c)
@@ -274,7 +284,11 @@ def dedup_keep_first_view(df: DataFrame, cfg: UpsertConfig) -> DataFrame:
     live = joined.where(
         comp.isNull() | (comp >= F.col("__dedup_wm"))
     ).drop("__dedup_wm")
-    return frozen.unionByName(keep_first(live, cfg)).select(*df.columns)
+    return (
+        keep_first(frozen, cfg)
+        .unionByName(keep_first(live, cfg))
+        .select(*df.columns)
+    )
 
 
 # --------------------------------------------------------------------------

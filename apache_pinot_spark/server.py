@@ -160,8 +160,13 @@ class PinotHttpServer:
                         # {"col": "theta" | "bitmap" | "kll" | …} routes
                         # each BYTES column to its wire-format
                         # registration (PinotEngine.apply_sketch_columns)
-                        if (self._name(parts[1])) is None:
+                        if (tbl := self._name(parts[1])) is None:
                             return None
+                        tdf = getattr(server.engine, "_dfs", {}).get(tbl)
+                        if tdf is None:
+                            return self._reply(
+                                404, {"error": f"unknown table {tbl!r}"}
+                            )
                         mapping = self._body()
                         if not isinstance(mapping, dict) or not all(
                             isinstance(k, str) and isinstance(v, str)
@@ -170,6 +175,15 @@ class PinotHttpServer:
                             return self._reply(
                                 400, {"error": "body must map column -> sketch kind"}
                             )
+                        missing = [c for c in mapping if c not in tdf.columns]
+                        if missing:
+                            return self._reply(
+                                400,
+                                {"error": f"columns not in {tbl!r}: {missing}"},
+                            )
+                        # (registration is engine-wide by column name,
+                        # like the dialect's other column declarations —
+                        # the table scoping here validates the request)
                         server.engine.apply_sketch_columns(mapping)
                         return self._reply(
                             200, {"status": f"{len(mapping)} sketch columns wired"}

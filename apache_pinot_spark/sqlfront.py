@@ -1182,7 +1182,10 @@ class PinotDialect:
             # bloom fallback we never take — accepted, ignored.
             from apache_pinot_spark.functions.idset_wire import BUILD_UDF as ID_B
 
-            return f"{ID_B}({a[0]})"
+            # typeof() rides along as the dispatch key: Arrow nulls turn
+            # an int64 column into float64 pandas-side, so the UDF must
+            # not dtype-sniff (see register_idset_udfs)
+            return f"{ID_B}({a[0]}, typeof({a[0]}))"
 
         def in_id_set(a):
             # IN_ID_SET(expr, 'base64'): membership against an ID_SET
@@ -2387,6 +2390,12 @@ class PinotEngine:
         register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
         register_idset_udfs(spark)  # ID_SET works on any column undeclared
         register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
+        from apache_pinot_spark.functions.theta import register_theta_udfs
+
+        # the set-expression form builds filtered sketches over RAW
+        # columns too (pinot_theta_build/setexpr) — no column
+        # declaration involved, so the UDFs must exist up front
+        register_theta_udfs(spark)
         from apache_pinot_spark.functions.text import register_normalize_udf
 
         register_normalize_udf(spark)  # NORMALIZE(str[, form])

@@ -182,7 +182,17 @@ def test_sketch_columns_over_http(http_server, spark):
     except urllib.error.HTTPError as e:
         assert e.code == 400
     try:
-        _req(port, "POST", "/tables/http_theta_t/sketchColumns", {"x": "cpc"})
+        _req(port, "POST", "/tables/http_theta_t/sketchColumns", {"u_theta": "cpc"})
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
-        assert e.code == 500
+        assert e.code == 500  # unknown sketch kind
+    try:
+        _req(port, "POST", "/tables/http_theta_t/sketchColumns", {"nope": "theta"})
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400  # column not in the table
+    try:
+        _req(port, "POST", "/tables/no_such_table/sketchColumns", {"x": "theta"})
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # unknown table

@@ -261,11 +261,13 @@ def test_partial_upsert_append_skips_null_array_versions(spark):
 
 
 def test_metadata_ttl_frozen_past(spark, duck):
-    """upsertConfig.metadataTTL: keys older than max(comparison) - TTL
-    leave the metadata map, so their rows show AS-IS (frozen past,
-    duplicates visible) while the live window keeps resolving — the
-    public engine's visible behavior after expiry, differentialed
-    against a DuckDB window oracle split at the same watermark."""
+    """upsertConfig.metadataTTL: keys whose rows fall behind
+    max(comparison) - TTL expired from the metadata map CARRYING their
+    as-of-expiry winner (validDocIds persist), so each side of the
+    watermark resolves per key among itself; a key spanning both sides
+    would show one winner per side (the documented TTL duplicate
+    caveat). Differentialed against a DuckDB window oracle split at the
+    same watermark."""
     df = _events(spark)
     cfg = U.UpsertConfig(
         primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
@@ -274,28 +276,29 @@ def test_metadata_ttl_frozen_past(spark, duck):
     got = sorted(
         (r["pk"], r["ts"], r["seq"]) for r in U.upsert_view(df, cfg).collect()
     )
-    # max(ts) = 20 → watermark 10: rows with ts < 10 are frozen as-is
-    # (k2 both rows, k3 both rows), rows with ts >= 10 resolve (k1 → 20)
+    # max(ts) = 20 → watermark 10: ts < 10 resolves among itself
+    # (k2 → seq 4, k3 → ts 2), ts >= 10 resolves among itself (k1 → 20)
     df.toPandas().to_csv("/tmp/_ttl_events.csv", index=False)
     want = sorted(
         tuple(r)
         for r in duck.sql(
             """
             WITH t AS (SELECT pk, ts, seq FROM '/tmp/_ttl_events.csv'),
-            wm AS (SELECT max(ts) - 10 AS w FROM t)
-            SELECT pk, ts, seq FROM t, wm WHERE ts < w
-            UNION ALL
-            SELECT pk, ts, seq FROM (
-              SELECT pk, ts, seq,
-                     row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) rn
-              FROM t, wm WHERE ts >= w
-            ) WHERE rn = 1
+            wm AS (SELECT max(ts) - 10 AS w FROM t),
+            sides AS (
+              SELECT pk, ts, seq, (ts >= w) AS live,
+                     row_number() OVER (PARTITION BY pk, (ts >= w)
+                                        ORDER BY ts DESC, seq DESC) rn
+              FROM t, wm
+            )
+            SELECT pk, ts, seq FROM sides WHERE rn = 1
             """
         ).fetchall()
     )
     assert got == want
     assert ("k1", 20, 1) in got and ("k1", 10, 0) not in got  # live resolves
-    assert ("k2", 5, 3) in got and ("k2", 5, 4) in got  # frozen duplicates
+    assert ("k2", 5, 4) in got and ("k2", 5, 3) not in got  # frozen winner only
+    assert ("k3", 2, 6) in got and ("k3", 1, 5) not in got
     with pytest.raises(ValueError, match="comparison_column"):
         U.UpsertConfig(primary_keys=["pk"], metadata_ttl=5.0)
     with pytest.raises(ValueError, match="positive"):
@@ -365,9 +368,10 @@ def test_upsert_stateful_out_of_order_column(spark, tmp_path_factory):
 
 
 def test_dedup_metadata_ttl(spark):
-    """Dedup-config metadataTTL: duplicates older than the TTL window
-    behind max(dedupTimeColumn) reappear (metadata expired); the live
-    window keeps first-wins."""
+    """Dedup-config metadataTTL: each side of the watermark keeps
+    first-wins among itself — an expired key's original survivor stays
+    the only old row; a key spanning both sides would add exactly one
+    live-side survivor (the documented TTL duplicate caveat)."""
     df = _events(spark)
     cfg = U.UpsertConfig(
         primary_keys=["pk"], comparison_column="ts", sequence_column="seq",
@@ -376,10 +380,16 @@ def test_dedup_metadata_ttl(spark):
     got = sorted(
         (r["pk"], r["ts"], r["seq"]) for r in U.dedup_keep_first_view(df, cfg).collect()
     )
-    # watermark = 20 - 10 = 10: k1 rows at ts 10/15/20 → first (10) wins
-    # once... ts=10 is >= wm so k1 lives dedup to (10, seq 0); k2/k3 all
-    # frozen (ts < 10) and show as-is
-    assert ("k1", 10, 0) in got
-    assert ("k1", 20, 1) not in got and ("k1", 15, 2) not in got
-    assert ("k2", 5, 3) in got and ("k2", 5, 4) in got
-    assert ("k3", 1, 5) in got and ("k3", 2, 6) in got
+    # watermark = 20 - 10 = 10: live k1 keeps first (10, seq 0); frozen
+    # k2 keeps (5, seq 3), frozen k3 keeps (1, seq 5)
+    assert got == [("k1", 10, 0), ("k2", 5, 3), ("k3", 1, 5)]
+    # a key spanning the boundary keeps one survivor per side
+    span = spark.createDataFrame(
+        [("a", 1, 0, 0.0, ["x"], False), ("a", 2, 1, 0.0, ["x"], False),
+         ("a", 15, 2, 0.0, ["x"], False), ("a", 20, 3, 0.0, ["x"], False)],
+        "pk string, ts long, seq long, value double, tags array<string>, deleted boolean",
+    )
+    got2 = sorted(
+        (r["pk"], r["ts"]) for r in U.dedup_keep_first_view(span, cfg).collect()
+    )
+    assert got2 == [("a", 1), ("a", 15)]
