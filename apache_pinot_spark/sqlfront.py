@@ -1890,6 +1890,14 @@ class PinotDialect:
                             f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))"
                         ),
                     ),
+                    # direct 0-based indexing (the public implementation
+                    # is a plain values[idx]); out-of-range yields NULL
+                    # here where the reference throws — the forgiving
+                    # reading of the same contract
+                    (
+                        "ARRAYELEMENTAT",
+                        lambda a: f"try_element_at({a[0]}, ({a[1]}) + 1)",
+                    ),
                 )
             },
             "SPLIT": split_,

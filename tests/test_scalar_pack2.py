@@ -165,6 +165,11 @@ def test_typed_array_variants_all_types(eng):
         assert _one(eng, f"ARRAYCONTAINS{t}({arr}, {two})") is True
         assert _one(eng, f"ARRAYINDEXOF{t}({arr}, {two})") == 2
         assert [int(float(x)) for x in _one(eng, f"ARRAYSLICE{t}({arr}, 0, 2)")] == [3, 1]
+        # ARRAYELEMENTATLONG ARRAYELEMENTATFLOAT ARRAYELEMENTATDOUBLE
+        # ARRAYELEMENTATSTRING ARRAYELEMENTATINT: direct 0-based index
+        assert int(float(_one(eng, f"ARRAYELEMENTAT{t}({arr}, 1)"))) == 1
+        assert _one(eng, f"ARRAYELEMENTAT{t}({arr}, 9)") is None  # OOB -> NULL
+    assert _one(eng, "ARRAYELEMENTATINT(mv, 0)") == 3
     assert _one(eng, "DOY(ms)") == 1
 
 
