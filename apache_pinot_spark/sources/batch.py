@@ -88,7 +88,8 @@ class TableConfig:
     # BYTES sketch-state columns (configuration-reference/schema.md:48
     # names serialized sketch metric columns) → wire kind, one of:
     # theta | tuple | bitmap | tdigest | kll | hllplus | hll_clearspring
-    # | freq_longs | freq_strings. Declaring them here makes the
+    # | freq_longs | freq_strings | datasketches_hll. Declaring them
+    # here makes the
     # migration wiring CONFIG-DRIVEN: PinotEngine.register_ingested
     # (and apply_sketch_columns) routes each to the matching
     # register_*_column call, so the right merge domain serves

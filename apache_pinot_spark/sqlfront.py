@@ -395,6 +395,7 @@ class PinotDialect:
         hllplus_columns: set[str] | None = None,
         bitmap_columns: set[str] | None = None,
         tuple_columns: set[str] | None = None,
+        ds_hll_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -452,6 +453,10 @@ class PinotDialect:
         # against datasketches-java): the DISTINCTCOUNTTUPLESKETCH /
         # SUMVALUES / AVGVALUE family merges in the wire domain
         self.tuple_columns = tuple_columns or set()
+        # BYTES columns holding Apache DataSketches HLL blobs (family 7,
+        # what Spark's hll_sketch_agg writes): DISTINCTCOUNTHLL over one
+        # merges via the native hll_union_agg — zero-Python JVM path
+        self.ds_hll_columns = ds_hll_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -520,6 +525,16 @@ class PinotDialect:
                 )
 
                 return f"{ESTIMATE_UDF}({MERGE_UDF}({arg}))"
+            if arg in self.ds_hll_columns:
+                # Apache DataSketches HLL wire blobs (family 7 — what
+                # Spark's own hll_sketch_agg and the wider Spark/
+                # Databricks ecosystem serialize): merged and estimated
+                # ENTIRELY JVM-side by the native functions — the one
+                # sketch-column kind with a zero-Python merge path
+                return (
+                    f"CAST(ROUND(hll_sketch_estimate("
+                    f"hll_union_agg({arg}))) AS BIGINT)"
+                )
             if arg in self.binary_columns:
                 return hll_merge_estimate_sql(a[0], "spark")
             try:
@@ -1145,6 +1160,10 @@ class PinotDialect:
                 from apache_pinot_spark.functions.hll_clearspring import MERGE_UDF
 
                 return f"hex({MERGE_UDF}({arg}))"
+            if arg in self.ds_hll_columns:
+                # merged DataSketches HLL blob, still loadable by the
+                # library and by hll_sketch_estimate — all JVM-side
+                return f"hex(hll_union_agg({arg}))"
             if arg not in self.binary_columns:
                 raise ValueError(
                     f"DISTINCTCOUNTRAWHLL({arg}): column is not a BYTES HLL "
@@ -2381,6 +2400,7 @@ class PinotEngine:
         self._hllplus_columns: set[str] = set()
         self._bitmap_columns: set[str] = set()
         self._tuple_columns: set[str] = set()
+        self._ds_hll_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         # these need no column declaration, so register eagerly:
@@ -2470,6 +2490,7 @@ class PinotEngine:
         answer to the reference's serialized sketch metric columns
         (schema.md:48) without imperative per-column calls."""
         routes = {
+            "datasketches_hll": self.register_ds_hll_column,
             "theta": self.register_theta_column,
             "tuple": self.register_tuple_column,
             "bitmap": self.register_bitmap_column,
@@ -2530,6 +2551,15 @@ class PinotEngine:
 
         register_bitmap_udfs(self.spark)
         self._bitmap_columns.add(column)
+
+    def register_ds_hll_column(self, column: str) -> None:
+        """Declare a BYTES column as Apache DataSketches HLL blobs
+        (family 7 — the format Spark's own hll_sketch_agg and the wider
+        Spark/Databricks ecosystem serialize, readable by
+        datasketches-java HllSketch.heapify). DISTINCTCOUNTHLL over it
+        merges via the NATIVE hll_union_agg + hll_sketch_estimate —
+        the one sketch kind whose merge path never leaves the JVM."""
+        self._ds_hll_columns.add(column)
 
     def register_tuple_column(self, column: str) -> None:
         """Declare a BYTES column as serialized DataSketches
@@ -2695,6 +2725,7 @@ class PinotEngine:
             self._hllplus_columns,
             self._bitmap_columns,
             self._tuple_columns,
+            self._ds_hll_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
