@@ -12,12 +12,15 @@ import math
 import pytest
 
 from apache_pinot_spark.sqlfront import PinotEngine
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECTNESS
 
 
 @pytest.fixture()
 def eng(spark):
-    return PinotEngine(spark, SF_SMOKE, tables=["lineitem", "events", "orders"])
+    # SF_CORRECTNESS (not SF_SMOKE): the duck oracle fixture follows
+    # SPARK_GRAFT_TEST_SF, so the Spark side must read the SAME SF or
+    # the 10x-data sweep compares different datasets
+    return PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem", "events", "orders"])
 
 
 def test_variance_stddev_covariance_vs_duckdb(eng, duck):
