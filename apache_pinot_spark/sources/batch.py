@@ -85,6 +85,17 @@ class TableConfig:
     # of the columns prune multiplicatively (e.g. user_id=… AND
     # event_type=… touches 1/(N_u·N_e) of each day's segments).
     segment_partition_columns: dict[str, int] = dc_field(default_factory=dict)
+    # ingestionConfig.transformConfigs (public table config): per-column
+    # transform expressions in the PINOT function dialect, evaluated at
+    # ingest BEFORE schema typing (so a transform can create/overwrite a
+    # declared column from raw source fields). Order matters and is
+    # preserved. Compiled through the dialect rewriter → pure Catalyst
+    # expressions (narrow map, codegen'd with the projection).
+    ingestion_transforms: list[dict] = dc_field(default_factory=list)
+    # ingestionConfig.filterConfig.filterFunction: rows where the
+    # expression is TRUE are DROPPED at ingest (the public semantics —
+    # the filter selects what to exclude, not what to keep)
+    filter_function: str | None = None
     # BYTES sketch-state columns (configuration-reference/schema.md:48
     # names serialized sketch metric columns) → wire kind, one of:
     # theta | tuple | bitmap | tdigest | kll | hllplus | hll_clearspring
@@ -124,6 +135,8 @@ class TableConfig:
             "numSegmentPartitions": self.num_segment_partitions,
             "segmentPartitionMap": self.segment_partition_columns,
             "sketchColumns": self.sketch_columns,
+            "transformConfigs": self.ingestion_transforms,
+            "filterFunction": self.filter_function,
         }
 
     @classmethod
@@ -146,6 +159,8 @@ class TableConfig:
             num_segment_partitions=d.get("numSegmentPartitions", 8),
             segment_partition_columns=d.get("segmentPartitionMap", {}),
             sketch_columns=d.get("sketchColumns", {}),
+            ingestion_transforms=d.get("transformConfigs", []),
+            filter_function=d.get("filterFunction"),
         )
 
 
@@ -213,6 +228,46 @@ def derived_columns(df: DataFrame, schema: PinotSchema, config: TableConfig) -> 
     return out
 
 
+def apply_ingestion_transforms(df: DataFrame, config: "TableConfig") -> DataFrame:
+    """ingestionConfig transforms + filter (public table config):
+
+    * transformConfigs — ordered ``{"columnName": c, "transformFunction":
+      expr}`` entries; the expression is PINOT-dialect SQL (jsonPath*,
+      epoch conversions, concat, …), compiled through the dialect
+      rewriter into a Catalyst expression. Later transforms see the
+      columns earlier ones produced, like the reference's ordering.
+    * filterConfig.filterFunction — rows where the expression is true
+      are DROPPED (the public convention: the filter names what to
+      exclude). Evaluated AFTER transforms so it can reference derived
+      columns.
+
+    Everything stays a narrow map / codegen'd filter — no UDFs, no
+    shuffles, pushdown-eligible when the source format supports it."""
+    from apache_pinot_spark.sqlfront import PinotDialect
+
+    if not config.ingestion_transforms and not config.filter_function:
+        return df
+    dialect = PinotDialect(table_columns=set(df.columns))
+    for tc in config.ingestion_transforms:
+        col, fn = tc["columnName"], tc["transformFunction"]
+        compiled = rewrite_expression_fragment(dialect, fn)
+        df = df.withColumn(col, F.expr(compiled))
+        dialect.table_columns.add(col)
+    if config.filter_function:
+        compiled = rewrite_expression_fragment(dialect, config.filter_function)
+        df = df.where(f"NOT COALESCE(({compiled}), FALSE)")
+    return df
+
+
+def rewrite_expression_fragment(dialect, fragment: str) -> str:
+    """Run a bare expression (not a full statement) through the Pinot
+    function rewriter: wrap as a SELECT, rewrite, unwrap."""
+    rewritten = dialect.rewrite(f"SELECT {fragment} FROM __frag__").sql
+    body = rewritten[len("SELECT ") :]
+    cut = body.upper().rfind(" FROM __FRAG__")
+    return body[:cut]
+
+
 def ingest_batch(
     spark: SparkSession,
     schema: PinotSchema,
@@ -237,6 +292,7 @@ def ingest_batch(
         opts.update(reader_options or {})
         raw = spark.read.options(**opts).format(fmt).load(source)
 
+    raw = apply_ingestion_transforms(raw, config)
     df = schema.apply_types(raw)
     df = schema.apply_sentinels(df)
     obs = None

@@ -540,3 +540,69 @@ def test_config_driven_sketch_columns(spark, tmp_path_factory):
 
     with _pt.raises(ValueError, match="unknown sketch kind"):
         eng.apply_sketch_columns({"x": "cpc"})
+
+
+def test_ingestion_transforms_and_filter(spark, tmp_path_factory):
+    """ingestionConfig.transformConfigs run PINOT-dialect expressions at
+    ingest (ordered, later ones see earlier outputs) and
+    filterConfig.filterFunction DROPS matching rows — both pure
+    Catalyst, evaluated before schema typing."""
+    from apache_pinot_spark.plans.schema import PinotSchema
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    wh = str(tmp_path_factory.mktemp("wh_transforms"))
+    schema = PinotSchema.from_json(
+        {
+            "schemaName": "tx",
+            "dimensionFieldSpecs": [
+                {"name": "user", "dataType": "STRING"},
+                {"name": "plan_name", "dataType": "STRING"},
+            ],
+            "metricFieldSpecs": [{"name": "spend_cents", "dataType": "LONG"}],
+            "dateTimeFieldSpecs": [
+                {
+                    "name": "ts_ms",
+                    "dataType": "LONG",
+                    "format": "1:MILLISECONDS:EPOCH",
+                    "granularity": "1:DAYS",
+                }
+            ],
+        }
+    )
+    raw = spark.createDataFrame(
+        [
+            ("u1", '{"plan": {"name": "pro", "cents": "19.99"}}', 1_700_000_000),
+            ("u2", '{"plan": {"name": "free", "cents": "0"}}', 1_700_000_001),
+            ("u3", '{"plan": {"name": "pro", "cents": "9.5"}}', 1_700_000_002),
+        ],
+        "user string, payload string, epoch_s long",
+    )
+    cfg = B.TableConfig(
+        table_name="tx",
+        time_column="ts_ms",
+        ingestion_transforms=[
+            {"columnName": "plan_name",
+             "transformFunction": "JSONPATHSTRING(payload, '$.plan.name')"},
+            # later transform sees nothing special but uses Pinot fns:
+            {"columnName": "spend_cents",
+             "transformFunction":
+                 "CAST(JSONPATHDOUBLE(payload, '$.plan.cents') * 100 AS LONG)"},
+            {"columnName": "ts_ms",
+             "transformFunction": "FROMEPOCHSECONDS(epoch_s)"},
+        ],
+        filter_function="plan_name = 'free'",  # exclude free-tier rows
+    )
+    path = B.ingest_batch(spark, schema, cfg, raw, warehouse=wh)
+    eng = PinotEngine(spark)
+    eng.register_ingested("tx", path)
+    rows = {
+        r["user"]: (r["plan_name"], r["spend_cents"])
+        for r in eng.sql("SELECT user, plan_name, spend_cents FROM tx").collect()
+    }
+    # (long)(19.99 * 100) truncates to 1998 in Java exactly as here —
+    # the faithful reading of the double arithmetic; u2 filtered out
+    assert rows == {"u1": ("pro", 1998), "u3": ("pro", 950)}
+    # round trip through the config JSON form too
+    cfg2 = B.TableConfig.from_json(cfg.to_json())
+    assert cfg2.ingestion_transforms == cfg.ingestion_transforms
+    assert cfg2.filter_function == cfg.filter_function
