@@ -126,11 +126,23 @@ def test_duckdb_differentials(eng, duck):
             "SELECT isodow(to_timestamp(1577836800000 / 1000))",
         ),
         ("HAMMINGDISTANCE('abcde', 'abcxe')", "SELECT hamming('abcde','abcxe')"),
+        ("WEEKOFYEAR(ms)", "SELECT weekofyear(to_timestamp(1577836800000 / 1000))"),
+        ("QUARTER(ms)", "SELECT quarter(to_timestamp(1577836800000 / 1000))"),
+        ("DAYOFYEAR(ms)", "SELECT dayofyear(to_timestamp(1577836800000 / 1000))"),
+        ("MILLISECOND(ms + 789)", "SELECT 789"),
+        ("REMOVE('a.b.c', '.')", "SELECT replace('a.b.c', '.', '')"),
+        ("ARRAYINDEXOFINT(mv, 2)", "SELECT list_position([3,1,2,1], 2) - 1"),
+        ("HOUR(ms + 3600000 * 5)", "SELECT hour(to_timestamp(1577836800 + 3600 * 5))"),
+        ("YEAROFWEEK(ms)", "SELECT isoyear(to_timestamp(1577836800000 / 1000))"),
     ]
     for spark_expr, duck_sql in cases:
         got = _one(eng, spark_expr)
         want = duck.sql(duck_sql).fetchone()[0]
         assert got == want, (spark_expr, got, want)
+    # SPLIT literal-delimiter semantics vs DuckDB string_split
+    assert _one(eng, "SPLIT('a.b.c', '.')") == list(
+        duck.sql("SELECT string_split('a.b.c', '.')").fetchone()[0]
+    )
 
 
 def test_typed_array_variants_all_types(eng):
