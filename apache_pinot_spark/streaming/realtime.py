@@ -65,7 +65,11 @@ def normalize_stream(
 ) -> DataFrame:
     """The SAME normalize pipeline as batch ingestion (one code path for
     both halves of a hybrid table — they must share a schema,
-    Architecture.md:188)."""
+    Architecture.md:188) — including ingestionConfig transforms/filter,
+    which the public engine applies to realtime consumption too."""
+    from apache_pinot_spark.sources.batch import apply_ingestion_transforms
+
+    stream_df = apply_ingestion_transforms(stream_df, config)
     df = schema.apply_types(stream_df)
     df = schema.apply_sentinels(df)
     df = derived_columns(df, schema, config)

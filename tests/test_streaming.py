@@ -426,3 +426,68 @@ def test_consuming_view_snapshot_is_race_free(spark, tmp_path_factory):
     # the snapshot still counts each row exactly once
     assert view.count() == 2
     assert view.filter(F.col("user") == "u2").count() == 1
+
+
+def test_realtime_ingestion_transforms_and_filter(spark, tmp_path_factory):
+    """ingestionConfig transforms + filterFunction apply to REALTIME
+    consumption exactly as to batch (one normalize pipeline): derived
+    columns appear in committed segments, filtered rows never land."""
+    root = tmp_path_factory.mktemp("rt_tx")
+    src = root / "src"
+    src.mkdir()
+    table = str(root / "table")
+    schema = PinotSchema.from_json(
+        {
+            "schemaName": "rt_tx",
+            "dimensionFieldSpecs": [
+                {"name": "user", "dataType": "STRING"},
+                {"name": "tier", "dataType": "STRING"},
+            ],
+            "dateTimeFieldSpecs": [
+                {"name": "ts_ms", "dataType": "LONG",
+                 "format": "1:MILLISECONDS:EPOCH", "granularity": "1:DAYS"}
+            ],
+        }
+    )
+    cfg = B.TableConfig(
+        table_name="rt_tx",
+        time_column="ts_ms",
+        ingestion_transforms=[
+            {"columnName": "tier",
+             "transformFunction": "JSONPATHSTRING(payload, '$.tier', 'unknown')"},
+            {"columnName": "ts_ms",
+             "transformFunction": "FROMEPOCHSECONDS(epoch_s)"},
+        ],
+        filter_function="tier = 'bot'",
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("epoch_s", T.LongType()),
+        ]
+    )
+    _write_source_file(
+        src, 0,
+        [{"user": "u1", "payload": '{"tier": "pro"}', "epoch_s": 1_700_000_000},
+         {"user": "u2", "payload": '{"tier": "bot"}', "epoch_s": 1_700_000_001},
+         {"user": "u3", "payload": "{}", "epoch_s": 1_700_000_002}],
+    )
+    state = R.ConsumingState()
+    stream = spark.readStream.schema(src_schema).json(str(src))
+    q = R.ingest_stream(spark, schema, cfg, stream, table, str(root / "ckpt"),
+                        trigger_seconds=0.5, state=state)
+    try:
+        deadline = time.time() + 60
+        while state.batches < 1 and time.time() < deadline:
+            time.sleep(0.25)
+        rows = {
+            r["user"]: (r["tier"], r["ts_ms"])
+            for r in spark.read.parquet(table).collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {
+        "u1": ("pro", 1_700_000_000_000),
+        "u3": ("unknown", 1_700_000_002_000),  # default for missing path
+    }  # u2 (bot) filtered before commit
