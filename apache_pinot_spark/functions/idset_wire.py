@@ -16,9 +16,11 @@ Type 2 is Roaring64NavigableMap.serialize(): 1 boolean byte
 bucket an int32 BIG-endian high-32 key followed by that bucket's
 portable 32-bit RoaringBitmap — layout probed and byte-validated
 against the same jar (tests/test_idset_wire.py).  Type 3 (Guava bloom
-filter) is approximate-membership state: documented OUT here — this
-engine's IN_ID_SET is exact, and a bloom IdSet cannot be made exact, so
-it raises with that explanation rather than silently approximating.
+filter) is approximate-membership state: IN_ID_SET evaluates it with
+the PUBLIC approximate semantics (false positives at the filter's
+configured rate, never false negatives) via the Guava-validated reader
+below — parse_idset still refuses to ENUMERATE it (there is no value
+set to enumerate) and points at bloom_might_contain.
 
 Signedness: Java ints/longs are two's complement; an INT idset stores
 the unsigned 32-bit wrap of the signed value (RoaringBitmap.add(int)),
@@ -154,11 +156,80 @@ def parse_idset(blob: bytes) -> np.ndarray:
         return parse_roaring64(blob[1:])
     if t == TYPE_BLOOM:
         raise ValueError(
-            "BLOOM_FILTER IdSet: approximate-membership state cannot be "
-            "evaluated exactly — regenerate the IdSet below the bloom "
-            "size threshold, or filter with IN_SUBQUERY instead"
+            "BLOOM_FILTER IdSet holds approximate-membership state, not "
+            "an enumerable value set — evaluate it with "
+            "bloom_might_contain() (the public approximate IN_ID_SET "
+            "semantics, false positives possible), or regenerate the "
+            "IdSet below the bloom size threshold for exact filtering"
         )
     raise ValueError(f"unknown IdSet type {t}")
+
+
+# --------------------------------------------------------------------------
+# Guava BloomFilter (IdSet type 3) — READ side.
+#
+# Layout (com.google.common.hash.BloomFilter.writeTo, stable across
+# Guava versions and validated against the guava jar on Spark's
+# classpath in tests/test_idset_wire.py):
+#     byte 0      strategy ordinal (1 = MURMUR128_MITZ_64, the default)
+#     byte 1      numHashFunctions (unsigned)
+#     int32 BE    number of int64 words
+#     then        words, int64 BIG-endian (DataOutputStream)
+# Membership (MURMUR128_MITZ_64): hash = murmur3_x64_128(funnel bytes,
+# seed 0); h1/h2 = the two LITTLE-endian longs of the 16-byte digest;
+# bit index i in 0..k-1 tests ((h1 + i*h2) & Long.MAX) % bitSize.
+# The long funnel renders the value as 8 little-endian bytes
+# (Guava Hasher.putLong) — the convention an integer IdSet uses.
+# --------------------------------------------------------------------------
+def parse_bloom(blob: bytes):
+    """(num_hash_functions, bits words as uint64 ascending) of a type-3
+    payload (WITHOUT the leading type byte)."""
+    if len(blob) < 6:
+        raise ValueError("bloom payload too short")
+    strategy, k = blob[0], blob[1]
+    if strategy != 1:
+        raise ValueError(
+            f"bloom strategy ordinal {strategy} unsupported (expected 1 = "
+            "MURMUR128_MITZ_64, the library default)"
+        )
+    if k < 1:
+        raise ValueError("bloom payload: zero hash functions")
+    (nwords,) = struct.unpack_from(">i", blob, 2)
+    if nwords < 1 or len(blob) != 6 + 8 * nwords:
+        raise ValueError("bloom payload truncated or mis-sized")
+    words = np.frombuffer(blob, ">u8", nwords, 6).astype(np.uint64)
+    return int(k), words
+
+
+def bloom_might_contain(blob: bytes, values: np.ndarray) -> np.ndarray:
+    """Vectorized Guava mightContain over int64 values for a FULL
+    type-3 IdSet blob (leading type byte included). False positives at
+    the filter's configured rate; never false negatives — the public
+    approximate IN_ID_SET contract."""
+    from apache_pinot_spark.functions.theta_wire import murmur3_x64_128
+
+    if not blob or blob[0] != TYPE_BLOOM:
+        raise ValueError("not a BLOOM_FILTER IdSet payload")
+    k, words = parse_bloom(blob[1:])
+    bit_size = np.uint64(words.size * 64)
+    out = np.zeros(len(values), dtype=bool)
+    mask63 = (1 << 63) - 1
+    m64 = (1 << 64) - 1
+    for i, v in enumerate(np.asarray(values, np.int64)):
+        h1, h2 = murmur3_x64_128(
+            struct.pack("<q", int(v)), 0
+        )  # digest longs are little-endian reads of the 16 bytes
+        ok = True
+        combined = h1
+        for _ in range(k):
+            idx = (combined & mask63) % int(bit_size)
+            w = int(words[idx >> 6])
+            if not (w >> (idx & 63)) & 1:
+                ok = False
+                break
+            combined = (combined + h2) & m64
+        out[i] = ok
+    return out
 
 
 def serialize_idset(values: np.ndarray) -> bytes:
@@ -179,6 +250,7 @@ def serialize_idset(values: np.ndarray) -> bytes:
 # Spark surface
 # --------------------------------------------------------------------------
 BUILD_UDF = "pinot_idset_build"
+BLOOM_UDF = "pinot_idset_bloom_contains"
 
 
 def register_idset_udfs(spark) -> None:
@@ -211,4 +283,17 @@ def register_idset_udfs(spark) -> None:
             _json.dumps(strs, separators=(",", ":")).encode()
         ).decode()
 
+    @pandas_udf("boolean")
+    def pinot_idset_bloom_contains(b64: pd.Series, vals: pd.Series) -> pd.Series:
+        import base64 as _b64
+
+        from apache_pinot_spark.functions import idset_wire as _iw
+
+        blob = _b64.b64decode(b64.iloc[0]) if len(b64) else b"\x03"
+        present = vals.fillna(0).to_numpy(dtype="int64")
+        out = _iw.bloom_might_contain(blob, present)
+        out[vals.isna().to_numpy()] = False  # NULL never matches
+        return pd.Series(out)
+
     spark.udf.register(BUILD_UDF, pinot_idset_build)
+    spark.udf.register(BLOOM_UDF, pinot_idset_bloom_contains)

@@ -1218,7 +1218,24 @@ class PinotDialect:
 
             blob = _unquote(a[1])
             raw = _b64.b64decode(blob) if blob else b"\x00"
-            if raw and raw[0] in (0, 1, 2, 3):
+            if raw and raw[0] == 3:
+                # BLOOM_FILTER IdSet: approximate membership (false
+                # positives at the filter's configured rate, never false
+                # negatives) — the public semantics for bloom idsets,
+                # served by the Guava-validated reader. Validate the
+                # payload at REWRITE time so malformed blobs fail the
+                # statement, not the tasks.
+                from apache_pinot_spark.functions.idset_wire import (
+                    BLOOM_UDF,
+                    parse_bloom,
+                )
+
+                parse_bloom(raw[1:])
+                esc = _sql_quote(blob)
+                return (
+                    f"{BLOOM_UDF}('{esc}', cast({a[0]} as bigint))"
+                )
+            if raw and raw[0] in (0, 1, 2):
                 from apache_pinot_spark.functions.idset_wire import parse_idset
 
                 ints = parse_idset(raw)
