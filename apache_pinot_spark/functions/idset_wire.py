@@ -201,6 +201,43 @@ def parse_bloom(blob: bytes):
     return int(k), words
 
 
+def build_bloom(values: np.ndarray, expected_insertions: int,
+                fpp: float) -> bytes:
+    """Write side of the bloom fallback: a FULL type-3 IdSet payload
+    whose bytes match what Guava's BloomFilter.create(longFunnel, n,
+    fpp) + put(value)* + writeTo() produces (the library's sizing
+    formulas are deterministic: bits = (long)(-n·ln p / ln²2), words =
+    ceil(bits/64), k = max(1, round(bits/n·ln 2)) — jar-validated in
+    tests)."""
+    import math
+
+    n = max(1, int(expected_insertions))
+    p = min(max(float(fpp), 5e-324), 1.0)
+    bits = int(-n * math.log(p) / (math.log(2) ** 2))
+    nwords = max(1, -(-bits // 64))
+    k = max(1, round(bits / n * math.log(2)))
+    if k > 255:
+        raise ValueError(f"bloom fpp {fpp} needs {k} hash functions (>255)")
+    words = np.zeros(nwords, np.uint64)
+    bit_size = nwords * 64
+    mask63 = (1 << 63) - 1
+    m64 = (1 << 64) - 1
+    from apache_pinot_spark.functions.theta_wire import murmur3_x64_128
+
+    for v in np.asarray(values, np.int64):
+        h1, h2 = murmur3_x64_128(struct.pack("<q", int(v)), 0)
+        combined = h1
+        for _ in range(k):
+            idx = (combined & mask63) % bit_size
+            words[idx >> 6] |= np.uint64(1 << (idx & 63))
+            combined = (combined + h2) & m64
+    return (
+        bytes([TYPE_BLOOM, 1, k])
+        + struct.pack(">i", nwords)
+        + words.astype(">u8").tobytes()
+    )
+
+
 def bloom_might_contain(blob: bytes, values: np.ndarray) -> np.ndarray:
     """Vectorized Guava mightContain over int64 values for a FULL
     type-3 IdSet blob (leading type byte included). False positives at
@@ -246,6 +283,33 @@ def serialize_idset(values: np.ndarray) -> bytes:
     return bytes([TYPE_ROARING64]) + serialize_roaring64(v)
 
 
+def parse_idset_options(opts: str) -> dict:
+    """The public ID_SET options string —
+    'sizeThresholdInBytes=…;expectedInsertions=…;fpp=…' — with the
+    documented defaults (8 MiB threshold, 5M insertions, 0.03)."""
+    out = {
+        "sizeThresholdInBytes": 8 * 1024 * 1024,
+        "expectedInsertions": 5_000_000,
+        "fpp": 0.03,
+    }
+    for kv in (opts or "").split(";"):
+        if "=" not in kv:
+            continue
+        key, v = kv.split("=", 1)
+        key = key.strip()
+        if key in ("sizeThresholdInBytes", "expectedInsertions"):
+            out[key] = int(float(v))
+        elif key == "fpp":
+            out[key] = float(v)
+        elif key:
+            raise ValueError(f"ID_SET: unknown option {key!r}")
+    if out["sizeThresholdInBytes"] < 16:
+        raise ValueError("ID_SET: sizeThresholdInBytes too small")
+    if not 0 < out["fpp"] < 1:
+        raise ValueError(f"ID_SET: fpp {out['fpp']} outside (0, 1)")
+    return out
+
+
 # --------------------------------------------------------------------------
 # Spark surface
 # --------------------------------------------------------------------------
@@ -267,7 +331,9 @@ def register_idset_udfs(spark) -> None:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def pinot_idset_build(values: pd.Series, sqltype: pd.Series) -> str:
+    def pinot_idset_build(
+        values: pd.Series, sqltype: pd.Series, options: pd.Series
+    ) -> str:
         import base64 as _b64
         import json as _json
 
@@ -275,9 +341,21 @@ def register_idset_udfs(spark) -> None:
 
         present = values.dropna()
         t = str(sqltype.iloc[0]).lower() if len(sqltype) else ""
+        opts = _iw.parse_idset_options(
+            str(options.iloc[0]) if len(options) else ""
+        )
         if t in ("tinyint", "smallint", "int", "bigint"):
             ints = present.to_numpy(dtype="int64")
-            return _b64.b64encode(_iw.serialize_idset(ints)).decode()
+            exact = _iw.serialize_idset(ints)
+            if len(exact) > opts["sizeThresholdInBytes"]:
+                # the public size-bounded fallback: approximate bloom
+                # state instead of an unbounded exact carrier
+                exact = _iw.build_bloom(
+                    np.unique(ints),
+                    opts["expectedInsertions"],
+                    opts["fpp"],
+                )
+            return _b64.b64encode(exact).decode()
         strs = sorted(set(str(x) for x in present))
         return _b64.b64encode(
             _json.dumps(strs, separators=(",", ":")).encode()

@@ -1196,15 +1196,22 @@ class PinotDialect:
             # RoaringBitmap jar), so idsets round-trip with a real Pinot
             # deployment; other types keep the engine-local JSON layout
             # (documented divergence: Pinot hashes non-int types, which
-            # is not exactly invertible). The public options string
-            # (sizeThresholdInBytes/expectedInsertions/fpp) tunes the
-            # bloom fallback we never take — accepted, ignored.
-            from apache_pinot_spark.functions.idset_wire import BUILD_UDF as ID_B
+            # is not exactly invertible). The public options string —
+            # 'sizeThresholdInBytes=…;expectedInsertions=…;fpp=…' —
+            # drives the size-bounded BLOOM fallback (an exact carrier
+            # over the threshold becomes Guava-format bloom state,
+            # byte-compatible with the library; idset_wire.build_bloom).
+            from apache_pinot_spark.functions.idset_wire import (
+                BUILD_UDF as ID_B,
+                parse_idset_options,
+            )
 
+            opts = _unquote(a[1]) if len(a) > 1 else ""
+            parse_idset_options(opts)  # validate at rewrite time
             # typeof() rides along as the dispatch key: Arrow nulls turn
             # an int64 column into float64 pandas-side, so the UDF must
             # not dtype-sniff (see register_idset_udfs)
-            return f"{ID_B}({a[0]}, typeof({a[0]}))"
+            return f"{ID_B}({a[0]}, typeof({a[0]}), '{_sql_quote(opts)}')"
 
         def in_id_set(a):
             # IN_ID_SET(expr, 'base64'): membership against an ID_SET
