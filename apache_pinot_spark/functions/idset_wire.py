@@ -201,6 +201,52 @@ def parse_bloom(blob: bytes):
     return int(k), words
 
 
+def _murmur_pair_longs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (h1, h2) of murmur3_x64_128 over 8-byte little-endian
+    long inputs, seed 0 — the Guava long-funnel hash (single tail
+    block, so the whole digest is a handful of numpy uint64 ops;
+    cross-checked against the scalar reference in tests)."""
+    from apache_pinot_spark.functions.theta_wire import (
+        _C1,
+        _C2,
+        _vfmix,
+        _vrotl,
+    )
+
+    v = np.asarray(values, np.int64).astype(np.uint64)
+    c1, c2 = np.uint64(_C1), np.uint64(_C2)
+    with np.errstate(over="ignore"):
+        k1 = _vrotl(v * c1, 31) * c2
+        h1 = k1.copy()  # h1 starts at seed 0, then ^= k1
+        h2 = np.zeros_like(h1)
+        eight = np.uint64(8)
+        h1 ^= eight
+        h2 ^= eight
+        h1 += h2
+        h2 += h1
+        h1 = _vfmix(h1)
+        h2 = _vfmix(h2)
+        h1 += h2
+        h2 += h1
+    return h1, h2
+
+
+def _bloom_probe(words: np.ndarray, k: int, h1: np.ndarray,
+                 h2: np.ndarray) -> np.ndarray:
+    """Vectorized k-probe membership over the bit array."""
+    bit_size = np.uint64(words.size * 64)
+    mask63 = np.uint64((1 << 63) - 1)
+    out = np.ones(h1.size, dtype=bool)
+    combined = h1.copy()
+    with np.errstate(over="ignore"):
+        for _ in range(k):
+            idx = (combined & mask63) % bit_size
+            w = words[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= ((w >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+            combined += h2
+    return out
+
+
 def build_bloom(values: np.ndarray, expected_insertions: int,
                 fpp: float) -> bytes:
     """Write side of the bloom fallback: a FULL type-3 IdSet payload
@@ -215,22 +261,24 @@ def build_bloom(values: np.ndarray, expected_insertions: int,
     p = min(max(float(fpp), 5e-324), 1.0)
     bits = int(-n * math.log(p) / (math.log(2) ** 2))
     nwords = max(1, -(-bits // 64))
-    k = max(1, round(bits / n * math.log(2)))
+    # Math.round is HALF-UP; Python round() is half-even — mirror Java
+    k = max(1, math.floor(bits / n * math.log(2) + 0.5))
     if k > 255:
         raise ValueError(f"bloom fpp {fpp} needs {k} hash functions (>255)")
     words = np.zeros(nwords, np.uint64)
-    bit_size = nwords * 64
-    mask63 = (1 << 63) - 1
-    m64 = (1 << 64) - 1
-    from apache_pinot_spark.functions.theta_wire import murmur3_x64_128
-
-    for v in np.asarray(values, np.int64):
-        h1, h2 = murmur3_x64_128(struct.pack("<q", int(v)), 0)
-        combined = h1
+    bit_size = np.uint64(nwords * 64)
+    mask63 = np.uint64((1 << 63) - 1)
+    h1, h2 = _murmur_pair_longs(np.asarray(values, np.int64))
+    combined = h1.copy()
+    with np.errstate(over="ignore"):
         for _ in range(k):
             idx = (combined & mask63) % bit_size
-            words[idx >> 6] |= np.uint64(1 << (idx & 63))
-            combined = (combined + h2) & m64
+            np.bitwise_or.at(
+                words,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.left_shift(np.uint64(1), (idx & np.uint64(63))),
+            )
+            combined += h2
     return (
         bytes([TYPE_BLOOM, 1, k])
         + struct.pack(">i", nwords)
@@ -240,33 +288,15 @@ def build_bloom(values: np.ndarray, expected_insertions: int,
 
 def bloom_might_contain(blob: bytes, values: np.ndarray) -> np.ndarray:
     """Vectorized Guava mightContain over int64 values for a FULL
-    type-3 IdSet blob (leading type byte included). False positives at
-    the filter's configured rate; never false negatives — the public
-    approximate IN_ID_SET contract."""
-    from apache_pinot_spark.functions.theta_wire import murmur3_x64_128
-
+    type-3 IdSet blob (leading type byte included): one fused murmur
+    pass + k gather probes, all numpy. False positives at the filter's
+    configured rate; never false negatives — the public approximate
+    IN_ID_SET contract."""
     if not blob or blob[0] != TYPE_BLOOM:
         raise ValueError("not a BLOOM_FILTER IdSet payload")
     k, words = parse_bloom(blob[1:])
-    bit_size = np.uint64(words.size * 64)
-    out = np.zeros(len(values), dtype=bool)
-    mask63 = (1 << 63) - 1
-    m64 = (1 << 64) - 1
-    for i, v in enumerate(np.asarray(values, np.int64)):
-        h1, h2 = murmur3_x64_128(
-            struct.pack("<q", int(v)), 0
-        )  # digest longs are little-endian reads of the 16 bytes
-        ok = True
-        combined = h1
-        for _ in range(k):
-            idx = (combined & mask63) % int(bit_size)
-            w = int(words[idx >> 6])
-            if not (w >> (idx & 63)) & 1:
-                ok = False
-                break
-            combined = (combined + h2) & m64
-        out[i] = ok
-    return out
+    h1, h2 = _murmur_pair_longs(np.asarray(values, np.int64))
+    return _bloom_probe(words, k, h1, h2)
 
 
 def serialize_idset(values: np.ndarray) -> bytes:
@@ -322,12 +352,11 @@ def register_idset_udfs(spark) -> None:
     carrier (base64), other types -> the engine-local JSON layout
     (sorted distinct strings) that IN_ID_SET also accepts.
 
-    The dispatch key is the SQL-side typeof() string (second argument,
-    emitted by the handler), NOT the pandas dtype: Arrow ships an int64
-    column containing NULLs to pandas as float64, so dtype-sniffing
-    would silently flip an integer column to the JSON carrier (with
-    '1.0'-formatted values that match nothing) whenever a null happened
-    to be present."""
+    The dispatch key is the SQL-side typeof() string (second argument),
+    NOT the pandas dtype, and the VALUES arrive as STRINGS (the handler
+    emits CAST(col AS STRING)): Arrow ships an int64 column containing
+    NULLs to pandas as float64, which both flips dtype-sniffing AND
+    silently rounds values beyond 2^53 — strings survive exactly."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -345,7 +374,7 @@ def register_idset_udfs(spark) -> None:
             str(options.iloc[0]) if len(options) else ""
         )
         if t in ("tinyint", "smallint", "int", "bigint"):
-            ints = present.to_numpy(dtype="int64")
+            ints = np.array([int(x) for x in present], np.int64)
             exact = _iw.serialize_idset(ints)
             if len(exact) > opts["sizeThresholdInBytes"]:
                 # the public size-bounded fallback: approximate bloom
@@ -357,20 +386,44 @@ def register_idset_udfs(spark) -> None:
                 )
             return _b64.b64encode(exact).decode()
         strs = sorted(set(str(x) for x in present))
-        return _b64.b64encode(
-            _json.dumps(strs, separators=(",", ":")).encode()
-        ).decode()
+        payload = _json.dumps(strs, separators=(",", ":")).encode()
+        if len(payload) > opts["sizeThresholdInBytes"]:
+            raise ValueError(
+                f"ID_SET: {len(payload)} bytes of distinct strings exceeds "
+                f"sizeThresholdInBytes={opts['sizeThresholdInBytes']} and "
+                "the bloom fallback only covers integer columns here (the "
+                "string funnel is not pinned) — raise the threshold or "
+                "filter with IN_SUBQUERY"
+            )
+        return _b64.b64encode(payload).decode()
 
     @pandas_udf("boolean")
     def pinot_idset_bloom_contains(b64: pd.Series, vals: pd.Series) -> pd.Series:
+        # vals arrive as STRINGS (handler emits CAST(expr AS STRING)) so
+        # NULL-bearing int64 batches keep exact values (Arrow would
+        # otherwise float64 them, rounding beyond 2^53 — a false-negative
+        # source). Non-integer input fails LOUDLY: the long funnel under
+        # this bloom cannot hash strings, and silent NULL-casting would
+        # guarantee false negatives.
         import base64 as _b64
 
         from apache_pinot_spark.functions import idset_wire as _iw
 
         blob = _b64.b64decode(b64.iloc[0]) if len(b64) else b"\x03"
-        present = vals.fillna(0).to_numpy(dtype="int64")
-        out = _iw.bloom_might_contain(blob, present)
-        out[vals.isna().to_numpy()] = False  # NULL never matches
+        mask = vals.notna().to_numpy()
+        try:
+            ints = np.array(
+                [int(x) for x in vals.dropna()], np.int64
+            )
+        except ValueError as e:
+            raise ValueError(
+                "IN_ID_SET(bloom): the filter hashes LONG values; got "
+                f"non-integer input ({e}) — bloom idsets over non-integer "
+                "columns use a funnel this engine does not reproduce"
+            )
+        hits = _iw.bloom_might_contain(blob, ints)
+        out = pd.array([None] * len(vals), dtype="boolean")
+        out[mask] = hits  # NULL input stays NULL, like the exact path
         return pd.Series(out)
 
     spark.udf.register(BUILD_UDF, pinot_idset_build)

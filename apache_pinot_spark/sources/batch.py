@@ -265,6 +265,12 @@ def rewrite_expression_fragment(dialect, fragment: str) -> str:
     rewritten = dialect.rewrite(f"SELECT {fragment} FROM __frag__").sql
     body = rewritten[len("SELECT ") :]
     cut = body.upper().rfind(" FROM __FRAG__")
+    if cut < 0:
+        raise ValueError(
+            f"transform expression rewrite lost its FROM tail: {fragment!r} "
+            f"-> {rewritten!r} (expressions must not contain FROM/OPTION "
+            "clauses)"
+        )
     return body[:cut]
 
 

@@ -531,9 +531,12 @@ class PinotDialect:
                 # Databricks ecosystem serialize): merged and estimated
                 # ENTIRELY JVM-side by the native functions — the one
                 # sketch-column kind with a zero-Python merge path
+                # allowDifferentLgConfigK=true: segments written with
+                # different lgK over time (the ecosystem-interop case)
+                # must merge, not abort
                 return (
                     f"CAST(ROUND(hll_sketch_estimate("
-                    f"hll_union_agg({arg}))) AS BIGINT)"
+                    f"hll_union_agg({arg}, true))) AS BIGINT)"
                 )
             if arg in self.binary_columns:
                 return hll_merge_estimate_sql(a[0], "spark")
@@ -1163,7 +1166,8 @@ class PinotDialect:
             if arg in self.ds_hll_columns:
                 # merged DataSketches HLL blob, still loadable by the
                 # library and by hll_sketch_estimate — all JVM-side
-                return f"hex(hll_union_agg({arg}))"
+                # (mixed-lgK inputs allowed, as in the estimate form)
+                return f"hex(hll_union_agg({arg}, true))"
             if arg not in self.binary_columns:
                 raise ValueError(
                     f"DISTINCTCOUNTRAWHLL({arg}): column is not a BYTES HLL "
@@ -1208,10 +1212,15 @@ class PinotDialect:
 
             opts = _unquote(a[1]) if len(a) > 1 else ""
             parse_idset_options(opts)  # validate at rewrite time
-            # typeof() rides along as the dispatch key: Arrow nulls turn
-            # an int64 column into float64 pandas-side, so the UDF must
-            # not dtype-sniff (see register_idset_udfs)
-            return f"{ID_B}({a[0]}, typeof({a[0]}), '{_sql_quote(opts)}')"
+            # typeof() rides along as the dispatch key, and the VALUES
+            # go through CAST(… AS STRING): Arrow ships null-bearing
+            # int64 to pandas as float64, which both breaks dtype
+            # sniffing and ROUNDS values beyond 2^53 — strings survive
+            # exactly (see register_idset_udfs)
+            return (
+                f"{ID_B}(CAST({a[0]} AS STRING), typeof({a[0]}), "
+                f"'{_sql_quote(opts)}')"
+            )
 
         def in_id_set(a):
             # IN_ID_SET(expr, 'base64'): membership against an ID_SET
@@ -1239,8 +1248,10 @@ class PinotDialect:
 
                 parse_bloom(raw[1:])
                 esc = _sql_quote(blob)
+                # STRING transport for exactness (see ID_SET); the UDF
+                # parses longs and keeps NULL input NULL
                 return (
-                    f"{BLOOM_UDF}('{esc}', cast({a[0]} as bigint))"
+                    f"{BLOOM_UDF}('{esc}', CAST({a[0]} AS STRING))"
                 )
             if raw and raw[0] in (0, 1, 2):
                 from apache_pinot_spark.functions.idset_wire import parse_idset
@@ -1936,10 +1947,17 @@ class PinotDialect:
                     # direct 0-based indexing (the public implementation
                     # is a plain values[idx]); out-of-range yields NULL
                     # here where the reference throws — the forgiving
-                    # reading of the same contract
+                    # reading of the same contract. The negative guard
+                    # matters: try_element_at(arr, 0) still THROWS
+                    # INVALID_INDEX_OF_ZERO and negative Spark indexes
+                    # count from the END — both wrong for idx < 0
+                    # (e.g. arrayIndexOf's -1 'absent' sentinel)
                     (
                         "ARRAYELEMENTAT",
-                        lambda a: f"try_element_at({a[0]}, ({a[1]}) + 1)",
+                        lambda a: (
+                            f"IF(({a[1]}) < 0, NULL, "
+                            f"try_element_at({a[0]}, ({a[1]}) + 1))"
+                        ),
                     ),
                 )
             },

@@ -29,7 +29,8 @@ def test_ds_hll_column_native_merge(spark):
         .executedPlan()
         .treeString()
     )
-    assert "Python" not in plan and "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
+    assert "Python" not in plan
+    assert "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
     # RAW form: merged blob loads in the REAL library with the same
     # estimate, and hll_sketch_estimate accepts it too
     raw_hex = eng.sql(
@@ -60,3 +61,29 @@ def test_ds_hll_config_driven_kind(spark):
         "SELECT DISTINCTCOUNTHLL(u_hll) AS dc FROM ds_hll_cfg_t"
     ).collect()[0]["dc"]
     assert got == pytest.approx(5_000, rel=0.03)
+
+
+def test_ds_hll_mixed_lgk_merges(spark):
+    """Segments written with different lgConfigK over time (the
+    ecosystem-interop case) must MERGE, not abort — hll_union_agg runs
+    with allowDifferentLgConfigK."""
+    a = spark.range(3_000).agg(
+        F.expr("hll_sketch_agg(id, 12)").alias("h")
+    )
+    b = spark.range(2_000, 6_000).agg(
+        F.expr("hll_sketch_agg(id, 13)").alias("h")
+    )
+    eng = PinotEngine(spark)
+    eng.register("mixed_lgk", a.unionByName(b))
+    eng.register_ds_hll_column("h")
+    got = eng.sql(
+        "SELECT DISTINCTCOUNTHLL(h) AS dc FROM mixed_lgk"
+    ).collect()[0]["dc"]
+    assert got == pytest.approx(6_000, rel=0.05)
+    raw = eng.sql(
+        "SELECT DISTINCTCOUNTRAWHLL(h) AS b FROM mixed_lgk"
+    ).collect()[0]["b"]
+    est = spark.sql(
+        f"SELECT hll_sketch_estimate(unhex('{raw}')) AS e"
+    ).collect()[0]["e"]
+    assert est == pytest.approx(got, rel=1e-9)
