@@ -2600,7 +2600,11 @@ class PinotEngine:
         Spark/Databricks ecosystem serialize, readable by
         datasketches-java HllSketch.heapify). DISTINCTCOUNTHLL over it
         merges via the NATIVE hll_union_agg + hll_sketch_estimate —
-        the one sketch kind whose merge path never leaves the JVM."""
+        the one sketch kind whose merge path never leaves the JVM.
+        One composition limit follows from Spark itself: a native
+        aggregate cannot share a SELECT with grouped-agg pandas UDFs,
+        so this kind cannot be combined with the other sketch kinds in
+        a single statement (run it in its own)."""
         self._ds_hll_columns.add(column)
 
     def register_tuple_column(self, column: str) -> None:
