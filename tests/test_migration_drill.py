@@ -43,6 +43,7 @@ def drill(spark):
 
     rng = np.random.default_rng(7)
     rows = []
+    lats = []
     for seg in range(N_SEG):
         users = _seg_users(seg)
         lat = rng.normal(100 + seg, 10, users.size)
@@ -66,11 +67,12 @@ def drill(spark):
         cs = CS.ClearspringHLL(log2m=11)
         cs.offer_values(pd.Series(users))
         cs_b = cs.serialize()
-        rows.append((seg, theta_b, tuple_b, bitmap_b, kll_b, cs_b, lat.tolist()))
+        rows.append((seg, theta_b, tuple_b, bitmap_b, kll_b, cs_b))
+        lats.append(lat)
     pdf = pd.DataFrame(
         rows,
         columns=["seg", "u_theta", "u_tuple", "u_bitmap", "lat_kll",
-                 "u_cshll", "lat_raw"],
+                 "u_cshll"],
     )
     df = spark.createDataFrame(pdf)
     # ds_hll built by Spark's own native aggregate from the raw users
@@ -94,14 +96,12 @@ def drill(spark):
         }
     )
     truth_users = np.unique(np.concatenate([_seg_users(s) for s in range(N_SEG)]))
-    truth_lat = np.concatenate(
-        [np.array(r[6]) for r in rows]
-    )
-    return eng, truth_users.size, truth_lat
+    truth_lat = np.concatenate(lats)
+    return eng, truth_users.size, truth_lat, have_jars
 
 
 def test_every_kind_in_one_statement(drill):
-    eng, n_users, lat = drill
+    eng, n_users, lat, _ = drill
     # all pandas-UDF-served kinds together in ONE statement; the
     # native-aggregate ds_hll kind runs in its own (Spark does not
     # allow grouped-agg pandas UDFs and native aggregates in one
@@ -137,7 +137,7 @@ def test_raw_forms_reload_everywhere(drill, spark):
     from apache_pinot_spark.functions import kll_wire as KW
     from apache_pinot_spark.functions import theta as TH
 
-    eng, n_users, lat = drill
+    eng, n_users, lat, have_jars = drill
     row = eng.sql(
         "SELECT DISTINCTCOUNTRAWTHETASKETCH(u_theta) AS t, "
         "DISTINCTCOUNTRAWBITMAP(u_bitmap) AS bm, "
@@ -150,12 +150,11 @@ def test_raw_forms_reload_everywhere(drill, spark):
     assert BW.deserialize(bytes.fromhex(row["bm"])).cardinality() == n_users
     merged = KW.parse_kll_doubles(bytes.fromhex(row["kl"]))
     assert merged.n == lat.size
-    try:
+    if have_jars:
+        # jar present: a heapify failure here is a REAL wire regression
         jvm = spark._jvm
         mem = jvm.org.apache.datasketches.memory.Memory.wrap(
             bytearray(bytes.fromhex(row["kl"]))
         )
         h = jvm.org.apache.datasketches.kll.KllDoublesSketch.heapify(mem)
         assert h.getN() == lat.size
-    except Exception:
-        pass  # jar absent: parse-side checks above still pin the blob
