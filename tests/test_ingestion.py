@@ -606,3 +606,37 @@ def test_ingestion_transforms_and_filter(spark, tmp_path_factory):
     cfg2 = B.TableConfig.from_json(cfg.to_json())
     assert cfg2.ingestion_transforms == cfg.ingestion_transforms
     assert cfg2.filter_function == cfg.filter_function
+
+
+def test_ingestion_transform_hostile_fragments(spark):
+    """The fragment rewriter must fail LOUDLY on expressions that
+    disturb the synthetic FROM tail (injection-shaped input), and a
+    filter referencing a missing column fails analysis with a clear
+    error instead of silently passing rows."""
+    from apache_pinot_spark.sources.batch import (
+        TableConfig,
+        apply_ingestion_transforms,
+        rewrite_expression_fragment,
+    )
+    from apache_pinot_spark.sqlfront import PinotDialect
+
+    d = PinotDialect()
+    # plain fragments round-trip
+    assert rewrite_expression_fragment(d, "a + 1") == "a + 1"
+    # a fragment smuggling its own FROM clause changes the statement
+    # shape; the rewriter must raise, not silently truncate
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        bad = rewrite_expression_fragment(
+            d, "1 FROM other_table; DROP TABLE x --"
+        )
+        # if it did not raise, it must at least not have truncated
+        assert "DROP" not in bad
+    df = spark.createDataFrame([(1,)], "a int")
+    cfg = TableConfig(
+        table_name="t",
+        ingestion_transforms=[{"columnName": "b", "transformFunction": "no_such + 1"}],
+    )
+    with _pt.raises(Exception):
+        apply_ingestion_transforms(df, cfg).collect()
