@@ -228,21 +228,8 @@ sql_query(
     doc="A4/A8 min-max-over-expression + A10 HAVING in one group-by",
 )
 
-# A13 — roll-up (OLAP surface, Introduction.md:65). Grouping-set NULLs are
-# coalesced to 'ALL' for canonical cross-engine output.
-sql_query(
-    "a13_rollup",
-    """
-    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-           COALESCE(o_orderpriority, 'ALL') AS priority,
-           COUNT(*) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
-    FROM orders
-    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-    ORDER BY status, priority
-    """,
-    tables=["orders"],
-)
+# A13 ROLLUP — folded with the pivot form into a13_rollup_pivot
+# (suites/lifecycle_suite.py) in round 7 to free a driver-window slot.
 
 # A14 — SELECT DISTINCT (Introduction.md:51,
 # basics/indexing/forward-index.md:228-237)

@@ -22,3 +22,4 @@ from apache_pinot_spark.suites import json_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import dedup_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import similarity_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import ops_suite  # noqa: F401,E402

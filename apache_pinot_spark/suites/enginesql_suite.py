@@ -1,12 +1,22 @@
 """Driver-gate queries exercising the Pinot SQL dialect FRONT-END
 (sqlfront.PinotEngine): the SQL text the user writes is Pinot dialect —
-TOP, dateTrunc/fromDateTime, DISTINCTCOUNT, PERCENTILE, TEXT_MATCH,
-JSON_MATCH — and the oracle verifies the rewritten Spark execution against
-DuckDB running the equivalent ANSI SQL."""
+TOP, OPTION(...), MV-column scalar predicates, dateTrunc/fromDateTime,
+DISTINCTCOUNT, PERCENTILE, DISTINCTCOUNTHLL, TEXT_MATCH, JSON_MATCH — and
+the oracle verifies the rewritten Spark execution against DuckDB running
+the equivalent ANSI SQL.
+
+Round-7 consolidation: the eight single-feature queries of rounds 2-6
+are folded into four (each dialect feature keeps its own engine.sql()
+round-trip inside a combined query; outputs are canonicalized to shared
+columns and unioned) — freeing driver-window slots for the previously
+pytest-only operator families (suites/ops_suite.py). Per-feature detail
+coverage stays in tests/test_sqlfront.py.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
 from apache_pinot_spark.querysuite import df_query
@@ -23,27 +33,79 @@ def _engine_q(pinot_sql: str, tables: list[str]):
     return fn
 
 
-# O3 — PQL TOP n through the front-end. MAX is exact and the per-supplier
-# maxima are continuous-valued (ties implausible), so the implicit
-# ORDER BY MAX(...) DESC the rewrite adds is deterministic.
-df_query(
-    "eng_top_rewrite",
-    _engine_q(
+# --------------------------------------------------------------------------
+# O3 TOP + O4 OPTION + P7 MV-scalar — three PQL-dialect statement forms,
+# one declared query. Each fragment is its own engine.sql() round-trip
+# (rewrite + execute); outputs canonicalize to (form, k, v) rows.
+#   top:      PQL `TOP n` group cap (Introduction.md:110-111). MAX is exact
+#             and per-supplier maxima are continuous-valued (ties
+#             implausible), so the implicit ORDER BY MAX(...) DESC the
+#             rewrite adds is deterministic.
+#   option:   OPTION(...) suffix parsing (timestamp-index.md:50): stripped
+#             from the SQL, recorded in RewriteResult.options; result
+#             unchanged.
+#   mv_scalar: `embedding > 0.95` on an ARRAY column auto-rewrites to
+#             any-element semantics (configuration-reference/schema.md:25).
+# --------------------------------------------------------------------------
+
+
+def _dialect_forms(spark: SparkSession, sf_dir: str):
+    eng = PinotEngine(spark, sf_dir, ["lineitem", "orders", "embeddings"])
+    top = eng.sql(
         "SELECT l_suppkey, MAX(l_extendedprice) AS max_price "
-        "FROM lineitem GROUP BY l_suppkey TOP 5",
-        ["lineitem"],
-    ),
+        "FROM lineitem GROUP BY l_suppkey TOP 5"
+    ).select(
+        F.lit("top").alias("form"),
+        F.col("l_suppkey").cast("string").alias("k"),
+        F.col("max_price").cast("double").alias("v"),
+    )
+    opt = eng.sql(
+        "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus "
+        "OPTION(timeoutMs=20000)"
+    ).select(
+        F.lit("option").alias("form"),
+        F.col("o_orderstatus").alias("k"),
+        F.col("cnt").cast("double").alias("v"),
+    )
+    mv = eng.sql(
+        "SELECT COUNT(*) AS cnt FROM embeddings WHERE embedding > 0.95"
+    ).select(
+        F.lit("mv_scalar").alias("form"),
+        F.lit("embeddings").alias("k"),
+        F.col("cnt").cast("double").alias("v"),
+    )
+    return top.unionByName(opt).unionByName(mv).orderBy("form", "k")
+
+
+df_query(
+    "eng_dialect_forms",
+    _dialect_forms,
     """
-    SELECT l_suppkey, MAX(l_extendedprice) AS max_price
-    FROM lineitem GROUP BY l_suppkey
-    ORDER BY MAX(l_extendedprice) DESC LIMIT 5
+    SELECT * FROM (
+      SELECT 'top' AS form, CAST(l_suppkey AS VARCHAR) AS k,
+             MAX(l_extendedprice) AS v
+      FROM lineitem GROUP BY l_suppkey
+      ORDER BY MAX(l_extendedprice) DESC LIMIT 5
+    )
+    UNION ALL
+    SELECT 'option' AS form, o_orderstatus AS k, CAST(COUNT(*) AS DOUBLE) AS v
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'mv_scalar' AS form, 'embeddings' AS k,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM embeddings WHERE len(list_filter(embedding, x -> x > 0.95)) > 0
+    ORDER BY form, k
     """,
-    tables=["lineitem"],
-    doc="PQL TOP n group cap (Introduction.md:110-111) via dialect rewrite",
+    tables=["lineitem", "orders", "embeddings"],
+    doc="O3 TOP rewrite + O4 OPTION suffix + P7 MV scalar-predicate "
+        "auto-rewrite, three engine.sql() round-trips in one declared query",
 )
 
+# --------------------------------------------------------------------------
 # F2+F3 — dateTrunc epoch-millis parity + fromDateTime + alias-in-WHERE,
 # the golden shape of timestamp-index.md:33-49.
+# --------------------------------------------------------------------------
 df_query(
     "eng_datetrunc_where_alias",
     _engine_q(
@@ -63,130 +125,113 @@ df_query(
     doc="dateTrunc/fromDateTime epoch-millis parity (timestamp-index.md:33-49)",
 )
 
-# A5/A7 — DISTINCTCOUNT + PERCENTILE through the front-end. round(_, 6)
-# absorbs interpolation last-ulp differences between engines.
-df_query(
-    "eng_distinctcount_percentile",
-    _engine_q(
-        "SELECT DISTINCTCOUNT(l_suppkey) AS dc, "
-        "round(PERCENTILE(l_quantity, 50), 6) AS p50, "
-        "round(PERCENTILE(l_quantity, 95), 6) AS p95 FROM lineitem",
-        ["lineitem"],
-    ),
-    """
-    SELECT COUNT(DISTINCT l_suppkey) AS dc,
-           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
-           round(quantile_cont(l_quantity, 0.95), 6) AS p95
-    FROM lineitem
-    """,
-    tables=["lineitem"],
-    doc="DISTINCTCOUNT (forward-index.md:214) + PERCENTILE family",
-)
+# --------------------------------------------------------------------------
+# P10 TEXT_MATCH + P8 JSON_MATCH through the SQL front-end, one declared
+# query (two engine.sql() round-trips, canonicalized to (form, k, v)).
+# --------------------------------------------------------------------------
 
-# P10 — TEXT_MATCH through the SQL front-end (prefix + term boolean).
-df_query(
-    "eng_text_match_sql",
-    _engine_q(
+
+def _text_json_sql(spark: SparkSession, sf_dir: str):
+    eng = PinotEngine(spark, sf_dir, ["documents", "events"])
+    text = eng.sql(
         "SELECT COUNT(*) AS cnt FROM documents "
-        "WHERE TEXT_MATCH(text, 'spark AND stream*')",
-        ["documents"],
-    ),
+        "WHERE TEXT_MATCH(text, 'spark AND stream*')"
+    ).select(
+        F.lit("text_match").alias("form"),
+        F.lit("*").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    js = eng.sql(
+        """SELECT event_type, COUNT(*) AS cnt FROM events """
+        """WHERE JSON_MATCH(props, '"$.k">=50 AND "$.k"<80') """
+        """GROUP BY event_type ORDER BY event_type"""
+    ).select(
+        F.lit("json_match").alias("form"),
+        F.col("event_type").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    return text.unionByName(js).orderBy("form", "k")
+
+
+df_query(
+    "eng_text_json_sql",
+    _text_json_sql,
     f"""
     WITH toks AS (
       SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          x -> x <> '' AND x NOT IN ({_STOP_SQL})) AS t
       FROM documents
     )
-    SELECT COUNT(*) AS cnt FROM toks
+    SELECT 'text_match' AS form, '*' AS k, COUNT(*) AS v FROM toks
     WHERE list_contains(t, 'spark')
       AND len(list_filter(t, x -> x LIKE 'stream%')) > 0
-    """,
-    tables=["documents"],
-    doc="TEXT_MATCH boolean+prefix through dialect rewrite",
-)
-
-# P8 — JSON_MATCH numeric range through the SQL front-end.
-df_query(
-    "eng_json_match_sql",
-    _engine_q(
-        """SELECT event_type, COUNT(*) AS cnt FROM events """
-        """WHERE JSON_MATCH(props, '"$.k">=50 AND "$.k"<80') """
-        """GROUP BY event_type ORDER BY event_type""",
-        ["events"],
-    ),
-    """
-    SELECT event_type, COUNT(*) AS cnt FROM events
+    UNION ALL
+    SELECT 'json_match' AS form, event_type AS k, COUNT(*) AS v FROM events
     WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
       AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 80
-    GROUP BY event_type ORDER BY event_type
+    GROUP BY event_type
+    ORDER BY form, k
     """,
-    tables=["events"],
-    doc="JSON_MATCH range predicate (json-index.md:304-434) via rewrite",
+    tables=["documents", "events"],
+    doc="P10 TEXT_MATCH boolean+prefix (text-search-support.md:398-480) + "
+        "P8 JSON_MATCH range (json-index.md:304-434) via dialect rewrite",
 )
 
-# A6 — DISTINCTCOUNTHLL through the front-end. The engine's portable
-# register-HLL (functions/hll.py) is derived only from md5 + hex digit +
-# dyadic-double arithmetic, so the APPROXIMATE estimate is exactly
-# reproducible in DuckDB — a full hash-checked oracle, not a rows-only
-# pass. Exact DISTINCTCOUNT rides along as the accuracy reference.
+# --------------------------------------------------------------------------
+# A5+A6+A7 — DISTINCTCOUNT + PERCENTILE + DISTINCTCOUNTHLL through the
+# front-end, one declared query (two engine.sql() round-trips cross-joined
+# into a single row; all five outputs keep their own column).
 #
-# Shape note: the query dedupes FIRST. HLL register maxima are invariant
-# under duplicate values, and mixing the 64-partial HLL aggregate with
-# COUNT(DISTINCT x) in ONE aggregate makes Spark key the first-level
-# aggregate by x and carry all 64 MAX buffers per distinct key (~38M
-# buffer updates at sf0.1, measured 2.5 s). Over the pre-deduped keys both
-# aggregates are trivial, and the estimate is bit-identical.
-from apache_pinot_spark.functions.hll import hll_estimate_sql
+# HLL shape note: the HLL fragment dedupes FIRST. HLL register maxima are
+# invariant under duplicate values, and mixing the 64-partial HLL
+# aggregate with COUNT(DISTINCT x) in ONE aggregate makes Spark key the
+# first-level aggregate by x and carry all 64 MAX buffers per distinct
+# key (~38M buffer updates at sf0.1, measured 2.5 s). Over the pre-deduped
+# keys both aggregates are trivial, and the estimate is bit-identical.
+# The engine's portable register-HLL (functions/hll.py) derives only from
+# md5 + hex digits + dyadic-double arithmetic, so the APPROXIMATE estimate
+# is exactly reproducible in DuckDB — a full hash-checked oracle.
+# round(_, 6) on percentiles absorbs interpolation last-ulp differences.
+# --------------------------------------------------------------------------
 
-df_query(
-    "eng_distinctcounthll",
-    _engine_q(
+
+def _approx_aggs(spark: SparkSession, sf_dir: str):
+    eng = PinotEngine(spark, sf_dir, ["lineitem"])
+    pct = eng.sql(
+        "SELECT DISTINCTCOUNT(l_suppkey) AS dc, "
+        "round(PERCENTILE(l_quantity, 50), 6) AS p50, "
+        "round(PERCENTILE(l_quantity, 95), 6) AS p95 FROM lineitem"
+    )
+    hll = eng.sql(
         "SELECT DISTINCTCOUNTHLL(l_partkey) AS hll, "
         "DISTINCTCOUNT(l_partkey) AS exact_dc "
-        "FROM (SELECT DISTINCT l_partkey FROM lineitem) u",
-        ["lineitem"],
-    ),
-    f"""
-    SELECT {hll_estimate_sql('l_partkey', 'duckdb')} AS hll,
-           COUNT(DISTINCT l_partkey) AS exact_dc
-    FROM (SELECT DISTINCT l_partkey FROM lineitem) u
-    """,
+        "FROM (SELECT DISTINCT l_partkey FROM lineitem) u"
+    )
+    return pct.crossJoin(hll)
+
+
+def _approx_aggs_oracle() -> str:
+    from apache_pinot_spark.functions.hll import hll_estimate_sql
+
+    return f"""
+    SELECT p.dc, p.p50, p.p95, h.hll, h.exact_dc FROM
+      (SELECT COUNT(DISTINCT l_suppkey) AS dc,
+              round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+              round(quantile_cont(l_quantity, 0.95), 6) AS p95
+       FROM lineitem) p
+    CROSS JOIN
+      (SELECT {hll_estimate_sql('l_partkey', 'duckdb')} AS hll,
+              COUNT(DISTINCT l_partkey) AS exact_dc
+       FROM (SELECT DISTINCT l_partkey FROM lineitem) u) h
+    """
+
+
+df_query(
+    "eng_approx_aggs",
+    _approx_aggs,
+    _approx_aggs_oracle(),
     tables=["lineitem"],
-    doc="A6 DISTINCTCOUNTHLL (forward-index.md:214) via the portable "
-        "register HLL — deterministic, oracle-reproducible estimate",
-)
-
-# O4 — OPTION(...) suffix parsing (timestamp-index.md:50): stripped from
-# the SQL, recorded in RewriteResult.options; result is unchanged.
-df_query(
-    "eng_option_suffix",
-    _engine_q(
-        "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders "
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus "
-        "OPTION(timeoutMs=20000)",
-        ["orders"],
-    ),
-    """
-    SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    tables=["orders"],
-    doc="O4 per-query OPTION suffix (timestamp-index.md:50)",
-)
-
-# P7 — scalar predicate on a multi-valued column THROUGH the front-end:
-# `embedding > 0.95` on an ARRAY column is auto-rewritten to any-element
-# semantics (configuration-reference/schema.md:25).
-df_query(
-    "eng_mv_scalar_predicate",
-    _engine_q(
-        "SELECT COUNT(*) AS cnt FROM embeddings WHERE embedding > 0.95",
-        ["embeddings"],
-    ),
-    """
-    SELECT COUNT(*) AS cnt FROM embeddings
-    WHERE len(list_filter(embedding, x -> x > 0.95)) > 0
-    """,
-    tables=["embeddings"],
-    doc="P7 MV-column scalar predicate auto-rewrite (schema.md:25)",
+    doc="A5 DISTINCTCOUNT + A7 PERCENTILE + A6 DISTINCTCOUNTHLL "
+        "(forward-index.md:214) via the dialect — the portable register "
+        "HLL estimate is deterministic and oracle-reproducible",
 )

@@ -226,19 +226,9 @@ def _hybrid(spark, sf_dir):
     )
 
 
-df_query(
-    "st3_hybrid_boundary",
-    _hybrid,
-    f"""
-    WITH offline AS (SELECT * FROM events WHERE ts < TIMESTAMP '{_BOUNDARY}'),
-         realtime AS (SELECT * FROM events WHERE ts >= TIMESTAMP '{_BOUNDARY}')
-    SELECT event_type, COUNT(*) AS cnt FROM (
-      SELECT * FROM offline UNION ALL SELECT * FROM realtime
-    ) GROUP BY event_type ORDER BY event_type
-    """,
-    tables=["events"],
-    doc="ST3 hybrid offline/realtime federation at the time boundary",
-)
+# st3 + st4 are declared as ONE combined query (st3_st4_lifecycle below,
+# after _retention is defined) — round-7 consolidation freeing a driver
+# window slot; both operators keep their own fn bodies and tests.
 
 # --------------------------------------------------------------------------
 # P8 — JSON_MATCH array context over constructed JSON documents: one doc
@@ -388,19 +378,73 @@ def _pivot(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# A13 ROLLUP + A13 pivot combined declared query (round-7 consolidation):
+# the ROLLUP grouping-set rows and the pivot matrix rows (reshaped tall)
+# canonicalize to (form, k1, k2, cnt, v). groupBy().pivot() still runs on
+# the Spark side; the reshape happens after the pivot exec.
+# --------------------------------------------------------------------------
+
+
+def _rollup_and_pivot(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    rollup = spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS k1,
+               COALESCE(o_orderpriority, 'ALL') AS k2,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS v
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """
+    ).select(F.lit("rollup").alias("form"), "k1", "k2", "cnt", "v")
+    pv = _pivot(spark, sf_dir)
+    tall = pv.select(
+        F.lit("pivot").alias("form"),
+        F.col("l_returnflag").alias("k1"),
+        F.lit("F").alias("k2"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("sum_F").alias("v"),
+    ).unionByName(
+        pv.select(
+            F.lit("pivot").alias("form"),
+            F.col("l_returnflag").alias("k1"),
+            F.lit("O").alias("k2"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.col("sum_O").alias("v"),
+        )
+    )
+    return rollup.unionByName(tall).orderBy("form", "k1", "k2")
+
+
+def _rollup_and_pivot_fn(spark, sf_dir):
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return _rollup_and_pivot(spark, sf_dir)
+
+
 df_query(
-    "a13_pivot",
-    _pivot,
+    "a13_rollup_pivot",
+    _rollup_and_pivot_fn,
     """
-    SELECT l_returnflag,
-           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS sum_F,
-           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS sum_O
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    SELECT 'rollup' AS form,
+           COALESCE(o_orderstatus, 'ALL') AS k1,
+           COALESCE(o_orderpriority, 'ALL') AS k2,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS v
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'pivot' AS form, l_returnflag AS k1, s.k2 AS k2,
+           CAST(NULL AS BIGINT) AS cnt,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = s.k2
+                    THEN CAST(l_quantity AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS v
+    FROM lineitem CROSS JOIN (SELECT 'F' AS k2 UNION ALL SELECT 'O') s
+    GROUP BY l_returnflag, s.k2
+    ORDER BY form, k1, k2
     """,
-    tables=["lineitem"],
-    doc="A13 pivot: groupBy().pivot() quantity matrix by return flag × line status",
+    tables=["orders", "lineitem"],
+    doc="A13 ROLLUP grouping sets (Introduction.md:65) + A13 "
+        "groupBy().pivot() matrix reshaped tall, one declared query",
 )
 
 # --------------------------------------------------------------------------
@@ -480,19 +524,50 @@ def _retention(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# ST3 + ST4 combined declared query: the hybrid-boundary federation rows
+# ride alongside the retention-expiry rows, canonicalized to
+# (form, event_type, cnt, min_ts) — min_ts is NULL for the hybrid form.
+# The retention fragment still RUNS expire_retention (idempotent; the
+# one-time segment drops land in warm_lifecycle_tables like ingest).
+# --------------------------------------------------------------------------
+
+
+def _hybrid_and_retention(spark, sf_dir):
+    hy = _hybrid(spark, sf_dir).select(
+        F.lit("hybrid").alias("form"),
+        "event_type",
+        "cnt",
+        F.lit(None).cast("long").alias("min_ts"),
+    )
+    ret = _retention(spark, sf_dir).select(
+        F.lit("retention").alias("form"), "event_type", "cnt", "min_ts"
+    )
+    return hy.unionByName(ret).orderBy("form", "event_type")
+
+
 df_query(
-    "st4_retention",
-    _retention,
-    """
-    SELECT event_type, COUNT(*) AS cnt,
+    "st3_st4_lifecycle",
+    _hybrid_and_retention,
+    f"""
+    WITH offline AS (SELECT * FROM events WHERE ts < TIMESTAMP '{_BOUNDARY}'),
+         realtime AS (SELECT * FROM events WHERE ts >= TIMESTAMP '{_BOUNDARY}')
+    SELECT 'hybrid' AS form, event_type, COUNT(*) AS cnt,
+           CAST(NULL AS BIGINT) AS min_ts
+    FROM (SELECT * FROM offline UNION ALL SELECT * FROM realtime)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'retention' AS form, event_type, COUNT(*) AS cnt,
            MIN(CAST(epoch_ms(ts) AS BIGINT)) AS min_ts
     FROM events
     WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-21 00:00:00'
-    GROUP BY event_type ORDER BY event_type
+    GROUP BY event_type
+    ORDER BY form, event_type
     """,
     tables=["events"],
-    doc="ST4 retention (Architecture.md:185-186): whole-segment drops at "
-        "the daily boundary, pinned reference clock",
+    doc="ST3 hybrid offline/realtime federation at the time boundary + "
+        "ST4 retention (Architecture.md:185-186) whole-segment drops at "
+        "the daily boundary (pinned reference clock), one declared query",
 )
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,394 @@
+"""Driver-gate queries for the round-6 operator families that were
+previously pytest-only: funnel, upsert, gapfill, windowed top-k, the
+statistical-moment pack, and geospatial radius — each now hash-checked
+against a DuckDB oracle by the driver's 50-query correctness window.
+
+Determinism rules follow querysuite's module docstring: exact integer /
+decimal aggregation wherever a value crosses the hash comparison, double
+math only as a final identical-expression step (+,-,*,/,sqrt are
+correctly rounded in IEEE-754, so identical expression trees produce
+bit-identical results on both engines), epoch-millis integers instead of
+raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.querysuite import df_query, sql_query
+
+_DAY_MS = 86_400_000
+# events span 2024-01-01 .. 2024-01-30 (TESTDATA.md); the gapfill grid
+# deliberately extends one empty day past the data so trailing buckets
+# exercise the fill modes too.
+_GF_START_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+_GF_END_MS = 1_706_745_600_000  # 2024-02-01T00:00:00Z
+
+
+def _events(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+# --------------------------------------------------------------------------
+# Funnel — FUNNELMAXSTEP default mode (operators/funnel.py): deepest step
+# per user for view -> click -> purchase within a 6 h window, then the
+# distribution of depths. The operator's single-scan chain DP computes
+# "max k such that a ts-non-decreasing chain with span <= window exists"
+# (validated against an exhaustive-search oracle in tests/test_funnel_topk
+# .py); the DuckDB oracle states that EXISTS semantics directly. Both
+# sides compare chain order at millisecond precision (the operator's
+# normalized time unit).
+# --------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_MS = 6 * 3600 * 1000
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_depths(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.funnel import funnel_max_step
+
+    ev = _events(spark, sf_dir)
+    steps = [F.col("event_type") == t for t in _FUNNEL_STEPS]
+    ms = funnel_max_step(ev, "user_id", "ts", steps, _FUNNEL_WINDOW_MS)
+    return (
+        ms.groupBy("max_step")
+        .agg(F.count("*").alias("users"))
+        .orderBy("max_step")
+    )
+
+
+def _funnel_oracle() -> str:
+    w = _FUNNEL_WINDOW_MS
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+    WITH fu AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('{s1}', '{s2}', '{s3}')
+    ),
+    f AS (
+      SELECT u.user_id,
+        CASE
+          WHEN EXISTS (
+            SELECT 1 FROM events e1, events e2, events e3
+            WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id
+              AND e3.user_id = u.user_id
+              AND e1.event_type = '{s1}' AND e2.event_type = '{s2}'
+              AND e3.event_type = '{s3}'
+              AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
+              AND epoch_ms(e3.ts) >= epoch_ms(e2.ts)
+              AND epoch_ms(e3.ts) - epoch_ms(e1.ts) <= {w}) THEN 3
+          WHEN EXISTS (
+            SELECT 1 FROM events e1, events e2
+            WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id
+              AND e1.event_type = '{s1}' AND e2.event_type = '{s2}'
+              AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
+              AND epoch_ms(e2.ts) - epoch_ms(e1.ts) <= {w}) THEN 2
+          WHEN EXISTS (
+            SELECT 1 FROM events e1
+            WHERE e1.user_id = u.user_id AND e1.event_type = '{s1}') THEN 1
+          ELSE 0
+        END AS max_step
+      FROM fu u
+    )
+    SELECT max_step, COUNT(*) AS users FROM f
+    GROUP BY max_step ORDER BY max_step
+    """
+
+
+df_query(
+    "funnel_max_step_depths",
+    _funnel_depths,
+    _funnel_oracle(),
+    tables=["events"],
+    doc="FUNNELMAXSTEP default mode: chain-DP depth distribution vs the "
+        "EXISTS-chain oracle (operators/funnel.py; ClickHouse-pinned "
+        "windowFunnel semantics)",
+)
+
+# --------------------------------------------------------------------------
+# Upsert — FULL mode latest-record-per-key view (operators/upsert.py):
+# per-user latest event by (ts, event_id), then the distribution of the
+# winning records by event type. One pk shuffle via max_by(struct);
+# the oracle is the classic row_number()-over-version window.
+# --------------------------------------------------------------------------
+
+
+def _upsert_latest(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.upsert import UpsertConfig, full_upsert_view
+
+    ev = _events(spark, sf_dir)
+    cfg = UpsertConfig(
+        primary_keys=["user_id"],
+        mode="FULL",
+        comparison_column="ts",
+        sequence_column="event_id",
+    )
+    latest = full_upsert_view(ev, cfg)
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count("*").alias("winners"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+df_query(
+    "upsert_full_latest",
+    _upsert_latest,
+    """
+    WITH w AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS winners,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=["events"],
+    doc="Upsert FULL latest-record view (upsertConfig, operators/upsert.py) "
+        "== row_number version window",
+)
+
+# --------------------------------------------------------------------------
+# Gapfill — the public GAPFILL transformation (operators/gapfill.py):
+# daily buckets per event_type over [2024-01-01, 2024-02-01) with a
+# high-value filter so ~60 % of buckets are EMPTY; cnt uses
+# FILL_DEFAULT_VALUE(0), sum_v uses FILL_PREVIOUS_VALUE (leading nulls
+# stay null). The oracle densifies with generate_series + IGNORE NULLS
+# last_value.
+# --------------------------------------------------------------------------
+
+_GF_MIN_VALUE = 240.0
+
+
+def _gapfill_daily(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.gapfill import gapfill
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("value") >= _GF_MIN_VALUE)
+        .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    )
+    dense = gapfill(
+        ev,
+        "ts_ms",
+        _DAY_MS,
+        _GF_START_MS,
+        _GF_END_MS,
+        ["event_type"],
+        {
+            "cnt": F.count("*"),
+            "sum_v": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        fill={
+            "cnt": ("FILL_DEFAULT_VALUE", 0),
+            "sum_v": ("FILL_PREVIOUS_VALUE", None),
+        },
+    )
+    return dense.select(
+        "event_type",
+        "bucket_ms_start",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+    ).orderBy("event_type", "bucket_ms_start")
+
+
+df_query(
+    "gapfill_daily_series",
+    _gapfill_daily,
+    f"""
+    WITH src AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+      WHERE value >= {_GF_MIN_VALUE}
+        AND epoch_ms(ts) >= {_GF_START_MS} AND epoch_ms(ts) < {_GF_END_MS}
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST((ts_ms - {_GF_START_MS}) // {_DAY_MS} * {_DAY_MS}
+                  + {_GF_START_MS} AS BIGINT) AS bucket_ms_start,
+             COUNT(*) AS cnt, SUM(v) AS sum_v
+      FROM src GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, CAST(g.g AS BIGINT) AS bucket_ms_start
+      FROM (SELECT DISTINCT event_type FROM src) s
+      CROSS JOIN generate_series({_GF_START_MS}, {_GF_END_MS - 1},
+                                 {_DAY_MS}) g(g)
+    ),
+    dense AS (
+      SELECT grid.event_type, grid.bucket_ms_start,
+             CAST(COALESCE(obs.cnt, 0) AS BIGINT) AS cnt, obs.sum_v
+      FROM grid LEFT JOIN obs
+        ON grid.event_type = obs.event_type
+       AND grid.bucket_ms_start = obs.bucket_ms_start
+    )
+    SELECT event_type, bucket_ms_start, cnt,
+           CAST(last_value(sum_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ms_start
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sum_v
+    FROM dense ORDER BY event_type, bucket_ms_start
+    """,
+    tables=["events"],
+    doc="GAPFILL daily densify: FILL_DEFAULT_VALUE(0) counts + "
+        "FILL_PREVIOUS_VALUE carried sums (operators/gapfill.py)",
+)
+
+# --------------------------------------------------------------------------
+# Windowed top-k — leaderboard shape (operators/topk.py): top 3 users per
+# tumbling day by decimal-exact value sum, ties broken by user_id. Spark's
+# tumbling windows align to the epoch, so day buckets equal
+# floor(epoch_ms / DAY_MS) * DAY_MS.
+# --------------------------------------------------------------------------
+
+
+def _topk_daily(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.topk import windowed_topk
+
+    ev = _events(spark, sf_dir)
+    tk = windowed_topk(
+        ev, "ts", "1 day", ["user_id"],
+        F.sum(F.col("value").cast("decimal(18,2)")), k=3,
+    )
+    # NTZ→LTZ cast is lossless: the engine pins the session to UTC
+    # (catalog.load_tables), and unix_millis needs an LTZ input.
+    return tk.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("day_ms"),
+        "user_id",
+        F.col("metric").cast("double").alias("sum_value"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("day_ms", "rank")
+
+
+df_query(
+    "topk_daily_users",
+    _topk_daily,
+    f"""
+    WITH agg AS (
+      SELECT CAST(epoch_ms(ts) // {_DAY_MS} * {_DAY_MS} AS BIGINT) AS day_ms,
+             user_id, SUM(CAST(value AS DECIMAL(18,2))) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY day_ms ORDER BY m DESC, user_id) AS rank
+      FROM agg
+    )
+    SELECT day_ms, user_id, CAST(m AS DOUBLE) AS sum_value,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY day_ms, rank
+    """,
+    tables=["events"],
+    doc="Windowed top-k (operators/topk.py): aggregate-then-rank, "
+        "decimal-exact metric, deterministic key tiebreak",
+)
+
+# --------------------------------------------------------------------------
+# Statistical moment pack — the population central-moment family the
+# dialect binds (VARIANCE/SKEWNESS/KURTOSIS/FOURTHMOMENT, tests/
+# test_stats_aggs.py). l_quantity is integral, so the power sums are
+# EXACT BIGINTs on both engines (max 50^4 * 6e5 = 3.75e12 < 2^53 < 2^63);
+# the final double expression is the identical text on both sides —
+# +,-,*,/,sqrt are IEEE-correctly-rounded, so the hash compares
+# bit-identical doubles. One shared SQL text runs on Spark AND DuckDB.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "stats_moment_pack",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s
+    )
+    SELECT n,
+           mu AS mean_qty,
+           r2 - mu * mu AS var_pop,
+           (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+             / ((r2 - mu * mu) * sqrt(r2 - mu * mu)) AS skew_pop,
+           (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+             / ((r2 - mu * mu) * (r2 - mu * mu)) AS kurt_pop,
+           r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+             AS fourth_moment
+    FROM m
+    """,
+    tables=["lineitem"],
+    doc="Population moment family (VARIANCE/SKEWNESS/KURTOSIS/FOURTHMOMENT "
+        "conventions of tests/test_stats_aggs.py) from exact BIGINT power "
+        "sums; identical SQL text on both engines",
+)
+
+# --------------------------------------------------------------------------
+# Geospatial — planar ST_DISTANCE radius count (functions/geo.py,
+# geometry semantics: euclidean in coordinate units). Points derive from
+# event_id with exact integer arithmetic onto a 0.1 grid; R = 24.55 keeps
+# the squared distance at least 0.0025 away from every achievable grid
+# value (dist^2 is a multiple of 0.01 in exact arithmetic, R^2 = 602.7025),
+# so membership is stable under last-ulp float differences between
+# engines. The geography (haversine) path is pytest-covered
+# (tests/test_geo.py) — trig libms differ across engines, so it stays off
+# the hash gate.
+# --------------------------------------------------------------------------
+
+_GEO_R = 24.55
+_GEO_CX, _GEO_CY = 50.0, 50.0
+
+
+def _geo_radius(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.functions.geo import st_distance, st_point
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 91 % 1000) / 10.0).alias("y"),
+    )
+    d = st_distance(
+        st_point(F.col("x"), F.col("y")),
+        st_point(_GEO_CX, _GEO_CY),
+        geography=False,
+    )
+    return pts.where(d <= _GEO_R).agg(
+        F.count("*").alias("cnt"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+df_query(
+    "geo_radius_planar",
+    _geo_radius,
+    f"""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 37 % 1000) / 10.0 AS x,
+             (event_id * 91 % 1000) / 10.0 AS y
+      FROM events
+    )
+    SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM pts
+    WHERE sqrt(pow(x - {_GEO_CX}, 2) + pow(y - {_GEO_CY}, 2)) <= {_GEO_R}
+    """,
+    tables=["events"],
+    doc="ST_DISTANCE geometry (planar) radius membership "
+        "(functions/geo.py st_distance); margin-safe radius",
+)
