@@ -285,11 +285,15 @@ def _parse_gapfill(sql: str):
     """Detect + parse the public GAPFILL table-function projection:
     GAPFILL(timeExpr, 'format', 'startMs', 'endMs', 'N:UNIT',
     FILL(col, 'mode'[, default])…, TIMESERIESON(k1, …)) AS alias.
-    Returns (inner_sql, alias, start_ms, end_ms, bucket_ms, keys,
-    fills) — inner_sql is the query with the GAPFILL call replaced by
-    `timeExpr AS alias` — or None when the statement has no GAPFILL.
-    Epoch-millis format only ('1:MILLISECONDS:EPOCH'); other time
-    formats raise rather than guess."""
+    Returns (inner_sql, alias, fmt_spec, start_raw, end_raw, bucket_ms,
+    keys, fills) — inner_sql is the query with the GAPFILL call replaced
+    by `timeExpr AS alias` — or None when the statement has no GAPFILL.
+    ``fmt_spec`` is the parsed DateTimeFormat of the time column (any
+    EPOCH unit or SIMPLE_DATE_FORMAT, the public format families;
+    start/end literals are expressed in that same format, round 7 —
+    previously only '1:MILLISECONDS:EPOCH' was accepted)."""
+    from apache_pinot_spark.plans.schema import DateTimeFormat
+
     m = _GAPFILL_RE.search(sql)
     if m is None:
         return None
@@ -302,13 +306,13 @@ def _parse_gapfill(sql: str):
         raise ValueError(
             "GAPFILL needs (timeExpr, 'format', 'start', 'end', 'bucket', …)"
         )
-    fmt = _unquote(args[1])
-    if not fmt.upper().startswith("1:MILLISECONDS:EPOCH"):
+    fmt_spec = DateTimeFormat.parse(_unquote(args[1]))
+    if fmt_spec.fmt not in ("EPOCH", "SIMPLE_DATE_FORMAT"):
         raise ValueError(
-            f"GAPFILL: unsupported time format {fmt!r} — the engine's gapfill "
-            "runs on epoch-millis ('1:MILLISECONDS:EPOCH'); bucket upstream"
+            f"GAPFILL: unsupported time format {_unquote(args[1])!r} — "
+            "EPOCH units and SIMPLE_DATE_FORMAT patterns are supported"
         )
-    start_ms, end_ms = int(_unquote(args[2])), int(_unquote(args[3]))
+    start_raw, end_raw = _unquote(args[2]), _unquote(args[3])
     bucket_ms = _parse_time_spec_ms(_unquote(args[4]))
     keys: list[str] = []
     fills: dict[str, tuple[str, object]] = {}
@@ -336,7 +340,7 @@ def _parse_gapfill(sql: str):
     inner_sql = (
         sql[: m.start()] + f"{args[0].strip()} AS {alias}" + sql[end + am.end() :]
     )
-    return inner_sql, alias, start_ms, end_ms, bucket_ms, keys, fills
+    return inner_sql, alias, fmt_spec, start_raw, end_raw, bucket_ms, keys, fills
 
 
 # --------------------------------------------------------------------------
@@ -2849,17 +2853,52 @@ class PinotEngine:
             self.spark.catalog.dropTempView(view)
         return out
 
-    def _run_gapfill(self, inner_sql, alias, start_ms, end_ms, bucket_ms, keys, fills):
+    def _literal_to_ms(self, fmt_spec, raw: str) -> int:
+        """A start/end literal in the declared time format → epoch ms.
+        EPOCH units convert arithmetically; SIMPLE_DATE_FORMAT literals
+        are parsed with Spark's own Java pattern semantics on a one-row
+        local relation (no data read; runs once at rewrite time)."""
+        if fmt_spec.fmt == "EPOCH":
+            return int(raw) * fmt_spec.unit_millis
+        row = (
+            self.spark.range(1)
+            .select(
+                F.unix_millis(
+                    F.to_timestamp(F.lit(raw), fmt_spec.pattern)
+                ).alias("ms")
+            )
+            .collect()
+        )
+        if row[0]["ms"] is None:
+            raise ValueError(
+                f"GAPFILL: literal {raw!r} does not parse with pattern "
+                f"{fmt_spec.pattern!r}"
+            )
+        return int(row[0]["ms"])
+
+    def _run_gapfill(
+        self, inner_sql, alias, fmt_spec, start_raw, end_raw, bucket_ms, keys, fills
+    ):
         """Execute the GAPFILL table-function form (public gapfill query
         syntax): run the query with GAPFILL's time expression projected
-        as ``alias``, then densify the (series × bucket) grid with
-        operators/gapfill.py. The observed rows are already one per
-        (series, bucket) — the inner aggregation did that — so the
-        operator's per-bucket aggregate is first()."""
+        as ``alias``, normalize the declared time format to epoch ms,
+        then densify the (series × bucket) grid with operators/
+        gapfill.py. The observed rows are already one per (series,
+        bucket) — the inner aggregation did that — so the operator's
+        per-bucket aggregate is first(). The output time column is
+        rendered back in the declared format (what the public function
+        returns)."""
         from apache_pinot_spark.operators.gapfill import gapfill as _gapfill
 
+        start_ms = self._literal_to_ms(fmt_spec, start_raw)
+        end_ms = self._literal_to_ms(fmt_spec, end_raw)
         observed = self.sql(inner_sql)
-        value_cols = [c for c in observed.columns if c != alias and c not in keys]
+        ms_col = "__gapfill_ms"
+        observed = observed.withColumn(ms_col, fmt_spec.epoch_millis(F.col(alias)))
+        value_cols = [
+            c for c in observed.columns
+            if c not in (alias, ms_col) and c not in keys
+        ]
         unknown = set(fills) - set(value_cols)
         if unknown:
             raise ValueError(
@@ -2867,8 +2906,8 @@ class PinotEngine:
                 f"projected value columns: {value_cols}"
             )
         out = _gapfill(
-            observed,
-            alias,
+            observed.drop(alias),
+            ms_col,
             bucket_ms,
             start_ms,
             end_ms,
@@ -2876,9 +2915,17 @@ class PinotEngine:
             {c: F.first(c) for c in value_cols},
             fill=fills or None,
         )
+        if fmt_spec.fmt == "SIMPLE_DATE_FORMAT":
+            rendered = F.date_format(
+                F.timestamp_millis(F.col("bucket_ms_start")), fmt_spec.pattern
+            )
+        else:
+            rendered = (
+                F.col("bucket_ms_start") / F.lit(fmt_spec.unit_millis)
+            ).cast("long")
         return out.select(
-            F.col("bucket_ms_start").alias(alias),
-            *[c for c in observed.columns if c != alias],
+            rendered.alias(alias),
+            *[c for c in out.columns if c != "bucket_ms_start"],
         )
 
     # -- star-tree / rollup aggregate rewrite (SURVEY §4) --------------------

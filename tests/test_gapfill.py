@@ -187,13 +187,26 @@ def test_gapfill_sql_validation():
     base = "SELECT GAPFILL(b, {fmt}, '0', '100', {bucket}{extra}) AS b, k FROM t"
     good = base.format(fmt="'1:MILLISECONDS:EPOCH'", bucket="'10:MILLISECONDS'",
                        extra=", TIMESERIESON(k)")
-    inner, alias, s, e, w, keys, fills = _parse_gapfill(good)
-    assert (alias, s, e, w, keys, fills) == ("b", 0, 100, 10, ["k"], {})
+    inner, alias, fmt, s, e, w, keys, fills = _parse_gapfill(good)
+    assert (alias, s, e, w, keys, fills) == ("b", "0", "100", 10, ["k"], {})
+    assert (fmt.fmt, fmt.unit_millis) == ("EPOCH", 1)
     assert inner.startswith("SELECT b AS b, k FROM t")
+    # non-millis EPOCH units and SDF patterns parse (round 7)
+    *_, fmt_s, _, _, _, _, _ = _parse_gapfill(
+        base.format(fmt="'1:SECONDS:EPOCH'", bucket="'10:MILLISECONDS'",
+                    extra=", TIMESERIESON(k)"))
+    assert fmt_s.unit_millis == 1000
+    *_, fmt_d, _, _, _, _, _ = _parse_gapfill(
+        base.format(fmt="'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd'",
+                    bucket="'10:MILLISECONDS'", extra=", TIMESERIESON(k)"))
+    assert (fmt_d.fmt, fmt_d.pattern) == ("SIMPLE_DATE_FORMAT", "yyyy-MM-dd")
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="unsupported time format"):
+    with _pt.raises(ValueError, match="needs a pattern"):
         _parse_gapfill(base.format(fmt="'1:DAYS:SIMPLE_DATE_FORMAT'",
+                                   bucket="'10:MILLISECONDS'", extra=", TIMESERIESON(k)"))
+    with _pt.raises(ValueError, match="unsupported time format"):
+        _parse_gapfill(base.format(fmt="'1:MILLISECONDS:TIMESTAMP'",
                                    bucket="'10:MILLISECONDS'", extra=", TIMESERIESON(k)"))
     with _pt.raises(ValueError, match="TIMESERIESON"):
         _parse_gapfill(base.format(fmt="'1:MILLISECONDS:EPOCH'",
@@ -280,3 +293,54 @@ def test_gapfill_nested_malformed_still_raises(spark):
             "SELECT SUM(v) FROM (SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', "
             "'0', '100', '10:MILLISECONDS', TIMESERIESON(k)), v FROM t) g"
         )
+
+
+def test_gapfill_sql_time_formats_agree(spark):
+    """Round 7: the declared time format is honored end-to-end — the
+    SECONDS-epoch and SIMPLE_DATE_FORMAT forms of the same daily gapfill
+    produce the identical dense grid as the epoch-millis form, with the
+    time column rendered in each declared format (seconds integers /
+    pattern strings)."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000
+    end = start + 5 * day
+
+    def q(fmt, expr, start_lit, end_lit):
+        return (
+            f"SELECT GAPFILL(b, '{fmt}', '{start_lit}', '{end_lit}', '1:DAYS', "
+            f"  FILL(cnt, 'FILL_DEFAULT_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+            f"  event_type, cnt "
+            f"FROM (SELECT {expr} AS b, event_type, COUNT(*) AS cnt "
+            f"      FROM events GROUP BY {expr}, event_type)"
+        )
+
+    ms_rows = eng.sql(
+        q("1:MILLISECONDS:EPOCH", "dateTrunc('DAY', ts)", start, end)
+    ).collect()
+    base = {(r["event_type"], r["b"]): r["cnt"] for r in ms_rows}
+
+    # SECONDS epoch: time expression and start/end literals in seconds
+    sec_rows = eng.sql(
+        q("1:SECONDS:EPOCH", "dateTrunc('DAY', ts) / 1000",
+          start // 1000, end // 1000)
+    ).collect()
+    assert {(r["event_type"], r["b"] * 1000): r["cnt"] for r in sec_rows} == base
+
+    # SIMPLE_DATE_FORMAT: yyyy-MM-dd strings in and out
+    sdf_rows = eng.sql(
+        q("1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd",
+          "toDateTime(dateTrunc('DAY', ts), 'yyyy-MM-dd')",
+          "2024-01-01", "2024-01-06")
+    ).collect()
+    import datetime as _dt
+
+    def _ms(s):
+        return int(_dt.datetime.strptime(s, "%Y-%m-%d")
+                   .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+
+    assert {(r["event_type"], _ms(r["b"])): r["cnt"] for r in sdf_rows} == base
+    assert all(isinstance(r["b"], str) and len(r["b"]) == 10 for r in sdf_rows)

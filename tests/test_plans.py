@@ -549,6 +549,7 @@ def test_declared_plans_free_of_scale_antipatterns(spark):
         # is a constant-attach, not a quadratic join
         "a6_hll_sketch_bytes",     # merged-sketch row × estimate projection
         "dedup_exact_groups",      # global dup-stats row × group rows
+        "eng_approx_aggs",         # 1-row percentile frame × 1-row HLL frame
     }
     offenders: dict[str, list[str]] = {}
     for name in sorted(querysuite.REGISTRY):
