@@ -1180,3 +1180,94 @@ def test_envelope_rollup_and_percentilerawest(spark, tmp_path):
     assert got2 == {(a, round(float(b), 2)) for a, b in want}
     with pytest.raises(ValueError, match="PERCENTILERAWEST"):
         eng.rewrite("SELECT PERCENTILERAWEST(l_quantity, 50) FROM lineitem")
+
+
+def test_ansi_passthrough_shapes_survive_rewrite(spark, duck):
+    """The regex rewriter must leave plain ANSI shapes intact: CASE WHEN
+    (incl. dialect functions inside the branches), WITH CTEs whose names
+    must NOT be resolved as tables, and scalar subqueries in WHERE — the
+    forms a migrating user writes constantly. Each is DuckDB-checked."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["orders", "lineitem"])
+
+    got = eng.sql(
+        "SELECT o_orderstatus, SUM(CASE WHEN o_totalprice > 100000 THEN 1 "
+        "ELSE 0 END) AS big FROM orders GROUP BY o_orderstatus "
+        "ORDER BY o_orderstatus"
+    ).collect()
+    want = duck.sql(
+        "SELECT o_orderstatus, SUM(CASE WHEN o_totalprice > 100000 THEN 1 "
+        "ELSE 0 END) AS big FROM orders GROUP BY o_orderstatus "
+        "ORDER BY o_orderstatus"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in want]
+
+    got = eng.sql(
+        "WITH t AS (SELECT o_orderstatus s, COUNT(*) c FROM orders "
+        "GROUP BY o_orderstatus) SELECT s, c FROM t ORDER BY s"
+    ).collect()
+    want = duck.sql(
+        "WITH t AS (SELECT o_orderstatus s, COUNT(*) c FROM orders "
+        "GROUP BY o_orderstatus) SELECT s, c FROM t ORDER BY s"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in want]
+
+    # scalar subquery in WHERE, with a DIALECT aggregate inside it
+    got = eng.sql(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE l_quantity > "
+        "(SELECT PERCENTILE(l_quantity, 90) FROM lineitem)"
+    ).collect()[0]["c"]
+    want = duck.sql(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE l_quantity > "
+        "(SELECT quantile_cont(l_quantity, 0.90) FROM lineitem)"
+    ).fetchone()[0]
+    assert got == want
+
+    # dialect functions inside CASE branches rewrite in place
+    got = eng.sql(
+        "SELECT SUM(CASE WHEN dateTrunc('DAY', l_shipdate) >= "
+        "fromDateTime('1996-01-01','yyyy-MM-dd') THEN 1 ELSE 0 END) AS c "
+        "FROM lineitem"
+    ).collect()[0]["c"]
+    want = duck.sql(
+        "SELECT SUM(CASE WHEN date_trunc('day', l_shipdate) >= "
+        "TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS c FROM lineitem"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_reference_function_surface_fully_handled(spark):
+    """Automated parity sweep: every function-shaped token in the
+    reference docs mirror (ALL-CAPS or camelCase followed by an open
+    paren) resolves to a dialect handler or a Spark built-in. Guards
+    against silently dropping a public function the docs name."""
+    import glob
+    import os
+    import re
+
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        import pytest as _pt
+
+        _pt.skip("reference docs mirror not present")
+    toks = set()
+    for p in glob.glob(f"{ref}/**/*.md", recursive=True):
+        txt = open(p, encoding="utf-8", errors="replace").read()
+        for m in re.finditer(r"\b([A-Za-z][A-Za-z0-9_]{3,})\s*\(", txt):
+            t = m.group(1)
+            if t.upper() == t or any(c.isupper() for c in t[1:]):
+                toks.add(t)
+    from apache_pinot_spark.sqlfront import PinotDialect
+
+    handled = {h.upper() for h in PinotDialect()._handlers()}
+    builtins = {r.function.upper() for r in spark.sql("SHOW FUNCTIONS").collect()}
+    known_non_functions = {"BYTES", "WHERE"}  # type name / keyword followed by (
+    missing = sorted(
+        t for t in toks
+        if t.upper() not in handled
+        and t.upper() not in builtins
+        and t.upper() not in known_non_functions
+    )
+    assert missing == [], f"reference names functions with no handler: {missing}"
