@@ -188,3 +188,68 @@ def test_wkt_parsers_raise_value_error_only(s):
             fn(s)
         except ValueError:
             pass
+
+
+def test_rewriter_structural_fuzz_vs_duckdb(spark, duck):
+    """Structural fuzz of the regex rewriter: 40 seeded-random queries
+    combining nested predicate trees (=, <, >, IN, BETWEEN, AND/OR/NOT,
+    parens), dialect aggregates, CASE branches, and OPTION suffixes over
+    lineitem — each runs through PinotEngine AND (translated only where
+    the dialect differs) DuckDB. Catches paren/quoting/nesting bugs in
+    rewrite_calls that single-feature tests cannot."""
+    import random
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    rng = random.Random(1234)
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem"])
+
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+
+    def pred(depth: int) -> str:
+        if depth <= 0 or rng.random() < 0.35:
+            kind = rng.randrange(5)
+            if kind == 0:
+                return f"{rng.choice(num_cols)} > {rng.randint(0, 40)}"
+            if kind == 1:
+                return f"{rng.choice(num_cols)} BETWEEN {rng.randint(0, 10)} AND {rng.randint(20, 50)}"
+            if kind == 2:
+                vals = ", ".join(f"'{v}'" for v in rng.sample(["A", "N", "R", "F", "O"], k=2))
+                return f"{rng.choice(str_cols)} IN ({vals})"
+            if kind == 3:
+                return f"{rng.choice(str_cols)} = '{rng.choice(['A', 'N', 'R', 'F', 'O'])}'"
+            return f"NOT ({rng.choice(num_cols)} < {rng.randint(1, 30)})"
+        op = rng.choice(["AND", "OR"])
+        return f"({pred(depth - 1)} {op} {pred(depth - 1)})"
+
+    for case in range(40):
+        p = pred(rng.randint(1, 3))
+        c = rng.choice(num_cols)
+        agg_kind = rng.randrange(4)
+        if agg_kind == 0:
+            sel = f"COUNT(*) AS a, MIN({c}) AS b, MAX({c}) AS c2"
+            duck_sel = sel
+        elif agg_kind == 1:
+            sel = f"DISTINCTCOUNT({c}) AS a, COUNT(*) AS b"
+            duck_sel = f"COUNT(DISTINCT {c}) AS a, COUNT(*) AS b"
+        elif agg_kind == 2:
+            sel = (f"SUM(CASE WHEN {pred(1)} THEN 1 ELSE 0 END) AS a, "
+                   f"COUNT(*) AS b")
+            duck_sel = None  # same text (captured below)
+        else:
+            sel = f"MINMAXRANGE({c}) AS a, COUNT(*) AS b"
+            duck_sel = f"MAX({c}) - MIN({c}) AS a, COUNT(*) AS b"
+        if duck_sel is None:
+            duck_sel = sel
+        suffix = " OPTION(timeoutMs=30000)" if rng.random() < 0.3 else ""
+        q = f"SELECT {sel} FROM lineitem WHERE {p}{suffix}"
+        dq = f"SELECT {duck_sel} FROM lineitem WHERE {p}"
+        got = eng.sql(q).collect()[0]
+        want = duck.sql(dq).df().iloc[0]
+        for col in ("a", "b"):
+            g, w = got[col], want[col]
+            assert (g is None and (w is None or w != w)) or float(g) == float(w), (
+                f"case {case}: {q!r} -> {col}: {g} vs {w}"
+            )
