@@ -176,8 +176,8 @@ sql_query(
 # (suites/json_suite.py); P12/P13 → p11_p12_regex (suites/text_suite.py) and
 # p8_json_match_forms (suites/json_suite.py). A1 COUNT(*)/COUNT(col) is
 # exercised by q1_pricing_summary (count_order) and every count_if query;
-# A5 exact DISTINCTCOUNT by eng_distinctcount_percentile through the
-# dialect front-end.
+# A5 exact DISTINCTCOUNT by eng_approx_aggs through the dialect
+# front-end.
 
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.3)
@@ -247,7 +247,7 @@ sql_query(
 # --------------------------------------------------------------------------
 
 # O1+O2 ORDER BY/LIMIT are exercised with deterministic tiebreaks by
-# o3_top_groups below, w1_w2_window_functions, and eng_top_rewrite
+# o3_top_groups below, w1_w2_window_functions, and eng_dialect_forms
 # (LIMIT-0 / edge forms stay covered in tests/test_plans.py).
 
 # O3 — PQL `TOP n` group cap → ORDER BY agg DESC LIMIT n rewrite

@@ -307,13 +307,28 @@ def _parse_gapfill(sql: str):
             "GAPFILL needs (timeExpr, 'format', 'start', 'end', 'bucket', …)"
         )
     fmt_spec = DateTimeFormat.parse(_unquote(args[1]))
-    if fmt_spec.fmt not in ("EPOCH", "SIMPLE_DATE_FORMAT"):
+    if fmt_spec.fmt not in ("EPOCH", "SIMPLE_DATE_FORMAT") or (
+        fmt_spec.fmt == "EPOCH" and fmt_spec.unit not in DateTimeFormat._UNIT_MILLIS
+    ):
         raise ValueError(
             f"GAPFILL: unsupported time format {_unquote(args[1])!r} — "
-            "EPOCH units and SIMPLE_DATE_FORMAT patterns are supported"
+            "EPOCH units (MILLISECONDS/SECONDS/MINUTES/HOURS/DAYS) and "
+            "SIMPLE_DATE_FORMAT patterns are supported"
         )
     start_raw, end_raw = _unquote(args[2]), _unquote(args[3])
     bucket_ms = _parse_time_spec_ms(_unquote(args[4]))
+    if fmt_spec.fmt == "EPOCH" and fmt_spec.unit_millis > 1:
+        # The output time column renders as bucket_start / unit; that is
+        # lossless ONLY when every bucket start is a unit multiple. The
+        # start literal is given IN units (always aligned), so only the
+        # bucket width can break alignment. Validate instead of silently
+        # truncating (adjacent buckets would collapse onto one value).
+        if bucket_ms % fmt_spec.unit_millis:
+            raise ValueError(
+                f"GAPFILL: bucket {_unquote(args[4])!r} is not a multiple of "
+                f"the declared time unit ({fmt_spec.unit_millis} ms) — the "
+                "output time column could not render buckets distinctly"
+            )
     keys: list[str] = []
     fills: dict[str, tuple[str, object]] = {}
     for extra in args[5:]:

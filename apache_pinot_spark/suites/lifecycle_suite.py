@@ -387,7 +387,7 @@ def _pivot(spark, sf_dir):
 
 
 def _rollup_and_pivot(spark, sf_dir):
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
     rollup = spark.sql(
         """
         SELECT COALESCE(o_orderstatus, 'ALL') AS k1,
@@ -417,14 +417,9 @@ def _rollup_and_pivot(spark, sf_dir):
     return rollup.unionByName(tall).orderBy("form", "k1", "k2")
 
 
-def _rollup_and_pivot_fn(spark, sf_dir):
-    load_tables(spark, sf_dir, ["orders", "lineitem"])
-    return _rollup_and_pivot(spark, sf_dir)
-
-
 df_query(
     "a13_rollup_pivot",
-    _rollup_and_pivot_fn,
+    _rollup_and_pivot,
     """
     SELECT 'rollup' AS form,
            COALESCE(o_orderstatus, 'ALL') AS k1,

@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from apache_pinot_spark.catalog import load_tables
-from apache_pinot_spark.querysuite import df_query, sql_query
+from apache_pinot_spark.querysuite import df_query
 
 _DAY_MS = 86_400_000
 # events span 2024-01-01 .. 2024-01-30 (TESTDATA.md); the gapfill grid
@@ -293,15 +293,27 @@ df_query(
 # --------------------------------------------------------------------------
 # Statistical moment pack — the population central-moment family the
 # dialect binds (VARIANCE/SKEWNESS/KURTOSIS/FOURTHMOMENT, tests/
-# test_stats_aggs.py). l_quantity is integral, so the power sums are
-# EXACT BIGINTs on both engines (max 50^4 * 6e5 = 3.75e12 < 2^53 < 2^63);
-# the final double expression is the identical text on both sides —
+# test_stats_aggs.py), served by functions/moments.exact_central_moments:
+# l_quantity is integral, so the power sums are EXACT BIGINTs on both
+# engines (max 50^4 * 6e5 = 3.75e12 < 2^53 < 2^63); the final double
+# expression mirrors the oracle text operation-for-operation —
 # +,-,*,/,sqrt are IEEE-correctly-rounded, so the hash compares
-# bit-identical doubles. One shared SQL text runs on Spark AND DuckDB.
+# bit-identical doubles. tests/test_stats_aggs.py ties the exact path to
+# the dialect's float aggregates within tolerance.
 # --------------------------------------------------------------------------
 
-sql_query(
+
+def _moment_pack(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.functions.moments import exact_central_moments
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = exact_central_moments(li, F.col("l_quantity"))
+    return out.withColumnRenamed("mean", "mean_qty")
+
+
+df_query(
     "stats_moment_pack",
+    _moment_pack,
     """
     WITH s AS (
       SELECT COUNT(*) AS n,
@@ -333,9 +345,9 @@ sql_query(
     FROM m
     """,
     tables=["lineitem"],
-    doc="Population moment family (VARIANCE/SKEWNESS/KURTOSIS/FOURTHMOMENT "
-        "conventions of tests/test_stats_aggs.py) from exact BIGINT power "
-        "sums; identical SQL text on both engines",
+    doc="Population moment family (functions/moments.exact_central_moments; "
+        "VARIANCE/SKEWNESS/KURTOSIS/FOURTHMOMENT conventions of "
+        "tests/test_stats_aggs.py) from exact BIGINT power sums",
 )
 
 # --------------------------------------------------------------------------

@@ -31,8 +31,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "f4_json_extract_scalar_groupby",
     "a9_groupby_datetrunc",
-    "eng_distinctcount_percentile",
-    "a13_rollup",
+    "eng_approx_aggs",
+    "a13_rollup_pivot",
     "o3_top_groups",
     "f3_f5_time_parse",
     "join_customer_revenue",

@@ -193,9 +193,22 @@ def test_gapfill_sql_validation():
     assert inner.startswith("SELECT b AS b, k FROM t")
     # non-millis EPOCH units and SDF patterns parse (round 7)
     *_, fmt_s, _, _, _, _, _ = _parse_gapfill(
-        base.format(fmt="'1:SECONDS:EPOCH'", bucket="'10:MILLISECONDS'",
+        base.format(fmt="'1:SECONDS:EPOCH'", bucket="'10:SECONDS'",
                     extra=", TIMESERIESON(k)"))
     assert fmt_s.unit_millis == 1000
+    import pytest as _pt0
+
+    # a bucket finer than the declared unit cannot render distinct
+    # buckets in the output time column — rejected, not truncated
+    with _pt0.raises(ValueError, match="not a multiple"):
+        _parse_gapfill(base.format(fmt="'1:SECONDS:EPOCH'",
+                                   bucket="'10:MILLISECONDS'",
+                                   extra=", TIMESERIESON(k)"))
+    # unknown EPOCH units reject at parse, not as a KeyError downstream
+    with _pt0.raises(ValueError, match="unsupported time format"):
+        _parse_gapfill(base.format(fmt="'1:MILLIS:EPOCH'",
+                                   bucket="'10:MILLISECONDS'",
+                                   extra=", TIMESERIESON(k)"))
     *_, fmt_d, _, _, _, _, _ = _parse_gapfill(
         base.format(fmt="'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd'",
                     bucket="'10:MILLISECONDS'", extra=", TIMESERIESON(k)"))

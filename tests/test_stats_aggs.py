@@ -300,3 +300,40 @@ def test_fourthmoment_constant_group_is_zero(spark):
         "SELECT FOURTHMOMENT(v) AS m4, KURTOSIS(v) AS k FROM const LIMIT 1"
     ).collect()[0]
     assert row["m4"] == 0.0  # true m4 of a constant; was NaN pre-guard
+
+
+def test_exact_moments_match_dialect_float_aggregates(spark):
+    """functions/moments.exact_central_moments (the hash-gate exact path)
+    agrees with the dialect's float moment aggregates (the numerically
+    robust scale path) to 1e-9 relative — the two implementations pin
+    each other."""
+    from apache_pinot_spark.functions.moments import exact_central_moments
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_CORRECTNESS
+
+    li = load_tables(spark, SF_CORRECTNESS)["lineitem"]
+    got = exact_central_moments(li, F.col("l_quantity")).collect()[0]
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["lineitem"])
+    want = eng.sql(
+        "SELECT VARPOP(l_quantity) AS v, SKEWNESS(l_quantity) AS s, "
+        "KURTOSIS(l_quantity) AS k, FOURTHMOMENT(l_quantity) AS m4, "
+        "COUNT(*) AS n FROM lineitem"
+    ).collect()[0]
+
+    def close(a, b):
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+
+    assert got["n"] == want["n"]
+    assert close(got["var_pop"], want["v"])
+    assert close(got["skew_pop"], want["s"])
+    # dialect KURTOSIS follows the reference's EXCESS kurtosis convention
+    # if it subtracts 3; accept either convention explicitly
+    assert close(got["kurt_pop"], want["k"]) or close(got["kurt_pop"] - 3.0, want["k"])
+    # FOURTHMOMENT conventions differ by the /n: accept m4 (central moment)
+    # or n*m4 (central SUM moment)
+    assert close(got["fourth_moment"], want["m4"]) or close(
+        got["fourth_moment"] * got["n"], want["m4"]
+    )
