@@ -104,3 +104,55 @@ def assign_splits(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
         lo += width
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int | dict[tuple, int],
+    key_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (all rows when the stratum is
+    smaller), chosen deterministically: rows rank by xxhash64(key, salt)
+    within their stratum and the lowest-hash n win — the same corpus,
+    keys, and salt reproduce the same sample on any cluster, and a new
+    salt re-deals it. ``n`` may be a dict mapping stratum value tuples
+    to per-stratum budgets (strata absent from the dict are dropped).
+
+    Scale shape: ONE shuffle on the strata key for the window rank; the
+    per-stratum sort spills if a stratum is huge, which is the correct
+    degradation (the alternative, collect_list-and-slice, holds whole
+    strata in aggregate buffers). assign_splits (hash-threshold, zero
+    shuffle) is the right tool when approximate per-stratum fractions
+    are acceptable."""
+    from pyspark.sql import Window
+
+    if not strata_cols:
+        raise ValueError("stratified_sample_exact needs at least one stratum column")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
+        F.col(key_col),  # total order even on a hash collision
+    )
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    if isinstance(n, int):
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        out = ranked.where(F.col("__rank") <= n)
+    else:
+        budgets = None
+        for values, budget in n.items():
+            values = values if isinstance(values, tuple) else (values,)
+            if len(values) != len(strata_cols):
+                raise ValueError(
+                    f"stratum key {values!r} does not match strata {strata_cols}"
+                )
+            cond = F.lit(True)
+            for c, v in zip(strata_cols, values):
+                cond = cond & (F.col(c) == F.lit(v))
+            b = F.when(cond, F.lit(int(budget)))
+            budgets = b if budgets is None else budgets.when(cond, F.lit(int(budget)))
+        out = ranked.withColumn("__budget", budgets).where(
+            F.col("__rank") <= F.col("__budget")
+        ).drop("__budget")
+    return out.drop("__rank")

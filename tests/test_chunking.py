@@ -86,3 +86,48 @@ def test_splits_fraction_validation(spark):
         CH.assign_splits(df, "k", fractions={"a": 0.5, "b": 0.4})
     custom = CH.assign_splits(df, "k", fractions={"a": 0.5, "b": 0.5})
     assert set(r["split"] for r in custom.collect()) <= {"a", "b"}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from apache_pinot_spark.operators.chunking import stratified_sample_exact
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    s1 = stratified_sample_exact(df, ["lang"], 20, "doc_id")
+    got = {r["lang"]: 0 for r in s1.collect()}
+    for r in s1.collect():
+        got[r["lang"]] += 1
+    assert got == {"a": 20, "b": 20, "c": 20, "tiny": 1}  # small stratum keeps all
+
+    # deterministic: identical call -> identical sample; new salt re-deals
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(df, ["lang"], 20, "doc_id").collect()
+    )
+    assert ids1 == ids2
+    ids3 = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(df, ["lang"], 20, "doc_id", salt="v2").collect()
+    )
+    assert ids1 != ids3 and len(ids3) == len(ids1)
+
+
+def test_stratified_sample_exact_dict_budgets(spark):
+    from apache_pinot_spark.operators.chunking import stratified_sample_exact
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, ["lang"], {("a",): 5, ("b",): 10}, "doc_id")
+    got = {}
+    for r in out.collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {"a": 5, "b": 10}  # 'c' absent from the budget -> dropped
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="does not match strata"):
+        stratified_sample_exact(df, ["lang"], {("a", "x"): 5}, "doc_id")
+    with _pt.raises(ValueError, match="at least one stratum"):
+        stratified_sample_exact(df, [], 5, "doc_id")
