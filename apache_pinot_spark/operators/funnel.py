@@ -71,11 +71,21 @@ scalar state, so a JVM fold is exact; no frontier needed):
 
 Both modes are verified against an independent pure-Python reference
 scan on randomized histories plus hand-pinned corner fixtures
-(tests/test_funnel_topk.py). Combined modes (e.g. strict_order +
-strict_increase) raise — pick one.
+(tests/test_funnel_topk.py).
+
+strict_order + strict_deduplication COMBINE (round 7, the ClickHouse
+multi-flag form): both rule sets apply in one scan — dedup's latch is
+checked before order's kill (consistent by construction: a reached
+level implies its predecessor was reached), a kill stops processing so
+later duplicates cannot latch, a latch freezes later kills. Mode flags
+separate with ','/'+'/whitespace. Combinations WITH strict_increase
+still raise: its exact semantics need the Pareto frontier, whose
+interaction with the kill/latch rules is unpinned.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -210,6 +220,67 @@ def _fold_strict_order(n_steps: int, window_ms: int) -> Column:
     return F.size(F.filter(state["lv"], lambda v: v.isNotNull()))
 
 
+def _fold_strict_order_dedup(n_steps: int, window_ms: int) -> Column:
+    """Combined strict_order + strict_deduplication (round 7): both
+    rule sets applied in one scan, composing the two pinned single-mode
+    semantics in event order — a non-matching event after entry KILLS
+    (order), a repeated condition LATCHES the result at its own index
+    (dedup; checked before the order kill, which is consistent: a
+    reached level implies its predecessor was reached), completing the
+    last step latches at n. A kill stops processing, so a duplicate
+    after the kill cannot latch; a latch freezes everything including
+    later kills. state = (level chain-starts, entered?, dead?, ret)."""
+    init = F.struct(
+        F.array(*[F.lit(None).cast("long") for _ in range(n_steps)]).alias("lv"),
+        F.lit(False).alias("fst"),
+        F.lit(False).alias("dead"),
+        F.lit(None).cast("int").alias("ret"),
+    )
+
+    def step(acc, e):
+        st, ts = e["__step"], e["__ts"]
+        lv = acc["lv"]
+        frozen = acc["dead"] | acc["ret"].isNotNull()
+        dup = (st > 1) & F.get(lv, st - 1).isNotNull()
+        ext_ok = (
+            (st > 1)
+            & ~dup
+            & F.get(lv, st - 2).isNotNull()
+            & ((ts - F.get(lv, st - 2)) <= window_ms)
+        )
+        ret2 = (
+            F.when(acc["ret"].isNotNull(), acc["ret"])
+            .when(acc["dead"], F.lit(None).cast("int"))
+            .when(dup, st.cast("int"))
+            .when(ext_ok & (st == n_steps), F.lit(n_steps))
+            .otherwise(F.lit(None).cast("int"))
+        )
+        dead2 = acc["dead"] | (
+            ~frozen
+            & ~dup
+            & acc["fst"]
+            & ((st == 0) | ((st > 1) & F.get(lv, st - 2).isNull()))
+        )
+        lv2 = F.transform(
+            lv,
+            lambda v, i: F.when(frozen, v)
+            .when((st == 1) & (i == 0), ts)
+            .when((st == i + 1) & (i > 0) & ext_ok, F.get(lv, i - 1))
+            .otherwise(v),
+        )
+        return F.struct(
+            lv2.alias("lv"),
+            (acc["fst"] | (~frozen & (st == 1))).alias("fst"),
+            dead2.alias("dead"),
+            ret2.alias("ret"),
+        )
+
+    state = F.aggregate(F.col("__evs"), init, step)
+    return F.coalesce(
+        state["ret"], F.size(F.filter(state["lv"], lambda v: v.isNotNull()))
+    )
+
+
 def _fold_strict_dedup(n_steps: int, window_ms: int) -> Column:
     """strict_deduplication single-scan fold: a repeated condition
     (k > 1, level k already reached) latches the result at k; completing
@@ -269,20 +340,33 @@ def funnel_max_step(
     0 by definition; left-join the entity dimension if you need them).
     ``mode``: default/keep_all, strict_increase, strict_order,
     strict_deduplication (one at a time — see module docstring)."""
-    mode = (mode or "default").lower()
-    if mode not in _MODES:
-        raise ValueError(f"funnel mode {mode!r} not in {_MODES}")
-    if mode == "strict_increase":
+    flags = {
+        f for f in re.split(r"[,+\s]+", (mode or "default").lower()) if f
+    }
+    unknown = flags - set(_MODES)
+    if unknown:
+        raise ValueError(f"funnel mode(s) {sorted(unknown)} not in {_MODES}")
+    flags -= {"", "default", "keep_all"}
+    if flags == {"strict_increase"}:
         return funnel_max_step_strict_increase(
             df, entity_col, ts_col, steps, window_ms, max_events_per_entity
         )
+    if "strict_increase" in flags and len(flags) > 1:
+        raise ValueError(
+            "strict_increase cannot combine with other modes: its exact "
+            "semantics need the Pareto-frontier machinery, whose "
+            "interaction with the operational kill/latch rules is "
+            "unpinned — run the modes separately"
+        )
     ev = _matched_events(
         df, entity_col, ts_col, steps, max_events_per_entity,
-        keep_unmatched=(mode == "strict_order"),
+        keep_unmatched=("strict_order" in flags),
     )
-    if mode == "strict_order":
+    if flags == {"strict_order", "strict_deduplication"}:
+        fold = _fold_strict_order_dedup(len(steps), window_ms)
+    elif flags == {"strict_order"}:
         fold = _fold_strict_order(len(steps), window_ms)
-    elif mode == "strict_deduplication":
+    elif flags == {"strict_deduplication"}:
         fold = _fold_strict_dedup(len(steps), window_ms)
     else:
         fold = _fold_max_step(len(steps), window_ms)

@@ -1347,16 +1347,20 @@ class PinotDialect:
             # in the public funnel functions.
             mode = ""
             if len(a) >= 4 and a[-1].strip().startswith("'"):
-                mode = _unquote(a[-1]).lower()
-                if mode not in ("", "keep_all", "strict_order",
-                                "strict_deduplication"):
+                raw_mode = _unquote(a[-1]).lower()
+                flags = {f for f in re.split(r"[,+\s]+", raw_mode) if f}
+                allowed = {"default", "keep_all", "strict_order",
+                           "strict_deduplication"}
+                if flags - allowed:
                     raise ValueError(
-                        f"funnel mode {mode!r} not supported in SQL (default/"
-                        "keep_all/strict_order/strict_deduplication — "
-                        "STRICT_INCREASE needs variable-size frontier state, "
-                        "available as the DataFrame operator "
+                        f"funnel mode {raw_mode!r} not supported in SQL "
+                        "(default/keep_all/strict_order/strict_deduplication, "
+                        "combinable — STRICT_INCREASE needs variable-size "
+                        "frontier state, available as the DataFrame operator "
                         "operators/funnel.funnel_max_step_strict_increase)"
                     )
+                flags -= {"default", "keep_all"}
+                mode = ",".join(sorted(flags))
                 a = a[:-1]
             if len(a) < 4:
                 raise ValueError(
@@ -1377,7 +1381,7 @@ class PinotDialect:
                 )
                 + "), x -> x IS NOT NULL)"
             )
-            if mode == "strict_order":
+            if "strict_order" in mode:
                 # interleaving matters: non-matching events ride along as
                 # step 0 (operators/funnel.py module doc pins the rules)
                 per_row = (
@@ -1396,6 +1400,40 @@ class PinotDialect:
                 f"array() ELSE {per_row} END)"
             )
             evs = f"array_sort(flatten(collect_list({per_row})))"
+            if mode == "strict_deduplication,strict_order":
+                # combined flags (round 7): both rule sets in one fold —
+                # the SQL twin of operators/funnel._fold_strict_order_dedup
+                return (
+                    f"aggregate({evs}, "
+                    f"named_struct('lv', array_repeat(CAST(NULL AS BIGINT), {n}), "
+                    f"'fst', false, 'dead', false, 'ret', CAST(NULL AS INT)), "
+                    f"(acc, e) -> CASE WHEN acc.ret IS NOT NULL OR acc.dead THEN "
+                    f"named_struct('lv', acc.lv, 'fst', acc.fst, 'dead', acc.dead, "
+                    f"'ret', acc.ret) "
+                    f"ELSE named_struct("
+                    f"'lv', transform(acc.lv, (v, i) -> CASE "
+                    f"WHEN e.st = 1 AND i = 0 THEN e.ts "
+                    f"WHEN e.st = i + 1 AND i > 0 "
+                    f"AND get(acc.lv, e.st - 1) IS NULL "
+                    f"AND get(acc.lv, i - 1) IS NOT NULL "
+                    f"AND e.ts - get(acc.lv, i - 1) <= {window} "
+                    f"THEN get(acc.lv, i - 1) ELSE v END), "
+                    f"'fst', acc.fst OR e.st = 1, "
+                    f"'dead', acc.dead OR ("
+                    f"NOT (e.st > 1 AND get(acc.lv, e.st - 1) IS NOT NULL) "
+                    f"AND acc.fst AND (e.st = 0 OR "
+                    f"(e.st > 1 AND get(acc.lv, e.st - 2) IS NULL))), "
+                    f"'ret', CASE "
+                    f"WHEN e.st > 1 AND get(acc.lv, e.st - 1) IS NOT NULL "
+                    f"THEN CAST(e.st AS INT) "
+                    f"WHEN e.st = {n} AND {n} > 1 "
+                    f"AND get(acc.lv, {n} - 1) IS NULL "
+                    f"AND get(acc.lv, {n} - 2) IS NOT NULL "
+                    f"AND e.ts - get(acc.lv, {n} - 2) <= {window} "
+                    f"THEN {n} ELSE CAST(NULL AS INT) END) END, "
+                    f"acc -> coalesce(acc.ret, "
+                    f"size(filter(acc.lv, v -> v IS NOT NULL))))"
+                )
             if mode == "strict_order":
                 state = (
                     f"aggregate({evs}, "

@@ -335,26 +335,30 @@ def test_strict_increase_vs_bruteforce_randomized(spark):
 
 
 def _ref_strict_scan(events, n_steps, window_ms, mode):
-    """Independent single-scan reference for the pinned strict modes.
+    """Independent single-scan reference for the pinned strict modes —
+    incl. the combined 'strict_order,strict_deduplication' form (both
+    rule sets in event order; dedup latch checked before order kill).
     events: (ts, step) pairs, step 0 = matches no condition (only
-    meaningful for strict_order; ignored otherwise)."""
+    meaningful when strict_order is active; ignored otherwise)."""
+    order_on = "strict_order" in mode
+    dedup_on = "strict_deduplication" in mode
     lv = [None] * n_steps
     first = False
     for ts, st in sorted(events):
         if st == 0:
-            if mode == "strict_order" and first:
+            if order_on and first:
                 break
             continue
         if st == 1:
             lv[0] = ts
             first = True
-        elif mode == "strict_deduplication" and lv[st - 1] is not None:
+        elif dedup_on and lv[st - 1] is not None:
             return st  # repeat interrupts; returns the repeat's own index
-        elif mode == "strict_order" and first and lv[st - 2] is None:
+        elif order_on and first and lv[st - 2] is None:
             break  # out-of-order step kills further progress
         elif lv[st - 2] is not None and ts - lv[st - 2] <= window_ms:
             lv[st - 1] = lv[st - 2]
-            if st == n_steps and mode == "strict_deduplication":
+            if st == n_steps and dedup_on:
                 return n_steps  # completion latches before any later dup
     for i in range(n_steps):
         if lv[i] is None:
@@ -430,7 +434,11 @@ def test_strict_modes_vs_reference_randomized(spark):
         rows += [(entity, ts, s) for ts, s in evs]
     df = spark.createDataFrame(rows, "e string, ts long, s int")
     steps = [F.col("s") == i for i in range(1, n_steps + 1)]
-    for mode in ("strict_order", "strict_deduplication"):
+    for mode in (
+        "strict_order",
+        "strict_deduplication",
+        "strict_order,strict_deduplication",
+    ):
         got = {
             r["e"]: r["max_step"]
             for r in FU.funnel_max_step(
@@ -464,7 +472,8 @@ def test_strict_modes_sql_matches_operator(spark):
     eng.register("funnel_events", df)
     steps = [F.col("s") == i for i in range(1, 4)]
     window = 25
-    for mode in ("strict_order", "strict_deduplication"):
+    for mode in ("strict_order", "strict_deduplication",
+                 "strict_order,strict_deduplication"):
         sql_got = {
             r["e"]: r["ms"]
             for r in eng.sql(
@@ -523,3 +532,47 @@ def test_strict_and_default_sql_ignore_null_timestamps(spark):
             ).collect()
         }
         assert got == {"u": 3, "v": 2}, (mode, got)
+
+
+def test_combined_strict_order_dedup_corner_fixtures(spark):
+    """Hand-pinned interplay corners for the combined mode (round 7)."""
+    window = 1000
+    cases = [
+        # dup latches (click repeat at level 2) before anything else
+        ([(0, "view"), (1, "click"), (2, "click"), (3, "purchase")], 2),
+        # order kill (non-funnel after entry) stops processing, so a
+        # LATER duplicate cannot latch — plain level count wins
+        ([(0, "view"), (1, "click"), (2, "other"), (3, "click")], 2),
+        # completion latch freezes a later kill
+        ([(0, "view"), (1, "click"), (2, "purchase"), (3, "other")], 3),
+        # out-of-order step kills like pure strict_order
+        ([(0, "view"), (1, "purchase"), (2, "click")], 1),
+        # repeated entry refreshes, never kills or latches
+        ([(0, "view"), (1, "view"), (2, "click"), (3, "purchase")], 3),
+        # pre-entry noise ignored
+        ([(0, "other"), (1, "view"), (2, "click"), (3, "purchase")], 3),
+    ]
+    for i, (evs, want) in enumerate(cases):
+        df = _df(spark, [(f"c{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", STEPS(), window,
+            mode="strict_order,strict_deduplication",
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+
+
+def test_combined_mode_flag_forms_and_rejections(spark):
+    import pytest as _pt
+
+    df = _df(spark, [("u", 0, "view")])
+    # separator forms all normalize
+    for m in ("strict_order,strict_deduplication",
+              "strict_deduplication + strict_order",
+              "STRICT_ORDER strict_deduplication"):
+        got = FU.funnel_max_step(df, "user", "ts", STEPS(), 10, mode=m)
+        assert got.collect()[0]["max_step"] == 1
+    with _pt.raises(ValueError, match="strict_increase cannot combine"):
+        FU.funnel_max_step(df, "user", "ts", STEPS(), 10,
+                           mode="strict_increase,strict_order")
+    with _pt.raises(ValueError, match="not in"):
+        FU.funnel_max_step(df, "user", "ts", STEPS(), 10, mode="strictest")
