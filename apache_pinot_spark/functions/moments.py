@@ -64,11 +64,15 @@ def exact_central_moments(df: DataFrame, x: Column) -> DataFrame:
         r4 - F.lit(4) * mu * r3 + F.lit(6) * mu * mu * r2
         - F.lit(3) * mu * mu * mu * mu
     )
+    # Zero variance (constant input, or n <= 1) leaves skew/kurt
+    # undefined — emit NULL explicitly rather than a 0/0 whose rendering
+    # differs across engines and ANSI modes (the dialect float aggregates
+    # carry the same constant-group guard; see tests/test_stats_aggs.py).
     return m.select(
         F.col("n"),
         mu.alias("mean"),
         var_pop.alias("var_pop"),
-        (m3 / (var_pop * F.sqrt(var_pop))).alias("skew_pop"),
-        (m4 / (var_pop * var_pop)).alias("kurt_pop"),
+        F.when(var_pop != 0, m3 / (var_pop * F.sqrt(var_pop))).alias("skew_pop"),
+        F.when(var_pop != 0, m4 / (var_pop * var_pop)).alias("kurt_pop"),
         m4.alias("fourth_moment"),
     )

@@ -140,12 +140,18 @@ def stratified_sample_exact(
             raise ValueError(f"n must be >= 1, got {n}")
         out = ranked.where(F.col("__rank") <= n)
     else:
+        if not n:
+            raise ValueError("stratified_sample_exact got an empty budget dict")
         budgets = None
         for values, budget in n.items():
             values = values if isinstance(values, tuple) else (values,)
             if len(values) != len(strata_cols):
                 raise ValueError(
                     f"stratum key {values!r} does not match strata {strata_cols}"
+                )
+            if int(budget) < 1:
+                raise ValueError(
+                    f"budget for stratum {values!r} must be >= 1, got {budget}"
                 )
             cond = F.lit(True)
             for c, v in zip(strata_cols, values):

@@ -45,16 +45,30 @@ def connected_components(
     no edges do not appear (their component is themselves by
     definition). Keys must be non-null and orderable (the canonical
     member is the MIN key)."""
+    from pyspark.sql import types as T
+
     from apache_pinot_spark.operators.lifecycle import materialize_release
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = materialize_release(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
     labels = (
         sym.select(F.col("a").alias("key"))
         .distinct()
         .select("key", F.col("key").alias("component"))
     )
     labels = materialize_release(labels)
+    # Convergence detection dispatches on the key type: integral keys use
+    # the monotone exact-sum trick (one scalar aggregate — labels only
+    # decrease, so an unchanged sum means fixpoint); strings/doubles/etc.
+    # fall back to an exact changed-row count (one extra self-join per
+    # round — a sum of hashes is not monotone, and float sums can mask
+    # sub-ulp label changes).
+    integral_keys = isinstance(
+        labels.schema["component"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     prev_sum = None
     for _ in range(max_iter):
         neighbor = (
@@ -67,13 +81,24 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = materialize_release(new_labels)
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if integral_keys:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = prev_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "key")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            converged = changed == 0
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if converged:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations — "
         "the graph diameter exceeds the bound; raise max_iter (near-dup "

@@ -326,6 +326,14 @@ _MODES = ("", "default", "keep_all", "strict_increase", "strict_order",
           "strict_deduplication")
 
 
+def parse_mode_flags(mode: str | None) -> frozenset:
+    """Normalize a funnel mode string into its flag set: lowercase, split
+    on ','/'+'/whitespace, empty fragments dropped. The ONE shared parse
+    for the DataFrame operator and the SQL front-end — which flags a call
+    site supports (and how no-op spellings fold away) stays local to it."""
+    return frozenset(f for f in re.split(r"[,+\s]+", (mode or "").lower()) if f)
+
+
 def funnel_max_step(
     df: DataFrame,
     entity_col: str,
@@ -339,10 +347,10 @@ def funnel_max_step(
     Entities with no funnel events at all do not appear (their step is
     0 by definition; left-join the entity dimension if you need them).
     ``mode``: default/keep_all, strict_increase, strict_order,
-    strict_deduplication (one at a time — see module docstring)."""
-    flags = {
-        f for f in re.split(r"[,+\s]+", (mode or "default").lower()) if f
-    }
+    strict_deduplication; strict_order and strict_deduplication COMBINE
+    (flags separated by ','/'+'/whitespace); strict_increase does not
+    combine — see module docstring for the pinned rules."""
+    flags = set(parse_mode_flags(mode or "default"))
     unknown = flags - set(_MODES)
     if unknown:
         raise ValueError(f"funnel mode(s) {sorted(unknown)} not in {_MODES}")

@@ -1347,8 +1347,10 @@ class PinotDialect:
             # in the public funnel functions.
             mode = ""
             if len(a) >= 4 and a[-1].strip().startswith("'"):
+                from apache_pinot_spark.operators.funnel import parse_mode_flags
+
                 raw_mode = _unquote(a[-1]).lower()
-                flags = {f for f in re.split(r"[,+\s]+", raw_mode) if f}
+                flags = set(parse_mode_flags(raw_mode))
                 allowed = {"default", "keep_all", "strict_order",
                            "strict_deduplication"}
                 if flags - allowed:
@@ -2945,6 +2947,33 @@ class PinotEngine:
 
         start_ms = self._literal_to_ms(fmt_spec, start_raw)
         end_ms = self._literal_to_ms(fmt_spec, end_raw)
+        if fmt_spec.fmt == "SIMPLE_DATE_FORMAT":
+            # The pattern must be able to REPRESENT the bucket grid: a
+            # pattern coarser than the bucket (e.g. yyyy-MM-dd with
+            # 1:HOURS buckets) would render adjacent buckets as the same
+            # string — the SDF twin of the EPOCH unit-alignment guard.
+            # Check by round-tripping the first two bucket boundaries
+            # through render+parse on a one-row local relation.
+            probe = self.spark.range(1).select(
+                *[
+                    F.unix_millis(
+                        F.to_timestamp(
+                            F.date_format(
+                                F.timestamp_millis(F.lit(b)), fmt_spec.pattern
+                            ),
+                            fmt_spec.pattern,
+                        )
+                    ).alias(f"b{i}")
+                    for i, b in enumerate((start_ms, start_ms + bucket_ms))
+                ]
+            ).collect()[0]
+            if probe["b0"] != start_ms or probe["b1"] != start_ms + bucket_ms:
+                raise ValueError(
+                    f"GAPFILL: pattern {fmt_spec.pattern!r} cannot represent "
+                    "the bucket grid (adjacent buckets would render "
+                    "identically or shift) — use a finer pattern or a "
+                    "coarser bucket"
+                )
         observed = self.sql(inner_sql)
         ms_col = "__gapfill_ms"
         observed = observed.withColumn(ms_col, fmt_spec.epoch_millis(F.col(alias)))

@@ -336,10 +336,12 @@ df_query(
     SELECT n,
            mu AS mean_qty,
            r2 - mu * mu AS var_pop,
-           (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
-             / ((r2 - mu * mu) * sqrt(r2 - mu * mu)) AS skew_pop,
-           (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
-             / ((r2 - mu * mu) * (r2 - mu * mu)) AS kurt_pop,
+           CASE WHEN r2 - mu * mu <> 0 THEN
+             (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+               / ((r2 - mu * mu) * sqrt(r2 - mu * mu)) END AS skew_pop,
+           CASE WHEN r2 - mu * mu <> 0 THEN
+             (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+               / ((r2 - mu * mu) * (r2 - mu * mu)) END AS kurt_pop,
            r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
              AS fourth_moment
     FROM m

@@ -131,3 +131,14 @@ def test_stratified_sample_exact_dict_budgets(spark):
         stratified_sample_exact(df, ["lang"], {("a", "x"): 5}, "doc_id")
     with _pt.raises(ValueError, match="at least one stratum"):
         stratified_sample_exact(df, [], 5, "doc_id")
+
+
+def test_stratified_sample_exact_budget_validation(spark):
+    from apache_pinot_spark.operators.chunking import stratified_sample_exact
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with _pt.raises(ValueError, match="empty budget"):
+        stratified_sample_exact(df, ["lang"], {}, "doc_id")
+    with _pt.raises(ValueError, match="must be >= 1"):
+        stratified_sample_exact(df, ["lang"], {("a",): 0}, "doc_id")

@@ -112,3 +112,14 @@ def test_components_plan_is_scale_clean(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_components_string_keys(spark):
+    """Non-integral keys use the changed-count convergence path; the
+    canonical member is the lexicographic minimum."""
+    edges = [("docB", "docA"), ("docB", "docC"), ("x", "y")]
+    df = spark.createDataFrame(edges, "key_a string, key_b string")
+    got = {r["key"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        "docA": "docA", "docB": "docA", "docC": "docA", "x": "x", "y": "x",
+    }

@@ -357,3 +357,24 @@ def test_gapfill_sql_time_formats_agree(spark):
 
     assert {(r["event_type"], _ms(r["b"])): r["cnt"] for r in sdf_rows} == base
     assert all(isinstance(r["b"], str) and len(r["b"]) == 10 for r in sdf_rows)
+
+
+def test_gapfill_sdf_pattern_coarser_than_bucket_rejects(spark):
+    """yyyy-MM-dd with hourly buckets would render 24 buckets per day as
+    the same string — the SDF twin of the EPOCH alignment guard."""
+    import pytest as _pt
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    q = (
+        "SELECT GAPFILL(b, '1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', "
+        "'2024-01-01', '2024-01-03', '1:HOURS', TIMESERIESON(event_type)) AS b, "
+        "event_type, cnt "
+        "FROM (SELECT toDateTime(dateTrunc('DAY', ts), 'yyyy-MM-dd') AS b, "
+        "event_type, COUNT(*) AS cnt "
+        "FROM events GROUP BY toDateTime(dateTrunc('DAY', ts), 'yyyy-MM-dd'), event_type)"
+    )
+    with _pt.raises(ValueError, match="cannot represent the bucket grid"):
+        eng.sql(q)

@@ -337,3 +337,16 @@ def test_exact_moments_match_dialect_float_aggregates(spark):
     assert close(got["fourth_moment"], want["m4"]) or close(
         got["fourth_moment"] * got["n"], want["m4"]
     )
+
+
+def test_exact_moments_constant_input_yields_null_skew_kurt(spark):
+    """Zero variance: skew/kurt are NULL on BOTH the exact path and (per
+    the oracle CASE guard) DuckDB — not a 0/0 whose rendering differs."""
+    from apache_pinot_spark.functions.moments import exact_central_moments
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.lit(7).alias("v"))
+    r = exact_central_moments(df, F.col("v")).collect()[0]
+    assert r["n"] == 5 and r["mean"] == 7.0 and r["var_pop"] == 0.0
+    assert r["skew_pop"] is None and r["kurt_pop"] is None
+    assert r["fourth_moment"] == 0.0
