@@ -42,11 +42,17 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
-    """Word n-grams over a token array (map-side, no shuffle)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
+    """Word n-grams over a token array (map-side, no shuffle). Arrays
+    shorter than ``n`` yield an EMPTY list — the guard matters because
+    sequence(1, 0) is a DESCENDING [1, 0] in Spark, whose 0 start then
+    blows up slice() (hit by short documents in ngram_contamination)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # --------------------------------------------------------------------------
