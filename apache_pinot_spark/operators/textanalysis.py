@@ -289,3 +289,76 @@ def char_entropy(df, text_col: str = "text", key_col: str = "doc_id"):
         "key",
         (F.log2(F.col("n")) - F.col("clogc") / F.col("n")).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (round 7) — the public Gopher-rules repetition
+# family (Rae et al. 2021, "Scaling Language Models", table of quality
+# filters): fraction of duplicate lines, fraction of characters inside
+# duplicate lines, and the character fraction covered by the most
+# frequent word n-gram. All map-side higher-order-function arithmetic
+# over the document's own lines/tokens — ZERO shuffle; filtering a
+# 100 TB corpus on these signals is scan-cost only.
+# --------------------------------------------------------------------------
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """Per-document repetition features over ``col``:
+
+      dup_line_frac       — duplicate lines / total non-empty lines
+      dup_line_char_frac  — chars in duplicate lines / total line chars
+      top_2gram_char_frac — chars covered by the most frequent word
+                            2-gram / total token chars
+      top_3gram_char_frac — same for 3-grams
+
+    'Duplicate' counts every occurrence beyond a line's first (trimmed
+    identity). Documents with no lines / too few tokens report 0.0 for
+    the affected signals.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    distinct_lines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(distinct_lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    distinct_line_chars = F.aggregate(
+        distinct_lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    toks = whitespace_tokens(F.lower(c))
+
+    def _top_gram_char_frac(n: int) -> Column:
+        from apache_pinot_spark.operators.dedup import shingles_expr
+
+        grams = shingles_expr(toks, n)
+        # mode of the gram array, map-side: count each distinct gram via
+        # a filter inside a transform over the DISTINCT grams, take the
+        # max (count * gram-char-length) cover. Quadratic in DISTINCT
+        # grams per document — bounded by document length, not corpus.
+        distinct = F.array_distinct(grams)
+        covers = F.transform(
+            distinct,
+            lambda g: F.size(F.filter(grams, lambda x: x == g))
+            * F.length(g),
+        )
+        best = F.array_max(covers)
+        tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        return F.when(
+            (F.size(grams) > 0) & (tok_chars > 0),
+            best.cast("double") / tok_chars,
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": _frac(dup_lines, n_lines),
+        "dup_line_char_frac": _frac(line_chars - distinct_line_chars, line_chars),
+        "top_2gram_char_frac": _top_gram_char_frac(2),
+        "top_3gram_char_frac": _top_gram_char_frac(3),
+    }

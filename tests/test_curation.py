@@ -174,3 +174,61 @@ def test_curation_plans_scale_clean(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_repetition_signals_fixture(spark):
+    """Gopher-style repetition features: pinned on hand-computable docs
+    and cross-checked against a pure-Python reference on real documents."""
+    from apache_pinot_spark.operators.textanalysis import repetition_signals
+
+    rows = [
+        # 4 non-empty lines, 'same line' duplicated twice -> dup 2/4;
+        (1, "same line\nsame line\nsame line\nother\n"),
+        (2, "a b a b a b"),          # 'a b' 2-gram dominates
+        (3, ""),                      # degenerate -> all zeros
+        (4, "unique one\ntwo items"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = repetition_signals("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in sig.items()]).collect()
+    }
+    assert out[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    # chars: 3x'same line'(9) + 'other'(5) = 32; distinct = 9+5 = 14
+    assert out[1]["dup_line_char_frac"] == pytest.approx((32 - 14) / 32)
+    assert out[2]["top_2gram_char_frac"] > 0.5
+    for k in ("dup_line_frac", "dup_line_char_frac",
+              "top_2gram_char_frac", "top_3gram_char_frac"):
+        assert out[3][k] == 0.0, k
+    assert out[4]["dup_line_frac"] == 0.0
+
+
+def test_repetition_signals_python_reference_on_documents(spark):
+    from collections import Counter
+
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.operators.textanalysis import repetition_signals
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].limit(50)
+    sig = repetition_signals("text")
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["top_2gram_char_frac"])
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in sig.items()]
+        ).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        lines = [ln.strip() for ln in row["text"].split("\n") if ln.strip()]
+        dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        toks = row["text"].lower().split()
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        tok_chars = sum(len(t) for t in toks)
+        top = max(
+            (cnt * len(g) for g, cnt in Counter(grams).items()), default=0
+        )
+        want2 = top / tok_chars if grams and tok_chars else 0.0
+        g_dup, g_top = got[row["doc_id"]]
+        assert g_dup == pytest.approx(dup), row["doc_id"]
+        assert g_top == pytest.approx(want2), row["doc_id"]
