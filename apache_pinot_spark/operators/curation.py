@@ -16,10 +16,18 @@ from apache_pinot_spark.functions.text import tokens_expr
 from apache_pinot_spark.operators.dedup import _spread, shingles_expr
 
 
+def _strip_ws(line: Column) -> Column:
+    """Strip ALL leading/trailing whitespace — including the '\\r' a
+    '\\n'-split leaves on every line of a CRLF document and tabs, which
+    ``F.trim`` (spaces only) would keep."""
+    return F.regexp_replace(line, r"^\s+|\s+$", "")
+
+
 def _norm_line(line: Column) -> Column:
-    """Line identity for boilerplate detection: trimmed, lowercased —
-    'Sign in' and 'sign in  ' are the same navigation chrome."""
-    return F.lower(F.trim(line))
+    """Line identity for boilerplate detection: whitespace-stripped,
+    lowercased — 'Sign in\\r' (CRLF doc) and 'sign in  ' (LF doc) are
+    the same navigation chrome."""
+    return F.lower(_strip_ws(line))
 
 
 def remove_repeated_lines(
@@ -52,7 +60,7 @@ def remove_repeated_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
     sig = F.xxhash64(_norm_line(F.col("__line")))
-    eligible = F.length(F.trim(F.col("__line"))) >= min_line_chars
+    eligible = F.length(_strip_ws(F.col("__line"))) >= min_line_chars
     frequent = (
         lines.where(eligible)
         .select(sig.alias("__sig"), F.col("__key"))
@@ -82,11 +90,17 @@ def remove_repeated_lines(
     )
     # Left join from the ORIGINAL frame: a document whose every line was
     # boilerplate survives with empty text (it still exists), and any
-    # non-text columns ride along unchanged.
+    # non-text columns ride along unchanged. NULL text stays NULL —
+    # downstream NULL-aware handling (dedup's NULL_FINGERPRINT sentinel,
+    # is-missing stats) must not see fabricated empty documents.
     out = (
-        df.drop(text_col)
+        df.withColumn("__had_text", F.col(text_col).isNotNull())
+        .drop(text_col)
         .join(rebuilt, key_col, "left")
-        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn(
+            text_col,
+            F.when(F.col("__had_text"), F.coalesce(F.col(text_col), F.lit(""))),
+        )
     )
     return out.select(*df.columns)
 
@@ -124,10 +138,14 @@ def ngram_contamination(
         .select(F.explode(grams(btext)).alias("__g"))
         .select(F.xxhash64("__g").alias("__sig"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    # explode_outer keeps gram-less docs as one NULL row; xxhash64(NULL)
-    # is NOT null (it hashes to the seed), so guard the signature or the
-    # placeholder row would count as a real n-gram
+    # ONE corpus scan: at 100 TB the tokenizer IS the scan cost, so the
+    # corpus lineage (scan + tokenize + n-gram explode) must execute
+    # exactly once. explode_outer keeps gram-less docs as one NULL row —
+    # xxhash64(NULL) is NOT null (it hashes to the seed), so guard the
+    # signature; count("__sig") then skips the placeholder row, giving
+    # total_ngrams = 0 for short docs while still emitting their key.
     doc_grams = _spread(corpus).select(
         F.col(key_col).alias("__key"),
         F.explode_outer(grams(text_col)).alias("__g"),
@@ -135,26 +153,22 @@ def ngram_contamination(
         "__key",
         F.when(F.col("__g").isNotNull(), F.xxhash64("__g")).alias("__sig"),
     )
-    hits = (
-        doc_grams.join(bench_grams, "__sig", "left_semi")
-        .groupBy("__key")
-        .agg(F.count("*").alias("hit_ngrams"))
-    )
-    totals = doc_grams.where(F.col("__sig").isNotNull()).groupBy("__key").agg(
-        F.count("*").alias("total_ngrams")
-    )
-    keys = corpus.select(F.col(key_col).alias("__key")).distinct()
+    # Left join against the (tiny, broadcast-eligible) benchmark set,
+    # then one groupBy: count(__sig) = total grams, count(__hit) = hits.
     out = (
-        keys.join(totals, "__key", "left")
-        .join(hits, "__key", "left")
+        doc_grams.join(bench_grams, "__sig", "left")
+        .groupBy("__key")
+        .agg(
+            F.count("__sig").alias("total_ngrams"),
+            F.count("__hit").alias("hit_ngrams"),
+        )
         .select(
             F.col("__key").alias(key_col),
-            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
-            F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+            "total_ngrams",
+            "hit_ngrams",
             F.when(
-                F.coalesce("total_ngrams", F.lit(0)) > 0,
-                F.coalesce("hit_ngrams", F.lit(0)).cast("double")
-                / F.col("total_ngrams"),
+                F.col("total_ngrams") > 0,
+                F.col("hit_ngrams").cast("double") / F.col("total_ngrams"),
             )
             .otherwise(F.lit(0.0))
             .alias("contamination"),

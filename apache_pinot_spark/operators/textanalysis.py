@@ -316,8 +316,14 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
     the affected signals.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # Strip ALL edge whitespace (regexp, not F.trim) so the '\r' a
+    # '\n'-split leaves on CRLF lines doesn't split one line identity
+    # into two when a document mixes line endings.
     lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(c, "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
         lambda x: F.length(x) > 0,
     )
     distinct_lines = F.array_distinct(lines)
@@ -339,17 +345,41 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
         from apache_pinot_spark.operators.dedup import shingles_expr
 
         grams = shingles_expr(toks, n)
-        # mode of the gram array, map-side: count each distinct gram via
-        # a filter inside a transform over the DISTINCT grams, take the
-        # max (count * gram-char-length) cover. Quadratic in DISTINCT
-        # grams per document — bounded by document length, not corpus.
-        distinct = F.array_distinct(grams)
-        covers = F.transform(
-            distinct,
-            lambda g: F.size(F.filter(grams, lambda x: x == g))
-            * F.length(g),
+        # mode of the gram array, map-side and LINEAR: sort the grams,
+        # then one aggregate() pass tracks the longest run of equal
+        # adjacent grams and its char cover — O(L log L) per document,
+        # vs the quadratic distinct×grams nested filter, which stalls
+        # on a single 50k-token crawl document. Cover counts TOKEN
+        # characters only (gram length minus its n-1 joining spaces) so
+        # numerator and the tok_chars denominator share units; like the
+        # public Gopher implementations the ratio can still exceed 1.0
+        # for self-overlapping grams ('a a a a'), which only strengthens
+        # the repetition signal.
+        sep = F.lit(n - 1)
+        best = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    (
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                            F.lit(1)
+                        )
+                    )
+                    * (F.length(x) - sep),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-        best = F.array_max(covers)
         tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
         return F.when(
             (F.size(grams) > 0) & (tok_chars > 0),

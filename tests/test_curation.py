@@ -48,6 +48,26 @@ def test_remove_repeated_lines_normalization_and_all_boilerplate(spark):
     assert out == {1: "real content a", 2: "real content b", 3: ""}
 
 
+def test_remove_repeated_lines_crlf_and_null_text(spark):
+    """CRLF and LF spellings of a boilerplate line fold into ONE
+    frequent-line identity; surviving CRLF lines keep their original
+    bytes; NULL text stays NULL (not fabricated '')."""
+    rows = [
+        (1, "Sign in\r\ncontent a"),
+        (2, "sign in\ncontent b"),
+        (3, " SIGN IN \r\ncontent c\r\nmore c"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_lines(df, min_count=3).collect()}
+    assert out[1] == "content a"
+    assert out[2] == "content b"
+    assert out[3] == "content c\r\nmore c"
+    assert out[4] is None
+    assert len(out) == 4
+
+
 def test_remove_repeated_lines_keeps_extra_columns_and_validates(spark):
     df = spark.createDataFrame(
         [(1, "x\ny", "en"), (2, "x\nz", "de"), (3, "x", "fr")],
@@ -97,8 +117,6 @@ def test_remove_repeated_lines_matches_duckdb_on_documents(spark, duck):
     # keeps them as '' — align before comparing
     for k in got:
         want.setdefault(k, "")
-        if got[k] == "" and want[k] == "":
-            continue
     assert got == want
 
 
@@ -204,6 +222,28 @@ def test_repetition_signals_fixture(spark):
     assert out[4]["dup_line_frac"] == 0.0
 
 
+def test_repetition_signals_crlf_and_overlap(spark):
+    from apache_pinot_spark.operators.textanalysis import repetition_signals
+
+    rows = [
+        # mixed CRLF/LF endings: 'dup\r' and 'dup' are the SAME line
+        (1, "dup\r\ndup\ndup\r\nother"),
+        # self-overlapping top gram: 'a a' occurs 3x over 4 token chars
+        # -> cover 3*2/4 = 1.5 (public Gopher impls also exceed 1 here)
+        (2, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = repetition_signals("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in sig.items()]
+        ).collect()
+    }
+    assert out[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    assert out[2]["top_2gram_char_frac"] == pytest.approx(1.5)
+
+
 def test_repetition_signals_python_reference_on_documents(spark):
     from collections import Counter
 
@@ -225,8 +265,10 @@ def test_repetition_signals_python_reference_on_documents(spark):
         toks = row["text"].lower().split()
         grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
         tok_chars = sum(len(t) for t in toks)
+        # cover counts TOKEN chars only: len(g) minus the 1 joining space
         top = max(
-            (cnt * len(g) for g, cnt in Counter(grams).items()), default=0
+            (cnt * (len(g) - 1) for g, cnt in Counter(grams).items()),
+            default=0,
         )
         want2 = top / tok_chars if grams and tok_chars else 0.0
         g_dup, g_top = got[row["doc_id"]]
