@@ -78,9 +78,31 @@ multi-flag form): both rule sets apply in one scan — dedup's latch is
 checked before order's kill (consistent by construction: a reached
 level implies its predecessor was reached), a kill stops processing so
 later duplicates cannot latch, a latch freezes later kills. Mode flags
-separate with ','/'+'/whitespace. Combinations WITH strict_increase
-still raise: its exact semantics need the Pareto frontier, whose
-interaction with the kill/latch rules is unpinned.
+separate with ','/'+'/whitespace.
+
+strict_increase ALSO combines with either/both (round 7): the pinned
+semantics run the SAME operational scan, with two observations that
+make the composition exact rather than ad hoc:
+
+  * The kill and latch rules depend only on whether a level is REACHED
+    (some valid chain ends there), never on which chain — and Pareto
+    pruning preserves reached-ness exactly (a dominated (start, last)
+    pair extends only when its dominator does: start' >= start wins
+    the window check, last' <= last wins the strict-increase check).
+    So order's "previous level unreached → kill" and dedup's "level
+    already reached → latch its index" read frontier non-emptiness.
+  * Extension swaps the single-chain rule for the frontier rule
+    (ts − start ≤ window AND ts > last, over the snapshot of the
+    previous level's frontier); completing the last step latches at n
+    only when strict_deduplication is on (without it, reaching n is
+    terminal for max-step anyway — a latch would be unobservable).
+
+Rule order per event is unchanged from the fixed-state combination:
+entry step first (refreshes, never kills or latches), then dedup's
+latch, then order's kill, then extension. Verified against an
+UNPRUNED all-chain-states reference scan on randomized histories
+(tests/test_funnel_topk.py) — that differential exercises exactly the
+pruning-soundness argument above.
 """
 
 from __future__ import annotations
@@ -347,24 +369,21 @@ def funnel_max_step(
     Entities with no funnel events at all do not appear (their step is
     0 by definition; left-join the entity dimension if you need them).
     ``mode``: default/keep_all, strict_increase, strict_order,
-    strict_deduplication; strict_order and strict_deduplication COMBINE
-    (flags separated by ','/'+'/whitespace); strict_increase does not
-    combine — see module docstring for the pinned rules."""
+    strict_deduplication; all strict flags COMBINE (separated by
+    ','/'+'/whitespace) — see module docstring for the pinned rules.
+    Mode sets containing strict_increase run the Pareto-frontier
+    applyInPandas scan; the rest stay pure-JVM folds."""
     flags = set(parse_mode_flags(mode or "default"))
     unknown = flags - set(_MODES)
     if unknown:
         raise ValueError(f"funnel mode(s) {sorted(unknown)} not in {_MODES}")
     flags -= {"", "default", "keep_all"}
-    if flags == {"strict_increase"}:
-        return funnel_max_step_strict_increase(
-            df, entity_col, ts_col, steps, window_ms, max_events_per_entity
-        )
-    if "strict_increase" in flags and len(flags) > 1:
-        raise ValueError(
-            "strict_increase cannot combine with other modes: its exact "
-            "semantics need the Pareto-frontier machinery, whose "
-            "interaction with the operational kill/latch rules is "
-            "unpinned — run the modes separately"
+    if "strict_increase" in flags:
+        # every strict_increase combination runs the Pareto-frontier
+        # scan (module docstring pins the composed rules)
+        return _strict_increase_scan(
+            df, entity_col, ts_col, steps, window_ms,
+            max_events_per_entity, frozenset(flags),
         )
     ev = _matched_events(
         df, entity_col, ts_col, steps, max_events_per_entity,
@@ -410,8 +429,35 @@ def funnel_max_step_strict_increase(
     O(events × frontier); cap hot entities with
     ``max_events_per_entity`` (the frontier is bounded by the event
     count). Output matches funnel_max_step's shape."""
+    return _strict_increase_scan(
+        df, entity_col, ts_col, steps, window_ms,
+        max_events_per_entity, frozenset(),
+    )
+
+
+def _strict_increase_scan(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    steps: list[Column],
+    window_ms: int,
+    max_events_per_entity: int | None,
+    flags: frozenset,
+) -> DataFrame:
+    """The Pareto-frontier scan behind every strict_increase mode set
+    (alone or combined with strict_order / strict_deduplication — the
+    module docstring pins the composed rules). The kill/latch rules
+    read only frontier NON-EMPTINESS, which Pareto pruning preserves,
+    so this scan computes the same result as an unpruned all-chains
+    scan (the randomized differential in tests/test_funnel_topk.py
+    checks exactly that)."""
     n_steps = len(steps)
-    ev = _matched_events(df, entity_col, ts_col, steps, max_events_per_entity)
+    order_on = "strict_order" in flags
+    dedup_on = "strict_deduplication" in flags
+    ev = _matched_events(
+        df, entity_col, ts_col, steps, max_events_per_entity,
+        keep_unmatched=order_on,
+    )
     out_field = df.schema[entity_col]
     from pyspark.sql import types as T
 
@@ -433,23 +479,43 @@ def funnel_max_step_strict_increase(
             fr[:] = [(s, l) for s, l in fr if not (start >= s and last <= l)]
             fr.append((start, last))
 
+        entered = False
+        ret = None
         for ts, st in events:
             ts, st = int(ts), int(st)
+            if st == 0:
+                # non-matching rows only ride when strict_order is on
+                if entered:
+                    break  # order kill
+                continue
             if st == 1:
+                # entry step refreshes the frontier — never kills/latches
                 add(0, ts, ts)
-            else:
-                # snapshot: an event cannot chain onto a pair it created
-                # (ts > last rules that out anyway — strict increase)
-                for start, last in list(levels[st - 2]):
-                    if ts - start <= window_ms and ts > last:
-                        add(st - 1, start, ts)
-        max_step = 0
-        for i in range(n_steps):
-            if levels[i]:
-                max_step = i + 1
+                entered = True
+                continue
+            if dedup_on and levels[st - 1]:
+                ret = st  # repeat interrupts: the repeat's own index
+                break
+            if order_on and entered and not levels[st - 2]:
+                break  # out-of-order step kills further progress
+            extended = False
+            # snapshot: an event cannot chain onto a pair it created
+            # (ts > last rules that out anyway — strict increase)
+            for start, last in list(levels[st - 2]):
+                if ts - start <= window_ms and ts > last:
+                    add(st - 1, start, ts)
+                    extended = True
+            if dedup_on and extended and st == n_steps:
+                ret = n_steps  # completion latches before any later dup
+                break
+        if ret is None:
+            ret = 0
+            for i in range(n_steps):
+                if levels[i]:
+                    ret = i + 1
         return _pd.DataFrame({
             out_field.name: [pdf["__entity"].iloc[0]],
-            "max_step": [max_step],
+            "max_step": [ret],
         })
 
     return ev.groupBy("__entity").applyInPandas(per_entity, schema)

@@ -1358,8 +1358,9 @@ class PinotDialect:
                         f"funnel mode {raw_mode!r} not supported in SQL "
                         "(default/keep_all/strict_order/strict_deduplication, "
                         "combinable — STRICT_INCREASE needs variable-size "
-                        "frontier state, available as the DataFrame operator "
-                        "operators/funnel.funnel_max_step_strict_increase)"
+                        "frontier state, available (alone or combined) via "
+                        "the DataFrame operator operators/funnel."
+                        "funnel_max_step(mode=...))"
                     )
                 flags -= {"default", "keep_all"}
                 mode = ",".join(sorted(flags))

@@ -568,11 +568,165 @@ def test_combined_mode_flag_forms_and_rejections(spark):
     # separator forms all normalize
     for m in ("strict_order,strict_deduplication",
               "strict_deduplication + strict_order",
-              "STRICT_ORDER strict_deduplication"):
+              "STRICT_ORDER strict_deduplication",
+              "strict_increase,strict_order",
+              "strict_increase + strict_deduplication",
+              "strict_increase strict_order strict_deduplication"):
         got = FU.funnel_max_step(df, "user", "ts", STEPS(), 10, mode=m)
         assert got.collect()[0]["max_step"] == 1
-    with _pt.raises(ValueError, match="strict_increase cannot combine"):
-        FU.funnel_max_step(df, "user", "ts", STEPS(), 10,
-                           mode="strict_increase,strict_order")
     with _pt.raises(ValueError, match="not in"):
         FU.funnel_max_step(df, "user", "ts", STEPS(), 10, mode="strictest")
+
+
+# --------------------------------------------------------------------------
+# strict_increase combinations (round 7): the Pareto-frontier scan with
+# the kill/latch rules composed in — corner fixtures + a randomized
+# differential against an UNPRUNED all-chain-states reference (which is
+# exactly the pruning-soundness argument the implementation relies on).
+# --------------------------------------------------------------------------
+
+
+def _ref_increase_scan(events, n_steps, window_ms, flags):
+    """UNPRUNED strict_increase reference: keeps EVERY reachable
+    (start, last) chain state per level (no Pareto dominance pruning),
+    applying the same pinned rule order — entry, dedup latch, order
+    kill, extension (+ full-depth latch when dedup is on). events:
+    (ts, step) pairs, step 0 = matches nothing (only meaningful with
+    strict_order)."""
+    order_on = "strict_order" in flags
+    dedup_on = "strict_deduplication" in flags
+    levels = [set() for _ in range(n_steps)]
+    entered = False
+    for ts, st in sorted(events):
+        if st == 0:
+            if order_on and entered:
+                break
+            continue
+        if st == 1:
+            levels[0].add((ts, ts))
+            entered = True
+            continue
+        if dedup_on and levels[st - 1]:
+            return st
+        if order_on and entered and not levels[st - 2]:
+            break
+        new = {(s, ts) for (s, l) in levels[st - 2]
+               if ts - s <= window_ms and ts > l}
+        levels[st - 1] |= new
+        if dedup_on and new and st == n_steps:
+            return n_steps
+    for i in reversed(range(n_steps)):
+        if levels[i]:
+            return i + 1
+    return 0
+
+
+def test_strict_increase_order_corner_fixtures(spark):
+    window = 1000
+    cases = [
+        # tie at purchase: strict increase refuses ts == last (order
+        # alone would allow the tie-chain to level 3)
+        ([(0, "view"), (1, "click"), (1, "purchase")], 2),
+        # out-of-order step kills after entry
+        ([(0, "view"), (1, "purchase"), (2, "click")], 1),
+        # non-funnel event after entry kills
+        ([(0, "view"), (1, "other"), (2, "click")], 1),
+        # the Pareto counter-example still resolves with order on:
+        # B@5 is a VALID in-order step-2 event (level 1 reached), and
+        # C@5 chains off the kept (0, 3) pair
+        ([(0, "view"), (3, "click"), (5, "click"), (5, "purchase")], 3),
+        # pre-entry noise ignored
+        ([(0, "other"), (1, "view"), (2, "click"), (3, "purchase")], 3),
+    ]
+    for i, (evs, want) in enumerate(cases):
+        df = _df(spark, [(f"io{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", STEPS(), window,
+            mode="strict_increase,strict_order",
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+
+
+def test_strict_increase_dedup_corner_fixtures(spark):
+    window = 1000
+    cases = [
+        # tie-click never reaches level 2, so the second click is the
+        # FIRST real extension, and the third latches as a dup
+        ([(0, "view"), (0, "click"), (1, "click"), (2, "click")], 2),
+        # completion latches at 3 before the later duplicate
+        ([(0, "view"), (1, "click"), (2, "purchase"), (3, "click")], 3),
+        # plain dup interrupt at level 2
+        ([(0, "view"), (1, "click"), (2, "click")], 2),
+        # repeated entry never interrupts
+        ([(0, "view"), (1, "view"), (2, "click")], 2),
+        # non-funnel events ignored in this mode
+        ([(0, "view"), (1, "other"), (2, "click"), (3, "purchase")], 3),
+    ]
+    for i, (evs, want) in enumerate(cases):
+        df = _df(spark, [(f"id{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", STEPS(), window,
+            mode="strict_increase,strict_deduplication",
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+
+
+def test_strict_increase_all_three_corner_fixtures(spark):
+    window = 1000
+    cases = [
+        # order kill at 'other' stops processing BEFORE the dup latch
+        ([(0, "view"), (1, "click"), (2, "other"), (3, "click")], 2),
+        # dedup+increase alone would latch 2 here; order's kill fires
+        # first on the out-of-order purchase (click unreached)
+        ([(0, "view"), (1, "purchase"), (2, "click"), (3, "click")], 1),
+        # completion latch freezes the later kill
+        ([(0, "view"), (1, "click"), (2, "purchase"), (3, "other")], 3),
+        # tie-chain refused by increase, then dup latch on the repeat
+        ([(0, "view"), (0, "click"), (1, "click"), (2, "click")], 2),
+    ]
+    for i, (evs, want) in enumerate(cases):
+        df = _df(spark, [(f"ia{i}", ts, et) for ts, et in evs])
+        got = FU.funnel_max_step(
+            df, "user", "ts", STEPS(), window,
+            mode="strict_increase,strict_order,strict_deduplication",
+        ).collect()[0]["max_step"]
+        assert got == want, (i, evs, got, want)
+
+
+def test_strict_increase_combos_vs_unpruned_reference_randomized(spark):
+    import random
+
+    rng = random.Random(4242)
+    n_steps, window = 3, 40
+    rows, evs_by_entity = [], {}
+    for case in range(80):
+        entity = f"x{case}"
+        evs = [(rng.randrange(0, 80), rng.randrange(0, n_steps + 1))
+               for _ in range(rng.randrange(1, 14))]
+        evs_by_entity[entity] = evs
+        rows += [(entity, ts, s) for ts, s in evs]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    steps = [F.col("s") == i for i in range(1, n_steps + 1)]
+    for mode in (
+        "strict_increase",
+        "strict_increase,strict_order",
+        "strict_increase,strict_deduplication",
+        "strict_increase,strict_order,strict_deduplication",
+    ):
+        flags = set(mode.split(","))
+        got = {
+            r["e"]: r["max_step"]
+            for r in FU.funnel_max_step(
+                df, "e", "ts", steps, window, mode=mode
+            ).collect()
+        }
+        truth = {
+            e: _ref_increase_scan(evs, n_steps, window, flags)
+            for e, evs in evs_by_entity.items()
+        }
+        if "strict_order" not in flags:
+            # entities with zero matching events don't appear (the
+            # pre-shuffle filter stays when order is off); truth is 0
+            truth = {e: t for e, t in truth.items()
+                     if any(s > 0 for _, s in evs_by_entity[e])}
+        assert got == truth, mode
