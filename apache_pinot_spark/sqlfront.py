@@ -2902,8 +2902,11 @@ class PinotEngine:
         view = f"__pinot_gapfill_{self._gapfill_seq}"
         gdf.createOrReplaceTempView(view)
         try:
-            # keep any trailing subquery alias: "( … ) t" → "view t"
-            out = self.sql(sql[:lo] + view + sql[hi + 1 :])
+            # substitute a parenthesized SELECT, not a bare view name —
+            # valid in EVERY subquery position: "FROM ( … ) t" and the
+            # CTE body "WITH g AS ( … )" alike (a bare name breaks the
+            # latter); trailing aliases survive either way
+            out = self.sql(sql[:lo] + f"(SELECT * FROM {view})" + sql[hi + 1 :])
         finally:
             # analysis has resolved the view into the plan; the name can go
             self.spark.catalog.dropTempView(view)

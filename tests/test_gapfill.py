@@ -378,3 +378,67 @@ def test_gapfill_sdf_pattern_coarser_than_bucket_rejects(spark):
     )
     with _pt.raises(ValueError, match="cannot represent the bucket grid"):
         eng.sql(q)
+
+
+def test_gapfill_deep_nested_forms(spark):
+    """Every subquery position a gapfilled relation can occupy (late
+    r7): CTE body (WITH g AS (…)), a second outer level above the
+    aggregate, TWO gapfill calls joined in one statement, HAVING over
+    the densified aggregate. The view substitution is a parenthesized
+    SELECT, so all positions share one mechanism; results cross-check
+    against the single-level aggregate-over-gapfill form."""
+    from apache_pinot_spark.sqlfront import PinotEngine
+    from tests.conftest import SF_CORRECTNESS
+
+    eng = PinotEngine(spark, SF_CORRECTNESS, tables=["events"])
+    day = 86_400_000
+    start = 1_704_067_200_000
+    inner = (
+        f"SELECT GAPFILL(b, '1:MILLISECONDS:EPOCH', '{start}', "
+        f"'{start + 3 * day}', '1:DAYS', "
+        f"FILL(cnt, 'FILL_PREVIOUS_VALUE', 0), TIMESERIESON(event_type)) AS b, "
+        f"event_type, cnt "
+        f"FROM (SELECT dateTrunc('DAY', ts) AS b, event_type, COUNT(*) AS cnt "
+        f"      FROM events GROUP BY dateTrunc('DAY', ts), event_type)"
+    )
+    base = [
+        (r["b"], r["total"])
+        for r in eng.sql(
+            f"SELECT b, SUM(cnt) AS total FROM ({inner}) g "
+            f"GROUP BY b ORDER BY b"
+        ).collect()
+    ]
+    assert len(base) == 3
+    # CTE body
+    cte = [
+        (r["b"], r["total"])
+        for r in eng.sql(
+            f"WITH g AS ({inner}) SELECT b, SUM(cnt) AS total FROM g "
+            f"GROUP BY b ORDER BY b"
+        ).collect()
+    ]
+    assert cte == base
+    # second outer level
+    mx = eng.sql(
+        f"SELECT MAX(total) AS mx FROM (SELECT b, SUM(cnt) AS total "
+        f"FROM ({inner}) g GROUP BY b) h"
+    ).collect()[0]["mx"]
+    assert mx == max(t for _, t in base)
+    # HAVING over the densified aggregate
+    hv = [
+        (r["b"], r["total"])
+        for r in eng.sql(
+            f"SELECT b, SUM(cnt) AS total FROM ({inner}) g GROUP BY b "
+            f"HAVING SUM(cnt) > 0 ORDER BY b"
+        ).collect()
+    ]
+    assert hv == [(b, t) for b, t in base if t > 0]
+    # two gapfill calls in one statement (self-join of the series)
+    pairs = eng.sql(
+        f"SELECT a.b AS b, a.cnt + bb.cnt AS s FROM ({inner}) a "
+        f"JOIN ({inner}) bb ON a.b = bb.b AND a.event_type = bb.event_type"
+    ).collect()
+    flat = eng.sql(inner).collect()
+    assert len(pairs) == len(flat)
+    doubled = sorted((r["b"], 2 * r["cnt"]) for r in flat)
+    assert sorted((r["b"], r["s"]) for r in pairs) == doubled
