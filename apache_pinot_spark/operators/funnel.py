@@ -109,6 +109,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf type-hint inference resolves 'pd.Series'
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -592,3 +593,89 @@ def funnel_complete_count(
     return ms.where(F.col("max_step") >= len(steps)).agg(
         F.count("*").alias("completed")
     )
+
+
+FUNNEL_SI_UDF = "__pinot_funnel_strict_increase"
+
+
+def register_funnel_udfs(spark) -> None:
+    """Register the grouped-agg pandas UDF backing the SQL form of the
+    strict_increase funnel modes. Fixed-size SQL accumulators cannot
+    hold the Pareto frontier (variable-size state), so the SQL
+    front-end emits ``__pinot_funnel_strict_increase(ts, steps, n,
+    window, order?, dedup?)`` — an Arrow grouped aggregate running the
+    SAME frontier scan as ``_strict_increase_scan`` (the logic is
+    inlined, not imported: Python-worker closures must be
+    self-contained so the UDF works when the driver runs from a
+    non-repo cwd; tests pin SQL == operator on randomized histories).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def pinot_funnel_strict_increase(
+        ts: pd.Series,
+        steps: pd.Series,
+        n: pd.Series,
+        window: pd.Series,
+        order_f: pd.Series,
+        dedup_f: pd.Series,
+    ) -> int:
+        import pandas as _pd
+
+        n_steps = int(n.iloc[0])
+        window_ms = int(window.iloc[0])
+        order_on = bool(order_f.iloc[0])
+        dedup_on = bool(dedup_f.iloc[0])
+        events = []
+        for t, st_list in zip(ts, steps):
+            if _pd.isna(t):
+                continue  # NULL-ts events contribute nothing in any mode
+            if st_list is None or len(st_list) == 0:
+                if order_on:
+                    events.append((int(t), 0))
+                continue
+            for st in st_list:
+                events.append((int(t), int(st)))
+        # frontier scan — twin of _strict_increase_scan.per_entity
+        levels: list[list[tuple[int, int]]] = [[] for _ in range(n_steps)]
+
+        def add(level: int, start: int, last: int) -> None:
+            fr = levels[level]
+            for s, l in fr:
+                if s >= start and l <= last:
+                    return
+            fr[:] = [(s, l) for s, l in fr if not (start >= s and last <= l)]
+            fr.append((start, last))
+
+        entered = False
+        ret = None
+        for t, st in sorted(events):
+            if st == 0:
+                if entered:
+                    break
+                continue
+            if st == 1:
+                add(0, t, t)
+                entered = True
+                continue
+            if dedup_on and levels[st - 1]:
+                ret = st
+                break
+            if order_on and entered and not levels[st - 2]:
+                break
+            extended = False
+            for start, last in list(levels[st - 2]):
+                if t - start <= window_ms and t > last:
+                    add(st - 1, start, t)
+                    extended = True
+            if dedup_on and extended and st == n_steps:
+                ret = n_steps
+                break
+        if ret is None:
+            ret = 0
+            for i in range(n_steps):
+                if levels[i]:
+                    ret = i + 1
+        return int(ret)
+
+    spark.udf.register(FUNNEL_SI_UDF, pinot_funnel_strict_increase)

@@ -1352,15 +1352,12 @@ class PinotDialect:
                 raw_mode = _unquote(a[-1]).lower()
                 flags = set(parse_mode_flags(raw_mode))
                 allowed = {"default", "keep_all", "strict_order",
-                           "strict_deduplication"}
+                           "strict_deduplication", "strict_increase"}
                 if flags - allowed:
                     raise ValueError(
                         f"funnel mode {raw_mode!r} not supported in SQL "
-                        "(default/keep_all/strict_order/strict_deduplication, "
-                        "combinable — STRICT_INCREASE needs variable-size "
-                        "frontier state, available (alone or combined) via "
-                        "the DataFrame operator operators/funnel."
-                        "funnel_max_step(mode=...))"
+                        "(default/keep_all/strict_order/"
+                        "strict_deduplication/strict_increase, combinable)"
                     )
                 flags -= {"default", "keep_all"}
                 mode = ",".join(sorted(flags))
@@ -1374,6 +1371,29 @@ class PinotDialect:
             if len(conds) != n:
                 raise ValueError(
                     f"FUNNELMAXSTEP declared {n} steps but got {len(conds)} predicates"
+                )
+            if "strict_increase" in mode:
+                # variable-size Pareto-frontier state cannot fold in
+                # fixed SQL accumulators — emit the registered Arrow
+                # grouped-agg UDF instead (operators/funnel.py
+                # register_funnel_udfs; NULL-ts rows dropped inside).
+                # Non-matching rows ride as empty arrays; the UDF turns
+                # them into step-0 events only when strict_order is on.
+                from apache_pinot_spark.operators.funnel import FUNNEL_SI_UDF
+
+                steps_arr = (
+                    "filter(array("
+                    + ", ".join(
+                        f"CASE WHEN ({c}) THEN {i + 1} END"
+                        for i, c in enumerate(conds)
+                    )
+                    + "), x -> x IS NOT NULL)"
+                )
+                of = 1 if "strict_order" in mode else 0
+                dd = 1 if "strict_deduplication" in mode else 0
+                return (
+                    f"{FUNNEL_SI_UDF}(CAST({ts} AS BIGINT), {steps_arr}, "
+                    f"{n}, {window}, {of}, {dd})"
                 )
             per_row = (
                 "filter(array("
@@ -2520,6 +2540,9 @@ class PinotEngine:
         register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
         register_idset_udfs(spark)  # ID_SET works on any column undeclared
         register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
+        from apache_pinot_spark.operators.funnel import register_funnel_udfs
+
+        register_funnel_udfs(spark)  # FUNNEL_MAX_STEP strict_increase SQL form
         from apache_pinot_spark.functions.theta import register_theta_udfs
 
         # the set-expression form builds filtered sketches over RAW

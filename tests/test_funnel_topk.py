@@ -257,10 +257,11 @@ def test_funnel_sql_validation(spark):
     eng = PinotEngine(spark)
     with pytest.raises(ValueError, match="declared 3 steps but got 2"):
         eng.rewrite("SELECT FUNNEL_MAX_STEP(ts, 1000, 3, a = 1, b = 2) FROM t GROUP BY u")
-    with pytest.raises(ValueError, match="not supported in SQL"):
-        eng.rewrite(
-            "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_increase') FROM t GROUP BY u"
-        )
+    # strict_increase is SQL-legal now (Arrow grouped-agg UDF emission)
+    out = eng.rewrite(
+        "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_increase') FROM t GROUP BY u"
+    )
+    assert "__pinot_funnel_strict_increase" in out.sql
     with pytest.raises(ValueError, match="not supported in SQL"):
         eng.rewrite(
             "SELECT FUNNEL_MAX_STEP(ts, 1000, 1, a = 1, 'strict_odor') FROM t GROUP BY u"
@@ -730,3 +731,61 @@ def test_strict_increase_combos_vs_unpruned_reference_randomized(spark):
             truth = {e: t for e, t in truth.items()
                      if any(s > 0 for _, s in evs_by_entity[e])}
         assert got == truth, mode
+
+
+def test_strict_increase_sql_matches_operator(spark):
+    """The SQL form (Arrow grouped-agg UDF) agrees with the DataFrame
+    Pareto-frontier operator for every strict_increase mode set, on
+    randomized histories including non-matching (step-0) traffic."""
+    import random
+
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    rng = random.Random(9090)
+    rows = []
+    for case in range(40):
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((f"s{case}", rng.randrange(0, 60), rng.randrange(0, 4)))
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    steps = [F.col("s") == i for i in range(1, 4)]
+    eng = PinotEngine(spark)
+    eng.register("si_ev", df)
+    for mode in (
+        "strict_increase",
+        "strict_increase,strict_order",
+        "strict_increase,strict_deduplication",
+        "strict_increase,strict_order,strict_deduplication",
+    ):
+        sql_got = {
+            r["e"]: r["ms"]
+            for r in eng.sql(
+                f"SELECT e, FUNNEL_MAX_STEP(ts, 40, 3, s = 1, s = 2, s = 3, "
+                f"'{mode}') AS ms FROM si_ev GROUP BY e LIMIT 100"
+            ).collect()
+        }
+        op = {
+            r["e"]: r["max_step"]
+            for r in FU.funnel_max_step(
+                df, "e", "ts", steps, 40, mode=mode
+            ).collect()
+        }
+        # SQL GROUP BY includes every entity; the operator omits
+        # filtered-empty ones (their value is 0)
+        for e, ms in sql_got.items():
+            assert ms == op.get(e, 0), (mode, e)
+        assert len(sql_got) == 40
+
+
+def test_strict_increase_sql_null_ts_and_envelope(spark):
+    from apache_pinot_spark.sqlfront import PinotEngine
+
+    rows = [("u", None, 1), ("u", 1, 1), ("u", 2, 2), ("u", 3, 3)]
+    df = spark.createDataFrame(rows, "e string, ts long, s int")
+    eng = PinotEngine(spark)
+    eng.register("si_nulls", df)
+    env = eng.query(
+        "SELECT e, FUNNEL_MAX_STEP(ts, 1000, 3, s = 1, s = 2, s = 3, "
+        "'strict_increase') AS ms FROM si_nulls GROUP BY e LIMIT 10"
+    )
+    assert env["exceptions"] == []
+    assert env["resultTable"]["rows"] == [["u", 3]]
