@@ -106,6 +106,102 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
+def temperature_mixture_budgets(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    total_budget: int,
+    max_domains: int = 100_000,
+) -> dict:
+    """Per-domain sample budgets for temperature-based mixture sampling
+    (the standard public multilingual/multi-source recipe: sampling
+    probability ∝ share^(1/T); T=1 keeps natural proportions, T→∞
+    approaches uniform, T<1 sharpens toward the head). Budgets are
+    integral via largest-remainder allocation, capped at each domain's
+    actual count with iterative redistribution of the surplus
+    (water-filling), so they sum to ``total_budget`` whenever the corpus
+    is big enough.
+
+    Scale shape: one map-side-combined groupBy count; the collect is
+    bounded by ``max_domains`` and RAISES past it (domain cardinality
+    is small by nature — this is the same bounded-or-raise fence as
+    ivf_topk's centroid collect).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if total_budget < 1:
+        raise ValueError(f"total_budget must be >= 1, got {total_budget}")
+    rows = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .limit(max_domains + 1)
+        .collect()
+    )
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"temperature_mixture_budgets: more than {max_domains} distinct "
+            f"{domain_col} values — raise max_domains explicitly if intended"
+        )
+    if not rows:
+        return {}
+    counts = {r[domain_col]: r["__n"] for r in rows}
+    total = sum(counts.values())
+    weights = {d: (c / total) ** (1.0 / temperature) for d, c in counts.items()}
+    wsum = sum(weights.values())
+    budgets = {d: 0 for d in counts}
+    remaining = total_budget
+    open_domains = set(counts)
+    # water-filling: allocate proportionally among uncapped domains,
+    # cap at the domain count, redistribute the surplus until stable
+    while remaining > 0 and open_domains:
+        wopen = sum(weights[d] for d in open_domains)
+        shares = {d: remaining * weights[d] / wopen for d in open_domains}
+        alloc = {d: int(shares[d]) for d in open_domains}
+        leftover = remaining - sum(alloc.values())
+        # largest remainder, ties by domain for determinism
+        for d in sorted(
+            open_domains, key=lambda d: (-(shares[d] - alloc[d]), str(d))
+        )[:leftover]:
+            alloc[d] += 1
+        progressed = False
+        for d in list(open_domains):
+            take = min(alloc[d], counts[d] - budgets[d])
+            if take > 0:
+                budgets[d] += take
+                remaining -= take
+                progressed = True
+            if budgets[d] >= counts[d]:
+                open_domains.discard(d)
+        if not progressed:
+            break  # every open domain allocated 0 — nothing left to place
+    return {d: b for d, b in budgets.items() if b > 0}
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    total_budget: int,
+    key_col: str,
+    salt: str = "v1",
+    max_domains: int = 100_000,
+) -> DataFrame:
+    """Deterministic temperature-based mixture sample: compute
+    per-domain budgets (temperature_mixture_budgets), then take exactly
+    that many rows per domain via the hash-ranked stratified sampler —
+    same corpus, salt, and parameters reproduce the same sample on any
+    cluster; a new salt re-deals it. Two jobs total: the bounded domain
+    count, then the one-shuffle window rank."""
+    budgets = temperature_mixture_budgets(
+        df, domain_col, temperature, total_budget, max_domains
+    )
+    if not budgets:
+        return df.limit(0)
+    return stratified_sample_exact(
+        df, [domain_col], {(d,): b for d, b in budgets.items()}, key_col, salt
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str],
