@@ -331,6 +331,61 @@ def lsh_topk(
 # --------------------------------------------------------------------------
 
 
+def _gemm_pairs_worker(threshold: float):
+    """mapInPandas worker over block-pair rows (blk_a/ids_a/vecs_a ×
+    blk_b/ids_b/vecs_b): BLAS GEMM prefilter with a small margin, then an
+    exact sequential-fold rescore of survivors (bit-identical to the
+    JVM/oracle left fold). Emits each unordered pair once (id_a < id_b);
+    same-block rows (blk_a == blk_b) take only the strict upper triangle."""
+    thr = float(threshold)
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def seq_dot(A, B):
+            # sequential left-fold across dims, vectorized across pairs —
+            # bit-identical to the engine/oracle per-pair fold
+            acc = A[:, 0] * B[:, 0]
+            for i in range(1, A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            return acc
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = _np.asarray(row.ids_a, dtype=_np.int64)
+                ids_b = _np.asarray(row.ids_b, dtype=_np.int64)
+                A = _np.asarray([list(x) for x in row.vecs_a], dtype=_np.float64)
+                B = _np.asarray([list(x) for x in row.vecs_b], dtype=_np.float64)
+                na = _np.sqrt(seq_dot(A, A))
+                nb = _np.sqrt(seq_dot(B, B))
+                approx = (A @ B.T) / _np.outer(na, nb)
+                ai, bi = _np.nonzero(approx >= thr - 1e-9)
+                if row.blk_a == row.blk_b:
+                    keep = ids_a[ai] < ids_b[bi]
+                else:
+                    keep = _np.ones(len(ai), dtype=bool)
+                ai, bi = ai[keep], bi[keep]
+                if len(ai) == 0:
+                    continue
+                exact = seq_dot(A[ai], B[bi]) / (na[ai] * nb[bi])
+                m = exact >= thr
+                # no rounding here: numpy rounds half-even, Spark/DuckDB
+                # half-up — the caller rounds JVM-side for oracle parity
+                ia, ib, sc = ids_a[ai[m]], ids_b[bi[m]], exact[m]
+                swap = ia > ib
+                ia2 = _np.where(swap, ib, ia)
+                ib2 = _np.where(swap, ia, ib)
+                outs.append(_pd.DataFrame({"id_a": ia2, "id_b": ib2, "score": sc}))
+            yield _pd.concat(outs) if outs else _pd.DataFrame(
+                {"id_a": _pd.Series(dtype="int64"), "id_b": _pd.Series(dtype="int64"),
+                 "score": _pd.Series(dtype="float64")}
+            )
+
+    return run
+
+
 def near_duplicate_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
@@ -388,53 +443,8 @@ def near_duplicate_pairs_blocked(
     )
 
     out_schema = "id_a BIGINT, id_b BIGINT, score DOUBLE"
-    thr = float(threshold)
 
-    def run(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        def seq_dot(A, B):
-            # sequential left-fold across dims, vectorized across pairs —
-            # bit-identical to the engine/oracle per-pair fold
-            acc = A[:, 0] * B[:, 0]
-            for i in range(1, A.shape[1]):
-                acc = acc + A[:, i] * B[:, i]
-            return acc
-
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids_a = _np.asarray(row.ids_a, dtype=_np.int64)
-                ids_b = _np.asarray(row.ids_b, dtype=_np.int64)
-                A = _np.asarray([list(x) for x in row.vecs_a], dtype=_np.float64)
-                B = _np.asarray([list(x) for x in row.vecs_b], dtype=_np.float64)
-                na = _np.sqrt(seq_dot(A, A))
-                nb = _np.sqrt(seq_dot(B, B))
-                approx = (A @ B.T) / _np.outer(na, nb)
-                ai, bi = _np.nonzero(approx >= thr - 1e-9)
-                if row.blk_a == row.blk_b:
-                    keep = ids_a[ai] < ids_b[bi]
-                else:
-                    keep = _np.ones(len(ai), dtype=bool)
-                ai, bi = ai[keep], bi[keep]
-                if len(ai) == 0:
-                    continue
-                exact = seq_dot(A[ai], B[bi]) / (na[ai] * nb[bi])
-                m = exact >= thr
-                # no rounding here: numpy rounds half-even, Spark/DuckDB
-                # half-up — the caller rounds JVM-side for oracle parity
-                ia, ib, sc = ids_a[ai[m]], ids_b[bi[m]], exact[m]
-                swap = ia > ib
-                ia2 = _np.where(swap, ib, ia)
-                ib2 = _np.where(swap, ia, ib)
-                outs.append(_pd.DataFrame({"id_a": ia2, "id_b": ib2, "score": sc}))
-            yield _pd.concat(outs) if outs else _pd.DataFrame(
-                {"id_a": _pd.Series(dtype="int64"), "id_b": _pd.Series(dtype="int64"),
-                 "score": _pd.Series(dtype="float64")}
-            )
-
-    return pairs.mapInPandas(run, schema=out_schema).select(
+    return pairs.mapInPandas(_gemm_pairs_worker(threshold), schema=out_schema).select(
         "id_a", "id_b", F.round("score", 6).alias("score")
     )
 
@@ -619,3 +629,103 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
+    max_block_rows: int = 8192,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate step of the
+    published SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings, then score pairs ONLY inside each cluster, so
+    total work is ~K · (N/K)² instead of N² while catching the semantic
+    duplicates that land in the same cluster.
+
+    Scale design mirrors near_duplicate_pairs_blocked: inside each
+    cluster, vectors hash into bounded blocks (expected population
+    ``max_block_rows``); every same-cluster block pair becomes one row
+    into the GEMM worker, so a single giant cluster still processes as
+    bounded ~4 MB tasks rather than one worker-killing group. Shuffle is
+    O(N·B_within_cluster) vector copies; no driver collect of vectors
+    (only ivf_assign's num_clusters centroid rows).
+
+    Determinism: centroid choice is the md5-hash-order sample and
+    assignment ties go to the lowest centroid index (see ivf_assign), so
+    a SQL oracle reproduces the clustering exactly; survivor scores are
+    the exact sequential fold. Returns (id_a, id_b, score) with
+    id_a < id_b, cosine >= threshold, both in the same cluster."""
+    assigned, _ = ivf_assign(
+        corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
+    )
+    n = corpus.count()
+    per_cluster = max(1, -(-n // max(1, num_clusters)))
+    nblk = max(1, -(-per_cluster // max_block_rows))
+    v = assigned.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(nblk)).cast("int")
+    )
+    blocks = v.groupBy("cluster", "blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
+    )
+    a = blocks.select(
+        "cluster",
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
+    )
+    b = blocks.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
+    )
+    pairs = a.join(
+        b, (F.col("cluster") == F.col("cluster_b")) & (F.col("blk_a") <= F.col("blk_b"))
+    ).repartition(
+        max(corpus.sparkSession.sparkContext.defaultParallelism, num_clusters * nblk)
+    )
+    out_schema = "id_a BIGINT, id_b BIGINT, score DOUBLE"
+    return pairs.mapInPandas(_gemm_pairs_worker(threshold), schema=out_schema).select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
+    max_block_rows: int = 8192,
+) -> DataFrame:
+    """SemDeDup survivors: drop every vector that has a same-cluster
+    near-duplicate (cosine >= threshold) with a SMALLER id; keep the rest.
+
+    The keep-lowest-id rule is the deterministic exemplar choice (the
+    paper keeps one random example per duplicate group; hash/id order is
+    the reproducible equivalent, same policy as dedup.py's exact path).
+    It is oracle-expressible without transitive closure: x is dropped iff
+    some pair (y, x) with y < x exists, i.e. iff x appears as id_b —
+    NOT EXISTS in SQL. For transitive-group canonicalization over the
+    pair graph use operators/components.dedup_keep_canonical on the
+    semantic_dedup_pairs output instead.
+
+    Plan: candidate pairs as above (bounded per-cluster blocked GEMM),
+    distinct dropped ids (slim BIGINT rows), then ONE left-anti hash join
+    back to the untouched input — survivors keep every original column.
+    The dropped side is a distinct-aggregated id set, tiny relative to
+    the corpus, so AQE picks a broadcast anti-join at scale."""
+    pairs = semantic_dedup_pairs(
+        corpus, dim, threshold, num_clusters, id_col, vec_col,
+        kmeans_iterations, max_block_rows,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, on=id_col, how="left_anti")

@@ -1,0 +1,152 @@
+"""SemDeDup — semantic (embedding-cluster) deduplication.
+
+Differential tests: the clustering is deterministic (md5 hash-order
+centroids, lowest-index argmax ties — operators/similarity.ivf_assign),
+so DuckDB reproduces the whole pipeline: centroid pick, assignment,
+within-cluster cosine pairs, keep-lowest-id survivors. Plus fixtures
+pinning the semantics (same-cluster scoping, exemplar rule, blocking
+invariance, column preservation).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.operators import similarity
+from tests.conftest import SF_CORRECTNESS
+
+DIM = 64
+
+
+def _emb(spark):
+    return load_tables(spark, SF_CORRECTNESS, ["embeddings"])["embeddings"]
+
+
+def _oracle_sql(threshold: float, num_clusters: int, select: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (
+  SELECT v AS cv, sqrt(list_dot_product(v, v)) AS cnrm, cidx FROM (
+    SELECT vec_id, v,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cidx
+    FROM e
+  ) WHERE cidx < {num_clusters}
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT a.vec_id AS id, cent.cidx AS cluster,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_dot_product(a.v, cent.cv) / cent.cnrm DESC, cent.cidx) AS rn
+    FROM e a CROSS JOIN cent
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  JOIN assign aa ON aa.id = a.vec_id
+  JOIN assign ab ON ab.id = b.vec_id AND ab.cluster = aa.cluster
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+)
+{select}
+"""
+
+
+@pytest.mark.parametrize("threshold,num_clusters", [(0.35, 8), (0.20, 4)])
+def test_semantic_dedup_pairs_match_duckdb(spark, duck, threshold, num_clusters):
+    got = (
+        similarity.semantic_dedup_pairs(
+            _emb(spark), dim=DIM, threshold=threshold, num_clusters=num_clusters
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    want = duck.sql(
+        _oracle_sql(threshold, num_clusters,
+                    "SELECT id_a, id_b, score FROM pairs ORDER BY id_a, id_b")
+    ).fetchall()
+    assert [(r.id_a, r.id_b, r.score) for r in got] == [tuple(w) for w in want]
+
+
+@pytest.mark.parametrize("threshold,num_clusters", [(0.35, 8), (0.20, 4)])
+def test_semantic_dedup_survivors_match_duckdb(spark, duck, threshold, num_clusters):
+    got = (
+        similarity.semantic_dedup(
+            _emb(spark), dim=DIM, threshold=threshold, num_clusters=num_clusters
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    want = duck.sql(
+        _oracle_sql(
+            threshold, num_clusters,
+            "SELECT vec_id, label FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id_b FROM pairs) ORDER BY vec_id",
+        )
+    ).fetchall()
+    assert [(r.vec_id, r.label) for r in got] == [tuple(w) for w in want]
+    # a threshold this low must actually drop something, or the test is vacuous
+    if threshold <= 0.20:
+        total = duck.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+        assert len(got) < total
+
+
+def test_semantic_dedup_blocking_invariance(spark):
+    """Block count is internal: forcing many small blocks (multi-block
+    pairs, triangle + cross paths) yields the identical pair set."""
+    emb = _emb(spark)
+    one = (
+        similarity.semantic_dedup_pairs(emb, dim=DIM, threshold=0.30, num_clusters=4)
+        .orderBy("id_a", "id_b").collect()
+    )
+    many = (
+        similarity.semantic_dedup_pairs(
+            emb, dim=DIM, threshold=0.30, num_clusters=4, max_block_rows=7
+        )
+        .orderBy("id_a", "id_b").collect()
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_semantic_dedup_fixture_semantics(spark):
+    """Exact duplicates in one cluster: lowest id survives; a duplicate
+    pair split across clusters is NOT dropped (SemDeDup scoping)."""
+    base = [float(i % 7) + 1.0 for i in range(DIM)]
+    anti = [-x for x in base]
+    rows = [
+        (0, base, 0),       # exemplar
+        (1, base, 0),       # exact dup of 0 -> dropped
+        (2, [x * 2.0 for x in base], 0),  # cosine 1.0 with 0 -> dropped
+        (3, anti, 1),       # cosine -1 with base -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    # num_clusters=1 -> all same cluster
+    surv = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(df, dim=DIM, threshold=0.9, num_clusters=1).collect()
+    )
+    assert surv == [0, 3]
+    # num_clusters=4 at most splits them; dup pairs still same cluster iff
+    # assignment agrees — identical vectors ALWAYS share an argmax, so 1,2
+    # still drop; 3 differs and survives wherever it lands
+    surv4 = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(df, dim=DIM, threshold=0.9, num_clusters=4).collect()
+    )
+    assert 0 in surv4 and 3 in surv4 and 1 not in surv4 and 2 not in surv4
+
+
+def test_semantic_dedup_keeps_original_columns(spark):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark).withColumn("extra", F.col("vec_id") * 2)
+    out = similarity.semantic_dedup(emb, dim=DIM, threshold=0.35, num_clusters=8)
+    assert out.columns == emb.columns
+    row = out.orderBy("vec_id").first()
+    assert row.extra == row.vec_id * 2
