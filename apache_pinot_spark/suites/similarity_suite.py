@@ -9,8 +9,16 @@ projections/rescoring use list_dot_product (a sequential fold, matching
 the Spark-side summation; last-ulp sign flips would need a projection
 within ~1e-13 of zero, which real-valued data doesn't produce).
 
+Round-7 fold: the three ANN top-k queries (brute-force / LSH / IVF —
+identical output schema, one rescoring contract) are ONE driver slot,
+``sim_ann_family``, each variant keeping its full engine path and its
+full oracle (union-tagged). The two freed slots promote the round-7
+operator families into the driver gate: ``dedup_semantic_survivors``
+(SemDeDup, registered here — embeddings table) and ``dsir_doc_scores``
+(textanalysis_suite — documents table).
+
 Cut from round 1's declared set (still implemented + unit-tested):
-sim_lsh_candidates (subsumed by sim_lsh_topk's bucket pipeline) and
+sim_lsh_candidates (subsumed by the LSH bucket pipeline) and
 sim_intra_label_cosine (subsumed by sim_cosine_near_dup_pairs' exact
 pairwise scoring)."""
 
@@ -34,39 +42,6 @@ n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 
 def _emb(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-
-
-def _topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 3)
-    # dim=None → HOF fold: only |queries|×|corpus| pairs are scored here,
-    # so the ~2-3 s Janino compile of the unrolled dot would dominate the
-    # query. (Pass dim=64 for big all-pairs runs; identical scores.)
-    return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
-
-
-df_query(
-    "sim_bruteforce_topk",
-    _topk,
-    _N_CTE
-    + """,
-s AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
-  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < 3
-),
-r AS (
-  SELECT query_id, neighbor_id, score,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
-  FROM s
-)
-SELECT query_id, neighbor_id, round(score, 6) AS score, rank
-FROM r WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-    tables=["embeddings"],
-    doc="Exact top-5 cosine neighbors, broadcast query side",
-)
 
 
 def _near_dups(spark, sf_dir):
@@ -95,11 +70,15 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
-# LSH top-k — the hyperplanes are md5-derived constants, inlined below as
-# SQL literals so DuckDB rebuilds the identical (tbl, bucket) table.
+# sim_ann_family — brute-force + LSH + IVF top-k in one driver slot.
+# LSH hyperplanes are md5-derived constants, inlined below as SQL literals
+# so DuckDB rebuilds the identical (tbl, bucket) table; IVF centroids are
+# the num_clusters vectors with smallest md5(vec_id), reproducible as
+# ORDER BY md5(...) LIMIT k.
 # --------------------------------------------------------------------------
 
 _LSH_DIM, _LSH_K, _LSH_PLANES, _LSH_TABLES = 64, 5, 4, 8
+_IVF_K, _IVF_CLUSTERS, _IVF_NPROBE = 5, 16, 6
 
 
 def _weights_sql(table: int, plane: int, dim: int) -> str:
@@ -121,68 +100,61 @@ _SIG_CTE = ",\nsig AS (\n" + "\n  UNION ALL ".join(
 ) + "\n)"
 
 
-def _lsh_topk(spark, sf_dir):
+def _ann_family(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.lsh_topk(
+    # dim=None → HOF fold: only |queries|×|corpus| pairs are scored in the
+    # brute/LSH/IVF rescores, so the ~2-3 s Janino compile of the unrolled
+    # dot would dominate. (Pass dim=64 for big all-pairs runs.)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    lsh = similarity.lsh_topk(
         emb, queries, dim=_LSH_DIM, k=_LSH_K, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
-    ).orderBy("query_id", "rank")
+    )
+    ivf = similarity.ivf_topk(
+        emb, queries, dim=64, k=_IVF_K, num_clusters=_IVF_CLUSTERS, nprobe=_IVF_NPROBE
+    )
+    out = (
+        brute.select(F.lit("brute").alias("variant"), "*")
+        .unionByName(lsh.select(F.lit("lsh").alias("variant"), "*"))
+        .unionByName(ivf.select(F.lit("ivf").alias("variant"), "*"))
+    )
+    return out.orderBy("variant", "query_id", "rank")
 
 
 df_query(
-    "sim_lsh_topk",
-    _lsh_topk,
+    "sim_ann_family",
+    _ann_family,
     _N_CTE
     + _SIG_CTE
     + f""",
-cand AS (
+bf_s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+),
+bf_r AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM bf_s
+),
+lsh_cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
   WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
 ),
-sc AS (
-  SELECT cand.query_id, cand.neighbor_id,
+lsh_sc AS (
+  SELECT lsh_cand.query_id, lsh_cand.neighbor_id,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
-  FROM cand
-  JOIN n a ON a.vec_id = cand.query_id
-  JOIN n b ON b.vec_id = cand.neighbor_id
+  FROM lsh_cand
+  JOIN n a ON a.vec_id = lsh_cand.query_id
+  JOIN n b ON b.vec_id = lsh_cand.neighbor_id
 ),
-r AS (
+lsh_r AS (
   SELECT query_id, neighbor_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
-  FROM sc
-)
-SELECT query_id, neighbor_id, round(score, 6) AS score, rank
-FROM r WHERE rank <= {_LSH_K} ORDER BY query_id, rank
-    """,
-    tables=["embeddings"],
-    doc="LSH-bucketed approximate top-k; deterministic md5-derived "
-        "hyperplanes reproduced as oracle literals (recall vs brute force "
-        "additionally asserted in tests)",
-)
-
-
-# --------------------------------------------------------------------------
-# IVF top-k — centroids are the num_clusters vectors with smallest
-# md5(vec_id) (hash-order sample), reproducible as ORDER BY md5(...) LIMIT k.
-# --------------------------------------------------------------------------
-
-_IVF_K, _IVF_CLUSTERS, _IVF_NPROBE = 5, 16, 6
-
-
-def _ivf_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.ivf_topk(
-        emb, queries, dim=64, k=_IVF_K, num_clusters=_IVF_CLUSTERS, nprobe=_IVF_NPROBE
-    ).orderBy("query_id", "rank")
-
-
-df_query(
-    "sim_ivf_topk",
-    _ivf_topk,
-    _N_CTE
-    + f""",
+  FROM lsh_sc
+),
 cent AS (
   SELECT v AS cv, sqrt(list_dot_product(v, v)) AS cnrm, cidx FROM (
     SELECT vec_id, v,
@@ -206,28 +178,94 @@ probes AS (
     FROM e q CROSS JOIN cent WHERE q.vec_id < 3
   ) WHERE rn <= {_IVF_NPROBE}
 ),
-cand AS (
+ivf_cand AS (
   SELECT DISTINCT p.query_id, a.id AS neighbor_id
   FROM probes p JOIN assign a ON a.cluster = p.cluster
   WHERE a.id <> p.query_id
 ),
-sc AS (
-  SELECT cand.query_id, cand.neighbor_id,
+ivf_sc AS (
+  SELECT ivf_cand.query_id, ivf_cand.neighbor_id,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
-  FROM cand
-  JOIN n a ON a.vec_id = cand.query_id
-  JOIN n b ON b.vec_id = cand.neighbor_id
+  FROM ivf_cand
+  JOIN n a ON a.vec_id = ivf_cand.query_id
+  JOIN n b ON b.vec_id = ivf_cand.neighbor_id
 ),
-r AS (
+ivf_r AS (
   SELECT query_id, neighbor_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
-  FROM sc
+  FROM ivf_sc
 )
-SELECT query_id, neighbor_id, round(score, 6) AS score, rank
-FROM r WHERE rank <= {_IVF_K} ORDER BY query_id, rank
+SELECT 'brute' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
+FROM bf_r WHERE rank <= 5
+UNION ALL
+SELECT 'lsh' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
+FROM lsh_r WHERE rank <= {_LSH_K}
+UNION ALL
+SELECT 'ivf' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ivf_r WHERE rank <= {_IVF_K}
+ORDER BY variant, query_id, rank
     """,
     tables=["embeddings"],
-    doc="IVF (inverted-file) cluster-probed approximate top-k — the "
-        "partition-pruned ANN scale path (probe nprobe/num_clusters of "
-        "data); deterministic hash-sample centroids reproduced in the oracle",
+    doc="ANN family in one slot: exact brute-force top-k (broadcast query "
+        "side), LSH-bucketed top-k (md5-derived hyperplanes inlined as "
+        "oracle literals), and IVF cluster-probed top-k (hash-sample "
+        "centroids) — each variant its full engine path + full oracle; "
+        "recall vs brute force additionally asserted in tests",
+)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup survivors (operators/similarity.semantic_dedup):
+# cluster with the deterministic IVF centroids, drop every vector with a
+# same-cluster near-duplicate of smaller id.
+# --------------------------------------------------------------------------
+
+_SD_THRESHOLD, _SD_CLUSTERS = 0.35, 8
+
+
+def _semantic_survivors(spark, sf_dir):
+    return (
+        similarity.semantic_dedup(
+            _emb(spark, sf_dir), dim=64, threshold=_SD_THRESHOLD, num_clusters=_SD_CLUSTERS
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+df_query(
+    "dedup_semantic_survivors",
+    _semantic_survivors,
+    _N_CTE
+    + f""",
+cent AS (
+  SELECT v AS cv, sqrt(list_dot_product(v, v)) AS cnrm, cidx FROM (
+    SELECT vec_id, v,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cidx
+    FROM e
+  ) WHERE cidx < {_SD_CLUSTERS}
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT a.vec_id AS id, cent.cidx AS cluster,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_dot_product(a.v, cent.cv) / cent.cnrm DESC, cent.cidx) AS rn
+    FROM e a CROSS JOIN cent
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  JOIN assign aa ON aa.id = a.vec_id
+  JOIN assign ab ON ab.id = b.vec_id AND ab.cluster = aa.cluster
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SD_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+    """,
+    tables=["embeddings"],
+    doc="SemDeDup survivors: deterministic-centroid clustering, "
+        "within-cluster blocked-GEMM cosine pairs, keep-lowest-id "
+        "exemplars (operators/similarity.semantic_dedup)",
 )

@@ -182,3 +182,68 @@ df_query(
     tables=["documents"],
     doc="Winnowing-style fingerprint overlap across documents",
 )
+
+
+# --------------------------------------------------------------------------
+# DSIR — hashed n-gram importance scores (operators/dsir.py). The bucket
+# is a md5-substring STRING key, so the oracle rebuilds the identical
+# feature stream; weights are ln(p̂/q̂) rounded to 6 decimals (ulp-level
+# cross-engine ln drift is crushed by the rounding) and quantized to
+# DECIMAL, making the per-document score sums order-independent and
+# bit-exact on both engines. Target corpus = doc_id % 10 = 3.
+# --------------------------------------------------------------------------
+
+
+def _dsir_scores(spark, sf_dir):
+    from apache_pinot_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 10 == 3)
+    weights = dsir.dsir_log_weights(docs, target, "text", quantize=6)
+    return (
+        dsir.dsir_scores(docs, weights, "text")
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+df_query(
+    "dsir_doc_scores",
+    _dsir_scores,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM (
+        SELECT doc_id, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) s
+      )
+    ),
+    tc AS (SELECT bucket, count(*) AS c FROM grams WHERE doc_id % 10 = 3 GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
+    tt AS (SELECT sum(c) AS t FROM tc), rt AS (SELECT sum(c) AS t FROM rc),
+    w AS (
+      SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+             CAST(round(ln( ((coalesce(tc.c, 0) + 1.0) / (tt.t + 4096.0))
+                          / ((coalesce(rc.c, 0) + 1.0) / (rt.t + 4096.0)) ), 6)
+                  AS DECIMAL(26,12)) AS weight
+      FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tt, rt
+    ),
+    s AS (
+      SELECT g.doc_id, CAST(sum(w.weight) AS DECIMAL(38,12)) AS sc
+      FROM grams g JOIN w ON w.bucket = g.bucket GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS DOUBLE) AS score
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tables=["documents"],
+    doc="DSIR hashed-ngram importance scores vs a doc_id%10=3 target "
+        "corpus — decimal-exact log-weight sums (operators/dsir.py)",
+)

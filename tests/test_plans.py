@@ -540,16 +540,15 @@ def test_declared_plans_free_of_scale_antipatterns(spark):
     # operators/similarity.py): the broadcast side is bounded by
     # construction, so the nested-loop join is the intended plan
     bnlj_ok = {
-        "sim_bruteforce_topk",
+        "sim_ann_family",  # brute/LSH/IVF union — each leg's tiny broadcast
         "sim_cosine_near_dup_pairs",
-        "sim_ivf_topk",
-        "sim_lsh_topk",
         # single-ROW build side (a global aggregate attached to every row —
         # the scalar-subquery shape): nested-loop against one broadcast row
         # is a constant-attach, not a quadratic join
         "a6_hll_sketch_bytes",     # merged-sketch row × estimate projection
         "dedup_exact_groups",      # global dup-stats row × group rows
         "eng_approx_aggs",         # 1-row percentile frame × 1-row HLL frame
+        "dsir_doc_scores",         # 1-row corpus totals × ≤4096-row weights
     }
     offenders: dict[str, list[str]] = {}
     for name in sorted(querysuite.REGISTRY):
