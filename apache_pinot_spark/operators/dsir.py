@@ -88,6 +88,47 @@ def hashed_ngram_counts(
     )
 
 
+def dsir_log_weights_split(
+    raw: DataFrame,
+    target_predicate: Column,
+    text_col: str = "text",
+    n: int = 2,
+    hash_chars: int = 3,
+    smoothing: float = 1.0,
+    quantize: int = 12,
+) -> DataFrame:
+    """dsir_log_weights for the common case where the target corpus is a
+    SUBSET of the raw corpus (``target_predicate`` selects it): both
+    count tables come from ONE tokenize+explode pass (count / conditional
+    count in the same map-side-combined aggregate) instead of two corpus
+    scans. Identical output to
+    ``dsir_log_weights(raw, raw.filter(target_predicate), ...)``."""
+    if hash_chars < 1 or hash_chars > 8:
+        raise ValueError("hash_chars must be in 1..8")
+    B = 16 ** hash_chars
+    lam = float(smoothing)
+    if lam <= 0:
+        raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
+    feats = raw.select(
+        target_predicate.alias("in_target"),
+        F.explode(_buckets(F.col(text_col), n, hash_chars)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.count_if(F.col("in_target")).alias("tc"),
+    )
+    totals = counts.agg(
+        F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("tc") + F.lit(lam)) / (F.coalesce(F.col("t_total"), F.lit(0)) + F.lit(lam * B))
+    q = (F.col("rc") + F.lit(lam)) / (F.coalesce(F.col("r_total"), F.lit(0)) + F.lit(lam * B))
+    return joined.select(
+        "bucket",
+        F.round(F.log(p / q), quantize).cast(_WEIGHT_DECIMAL).alias("weight"),
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -198,8 +198,8 @@ def _dsir_scores(spark, sf_dir):
     from apache_pinot_spark.operators import dsir
 
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % 10 == 3)
-    weights = dsir.dsir_log_weights(docs, target, "text", quantize=6)
+    # target ⊆ raw → one tokenize pass builds both count tables
+    weights = dsir.dsir_log_weights_split(docs, F.col("doc_id") % 10 == 3, "text", quantize=6)
     return (
         dsir.dsir_scores(docs, weights, "text")
         .select("doc_id", F.col("score").cast("double").alias("score"))

@@ -97,6 +97,21 @@ FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tt, rt
         assert abs(got[b] - want[b]) < 1e-9, (b, got[b], want[b])
 
 
+def test_dsir_log_weights_split_identical_to_two_corpus(spark):
+    """The single-pass subset form must be bit-identical to the generic
+    two-corpus form (same float expression shape → same doubles)."""
+    docs = _docs(spark)
+    two = {
+        r["bucket"]: r["weight"]
+        for r in dsir.dsir_log_weights(docs, _target(docs), "text").collect()
+    }
+    one = {
+        r["bucket"]: r["weight"]
+        for r in dsir.dsir_log_weights_split(docs, F.col("doc_id") % 10 == 3, "text").collect()
+    }
+    assert one == two
+
+
 def test_dsir_scores_match_duckdb_exactly(spark, duck):
     """Engine-quantized weights inlined as oracle literals → the decimal
     sums must agree EXACTLY (order-independent aggregation)."""
