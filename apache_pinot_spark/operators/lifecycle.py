@@ -67,6 +67,25 @@ def _sweep_dead_results() -> None:
     _live_results[:] = alive
 
 
+def release_on_death(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Keep `cached` frames persisted for as long as `result` is alive,
+    then unpersist them on the weakref sweep. Unlike materialize_release
+    the result stays LAZY — no checkpoint job, no lineage truncation —
+    so use it when the cached intermediate is read from several subtrees
+    of ONE downstream action (e.g. a broadcast stats side + the main
+    stream) and the result is collected once: the caller's own action
+    populates the cache, every subtree after the first reads it, and the
+    storage is reclaimed when the result frame dies."""
+    _sweep_dead_results()
+
+    def _cleanup(frames=tuple(cached)):
+        for df in frames:
+            df.unpersist()
+
+    _live_results.append((weakref.ref(result), _cleanup))
+    return result
+
+
 def materialize_release(
     result: DataFrame, *cached: DataFrame, reliable: bool = False
 ) -> DataFrame:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 import time
+import weakref
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -2487,6 +2488,45 @@ def _pinot_type(dt: T.DataType) -> str:
     return _PINOT_TYPES.get(dt, dt.simpleString().upper())
 
 
+# Sessions whose dialect UDF families are already registered. UDF
+# registration is session-global (spark.udf.register), so constructing a
+# second PinotEngine on the same session must not pay the ~0.25 s of
+# cloudpickle + JVM round-trips again (measured: 8 register_* families ×
+# 2-5 UDFs each; a suite constructing an engine per query re-paid it ~10x
+# per bench pass). WeakSet keys by object identity and drops entries when
+# a session is GC'd, so id-reuse can never false-positive a NEW session.
+_UDF_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _register_session_udfs(spark: SparkSession) -> None:
+    """Register the column-declaration-free dialect UDF families once per
+    session: FREQUENTSTRINGSSKETCH / PERCENTILERAWTDIGEST /
+    DISTINCTCOUNTRAWHLLPLUS / ID_SET / PERCENTILERAWKLL / FUNNEL_MAX_STEP
+    strict_increase / theta build+setexpr / NORMALIZE all work on raw
+    columns with no prior registration, so they must exist up front
+    (theta's BYTES-column path stays lazy behind column declaration)."""
+    if spark in _UDF_SESSIONS:
+        return
+    from apache_pinot_spark.functions.freqitems import register_freq_udfs
+    from apache_pinot_spark.functions.hllplus_wire import register_hllplus_udfs
+    from apache_pinot_spark.functions.idset_wire import register_idset_udfs
+    from apache_pinot_spark.functions.kll_wire import register_kll_udfs
+    from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
+    from apache_pinot_spark.functions.text import register_normalize_udf
+    from apache_pinot_spark.functions.theta import register_theta_udfs
+    from apache_pinot_spark.operators.funnel import register_funnel_udfs
+
+    register_freq_udfs(spark)
+    register_tdigest_udfs(spark)
+    register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
+    register_idset_udfs(spark)  # ID_SET works on any column undeclared
+    register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
+    register_funnel_udfs(spark)  # FUNNEL_MAX_STEP strict_increase SQL form
+    register_theta_udfs(spark)  # set-expression form builds over RAW columns
+    register_normalize_udf(spark)  # NORMALIZE(str[, form])
+    _UDF_SESSIONS.add(spark)
+
+
 class PinotEngine:
     """User-facing engine: Pinot-dialect SQL in, DataFrame / broker
     envelope out. Tables come from a parquet directory (the driver's
@@ -2525,33 +2565,7 @@ class PinotEngine:
         self._ds_hll_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
-        # these need no column declaration, so register eagerly:
-        # FREQUENTSTRINGSSKETCH and PERCENTILERAWTDIGEST(rawCol, …) work
-        # on any column out of the box (theta stays lazy — its BYTES
-        # path is the only one needing registration)
-        from apache_pinot_spark.functions.freqitems import register_freq_udfs
-        from apache_pinot_spark.functions.hllplus_wire import register_hllplus_udfs
-        from apache_pinot_spark.functions.idset_wire import register_idset_udfs
-        from apache_pinot_spark.functions.kll_wire import register_kll_udfs
-        from apache_pinot_spark.functions.tdigest import register_tdigest_udfs
-
-        register_freq_udfs(spark)
-        register_tdigest_udfs(spark)
-        register_hllplus_udfs(spark)  # DISTINCTCOUNTRAWHLLPLUS(rawCol) too
-        register_idset_udfs(spark)  # ID_SET works on any column undeclared
-        register_kll_udfs(spark)  # PERCENTILERAWKLL(rawCol) builds undeclared
-        from apache_pinot_spark.operators.funnel import register_funnel_udfs
-
-        register_funnel_udfs(spark)  # FUNNEL_MAX_STEP strict_increase SQL form
-        from apache_pinot_spark.functions.theta import register_theta_udfs
-
-        # the set-expression form builds filtered sketches over RAW
-        # columns too (pinot_theta_build/setexpr) — no column
-        # declaration involved, so the UDFs must exist up front
-        register_theta_udfs(spark)
-        from apache_pinot_spark.functions.text import register_normalize_udf
-
-        register_normalize_udf(spark)  # NORMALIZE(str[, form])
+        _register_session_udfs(spark)
         if sf_dir:
             for name, df in load_tables(spark, sf_dir, tables).items():
                 self._note_table(name, df)

@@ -150,7 +150,28 @@ def _text_json_sql(spark: SparkSession, sf_dir: str):
         F.col("event_type").alias("k"),
         F.col("cnt").cast("long").alias("v"),
     )
-    return text.unionByName(js).orderBy("form", "k")
+    # r8 fold of p11_p12_regex: P11 TEXT_CONTAINS token-regex
+    # (native-text-index.md:33-55) and P12 REGEXP_LIKE raw scan
+    # (text-search-support.md:22), each its own engine.sql() round-trip.
+    tc = eng.sql(
+        "SELECT COUNT(*) AS cnt FROM documents "
+        "WHERE TEXT_CONTAINS(text, 'quer.*')"
+    ).select(
+        F.lit("text_contains").alias("form"),
+        F.lit("*").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    rl = eng.sql(
+        # Spark SQL string literals are backslash-escaped (legacy parser
+        # default), so the regex metachars need doubling in the SQL text
+        r"SELECT COUNT(*) AS cnt FROM documents "
+        r"WHERE REGEXP_LIKE(text, 'spark\\s+\\w+\\s+join')"
+    ).select(
+        F.lit("regexp_like").alias("form"),
+        F.lit("*").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    return text.unionByName(js).unionByName(tc).unionByName(rl).orderBy("form", "k")
 
 
 df_query(
@@ -170,11 +191,24 @@ df_query(
     WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
       AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 80
     GROUP BY event_type
+    UNION ALL
+    SELECT 'text_contains' AS form, '*' AS k, COUNT(*) AS v FROM (
+      -- TEXT_CONTAINS has no stop-word filtering: unfiltered tokens
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tt
+      FROM documents
+    ) WHERE len(list_filter(tt, x -> regexp_matches(x, '^(?:quer.*)$'))) > 0
+    UNION ALL
+    SELECT 'regexp_like' AS form, '*' AS k, COUNT(*) AS v FROM documents
+    WHERE regexp_matches(text, 'spark\\s+\\w+\\s+join')
     ORDER BY form, k
     """,
     tables=["documents", "events"],
     doc="P10 TEXT_MATCH boolean+prefix (text-search-support.md:398-480) + "
-        "P8 JSON_MATCH range (json-index.md:304-434) via dialect rewrite",
+        "P8 JSON_MATCH range (json-index.md:304-434) + P11 TEXT_CONTAINS "
+        "wildcard (native-text-index.md:33-55) + P12 REGEXP_LIKE "
+        "(text-search-support.md:22), four engine.sql() round-trips "
+        "(r8 fold of p11_p12_regex)",
 )
 
 # --------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from apache_pinot_spark.catalog import load_tables
-from apache_pinot_spark.functions.text import text_match, text_contains, DEFAULT_STOP_WORDS
+from apache_pinot_spark.functions.text import text_match, DEFAULT_STOP_WORDS
 from apache_pinot_spark.querysuite import df_query
 
 _STOP_SQL = ",".join(f"''{w}''" for w in sorted(DEFAULT_STOP_WORDS)).replace("''", "'")
@@ -79,31 +79,8 @@ df_query(
 )
 
 
-def _regex_forms(spark: SparkSession, sf_dir: str):
-    d = _docs(spark, sf_dir)
-    return d.agg(
-        _cnt(text_contains("text", "quer.*")).alias("cnt_contains"),
-        _cnt(F.col("text").rlike("spark\\s+\\w+\\s+join")).alias("cnt_rlike"),
-    )
-
-
-df_query(
-    "p11_p12_regex",
-    _regex_forms,
-    # TEXT_CONTAINS has no stop-word filtering; the pattern hits
-    # non-stop-words only so the unfiltered token list is correct here.
-    """
-    WITH toks AS (
-      SELECT text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '') AS t
-      FROM documents
-    )
-    SELECT
-      CAST(count_if(len(list_filter(t, x -> regexp_matches(x, '^(?:quer.*)$'))) > 0) AS BIGINT) AS cnt_contains,
-      CAST(count_if(regexp_matches(text, 'spark\\s+\\w+\\s+join')) AS BIGINT) AS cnt_rlike
-    FROM toks
-    """,
-    tables=["documents"],
-    doc="P11 TEXT_CONTAINS wildcard (native-text-index.md:33-55) + "
-        "P12 REGEXP_LIKE raw-scan path (text-search-support.md:22)",
-)
+# p11_p12_regex (P11 TEXT_CONTAINS + P12 REGEXP_LIKE) folded into
+# eng_text_json_sql in round 8 — now exercised THROUGH the SQL front-end
+# (suites/enginesql_suite.py), freeing a driver-window slot for
+# curation_boilerplate_removal (suites/ops_suite.py). The Column-API
+# forms keep dedicated coverage in tests/test_text_match.py.

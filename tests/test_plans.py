@@ -549,6 +549,7 @@ def test_declared_plans_free_of_scale_antipatterns(spark):
         "dedup_exact_groups",      # global dup-stats row × group rows
         "eng_approx_aggs",         # 1-row percentile frame × 1-row HLL frame
         "dsir_doc_scores",         # 1-row corpus totals × ≤4096-row weights
+        "stats_moment_pack",       # 1-row moment frame × 1-row geo frame (r8 fold)
     }
     offenders: dict[str, list[str]] = {}
     for name in sorted(querysuite.REGISTRY):
