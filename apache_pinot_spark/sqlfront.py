@@ -416,6 +416,7 @@ class PinotDialect:
         bitmap_columns: set[str] | None = None,
         tuple_columns: set[str] | None = None,
         ds_hll_columns: set[str] | None = None,
+        cpc_columns: set[str] | None = None,
     ):
         self.array_columns = array_columns or set()
         # real column names of registered tables: a SELECT alias that
@@ -477,6 +478,13 @@ class PinotDialect:
         # what Spark's hll_sketch_agg writes): DISTINCTCOUNTHLL over one
         # merges via the native hll_union_agg — zero-Python JVM path
         self.ds_hll_columns = ds_hll_columns or set()
+        # BYTES columns holding serialized DataSketches CPC sketches
+        # (functions/cpc_wire.py — compressed format parsed from the
+        # published layout, estimates library-exact, merged blobs
+        # byte-identical to the jar's own CpcUnion results):
+        # DISTINCTCOUNTCPCSKETCH over one merges + estimates in the wire
+        # domain; the RAW form returns the merged loadable blob
+        self.cpc_columns = cpc_columns or set()
         self.json_schemas = json_schemas or {}  # column name → inferred schema
         # column → JsonIndexConfig (flattening rules, json-index.md:53-81)
         self.json_configs = json_configs or {}
@@ -813,6 +821,36 @@ class PinotDialect:
                     "(PinotEngine.register_bitmap_column)"
                 )
             return f"hex({BM_UNION}({arg}))"
+
+        def distinctcountcpcsketch(a):
+            # Over a BYTES column registered as serialized DataSketches
+            # CPC sketches (register_cpc_column): merge the blobs in the
+            # coupon-matrix domain and estimate library-exactly (HIP for
+            # a single un-merged blob, ICON otherwise —
+            # functions/cpc_wire.py, golden vs datasketches-java). Over a
+            # raw column COUNT DISTINCT is the exact answer the sketch
+            # approximates, computed JVM-side.
+            from apache_pinot_spark.functions.cpc_wire import EST_UDF
+
+            arg = a[0].strip()
+            if arg in self.cpc_columns:
+                return f"{EST_UDF}({arg})"
+            return f"COUNT(DISTINCT {a[0]})"
+
+        def distinctcountrawcpcsketch(a):
+            # RAW form: the merged MERGED-format wire blob as hex —
+            # byte-identical to the jar's own CpcUnion result, loadable
+            # by CpcSketch.heapify.
+            from apache_pinot_spark.functions.cpc_wire import UNION_UDF as CPC_UNION
+
+            arg = a[0].strip()
+            if arg not in self.cpc_columns:
+                raise ValueError(
+                    f"DISTINCTCOUNTRAWCPCSKETCH({arg}): column is not a "
+                    "registered CPC BYTES column "
+                    "(PinotEngine.register_cpc_column)"
+                )
+            return f"hex({CPC_UNION}({arg}))"
 
         # -- multi-valued aggregate family (public Pinot surface; the
         # reference documents MV columns at schema.md:25 — these aggregate
@@ -1940,6 +1978,10 @@ class PinotDialect:
             "SEGMENTPARTITIONEDDISTINCTCOUNT": exact_distinct,
             "DISTINCTCOUNTBITMAP": distinctcountbitmap,
             "DISTINCTCOUNTRAWBITMAP": distinctcountrawbitmap,
+            "DISTINCTCOUNTCPCSKETCH": distinctcountcpcsketch,
+            "DISTINCTCOUNTRAWCPCSKETCH": distinctcountrawcpcsketch,
+            "DISTINCT_COUNT_CPC_SKETCH": distinctcountcpcsketch,
+            "DISTINCT_COUNT_RAW_CPC_SKETCH": distinctcountrawcpcsketch,
             "DISTINCTCOUNTTUPLESKETCH": distinctcounttuplesketch,
             "DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH": distinctcountrawintegersumtuplesketch,
             "SUMVALUESINTEGERSUMTUPLESKETCH": sumvaluesintegersumtuplesketch,
@@ -2563,6 +2605,7 @@ class PinotEngine:
         self._bitmap_columns: set[str] = set()
         self._tuple_columns: set[str] = set()
         self._ds_hll_columns: set[str] = set()
+        self._cpc_columns: set[str] = set()
         self._upsert_tables: dict[str, object] = {}  # name → UpsertConfig
         self._rollups: list = []  # RollupSpec registry
         _register_session_udfs(spark)
@@ -2639,6 +2682,7 @@ class PinotEngine:
             "hll_clearspring": self.register_clearspring_hll_column,
             "freq_longs": lambda c: self.register_freq_wire_column(c, "longs"),
             "freq_strings": lambda c: self.register_freq_wire_column(c, "strings"),
+            "cpc": self.register_cpc_column,
         }
         for col, kind in mapping.items():
             route = routes.get(str(kind).lower())
@@ -2677,6 +2721,20 @@ class PinotEngine:
 
         register_theta_udfs(self.spark)
         self._theta_columns.add(column)
+
+    def register_cpc_column(self, column: str) -> None:
+        """Declare a BYTES column as serialized DataSketches CPC sketch
+        state (CpcSketch.toByteArray(); the reference's
+        DISTINCTCOUNTCPCSKETCH columns, schema.md:48).
+        DISTINCTCOUNTCPCSKETCH over it merges the compressed blobs in the
+        coupon-matrix domain and estimates library-exactly;
+        DISTINCTCOUNTRAWCPCSKETCH returns the merged MERGED-format blob
+        (hex) — byte-identical to the jar's own CpcUnion result
+        (functions/cpc_wire.py, golden vs datasketches-java 6.2.0)."""
+        from apache_pinot_spark.functions.cpc_wire import register_cpc_udfs
+
+        register_cpc_udfs(self.spark)
+        self._cpc_columns.add(column)
 
     def register_bitmap_column(self, column: str) -> None:
         """Declare a BYTES column as SERIALIZED RoaringBitmap state (the
@@ -2869,6 +2927,7 @@ class PinotEngine:
             self._bitmap_columns,
             self._tuple_columns,
             self._ds_hll_columns,
+            cpc_columns=self._cpc_columns,
         )
 
     def rewrite(self, pinot_sql: str) -> RewriteResult:
