@@ -6,8 +6,9 @@ Reference semantics (basics/indexing/text-search-support.md):
     in-order adjacency), term 'Java', boolean AND with implicit OR for
     juxtaposed operands, grouping '(...)', prefix 'stream*',
     regex '/pattern/'; plus the Lucene proximity form '"w1 w2"~N' the
-    public engine accepts through its Lucene query parser (in-order
-    reading — see _sloppy_phrase)
+    public engine accepts through its Lucene query parser (Lucene
+    position-displacement semantics incl. transpositions at slop >= 2 —
+    see _sloppy_phrase)
   * matching is case-insensitive (line 378)
   * the default English stop-word set (lines 251-257) is dropped at both
     index and query time, with per-column include/exclude overrides
@@ -230,33 +231,63 @@ def _compile(node: _Node, tokens: Column, joined: Column, stop_words: frozenset[
 
 
 def _sloppy_phrase(terms: list[str], slop: int, tokens: Column) -> Column:
-    """Proximity phrase '"w1 … wk"~N': terms must appear IN ORDER with at
-    most N extra tokens interleaved (span ≤ k-1+N positions), over the
-    same analyzed token stream as exact phrases. This is the in-order
-    reading of Lucene's sloppy phrase; the divergence is documented —
-    Lucene's position-edit-distance also admits transpositions at
-    slop ≥ 2, which this engine does not.
+    """Proximity phrase '"w1 … wk"~N' with Lucene's position-displacement
+    semantics: the phrase matches iff each term can be assigned a DISTINCT
+    token position p_i such that the displacements s_i = p_i - i fit in a
+    window of width N (max(s) - min(s) <= N). In-order matches reduce to
+    "span <= k-1+N" (s is monotone when positions increase), and
+    out-of-order assignments cost >= 2 — so an adjacent transposition
+    ('"a b"~2' over 'b a') matches exactly from slop 2 up, as in Lucene
+    (round-8 fix: the earlier in-order-only reading rejected it;
+    reference grammar: basics/indexing/text-search-support.md:34-40).
+    For slop <= 1 the displacement window admits ONLY in-order matches,
+    so the cheap anchored-window scan is used.
 
-    JVM shape: positions of the FIRST term (one transform + filter),
-    then for each such position an rlike over the space-joined window of
-    the next k-1+N tokens checking the remaining terms as an in-order
-    subsequence. All built-ins, codegen-friendly; cost is
-    O(first-term occurrences × window) per row."""
+    JVM shape, slop <= 1: positions of the FIRST term (one transform +
+    filter), then an rlike over the space-joined window of the next
+    k-1+N tokens checking the remaining terms as an in-order subsequence.
+    JVM shape, slop >= 2: per-term position arrays + nested EXISTS over
+    the k-way assignment with the displacement-window and distinctness
+    conditions — expression size O(k²), runtime O(prod occurrences)
+    per row (phrase terms are selective; k is the phrase length)."""
     k = len(terms)
-    span_after = k - 1 + slop  # window length after the anchor position
-    sub_pat = " " + "(?: \\S+)* ".join(re.escape(t) for t in terms[1:]) + " "
-    first_positions = F.filter(
-        F.transform(tokens, lambda t, i: F.when(t == terms[0], i)),
-        lambda p: p.isNotNull(),
-    )
-    return F.exists(
-        first_positions,
-        lambda p: F.concat(
-            F.lit(" "),
-            F.array_join(F.slice(tokens, p + 2, span_after), " "),
-            F.lit(" "),
-        ).rlike(sub_pat),
-    )
+    if slop <= 1:
+        span_after = k - 1 + slop  # window length after the anchor position
+        sub_pat = " " + "(?: \\S+)* ".join(re.escape(t) for t in terms[1:]) + " "
+        first_positions = F.filter(
+            F.transform(tokens, lambda t, i: F.when(t == terms[0], i)),
+            lambda p: p.isNotNull(),
+        )
+        return F.exists(
+            first_positions,
+            lambda p: F.concat(
+                F.lit(" "),
+                F.array_join(F.slice(tokens, p + 2, span_after), " "),
+                F.lit(" "),
+            ).rlike(sub_pat),
+        )
+    def _positions_of(term: str) -> Column:
+        return F.filter(
+            F.transform(tokens, lambda t, i: F.when(t == term, i)),
+            lambda p: p.isNotNull(),
+        )
+
+    positions = [_positions_of(term) for term in terms]
+
+    def assignment_ok(bound: list[Column]) -> Column:
+        shifts = [p - i for i, p in enumerate(bound)]
+        cond = F.greatest(*shifts) - F.least(*shifts) <= slop
+        for i in range(k):
+            for j in range(i + 1, k):
+                cond = cond & (bound[i] != bound[j])
+        return cond
+
+    def search(i: int, bound: list[Column]) -> Column:
+        if i == k:
+            return assignment_ok(bound)
+        return F.exists(positions[i], lambda p: search(i + 1, bound + [p]))
+
+    return search(0, [])
 
 
 def text_match(
@@ -321,6 +352,8 @@ def _emit_sql(node: _Node, toks: str, joined: str, stop_words: frozenset[str]) -
             return "true"
         if len(terms) == 1:
             return f"array_contains({toks}, {_sq(terms[0])})"
+        if node.kind == "phrase" and node.slop > 0:
+            return _sloppy_phrase_sql(terms, node.slop, toks)
         return f"contains({joined}, {_sq(' ' + ' '.join(terms) + ' ')})"
     if node.kind == "prefix":
         prefix = _norm_terms(node.value, frozenset())
@@ -330,6 +363,29 @@ def _emit_sql(node: _Node, toks: str, joined: str, stop_words: frozenset[str]) -
         pat = "(?i)^(?:" + node.value + ")$"
         return f"exists({toks}, t -> t RLIKE {_sq(pat)})"
     raise AssertionError(node.kind)
+
+
+def _sloppy_phrase_sql(terms: list[str], slop: int, toks: str) -> str:
+    """SQL-text twin of _sloppy_phrase (round 8 — the SQL front-end
+    previously compiled '"a b"~N' as an EXACT phrase, silently dropping
+    the slop). Same displacement-window semantics; always the assignment
+    search (the SQL form has no anchored fast path — keeping one emitter
+    shape keeps the twin obviously equal to the Column form)."""
+    k = len(terms)
+    pos = [
+        f"filter(transform({toks}, (t, i) -> if(t = {_sq(term)}, i, null)), "
+        "p -> p is not null)"
+        for term in terms
+    ]
+    shifts = [f"(p{i} - {i})" for i in range(k)]
+    conds = [f"greatest({', '.join(shifts)}) - least({', '.join(shifts)}) <= {slop}"]
+    for i in range(k):
+        for j in range(i + 1, k):
+            conds.append(f"p{i} != p{j}")
+    body = "(" + " AND ".join(conds) + ")"
+    for i in range(k - 1, -1, -1):
+        body = f"exists({pos[i]}, p{i} -> {body})"
+    return body
 
 
 def text_match_sql(

@@ -509,13 +509,12 @@ def _boilerplate_removal(spark: SparkSession, sf_dir: str):
     from apache_pinot_spark.operators.curation import remove_repeated_lines
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    t = F.split(F.col("text"), " ")
-    lines = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(t) / 3).cast("int") - 1),
-        lambda g: F.array_join(F.slice(t, g * 3 + 1, 3), " "),
-    )
+    # 3 words per line as ONE regex pass (leftmost non-overlapping, so
+    # groups are exactly 3 words — identical RE semantics on both
+    # engines; the transform+slice construction was O(words²) per doc)
     ml = docs.select(
-        "doc_id", F.array_join(lines, "\n").alias("text")
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
     )
     cleaned = remove_repeated_lines(
         ml, min_count=_CURATION_MIN_COUNT
@@ -532,12 +531,15 @@ df_query(
     _boilerplate_removal,
     f"""
     WITH src AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             regexp_replace(text, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS text
+      FROM documents
     ),
     lines AS (
-      SELECT doc_id, CAST(u.g AS INT) AS pos,
-             array_to_string(t[CAST(u.g AS INT)*3+1 : CAST(u.g AS INT)*3+3], ' ') AS ln
-      FROM src, unnest(range(CAST(ceil(len(t)/3.0) AS BIGINT))) AS u(g)
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, chr(10)), 1) AS INT) AS pos,
+             unnest(string_split(text, chr(10))) AS ln
+      FROM src
     ),
     freq AS (
       SELECT lower(trim(ln)) AS key

@@ -184,7 +184,8 @@ def test_stop_word_overrides(spark):
 
 
 # --------------------------------------------------------------------------
-# Phrase proximity: '"w1 w2"~N' (Lucene slop syntax, in-order reading)
+# Phrase proximity: '"w1 w2"~N' (Lucene slop syntax, position-displacement
+# semantics — in-order gaps at any slop, transpositions from slop 2 up)
 # --------------------------------------------------------------------------
 
 
@@ -197,7 +198,7 @@ def test_phrase_slop_allows_bounded_gaps(spark):
             Row(id=1, t="distributed query engine"),          # adjacent
             Row(id=2, t="distributed columnar query engine"), # 1 extra token
             Row(id=3, t="distributed very fast analytical query engine"),  # 3 extra
-            Row(id=4, t="query engine that is distributed"),  # wrong order
+            Row(id=4, t="query engine that is distributed"),  # reversed
         ]
     )
 
@@ -207,9 +208,85 @@ def test_phrase_slop_allows_bounded_gaps(spark):
     assert ids('"distributed query"') == [1]          # exact adjacency only
     assert ids('"distributed query"~0') == [1]        # ~0 == exact
     assert ids('"distributed query"~1') == [1, 2]
-    assert ids('"distributed query"~3') == [1, 2, 3]
+    # id4 analyzes to (query engine distributed): reversed at distance 2 =
+    # displacement window 3, so it enters exactly at slop 3 (Lucene rule)
+    assert ids('"distributed query"~2') == [1, 2]
+    assert ids('"distributed query"~3') == [1, 2, 3, 4]
     assert ids('"distributed engine"~1') == [1]       # id1: 1 token between
-    assert ids('"distributed engine"~2') == [1, 2]    # id2: 2 tokens between
+    # id2: 2 tokens between; id4: (engine distributed) = adjacent swap,
+    # cost exactly 2 under the Lucene displacement rule
+    assert ids('"distributed engine"~2') == [1, 2, 4]
+
+
+def test_phrase_slop_transposition_matches_from_two(spark):
+    """Lucene's sloppy phrase admits the adjacent swap at slop >= 2
+    (position edit distance 2) — the round-7 divergence, now closed."""
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="beta alpha"),           # adjacent transposition
+            Row(id=2, t="alpha beta"),           # in order
+            Row(id=3, t="beta filler alpha"),    # reversed, 1 apart
+        ]
+    )
+
+    def ids(expr):
+        return sorted(r["id"] for r in df.filter(text_match("t", expr)).collect())
+
+    assert ids('"alpha beta"~0') == [2]
+    assert ids('"alpha beta"~1') == [2]          # swap costs 2, not 1
+    assert ids('"alpha beta"~2') == [1, 2]       # the Lucene-pinned case
+    # id3: alpha@2, beta@0 -> shifts 2 and -1 -> window 3
+    assert ids('"alpha beta"~3') == [1, 2, 3]
+
+
+def test_phrase_slop_repeated_terms_need_distinct_positions(spark):
+    """'"alpha alpha"~N' must bind two DIFFERENT alpha positions — one
+    occurrence cannot satisfy both terms."""
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma"),           # single alpha
+            Row(id=2, t="alpha beta alpha"),           # two alphas, 2 apart
+        ]
+    )
+
+    def ids(expr):
+        return sorted(r["id"] for r in df.filter(text_match("t", expr)).collect())
+
+    assert ids('"alpha alpha"~5') == [2]
+    assert ids('"alpha alpha"~1') == [2]  # positions 0,2: window 1 after -1 shift
+
+
+def test_phrase_slop_sql_twin_matches_column_form(spark):
+    """text_match_sql compiles the same displacement semantics (round 8:
+    the SQL emitter previously dropped the slop silently)."""
+    from pyspark.sql import Row
+    from apache_pinot_spark.functions.text import text_match, text_match_sql
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="beta alpha"),
+            Row(id=2, t="alpha beta"),
+            Row(id=3, t="alpha filler beta"),
+            Row(id=4, t="gamma delta"),
+        ]
+    )
+    df.createOrReplaceTempView("slop_twin")
+    for expr in ('"alpha beta"~1', '"alpha beta"~2', '"alpha beta"~3'):
+        col_ids = sorted(r.id for r in df.filter(text_match("t", expr)).collect())
+        sql_ids = sorted(
+            r.id
+            for r in df.sparkSession.sql(
+                f"SELECT id FROM slop_twin WHERE {text_match_sql('t', expr)}"
+            ).collect()
+        )
+        assert col_ids == sql_ids, expr
 
 
 def test_phrase_slop_three_terms_and_stopwords(spark):
@@ -230,7 +307,11 @@ def test_phrase_slop_three_terms_and_stopwords(spark):
 
     assert ids('"load data tables"') == [2]
     assert ids('"load data tables"~1') == [1, 2]   # id1: one extra token 'new'
-    assert ids('"load data tables"~9') == [1, 2]   # order still required (not id3)
+    # id3 is the full reversal (tables data load): shifts +2, 0, -2 ->
+    # displacement window 4 -> matches from slop 4 (Lucene rule), not below
+    assert ids('"load data tables"~3') == [1, 2]
+    assert ids('"load data tables"~4') == [1, 2, 3]
+    assert ids('"load data tables"~9') == [1, 2, 3]
 
 
 def test_phrase_slop_multiple_anchor_occurrences(spark):
