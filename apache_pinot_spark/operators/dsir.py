@@ -12,6 +12,11 @@ Spark-first design, exactness, and 100 TB posture:
     needed), giving B = 16**hash_chars buckets. Tokenization is the
     corpus-curation convention (lower, split on non-alphanumeric), same
     as operators/curation.py, so one tokenizer governs the pipeline.
+    Production fast path (round 8): pass ``bucket_hash='xxhash64'`` for
+    pmod(xxhash64(gram), B) LONG buckets — one JVM hash instruction per
+    gram instead of md5+hex+substring (measured delta in SCALE.md §18);
+    the md5 convention stays the default because it is the one a SQL
+    oracle can replay bit-for-bit (the driver-gated query uses it).
   * Bucket count tables are ≤ B rows (default 4096) regardless of
     corpus size: one explode + map-side-combined count per corpus. The
     weight table is therefore broadcast-joinable at any scale.
@@ -69,8 +74,26 @@ def _grams(c: Column, n: int) -> Column:
     return F.flatten(F.array(*parts))
 
 
-def _buckets(c: Column, n: int, hash_chars: int) -> Column:
-    return F.transform(_grams(c, n), lambda g: F.substring(F.md5(g), 1, hash_chars))
+def _buckets(c: Column, n: int, hash_chars: int, bucket_hash: str = "md5") -> Column:
+    """Hashed bucket ids for every 1..n-gram.
+
+    bucket_hash='md5' (default): first ``hash_chars`` hex chars of
+    md5(gram) — a STRING key any SQL oracle reproduces verbatim (the
+    cross-engine-exact convention the driver-gated query needs).
+    bucket_hash='xxhash64' (round-8 engine fast path): pmod(xxhash64, B)
+    — a LONG key computed by one JVM hash instruction instead of a full
+    md5 + hex render + substring per gram; same bucket count, same
+    downstream shapes, ~same statistical quality (both are uniform
+    hashes), measured ~1.8x faster end-to-end on the score pipeline
+    (SCALE.md §18). Not SQL-oracle-reproducible (xxhash64 seeds/spec are
+    Spark-internal), so the md5 path stays the verification convention."""
+    grams = _grams(c, n)
+    if bucket_hash == "xxhash64":
+        B = 16 ** hash_chars
+        return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(B)))
+    if bucket_hash != "md5":
+        raise ValueError(f"bucket_hash must be 'md5' or 'xxhash64', got {bucket_hash!r}")
+    return F.transform(grams, lambda g: F.substring(F.md5(g), 1, hash_chars))
 
 
 def hashed_ngram_counts(
@@ -78,11 +101,12 @@ def hashed_ngram_counts(
     text_col: str = "text",
     n: int = 2,
     hash_chars: int = 3,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """(bucket, cnt) hashed n-gram counts over a corpus — one explode +
     one map-side-combined count; output is ≤ 16**hash_chars rows."""
     return (
-        df.select(F.explode(_buckets(F.col(text_col), n, hash_chars)).alias("bucket"))
+        df.select(F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -96,6 +120,7 @@ def dsir_log_weights_split(
     hash_chars: int = 3,
     smoothing: float = 1.0,
     quantize: int = 12,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """dsir_log_weights for the common case where the target corpus is a
     SUBSET of the raw corpus (``target_predicate`` selects it): both
@@ -111,7 +136,7 @@ def dsir_log_weights_split(
         raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
     feats = raw.select(
         target_predicate.alias("in_target"),
-        F.explode(_buckets(F.col(text_col), n, hash_chars)).alias("bucket"),
+        F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"),
     )
     counts = feats.groupBy("bucket").agg(
         F.count("*").alias("rc"),
@@ -137,6 +162,7 @@ def dsir_log_weights(
     hash_chars: int = 3,
     smoothing: float = 1.0,
     quantize: int = 12,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """(bucket, weight) smoothed importance log-weights, weight a DECIMAL:
 
@@ -152,8 +178,8 @@ def dsir_log_weights(
     lam = float(smoothing)
     if lam <= 0:
         raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
-    tc = hashed_ngram_counts(target, text_col, n, hash_chars).withColumnRenamed("cnt", "tc")
-    rc = hashed_ngram_counts(raw, text_col, n, hash_chars).withColumnRenamed("cnt", "rc")
+    tc = hashed_ngram_counts(target, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "tc")
+    rc = hashed_ngram_counts(raw, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "rc")
     tt = tc.agg(F.sum("tc").alias("t_total"))
     rt = rc.agg(F.sum("rc").alias("r_total"))
     joined = (
@@ -177,6 +203,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     n: int = 2,
     hash_chars: int = 3,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """(id_col, score) per-document importance score: SUM over the doc's
     hashed n-grams of weight(bucket), as an exact DECIMAL (zero-feature
@@ -185,7 +212,7 @@ def dsir_scores(
     document id."""
     feats = raw.select(
         F.col(id_col),
-        F.explode(_buckets(F.col(text_col), n, hash_chars)).alias("bucket"),
+        F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"),
     )
     scored = (
         feats.join(F.broadcast(weights), on="bucket")
@@ -225,6 +252,7 @@ def dsir_resample(
     salt: str = "",
     max_exact_n: int = 10_000_000,
     exact: bool = True,
+    bucket_hash: str = "md5",
 ) -> DataFrame:
     """Select ~``n_select`` documents by Gumbel top-k on score/T + G_i —
     equivalent to sampling without replacement ∝ exp(score/T), but fully
@@ -238,7 +266,7 @@ def dsir_resample(
     filter; returns ≈ n_select rows with no global sort and no driver
     materialization beyond one quantile. Returns (id_col, score, key).
     """
-    scores = dsir_scores(raw, weights, text_col, id_col, n, hash_chars)
+    scores = dsir_scores(raw, weights, text_col, id_col, n, hash_chars, bucket_hash)
     keyed = scores.withColumn(
         "key", _gumbel_key(F.col(id_col), salt, F.col("score"), temperature)
     )

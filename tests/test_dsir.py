@@ -199,3 +199,34 @@ def test_dsir_resample_bounds(spark):
         dsir.dsir_log_weights(docs, _target(docs), "text", smoothing=0.0)
     with pytest.raises(ValueError, match="hash_chars"):
         dsir.dsir_log_weights(docs, _target(docs), "text", hash_chars=0)
+
+
+def test_bucket_hash_fast_path_end_to_end(spark):
+    """bucket_hash='xxhash64' (the engine fast path): LONG buckets, same
+    bounds and determinism as the md5 convention; bad names raise."""
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.operators import dsir
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    w = dsir.dsir_log_weights_split(
+        docs, F.col("lang") == "en", hash_chars=3, bucket_hash="xxhash64"
+    )
+    rows = w.collect()
+    assert 0 < len(rows) <= 16**3
+    assert all(isinstance(r.bucket, int) and 0 <= r.bucket < 16**3 for r in rows)
+    s1 = dsir.dsir_scores(docs, w, bucket_hash="xxhash64").orderBy("doc_id").collect()
+    s2 = dsir.dsir_scores(docs, w, bucket_hash="xxhash64").orderBy("doc_id").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # deterministic
+    assert any(r.score != 0 for r in s1)
+    # resample composes with the fast path and stays salt-re-dealable
+    pick = dsir.dsir_resample(docs, w, 10, bucket_hash="xxhash64", salt="a")
+    pick2 = dsir.dsir_resample(docs, w, 10, bucket_hash="xxhash64", salt="a")
+    assert sorted(r.doc_id for r in pick.collect()) == sorted(
+        r.doc_id for r in pick2.collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_hash"):
+        dsir.hashed_ngram_counts(docs, bucket_hash="sha1").collect()

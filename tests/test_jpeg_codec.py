@@ -52,13 +52,51 @@ def test_out_of_scope_and_corrupt_reject_with_none():
     assert J.decode_jpeg(b"") is None
     assert J.decode_jpeg(b"junk") is None
     assert J.decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
-    # progressive (SOF2) is out of scope, not a crash
+    # a corrupt SOF2 header (precision 0) rejects cleanly, not a crash
     assert J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 20) is None
+    # lossless (SOF3) and arithmetic (SOFD) stay out of scope
+    assert J.decode_jpeg(b"\xff\xd8\xff\xc3\x00\x08" + b"\x00" * 20) is None
+    assert J.decode_jpeg(b"\xff\xd8\xff\xcd\x00\x08" + b"\x00" * 20) is None
     blob = J.encode_jpeg(_gray(16, 16))
     assert J.decode_jpeg(blob[: len(blob) // 2]) is None  # truncated
     flipped = bytearray(blob)
     flipped[len(flipped) // 2] ^= 0xFF
     J.decode_jpeg(bytes(flipped))  # must not raise (None or best-effort)
+    # truncated progressive (cut mid-scan-script) must also reject
+    pblob = J.encode_jpeg(_gray(16, 16), progressive=True)
+    assert J.decode_jpeg(pblob[: len(pblob) // 2]) is None
+
+
+def test_progressive_round_trip_matches_baseline():
+    """encode_jpeg(progressive=True) emits SOF2 + a spectral-selection
+    scan script; decoding it reproduces the baseline pipeline's pixels
+    BIT-EXACTLY (same quantized coefficients, different scan layout)."""
+    for h, w in [(8, 8), (16, 24), (13, 19), (40, 48)]:
+        img = _gray(h, w)
+        blob = J.encode_jpeg(img, progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") == 3  # DC + AC 1-5 + AC 6-63
+        out = J.decode_jpeg(blob)
+        assert out is not None and out.shape == (h, w, 1)
+        base = J.decode_jpeg(J.encode_jpeg(img))
+        assert np.array_equal(out, base)
+        assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (21, 35, 3), dtype=np.uint8)
+    blob = J.encode_jpeg(img, progressive=True)
+    assert blob.count(b"\xff\xda") == 7  # DC + 2 bands x 3 components
+    out = J.decode_jpeg(blob)
+    assert np.array_equal(out, J.decode_jpeg(J.encode_jpeg(img)))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_progressive_restart_markers():
+    img = _gray(40, 48)  # 30 blocks per scan
+    blob = J.encode_jpeg(img, progressive=True, restart_interval=4)
+    assert b"\xff\xdd" in blob and blob.count(b"\xff\xd0") >= 2
+    out = J.decode_jpeg(blob)
+    assert out is not None
+    assert np.array_equal(out, J.decode_jpeg(J.encode_jpeg(img, progressive=True)))
 
 
 def test_quant_scales_error():
@@ -144,6 +182,79 @@ def test_decodes_real_imageio_jpegs(spark):
     assert err.max() <= 8 and err.mean() < 2.0
 
 
+def _java_encode_progressive(jvm, img):
+    """JVM ImageIO progressive writer (MODE_DEFAULT = the full libjpeg
+    simple-progression script: DC first Al=1, spectral bands, AC
+    successive approximation Ah=2→Al=1, DC refine, AC refine scans) —
+    a real third-party stream exercising EVERY progressive decode path."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    bi = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
+    if gray:
+        ra = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                ra.setSample(x, y, 0, int(img[y, x]))
+    else:
+        for y in range(h):
+            for x in range(w):
+                rgb = (int(img[y, x, 0]) << 16) | (int(img[y, x, 1]) << 8) | int(
+                    img[y, x, 2]
+                )
+                bi.setRGB(x, y, rgb)
+    ios = jvm.java.io.ByteArrayOutputStream()
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    p = wr.getDefaultWriteParam()
+    p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    mos = jvm.javax.imageio.ImageIO.createImageOutputStream(ios)
+    wr.setOutput(mos)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), p)
+    mos.flush()
+    return bytes(ios.toByteArray())
+
+
+def test_decodes_real_progressive_jpegs(spark):
+    """A progressive JPEG written by the JVM's real encoder — successive
+    approximation first + refine passes for DC and AC, EOB runs, the
+    works — must decode here to the same samples the JVM's own decoder
+    produces: gray bit-exact, color within the upsampling-kernel bound."""
+    jvm = _imageio(spark)
+    g = _gray(24, 40)
+    blob = _java_encode_progressive(jvm, g)
+    assert b"\xff\xc2" in blob  # really SOF2
+    mine = J.decode_jpeg(blob)
+    assert mine is not None
+    theirs = _java_decode_raster(jvm, blob, 1)
+    assert np.array_equal(mine[:, :, 0].astype(np.int32), theirs[:, :, 0])
+    c = _color(32, 48)
+    blob2 = _java_encode_progressive(jvm, c)
+    mine2 = J.decode_jpeg(blob2)
+    assert mine2 is not None
+    theirs2 = _java_decode_raster(jvm, blob2, 3)
+    err = np.abs(mine2.astype(int) - theirs2)
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_imageio_decodes_our_progressive_blobs(spark):
+    """Progressive blobs built by encode_jpeg(progressive=True) heapify
+    in the real decoder — the emitted scan script is spec-valid, not
+    merely self-consistent — including restart markers and odd sizes."""
+    jvm = _imageio(spark)
+    g = _gray(24, 40)
+    back = _java_decode_raster(jvm, J.encode_jpeg(g, progressive=True), 1)
+    assert np.array_equal(back[:, :, 0], g.astype(np.int32))
+    back_r = _java_decode_raster(
+        jvm, J.encode_jpeg(g, progressive=True, restart_interval=3), 1
+    )
+    assert np.array_equal(back_r[:, :, 0], g.astype(np.int32))
+    odd = _gray(13, 19)
+    back_o = _java_decode_raster(jvm, J.encode_jpeg(odd, progressive=True), 1)
+    assert np.array_equal(back_o[:, :, 0], odd.astype(np.int32))
+    c = _color(32, 48)
+    back2 = _java_decode_raster(jvm, J.encode_jpeg(c, progressive=True), 3)
+    assert np.abs(back2 - c.astype(int)).max() <= 2
+
+
 def test_imageio_decodes_our_blobs(spark):
     """Blobs built by encode_jpeg heapify in the real decoder: gray
     bit-exact, color within YCbCr rounding — proving the emitted
@@ -179,6 +290,7 @@ def test_extract_image_features_real_jpeg_through_spark(spark):
         (2, J.encode_jpeg(right_white), ("jpeg", 16, 16)),
         (3, encode_png(left_white), ("png", 16, 16)),
         (4, b"\xff\xd8 corrupt", ("jpeg", 16, 16)),
+        (5, J.encode_jpeg(left_white, progressive=True), ("jpeg", 16, 16)),
     ]
     df = spark.createDataFrame(rows, M.IMAGE_SCHEMA)
     out = {
@@ -190,6 +302,7 @@ def test_extract_image_features_real_jpeg_through_spark(spark):
     assert out[2] == pytest.approx([0.0, 0.0, 1.0, 1.0], abs=0.02)
     assert out[3] == pytest.approx(out[1], abs=0.02)  # same content via PNG
     assert out[4] is None  # reject stream, job survived
+    assert out[5] == pytest.approx(out[1], abs=0.02)  # progressive JPEG (r8)
 
 
 def test_resize_preserves_format_stdlib(spark):
