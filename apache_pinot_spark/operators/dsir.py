@@ -20,6 +20,10 @@ Spark-first design, exactness, and 100 TB posture:
   * Bucket count tables are ≤ B rows (default 4096) regardless of
     corpus size: one explode + map-side-combined count per corpus. The
     weight table is therefore broadcast-joinable at any scale.
+  * The hash-heavy explodes ride behind dedup._spread: small-file
+    inputs (one scan partition) fan out across cores before the md5
+    projection; at cluster scale the input is already many partitions
+    and the rebalance is a near-no-op.
   * Per-document scores are SUM(count · weight) with weights quantized
     to DECIMAL — decimal aggregation is order-independent and exact, so
     scores are bit-stable across runs, partitionings, and engines (the
@@ -41,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators.dedup import _spread
 
 # one tokenizer for the curation family (operators/curation.py uses the
 # same split on the lowered text)
@@ -106,7 +112,8 @@ def hashed_ngram_counts(
     """(bucket, cnt) hashed n-gram counts over a corpus — one explode +
     one map-side-combined count; output is ≤ 16**hash_chars rows."""
     return (
-        df.select(F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"))
+        _spread(df)
+        .select(F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -134,7 +141,7 @@ def dsir_log_weights_split(
     lam = float(smoothing)
     if lam <= 0:
         raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
-    feats = raw.select(
+    feats = _spread(raw).select(
         target_predicate.alias("in_target"),
         F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"),
     )
@@ -210,7 +217,7 @@ def dsir_scores(
     docs score 0). One explode + one broadcast join (the weight table is
     ≤ B rows) + one groupBy(id) decimal sum — a single shuffle keyed by
     document id."""
-    feats = raw.select(
+    feats = _spread(raw).select(
         F.col(id_col),
         F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"),
     )
