@@ -20,6 +20,10 @@ under the same discipline — Spark-first, decimal-exact, 100 TB-shaped:
     after is decimal-exact). Per-document sums are therefore
     order-independent and bit-stable across runs, partitionings, and
     engines; a SQL oracle replays them verbatim.
+  * Training explodes the reference ONCE (unigram counts are per-w sums
+    of the (prev, w) pair counts — every token is the `w` of exactly
+    one position), and the model tables materialize eagerly with
+    truncated lineage, so no later action re-scans the reference.
   * Scoring is one _spread explode of (prev, w) token positions, two
     broadcast left joins, one groupBy(doc) — a single corpus shuffle.
   * Bucketing is an exact ntile window over (avg_logp, doc_id) — one
@@ -110,34 +114,45 @@ def train_bigram_lm(
     """Count-prune-precompute on the reference corpus. Two counting
     shuffles (unigram, bigram) + one vocab-scale join folding the true
     context count into each bigram row; the prune is a deterministic
-    distributed sort-limit by (count DESC, gram ASC). Runs two bounded
-    scalar jobs (T, V) at train time — training is a once-per-reference
-    action, scoring stays fully lazy."""
+    distributed sort-limit by (count DESC, gram ASC). Training is an
+    EAGER once-per-reference action: the reference is exploded ONCE
+    (the (prev, w) count table feeds both unigram and bigram counts),
+    and the bounded model tables are localCheckpoint-materialized so
+    score time never re-scans the reference corpus."""
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
     if vocab_size < 1 or bigram_size < 0:
         raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
     if not 0 < backoff <= 1:
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
-    toks = _spread(reference).select(
-        F.explode(_tokens(F.col(text_col))).alias("w")
-    )
-    ucnt = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = ucnt.agg(F.sum("cnt")).collect()[0][0] or 0
-    vocab = ucnt.orderBy(F.desc("cnt"), F.asc("w")).limit(vocab_size)
-    v = vocab.count()  # actual kept vocab (bounded: <= vocab_size rows)
-    denom = total + v + 1
-    unigrams = vocab.select(
-        "w",
-        F.round(F.log((F.col("cnt") + F.lit(1.0)) / F.lit(float(denom))), quantize)
-        .cast(_LOGP_DECIMAL)
-        .alias("logp_uni"),
-    )
-    pairs = _spread(reference).select(
+    # ONE corpus explode covers both tables: every token is the `w` of
+    # exactly one scoring position ((NULL, t1) or (t_{i-1}, t_i)), so
+    # unigram counts are the per-w sums of the (prev, w) count table —
+    # a vocab-scale re-aggregation, not a second corpus pass.
+    pos = _spread(reference).select(
         F.explode(_pair_positions(F.col(text_col))).alias("p")
-    ).select("p.prev", "p.w").where(F.col("prev").isNotNull())
-    bcnt = pairs.groupBy("prev", "w").agg(F.count("*").alias("bcnt"))
-    bigrams = (
-        bcnt.join(ucnt.withColumnRenamed("w", "prev").withColumnRenamed("cnt", "pcnt"),
-                  on="prev")
+    ).select("p.prev", "p.w")
+    pw = pos.groupBy("prev", "w").agg(F.count("*").alias("cnt")).persist()
+    ucnt = pw.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    total = ucnt.agg(F.sum("cnt")).collect()[0][0] or 0  # populates pw
+    vocab = ucnt.orderBy(F.desc("cnt"), F.asc("w")).limit(vocab_size)
+    v = vocab.count()  # actual kept vocab (bounded; reads the pw cache)
+    denom = total + v + 1
+    unigrams = materialize_release(
+        vocab.select(
+            "w",
+            F.round(F.log((F.col("cnt") + F.lit(1.0)) / F.lit(float(denom))),
+                    quantize)
+            .cast(_LOGP_DECIMAL)
+            .alias("logp_uni"),
+        )
+    )
+    bcnt = pw.where(F.col("prev").isNotNull()).withColumnRenamed("cnt", "bcnt")
+    bigrams = materialize_release(
+        bcnt.join(
+            ucnt.withColumnRenamed("w", "prev").withColumnRenamed("cnt", "pcnt"),
+            on="prev",
+        )
         .orderBy(F.desc("bcnt"), F.asc("prev"), F.asc("w"))
         .limit(bigram_size)
         .select(
@@ -146,7 +161,8 @@ def train_bigram_lm(
             F.round(F.log(F.col("bcnt") / F.col("pcnt")), quantize)
             .cast(_LOGP_DECIMAL)
             .alias("logp"),
-        )
+        ),
+        pw,  # model tables are lineage-truncated: release the count cache
     )
     return BigramLM(
         unigrams=unigrams,

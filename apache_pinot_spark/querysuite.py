@@ -139,37 +139,44 @@ sql_query(
     doc="P2 eq + P3 range + P4 BETWEEN in one scan (count_if per predicate)",
 )
 
-# P5+P6 — IN membership + AND/OR conjunction over orders (Introduction.md:108-109)
+# P5+P6 — IN membership + AND/OR conjunction over orders
+# (Introduction.md:108-109) — plus P7, the multi-valued-column predicate
+# (Pinot MV semantics: predicate matches if ANY element matches,
+# configuration-reference/schema.md:25; the MV column is the tokenized
+# documents.text). Folded in round 8 (the stats_moment_pack one-row
+# cross-join maneuver) to free a gate slot for lm_perplexity_scores;
+# P7's scalar-syntax rewrite form stays covered by eng_dialect_forms'
+# mv_scalar rows.
 sql_query(
-    "p5_p6_orders_predicates",
+    "p5_p7_predicates",
     """
-    SELECT
-      COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS cnt_in,
-      COUNT(CASE WHEN (o_orderstatus = 'F' AND o_totalprice > 100000.0)
-                   OR (o_orderstatus = 'O' AND o_totalprice < 2000.0)
-            THEN 1 END) AS cnt_and_or
-    FROM orders
-    """,
-    tables=["orders"],
-    doc="P5 IN + P6 AND/OR in one scan",
-)
-
-# --------------------------------------------------------------------------
-# P7 — multi-valued-column predicate. Pinot MV semantics: predicate matches
-# if ANY element matches (configuration-reference/schema.md:25). The MV
-# column here is the tokenized documents.text.
-# --------------------------------------------------------------------------
-sql_query(
-    "p7_mv_predicate",
-    """
-    SELECT COUNT(*) AS cnt
-    FROM documents WHERE array_contains(split(text, ' '), 'spark')
+    SELECT o.cnt_in, o.cnt_and_or, d.cnt_mv FROM (
+      SELECT
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS cnt_in,
+        COUNT(CASE WHEN (o_orderstatus = 'F' AND o_totalprice > 100000.0)
+                     OR (o_orderstatus = 'O' AND o_totalprice < 2000.0)
+              THEN 1 END) AS cnt_and_or
+      FROM orders
+    ) o CROSS JOIN (
+      SELECT COUNT(*) AS cnt_mv
+      FROM documents WHERE array_contains(split(text, ' '), 'spark')
+    ) d
     """,
     oracle="""
-    SELECT COUNT(*) AS cnt
-    FROM documents WHERE list_contains(string_split(text, ' '), 'spark')
+    SELECT o.cnt_in, o.cnt_and_or, d.cnt_mv FROM (
+      SELECT
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS cnt_in,
+        COUNT(CASE WHEN (o_orderstatus = 'F' AND o_totalprice > 100000.0)
+                     OR (o_orderstatus = 'O' AND o_totalprice < 2000.0)
+              THEN 1 END) AS cnt_and_or
+      FROM orders
+    ) o CROSS JOIN (
+      SELECT COUNT(*) AS cnt_mv
+      FROM documents WHERE list_contains(string_split(text, ' '), 'spark')
+    ) d
     """,
-    tables=["documents"],
+    tables=["orders", "documents"],
+    doc="P5 IN + P6 AND/OR + P7 MV any-element predicate (one-row cross join)",
 )
 
 # P9/F4 JSON_EXTRACT_SCALAR → covered by f4_json_extract_scalar_groupby

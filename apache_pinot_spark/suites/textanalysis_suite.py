@@ -247,3 +247,102 @@ df_query(
     doc="DSIR hashed-ngram importance scores vs a doc_id%10=3 target "
         "corpus — decimal-exact log-weight sums (operators/dsir.py)",
 )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (operators/lm.py, CCNet arXiv:1911.00359).
+# Reference corpus = the lang='en' documents; every document scored by
+# stupid-backoff mean log-probability. The oracle retrains the model in
+# SQL: unigram counts are per-w sums of the (prev, w) position counts
+# (each token is the w of exactly one position — the engine's own
+# single-explode identity), pruning is the same deterministic
+# (count DESC, gram ASC) sort-limit, and every log-prob is round(ln, 6)
+# cast to DECIMAL, so the per-document decimal sums match bit-for-bit;
+# the one double emitted is a single DECIMAL->DOUBLE cast.
+# --------------------------------------------------------------------------
+
+
+def _lm_scores(spark, sf_dir):
+    from apache_pinot_spark.operators import lm as L
+
+    docs = _docs(spark, sf_dir)
+    model = L.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), vocab_size=500, bigram_size=1000
+    )
+    return (
+        L.lm_doc_scores(docs, model)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("sum_logp").cast("double").alias("sum_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+df_query(
+    "lm_perplexity_scores",
+    _lm_scores,
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS prev, t[1] AS w
+      FROM toks WHERE len(t) >= 1
+      UNION ALL
+      SELECT doc_id, lang, t[i] AS prev, t[i+1] AS w
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) s
+    ),
+    uc AS (SELECT w, count(*) AS c FROM pos WHERE lang = 'en' GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM uc),
+    vocab AS (SELECT w, c FROM uc ORDER BY c DESC, w ASC LIMIT 500),
+    vv AS (SELECT count(*) AS v FROM vocab),
+    uni AS (
+      SELECT w, CAST(round(ln((c + 1.0) / (tot.t + vv.v + 1.0)), 6)
+                     AS DECIMAL(26,12)) AS logp_uni
+      FROM vocab, tot, vv
+    ),
+    big AS (
+      SELECT prev, w, CAST(round(ln(bc * 1.0 / pc), 6) AS DECIMAL(26,12)) AS logp
+      FROM (
+        SELECT b.prev, b.w, b.bc, u.c AS pc
+        FROM (SELECT prev, w, count(*) AS bc FROM pos
+              WHERE lang = 'en' AND prev IS NOT NULL GROUP BY prev, w) b
+        JOIN uc u ON u.w = b.prev
+        ORDER BY b.bc DESC, b.prev ASC, b.w ASC LIMIT 1000
+      )
+    ),
+    consts AS (
+      SELECT CAST(round(ln(1.0 / (tot.t + vv.v + 1.0)), 6) AS DECIMAL(26,12)) AS oov,
+             CAST(round(ln(0.4), 6) AS DECIMAL(26,12)) AS bo
+      FROM tot, vv
+    ),
+    sc AS (
+      SELECT p.doc_id,
+             CASE WHEN big.logp IS NOT NULL THEN big.logp
+                  WHEN p.prev IS NULL THEN coalesce(uni.logp_uni, consts.oov)
+                  ELSE consts.bo + coalesce(uni.logp_uni, consts.oov)
+             END AS lp
+      FROM pos p
+      LEFT JOIN big ON big.prev = p.prev AND big.w = p.w
+      LEFT JOIN uni ON uni.w = p.w, consts
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n, CAST(sum(lp) AS DECIMAL(38,12)) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+           CAST(CAST(coalesce(agg.s, 0) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logp
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tables=["documents"],
+    doc="CCNet-style bigram-LM stupid-backoff log-prob scores vs the "
+        "lang='en' reference corpus — decimal-exact sums (operators/lm.py)",
+)

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "f3_f5_time_parse",
     "join_customer_revenue",
     "j3_semi_anti",
-    "p7_mv_predicate",
+    "p5_p7_predicates",
 ]
 
 

@@ -550,6 +550,7 @@ def test_declared_plans_free_of_scale_antipatterns(spark):
         "eng_approx_aggs",         # 1-row percentile frame × 1-row HLL frame
         "dsir_doc_scores",         # 1-row corpus totals × ≤4096-row weights
         "stats_moment_pack",       # 1-row moment frame × 1-row geo frame (r8 fold)
+        "p5_p7_predicates",        # 1-row orders aggregate × 1-row MV count (r8 fold)
     }
     offenders: dict[str, list[str]] = {}
     for name in sorted(querysuite.REGISTRY):
