@@ -253,3 +253,63 @@ def test_rewriter_structural_fuzz_vs_duckdb(spark, duck):
             assert (g is None and (w is None or w != w)) or float(g) == float(w), (
                 f"case {case}: {q!r} -> {col}: {g} vs {w}"
             )
+
+
+# --------------------------------------------------------------------------
+# Image codec properties (round 8): random images through BOTH scan
+# layouts — progressive must reproduce the baseline pipeline bit-exactly
+# (same quantized coefficients, different entropy organization), and the
+# decoder must never raise on mutated bytes (reject-with-None contract).
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_progressive_equals_baseline_property(data):
+    import numpy as np
+
+    from apache_pinot_spark.operators import jpeg_codec as J
+
+    h = data.draw(st.integers(1, 41), label="h")
+    w = data.draw(st.integers(1, 41), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    gray = data.draw(st.booleans(), label="gray")
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img))
+    prog = J.decode_jpeg(J.encode_jpeg(img, progressive=True))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+    # gray quant=1 is near-lossless; color bounded by YCbCr rounding
+    tol = 1 if gray else 4
+    ref = img[:, :, None] if gray else img
+    assert np.abs(base.astype(int) - ref.astype(int)).max() <= tol
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_jpeg_decoder_never_raises_on_mutations(data):
+    import numpy as np
+
+    from apache_pinot_spark.operators import jpeg_codec as J
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = bytearray(
+        J.encode_jpeg(img, progressive=data.draw(st.booleans(), label="prog"))
+    )
+    mode = data.draw(st.sampled_from(["truncate", "flip", "splice"]), label="mode")
+    if mode == "truncate":
+        blob = blob[: data.draw(st.integers(0, len(blob) - 1), label="cut")]
+    elif mode == "flip":
+        for _ in range(data.draw(st.integers(1, 8), label="nflips")):
+            i = data.draw(st.integers(0, len(blob) - 1), label="pos")
+            blob[i] ^= data.draw(st.integers(1, 255), label="xor")
+    else:  # splice random marker-ish noise into the middle
+        i = data.draw(st.integers(2, len(blob) - 2), label="at")
+        noise = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=1, max_size=16))
+        )
+        blob = blob[:i] + noise + blob[i:]
+    out = J.decode_jpeg(bytes(blob))  # None or a best-effort array — no raise
+    assert out is None or out.ndim == 3
