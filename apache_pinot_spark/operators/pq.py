@@ -1,0 +1,342 @@
+"""IVF+PQ — product-quantized approximate nearest neighbor, the
+standard billion-scale ANN layout (Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search"): vectors compress to ``m``
+one-byte codes (64-dim float64 → 8 bytes at m=8, a 64x index shrink),
+queries score candidates through per-query lookup tables (ADC), and a
+small exact-rescore refinement restores brute-force-identical scores on
+the survivors.
+
+This is the third ANN tier next to operators/similarity.py's
+brute-force and IVF: same coarse quantizer (`ivf_assign`'s
+deterministic hash-order centroids + optional spherical Lloyd steps),
+but the probed candidates are scored from the COMPRESSED index — at
+100 TB the full-precision vectors never ride the candidate join.
+
+Scale shape:
+  * Codebook training is bounded: initialization is the same
+    deterministic md5 hash-order sample as ivf_assign (ksub vectors
+    serve every subspace), each Lloyd iteration is ONE corpus pass
+    (Arrow-batched nearest-code assign, slim (subspace, code) rows into
+    a map-side-combined mean) and the collected state is m·ksub·dsub
+    doubles (m=8, ksub=256, dim=64 → 16k doubles) — driver-safe at any
+    corpus size.
+  * The PQ index is (id, cluster, codes: array<smallint>) — the base
+    vectors stay in the base table. Candidate generation joins the slim
+    index against broadcast probes; ADC scoring is an Arrow pass whose
+    per-batch state is one m×ksub table per distinct query in the batch.
+  * Refinement joins only the top refine_factor·k survivors per query
+    back to the base table (broadcast-eligible by construction) and
+    rescores with the SAME codegen'd cosine fold as brute force — the
+    emitted scores are bit-identical to brute_force_topk on every pair
+    IVF+PQ retrieves, so recall is directly measurable (tests pin it).
+  * Corpus vectors are unit-normalized before encoding, so cosine
+    reduces to inner product and the ADC table is a plain GEMV per
+    subspace.
+
+Determinism: centroid init is hash-ordered, Lloyd means are
+fixed-iteration-count, ADC ties break by neighbor id — identical output
+on every run and partitioning (tests pin this), though the PQ
+approximation itself is float and NOT SQL-oracle-reproducible; the
+correctness story is the exact-rescore parity + recall differentials,
+the same stance as the IVF recall table (SCALE.md §13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators.similarity import (
+    _spread,
+    _to_double,
+    cosine_expr,
+    ivf_assign,
+)
+
+
+@dataclass(frozen=True)
+class PQCodebooks:
+    """m sub-codebooks, each ksub x dsub (plain nested lists so the
+    object ships cleanly in UDF closures); dim = m * dsub."""
+
+    m: int
+    ksub: int
+    dsub: int
+    books: list  # [m][ksub][dsub] floats
+
+
+def _normalize(v: Column) -> Column:
+    from apache_pinot_spark.operators.similarity import norm_expr
+
+    n = norm_expr(v)
+    return F.transform(v, lambda x: x / F.when(n == 0, F.lit(1.0)).otherwise(n))
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQCodebooks:
+    """Per-subspace k-means codebooks over the UNIT-NORMALIZED corpus.
+    Deterministic: init = the ksub smallest-md5(id) vectors (their j-th
+    subvectors seed subspace j), then ``iterations`` Lloyd steps — each
+    one Arrow corpus pass + one bounded mean collect; empty codes keep
+    their previous centroid."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 <= ksub <= 32768:  # codes are SMALLINT
+        raise ValueError(f"ksub must be in [1, 32768], got {ksub}")
+    dsub = dim // m
+    v = _spread(corpus).select(
+        F.col(id_col).alias("id"), _normalize(_to_double(F.col(vec_col))).alias("v")
+    )
+    init = (
+        v.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(ksub)
+        .collect()
+    )
+    if len(init) < ksub:  # tiny corpora: pad by cycling the sample
+        init = (init * (ksub // max(len(init), 1) + 1))[:ksub]
+    books = np.asarray([list(r["v"]) for r in init], dtype=np.float64)
+    books = books.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # m,ksub,dsub
+
+    for _ in range(iterations):
+        bks = books.copy()
+
+        def assign(batches, _bks=bks, _m=m, _dsub=dsub):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                X = _np.asarray(list(pdf["v"]), dtype=_np.float64)
+                if not len(X):
+                    continue
+                sub = X.reshape(len(X), _m, _dsub)
+                out = []
+                for j in range(_m):
+                    d = (
+                        (sub[:, j, :] ** 2).sum(1)[:, None]
+                        - 2.0 * sub[:, j, :] @ _bks[j].T
+                        + (_bks[j] ** 2).sum(1)[None, :]
+                    )
+                    code = d.argmin(1)
+                    out.append(
+                        _pd.DataFrame(
+                            {
+                                "sub": j,
+                                "code": code.astype("int32"),
+                                "sv": list(sub[:, j, :]),
+                            }
+                        )
+                    )
+                yield _pd.concat(out)
+
+        # means round to 9 decimals: float partial-sum order varies with
+        # partitioning, and the rounding crushes that ulp drift so the
+        # trained codebooks are partition-invariant (the DSIR convention;
+        # 1e-9 on unit-vector components is far below quantizer noise)
+        rows = (
+            v.mapInPandas(assign, schema="sub INT, code INT, sv ARRAY<DOUBLE>")
+            .groupBy("sub", "code")
+            .agg(*[
+                F.round(F.avg(F.col("sv").getItem(i)), 9).alias(f"c{i}")
+                for i in range(dsub)
+            ])
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            new[r["sub"], r["code"]] = [r[f"c{i}"] for i in range(dsub)]
+        books = new
+    return PQCodebooks(m=m, ksub=ksub, dsub=dsub, books=books.tolist())
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, codes array<smallint>[, extra_cols]) — the compressed index
+    rows. Map-side Arrow pass, zero shuffle; the closure carries only
+    the m·ksub·dsub codebook floats."""
+    import numpy as np
+
+    m, dsub, ksub = codebooks.m, codebooks.dsub, codebooks.ksub
+    bks = np.asarray(codebooks.books, dtype=np.float64)
+    extra = list(extra_cols or [])
+    src = _spread(corpus).select(
+        F.col(id_col).alias("id"),
+        _normalize(_to_double(F.col(vec_col))).alias("v"),
+        *extra,
+    )
+
+    def enc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.asarray(list(pdf["v"]), dtype=_np.float64)
+            sub = X.reshape(len(X), m, dsub)
+            codes = _np.empty((len(X), m), dtype=_np.int32)
+            for j in range(m):
+                d = (
+                    (sub[:, j, :] ** 2).sum(1)[:, None]
+                    - 2.0 * sub[:, j, :] @ bks[j].T
+                    + (bks[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d.argmin(1)
+            out = {"id": pdf["id"], "codes": list(codes.astype("int16"))}
+            for c in extra:
+                out[c] = pdf[c]
+            yield _pd.DataFrame(out)
+
+    schema = "id BIGINT, codes ARRAY<SMALLINT>"
+    for c in extra:
+        schema += f", {c} {dict(src.dtypes)[c].upper()}"
+    return src.mapInPandas(enc, schema=schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    iterations: int = 1,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 65536,
+    kmeans_iterations: int = 0,
+) -> DataFrame:
+    """IVF coarse probe + PQ/ADC candidate scoring + exact top-k
+    refinement. Output schema and score semantics match ivf_topk /
+    brute_force_topk (query_id, neighbor_id, score, rank): the final
+    scores come from the SAME exact cosine fold over the base table's
+    true vectors — only WHICH candidates survive is approximate."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(
+        corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
+    )
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+
+    codebooks = pq_train(corpus, dim, m, ksub, iterations, id_col, vec_col)
+    bks = np.asarray(codebooks.books, dtype=np.float64)
+    dsub = codebooks.dsub
+
+    # slim compressed index: (id, cluster, codes) — the true vectors do
+    # NOT ride the candidate join (the point of PQ at scale)
+    index = pq_encode(
+        assigned.select(F.col("id").alias("vec_id"), F.col("v").alias(vec_col), "cluster"),
+        codebooks,
+        id_col="vec_id",
+        vec_col=vec_col,
+        extra_cols=["cluster"],
+    )
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_topk query set exceeds max_query_rows={max_query_rows}; "
+            "chunk the queries or raise the bound explicitly"
+        )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qn = qv / (np.sqrt(qv @ qv) or 1.0)
+        sim = (cmat @ qn) / cnorm
+        for c in np.argsort(-sim)[:nprobe]:
+            probe_rows.append((r["query_id"], qn.tolist(), int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id BIGINT, qn ARRAY<DOUBLE>, cluster INT"
+    )
+
+    cand = index.join(F.broadcast(probes), on="cluster").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    def adc(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        tables: dict = {}  # query_id -> m x ksub inner-product table
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scores = _np.empty(len(pdf), dtype=_np.float64)
+            codes = _np.asarray(list(pdf["codes"]), dtype=_np.int64)
+            qids = pdf["query_id"].to_numpy()
+            for qid in _np.unique(qids):
+                tab = tables.get(qid)
+                if tab is None:
+                    row = pdf.loc[pdf["query_id"] == qid, "qn"].iloc[0]
+                    qn = _np.asarray(row, dtype=_np.float64).reshape(m, dsub)
+                    # table[j][c] = qn_j . codebook[j][c]
+                    tab = _np.einsum("jd,jkd->jk", qn, bks)
+                    tables[qid] = tab
+                sel = qids == qid
+                scores[sel] = tab[_np.arange(m)[None, :], codes[sel]].sum(1)
+            yield _pd.DataFrame(
+                {"query_id": pdf["query_id"], "id": pdf["id"], "ascore": scores}
+            )
+
+    approx = cand.mapInPandas(
+        adc, schema="query_id BIGINT, id BIGINT, ascore DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("id"))
+    survivors = (
+        approx.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= refine_factor * k)
+        .select("query_id", "id")
+    )
+
+    # exact refinement: survivors (<= refine_factor*k per query) are the
+    # broadcast side; the base table supplies true vectors once
+    base = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    qdf = spark.createDataFrame(
+        [(r["query_id"], list(map(float, r["qv"]))) for r in qrows],
+        schema="query_id BIGINT, qv ARRAY<DOUBLE>",
+    )
+    exact = (
+        base.join(F.broadcast(survivors), on="id")
+        .join(F.broadcast(qdf), on="query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine_expr(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
