@@ -130,3 +130,89 @@ def test_stdlib_tier_resize_end_to_end(spark):
     assert rows[1]["meta"]["width"] == 8 and rows[1]["meta"]["height"] == 8
     assert bytes(rows[2]["content"]) == b"junk"  # reject stream: untouched
     assert rows[2]["meta"]["width"] == 9
+
+
+# --------------------------------------------------------------------------
+# Adam7 interlaced decode (round 8)
+# --------------------------------------------------------------------------
+
+
+def _raw_png_i(w, h, color, rows):
+    """Interlaced variant of _raw_png: IHDR interlace=1, rows already in
+    Adam7 pass order (each row = filter byte + pass-row data)."""
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    out = P.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+    out += chunk(b"IDAT", zlib.compress(b"".join(rows)))
+    return out + chunk(b"IEND", b"")
+
+
+def _adam7_rows(img):
+    """Filter-0 Adam7 pass rows for an H×W (gray) or H×W×C image —
+    independent of the decoder's pass bookkeeping."""
+    a = img if img.ndim == 3 else img[:, :, None]
+    h, w = a.shape[:2]
+    rows = []
+    for x0, y0, dx, dy in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)]:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            rows.append(b"\x00" + sub[r].tobytes())
+    return rows
+
+
+def test_adam7_hand_assembled_gray_and_rgb():
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (13, 19), (1, 1), (2, 9)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        px = P.decode_png(_raw_png_i(shape[1], shape[0], 0, _adam7_rows(img)))
+        assert px is not None, shape
+        assert np.array_equal(px[:, :, 0], img), shape
+    rgb = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    px = P.decode_png(_raw_png_i(7, 10, 2, _adam7_rows(rgb)))
+    assert np.array_equal(px, rgb)
+
+
+def test_adam7_truncated_rejects():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 19), dtype=np.uint8)
+    rows = _adam7_rows(img)
+    short = _raw_png_i(19, 13, 0, rows[:-3])  # drop the last pass rows
+    assert P.decode_png(short) is None
+
+
+def test_adam7_jvm_imageio_golden(spark):
+    """The JVM PNG writer's progressive mode IS Adam7: its interlaced
+    blobs must decode here to the same samples its own reader produces
+    (bit-exact; PNG is lossless)."""
+    jvm = spark._jvm
+    try:
+        jvm.javax.imageio.ImageIO.getWriterFormatNames
+    except Exception:
+        pytest.skip("JVM ImageIO unavailable")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 37, 3), dtype=np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(37, 24, 1)  # TYPE_INT_RGB
+    for y in range(24):
+        for x in range(37):
+            bi.setRGB(x, y, (int(img[y, x, 0]) << 16)
+                      | (int(img[y, x, 1]) << 8) | int(img[y, x, 2]))
+    ios = jvm.java.io.ByteArrayOutputStream()
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    p = wr.getDefaultWriteParam()
+    p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    mos = jvm.javax.imageio.ImageIO.createImageOutputStream(ios)
+    wr.setOutput(mos)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), p)
+    mos.flush()
+    blob = bytes(ios.toByteArray())
+    # IHDR interlace byte (offset: magic 8 + len 4 + type 4 + 12 fields)
+    assert blob[8 + 4 + 4 + 12] == 1, "writer did not interlace"
+    px = P.decode_png(blob)
+    assert px is not None and px.shape == (24, 37, 3)
+    assert np.array_equal(px, img)  # PNG is lossless end to end
