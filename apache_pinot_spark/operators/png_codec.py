@@ -7,8 +7,12 @@ nothing but the standard library (the format is zlib-deflate over
 per-scanline filtered samples — RFC 2083). Scope, checked up front and
 rejected with None rather than guessed:
 
-  decode: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-          4 (gray+alpha), 6 (RGBA); all five scanline filters
+  decode: 8- AND 16-bit samples (16-bit scales to 8 after filtering —
+          PNG filters act on bytes with a whole-pixel 'left' distance),
+          color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+          6 (RGBA); tRNS transparency (palette alpha table and the
+          gray/RGB color key, keyed at native depth) expands to an
+          alpha channel; all five scanline filters
           (None/Sub/Up/Average/Paeth); BOTH progressive layouts —
           non-interlaced and Adam7 interlaced (round 8: seven
           independently-filtered sub-images deinterlaced by strided
@@ -37,13 +41,15 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def decode_png(data: bytes) -> "np.ndarray | None":
     """PNG bytes → H×W×C uint8 array (C per color type; palette expands
-    to RGB). None for anything out of scope or corrupt."""
+    to RGB, tRNS transparency adds an alpha channel, 16-bit samples
+    scale to 8). None for anything out of scope or corrupt."""
     try:
         if not data or not data.startswith(PNG_MAGIC):
             return None
         pos = len(PNG_MAGIC)
         ihdr = None
         plte = None
+        trns = None
         idat = bytearray()
         while pos + 8 <= len(data):
             (length,) = struct.unpack_from(">I", data, pos)
@@ -55,6 +61,8 @@ def decode_png(data: bytes) -> "np.ndarray | None":
                 ihdr = struct.unpack(">IIBBBBB", body)
             elif ctype == b"PLTE":
                 plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                trns = bytes(body)
             elif ctype == b"IDAT":
                 idat += body
             elif ctype == b"IEND":
@@ -63,38 +71,64 @@ def decode_png(data: bytes) -> "np.ndarray | None":
         if ihdr is None or not idat:
             return None
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
             return None
         if color not in _CHANNELS or w == 0 or h == 0:
             return None
+        if color == 3 and depth != 8:
+            return None  # 16-bit palette indices are not legal PNG
         ch = _CHANNELS[color]
+        sb = depth // 8  # bytes per sample (filters act at byte level)
         raw = zlib.decompress(bytes(idat))
         if interlace == 0:
-            out, used = _unfilter(raw, 0, w, h, ch)
+            out, used = _unfilter(raw, 0, w, h, ch, sb)
             if out is None or used != len(raw):
                 return None
-            px = out.reshape(h, w, ch)
+            px = out.reshape(h, w, ch * sb)
         else:  # Adam7: 7 sub-images, each filtered independently, placed
             # back into the full raster by (x0::dx, y0::dy) striding
-            px = np.zeros((h, w, ch), dtype=np.uint8)
+            px = np.zeros((h, w, ch * sb), dtype=np.uint8)
             off = 0
             for x0, y0, dx, dy in _ADAM7:
                 pw = (w - x0 + dx - 1) // dx
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue
-                sub, used = _unfilter(raw, off, pw, ph, ch)
+                sub, used = _unfilter(raw, off, pw, ph, ch, sb)
                 if sub is None:
                     return None
                 off += used
-                px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+                px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch * sb)
             if off != len(raw):
                 return None
+        # native-depth sample array (tRNS keys compare at full precision)
+        if sb == 2:
+            b = px.reshape(h, w, ch, 2).astype(np.uint16)
+            vals = (b[..., 0] << 8) | b[..., 1]
+        else:
+            vals = px.reshape(h, w, ch)
         if color == 3:
-            if plte is None or int(px.max()) >= len(plte):
+            if plte is None or int(vals.max()) >= len(plte):
                 return None
-            px = plte[px[:, :, 0]]
-        return px
+            idx = vals[:, :, 0]
+            rgb = plte[idx]
+            if trns is not None:  # per-palette-index alpha, 255-padded
+                pal_a = np.full(len(plte), 255, dtype=np.uint8)
+                pal_a[: min(len(trns), len(plte))] = np.frombuffer(
+                    trns[: len(plte)], dtype=np.uint8
+                )
+                return np.concatenate([rgb, pal_a[idx][:, :, None]], axis=2)
+            return rgb
+        if trns is not None and color in (0, 2):
+            # single fully-transparent color key at native depth
+            key = struct.unpack(f">{ch}H", trns[: 2 * ch])
+            mask = np.ones((h, w), dtype=bool)
+            for c in range(ch):
+                mask &= vals[:, :, c] == key[c]
+            alpha = np.where(mask, 0, 255).astype(np.uint8)
+            out8 = (vals >> 8).astype(np.uint8) if sb == 2 else vals
+            return np.concatenate([out8, alpha[:, :, None]], axis=2)
+        return (vals >> 8).astype(np.uint8) if sb == 2 else vals
     except Exception:
         return None
 
@@ -106,12 +140,16 @@ _ADAM7 = [
 ]
 
 
-def _unfilter(raw: bytes, offset: int, w: int, h: int, ch: int):
+def _unfilter(raw: bytes, offset: int, w: int, h: int, ch: int, sb: int = 1):
     """Reverse the five scanline filters over ``h`` rows of ``w`` pixels
-    starting at ``offset``; returns (rows array h×(w·ch), bytes consumed)
-    or (None, 0) on malformed input. Shared by the non-interlaced image
-    and each Adam7 sub-image (each pass filters against its OWN rows)."""
-    stride = w * ch
+    (``ch`` channels of ``sb``-byte samples) starting at ``offset``;
+    returns (rows array h×(w·ch·sb) of bytes, bytes consumed) or
+    (None, 0) on malformed input. Shared by the non-interlaced image and
+    each Adam7 sub-image (each pass filters against its OWN rows). PNG
+    filters operate on BYTES with the 'left' neighbor one whole pixel
+    (ch·sb bytes) back — bpp below."""
+    stride = w * ch * sb
+    bpp = ch * sb
     need = h * (stride + 1)
     if offset + need > len(raw):
         return None, 0
@@ -127,21 +165,21 @@ def _unfilter(raw: bytes, offset: int, w: int, h: int, ch: int):
             cur = line
         elif ftype == 1:  # Sub
             cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             cur = line.copy()
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line.copy()
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)

@@ -64,11 +64,17 @@ def test_decode_rgb_and_palette_and_alpha():
 def test_decode_rejects_out_of_scope():
     assert P.decode_png(b"") is None
     assert P.decode_png(b"not a png at all") is None
-    # 16-bit depth: rejected, not mangled
+    # sub-byte depths (1/2/4-bit): rejected, not mangled (16-bit became
+    # a real decode path in round 8 — covered by its own goldens below)
     bad_depth = P.PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + struct.pack(
-        ">IIBBBBB", 1, 1, 16, 0, 0, 0, 0
+        ">IIBBBBB", 1, 1, 4, 0, 0, 0, 0
     ) + b"\x00" * 4
     assert P.decode_png(bad_depth) is None
+    # 16-bit palette indices are not legal PNG: rejected
+    bad_pal16 = P.PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 1, 1, 16, 3, 0, 0, 0
+    ) + b"\x00" * 4 + zlib.compress(b"\x00\x00\x00")
+    assert P.decode_png(bad_pal16) is None
     # truncated mid-IDAT (IEND is the trailing 12 bytes; cut past it)
     good = _raw_png(2, 2, 0, [b"\x00\x0a\x14", b"\x00\x1e\x28"])
     assert P.decode_png(good[:-20]) is None
@@ -216,3 +222,97 @@ def test_adam7_jvm_imageio_golden(spark):
     px = P.decode_png(blob)
     assert px is not None and px.shape == (24, 37, 3)
     assert np.array_equal(px, img)  # PNG is lossless end to end
+
+
+# --------------------------------------------------------------------------
+# 16-bit samples + tRNS transparency (round 8)
+# --------------------------------------------------------------------------
+
+
+def _raw_png16(w, h, color, rows, depth=16, extra=b""):
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    out = P.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+    out += extra
+    out += chunk(b"IDAT", zlib.compress(b"".join(rows)))
+    return out + chunk(b"IEND", b"")
+
+
+def _chunk(ctype, payload):
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def test_16bit_gray_scales_to_8():
+    # 2x2 16-bit gray, filter 0: 0x1234 -> 0x12 etc.
+    row0 = b"\x00" + struct.pack(">HH", 0x1234, 0x00FF)
+    row1 = b"\x00" + struct.pack(">HH", 0xFFFF, 0x8000)
+    px = P.decode_png(_raw_png16(2, 2, 0, [row0, row1]))
+    assert px is not None and px.shape == (2, 2, 1)
+    assert px[:, :, 0].tolist() == [[0x12, 0x00], [0xFF, 0x80]]
+
+
+def test_16bit_filters_use_pixel_distance():
+    """Sub filter on 16-bit gray: the 'left' neighbor is 2 bytes back —
+    pixel (not byte) distance. raw row: p0=0x0102, deltas 0x0101 ->
+    p1 = 0x0203."""
+    row = b"\x01" + struct.pack(">HH", 0x0102, 0x0101)
+    px = P.decode_png(_raw_png16(2, 1, 0, [row]))
+    assert px[0, :, 0].tolist() == [0x01, 0x02]  # 0x0102>>8, 0x0203>>8
+
+
+def test_16bit_jvm_imageio_golden(spark):
+    """A TYPE_USHORT_GRAY PNG written by the JVM decodes here to the
+    top-byte samples of what the JVM's own reader returns."""
+    jvm = spark._jvm
+    try:
+        jvm.javax.imageio.ImageIO.getWriterFormatNames
+    except Exception:
+        pytest.skip("JVM ImageIO unavailable")
+    rng = np.random.RandomState(9)
+    img16 = rng.randint(0, 65536, (9, 13), dtype=np.uint16)
+    bi = jvm.java.awt.image.BufferedImage(13, 9, 11)  # TYPE_USHORT_GRAY
+    ra = bi.getRaster()
+    for y in range(9):
+        for x in range(13):
+            ra.setSample(x, y, 0, int(img16[y, x]))
+    ios = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "png", ios)
+    blob = bytes(ios.toByteArray())
+    assert blob[8 + 4 + 4 + 8] == 16  # IHDR depth byte: really 16-bit
+    px = P.decode_png(blob)
+    assert px is not None and px.shape == (9, 13, 1)
+    assert np.array_equal(px[:, :, 0], (img16 >> 8).astype(np.uint8))
+
+
+def test_trns_palette_alpha():
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    trns = _chunk(b"tRNS", bytes([0, 128]))  # idx0 transparent, idx1 half
+    rows = [b"\x00\x00\x01\x02"]
+    out = P.PNG_MAGIC + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    ) + plte + trns + _chunk(b"IDAT", zlib.compress(b"".join(rows))) + _chunk(b"IEND", b"")
+    px = P.decode_png(out)
+    assert px.shape == (1, 3, 4)
+    assert px[0].tolist() == [[255, 0, 0, 0], [0, 255, 0, 128], [0, 0, 255, 255]]
+
+
+def test_trns_gray_and_rgb_color_key():
+    # gray 8-bit: key = 7 -> alpha 0 exactly there
+    trns = _chunk(b"tRNS", struct.pack(">H", 7))
+    png = _raw_png16(2, 1, 0, [b"\x00\x07\x09"], depth=8, extra=trns)
+    px = P.decode_png(png)
+    assert px.shape == (1, 2, 2)
+    assert px[0].tolist() == [[7, 0], [9, 255]]
+    # RGB 16-bit: key at NATIVE depth — a pixel whose top bytes match but
+    # low bytes differ must stay opaque
+    key = _chunk(b"tRNS", struct.pack(">HHH", 0x0100, 0x0200, 0x0300))
+    row = b"\x00" + struct.pack(">HHH", 0x0100, 0x0200, 0x0300) + struct.pack(
+        ">HHH", 0x0101, 0x0200, 0x0300
+    )
+    px = P.decode_png(_raw_png16(2, 1, 2, [row], depth=16, extra=key))
+    assert px.shape == (1, 2, 4)
+    assert px[0, 0].tolist() == [1, 2, 3, 0]    # exact key: transparent
+    assert px[0, 1].tolist() == [1, 2, 3, 255]  # near key: opaque
