@@ -167,6 +167,80 @@ def bpe_encode(
     return src.mapInPandas(run, schema="id BIGINT, pieces ARRAY<STRING>")
 
 
+def bpe_chunk(
+    corpus: DataFrame,
+    merges: list,
+    max_pieces: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, chunk_index, chunk_text, n_pieces) — split each document
+    on word boundaries into chunks whose EXACT BPE piece count stays
+    ≤ ``max_pieces`` (the context-window budget), greedily packing words
+    left to right. No token is ever dropped: a single word whose pieces
+    alone exceed the budget becomes its own (over-budget) chunk rather
+    than being truncated — callers filter or re-split those. Chunk text
+    re-joins the tokenizer's words with single spaces (the corpus
+    tokenizer convention). Map-side Arrow pass, zero shuffle, same
+    per-batch word memo as bpe_encode."""
+    if max_pieces < 1:
+        raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    src = _spread(corpus).select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        eow = _EOW
+
+        def encode_word(word):
+            syms = list(word[:-1]) + [word[-1] + eow]
+            while len(syms) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        memo: dict = {}
+        for pdf in batches:
+            ids, idxs, texts, npcs = [], [], [], []
+            for doc_id, toks in zip(pdf["id"], pdf["toks"]):
+                words, budget, idx = [], 0, 0
+                for w in (toks if toks is not None else []):
+                    got = memo.get(w)
+                    if got is None:
+                        got = encode_word(w)
+                        memo[w] = got
+                    n = len(got)
+                    if words and budget + n > max_pieces:
+                        ids.append(doc_id); idxs.append(idx)
+                        texts.append(" ".join(words)); npcs.append(budget)
+                        words, budget, idx = [], 0, idx + 1
+                    words.append(w)
+                    budget += n
+                if words:
+                    ids.append(doc_id); idxs.append(idx)
+                    texts.append(" ".join(words)); npcs.append(budget)
+            yield _pd.DataFrame(
+                {"id": ids, "chunk_index": idxs, "chunk_text": texts,
+                 "n_pieces": npcs}
+            )
+
+    out = src.mapInPandas(
+        run, schema="id BIGINT, chunk_index INT, chunk_text STRING, n_pieces INT"
+    )
+    return out.select(
+        F.col("id").alias(id_col), "chunk_index", "chunk_text", "n_pieces"
+    )
+
+
 def bpe_token_counts(
     corpus: DataFrame,
     merges: list,

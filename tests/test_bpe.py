@@ -102,3 +102,44 @@ def test_token_budget_shrinks_with_merges(spark):
     n200 = (bpe.bpe_token_counts(docs, bpe.train_bpe(docs, num_merges=200))
             .agg(F.sum("n_pieces")).collect()[0][0])
     assert n200 < n0  # merges strictly compress the budget
+
+
+def test_bpe_chunk_budget_and_no_loss(spark):
+    docs = _docs(spark).limit(40)
+    merges = bpe.train_bpe(docs, num_merges=100)
+    chunks = bpe.bpe_chunk(docs, merges, max_pieces=32).collect()
+    assert chunks
+    # budget holds except single-word overflows (none in this corpus)
+    assert all(c.n_pieces <= 32 for c in chunks)
+    # chunk piece counts are EXACT: re-encoding each chunk reproduces them
+    cdf = spark.createDataFrame(
+        [(i, c.chunk_text) for i, c in enumerate(chunks)], "doc_id long, text string"
+    )
+    recount = {r[0]: r.n_pieces
+               for r in bpe.bpe_token_counts(cdf, merges).collect()}
+    for i, c in enumerate(chunks):
+        assert recount[i] == c.n_pieces, i
+    # no token lost: per-doc total pieces == unchunked totals, and indexes
+    # are contiguous from 0
+    totals = {}
+    seen = {}
+    for c in chunks:
+        totals[c.doc_id] = totals.get(c.doc_id, 0) + c.n_pieces
+        seen.setdefault(c.doc_id, []).append(c.chunk_index)
+    want = {r.doc_id: r.n_pieces
+            for r in bpe.bpe_token_counts(docs, merges).collect() if r.n_pieces}
+    assert totals == want
+    assert all(sorted(v) == list(range(len(v))) for v in seen.values())
+
+
+def test_bpe_chunk_overlong_word_kept(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh xy xy")], "doc_id int, text string"
+    )
+    merges = []  # no merges: every char is a piece
+    chunks = {c.chunk_index: c
+              for c in bpe.bpe_chunk(docs, merges, max_pieces=4).collect()}
+    assert chunks[0].chunk_text == "abcdefgh" and chunks[0].n_pieces == 8
+    assert chunks[1].chunk_text == "xy xy" and chunks[1].n_pieces == 4
+    with pytest.raises(ValueError, match="max_pieces"):
+        bpe.bpe_chunk(docs, merges, max_pieces=0)
