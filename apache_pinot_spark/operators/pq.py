@@ -209,6 +209,63 @@ def pq_encode(
     return src.mapInPandas(enc, schema=schema)
 
 
+@dataclass(frozen=True)
+class IVFPQIndex:
+    """A reusable compressed ANN index: the slim (id, cluster, codes)
+    frame, the coarse centroids, the PQ codebooks, and a handle to the
+    base table for exact refinement. Build ONCE with ``ivfpq_index``
+    (the expensive part — at scale this is the offline index job),
+    query many times with ``ivfpq_query``."""
+
+    index: DataFrame  # (id, cluster, codes array<smallint>)
+    centroids: list  # [(cluster_id, [float])]
+    codebooks: PQCodebooks
+    base: DataFrame  # (id, v array<double>) — true vectors for refine
+    dim: int
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    num_clusters: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
+    materialize: bool = True,
+) -> IVFPQIndex:
+    """Build the compressed index: coarse IVF assignment + PQ codebooks
+    + codes. With ``materialize`` (default) the slim code frame is
+    localCheckpoint-materialized so repeated queries never re-run the
+    assign/encode passes — the index-reuse contract a serving layer
+    needs (pass False to keep it lazy for one-shot pipelines)."""
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
+    assigned, centroids = ivf_assign(
+        corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
+    )
+    codebooks = pq_train(corpus, dim, m, ksub, iterations, id_col, vec_col)
+    index = pq_encode(
+        assigned.select(
+            F.col("id").alias("vec_id"), F.col("v").alias(vec_col), "cluster"
+        ),
+        codebooks,
+        id_col="vec_id",
+        vec_col=vec_col,
+        extra_cols=["cluster"],
+    )
+    if materialize:
+        index = materialize_release(index)
+    base = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    return IVFPQIndex(
+        index=index, centroids=centroids, codebooks=codebooks, base=base, dim=dim
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,33 +282,42 @@ def ivfpq_topk(
     max_query_rows: int = 65536,
     kmeans_iterations: int = 0,
 ) -> DataFrame:
+    """One-shot convenience: build the index (lazy — nothing is cached
+    beyond the call) and query it. For repeated query batches build once
+    with ``ivfpq_index`` and call ``ivfpq_query``."""
+    idx = ivfpq_index(
+        corpus, dim, num_clusters, m, ksub, iterations, id_col, vec_col,
+        kmeans_iterations, materialize=False,
+    )
+    return ivfpq_query(
+        idx, queries, k, nprobe, refine_factor, id_col, vec_col, max_query_rows
+    )
+
+
+def ivfpq_query(
+    idx: IVFPQIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 65536,
+) -> DataFrame:
     """IVF coarse probe + PQ/ADC candidate scoring + exact top-k
-    refinement. Output schema and score semantics match ivf_topk /
-    brute_force_topk (query_id, neighbor_id, score, rank): the final
-    scores come from the SAME exact cosine fold over the base table's
-    true vectors — only WHICH candidates survive is approximate."""
+    refinement against a prebuilt index. Output schema and score
+    semantics match ivf_topk / brute_force_topk (query_id, neighbor_id,
+    score, rank): the final scores come from the SAME exact cosine fold
+    over the base table's true vectors — only WHICH candidates survive
+    is approximate."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(
-        corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
-    )
-    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cmat = np.asarray([c for _, c in idx.centroids], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cnorm[cnorm == 0] = 1.0
-
-    codebooks = pq_train(corpus, dim, m, ksub, iterations, id_col, vec_col)
-    bks = np.asarray(codebooks.books, dtype=np.float64)
-    dsub = codebooks.dsub
-
-    # slim compressed index: (id, cluster, codes) — the true vectors do
-    # NOT ride the candidate join (the point of PQ at scale)
-    index = pq_encode(
-        assigned.select(F.col("id").alias("vec_id"), F.col("v").alias(vec_col), "cluster"),
-        codebooks,
-        id_col="vec_id",
-        vec_col=vec_col,
-        extra_cols=["cluster"],
-    )
+    bks = np.asarray(idx.codebooks.books, dtype=np.float64)
+    m, dsub = idx.codebooks.m, idx.codebooks.dsub
+    index = idx.index
 
     qrows = (
         queries.select(
@@ -262,7 +328,7 @@ def ivfpq_topk(
     )
     if len(qrows) > max_query_rows:
         raise ValueError(
-            f"ivfpq_topk query set exceeds max_query_rows={max_query_rows}; "
+            f"ivfpq query set exceeds max_query_rows={max_query_rows}; "
             "chunk the queries or raise the bound explicitly"
         )
     probe_rows = []
@@ -272,7 +338,7 @@ def ivfpq_topk(
         sim = (cmat @ qn) / cnorm
         for c in np.argsort(-sim)[:nprobe]:
             probe_rows.append((r["query_id"], qn.tolist(), int(c)))
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     probes = spark.createDataFrame(
         probe_rows, schema="query_id BIGINT, qn ARRAY<DOUBLE>, cluster INT"
     )
@@ -318,9 +384,7 @@ def ivfpq_topk(
 
     # exact refinement: survivors (<= refine_factor*k per query) are the
     # broadcast side; the base table supplies true vectors once
-    base = corpus.select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    )
+    base = idx.base
     qdf = spark.createDataFrame(
         [(r["query_id"], list(map(float, r["qv"]))) for r in qrows],
         schema="query_id BIGINT, qv ARRAY<DOUBLE>",

@@ -119,3 +119,28 @@ def test_query_bound_raises(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError, match="max_query_rows"):
         pq.ivfpq_topk(emb, emb, DIM, k=2, max_query_rows=10)
+
+
+def test_index_reuse_matches_one_shot(spark):
+    """ivfpq_index + ivfpq_query (the serving contract: build once,
+    query many) returns exactly what the one-shot operator returns,
+    across two different query batches against ONE built index."""
+    emb = _emb(spark)
+    idx = pq.ivfpq_index(emb, DIM, num_clusters=8, m=8, ksub=16, iterations=1)
+    q1 = emb.filter(F.col("vec_id") % 100 == 7).limit(4)
+    q2 = emb.filter(F.col("vec_id") % 100 == 23).limit(4)
+    for q in (q1, q2):
+        got = sorted(
+            tuple(r) for r in pq.ivfpq_query(idx, q, k=3, nprobe=8,
+                                             refine_factor=4).collect()
+        )
+        want = sorted(
+            tuple(r) for r in pq.ivfpq_topk(emb, q, DIM, k=3, num_clusters=8,
+                                            nprobe=8, m=8, ksub=16,
+                                            iterations=1,
+                                            refine_factor=4).collect()
+        )
+        assert got == want
+    # the materialized index is a plain bounded frame
+    assert idx.index.columns == ["id", "codes", "cluster"]
+    assert idx.index.count() == emb.count()
