@@ -1,0 +1,169 @@
+"""End-to-end pretraining-corpus curation — the composition every
+operator family in this repo exists to serve, packaged as ONE staged
+flow (the C4/RefinedWeb/RedPajama recipe shape):
+
+    exact dedup → boilerplate removal → quality + language filter →
+    PII redaction → near-dup dedup (MinHash-LSH → connected components
+    → canonical survivors) → benchmark decontamination → optional
+    LM-perplexity or DSIR selection → train/val/test splits
+
+Each stage is the already-tested operator from its own module; this
+module contributes the WIRING and the per-stage row accounting a real
+pipeline audits (what did each filter cost?). Laziness is preserved:
+``curate_corpus`` builds the staged plan without running a single job;
+``curation_report`` triggers one count per requested stage.
+
+Scale posture is inherited stage by stage (each operator documents its
+own shuffles in SCALE.md): the pipeline adds NO driver materialization
+of corpus data and no extra shuffles beyond its stages — stages chain
+as plain DataFrames, so Catalyst fuses adjacent map-side stages
+(quality/langid/redaction ride the same scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationConfig:
+    """Stage knobs; set a stage's enable flag False to skip it."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    # exact dedup
+    exact_dedup: bool = True
+    # boilerplate (C4 repeated-line) removal
+    boilerplate: bool = True
+    boilerplate_min_count: int = 3
+    # quality + language gate (quality_score_expr's 0-100 scale)
+    quality_filter: bool = True
+    min_quality: float = 50.0
+    keep_langs: tuple = ("en",)  # empty/None = keep all languages
+    # PII redaction (rewrites text, drops no rows)
+    redact_pii: bool = True
+    # near-dup dedup
+    near_dedup: bool = True
+    near_num_hashes: int = 8
+    near_band_size: int = 2
+    near_shingle_n: int = 3
+    near_threshold: float = 0.7
+    # benchmark decontamination
+    decontaminate: bool = True
+    contamination_n: int = 8
+    max_contamination: float = 0.1
+    # selection: 'none' | 'lm' (perplexity head buckets) | 'dsir'
+    selection: str = "none"
+    lm_keep_buckets: int = 2  # keep head buckets 1..k of 3
+    dsir_n_select: int = 0
+    # splits
+    splits: dict = field(default_factory=lambda: {"train": 0.98, "val": 0.01,
+                                                  "test": 0.01})
+    split_salt: str = "v1"
+
+
+def curate_corpus(
+    docs: DataFrame,
+    config: CurationConfig | None = None,
+    benchmark: DataFrame | None = None,
+    reference: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run the staged curation plan. Returns {stage_name: DataFrame} in
+    stage order — every entry is the corpus AS OF that stage (same
+    schema as the input, plus a ``split`` column on the final stage),
+    fully lazy. ``benchmark`` feeds decontamination; ``reference``
+    feeds the lm/dsir selection stage (both required only when their
+    stage is enabled)."""
+    from apache_pinot_spark.operators import curation, dedup, redaction
+    from apache_pinot_spark.operators import textanalysis as tx
+    from apache_pinot_spark.operators.chunking import assign_splits
+    from apache_pinot_spark.operators.components import dedup_keep_canonical
+
+    cfg = config or CurationConfig()
+    t, k = cfg.text_col, cfg.id_col
+    stages: dict[str, DataFrame] = {"input": docs}
+    cur = docs
+
+    if cfg.exact_dedup:
+        cur = dedup.dedupe_exact(cur, text_col=t, key_col=k)
+        stages["exact_dedup"] = cur
+    if cfg.boilerplate:
+        cur = curation.remove_repeated_lines(
+            cur, text_col=t, key_col=k, min_count=cfg.boilerplate_min_count
+        )
+        stages["boilerplate"] = cur
+    if cfg.quality_filter:
+        keep = tx.quality_score_expr(F.col(t)) >= F.lit(cfg.min_quality)
+        if cfg.keep_langs:
+            keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
+        cur = cur.filter(keep)
+        stages["quality_language"] = cur
+    if cfg.redact_pii:
+        cur = cur.withColumn(t, redaction.redact_expr(F.col(t)))
+        stages["pii_redaction"] = cur
+    if cfg.near_dedup:
+        pairs = dedup.lsh_verified_pairs(
+            cur, text_col=t, key_col=k,
+            num_hashes=cfg.near_num_hashes, band_size=cfg.near_band_size,
+            shingle_n=cfg.near_shingle_n, threshold=cfg.near_threshold,
+        )
+        cur = dedup_keep_canonical(cur, pairs, key_col=k)
+        stages["near_dedup"] = cur
+    if cfg.decontaminate:
+        if benchmark is None:
+            raise ValueError("decontaminate=True requires a benchmark frame")
+        cont = curation.ngram_contamination(
+            cur, benchmark, text_col=t, key_col=k, n=cfg.contamination_n
+        ).select(k, "contamination")
+        cur = (
+            cur.join(cont, on=k, how="left")
+            .filter(
+                F.coalesce(F.col("contamination"), F.lit(0.0))
+                <= cfg.max_contamination
+            )
+            .drop("contamination")
+        )
+        stages["decontamination"] = cur
+    if cfg.selection == "lm":
+        from apache_pinot_spark.operators import lm
+
+        if reference is None:
+            raise ValueError("selection='lm' requires a reference frame")
+        model = lm.train_bigram_lm(reference, text_col=t)
+        scores = lm.lm_doc_scores(cur, model, text_col=t, id_col=k)
+        buckets = lm.perplexity_buckets(scores, id_col=k, buckets=3)
+        keep_ids = buckets.filter(
+            F.col("bucket") <= cfg.lm_keep_buckets
+        ).select(k)
+        cur = cur.join(F.broadcast(keep_ids), on=k)
+        stages["lm_selection"] = cur
+    elif cfg.selection == "dsir":
+        from apache_pinot_spark.operators import dsir
+
+        if reference is None:
+            raise ValueError("selection='dsir' requires a reference frame")
+        if cfg.dsir_n_select < 1:
+            raise ValueError("selection='dsir' requires dsir_n_select >= 1")
+        weights = dsir.dsir_log_weights(cur, reference, text_col=t)
+        picked = dsir.dsir_resample(
+            cur, weights, cfg.dsir_n_select, text_col=t, id_col=k
+        ).select(k)
+        cur = cur.join(F.broadcast(picked), on=k)
+        stages["dsir_selection"] = cur
+    elif cfg.selection != "none":
+        raise ValueError(f"unknown selection {cfg.selection!r}")
+
+    cur = assign_splits(cur, key_col=k, fractions=cfg.splits, salt=cfg.split_salt)
+    stages["splits"] = cur
+    return stages
+
+
+def curation_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
+    """[(stage, rows)] in stage order — the audit every curation run
+    publishes. One count job per stage (counts are the one action a row
+    accounting inherently needs); call on the stages you care about or
+    slice the dict first."""
+    return [(name, df.count()) for name, df in stages.items()]

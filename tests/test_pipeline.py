@@ -1,0 +1,125 @@
+"""End-to-end curation pipeline (operators/pipeline.py): a fixture
+corpus where every stage has a known victim, per-stage row accounting,
+schema stability, laziness, and the lm/dsir selection variants on the
+documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators import pipeline as P
+from tests.conftest import SF_SMOKE
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then walks "
+        "home to rest for the evening before dinner is served warm")
+
+
+def _fixture(spark):
+    boiler = "Sign in\nAccept cookies\n"
+    rows = [
+        # 1+2: exact duplicates (2 dies)
+        (1, boiler + GOOD, "en"),
+        (2, boiler + GOOD, "en"),
+        # 3: near-duplicate of 1 (one word changed; LSH+verify kills it)
+        (3, boiler + GOOD.replace("dog", "cat"), "en"),
+        # 4: distinct good doc
+        (4, boiler + "completely different wholesome text about cooking "
+            "fresh bread with olive oil and rosemary in a stone oven "
+            "while the morning sun rises over the quiet valley fields", "en"),
+        # 5: junk (low quality score)
+        (5, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en"),
+        # 6: PII carrier (row survives, text rewritten)
+        (6, boiler + "please contact me at alice@example.com about the "
+            "delivery of the package and the schedule for the next "
+            "meeting of the council in the town hall next week", "en"),
+        # 7: contaminated (contains the benchmark verbatim)
+        (7, boiler + "the capital of france is paris and the capital of "
+            "spain is madrid every student learns this in the first "
+            "geography lesson of the school year without exception", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and the capital of spain "
+               "is madrid every student learns this")],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+def test_every_stage_has_a_victim(spark):
+    docs, bench = _fixture(spark)
+    cfg = P.CurationConfig(min_quality=80.0, keep_langs=("en",),
+                           near_threshold=0.5, max_contamination=0.2)
+    stages = P.curate_corpus(docs, cfg, benchmark=bench)
+    report = dict(P.curation_report(stages))
+    assert report["input"] == 7
+    assert report["exact_dedup"] == 6           # doc 2 dies
+    assert report["boilerplate"] == 6           # rows survive, text rewritten
+    assert report["quality_language"] == 5      # doc 5 dies
+    assert report["pii_redaction"] == 5
+    assert report["near_dedup"] == 4            # doc 3 dies (near-dup of 1)
+    assert report["decontamination"] == 3       # doc 7 dies
+    assert report["splits"] == 3
+    final = stages["splits"].collect()
+    ids = sorted(r.doc_id for r in final)
+    assert ids == [1, 4, 6]
+    # boilerplate really removed, PII really redacted, splits assigned
+    by_id = {r.doc_id: r for r in final}
+    assert "Sign in" not in by_id[1].text and GOOD in by_id[1].text
+    assert "alice@example.com" not in by_id[6].text
+    assert all(r.split in ("train", "val", "test") for r in final)
+    # schema = input schema + split
+    assert stages["splits"].columns == ["doc_id", "text", "lang", "split"]
+    # accounting is monotone after the text-rewriting stages too
+    counts = [report[s] for s in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_stage_toggles_and_validation(spark):
+    docs, bench = _fixture(spark)
+    # everything off: only the split stage remains
+    cfg = P.CurationConfig(exact_dedup=False, boilerplate=False,
+                           quality_filter=False, redact_pii=False,
+                           near_dedup=False, decontaminate=False)
+    stages = P.curate_corpus(docs, cfg)
+    assert list(stages) == ["input", "splits"]
+    assert stages["splits"].count() == 7
+    with pytest.raises(ValueError, match="benchmark"):
+        P.curate_corpus(docs, P.CurationConfig())  # decontaminate needs one
+    with pytest.raises(ValueError, match="unknown selection"):
+        P.curate_corpus(docs, P.CurationConfig(decontaminate=False,
+                                               selection="bogus"))
+    with pytest.raises(ValueError, match="reference"):
+        P.curate_corpus(docs, P.CurationConfig(decontaminate=False,
+                                               selection="lm"))
+
+
+def test_lm_and_dsir_selection_on_documents(spark):
+    from apache_pinot_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    ref = docs.filter(F.col("lang") == "en")
+    base = dict(exact_dedup=True, boilerplate=False, quality_filter=False,
+                redact_pii=False, near_dedup=False, decontaminate=False)
+    lm_stages = P.curate_corpus(
+        docs, P.CurationConfig(selection="lm", lm_keep_buckets=2, **base),
+        reference=ref,
+    )
+    n_before = lm_stages["exact_dedup"].count()
+    n_lm = lm_stages["lm_selection"].count()
+    assert 0 < n_lm < n_before  # tail bucket dropped
+    assert abs(n_lm - 2 * n_before / 3) <= 2  # ntile thirds, keep 2
+    dsir_stages = P.curate_corpus(
+        docs, P.CurationConfig(selection="dsir", dsir_n_select=50, **base),
+        reference=ref,
+    )
+    assert dsir_stages["dsir_selection"].count() == 50
+    # deterministic end to end: same config -> same survivors
+    again = P.curate_corpus(
+        docs, P.CurationConfig(selection="dsir", dsir_n_select=50, **base),
+        reference=ref,
+    )
+    a = sorted(r.doc_id for r in dsir_stages["splits"].collect())
+    b = sorted(r.doc_id for r in again["splits"].collect())
+    assert a == b
