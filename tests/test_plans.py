@@ -566,3 +566,73 @@ def test_declared_plans_free_of_scale_antipatterns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+# --------------------------------------------------------------------------
+# Round-8 operator plan shapes: LM scoring, IVF+PQ, BPE, pipeline
+# --------------------------------------------------------------------------
+
+
+def test_lm_scoring_plan_broadcasts_model_one_shuffle(spark, tables):
+    """lm_doc_scores: both model joins must be BroadcastHashJoins and the
+    only Exchange below the final aggregate is the groupBy(doc) — the
+    corpus never shuffles to meet the model."""
+    from apache_pinot_spark.operators import lm
+
+    docs = tables["documents"]
+    model = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"),
+                               vocab_size=200, bigram_size=400)
+    plan = _plan(lm.lm_doc_scores(docs, model))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # exchanges: one hash partition for the groupBy + the _spread
+    # repartition of the small scan + 2 broadcast exchanges
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(non_broadcast) <= 2, non_broadcast
+
+
+def test_ivfpq_query_plan_shapes(spark, tables):
+    """ivfpq_query: probes and survivors are the broadcast sides; no
+    sort-merge join or cartesian product anywhere; Python runs only as
+    Arrow passes."""
+    from apache_pinot_spark.operators import pq
+
+    emb = tables["embeddings"]
+    idx = pq.ivfpq_index(emb, 64, num_clusters=8, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") % 100 == 7).limit(3)
+    plan = _plan(pq.ivfpq_query(idx, q, k=3, nprobe=4))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow only
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probes + survivors/queries
+
+
+def test_bpe_encode_plan_is_map_side(spark, tables):
+    """bpe_encode after the _spread repartition is pure map-side Arrow:
+    no aggregate, no join, no further exchange."""
+    from apache_pinot_spark.operators import bpe
+
+    docs = tables["documents"].limit(50)
+    merges = bpe.train_bpe(docs, num_merges=20)
+    plan = _plan(bpe.bpe_encode(tables["documents"], merges))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) <= 1, exchanges  # only the small-scan _spread
+
+
+def test_pipeline_map_stages_fuse_into_one_scan(spark, tables):
+    """quality/langid filtering + PII redaction are scan-stage work: with
+    the shuffle stages disabled the whole pipeline (minus the split
+    label, also map-side) plans with ZERO exchanges."""
+    from apache_pinot_spark.operators import pipeline as P
+
+    cfg = P.CurationConfig(exact_dedup=False, boilerplate=False,
+                           near_dedup=False, decontaminate=False)
+    stages = P.curate_corpus(tables["documents"], cfg)
+    plan = _plan(stages["splits"])
+    assert "Exchange" not in plan and "Join" not in plan, plan[:2000]
