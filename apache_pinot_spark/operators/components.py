@@ -121,6 +121,14 @@ def dedup_keep_canonical(
     side, the corpus streams."""
     comp = connected_components(pairs, src, dst, max_iter)
     drop = comp.where(F.col("key") != F.col("component")).select("key")
-    return df.join(
+    out = df.join(
         drop.withColumnRenamed("key", key_col), key_col, "left_anti"
     )
+    # The returned plan references comp's localCheckpoint blocks. comp's
+    # PYTHON handle would die here, and the next lifecycle sweep would
+    # then unpersist those blocks out from under this lazy plan
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the eventual action — hit by
+    # the round-8 curation pipeline). Tie comp's lifetime to the frame
+    # the caller actually holds.
+    out._cc_labels_keepalive = comp
+    return out

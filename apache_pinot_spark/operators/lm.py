@@ -206,7 +206,7 @@ def lm_doc_scores(
             .alias("logp_tok"),
         )
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.count("logp_tok").alias("n_tokens"),
@@ -224,6 +224,12 @@ def lm_doc_scores(
             ).alias("avg_logp"),
         )
     )
+    # the plan reads the model's localCheckpoint blocks: keep the model
+    # alive for as long as the caller holds this frame (see the
+    # dedup_keep_canonical note — a dead handle lets the next lifecycle
+    # sweep free blocks this lazy plan still needs)
+    out._lm_model_keepalive = lm
+    return out
 
 
 def perplexity_buckets(
@@ -257,7 +263,9 @@ def perplexity_buckets(
                 "cutoffs) at corpus scale"
             )
         w = Window.orderBy(F.desc_nulls_last("avg_logp"), F.asc(id_col))
-        return scores.withColumn("bucket", F.ntile(buckets).over(w))
+        out = scores.withColumn("bucket", F.ntile(buckets).over(w))
+        out._lm_scores_keepalive = scores  # transitively keeps the model
+        return out
     qs = [i / buckets for i in range(1, buckets)]
     cuts = scores.filter(F.col("avg_logp").isNotNull()).approxQuantile(
         "avg_logp", [1 - q for q in qs], 0.001
@@ -265,7 +273,9 @@ def perplexity_buckets(
     bucket = F.lit(1)
     for i, c in enumerate(cuts):
         bucket = F.when(F.col("avg_logp") < F.lit(c), F.lit(i + 2)).otherwise(bucket)
-    return scores.withColumn(
+    out = scores.withColumn(
         "bucket",
         F.when(F.col("avg_logp").isNull(), F.lit(buckets)).otherwise(bucket),
     )
+    out._lm_scores_keepalive = scores  # transitively keeps the model
+    return out

@@ -86,32 +86,41 @@ def curate_corpus(
     t, k = cfg.text_col, cfg.id_col
     stages: dict[str, DataFrame] = {"input": docs}
     cur = docs
+    # Artifacts whose localCheckpoint blocks back the lazy stage plans
+    # (CC labels, the LM model): hold them on every stage frame so the
+    # lifecycle sweep cannot free blocks a stage still needs (joins and
+    # filters produce NEW DataFrame objects that do not carry the
+    # operators' own keepalive attributes through).
+    artifacts: list = []
+
+    def _stage(name, df):
+        df._curation_artifacts_keepalive = artifacts
+        stages[name] = df
+        return df
 
     if cfg.exact_dedup:
-        cur = dedup.dedupe_exact(cur, text_col=t, key_col=k)
-        stages["exact_dedup"] = cur
+        cur = _stage("exact_dedup", dedup.dedupe_exact(cur, text_col=t, key_col=k))
     if cfg.boilerplate:
-        cur = curation.remove_repeated_lines(
+        cur = _stage("boilerplate", curation.remove_repeated_lines(
             cur, text_col=t, key_col=k, min_count=cfg.boilerplate_min_count
-        )
-        stages["boilerplate"] = cur
+        ))
     if cfg.quality_filter:
         keep = tx.quality_score_expr(F.col(t)) >= F.lit(cfg.min_quality)
         if cfg.keep_langs:
             keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
-        cur = cur.filter(keep)
-        stages["quality_language"] = cur
+        cur = _stage("quality_language", cur.filter(keep))
     if cfg.redact_pii:
-        cur = cur.withColumn(t, redaction.redact_expr(F.col(t)))
-        stages["pii_redaction"] = cur
+        cur = _stage("pii_redaction",
+                     cur.withColumn(t, redaction.redact_expr(F.col(t))))
     if cfg.near_dedup:
         pairs = dedup.lsh_verified_pairs(
             cur, text_col=t, key_col=k,
             num_hashes=cfg.near_num_hashes, band_size=cfg.near_band_size,
             shingle_n=cfg.near_shingle_n, threshold=cfg.near_threshold,
         )
-        cur = dedup_keep_canonical(cur, pairs, key_col=k)
-        stages["near_dedup"] = cur
+        deduped = dedup_keep_canonical(cur, pairs, key_col=k)
+        artifacts.append(deduped._cc_labels_keepalive)
+        cur = _stage("near_dedup", deduped)
     if cfg.decontaminate:
         if benchmark is None:
             raise ValueError("decontaminate=True requires a benchmark frame")
@@ -126,7 +135,7 @@ def curate_corpus(
             )
             .drop("contamination")
         )
-        stages["decontamination"] = cur
+        cur = _stage("decontamination", cur)
     if cfg.selection == "lm":
         from apache_pinot_spark.operators import lm
 
@@ -138,8 +147,8 @@ def curate_corpus(
         keep_ids = buckets.filter(
             F.col("bucket") <= cfg.lm_keep_buckets
         ).select(k)
-        cur = cur.join(F.broadcast(keep_ids), on=k)
-        stages["lm_selection"] = cur
+        artifacts.append(model)
+        cur = _stage("lm_selection", cur.join(F.broadcast(keep_ids), on=k))
     elif cfg.selection == "dsir":
         from apache_pinot_spark.operators import dsir
 
@@ -151,13 +160,13 @@ def curate_corpus(
         picked = dsir.dsir_resample(
             cur, weights, cfg.dsir_n_select, text_col=t, id_col=k
         ).select(k)
-        cur = cur.join(F.broadcast(picked), on=k)
-        stages["dsir_selection"] = cur
+        cur = _stage("dsir_selection", cur.join(F.broadcast(picked), on=k))
     elif cfg.selection != "none":
         raise ValueError(f"unknown selection {cfg.selection!r}")
 
-    cur = assign_splits(cur, key_col=k, fractions=cfg.splits, salt=cfg.split_salt)
-    stages["splits"] = cur
+    _stage("splits",
+           assign_splits(cur, key_col=k, fractions=cfg.splits,
+                         salt=cfg.split_salt))
     return stages
 
 

@@ -399,8 +399,12 @@ def ivfpq_query(
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
+    out = (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+    # a materialized index's localCheckpoint blocks back this lazy plan:
+    # tie the index's lifetime to the result the caller holds
+    out._ivfpq_index_keepalive = idx
+    return out

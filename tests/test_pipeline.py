@@ -123,3 +123,78 @@ def test_lm_and_dsir_selection_on_documents(spark):
     a = sorted(r.doc_id for r in dsir_stages["splits"].collect())
     b = sorted(r.doc_id for r in again["splits"].collect())
     assert a == b
+
+
+def test_map_side_stages_run_in_structured_streaming(spark, tmp_path):
+    """The pipeline's scan-stage work (quality gate, language gate, PII
+    redaction, split label) is stateless column arithmetic — it must run
+    unchanged under readStream. Near-dup/dedup stages are batch-shaped
+    (documented); a streaming deployment runs THIS subset per micro-batch
+    and the shuffle stages in the compaction pass."""
+    import json
+    import os
+
+    from apache_pinot_spark.operators import pipeline as P
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    docs, _ = _fixture(spark)
+    rows = [r.asDict() for r in docs.collect()]
+    with open(src / "batch0.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .json(str(src))
+    )
+    cfg = P.CurationConfig(exact_dedup=False, boilerplate=False,
+                           near_dedup=False, decontaminate=False,
+                           min_quality=80.0, keep_langs=("en",))
+    staged = P.curate_corpus(stream, cfg)["splits"]
+    assert staged.isStreaming
+    q = (staged.writeStream.format("memory").queryName("curated_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.doc_id: r for r in spark.sql(
+        "SELECT * FROM curated_stream").collect()}
+    assert 5 not in out                     # junk doc gated mid-stream
+    assert "alice@example.com" not in out[6].text  # PII redacted mid-stream
+    assert all(r.split in ("train", "val", "test") for r in out.values())
+    # batch and streaming agree row for row
+    batch = {r.doc_id: r for r in
+             P.curate_corpus(docs, cfg)["splits"].collect()}
+    assert set(out) == set(batch)
+    assert all(out[i].text == batch[i].text and out[i].split == batch[i].split
+               for i in out)
+
+
+def test_checkpoint_blocks_survive_artifact_death(spark):
+    """Round-8 regression: dedup_keep_canonical / lm_doc_scores return
+    lazy plans backed by localCheckpoint blocks whose Python handles
+    (CC labels, the LM model) die inside the composing function. The
+    lifecycle sweep then freed those blocks before the action ran
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The keepalive attachments must
+    keep every stage countable after an explicit GC + sweep."""
+    import gc
+
+    from apache_pinot_spark.operators import lifecycle
+
+    docs, bench = _fixture(spark)
+    cfg = P.CurationConfig(min_quality=80.0, keep_langs=("en",),
+                           near_threshold=0.5, max_contamination=0.2,
+                           selection="lm", lm_keep_buckets=3)
+    stages = P.curate_corpus(docs, cfg, benchmark=bench, reference=docs)
+    gc.collect()
+    lifecycle._sweep_dead_results()  # what any later operator call does
+    report = dict(P.curation_report(stages))  # every stage must still run
+    assert report["near_dedup"] == 4
+    assert report["lm_selection"] == 3  # keep all 3 buckets: no row lost
+    # and AGAIN after dropping all but the final stage
+    final = stages["splits"]
+    del stages, report
+    gc.collect()
+    lifecycle._sweep_dead_results()
+    assert final.count() == 3
