@@ -74,8 +74,9 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
 def image_decoder() -> str | None:
     """Capability probe: "pil" when importable (any format), else
     "stdlib" — the pure-stdlib codecs (operators/png_codec.py +
-    operators/jpeg_codec.py: PNG fully, baseline-sequential AND
-    progressive JPEG — together the dominant web-corpus formats), present in every CPython,
+    operators/jpeg_codec.py + operators/gif_codec.py: PNG fully,
+    baseline-sequential AND progressive JPEG, and GIF — together the
+    dominant web-corpus formats), present in every CPython,
     so the image REAL path is never entirely absent; other formats on
     that tier flow to the reject stream. Probed on the driver; the
     result ships in the worker closure."""
@@ -88,9 +89,10 @@ def image_decoder() -> str | None:
 
 
 def decode_image_stdlib(data: bytes) -> "object | None":
-    """Magic-dispatched stdlib decode: PNG or JPEG (baseline sequential
-    or progressive) → H×W×C uint8 array; None for anything else
-    (reject stream)."""
+    """Magic-dispatched stdlib decode: PNG, JPEG (baseline sequential or
+    progressive), or GIF (first frame) → H×W×C uint8 array; None for
+    anything else (reject stream)."""
+    from apache_pinot_spark.operators.gif_codec import decode_gif
     from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
     from apache_pinot_spark.operators.png_codec import PNG_MAGIC, decode_png
 
@@ -100,6 +102,8 @@ def decode_image_stdlib(data: bytes) -> "object | None":
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
     return None
 
 
