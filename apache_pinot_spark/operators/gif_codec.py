@@ -211,3 +211,60 @@ def _decode_frames(data: bytes, max_frames: int) -> "list | None":
         transparent = None
         disposal = 0
     return frames or None
+
+
+# --------------------------------------------------------------------------
+# BMP (windows bitmap) — trivial sibling kept here rather than a fourth
+# codec module: uncompressed BI_RGB, 8-bit palette / 24-bit BGR /
+# 32-bit BGRA, bottom-up or top-down rows, 4-byte row padding.
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> "np.ndarray | None":
+    """BMP bytes → H×W×3 (or ×4 for 32-bit with alpha) uint8; None for
+    anything out of scope (compressed/16-bit/OS2 headers) or corrupt."""
+    try:
+        if len(data) < 54 or data[:2] != b"BM":
+            return None
+        pix_off = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:
+            return None  # OS/2 core headers: out of scope
+        w, h, planes, bpp, comp = struct.unpack_from("<iihHI", data, 18)
+        if planes != 1 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if bpp == 8:
+            n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+            pal_off = 14 + hdr_size
+            pal = np.frombuffer(
+                data[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+            ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+            row_bytes = (w + 3) & ~3
+            rows = []
+            for y in range(h):
+                off = pix_off + y * row_bytes
+                idx = np.frombuffer(data, np.uint8, count=w, offset=off)
+                if int(idx.max()) >= len(pal):
+                    return None
+                rows.append(pal[idx])
+            px = np.stack(rows)
+        elif bpp in (24, 32):
+            ch = bpp // 8
+            row_bytes = (w * ch + 3) & ~3
+            rows = []
+            for y in range(h):
+                off = pix_off + y * row_bytes
+                line = np.frombuffer(data, np.uint8, count=w * ch, offset=off)
+                line = line.reshape(w, ch)
+                rgb = line[:, :3][:, ::-1]  # BGR -> RGB
+                if ch == 4:
+                    rgb = np.concatenate([rgb, line[:, 3:4]], axis=1)
+                rows.append(rgb)
+            px = np.stack(rows)
+        else:
+            return None  # 1/4/16-bit: out of scope
+        return px if top_down else px[::-1].copy()
+    except Exception:
+        return None

@@ -90,9 +90,9 @@ def image_decoder() -> str | None:
 
 def decode_image_stdlib(data: bytes) -> "object | None":
     """Magic-dispatched stdlib decode: PNG, JPEG (baseline sequential or
-    progressive), or GIF (first frame) → H×W×C uint8 array; None for
-    anything else (reject stream)."""
-    from apache_pinot_spark.operators.gif_codec import decode_gif
+    progressive), GIF (first frame), or uncompressed BMP → H×W×C uint8
+    array; None for anything else (reject stream)."""
+    from apache_pinot_spark.operators.gif_codec import decode_bmp, decode_gif
     from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
     from apache_pinot_spark.operators.png_codec import PNG_MAGIC, decode_png
 
@@ -104,6 +104,8 @@ def decode_image_stdlib(data: bytes) -> "object | None":
         return decode_jpeg(data)
     if data[:4] == b"GIF8":
         return decode_gif(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     return None
 
 

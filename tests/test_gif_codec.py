@@ -226,3 +226,67 @@ def test_multimodal_stdlib_tier_decodes_gif(spark):
                                              feature_dim=4).collect()}
     assert out[1] == pytest.approx([1.0, 1.0, 0.0, 0.0], abs=0.02)
     assert out[2] is None  # reject stream
+
+
+# --------------------------------------------------------------------------
+# BMP (decode_bmp lives in gif_codec as the trivial sibling)
+# --------------------------------------------------------------------------
+
+
+def _bmp24(img, top_down=False):
+    h, w = img.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for y in rows:
+        line = bytearray()
+        for x in range(w):
+            r, g, b = img[y, x]
+            line += bytes([b, g, r])
+        line += b"\x00" * (row - len(line))
+        body += line
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiihHIIiiII", 40, w, (-h if top_down else h), 1, 24,
+                       0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + body)
+
+
+def test_bmp_24bit_both_orientations():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(G.decode_bmp(_bmp24(img)), img)
+    assert np.array_equal(G.decode_bmp(_bmp24(img, top_down=True)), img)
+
+
+def test_bmp_rejects_out_of_scope():
+    assert G.decode_bmp(b"") is None
+    assert G.decode_bmp(b"BMnot a real bitmap") is None
+    img = np.zeros((2, 2, 3), np.uint8)
+    blob = bytearray(_bmp24(img))
+    blob[30] = 1  # compression = BI_RLE8
+    assert G.decode_bmp(bytes(blob)) is None
+
+
+def test_bmp_jvm_imageio_interop(spark):
+    jvm = spark._jvm
+    try:
+        jvm.javax.imageio.ImageIO.getWriterFormatNames
+    except Exception:
+        pytest.skip("JVM ImageIO unavailable")
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(11, 9, 1)
+    for y in range(9):
+        for x in range(11):
+            bi.setRGB(x, y, (int(img[y, x, 0]) << 16)
+                      | (int(img[y, x, 1]) << 8) | int(img[y, x, 2]))
+    ios = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "bmp", ios)
+    blob = bytes(ios.toByteArray())
+    assert blob[:2] == b"BM"
+    mine = G.decode_bmp(blob)
+    assert mine is not None and np.array_equal(mine[:, :, :3], img)
+    # and through the multimodal magic dispatch
+    from apache_pinot_spark.operators.multimodal import decode_image_stdlib
+
+    assert np.array_equal(decode_image_stdlib(blob)[:, :, :3], img)
