@@ -290,3 +290,21 @@ def test_bmp_jvm_imageio_interop(spark):
     from apache_pinot_spark.operators.multimodal import decode_image_stdlib
 
     assert np.array_equal(decode_image_stdlib(blob)[:, :, :3], img)
+
+
+def test_resize_gif_reencodes_png_stdlib(spark):
+    from apache_pinot_spark.operators import multimodal as M
+    from apache_pinot_spark.operators.png_codec import PNG_MAGIC
+
+    if M.image_decoder() == "pil":
+        pytest.skip("PIL present: this test pins the stdlib tier")
+    pal = [(0, 0, 0), (200, 10, 10)]
+    blob = _gif(16, 16, pal, [1] * 256)
+    df = spark.createDataFrame([(1, blob, ("gif", 16, 16))], M.IMAGE_SCHEMA)
+    out = M.resize_images(df, 8, 8, decode_stub=False).collect()[0]
+    content = bytes(out["content"])
+    # lossless re-encode: formats without an encoder come back as PNG
+    assert content.startswith(PNG_MAGIC)
+    px = M.decode_image_stdlib(content)
+    assert px.shape == (8, 8, 3) and px[0, 0].tolist() == [200, 10, 10]
+    assert out["meta"]["width"] == 8 and out["meta"]["height"] == 8

@@ -364,3 +364,33 @@ def test_png_decoder_never_raises_on_mutations(data):
         blob = blob[:i] + noise + blob[i:]
     out = P.decode_png(bytes(blob))
     assert out is None or out.ndim == 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_gif_decoder_never_raises_on_mutations(data):
+    import numpy as np
+
+    from tests.test_gif_codec import PAL, _gif
+
+    from apache_pinot_spark.operators import gif_codec as G
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    idx = [int(v) for v in rng.integers(0, 4, 64)]
+    blob = bytearray(_gif(8, 8, PAL, idx,
+                          interlace=data.draw(st.booleans(), label="il")))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "splice"]), label="mode")
+    if mode == "truncate":
+        blob = blob[: data.draw(st.integers(0, len(blob) - 1), label="cut")]
+    elif mode == "flip":
+        for _ in range(data.draw(st.integers(1, 8), label="nflips")):
+            i = data.draw(st.integers(0, len(blob) - 1), label="pos")
+            blob[i] ^= data.draw(st.integers(1, 255), label="xor")
+    else:
+        i = data.draw(st.integers(6, len(blob) - 2), label="at")
+        noise = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=1, max_size=16))
+        )
+        blob = blob[:i] + noise + blob[i:]
+    out = G.decode_gif(bytes(blob))
+    assert out is None or (out.ndim == 3 and out.shape[2] in (3, 4))
