@@ -97,22 +97,6 @@ def train_bpe(
     return merges
 
 
-def _encode_word(word: str, ranks: dict) -> list:
-    """Apply merges to one word: repeatedly merge the best-ranked
-    adjacent pair — the canonical greedy BPE apply."""
-    syms = list(_word_symbols(word))
-    while len(syms) > 1:
-        best_rank, best_i = None, None
-        for i, pair in enumerate(zip(syms, syms[1:])):
-            r = ranks.get(pair)
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_i is None:
-            break
-        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return syms
-
-
 def bpe_encode(
     corpus: DataFrame,
     merges: list,
