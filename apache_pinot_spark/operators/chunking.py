@@ -258,3 +258,59 @@ def stratified_sample_exact(
             F.col("__rank") <= F.col("__budget")
         ).drop("__budget")
     return out.drop("__rank")
+
+
+def cap_source_share(
+    df: DataFrame,
+    source_col: str,
+    max_share: float,
+    key_col: str,
+    salt: str = "v1",
+    max_domains: int = 100_000,
+) -> DataFrame:
+    """Domain/source frequency cap (the C4/RedPajama recipe's guard
+    against one crawl domain dominating the corpus): drop rows so that
+    NO source exceeds ``max_share`` of the FINAL corpus. The final size
+    N* solves sum_s min(count_s, floor(max_share*N*)) = N* — computed by
+    the monotone fixed-point iteration over the bounded per-source count
+    table (sources already under the cap keep every row); the rows kept
+    within a capped source are the lowest-hash ones (deterministic,
+    salt-re-dealable — the stratified sampler's convention).
+
+    Scale shape: one bounded-or-raise count collect + the sampler's one
+    window shuffle. Note the degenerate regime: with S sources of equal
+    size, max_share < 1/S admits ONLY the empty corpus (no N > 0
+    satisfies the cap) — the fixed point is 0 and this returns no rows,
+    by construction rather than by accident."""
+    if not 0 < max_share <= 1:
+        raise ValueError(f"max_share must be in (0, 1], got {max_share}")
+    rows = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("__n"))
+        .limit(max_domains + 1)
+        .collect()
+    )
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"cap_source_share: more than {max_domains} distinct "
+            f"{source_col} values — raise max_domains explicitly if intended"
+        )
+    counts = {r[source_col]: r["__n"] for r in rows}
+    if not counts:
+        return df.limit(0)
+    n = sum(counts.values())
+    while True:
+        cap = int(max_share * n)
+        budgets = {s: min(c, cap) for s, c in counts.items()}
+        n2 = sum(budgets.values())
+        if n2 == n:
+            break
+        n = n2
+        if n == 0:
+            return df.limit(0)
+    if all(budgets[s] == counts[s] for s in counts):
+        return df  # nobody capped: zero-cost passthrough
+    return stratified_sample_exact(
+        df, [source_col], {(s,): b for s, b in budgets.items() if b > 0},
+        key_col, salt,
+    )

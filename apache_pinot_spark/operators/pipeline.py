@@ -3,9 +3,10 @@ operator family in this repo exists to serve, packaged as ONE staged
 flow (the C4/RefinedWeb/RedPajama recipe shape):
 
     exact dedup → boilerplate removal → quality + language filter →
-    PII redaction → near-dup dedup (MinHash-LSH → connected components
-    → canonical survivors) → benchmark decontamination → optional
-    LM-perplexity or DSIR selection → train/val/test splits
+    PII redaction → source/domain frequency cap → near-dup dedup
+    (MinHash-LSH → connected components → canonical survivors) →
+    benchmark decontamination → optional LM-perplexity or DSIR
+    selection → train/val/test splits
 
 Each stage is the already-tested operator from its own module; this
 module contributes the WIRING and the per-stage row accounting a real
@@ -51,6 +52,10 @@ class CurationConfig:
     near_band_size: int = 2
     near_shingle_n: int = 3
     near_threshold: float = 0.7
+    # source/domain frequency cap (None = off); applies AFTER the
+    # quality gate so junk does not consume a source's budget
+    source_col: str = "source"
+    max_source_share: float | None = None
     # benchmark decontamination
     decontaminate: bool = True
     contamination_n: int = 8
@@ -112,6 +117,13 @@ def curate_corpus(
     if cfg.redact_pii:
         cur = _stage("pii_redaction",
                      cur.withColumn(t, redaction.redact_expr(F.col(t))))
+    if cfg.max_source_share is not None:
+        from apache_pinot_spark.operators.chunking import cap_source_share
+
+        cur = _stage("source_cap", cap_source_share(
+            cur, cfg.source_col, cfg.max_source_share, key_col=k,
+            salt=cfg.split_salt,
+        ))
     if cfg.near_dedup:
         pairs = dedup.lsh_verified_pairs(
             cur, text_col=t, key_col=k,

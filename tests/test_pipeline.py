@@ -198,3 +198,37 @@ def test_checkpoint_blocks_survive_artifact_death(spark):
     gc.collect()
     lifecycle._sweep_dead_results()
     assert final.count() == 3
+
+
+def test_source_cap_stage_and_operator(spark):
+    from apache_pinot_spark.operators.chunking import cap_source_share
+
+    rows = [(i, f"text {i} " + GOOD, "en", "big" if i < 80 else "small")
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # cap at 60%: N* solves min(80, .6N) + 20 = N -> N = 50, big gets 30
+    capped = cap_source_share(docs, "source", 0.6, key_col="doc_id")
+    got = {r.source: 0 for r in capped.select("source").distinct().collect()}
+    for r in capped.collect():
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got == {"big": 30, "small": 20}
+    # deterministic + salt re-deal
+    a = sorted(r.doc_id for r in cap_source_share(docs, "source", 0.6, "doc_id").collect())
+    b = sorted(r.doc_id for r in cap_source_share(docs, "source", 0.6, "doc_id").collect())
+    c = sorted(r.doc_id for r in cap_source_share(docs, "source", 0.6, "doc_id", salt="x").collect())
+    assert a == b and a != c
+    # nobody capped -> passthrough
+    assert cap_source_share(docs, "source", 1.0, "doc_id").count() == 100
+    # degenerate: cap below 1/num_sources of equal sizes -> empty
+    eq = spark.createDataFrame([(i, "t", "en", f"s{i % 4}") for i in range(40)],
+                               "doc_id long, text string, lang string, source string")
+    assert cap_source_share(eq, "source", 0.2, "doc_id").count() == 0
+    with pytest.raises(ValueError, match="max_share"):
+        cap_source_share(docs, "source", 0.0, "doc_id")
+    # and as a pipeline stage
+    cfg = P.CurationConfig(exact_dedup=False, boilerplate=False,
+                           quality_filter=False, redact_pii=False,
+                           near_dedup=False, decontaminate=False,
+                           max_source_share=0.6)
+    stages = P.curate_corpus(docs, cfg)
+    assert "source_cap" in stages and stages["source_cap"].count() == 50
