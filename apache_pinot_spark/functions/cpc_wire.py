@@ -610,13 +610,22 @@ def register_cpc_udfs(spark) -> None:
     def pinot_cpc_union(blobs: pd.Series) -> bytes:
         from apache_pinot_spark.functions.cpc_wire import merge_blobs
 
-        return merge_blobs(blobs.dropna())
+        present = blobs.dropna()
+        if present.empty:
+            # an all-NULL group is an empty union; datasketches-java's
+            # CpcUnion with no updates yields an empty sketch — NULL here
+            # (mirrors hllplus_wire's convention for the same case)
+            return None
+        return merge_blobs(present)
 
     @pandas_udf("double")
     def pinot_cpc_estimate(blobs: pd.Series) -> float:
         from apache_pinot_spark.functions.cpc_wire import merge_estimate
 
-        return float(merge_estimate(blobs.dropna()))
+        present = blobs.dropna()
+        if present.empty:
+            return 0.0  # empty union estimates 0 distinct items
+        return float(merge_estimate(present))
 
     spark.udf.register(UNION_UDF, pinot_cpc_union)
     spark.udf.register(EST_UDF, pinot_cpc_estimate)

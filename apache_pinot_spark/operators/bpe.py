@@ -107,6 +107,7 @@ def bpe_encode(
     Map-side Arrow pass; a per-batch word→pieces memo exploits Zipf
     repetition so the merge walk runs once per word TYPE per batch."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    id_type = dict(corpus.dtypes)[id_col]  # carry the native id dtype through
     src = _spread(corpus).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
     )
@@ -148,7 +149,7 @@ def bpe_encode(
                 out.append(pieces)
             yield _pd.DataFrame({"id": pdf["id"], "pieces": out})
 
-    return src.mapInPandas(run, schema="id BIGINT, pieces ARRAY<STRING>")
+    return src.mapInPandas(run, schema=f"id {id_type}, pieces ARRAY<STRING>")
 
 
 def bpe_chunk(
@@ -170,6 +171,7 @@ def bpe_chunk(
     if max_pieces < 1:
         raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    id_type = dict(corpus.dtypes)[id_col]  # carry the native id dtype through
     src = _spread(corpus).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks")
     )
@@ -218,7 +220,8 @@ def bpe_chunk(
             )
 
     out = src.mapInPandas(
-        run, schema="id BIGINT, chunk_index INT, chunk_text STRING, n_pieces INT"
+        run,
+        schema=f"id {id_type}, chunk_index INT, chunk_text STRING, n_pieces INT",
     )
     return out.select(
         F.col("id").alias(id_col), "chunk_index", "chunk_text", "n_pieces"

@@ -351,10 +351,15 @@ def ivfpq_query(
         import numpy as _np
         import pandas as _pd
 
-        tables: dict = {}  # query_id -> m x ksub inner-product table
         for pdf in batches:
             if not len(pdf):
                 continue
+            # per-batch cache: one m x ksub table per distinct query in THIS
+            # batch.  Rebuilding per batch bounds worker memory to
+            # (distinct queries in one Arrow batch) x m x ksub doubles
+            # instead of (all queries seen by the partition) — at the
+            # default 65536-query ceiling the latter could reach ~1 GB.
+            tables: dict = {}  # query_id -> m x ksub inner-product table
             scores = _np.empty(len(pdf), dtype=_np.float64)
             codes = _np.asarray(list(pdf["codes"]), dtype=_np.int64)
             qids = pdf["query_id"].to_numpy()

@@ -407,14 +407,26 @@ def _parallelism_floor_blocks(parallelism: int, groups: int = 1) -> int:
 def _stats_row_count(df: DataFrame) -> int | None:
     """Driver-side row-count UPPER BOUND from parquet footers — zero Spark
     jobs (inputFiles() is a metadata call; footers are a few KB each).
-    Returns None when the plan has no file sources or a footer is
-    unreadable (non-local filesystem without pyarrow support, etc.).
+    Returns None when the plan has no file sources, a footer is
+    unreadable (non-local filesystem without pyarrow support, etc.), or
+    the plan contains a row-MULTIPLYING operator (join / generate /
+    union / chunk-explode) between the scan and the caller — in that
+    case the footer total would be an UNDER-estimate, the derived block
+    count too small, and the collected block rows could exceed the task
+    memory bound.  Callers fall back to a real ``count()`` (or an
+    explicit ``num_blocks``) when this returns None.
 
-    An upper bound is always safe for block sizing: filters between the
-    scan and the operator only shrink the real count, so the derived
-    block count can only be too HIGH — smaller blocks, same output
-    (blocking is internal)."""
+    With the multiplier guard, a non-None return is a true upper bound:
+    the remaining plan shapes (filter / project / repartition) only
+    shrink or preserve the real count, so the derived block count can
+    only be too HIGH — smaller blocks, same output (blocking is
+    internal)."""
     try:
+        # analyzed plan: one line per logical operator, stable node names
+        plan = df._jdf.queryExecution().analyzed().toString()
+        multipliers = ("Join", "Generate", "Union", "FlatMapCoGroups")
+        if any(tok in plan for tok in multipliers):
+            return None
         files = df.inputFiles()
         if not files:
             return None
@@ -534,8 +546,10 @@ def near_duplicate_pairs_blocked(
 
     The derived count launches NO Spark job: it reads the scan's parquet
     footers driver-side (`_stats_row_count` — an upper bound, which can
-    only make blocks smaller), falling back to one count() only for
-    file-less sources (in-memory relations, views over generators).
+    only make blocks smaller), falling back to one count() for file-less
+    sources (in-memory relations, views over generators) and for plans
+    containing row-multiplying operators (join/explode/union), where the
+    footer total would UNDER-count and blocks could blow the task bound.
 
     Exactness: GEMM prefilters with a small margin, then survivors are
     re-scored with a SEQUENTIAL left-fold over dims (a 64-step vectorized

@@ -200,3 +200,25 @@ def test_sketch_columns_config_routes_cpc(spark):
         "SELECT DISTINCTCOUNTCPCSKETCH(c) AS est FROM cpc_cfg_tbl"
     ).collect()[0]
     assert row.est == sk.getEstimate()
+
+
+def test_all_null_group_yields_null_union_and_zero_estimate(spark):
+    """A group whose CPC column is entirely NULL must not error: the
+    union is NULL (no state) and the estimate is 0.0 — parity with
+    datasketches-java's CpcUnion with no updates (empty sketch, est 0)
+    and with the sibling hllplus_wire convention."""
+    from apache_pinot_spark.functions.cpc_wire import register_cpc_udfs
+
+    sk = _jsketch(spark, 25, 11)
+    df = spark.createDataFrame(
+        [(0, bytearray(bytes(sk.toByteArray()))), (1, None), (1, None)],
+        "grp INT, cpc BINARY",
+    )
+    register_cpc_udfs(spark)
+    df.createOrReplaceTempView("cpc_null_tbl")
+    rows = spark.sql(
+        "SELECT grp, pinot_cpc_union(cpc) AS u, pinot_cpc_estimate(cpc) AS est "
+        "FROM cpc_null_tbl GROUP BY grp ORDER BY grp"
+    ).collect()
+    assert rows[0].u is not None and rows[0].est == sk.getEstimate()
+    assert rows[1].u is None and rows[1].est == 0.0
