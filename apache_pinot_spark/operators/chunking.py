@@ -85,25 +85,57 @@ def assign_splits(
     fractions: dict[str, float] | None = None,
     salt: str = "v1",
     out_col: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Add a split label column keyed on ``key_col``. ``fractions`` maps
     label → fraction (must sum to 1 within per-mille resolution);
     default 98/1/1 train/validation/test. All rows sharing a key get
-    the same label — chunk at will afterwards without leakage."""
+    the same label — chunk at will afterwards without leakage.
+
+    ``portable=True`` switches the bucket hash from xxhash64 to the
+    first 8 hex chars of md5(key || salt) compared lexicographically
+    against cumulative thresholds in the 16^8 space (8-hex fixed-width
+    strings order like their numeric values) — reproducible in any
+    engine with md5 + substring, so a SQL oracle can replay split
+    assignment byte-for-byte."""
     fr = fractions or {"train": 0.98, "validation": 0.01, "test": 0.01}
     mills = {k: round(v * 1000) for k, v in fr.items()}
     if sum(mills.values()) != 1000:
         raise ValueError(
             f"split fractions must sum to 1.0 at per-mille resolution, got {fr}"
         )
-    bucket = split_column(key_col, salt)
     expr = None
+    if portable:
+        prefix = F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        )
+        lo_m = 0
+        for label, width in mills.items():
+            hi_hex = F.lit(portable_split_threshold(lo_m + width))
+            lo_hex = F.lit(portable_split_threshold(lo_m))
+            cond = (prefix >= lo_hex) & (prefix < hi_hex)
+            expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+            lo_m += width
+        return df.withColumn(out_col, expr)
+    bucket = split_column(key_col, salt)
     lo = 0
     for label, width in mills.items():
         cond = (bucket >= lo) & (bucket < lo + width)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
         lo += width
     return df.withColumn(out_col, expr)
+
+
+def portable_split_threshold(mills: int) -> str:
+    """8-hex-char cumulative threshold for the portable split: the
+    per-mille boundary mapped into the 16^8 md5-prefix space. Shared with
+    SQL oracles so both engines compare against identical literals. The
+    1000-mille boundary is the sentinel 'g' — lexicographically above
+    every hex string (16^8 itself formats to NINE chars, which would
+    compare BELOW 'f…' strings character-wise)."""
+    if mills >= 1000:
+        return "g"
+    return format(round(16**8 * mills / 1000), "08x")
 
 
 def temperature_mixture_budgets(

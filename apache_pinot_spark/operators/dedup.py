@@ -205,7 +205,10 @@ def _portable_signatures(ex: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def _band_rows(base: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
-    """(key, band, band_hash) rows from a (key, sig) signature frame."""
+    """(key, band, band_hash, sigh) rows from a (key, sig) signature frame.
+    ``sigh`` is a 64-bit hash of the FULL signature — the exact-group key
+    the oversized-bucket fallback collapses on (docs with identical
+    signatures are candidates of each other by construction)."""
     bands = []
     for b in range(num_hashes // band_size):
         parts = [F.col("sig").getItem(b * band_size + i) for i in range(band_size)]
@@ -215,8 +218,135 @@ def _band_rows(base: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
                 F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias("band_hash"),
             )
         )
-    return base.select("key", F.explode(F.array(*bands)).alias("bb")).select(
-        "key", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    sigh = F.xxhash64(F.concat_ws("|", F.col("sig").cast("array<string>")))
+    return base.select(
+        "key", sigh.alias("sigh"), F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "key",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+        "sigh",
+    )
+
+
+DEFAULT_MAX_BUCKET_ROWS = 1024
+
+
+def _capped_band_pairs(
+    bands: DataFrame, max_bucket_rows: int, release_also: tuple = ()
+) -> DataFrame:
+    """Distinct (key_a < key_b) candidate pairs from (key, band, band_hash,
+    sigh) band rows, with a HARD cap on the quadratic self-join.
+
+    The plain within-bucket self-join emits K^2/2 pairs per bucket — fine
+    for the honest LSH regime (buckets of a handful of docs) but fatal for
+    DEGENERATE buckets: 10 M boilerplate-identical documents share every
+    band hash, and 10 M^2 pairs is not a computable answer at any scale.
+
+    Routing, per (band, band_hash) bucket (size counted in-pass with ONE
+    window over the same shuffle key the join needs):
+      * size <= max_bucket_rows → the exact K^2/2 self-join (unchanged
+        semantics — at the default 1024 cap, honest corpora never leave
+        this path, so gated results are bit-identical to the uncapped op).
+      * size >  max_bucket_rows → exact-group fallback: rows collapse on
+        ``sigh`` (the full-signature hash). Within a signature group every
+        member links to the group's min key (a STAR — K-1 pairs instead of
+        K^2/2; members share the whole signature, so connectivity through
+        the representative preserves the duplicate cluster). Distinct
+        group representatives then pair among themselves (their count is
+        the number of DISTINCT signatures colliding on one band hash —
+        small unless adversarial); if even the representatives exceed the
+        cap, they star onto the bucket-min representative. Every shape is
+        LINEAR in bucket size.
+    Oversized buckets are observable via `oversized_bucket_stats` (the
+    accounting surface — same band pipeline, no pair work).
+
+    The fallback trades recall (a member pair whose signatures DIFFER yet
+    share this one band is represented through two hops) for a bounded
+    output; downstream Jaccard verification and connected components both
+    operate on connectivity, which the star preserves for true duplicate
+    groups. The persisted sized frame and any `release_also` intermediates
+    are released deterministically (lifecycle.materialize_release)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
+    # PERSIST the sized band rows: the small/big split and the self-join
+    # otherwise recompute the whole shingle→hash→min pipeline per subtree
+    # (exchange reuse does not fire across aliases — measured). Cached
+    # rows are (key, band, band_hash, sigh, _bsz) — a few scalars per doc
+    # per band, negligible next to the corpus, spilled to disk if not.
+    wb = Window.partitionBy("band", "band_hash")
+    sized = bands.withColumn("_bsz", F.count(F.lit(1)).over(wb)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    small = sized.filter(F.col("_bsz") <= max_bucket_rows).select(
+        "key", "band", "band_hash"
+    )
+    a = small.alias("a")
+    # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
+    # would add a driver round trip for the build side).
+    b = small.alias("b").hint("shuffle_hash")
+    pairs_small = (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+    )
+    big = sized.filter(F.col("_bsz") > max_bucket_rows)
+    wg = Window.partitionBy("band", "band_hash", "sigh")
+    grouped = big.withColumn("rep", F.min("key").over(wg))
+    star = grouped.filter(F.col("key") != F.col("rep")).select(
+        F.col("rep").alias("key_a"), F.col("key").alias("key_b")
+    )
+    reps = (
+        grouped.select("band", "band_hash", "rep")
+        .distinct()
+        .withColumn("_rn", F.count(F.lit(1)).over(wb))
+        .withColumn("rep0", F.min("rep").over(wb))
+    )
+    rs = reps.filter(F.col("_rn") <= max_bucket_rows)
+    ra = rs.alias("ra")
+    rb = rs.alias("rb").hint("shuffle_hash")
+    rep_pairs = (
+        ra.join(rb, on=["band", "band_hash"], how="inner")
+        .filter(F.col("ra.rep") < F.col("rb.rep"))
+        .select(F.col("ra.rep").alias("key_a"), F.col("rb.rep").alias("key_b"))
+    )
+    rep_star = reps.filter(
+        (F.col("_rn") > max_bucket_rows) & (F.col("rep") != F.col("rep0"))
+    ).select(F.col("rep0").alias("key_a"), F.col("rep").alias("key_b"))
+    pairs = (
+        pairs_small.unionByName(star).unionByName(rep_pairs).unionByName(rep_star)
+        .distinct()
+    )
+    return materialize_release(pairs, sized, *release_also)
+
+
+def oversized_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    portable: bool = False,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """Fallback accounting for the LSH bucket cap: one row per OVERSIZED
+    (band, band_hash) bucket with its population and the number of
+    distinct full signatures it collapsed to. Empty ⇔ the capped pair
+    output is bit-identical to the uncapped self-join."""
+    bands = minhash_bands(
+        df, text_col, key_col, num_hashes, band_size, shingle_n, portable
+    )
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.countDistinct("sigh").alias("distinct_signatures"),
+        )
+        .filter(F.col("bucket_size") > max_bucket_rows)
     )
 
 
@@ -228,36 +358,18 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     portable: bool = False,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (key_a < key_b) from LSH banding.
-    The self-join shuffles on (band, band_hash); bucket sizes are small by
-    construction, and AQE handles stragglers."""
-    from pyspark import StorageLevel
-
-    from apache_pinot_spark.operators.lifecycle import materialize_release
-
-    # PERSIST the banded signatures: the self-join otherwise recomputes the
-    # whole shingle→md5→min pipeline for both sides (exchange reuse does
-    # not fire across the a/b aliases — measured, not assumed). Cached rows
-    # are (key, band, band_hash) triples — num_bands small scalars per doc,
-    # negligible next to the corpus at any scale, spilled to disk if not.
-    # The cache is released DETERMINISTICALLY before returning (see
-    # lifecycle.materialize_release) — the result pairs are materialized
-    # eagerly so nothing downstream re-reads the intermediates.
+    The self-join shuffles on (band, band_hash); bucket sizes are small in
+    the honest LSH regime, and buckets beyond ``max_bucket_rows`` (e.g.
+    10 M boilerplate-identical docs — the 100 TB degenerate case) route to
+    the linear exact-group fallback instead of the K^2 self-join (see
+    `_capped_band_pairs`; audit with `oversized_bucket_stats`)."""
     bands = minhash_bands(
         df, text_col, key_col, num_hashes, band_size, shingle_n, portable
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = bands.alias("a")
-    # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
-    # would add a driver round trip for the build side).
-    b = bands.alias("b").hint("shuffle_hash")
-    pairs = (
-        a.join(b, on=["band", "band_hash"], how="inner")
-        .filter(F.col("a.key") < F.col("b.key"))
-        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
-        .distinct()
     )
-    return materialize_release(pairs, bands)
+    return _capped_band_pairs(bands, max_bucket_rows)
 
 
 def jaccard_verify_pairs(
@@ -318,6 +430,7 @@ def lsh_verified_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """End-to-end portable near-dup pipeline: MinHash+LSH candidates →
     exact n-gram Jaccard verification, sharing ONE tokenize+shingle pass.
@@ -330,8 +443,11 @@ def lsh_verified_pairs(
     minhash_candidate_pairs + jaccard_verify_pairs, this removes two full
     corpus tokenize passes — at 100 TB the tokenizer IS the scan cost.
     Cached rows: one shingle-set array per doc (the corpus text itself
-    never rides a shuffle) plus the (key, band, band_hash) triples — both
-    released deterministically before returning (lifecycle helper)."""
+    never rides a shuffle) plus the sized band rows inside
+    `_capped_band_pairs` — both released deterministically (lifecycle
+    helper). Candidate enumeration is bucket-capped: buckets beyond
+    ``max_bucket_rows`` (degenerate boilerplate corpora) route to the
+    linear exact-group fallback instead of the K^2 self-join."""
     from pyspark import StorageLevel
 
     from apache_pinot_spark.operators.lifecycle import materialize_release
@@ -344,17 +460,11 @@ def lsh_verified_pairs(
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = shset_df.select("key", F.explode("shset").alias("s"))
-    bands = _band_rows(_portable_signatures(ex, num_hashes), num_hashes, band_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
-    pairs = (
-        a.join(b, on=["band", "band_hash"], how="inner")
-        .filter(F.col("a.key") < F.col("b.key"))
-        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
-        .distinct()
-    )
+    bands = _band_rows(_portable_signatures(ex, num_hashes), num_hashes, band_size)
+    # capped candidate enumeration: buckets beyond max_bucket_rows route
+    # to the linear exact-group fallback (see _capped_band_pairs); the
+    # helper materializes the pairs and releases its own sized cache.
+    pairs = _capped_band_pairs(bands, max_bucket_rows)
     sa = shset_df.withColumnRenamed("key", "key_a").withColumnRenamed("shset", "set_a")
     sb = shset_df.withColumnRenamed("key", "key_b").withColumnRenamed("shset", "set_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -371,7 +481,7 @@ def lsh_verified_pairs(
         .select("key_a", "key_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return materialize_release(verified, shset_df, bands)
+    return materialize_release(verified, shset_df)
 
 
 # --------------------------------------------------------------------------

@@ -68,6 +68,9 @@ class CurationConfig:
     splits: dict = field(default_factory=lambda: {"train": 0.98, "val": 0.01,
                                                   "test": 0.01})
     split_salt: str = "v1"
+    # portable (md5-prefix) split hashing so a SQL oracle can replay the
+    # assignment; default stays xxhash64 (faster, JVM-side)
+    split_portable: bool = False
 
 
 def curate_corpus(
@@ -178,7 +181,7 @@ def curate_corpus(
 
     _stage("splits",
            assign_splits(cur, key_col=k, fractions=cfg.splits,
-                         salt=cfg.split_salt))
+                         salt=cfg.split_salt, portable=cfg.split_portable))
     return stages
 
 

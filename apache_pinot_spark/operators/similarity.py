@@ -169,9 +169,12 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     id_name: str = "id",
+    with_sigh: bool = False,
 ) -> DataFrame:
-    """(id, tbl, bucket) LSH bucket assignments for every row — ALL tables
-    in ONE Arrow-batched numpy GEMM pass.
+    """(id, tbl, bucket[, sigh]) LSH bucket assignments for every row — ALL
+    tables in ONE Arrow-batched numpy GEMM pass. ``with_sigh`` threads a
+    map-side xxhash64 of the full vector through the pass (the exact-group
+    key for the oversized-bucket fallback — zero extra shuffle).
 
     This replaces the interpreted higher-order-function fold path (which
     evaluated num_tables × num_planes aggregate() lambdas per row — the
@@ -193,6 +196,8 @@ def lsh_buckets(
     Wt = W.reshape(num_tables * num_planes, dim).T  # (D, T*P)
     bits = (1 << np.arange(num_planes, dtype=np.int64))
     out_schema = f"{id_name} BIGINT, tbl INT, bucket INT"
+    if with_sigh:
+        out_schema += ", sigh BIGINT"
 
     def run(batches):
         import pandas as _pd
@@ -205,17 +210,21 @@ def lsh_buckets(
             signs = (proj > 0).reshape(len(pdf), num_tables, num_planes)
             buckets = (signs * bits).sum(axis=2).astype(np.int32)  # (N, T)
             ids = pdf["id"].to_numpy()
-            yield _pd.DataFrame(
-                {
-                    id_name: np.repeat(ids, num_tables),
-                    "tbl": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {
+                id_name: np.repeat(ids, num_tables),
+                "tbl": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            }
+            if with_sigh:
+                out["sigh"] = np.repeat(pdf["sigh"].to_numpy(), num_tables)
+            yield _pd.DataFrame(out)
 
-    v = _spread(df).select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    )
+    cols = [F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")]
+    if with_sigh:
+        # map-side exact-group key: hash of the full vector (identical
+        # embeddings — the degenerate-bucket population — share it)
+        cols.append(F.xxhash64(_to_double(F.col(vec_col))).alias("sigh"))
+    v = _spread(df).select(*cols)
     return v.mapInPandas(run, schema=out_schema)
 
 
@@ -252,32 +261,43 @@ def lsh_candidate_pairs(
     num_tables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket in ANY of num_tables tables.
-    Shuffles on (table, bucket); bucket population ~ N / 2^num_planes."""
-    from pyspark import StorageLevel
+    Shuffles on (table, bucket); bucket population ~ N / 2^num_planes.
 
-    from apache_pinot_spark.operators.lifecycle import materialize_release
+    Only (id, tbl, bucket) rides through the self-join — vectors stay out
+    of the shuffle/broadcast (rescoring rejoins them by id if needed); the
+    signature GEMM (one Arrow pass, see lsh_buckets) is computed once into
+    the helper's cache and released deterministically.
 
-    # Only (id, tbl, bucket) rides through the self-join — vectors stay out
-    # of the shuffle/broadcast (rescoring rejoins them by id if needed).
-    # The signature GEMM (one Arrow pass, see lsh_buckets) is the expensive
-    # stage; PERSIST it so the self-join reads it once instead of
-    # recomputing both sides (exchange reuse does not fire across the a/b
-    # aliases). Cached rows are 3 scalars per (doc, table) — tiny relative
-    # to the corpus at any scale; released deterministically before
-    # returning (lifecycle helper).
-    sigs = lsh_buckets(corpus, dim, num_planes, num_tables, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Bucket cap (default `dedup.DEFAULT_MAX_BUCKET_ROWS`): a degenerate
+    bucket — e.g. millions of zero or boilerplate-identical embeddings
+    landing in one hypercube cell — would make the self-join quadratic at
+    100 TB. Buckets beyond the cap route to the linear exact-group
+    fallback of `dedup._capped_band_pairs`, grouping on a hash of the
+    FULL vector (identical embeddings star onto one representative;
+    distinct ones pair at the representative level)."""
+    from apache_pinot_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_ROWS,
+        _capped_band_pairs,
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = (
-        a.join(b, on=["tbl", "bucket"], how="inner")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+
+    if max_bucket_rows is None:
+        max_bucket_rows = DEFAULT_MAX_BUCKET_ROWS
+    sigs = lsh_buckets(
+        corpus, dim, num_planes, num_tables, id_col, vec_col, with_sigh=True
     )
-    return materialize_release(pairs, sigs)
+    bands = sigs.select(
+        F.col("id").alias("key"),
+        F.col("tbl").alias("band"),
+        F.col("bucket").cast("string").alias("band_hash"),
+        "sigh",
+    )
+    pairs = _capped_band_pairs(bands, max_bucket_rows)
+    return pairs.select(
+        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
+    )
 
 
 def lsh_topk(
@@ -422,11 +442,19 @@ def _stats_row_count(df: DataFrame) -> int | None:
     only be too HIGH — smaller blocks, same output (blocking is
     internal)."""
     try:
+        qe = df._jdf.queryExecution()
         # analyzed plan: one line per logical operator, stable node names
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = qe.analyzed().toString()
         multipliers = ("Join", "Generate", "Union", "FlatMapCoGroups")
         if any(tok in plan for tok in multipliers):
             return None
+        # a CACHED relation hides its file source from inputFiles(); its
+        # materialized Catalyst stats carry the EXACT row count instead
+        # (InMemoryRelation accumulators — defined only after the cache is
+        # built, which is exactly when a caller would hit this path)
+        rc = qe.optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
         files = df.inputFiles()
         if not files:
             return None

@@ -25,30 +25,21 @@ def _media(spark: SparkSession, sf_dir: str):
     )
 
 
-def _features(spark, sf_dir):
+def _features_and_frames(spark, sf_dir):
     # decode_stub=True pinned: the driver hash-compares against a sha/size
     # oracle, which must not change if an imaging library appears in the
     # environment (the real-decode path is covered by pytest instead)
     feats = multimodal.extract_image_features(_media(spark, sf_dir), decode_stub=True)
-    return feats.select("media_id", "n_bytes", "digest").orderBy("media_id")
-
-
-df_query(
-    "mm_feature_extract",
-    _features,
-    """
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           sha256(text) AS digest
-    FROM documents ORDER BY media_id
-    """,
-    tables=["documents"],
-    doc="Binary-column featurize via Arrow mapInPandas (decode stubbed); "
-        "digest+size oracle-checked, feature floats covered in tests",
-)
-
-
-def _frame_sampling(spark, sf_dir):
+    feat_rows = feats.select(
+        F.lit("feat").alias("part"),
+        "media_id",
+        F.col("n_bytes").cast("long").alias("metric_i"),
+        F.lit(None).cast("double").alias("metric_d"),
+        F.col("digest").alias("metric_s"),
+    )
+    # round-9 fold of mm_frame_sampling: metadata-arithmetic frame
+    # sampling rides the same slot as the binary featurize (the two
+    # multimodal plumbing checks share the documents scan)
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     vids = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -56,18 +47,30 @@ def _frame_sampling(spark, sf_dir):
         F.lit(24.0).alias("fps"),
     ).filter(F.col("media_id") < 50)
     frames = multimodal.sample_video_frames(vids, every_n_seconds=2.5)
-    return frames.select(
+    frame_rows = frames.select(
+        F.lit("frame").alias("part"),
         "media_id",
-        F.round("timestamp_s", 4).alias("timestamp_s"),
-        F.col("frame_index").cast("long").alias("frame_index"),
-    ).orderBy("media_id", "frame_index")
+        F.col("frame_index").cast("long").alias("metric_i"),
+        F.round("timestamp_s", 4).alias("metric_d"),
+        F.lit(None).cast("string").alias("metric_s"),
+    )
+    return feat_rows.unionByName(frame_rows).orderBy(
+        "part", "media_id", "metric_i"
+    )
 
 
 df_query(
-    "mm_frame_sampling",
-    _frame_sampling,
+    "mm_feature_extract",
+    _features_and_frames,
     """
-    WITH vids AS (
+    WITH feat AS (
+      SELECT 'feat' AS part, doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS metric_i,
+             CAST(NULL AS DOUBLE) AS metric_d,
+             sha256(text) AS metric_s
+      FROM documents
+    ),
+    vids AS (
       SELECT doc_id AS media_id,
              CAST(n_chars % 60 + 1 AS DOUBLE) AS duration_s, 24.0 AS fps
       FROM documents WHERE doc_id < 50
@@ -77,13 +80,23 @@ df_query(
       FROM vids, LATERAL (
         SELECT unnest(range(0, CAST(floor(duration_s / 2.5) AS BIGINT) + 1)) AS i
       ) u
+    ),
+    frames AS (
+      SELECT 'frame' AS part, media_id,
+             CAST(floor(sample_i * 2.5 * fps) AS BIGINT) AS metric_i,
+             round(sample_i * 2.5, 4) AS metric_d,
+             CAST(NULL AS VARCHAR) AS metric_s
+      FROM idx
     )
-    SELECT media_id,
-           round(sample_i * 2.5, 4) AS timestamp_s,
-           CAST(floor(sample_i * 2.5 * fps) AS BIGINT) AS frame_index
-    FROM idx ORDER BY media_id, frame_index
+    SELECT * FROM feat
+    UNION ALL
+    SELECT * FROM frames
+    ORDER BY part, media_id, metric_i
     """,
     tables=["documents"],
-    doc="Video frame-sampling plan from duration/fps metadata (pure JVM "
-        "arithmetic, explode per sampled frame)",
+    doc="Multimodal plumbing in one slot: binary-column featurize via "
+        "Arrow mapInPandas (decode stubbed; digest+size oracle-checked, "
+        "feature floats covered in tests) + video frame-sampling from "
+        "duration/fps metadata (pure JVM arithmetic, explode per frame; "
+        "r9 fold of mm_frame_sampling)",
 )

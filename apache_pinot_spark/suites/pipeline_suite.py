@@ -1,0 +1,240 @@
+"""Driver-gate query for the end-to-end curation pipeline
+(operators/pipeline.curate_corpus): staged row accounting — per-stage
+survivor counts plus final split sizes — with a DuckDB oracle that
+replays every enabled stage in SQL.
+
+Gate configuration (chosen so each stage is exactly replayable):
+  * exact dedup           — min-doc_id survivor per md5(text) group
+  * quality + language    — the tx_quality_buckets / tx_lang_id_eval
+                            arithmetic (both independently gate-green)
+  * near-dup dedup        — the dedup_jaccard_verified md5-portable
+                            LSH + Jaccard pipeline, then connected
+                            components (min-label) via a recursive CTE,
+                            keep-canonical survivors
+  * splits                — portable md5-prefix bucket assignment
+                            (operators/chunking.assign_splits
+                            portable=True; thresholds shared literals)
+Boilerplate removal keeps its own dedicated slot
+(curation_boilerplate_removal); PII redaction and decontamination are
+row-preserving / covered by unit tests and stay off here so the oracle
+stays a faithful replay rather than an approximation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
+from apache_pinot_spark.operators import textanalysis as tx
+from apache_pinot_spark.operators.chunking import portable_split_threshold
+from apache_pinot_spark.querysuite import df_query
+
+_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+_SALT = "v1"
+_NEAR_THRESHOLD = 0.02
+
+
+def _stage_accounting(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    cfg = CurationConfig(
+        boilerplate=False,
+        redact_pii=False,
+        near_num_hashes=8,
+        near_band_size=2,
+        near_shingle_n=3,
+        near_threshold=_NEAR_THRESHOLD,
+        decontaminate=False,
+        splits=dict(_SPLITS),
+        split_salt=_SALT,
+        split_portable=True,
+    )
+    stages = curate_corpus(docs, cfg)
+    parts = []
+    for i, (name, df) in enumerate(stages.items()):
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("rows")).select(
+                F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "rows"
+            )
+        )
+    split_sizes = (
+        stages["splits"]
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.lit(len(stages)).alias("stage_idx"),
+            F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+            "rows",
+        )
+    )
+    out = reduce(DataFrame.unionByName, parts).unionByName(split_sizes).orderBy(
+        "stage_idx", "stage"
+    )
+    # the lazy counts reference the near-dedup stage's localCheckpointed
+    # CC labels; tie their lifetime to the frame the driver holds
+    out._curation_artifacts_keepalive = stages
+    return out
+
+
+_STOP_SQL = ",".join("'" + w + "'" for w in sorted(DEFAULT_STOP_WORDS))
+_WS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_WS_L = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+def _marker(lang: str) -> str:
+    markers = ",".join("'" + m + "'" for m in tx.LANG_MARKERS[lang])
+    return f"len(list_filter({_WS_L}, x -> x IN ({markers})))"
+
+
+# MinHash/LSH fragments over the quality-filtered corpus `q` — the same
+# md5-portable construction the (independently green) dedup_jaccard_verified
+# oracle uses over raw documents: hash i = 8-hex slice (i%4) of
+# md5('(i//4)|' || shingle); band b = md5(mh[2b] || '|' || mh[2b+1]).
+_MH = ",\n         ".join(
+    f"list_min(list_transform(sh, x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8))) AS mh{i}"
+    for i in range(8)
+)
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+_T_TRAIN_HI = portable_split_threshold(980)
+_T_VAL_HI = portable_split_threshold(990)
+
+_ORACLE = f"""
+WITH RECURSIVE
+ex AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS keep
+        FROM documents GROUP BY 1) g
+    ON md5(d.text) = g.fp AND d.doc_id = g.keep
+),
+feat AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars_m,
+    len({_WS}) AS n_tokens,
+    len(list_filter({_WS_L}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+    {_marker('de')} AS de_c, {_marker('en')} AS en_c,
+    {_marker('es')} AS es_c, {_marker('fr')} AS fr_c,
+    {_marker('zh')} AS zh_c
+  FROM ex
+),
+scored AS (
+  SELECT doc_id, text,
+    greatest(least(
+      50.0
+      + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 100, 25.0)
+      + (CASE WHEN CAST(n_chars_m AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                  BETWEEN 3 AND 12 THEN 25.0 ELSE 0.0 END)
+      - least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 100, 50.0)
+    , 100.0), 0.0) AS q,
+    CASE
+      WHEN de_c >= greatest(en_c, es_c, fr_c, zh_c, 1) THEN 'de'
+      WHEN en_c >= greatest(es_c, fr_c, zh_c, 1) THEN 'en'
+      WHEN es_c >= greatest(fr_c, zh_c, 1) THEN 'es'
+      WHEN fr_c >= greatest(zh_c, 1) THEN 'fr'
+      WHEN zh_c >= 1 THEN 'zh'
+      ELSE 'und' END AS guess
+  FROM feat
+),
+q AS (SELECT doc_id, text FROM scored WHERE q >= 50.0 AND guess = 'en'),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM q
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS sh
+  FROM toks
+  WHERE len(t) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh
+),
+bands AS (
+  {_BANDS}
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+shset AS (SELECT doc_id, list_distinct(sh) AS shset FROM sh),
+vpairs AS (
+  SELECT p.key_a, p.key_b
+  FROM cpairs p
+  JOIN shset a ON a.doc_id = p.key_a
+  JOIN shset b ON b.doc_id = p.key_b
+  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+          / len(list_distinct(a.shset || b.shset)) >= {_NEAR_THRESHOLD}
+),
+edges AS (
+  SELECT key_a AS s, key_b AS d FROM vpairs
+  UNION
+  SELECT key_b AS s, key_a AS d FROM vpairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE comp <> id),
+nd AS (SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id FROM dropped)),
+spl AS (
+  SELECT doc_id,
+    CASE WHEN pfx < '{_T_TRAIN_HI}' THEN 'train'
+         WHEN pfx < '{_T_VAL_HI}' THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), 1, 8) AS pfx
+        FROM nd)
+)
+SELECT stage_idx, stage, rows FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+         (SELECT COUNT(*) FROM documents) AS rows
+  UNION ALL
+  SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM ex)
+  UNION ALL
+  SELECT 2, 'quality_language', (SELECT COUNT(*) FROM q)
+  UNION ALL
+  SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM nd)
+  UNION ALL
+  SELECT 4, 'splits', (SELECT COUNT(*) FROM nd)
+  UNION ALL
+  SELECT 5, 'split_' || split, COUNT(*) FROM spl GROUP BY split
+)
+ORDER BY stage_idx, stage
+"""
+
+
+df_query(
+    "pipeline_stage_accounting",
+    _stage_accounting,
+    _ORACLE,
+    tables=["documents"],
+    doc="End-to-end curation pipeline (operators/pipeline.curate_corpus) "
+        "staged row accounting: exact dedup, quality+language gate, "
+        "md5-portable LSH near-dup dedup with connected-components "
+        "canonical survivors, and portable split assignment — every "
+        "stage replayed in SQL (recursive CTE for the components)",
+)

@@ -79,6 +79,15 @@ ORDER BY id_a, id_b
 
 _LSH_DIM, _LSH_K, _LSH_PLANES, _LSH_TABLES = 64, 5, 4, 8
 _IVF_K, _IVF_CLUSTERS, _IVF_NPROBE = 5, 16, 6
+# PQ leg: refine_factor*k (640) >= the correctness-SF corpus (500 rows), so
+# the exact-rescore window provably covers EVERY probed candidate — the
+# emitted rows are then the exact top-k over the probed cells, which the
+# oracle reproduces in SQL. The full compressed path (codebook train,
+# encode, ADC scoring, rescore) still executes; ADC's ORDERING only decides
+# which candidates survive the window, and here the window is total. At
+# larger corpora the window narrows and recall is pinned by tests/test_pq.py
+# instead (>= 0.9 vs brute force).
+_PQ_K, _PQ_CLUSTERS, _PQ_NPROBE, _PQ_M, _PQ_KSUB, _PQ_REFINE = 5, 16, 4, 8, 64, 128
 
 
 def _weights_sql(table: int, plane: int, dim: int) -> str:
@@ -113,10 +122,18 @@ def _ann_family(spark, sf_dir):
     ivf = similarity.ivf_topk(
         emb, queries, dim=64, k=_IVF_K, num_clusters=_IVF_CLUSTERS, nprobe=_IVF_NPROBE
     )
+    from apache_pinot_spark.operators.pq import ivfpq_topk
+
+    pq = ivfpq_topk(
+        emb, queries, dim=64, k=_PQ_K, num_clusters=_PQ_CLUSTERS,
+        nprobe=_PQ_NPROBE, m=_PQ_M, ksub=_PQ_KSUB, iterations=1,
+        refine_factor=_PQ_REFINE,
+    )
     out = (
         brute.select(F.lit("brute").alias("variant"), "*")
         .unionByName(lsh.select(F.lit("lsh").alias("variant"), "*"))
         .unionByName(ivf.select(F.lit("ivf").alias("variant"), "*"))
+        .unionByName(pq.select(F.lit("pq").alias("variant"), "*"))
     )
     return out.orderBy("variant", "query_id", "rank")
 
@@ -194,6 +211,31 @@ ivf_r AS (
   SELECT query_id, neighbor_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
   FROM ivf_sc
+),
+pq_probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, cent.cidx AS cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, cent.cv) / cent.cnrm DESC, cent.cidx) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < 3
+  ) WHERE rn <= {_PQ_NPROBE}
+),
+pq_cand AS (
+  SELECT DISTINCT p.query_id, a.id AS neighbor_id
+  FROM pq_probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.id <> p.query_id
+),
+pq_sc AS (
+  SELECT pq_cand.query_id, pq_cand.neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+  FROM pq_cand
+  JOIN n a ON a.vec_id = pq_cand.query_id
+  JOIN n b ON b.vec_id = pq_cand.neighbor_id
+),
+pq_r AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM pq_sc
 )
 SELECT 'brute' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
 FROM bf_r WHERE rank <= 5
@@ -203,14 +245,20 @@ FROM lsh_r WHERE rank <= {_LSH_K}
 UNION ALL
 SELECT 'ivf' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
 FROM ivf_r WHERE rank <= {_IVF_K}
+UNION ALL
+SELECT 'pq' AS variant, query_id, neighbor_id, round(score, 6) AS score, rank
+FROM pq_r WHERE rank <= {_PQ_K}
 ORDER BY variant, query_id, rank
     """,
     tables=["embeddings"],
     doc="ANN family in one slot: exact brute-force top-k (broadcast query "
         "side), LSH-bucketed top-k (md5-derived hyperplanes inlined as "
-        "oracle literals), and IVF cluster-probed top-k (hash-sample "
-        "centroids) — each variant its full engine path + full oracle; "
-        "recall vs brute force additionally asserted in tests",
+        "oracle literals), IVF cluster-probed top-k (hash-sample "
+        "centroids), and IVF+PQ compressed top-k (codebook train + ADC + "
+        "exact rescore; gate config's refine window covers every probed "
+        "candidate, making the retrieved set the SQL-expressible "
+        "probed-cell top-k) — each variant its full engine path + full "
+        "oracle; recall vs brute force additionally asserted in tests",
 )
 
 

@@ -142,3 +142,40 @@ def test_stratified_sample_exact_budget_validation(spark):
         stratified_sample_exact(df, ["lang"], {}, "doc_id")
     with _pt.raises(ValueError, match="must be >= 1"):
         stratified_sample_exact(df, ["lang"], {("a",): 0}, "doc_id")
+
+
+def test_portable_splits_match_duckdb_and_fractions(spark, duck):
+    """portable=True split assignment replays exactly in SQL (md5-prefix
+    thresholds as shared literals) and lands near the requested 98/1/1."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from apache_pinot_spark.operators.chunking import (
+        assign_splits,
+        portable_split_threshold,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    got = (
+        assign_splits(
+            df, "doc_id",
+            {"train": 0.98, "val": 0.01, "test": 0.01},
+            salt="v1", portable=True,
+        )
+        .groupBy("split").count().orderBy("split").collect()
+    )
+    t_hi, v_hi = portable_split_threshold(980), portable_split_threshold(990)
+    want = duck.sql(f"""
+        SELECT split, COUNT(*) AS count FROM (
+          SELECT CASE WHEN pfx < '{t_hi}' THEN 'train'
+                      WHEN pfx < '{v_hi}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT substr(md5(CAST(r AS VARCHAR) || 'v1'), 1, 8) AS pfx
+                FROM range(5000) t(r))
+        ) GROUP BY split ORDER BY split
+    """).fetchall()
+    assert [(r["split"], r["count"]) for r in got] == [tuple(w) for w in want]
+    counts = {r["split"]: r["count"] for r in got}
+    assert abs(counts["train"] / 5000 - 0.98) < 0.01
+    # boundary sentinel: 1000 mills maps ABOVE every hex prefix
+    assert portable_split_threshold(1000) == "g" > "ffffffff"

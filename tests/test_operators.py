@@ -459,3 +459,98 @@ def test_materialize_release_sweep_frees_dead_results(spark):
     # out1's entry was swept during the out2 call (or by live_tracked now)
     assert live_tracked() == base + 1
     assert out2.count() == 50
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """10k identical shingle sets — the degenerate regime where every doc
+    shares every band hash. Uncapped, the self-join would emit ~50M pairs;
+    with the cap the fallback stars each bucket's members onto the min-key
+    representative: exactly N-1 distinct pairs, all (min_key, other)."""
+    from apache_pinot_spark.operators import dedup
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across every document").alias(
+            "text"
+        ),
+    )
+    pairs = dedup.minhash_candidate_pairs(
+        df, num_hashes=16, band_size=2, max_bucket_rows=100
+    )
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # linear, not quadratic
+    assert all(r["key_a"] == 0 and r["key_b"] > 0 for r in rows)
+    # accounting surfaces the oversized buckets (8 bands, one bucket each)
+    stats = dedup.oversized_bucket_stats(
+        df, num_hashes=16, band_size=2, max_bucket_rows=100
+    ).collect()
+    assert len(stats) == 8
+    assert all(r["bucket_size"] == n and r["distinct_signatures"] == 1 for r in stats)
+    # end-to-end verified pipeline inherits the cap: members are identical
+    # (jaccard 1.0) so every star pair survives verification
+    verified = dedup.lsh_verified_pairs(df, max_bucket_rows=100, threshold=0.9)
+    assert verified.count() == n - 1
+
+
+def test_lsh_bucket_cap_noop_below_cap(spark):
+    """An honest corpus (every bucket under the cap) produces pairs
+    BIT-IDENTICAL to the uncapped self-join — the gate queries stay
+    hash-green with the cap in place."""
+    from apache_pinot_spark.operators import dedup
+
+    docs = []
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    for i in range(40):
+        docs.append((2 * i, base.replace("lazy", f"w{i}")))
+        docs.append((2 * i + 1, base.replace("lazy", f"w{i}") + " tail"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = dedup.minhash_candidate_pairs(df, max_bucket_rows=1024)
+    uncapped = dedup.minhash_candidate_pairs(df, max_bucket_rows=10**9)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_lsh_bucket_cap_mixed_regime(spark):
+    """A corpus holding BOTH a degenerate cluster (400 identical docs) and
+    honest near-dup pairs: the honest pairs still surface exactly, the
+    degenerate cluster contributes linear star pairs, and the two regimes
+    don't cross-contaminate."""
+    from apache_pinot_spark.operators import dedup
+
+    rows = [(i, "identical boilerplate body shared by the degenerate flock")
+            for i in range(400)]
+    base = "genuine document about distributed query planning and execution " * 3
+    rows.append((1000, base))
+    rows.append((1001, base.replace("query", "stream")))
+    rows.append((1002, "entirely unrelated prose regarding cooking recipes " * 3))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in dedup.minhash_candidate_pairs(df, max_bucket_rows=50).collect()
+    }
+    assert (1000, 1001) in got
+    assert all(not (a >= 1000 and b >= 1000) for a, b in got - {(1000, 1001)})
+    flock = {(a, b) for a, b in got if b < 1000}
+    assert flock == {(0, i) for i in range(1, 400)}  # linear star
+
+
+def test_vector_lsh_bucket_cap_degenerate_embeddings(spark):
+    """5k identical embeddings land in one bucket per table; the cap
+    routes them to the linear star fallback (N-1 pairs) instead of the
+    ~12.5M-pair self-join. A distinct planted pair still surfaces."""
+    from apache_pinot_spark.operators import similarity
+
+    n = 5_000
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    rows.append((n, [-1.0, -2.0, -3.0, -4.0]))
+    rows.append((n + 1, [-1.0, -2.0, -3.0, -4.01]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.lsh_candidate_pairs(
+        df, dim=4, num_planes=8, num_tables=2, max_bucket_rows=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (n, n + 1) in got
+    flock = {(a, b) for a, b in got if b < n}
+    assert flock == {(0, i) for i in range(1, n)}  # linear star, not K^2
