@@ -254,3 +254,38 @@ def hll_estimate_fold_over_set_sql(set_sql: str, m: int = HLL_M) -> str:
         f"aggregate({set_sql}, "
         f"array_repeat(0, {m}), (acc, v) -> {update}, acc -> {finish})"
     )
+
+
+def hll_sketch_grouped_query(
+    value_col_sql: str,
+    group_col_sql: str,
+    src_table: str,
+    m: int = HLL_M,
+) -> str:
+    """Full Spark SELECT producing (seg, sketch) per group via TWO-LEVEL
+    aggregation — the fast build shape for wide scans. The single-level
+    form evaluates m MAX(CASE WHEN reg=r) conditionals PER ROW (m x rows
+    branch evaluations); this shape computes (reg, rho) once per row,
+    reduces with ONE MAX through groupBy(seg, reg) (map-side combined —
+    at most m rows per group ride the shuffle), then assembles the m-byte
+    sketch from the <= m surviving rows with a sequence/transform over a
+    map (missing registers pack as 0x00). Byte-identical to
+    hll_sketch_from_pair_sql's output. Spark-dialect only (HOF assembly);
+    oracles keep the direct per-row estimate."""
+    assert m == HLL_M
+    reg, rho = hll_pair_sqls(value_col_sql, "spark")
+    return f"""
+    SELECT seg, unhex(concat_ws('', transform(sequence(0, {m - 1}),
+             r -> lpad(hex(coalesce(element_at(m_, r), 0)), 2, '0')))) AS sketch
+    FROM (
+      SELECT seg, map_from_entries(collect_list(struct(reg, mr))) AS m_
+      FROM (
+        SELECT seg, reg, MAX(rho) AS mr
+        FROM (SELECT {group_col_sql} AS seg, {reg} AS reg, {rho} AS rho
+              FROM {src_table})
+        WHERE reg IS NOT NULL
+        GROUP BY seg, reg
+      )
+      GROUP BY seg
+    )
+    """

@@ -179,3 +179,37 @@ def estimate_percentile(
             return lo + width * (i + frac)
         cum += c
     return hi
+
+
+def histogram_sketch_grouped_query(
+    col_sql: str,
+    lo: float,
+    hi: float,
+    group_col_sql: str,
+    src_table: str,
+    bins: int = HIST_BINS,
+    out_col: str = "sketch",
+) -> str:
+    """Full Spark SELECT producing (seg, sketch) per group via TWO-LEVEL
+    aggregation: bin once per row, COUNT through groupBy(seg, bin)
+    (map-side combined — at most ``bins`` rows per group ride the
+    shuffle), then assemble the bins x 32-bit big-endian layout from the
+    surviving rows (missing bins pack as zero counts). Byte-identical to
+    histogram_sketch_sql's output; the single-level form re-expands the
+    bin arithmetic inside ``bins`` COUNT(CASE) terms per row. Spark-
+    dialect only (HOF assembly); oracles keep the direct per-row walk."""
+    b = _bin_sql(col_sql, lo, hi, bins)
+    return f"""
+    SELECT seg, unhex(concat_ws('', transform(sequence(0, {bins - 1}),
+             i -> lpad(hex(coalesce(element_at(m_, i), CAST(0 AS BIGINT))), {_W}, '0')))) AS {out_col}
+    FROM (
+      SELECT seg, map_from_entries(collect_list(struct(bin, c))) AS m_
+      FROM (
+        SELECT seg, bin, COUNT(*) AS c
+        FROM (SELECT {group_col_sql} AS seg, {b} AS bin FROM {src_table})
+        WHERE bin IS NOT NULL
+        GROUP BY seg, bin
+      )
+      GROUP BY seg
+    )
+    """

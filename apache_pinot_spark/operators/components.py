@@ -39,17 +39,52 @@ def connected_components(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(key, component) for every node appearing in ``edges``;
     ``component`` is the minimum key reachable from the node. Nodes with
     no edges do not appear (their component is themselves by
     definition). Keys must be non-null and orderable (the canonical
-    member is the MIN key)."""
+    member is the MIN key).
+
+    Small-graph fast path: a near-dup pair graph is tiny relative to the
+    corpus by LSH construction, and the distributed loop pays ~4 Spark
+    jobs PER ITERATION in fixed overhead. When the edge count is at most
+    ``small_graph_edges`` (a few MB driver-side; count is cheap — callers
+    pass already-materialized pair frames), the edges are collected and
+    union-find runs in-process — identical output (min-key component
+    labels), one job instead of a dozen. Pass 0 to force the distributed
+    path (the 5M-edge probe in SCALE §14 exercises it)."""
     from pyspark.sql import types as T
 
     from apache_pinot_spark.operators.lifecycle import materialize_release
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if small_graph_edges and e.count() <= small_graph_edges:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the min key
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(k, find(k)) for k in parent]
+        spark = edges.sparkSession
+        key_type = e.schema["a"].dataType.simpleString()
+        return spark.createDataFrame(
+            out, schema=f"key {key_type}, component {key_type}"
+        )
     sym = materialize_release(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )

@@ -32,8 +32,27 @@ def _spread(df: DataFrame) -> DataFrame:
     pipelines must fan out across cores first. One cheap shuffle of the
     raw rows buys full parallelism for the expensive projection that
     follows (at cluster scale the input is already many partitions and
-    this is a near-no-op rebalance)."""
+    this is a near-no-op rebalance).
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) is metadata-
+    only for NARROW plans (scan/filter/project), but on a plan with a
+    shuffle upstream (join/aggregate/window) `.rdd` materializes the AQE
+    query stages — a full extra execution of the upstream, thrown away
+    (measured: +1.5 s per call at bench scale; a wasted corpus pass at
+    100 TB). Worse, AQE coalesces small post-shuffle outputs to a handful
+    of partitions, so the probe would mandate the repartition anyway. So:
+    shuffle-upstream plans skip the probe and repartition unconditionally
+    (one extra rebalance of rows that already rode a shuffle); narrow
+    plans keep the free probe and repartition only when under-parallel."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = ""
+    shuffly = ("Join", "Aggregate", "Window", "Deduplicate", "Repartition",
+               "Generate", "Union", "Sort")
+    if any(tok in plan for tok in shuffly):
+        return df.repartition(target)
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 # --------------------------------------------------------------------------
@@ -243,8 +262,10 @@ def _capped_band_pairs(
     DEGENERATE buckets: 10 M boilerplate-identical documents share every
     band hash, and 10 M^2 pairs is not a computable answer at any scale.
 
-    Routing, per (band, band_hash) bucket (size counted in-pass with ONE
-    window over the same shuffle key the join needs):
+    Routing, per (band, band_hash) bucket (sizes from one map-side-combined
+    groupBy of slim rows; the oversized-bucket set — EMPTY on honest
+    corpora — broadcasts into anti/semi joins, so the band rows
+    themselves never pay an extra shuffle or sort for the cap):
       * size <= max_bucket_rows → the exact K^2/2 self-join (unchanged
         semantics — at the default 1024 cap, honest corpora never leave
         this path, so gated results are bit-identical to the uncapped op).
@@ -265,24 +286,44 @@ def _capped_band_pairs(
     share this one band is represented through two hops) for a bounded
     output; downstream Jaccard verification and connected components both
     operate on connectivity, which the star preserves for true duplicate
-    groups. The persisted sized frame and any `release_also` intermediates
+    groups. The persisted band rows and any `release_also` intermediates
     are released deterministically (lifecycle.materialize_release)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from apache_pinot_spark.operators.lifecycle import materialize_release
 
-    # PERSIST the sized band rows: the small/big split and the self-join
-    # otherwise recompute the whole shingle→hash→min pipeline per subtree
-    # (exchange reuse does not fire across aliases — measured). Cached
-    # rows are (key, band, band_hash, sigh, _bsz) — a few scalars per doc
-    # per band, negligible next to the corpus, spilled to disk if not.
-    wb = Window.partitionBy("band", "band_hash")
-    sized = bands.withColumn("_bsz", F.count(F.lit(1)).over(wb)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # PERSIST the band rows: the sizes aggregate, the small/big split and
+    # the self-join otherwise recompute the whole shingle→hash→min
+    # pipeline per subtree (exchange reuse does not fire across aliases —
+    # measured). Cached rows are (key, band, band_hash, sigh) — a few
+    # scalars per doc per band, negligible next to the corpus.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    big_buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_rows)
+        .select("band", "band_hash")
     )
-    small = sized.filter(F.col("_bsz") <= max_bucket_rows).select(
-        "key", "band", "band_hash"
+    # One scalar probe decides the regime (reads the just-persisted bands,
+    # so the sig pipeline is paid once either way). Honest corpora take
+    # the clean self-join plan with ZERO cap machinery in it — the lazy
+    # alternative (anti-join + a 4-branch union whose 3 fallback branches
+    # are empty) still costs ~2 s of scheduled empty stages per call.
+    if big_buckets.isEmpty():
+        a = bands.alias("a")
+        # shuffle_hash hint: keeps the probe side streaming (a broadcast
+        # pick would add a driver round trip for the build side).
+        b = bands.alias("b").hint("shuffle_hash")
+        pairs = (
+            a.join(b, on=["band", "band_hash"], how="inner")
+            .filter(F.col("a.key") < F.col("b.key"))
+            .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+            .distinct()
+        )
+        return materialize_release(pairs, bands, *release_also)
+    small = bands.join(
+        F.broadcast(big_buckets), on=["band", "band_hash"], how="left_anti"
     )
     a = small.alias("a")
     # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
@@ -293,7 +334,10 @@ def _capped_band_pairs(
         .filter(F.col("a.key") < F.col("b.key"))
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
     )
-    big = sized.filter(F.col("_bsz") > max_bucket_rows)
+    big = bands.join(
+        F.broadcast(big_buckets), on=["band", "band_hash"], how="left_semi"
+    )
+    wb = Window.partitionBy("band", "band_hash")
     wg = Window.partitionBy("band", "band_hash", "sigh")
     grouped = big.withColumn("rep", F.min("key").over(wg))
     star = grouped.filter(F.col("key") != F.col("rep")).select(
@@ -320,7 +364,7 @@ def _capped_band_pairs(
         pairs_small.unionByName(star).unionByName(rep_pairs).unionByName(rep_star)
         .distinct()
     )
-    return materialize_release(pairs, sized, *release_also)
+    return materialize_release(pairs, bands, *release_also)
 
 
 def oversized_bucket_stats(

@@ -16,9 +16,8 @@ contract: corrupt or out-of-scope blobs flow to the reject stream):
   decode_gif_frames: up to ``max_frames`` frames composited onto the
                      running canvas — disposal 0/1 leave the canvas,
                      disposal 2 restores the background, disposal 3
-                     (restore-previous) is approximated as 2 (a
-                     documented simplification; archival GIFs rarely
-                     use it).
+                     (restore-previous) restores the pre-frame canvas
+                     snapshot (GIF89a §23).
 
 There is deliberately NO encoder: tests assemble streams by hand (the
 LZW "all root codes" construction below is always spec-legal) and use
@@ -193,6 +192,12 @@ def _decode_frames(data: bytes, max_frames: int) -> "list | None":
             opaque = pix != transparent
         else:
             opaque = np.ones((ih, iw), dtype=bool)
+        if disposal == 3:
+            # restore-to-previous: snapshot the pre-draw region (GIF89a
+            # §23 disposal 3 — the canvas as it was BEFORE this frame
+            # rendered comes back once the frame's delay elapses)
+            prev_c = canvas[iy : iy + ih, ix : ix + iw].copy()
+            prev_a = canvas_alpha[iy : iy + ih, ix : ix + iw].copy()
         region_c = canvas[iy : iy + ih, ix : ix + iw]
         region_a = canvas_alpha[iy : iy + ih, ix : ix + iw]
         region_c[opaque] = rgb[opaque]
@@ -203,11 +208,14 @@ def _decode_frames(data: bytes, max_frames: int) -> "list | None":
             frames.append(
                 np.concatenate([canvas, canvas_alpha[:, :, None]], axis=2)
             )
-        if disposal == 2 or disposal == 3:  # restore bg (3 approximated)
+        if disposal == 2:  # restore background
             canvas[iy : iy + ih, ix : ix + iw] = (
                 gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
             )
             canvas_alpha[iy : iy + ih, ix : ix + iw] = 0
+        elif disposal == 3:  # restore the pre-frame snapshot
+            canvas[iy : iy + ih, ix : ix + iw] = prev_c
+            canvas_alpha[iy : iy + ih, ix : ix + iw] = prev_a
         transparent = None
         disposal = 0
     return frames or None

@@ -134,21 +134,30 @@ def train_bigram_lm(
     ).select("p.prev", "p.w")
     pw = pos.groupBy("prev", "w").agg(F.count("*").alias("cnt")).persist()
     ucnt = pw.groupBy("w").agg(F.sum("cnt").alias("cnt"))
-    total = ucnt.agg(F.sum("cnt")).collect()[0][0] or 0  # populates pw
+    # ONE scalar job yields both training constants (populates the pw
+    # cache): total token count + distinct-word count; kept vocab is the
+    # min with the cap, exactly what counting the post-limit frame gave.
+    stats = ucnt.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total = stats["t"] or 0
+    v = min(vocab_size, stats["n"] or 0)
     vocab = ucnt.orderBy(F.desc("cnt"), F.asc("w")).limit(vocab_size)
-    v = vocab.count()  # actual kept vocab (bounded; reads the pw cache)
     denom = total + v + 1
-    unigrams = materialize_release(
-        vocab.select(
-            "w",
-            F.round(F.log((F.col("cnt") + F.lit(1.0)) / F.lit(float(denom))),
-                    quantize)
-            .cast(_LOGP_DECIMAL)
-            .alias("logp_uni"),
-        )
+    # BOTH bounded model tables materialize in ONE localCheckpoint job: a
+    # tag-column union, split back lazily below (filters over checkpoint
+    # blocks — no recompute). Was two sequential checkpoint jobs.
+    uni_part = vocab.select(
+        F.lit("u").alias("tag"),
+        F.lit(None).cast("string").alias("prev"),
+        "w",
+        F.round(F.log((F.col("cnt") + F.lit(1.0)) / F.lit(float(denom))),
+                quantize)
+        .cast(_LOGP_DECIMAL)
+        .alias("logp"),
     )
     bcnt = pw.where(F.col("prev").isNotNull()).withColumnRenamed("cnt", "bcnt")
-    bigrams = materialize_release(
+    big_part = (
         bcnt.join(
             ucnt.withColumnRenamed("w", "prev").withColumnRenamed("cnt", "pcnt"),
             on="prev",
@@ -156,14 +165,26 @@ def train_bigram_lm(
         .orderBy(F.desc("bcnt"), F.asc("prev"), F.asc("w"))
         .limit(bigram_size)
         .select(
+            F.lit("b").alias("tag"),
             "prev",
             "w",
             F.round(F.log(F.col("bcnt") / F.col("pcnt")), quantize)
             .cast(_LOGP_DECIMAL)
             .alias("logp"),
-        ),
+        )
+    )
+    model_tbl = materialize_release(
+        uni_part.unionByName(big_part),
         pw,  # model tables are lineage-truncated: release the count cache
     )
+    unigrams = model_tbl.where(F.col("tag") == "u").select(
+        "w", F.col("logp").alias("logp_uni")
+    )
+    bigrams = model_tbl.where(F.col("tag") == "b").select("prev", "w", "logp")
+    # the split frames are lazy views over model_tbl's checkpoint blocks:
+    # keep the materialized frame alive as long as either split is
+    unigrams._lm_model_keepalive = model_tbl
+    bigrams._lm_model_keepalive = model_tbl
     return BigramLM(
         unigrams=unigrams,
         bigrams=bigrams,

@@ -333,7 +333,10 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plan: (media_id, frame_index, timestamp_s) rows from
     duration/fps metadata — pure JVM arithmetic, the decode of the chosen
-    frames is downstream (stubbed). One row per sampled frame via explode."""
+    frames is downstream (stubbed). One row per sampled frame via explode.
+    For sampling against a blob's REAL container sample table (stts/stss
+    seek semantics, keyframe snapping, corrupt-blob reject) use
+    operators/mp4.sample_video_frames_from_blobs."""
     n_samples = F.floor(F.col(duration_col) / F.lit(every_n_seconds)).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_samples, F.lit(0)))
     return (

@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _CachedStage:
+    """Holds a persisted stage frame and unpersists it when the pipeline's
+    artifact list dies (i.e. when the caller drops the stages dict) — the
+    same deterministic-release stance as operators/lifecycle, without a
+    checkpoint (stage caches are read by sibling plans via the cache
+    manager's structural matching, so the frames must stay LAZY)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __del__(self):
+        try:
+            self.df.unpersist(False)
+        except Exception:
+            pass  # session gone — nothing to free
+
+
 @dataclass
 class CurationConfig:
     """Stage knobs; set a stage's enable flag False to skip it."""
@@ -71,6 +88,16 @@ class CurationConfig:
     # portable (md5-prefix) split hashing so a SQL oracle can replay the
     # assignment; default stays xxhash64 (faster, JVM-side)
     split_portable: bool = False
+    # stage names whose OUTPUT should be persisted (MEMORY_AND_DISK).
+    # Spark's cache manager matches plans structurally, so every later
+    # stage / count that embeds the cached stage's subtree reads the cache
+    # instead of re-deriving the chain (the quality/langid expressions and
+    # the exact-dedup join are expensive to re-run per downstream action).
+    # Off by default — at 100 TB persisting a full-corpus stage is a real
+    # storage decision the caller should make deliberately. Lifetime is
+    # tied to the returned stage frames (lifecycle sweep releases them
+    # when the stages dict dies).
+    cache_stages: tuple = ()
 
 
 def curate_corpus(
@@ -102,6 +129,12 @@ def curate_corpus(
     artifacts: list = []
 
     def _stage(name, df):
+        if name in (cfg.cache_stages or ()):
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            # release when the stages dict (held by every stage frame) dies
+            artifacts.append(_CachedStage(df))
         df._curation_artifacts_keepalive = artifacts
         stages[name] = df
         return df

@@ -82,80 +82,69 @@ def pq_train(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 16384,
 ) -> PQCodebooks:
-    """Per-subspace k-means codebooks over the UNIT-NORMALIZED corpus.
-    Deterministic: init = the ksub smallest-md5(id) vectors (their j-th
-    subvectors seed subspace j), then ``iterations`` Lloyd steps — each
-    one Arrow corpus pass + one bounded mean collect; empty codes keep
-    their previous centroid."""
+    """Per-subspace k-means codebooks over a bounded, deterministic,
+    UNIT-NORMALIZED training sample — the standard PQ training shape
+    (FAISS trains codebooks on a sample of ~10-100k vectors, never the
+    full corpus): codebook quality saturates far below corpus size, and
+    sampling makes training cost INDEPENDENT of corpus size.
+
+    One Spark job total: the ``max_train_rows`` smallest-md5(id) vectors
+    ride a TakeOrdered collect (a single corpus pass emitting only the
+    sample — bounded at 16384 x dim float64 ≈ 8 MB at dim 64). Init =
+    the first ksub sample vectors (their j-th subvectors seed subspace
+    j), then ``iterations`` Lloyd steps run in-process over the sample
+    matrix; empty codes keep their previous centroid.
+
+    Determinism: the sample is hash-ordered (md5(id), id) so it is
+    identical on every run and partitioning, and the in-process Lloyd is
+    sequential numpy — bit-stable. (The round-8 form ran each Lloyd step
+    as a full distributed corpus pass: iterations+1 jobs and a
+    corpus-sized cost per step for codebooks a sample trains equally
+    well.)"""
     import numpy as np
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if not 1 <= ksub <= 32768:  # codes are SMALLINT
         raise ValueError(f"ksub must be in [1, 32768], got {ksub}")
+    if max_train_rows < ksub:
+        raise ValueError(
+            f"max_train_rows ({max_train_rows}) must be >= ksub ({ksub})"
+        )
     dsub = dim // m
     v = _spread(corpus).select(
         F.col(id_col).alias("id"), _normalize(_to_double(F.col(vec_col))).alias("v")
     )
-    init = (
+    sample_rows = (
         v.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
-        .limit(ksub)
+        .limit(max_train_rows)
         .collect()
     )
+    X = np.asarray([list(r["v"]) for r in sample_rows], dtype=np.float64)
+    init = X[:ksub]
     if len(init) < ksub:  # tiny corpora: pad by cycling the sample
-        init = (init * (ksub // max(len(init), 1) + 1))[:ksub]
-    books = np.asarray([list(r["v"]) for r in init], dtype=np.float64)
-    books = books.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # m,ksub,dsub
+        reps = ksub // max(len(init), 1) + 1
+        init = np.concatenate([init] * reps)[:ksub]
+    books = init.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # m,ksub,dsub
 
-    for _ in range(iterations):
-        bks = books.copy()
-
-        def assign(batches, _bks=bks, _m=m, _dsub=dsub):
-            import numpy as _np
-            import pandas as _pd
-
-            for pdf in batches:
-                X = _np.asarray(list(pdf["v"]), dtype=_np.float64)
-                if not len(X):
-                    continue
-                sub = X.reshape(len(X), _m, _dsub)
-                out = []
-                for j in range(_m):
-                    d = (
-                        (sub[:, j, :] ** 2).sum(1)[:, None]
-                        - 2.0 * sub[:, j, :] @ _bks[j].T
-                        + (_bks[j] ** 2).sum(1)[None, :]
-                    )
-                    code = d.argmin(1)
-                    out.append(
-                        _pd.DataFrame(
-                            {
-                                "sub": j,
-                                "code": code.astype("int32"),
-                                "sv": list(sub[:, j, :]),
-                            }
-                        )
-                    )
-                yield _pd.concat(out)
-
-        # means round to 9 decimals: float partial-sum order varies with
-        # partitioning, and the rounding crushes that ulp drift so the
-        # trained codebooks are partition-invariant (the DSIR convention;
-        # 1e-9 on unit-vector components is far below quantizer noise)
-        rows = (
-            v.mapInPandas(assign, schema="sub INT, code INT, sv ARRAY<DOUBLE>")
-            .groupBy("sub", "code")
-            .agg(*[
-                F.round(F.avg(F.col("sv").getItem(i)), 9).alias(f"c{i}")
-                for i in range(dsub)
-            ])
-            .collect()
-        )
+    sub = X.reshape(len(X), m, dsub) if len(X) else None
+    for _ in range(iterations if sub is not None else 0):
         new = books.copy()
-        for r in rows:
-            new[r["sub"], r["code"]] = [r[f"c{i}"] for i in range(dsub)]
+        for j in range(m):
+            d = (
+                (sub[:, j, :] ** 2).sum(1)[:, None]
+                - 2.0 * sub[:, j, :] @ books[j].T
+                + (books[j] ** 2).sum(1)[None, :]
+            )
+            code = d.argmin(1)
+            for c in np.unique(code):
+                # mean rounds to 9 decimals — same partition-invariance
+                # convention as the distributed form it replaced (1e-9 on
+                # unit-vector components is far below quantizer noise)
+                new[j, c] = np.round(sub[code == c, j, :].mean(axis=0), 9)
         books = new
     return PQCodebooks(m=m, ksub=ksub, dsub=dsub, books=books.tolist())
 
@@ -235,15 +224,19 @@ def ivfpq_index(
     vec_col: str = "embedding",
     kmeans_iterations: int = 0,
     materialize: bool = True,
+    assignment: tuple | None = None,
 ) -> IVFPQIndex:
     """Build the compressed index: coarse IVF assignment + PQ codebooks
     + codes. With ``materialize`` (default) the slim code frame is
     localCheckpoint-materialized so repeated queries never re-run the
     assign/encode passes — the index-reuse contract a serving layer
-    needs (pass False to keep it lazy for one-shot pipelines)."""
+    needs (pass False to keep it lazy for one-shot pipelines).
+    ``assignment`` optionally reuses a prebuilt (assigned_df, centroids)
+    pair so sibling tiers share one coarse quantizer pass (see
+    similarity.ivf_topk)."""
     from apache_pinot_spark.operators.lifecycle import materialize_release
 
-    assigned, centroids = ivf_assign(
+    assigned, centroids = assignment if assignment is not None else ivf_assign(
         corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
     )
     codebooks = pq_train(corpus, dim, m, ksub, iterations, id_col, vec_col)
@@ -281,13 +274,14 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     max_query_rows: int = 65536,
     kmeans_iterations: int = 0,
+    assignment: tuple | None = None,
 ) -> DataFrame:
     """One-shot convenience: build the index (lazy — nothing is cached
     beyond the call) and query it. For repeated query batches build once
     with ``ivfpq_index`` and call ``ivfpq_query``."""
     idx = ivfpq_index(
         corpus, dim, num_clusters, m, ksub, iterations, id_col, vec_col,
-        kmeans_iterations, materialize=False,
+        kmeans_iterations, materialize=False, assignment=assignment,
     )
     return ivfpq_query(
         idx, queries, k, nprobe, refine_factor, id_col, vec_col, max_query_rows

@@ -24,9 +24,10 @@ def _to_double(vec: Column) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a single-scan-partition input out across cores before per-row
-    scoring work (see operators/dedup._spread)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    scoring work (plan-aware probe — see operators/dedup._spread)."""
+    from apache_pinot_spark.operators.dedup import _spread as _dedup_spread
+
+    return _dedup_spread(df)
 
 
 def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -309,13 +310,49 @@ def lsh_topk(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Approximate top-k: bucket-join queries to corpus in num_tables LSH
     tables, exact-rescore candidates, take top-k. Same output schema as
-    brute_force_topk (so recall is directly measurable)."""
+    brute_force_topk (so recall is directly measurable).
+
+    The QUERY side's buckets are computed driver-side: the query set is
+    small by contract (bounded at ``max_query_rows``, raising past it —
+    same fence as ivf_topk), and an in-process GEMM against the identical
+    deterministic plane tensor replaces a whole Spark mapInPandas pass
+    whose fixed cost (shuffle + Arrow round trip) dwarfed three rows of
+    work. Sign semantics are bit-identical: same float64 `V @ Wt > 0`."""
+    import numpy as np
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"lsh_topk query set exceeds max_query_rows={max_query_rows}; "
+            "chunk the queries or raise the bound explicitly"
+        )
+    W = _plane_matrix(dim, num_planes, num_tables)  # (T, P, D)
+    Wt = W.reshape(num_tables * num_planes, dim).T
+    bits = 1 << np.arange(num_planes, dtype=np.int64)
+    qmat = np.asarray([list(r["qv"]) for r in qrows], dtype=np.float64)
+    q_rows = []
+    if len(qmat):
+        proj = qmat @ Wt
+        signs = (proj > 0).reshape(len(qmat), num_tables, num_planes)
+        buckets = (signs * bits).sum(axis=2).astype(np.int32)
+        for i, r in enumerate(qrows):
+            for t in range(num_tables):
+                q_rows.append((r["query_id"], int(t), int(buckets[i, t])))
+    qs = queries.sparkSession.createDataFrame(
+        q_rows, schema="query_id BIGINT, tbl INT, bucket INT"
+    )
     # Slim (id, tbl, bucket) rows via the GEMM bucket pass — vectors do NOT
     # ride the bucket join; they are rejoined by id for the rescore stage.
-    qs = lsh_buckets(queries, dim, num_planes, num_tables, id_col, vec_col, "query_id")
     cs = lsh_buckets(corpus, dim, num_planes, num_tables, id_col, vec_col, "neighbor_id")
     cand = (
         cs.join(F.broadcast(qs), on=["tbl", "bucket"], how="inner")
@@ -727,6 +764,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_query_rows: int = 65536,
     kmeans_iterations: int = 0,
+    assignment: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` clusters nearest each
     query (classic IVF). Work scales as nprobe/num_clusters of brute
@@ -740,10 +778,16 @@ def ivf_topk(
     re-broadcast — correct for the intended small-query-set regime, and
     BOUNDED: more than ``max_query_rows`` queries raises instead of
     silently materializing an unbounded collect (batch big query sets
-    through lsh_topk, or chunk them)."""
+    through lsh_topk, or chunk them).
+
+    ``assignment`` optionally supplies a prebuilt (assigned_df,
+    centroids) pair from ivf_assign — callers serving several index
+    tiers off one coarse quantizer (e.g. IVF and IVF+PQ side by side)
+    persist the assignment once instead of re-running the GEMM pass per
+    tier."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(
+    assigned, centroids = assignment if assignment is not None else ivf_assign(
         corpus, dim, num_clusters, id_col, vec_col, kmeans_iterations
     )
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)

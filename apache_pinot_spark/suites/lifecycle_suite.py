@@ -578,19 +578,24 @@ df_query(
 def _hll_sketch_bytes(spark, sf_dir):
     from apache_pinot_spark.functions.hll import (
         hll_merge_estimate_sql,
-        hll_pair_sqls,
-        hll_sketch_from_pair_sql,
+        hll_sketch_grouped_query,
     )
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    li.createOrReplaceTempView("__hll_lineitem")
-    reg, rho = hll_pair_sqls("l_partkey", "spark")
+    # the testdata parquet is ONE row group, so the scan is one task; fan
+    # the two needed columns out before the md5-heavy projection (same
+    # rationale as operators/dedup._spread — a no-op on well-laid-out data)
+    from apache_pinot_spark.operators.dedup import _spread
+
+    _spread(li.select("l_partkey", "l_orderkey")).createOrReplaceTempView(
+        "__hll_lineitem"
+    )
+    # two-level build: ONE (reg, rho) projection + MAX per row instead of
+    # 64 MAX(CASE) conditionals per row (byte-identical sketches)
     segments = spark.sql(
-        "SELECT seg, "
-        f"{hll_sketch_from_pair_sql('__reg', '__rho', 'spark')} AS sketch "
-        "FROM (SELECT pmod(l_orderkey, 8) AS seg, "
-        f"{reg} AS __reg, {rho} AS __rho FROM __hll_lineitem) "
-        "GROUP BY seg"
+        hll_sketch_grouped_query(
+            "l_partkey", "pmod(l_orderkey, 8)", "__hll_lineitem"
+        )
     )
     segments.createOrReplaceTempView("__hll_segments")
     exact = li.agg(F.countDistinct("l_partkey").alias("exact_dc"))
@@ -633,15 +638,25 @@ _QTY_LO, _QTY_HI = 0.0, 64.0  # l_quantity ∈ [1, 50]; width-1 bins
 
 
 def _percentile_sketch_bytes(spark, sf_dir):
-    from apache_pinot_spark.functions.quantile import histogram_sketch_sql
+    from apache_pinot_spark.functions.quantile import (
+        histogram_sketch_grouped_query,
+    )
     from apache_pinot_spark.sqlfront import PinotEngine
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    li.createOrReplaceTempView("__pct_lineitem")
-    sk = histogram_sketch_sql("l_quantity", _QTY_LO, _QTY_HI, "spark")
+    from apache_pinot_spark.operators.dedup import _spread
+
+    # one-row-group testdata parquet → fan out before the binning pass
+    _spread(li.select("l_quantity", "l_orderkey")).createOrReplaceTempView(
+        "__pct_lineitem"
+    )
+    # two-level build: bin once per row + COUNT, instead of 64 COUNT(CASE)
+    # terms each re-expanding the bin arithmetic (byte-identical sketches)
     segments = spark.sql(
-        f"SELECT pmod(l_orderkey, 8) AS seg, {sk} AS qty_sketch "
-        "FROM __pct_lineitem GROUP BY 1"
+        histogram_sketch_grouped_query(
+            "l_quantity", _QTY_LO, _QTY_HI,
+            "pmod(l_orderkey, 8)", "__pct_lineitem", out_col="qty_sketch",
+        )
     )
     eng = PinotEngine(spark)
     eng.register("qty_segments", segments)

@@ -50,7 +50,7 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
     cfg = CurationConfig(
         boilerplate=False,
         redact_pii=False,
-        near_num_hashes=8,
+        near_num_hashes=4,
         near_band_size=2,
         near_shingle_n=3,
         near_threshold=_NEAR_THRESHOLD,
@@ -58,6 +58,10 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
         splits=dict(_SPLITS),
         split_salt=_SALT,
         split_portable=True,
+        # the quality stage feeds the near-dup signature pipeline AND four
+        # downstream counts; caching it stops each action re-deriving the
+        # exact-dedup join + quality/langid expression chain
+        cache_stages=("quality_language",),
     )
     stages = curate_corpus(docs, cfg)
     parts = []
@@ -100,13 +104,15 @@ def _marker(lang: str) -> str:
 # md5-portable construction the (independently green) dedup_jaccard_verified
 # oracle uses over raw documents: hash i = 8-hex slice (i%4) of
 # md5('(i//4)|' || shingle); band b = md5(mh[2b] || '|' || mh[2b+1]).
+# 4 hashes / 2 bands here: this slot audits the staged COMPOSITION — LSH
+# recall depth is dedup_jaccard_verified's own (8-hash) gate.
 _MH = ",\n         ".join(
     f"list_min(list_transform(sh, x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8))) AS mh{i}"
-    for i in range(8)
+    for i in range(4)
 )
 _BANDS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
-    for b in range(4)
+    for b in range(2)
 )
 
 _T_TRAIN_HI = portable_split_threshold(980)

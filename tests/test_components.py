@@ -75,7 +75,9 @@ def test_components_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(11)]
     df = spark.createDataFrame(edges, "key_a long, key_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=3)
+        # small_graph_edges=0 forces the distributed loop (the union-find
+        # fast path has no iteration bound to hit)
+        connected_components(df, max_iter=3, small_graph_edges=0)
 
 
 def test_dedup_keep_canonical_end_to_end(spark):
@@ -123,3 +125,20 @@ def test_components_string_keys(spark):
     assert got == {
         "docA": "docA", "docB": "docA", "docC": "docA", "x": "x", "y": "x",
     }
+
+
+def test_small_graph_fast_path_matches_distributed(spark):
+    """The union-find fast path and the distributed min-label loop give
+    identical (key, component) labels on the same graph."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    fast = {(r.key, r.component) for r in connected_components(df).collect()}
+    dist = {
+        (r.key, r.component)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist

@@ -166,6 +166,36 @@ def test_multiframe_compositing_and_disposal():
                                    max_frames=2)) == 2
 
 
+def test_disposal_3_restores_previous_canvas():
+    """Restore-to-previous (GIF89a §23): after a disposal-3 frame, the
+    canvas reverts to its PRE-FRAME state — NOT to the background color
+    (bg here is palette 3, so the old approximate-as-disposal-2 behavior
+    would leave (9,9,9) where red must return)."""
+    frames = [
+        (0, 0, 2, 2, [0, 0, 0, 0], 0),   # fill red
+        (0, 0, 1, 1, [2], 3),            # blue overlay, restore-previous
+        (1, 1, 1, 1, [1], 0),            # unrelated corner pixel
+    ]
+    out = G.decode_gif_frames(
+        _gif(2, 2, PAL, None, frames=frames, bg=3), max_frames=9
+    )
+    assert len(out) == 3
+    assert out[1][0, 0].tolist()[:3] == [0, 0, 255]   # overlay visible
+    assert out[2][0, 0].tolist()[:3] == [255, 0, 0]   # previous restored
+    assert out[2][1, 1].tolist()[:3] == [0, 255, 0]
+    # background restore (disposal 2) still behaves differently
+    frames2 = [
+        (0, 0, 2, 2, [0, 0, 0, 0], 0),
+        (0, 0, 1, 1, [2], 2),
+        (1, 1, 1, 1, [1], 0),
+    ]
+    out2 = G.decode_gif_frames(
+        _gif(2, 2, PAL, None, frames=frames2, bg=3), max_frames=9
+    )
+    # disposal 2 wipes to transparent/background, not to the red underlay
+    assert out2[2][0, 0].tolist()[:3] != [255, 0, 0]
+
+
 def test_rejects_out_of_scope_and_corrupt():
     assert G.decode_gif(b"") is None
     assert G.decode_gif(b"NOTAGIF") is None

@@ -1,0 +1,160 @@
+"""MP4 container parsing (operators/mp4.py): hand-assembled golden
+fixtures per ISO/IEC 14496-12 box layouts — sampled timestamps must come
+from the blob's REAL stts sample table; corrupt blobs reject to the NULL
+stream."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from apache_pinot_spark.operators import mp4 as M
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(version: int = 0, flags: int = 0) -> bytes:
+    return struct.pack(">B3s", version, flags.to_bytes(3, "big"))
+
+
+def _mvhd(timescale: int, duration: int) -> bytes:
+    return _box(
+        b"mvhd",
+        _full() + struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80,
+    )
+
+
+def _mdhd(timescale: int, duration: int) -> bytes:
+    return _box(
+        b"mdhd",
+        _full() + struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 4,
+    )
+
+
+def _hdlr(handler: bytes) -> bytes:
+    return _box(b"hdlr", _full() + b"\x00" * 4 + handler + b"\x00" * 12)
+
+
+def _stts(entries) -> bytes:
+    body = _full() + struct.pack(">I", len(entries))
+    for cnt, delta in entries:
+        body += struct.pack(">II", cnt, delta)
+    return _box(b"stts", body)
+
+
+def _stss(samples) -> bytes:
+    body = _full() + struct.pack(">I", len(samples))
+    for s in samples:
+        body += struct.pack(">I", s)
+    return _box(b"stss", body)
+
+
+def _golden(stts_entries, stss=None, mts=1000, mdur=1100) -> bytes:
+    stbl = _stts(stts_entries) + (_stss(stss) if stss is not None else b"")
+    trak = _box(
+        b"trak",
+        _box(
+            b"mdia",
+            _mdhd(mts, mdur) + _hdlr(b"vide") + _box(b"minf", _box(b"stbl", stbl)),
+        ),
+    )
+    moov = _box(b"moov", _mvhd(600, 660) + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = _box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+GOLDEN_STTS = [(5, 100), (3, 200)]  # times 0,.1,.2,.3,.4,.5,.7,.9 @ ts=1000
+
+
+def test_parse_golden_sample_table():
+    info = M.parse_mp4(_golden(GOLDEN_STTS, stss=[1, 6]))
+    assert info.timescale == 600 and info.duration == 660
+    (trk,) = info.video_tracks
+    assert trk.timescale == 1000 and trk.duration == 1100
+    assert trk.sample_count == 8
+    assert M.sample_times(trk) == [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.7, 0.9]
+    assert trk.stss == [1, 6]
+
+
+def test_choose_samples_seek_semantics():
+    (trk,) = M.parse_mp4(_golden(GOLDEN_STTS, stss=[1, 6])).video_tracks
+    picks = M.choose_samples(trk, 0.25)
+    # targets 0,.25,.5,.75,1.0 → last sample with dts <= target
+    assert picks == [
+        (0, 0.0, True), (2, 0.2, False), (5, 0.5, True),
+        (6, 0.7, False), (7, 0.9, False),
+    ]
+    # keyframe snapping: only sync samples 1 and 6 (idx 0 and 5) survive
+    assert M.choose_samples(trk, 0.25, keyframes_only=True) == [
+        (0, 0.0, True), (5, 0.5, True),
+    ]
+
+
+def test_no_stss_means_all_sync():
+    (trk,) = M.parse_mp4(_golden(GOLDEN_STTS)).video_tracks
+    assert trk.stss is None
+    assert all(s for _, _, s in M.choose_samples(trk, 0.25))
+
+
+def test_corrupt_blobs_raise():
+    with pytest.raises(ValueError, match="too short"):
+        M.parse_mp4(b"\x00\x01")
+    with pytest.raises(ValueError, match="no moov"):
+        M.parse_mp4(_box(b"ftyp", b"isom") + _box(b"free", b"\x00" * 8))
+    # box size overrunning its scope
+    bad = bytearray(_golden(GOLDEN_STTS))
+    bad[0:4] = struct.pack(">I", len(bad) + 64)
+    with pytest.raises(ValueError, match="overruns"):
+        M.parse_mp4(bytes(bad))
+
+
+def test_spark_operator_real_table_and_null_stream(spark):
+    good = _golden(GOLDEN_STTS, stss=[1, 6])
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not an mp4 at all, definitely")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = M.sample_video_frames_from_blobs(df, 0.25).orderBy(
+        "media_id", "sample_index"
+    )
+    got = [(r.media_id, r.sample_index, r.timestamp_s, r.is_sync)
+           for r in out.collect()]
+    assert got[:5] == [
+        (1, 0, 0.0, True), (1, 2, 0.2, False), (1, 5, 0.5, True),
+        (1, 6, 0.7, False), (1, 7, 0.9, False),
+    ]
+    # corrupt + NULL blobs reject to one NULL row each
+    assert got[5:] == [(2, None, None, None), (3, None, None, None)]
+    # plan: Arrow-batched map pass, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_largesize_and_version1_boxes():
+    # version-1 mvhd/mdhd (64-bit durations) + a largesize moov wrapper
+    mvhd = _box(
+        b"mvhd",
+        _full(1) + struct.pack(">QQIQ", 0, 0, 600, 660) + b"\x00" * 80,
+    )
+    mdhd = _box(
+        b"mdhd",
+        _full(1) + struct.pack(">QQIQ", 0, 0, 1000, 1100) + b"\x00" * 4,
+    )
+    stbl = _stts(GOLDEN_STTS)
+    trak = _box(
+        b"trak",
+        _box(b"mdia", mdhd + _hdlr(b"vide") + _box(b"minf", _box(b"stbl", stbl))),
+    )
+    inner = mvhd + trak
+    moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner
+    blob = _box(b"ftyp", b"isom" + struct.pack(">I", 512)) + moov
+    info = M.parse_mp4(blob)
+    assert info.timescale == 600 and info.duration == 660
+    (trk,) = info.video_tracks
+    assert trk.timescale == 1000 and trk.duration == 1100
