@@ -312,9 +312,12 @@ def _capped_band_pairs(
     # are empty) still costs ~2 s of scheduled empty stages per call.
     if big_buckets.isEmpty():
         a = bands.alias("a")
-        # shuffle_hash hint: keeps the probe side streaming (a broadcast
-        # pick would add a driver round trip for the build side).
-        b = bands.alias("b").hint("shuffle_hash")
+        # merge hint: SMJ spills its per-key match buffer to disk, where
+        # the earlier shuffle_hash pick built an IN-MEMORY hash map per
+        # task — measured OOM at 10M docs x 2 bands on the 8g heap (and a
+        # non-starter at 100 TB). A broadcast pick would be worse still
+        # (corpus-sized build through the driver).
+        b = bands.alias("b").hint("merge")
         pairs = (
             a.join(b, on=["band", "band_hash"], how="inner")
             .filter(F.col("a.key") < F.col("b.key"))
@@ -326,9 +329,8 @@ def _capped_band_pairs(
         F.broadcast(big_buckets), on=["band", "band_hash"], how="left_anti"
     )
     a = small.alias("a")
-    # shuffle_hash hint: keeps the probe side streaming (a broadcast pick
-    # would add a driver round trip for the build side).
-    b = small.alias("b").hint("shuffle_hash")
+    # merge hint: spill-safe SMJ (see the small-corpus branch above)
+    b = small.alias("b").hint("merge")
     pairs_small = (
         a.join(b, on=["band", "band_hash"], how="inner")
         .filter(F.col("a.key") < F.col("b.key"))
@@ -351,7 +353,7 @@ def _capped_band_pairs(
     )
     rs = reps.filter(F.col("_rn") <= max_bucket_rows)
     ra = rs.alias("ra")
-    rb = rs.alias("rb").hint("shuffle_hash")
+    rb = rs.alias("rb").hint("merge")
     rep_pairs = (
         ra.join(rb, on=["band", "band_hash"], how="inner")
         .filter(F.col("ra.rep") < F.col("rb.rep"))
