@@ -119,22 +119,23 @@ def _ann_family(spark, sf_dir):
     lsh = similarity.lsh_topk(
         emb, queries, dim=_LSH_DIM, k=_LSH_K, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
     )
-    # each cluster-probed tier runs its own lazy assign pass: the two
-    # passes ride the SAME union job as parallel subtrees, which at bench
-    # scale beats persisting one shared assignment (a cache barrier cuts
-    # the scan→assign→encode python pipeline in half; measured +3 s).
-    # Serving layers reusing one quantizer across tiers pass
-    # `assignment=` explicitly (see ivf_topk / ivfpq_index).
+    # ONE centroid TakeOrdered serves both cluster-probed tiers; the
+    # assignment frame stays LAZY (each tier's assign pass rides the one
+    # union job as a parallel subtree — persisting it measured +3 s at
+    # bench scale: the cache barrier cuts the scan→assign→encode python
+    # pipeline in half). Serving layers with REPEATED query batches
+    # should persist before passing `assignment=`.
     from apache_pinot_spark.operators.pq import ivfpq_topk
 
+    assignment = similarity.ivf_assign(emb, 64, _IVF_CLUSTERS)
     ivf = similarity.ivf_topk(
         emb, queries, dim=64, k=_IVF_K, num_clusters=_IVF_CLUSTERS,
-        nprobe=_IVF_NPROBE,
+        nprobe=_IVF_NPROBE, assignment=assignment,
     )
     pq = ivfpq_topk(
         emb, queries, dim=64, k=_PQ_K, num_clusters=_PQ_CLUSTERS,
         nprobe=_PQ_NPROBE, m=_PQ_M, ksub=_PQ_KSUB, iterations=1,
-        refine_factor=_PQ_REFINE,
+        refine_factor=_PQ_REFINE, assignment=assignment,
     )
     out = (
         brute.select(F.lit("brute").alias("variant"), "*")

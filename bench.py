@@ -110,6 +110,45 @@ def main() -> None:
         (F.col("simhash") % 16).alias("b")
     ).count().collect()
 
+    # ANN-family shapes (r9): the brute/LSH/IVF/PQ legs chain python
+    # passes, SMJ self-joins, window ranks and a 4-branch union — ~7 s of
+    # one-time codegen/warm measured landing on the timed family's run-1.
+    # 64 synthetic vectors compile the same generated classes.
+    from apache_pinot_spark.operators import similarity as _sim
+    from apache_pinot_spark.operators.pq import ivfpq_topk as _pq_topk
+
+    syn_emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("id") * 31 + i) % 17).cast("double"),
+        ).alias("embedding"),
+    )
+    syn_q = syn_emb.filter(F.col("vec_id") < 2)
+    _sim.brute_force_topk(syn_emb, syn_q, k=3).count()
+    _sim.lsh_topk(syn_emb, syn_q, dim=64, k=3, num_planes=4, num_tables=8).count()
+    _sim.ivf_topk(syn_emb, syn_q, dim=64, k=3, num_clusters=4, nprobe=2).count()
+    _pq_topk(syn_emb, syn_q, dim=64, k=3, num_clusters=4, nprobe=2,
+             m=8, ksub=16, iterations=1, refine_factor=128).count()
+
+    # Curation-pipeline shapes (r9): quality/langid expression trees, the
+    # portable-split CASE, the capped band self-join and the
+    # union-of-stage-counts plan all compile here on the 256-doc corpus.
+    from apache_pinot_spark.operators.pipeline import (
+        CurationConfig as _CC,
+        curate_corpus as _curate,
+    )
+
+    _syn_stages = _curate(
+        syn_docs,
+        _CC(boilerplate=False, redact_pii=False, near_num_hashes=4,
+            near_band_size=2, near_shingle_n=3, near_threshold=0.02,
+            decontaminate=False, keep_langs=(), min_quality=0.0,
+            split_portable=True, cache_stages=("quality_language",)),
+    )
+    for _df in _syn_stages.values():
+        _df.count()
+
     # Shared one-time ingest for the lifecycle queries (s1/s8/st4): the
     # timed queries measure the lifecycle op + read, not the ingest. The
     # ingest cost itself is recorded in the bench output as
