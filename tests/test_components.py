@@ -110,7 +110,9 @@ def test_dedup_keep_canonical_end_to_end(spark):
 
 def test_components_plan_is_scale_clean(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "key_a long, key_b long")
-    out = connected_components(edges)
+    # force the distributed loop — the union-find fast path would reduce
+    # this to a LocalRelation and the assertions would be vacuous
+    out = connected_components(edges, small_graph_edges=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
