@@ -22,9 +22,27 @@ def _docs(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
+# Frozen BPE merge table (r9): trained ONCE via operators/bpe.train_bpe
+# (num_merges=24) on the sf0.01 documents corpus and shipped as a fixed
+# artifact — exactly how real pipelines budget tokens against a fixed
+# tokenizer file (GPT-2's merges.txt shape). Freezing makes the EXACT
+# greedy encode SQL-replayable: the oracle replays best-rank-leftmost
+# merging per word type with a recursive CTE over these literals.
+_BPE_MERGES = [
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+    ("p", "ar"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("as", "h</w>"), ("h", "ash</w>"), ("r", "ow</w>"), ("at", "c"),
+    ("atc", "h</w>"), ("b", "atch</w>"), ("a", "n</w>"), ("c", "an</w>"),
+    ("s", "can</w>"), ("c", "o"),
+]
+
+
 def _token_accounting(spark, sf_dir):
+    from apache_pinot_spark.operators.bpe import bpe_token_counts
+
     d = _docs(spark, sf_dir)
-    return (
+    base = (
         d.select(
             "lang",
             tx.token_count_expr("text").alias("nt"),
@@ -39,26 +57,88 @@ def _token_accounting(spark, sf_dir):
             (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
             F.sum("bt").alias("sum_bpe_tokens"),
         )
-        .orderBy("lang")
     )
+    # exact subword budget (r9 fold of verdict item #9): true BPE piece
+    # counts under the frozen merge table — zero-shuffle Arrow encode,
+    # per-lang sums ride a broadcast join onto the scan aggregate
+    pieces = bpe_token_counts(d, [list(m) for m in _BPE_MERGES])
+    exact = (
+        d.select("doc_id", "lang")
+        .join(pieces, on="doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_pieces").alias("sum_bpe_exact"))
+    )
+    return base.join(F.broadcast(exact), on="lang").orderBy("lang")
 
+
+_BPE_KEYS_SQL = "[" + ",".join(f"'{a}|{b}'" for a, b in _BPE_MERGES) + "]"
+
+# Exact greedy-BPE replay: per DISTINCT word type, a recursive CTE walks
+# the engine's best-rank-leftmost merge loop (rank = 1-based position in
+# the frozen key list; 999999 = no merge; list_position picks the
+# LEFTMOST minimum — the engine's tie-break). The trace emits every
+# intermediate state; MIN(len) per word is the terminal piece count.
+_BPE_ORACLE_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+),
+bpe_vocab AS (SELECT DISTINCT w FROM toks),
+enc(w, syms) AS (
+  SELECT w,
+         list_append(list_transform(range(1, length(w)), i -> substr(w, i, 1)),
+                     substr(w, length(w), 1) || '</w>') AS syms
+  FROM bpe_vocab
+  UNION ALL
+  SELECT w,
+         syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+  FROM (
+    SELECT w, syms, list_position(rk, list_min(rk)) AS bi
+    FROM (
+      SELECT w, syms,
+             list_transform(range(1, len(syms)),
+               i -> coalesce(nullif(list_position({_BPE_KEYS_SQL},
+                                                  syms[i] || '|' || syms[i+1]), 0),
+                             999999)) AS rk
+      FROM enc
+    )
+    WHERE len(rk) > 0 AND list_min(rk) < 999999
+  )
+),
+bpe_pieces AS (SELECT w, MIN(len(syms)) AS n_pieces FROM enc GROUP BY w),
+bpe_by_lang AS (
+  SELECT d.lang, CAST(SUM(p.n_pieces) AS BIGINT) AS sum_bpe_exact
+  FROM documents d
+  JOIN toks t ON t.doc_id = d.doc_id
+  JOIN bpe_pieces p ON p.w = t.w
+  GROUP BY d.lang
+)
+"""
 
 df_query(
     "tx_token_accounting",
     _token_accounting,
     rf"""
-    SELECT lang, COUNT(*) AS docs,
+    WITH RECURSIVE
+    {_BPE_ORACLE_CTES.strip().rstrip()}
+    SELECT d.lang, COUNT(*) AS docs,
            CAST(SUM(len({_WS_TOKS})) AS BIGINT) AS sum_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
            CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
                     + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
-             AS sum_bpe_tokens
-    FROM documents GROUP BY lang ORDER BY lang
+             AS sum_bpe_tokens,
+           ANY_VALUE(b.sum_bpe_exact) AS sum_bpe_exact
+    FROM documents d JOIN bpe_by_lang b ON b.lang = d.lang
+    GROUP BY d.lang ORDER BY d.lang
     """,
     tables=["documents"],
-    doc="Whitespace token stats + BPE-ish subword count (alnum runs + "
-        "punctuation chars), per language, one scan",
+    doc="Whitespace token stats + BPE-ish subword estimate (alnum runs + "
+        "punctuation chars) + EXACT greedy-BPE piece counts under a frozen "
+        "24-merge tokenizer artifact (operators/bpe.bpe_token_counts; the "
+        "oracle replays best-rank-leftmost merging with a recursive CTE — "
+        "r9 fold of the BPE token-accounting gate item), per language",
 )
 
 

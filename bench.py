@@ -131,6 +131,15 @@ def main() -> None:
     _pq_topk(syn_emb, syn_q, dim=64, k=3, num_clusters=4, nprobe=2,
              m=8, ksub=16, iterations=1, refine_factor=128).count()
 
+    # Frozen-tokenizer BPE accounting shape (r9): the Arrow encode pass +
+    # broadcast per-lang join compile on the synthetic corpus.
+    from apache_pinot_spark.operators.bpe import bpe_token_counts as _bpe_counts
+    from apache_pinot_spark.suites.textanalysis_suite import _BPE_MERGES
+
+    _bpe_counts(syn_docs, [list(m) for m in _BPE_MERGES]).agg(
+        {"n_pieces": "sum"}
+    ).collect()
+
     # Curation-pipeline shapes (r9): quality/langid expression trees, the
     # portable-split CASE, the capped band self-join and the
     # union-of-stage-counts plan all compile here on the 256-doc corpus.

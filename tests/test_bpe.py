@@ -143,3 +143,23 @@ def test_bpe_chunk_overlong_word_kept(spark):
     assert chunks[1].chunk_text == "xy xy" and chunks[1].n_pieces == 4
     with pytest.raises(ValueError, match="max_pieces"):
         bpe.bpe_chunk(docs, merges, max_pieces=0)
+
+
+def test_frozen_gate_merge_table_provenance(spark):
+    """The tx_token_accounting slot budgets tokens against a FROZEN
+    24-merge table (a fixed tokenizer artifact, the real-pipeline
+    shape). Pin its provenance: train_bpe on the sf0.01 documents corpus
+    reproduces it exactly."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("sf0.01 testdata not present")
+    from apache_pinot_spark.catalog import load_tables
+    from apache_pinot_spark.operators.bpe import train_bpe
+    from apache_pinot_spark.suites.textanalysis_suite import _BPE_MERGES
+
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    assert train_bpe(docs, num_merges=24) == [tuple(m) for m in _BPE_MERGES]
