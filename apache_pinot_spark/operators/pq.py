@@ -13,13 +13,12 @@ but the probed candidates are scored from the COMPRESSED index — at
 100 TB the full-precision vectors never ride the candidate join.
 
 Scale shape:
-  * Codebook training is bounded: initialization is the same
-    deterministic md5 hash-order sample as ivf_assign (ksub vectors
-    serve every subspace), each Lloyd iteration is ONE corpus pass
-    (Arrow-batched nearest-code assign, slim (subspace, code) rows into
-    a map-side-combined mean) and the collected state is m·ksub·dsub
-    doubles (m=8, ksub=256, dim=64 → 16k doubles) — driver-safe at any
-    corpus size.
+  * Codebook training is bounded AND corpus-size independent (r9): a
+    deterministic md5 hash-order sample of <= max_train_rows vectors
+    rides ONE TakeOrdered collect, and the Lloyd iterations run
+    in-process over that sample (the FAISS recipe — codebook quality
+    saturates far below corpus size). Driver state is the sample matrix
+    (~8 MB at defaults) + m·ksub·dsub codebook doubles.
   * The PQ index is (id, cluster, codes: array<smallint>) — the base
     vectors stay in the base table. Candidate generation joins the slim
     index against broadcast probes; ADC scoring is an Arrow pass whose
@@ -192,7 +191,7 @@ def pq_encode(
                 out[c] = pdf[c]
             yield _pd.DataFrame(out)
 
-    schema = "id BIGINT, codes ARRAY<SMALLINT>"
+    schema = f"id {dict(src.dtypes)['id']}, codes ARRAY<SMALLINT>"
     for c in extra:
         schema += f", {c} {dict(src.dtypes)[c].upper()}"
     return src.mapInPandas(enc, schema=schema)

@@ -196,7 +196,8 @@ def lsh_buckets(
     W = _plane_matrix(dim, num_planes, num_tables)  # (T, P, D)
     Wt = W.reshape(num_tables * num_planes, dim).T  # (D, T*P)
     bits = (1 << np.arange(num_planes, dtype=np.int64))
-    out_schema = f"{id_name} BIGINT, tbl INT, bucket INT"
+    id_type = dict(df.dtypes)[id_col]  # carry the native id dtype through
+    out_schema = f"{id_name} {id_type}, tbl INT, bucket INT"
     if with_sigh:
         out_schema += ", sigh BIGINT"
 
@@ -349,7 +350,8 @@ def lsh_topk(
             for t in range(num_tables):
                 q_rows.append((r["query_id"], int(t), int(buckets[i, t])))
     qs = queries.sparkSession.createDataFrame(
-        q_rows, schema="query_id BIGINT, tbl INT, bucket INT"
+        q_rows,
+        schema=f"query_id {dict(queries.dtypes)[id_col]}, tbl INT, bucket INT",
     )
     # Slim (id, tbl, bucket) rows via the GEMM bucket pass — vectors do NOT
     # ride the bucket join; they are rejoined by id for the rescore stage.
@@ -640,7 +642,8 @@ def near_duplicate_pairs_blocked(
     )
     pairs = _block_pair_rows(v, [])
 
-    out_schema = "id_a BIGINT, id_b BIGINT, score DOUBLE"
+    idt = dict(v.dtypes)["id"]  # carry the native id dtype through
+    out_schema = f"id_a {idt}, id_b {idt}, score DOUBLE"
 
     return pairs.mapInPandas(_gemm_pairs_worker(threshold), schema=out_schema).select(
         "id_a", "id_b", F.round("score", 6).alias("score")
@@ -656,7 +659,7 @@ def _assign_to_centroids(v: DataFrame, cmat, cnorm) -> DataFrame:
     """One corpus pass: numpy GEMM cosine argmax against the (tiny)
     centroid matrix shipped in the closure. Ties go to the lowest
     centroid index (numpy argmax first-hit)."""
-    out_schema = "id BIGINT, v ARRAY<DOUBLE>, cluster INT"
+    out_schema = f"id {dict(v.dtypes)['id']}, v ARRAY<DOUBLE>, cluster INT"
 
     def run(batches):
         import numpy as _np
@@ -887,7 +890,8 @@ def semantic_dedup_pairs(
         assigned, max_block_rows, _parallelism_floor_blocks(par, num_clusters)
     )
     pairs = _block_pair_rows(v, ["cluster"])
-    out_schema = "id_a BIGINT, id_b BIGINT, score DOUBLE"
+    idt = dict(assigned.dtypes)["id"]  # carry the native id dtype through
+    out_schema = f"id_a {idt}, id_b {idt}, score DOUBLE"
     out = pairs.mapInPandas(_gemm_pairs_worker(threshold), schema=out_schema).select(
         "id_a", "id_b", F.round("score", 6).alias("score")
     )
