@@ -1,0 +1,134 @@
+"""AVI/MJPEG tier (operators/avi.py): hand-assembled RIFF goldens whose
+frame chunks are REAL baseline JPEGs from the repo's own encoder — the
+decode stage runs jpeg_codec end to end; corrupt/non-MJPG blobs reject
+to the NULL stream."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from apache_pinot_spark.operators import avi as A
+from apache_pinot_spark.operators import jpeg_codec as J
+
+
+def _chunk(fcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def _avih(usec_per_frame: int, total: int, w: int, h: int) -> bytes:
+    body = struct.pack(
+        "<IIIIIIIIII", usec_per_frame, 0, 0, 0, total, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    return _chunk(b"avih", body)
+
+
+def _strh(fcc_type: bytes, handler: bytes, scale: int, rate: int,
+          length: int) -> bytes:
+    body = (
+        fcc_type + handler + struct.pack("<IHHIIIII", 0, 0, 0, 0, scale,
+                                         rate, 0, length) + b"\x00" * 16
+    )
+    return _chunk(b"strh", body)
+
+
+def _avi(frames: list, fps: int = 4, handler: bytes = b"MJPG",
+         w: int = 16, h: int = 16) -> bytes:
+    hdrl = _list(
+        b"hdrl",
+        _avih(1_000_000 // fps, len(frames), w, h)
+        + _list(b"strl", _strh(b"vids", handler, 1, fps, len(frames))
+                + _chunk(b"strf", b"\x00" * 40)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _frames(n=8, h=16, w=16):
+    out = []
+    for i in range(n):
+        img = np.full((h, w), 16 * i + 8, dtype=np.uint8)
+        out.append(J.encode_jpeg(img))
+    return out
+
+
+def test_parse_golden_container():
+    frames = _frames(8)
+    info = A.parse_avi(_avi(frames, fps=4))
+    assert info.total_frames == 8 and info.width == 16 and info.height == 16
+    vid = info.video
+    assert vid.handler == "MJPG" and vid.fps == 4.0 and vid.length == 8
+    assert len(info.frames) == 8
+    # payload round trip: frame bytes come back exactly
+    for i, f in enumerate(frames):
+        assert A.mjpeg_frame_bytes(_avi(frames, fps=4), info, i) == f
+
+
+def test_choose_frames_grid():
+    info = A.parse_avi(_avi(_frames(8), fps=4))  # 8 frames @4fps = 2.0 s
+    # every 0.5 s → t=0,.5,1,1.5,2 → frames 0,2,4,6,7(clamped)
+    assert A.choose_frames(info, 0.5) == [
+        (0, 0.0), (2, 0.5), (4, 1.0), (6, 1.5), (7, 1.75),
+    ]
+
+
+def test_corrupt_and_overrun_reject():
+    with pytest.raises(ValueError, match="too short"):
+        A.parse_avi(b"RIFF")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        A.parse_avi(b"JUNKJUNKJUNKJUNK")
+    good = _avi(_frames(2))
+    bad = bytearray(good)
+    # inflate an inner chunk size so it overruns its LIST
+    pos = good.index(b"avih") + 4
+    bad[pos : pos + 4] = struct.pack("<I", 1 << 24)
+    with pytest.raises(ValueError, match="overruns"):
+        A.parse_avi(bytes(bad))
+
+
+def test_spark_operator_decodes_real_mjpeg(spark):
+    frames = _frames(8)
+    rows = [
+        (1, bytearray(_avi(frames, fps=4))),
+        (2, bytearray(_avi(frames, fps=4, handler=b"XVID"))),  # not MJPG
+        (3, bytearray(b"definitely not an avi stream")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = A.sample_avi_frames(df, 0.5).orderBy("media_id", "frame_index")
+    got = out.collect()
+    ok = [r for r in got if r.media_id == 1]
+    assert [(r.frame_index, r.timestamp_s) for r in ok] == [
+        (0, 0.0), (2, 0.5), (4, 1.0), (6, 1.5), (7, 1.75),
+    ]
+    # decoded pixel stats: frame i is a flat gray 16i+8 image; baseline
+    # JPEG round-trips flat blocks exactly (test_jpeg_codec), so the
+    # mean luma equals the fill value
+    for r in ok:
+        assert r.height == 16 and r.width == 16
+        assert abs(r.mean_luma - (16 * r.frame_index + 8)) <= 1.0
+    # non-MJPG / non-AVI / NULL blobs: one NULL row each
+    rejects = [r for r in got if r.media_id in (2, 3, 4)]
+    assert len(rejects) == 3
+    assert all(r.frame_index is None and r.mean_luma is None for r in rejects)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_metadata_only_mode_skips_decode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_avi(_frames(4), fps=4, handler=b"XVID")))],
+        "media_id LONG, content BINARY",
+    )
+    out = A.sample_avi_frames(df, 0.5, decode=False).collect()
+    # non-MJPG parses fine when decode is off: timestamps real, pixels NULL
+    assert [r.frame_index for r in out] == [0, 2, 3]
+    assert all(r.mean_luma is None and r.height is None for r in out)

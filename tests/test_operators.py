@@ -554,3 +554,23 @@ def test_vector_lsh_bucket_cap_degenerate_embeddings(spark):
     assert (n, n + 1) in got
     flock = {(a, b) for a, b in got if b < n}
     assert flock == {(0, i) for i in range(1, n)}  # linear star, not K^2
+
+
+def test_embedding_operators_accept_string_ids(spark):
+    """id schemas carry the input's native dtype (round-9 fix: several
+    Arrow-pass schemas pinned BIGINT): string vec_ids flow through
+    LSH buckets/pairs, brute-force top-k, and PQ encode."""
+    from apache_pinot_spark.operators import similarity
+    from apache_pinot_spark.operators.pq import pq_encode, pq_train
+
+    rows = [(f"doc-{i}", [float((i * 7 + d) % 5) for d in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id STRING, embedding ARRAY<DOUBLE>")
+    q = df.filter(F.col("vec_id") == "doc-1")
+    top = similarity.brute_force_topk(df, q, k=3).collect()
+    assert len(top) == 3 and all(isinstance(r.neighbor_id, str) for r in top)
+    pairs = similarity.lsh_candidate_pairs(df, dim=8, num_planes=4, num_tables=2)
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    books = pq_train(df, dim=8, m=4, ksub=4, iterations=1)
+    enc = pq_encode(df, books)
+    assert dict(enc.dtypes)["id"] == "string" and enc.count() == 30
