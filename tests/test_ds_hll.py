@@ -87,3 +87,34 @@ def test_ds_hll_mixed_lgk_merges(spark):
         f"SELECT hll_sketch_estimate(unhex('{raw}')) AS e"
     ).collect()[0]["e"]
     assert est == pytest.approx(got, rel=1e-9)
+
+
+def test_two_level_grouped_sketch_byte_identical_to_pair_form(spark):
+    """hll_sketch_grouped_query (the r9 two-level build) and the
+    single-level pair-projection form produce BYTE-IDENTICAL sketches —
+    the grouped shape is an execution optimization, not a format."""
+    from apache_pinot_spark.functions.hll import (
+        hll_pair_sqls,
+        hll_sketch_from_pair_sql,
+        hll_sketch_grouped_query,
+    )
+
+    df = spark.range(5000).selectExpr("id", "id % 4 AS seg")
+    df.createOrReplaceTempView("__two_level_src")
+    reg, rho = hll_pair_sqls("id", "spark")
+    single = {
+        r["seg"]: bytes(r["sketch"])
+        for r in spark.sql(
+            "SELECT seg, "
+            f"{hll_sketch_from_pair_sql('__reg', '__rho', 'spark')} AS sketch "
+            f"FROM (SELECT seg, {reg} AS __reg, {rho} AS __rho "
+            "FROM __two_level_src) GROUP BY seg"
+        ).collect()
+    }
+    grouped = {
+        r["seg"]: bytes(r["sketch"])
+        for r in spark.sql(
+            hll_sketch_grouped_query("id", "seg", "__two_level_src")
+        ).collect()
+    }
+    assert single == grouped and len(grouped) == 4
