@@ -14,10 +14,14 @@ Gate configuration (chosen so each stage is exactly replayable):
   * splits                — portable md5-prefix bucket assignment
                             (operators/chunking.assign_splits
                             portable=True; thresholds shared literals)
+  * decontamination      — benchmark = the doc_id < 5 documents;
+                            8-gram overlap fraction vs the benchmark's
+                            distinct gram set, drop above 0.1 (replayed
+                            with plain string grams — the engine's
+                            xxhash64 join key is an internal detail)
 Boilerplate removal keeps its own dedicated slot
-(curation_boilerplate_removal); PII redaction and decontamination are
-row-preserving / covered by unit tests and stay off here so the oracle
-stays a faithful replay rather than an approximation.
+(curation_boilerplate_removal); PII redaction is row-preserving and
+covered by unit tests, so it stays off here.
 """
 
 from __future__ import annotations
@@ -54,16 +58,21 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
         near_band_size=2,
         near_shingle_n=3,
         near_threshold=_NEAR_THRESHOLD,
-        decontaminate=False,
+        decontaminate=True,
+        contamination_n=8,
+        max_contamination=0.1,
         splits=dict(_SPLITS),
         split_salt=_SALT,
         split_portable=True,
-        # the quality stage feeds the near-dup signature pipeline AND four
-        # downstream counts; caching it stops each action re-deriving the
-        # exact-dedup join + quality/langid expression chain
-        cache_stages=("quality_language",),
+        # the quality stage feeds the near-dup signature pipeline AND the
+        # downstream counts; near-dedup and decontamination outputs are
+        # re-read by every later stage count (anti-join + 8-gram explode
+        # chains otherwise re-derive per action). All three caches are
+        # slim survivor frames.
+        cache_stages=("quality_language", "near_dedup", "decontamination"),
     )
-    stages = curate_corpus(docs, cfg)
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    stages = curate_corpus(docs, cfg, benchmark=benchmark)
     parts = []
     for i, (name, df) in enumerate(stages.items()):
         parts.append(
@@ -206,6 +215,36 @@ reach(id, lab) AS (
 comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
 dropped AS (SELECT id FROM comp WHERE comp <> id),
 nd AS (SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id FROM dropped)),
+bgrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(CASE WHEN len(t) >= 8
+                  THEN list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+                  ELSE [] END) AS g
+    FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents WHERE doc_id < 5)
+  )
+),
+ndg AS (
+  SELECT d.doc_id,
+         unnest(CASE WHEN len(k.t) >= 8
+                THEN list_transform(range(1, len(k.t) - 6),
+                                    i -> array_to_string(k.t[i:i+7], ' '))
+                ELSE [] END) AS g
+  FROM nd d JOIN toks k ON k.doc_id = d.doc_id
+),
+cont AS (
+  SELECT d.doc_id, COUNT(g.g) AS total,
+         COUNT(CASE WHEN g.g IN (SELECT g FROM bgrams) THEN 1 END) AS hits
+  FROM nd d LEFT JOIN ndg g ON g.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+dec AS (
+  SELECT doc_id FROM cont
+  WHERE (CASE WHEN total > 0 THEN CAST(hits AS DOUBLE) / total
+         ELSE 0.0 END) <= 0.1
+),
 spl AS (
   SELECT doc_id,
     CASE WHEN pfx < '{_T_TRAIN_HI}' THEN 'train'
@@ -213,7 +252,7 @@ spl AS (
          ELSE 'test' END AS split
   FROM (SELECT doc_id,
                substr(md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), 1, 8) AS pfx
-        FROM nd)
+        FROM dec)
 )
 SELECT stage_idx, stage, rows FROM (
   SELECT 0 AS stage_idx, 'input' AS stage,
@@ -225,9 +264,11 @@ SELECT stage_idx, stage, rows FROM (
   UNION ALL
   SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM nd)
   UNION ALL
-  SELECT 4, 'splits', (SELECT COUNT(*) FROM nd)
+  SELECT 4, 'decontamination', (SELECT COUNT(*) FROM dec)
   UNION ALL
-  SELECT 5, 'split_' || split, COUNT(*) FROM spl GROUP BY split
+  SELECT 5, 'splits', (SELECT COUNT(*) FROM dec)
+  UNION ALL
+  SELECT 6, 'split_' || split, COUNT(*) FROM spl GROUP BY split
 )
 ORDER BY stage_idx, stage
 """
@@ -241,6 +282,7 @@ df_query(
     doc="End-to-end curation pipeline (operators/pipeline.curate_corpus) "
         "staged row accounting: exact dedup, quality+language gate, "
         "md5-portable LSH near-dup dedup with connected-components "
-        "canonical survivors, and portable split assignment — every "
-        "stage replayed in SQL (recursive CTE for the components)",
+        "canonical survivors, benchmark 8-gram decontamination, and "
+        "portable split assignment — every stage replayed in SQL "
+        "(recursive CTE for the components)",
 )
