@@ -294,9 +294,23 @@ def ingest_batch(
     if isinstance(source, DataFrame):
         raw = source
     else:
+        # csv/json/parquet/orc are Spark built-ins and flow through the
+        # generic reader (Pinot's batch ingestion formats,
+        # pinot-input-format docs); avro ships as the external spark-avro
+        # module — convert Spark's raw FAILED_TO_FIND_DATA_SOURCE into
+        # the artifact to add (same stance as sources/lake.py)
         opts = {"header": "true", "inferSchema": "false"}
         opts.update(reader_options or {})
-        raw = spark.read.options(**opts).format(fmt).load(source)
+        try:
+            raw = spark.read.options(**opts).format(fmt).load(source)
+        except Exception as exc:  # noqa: BLE001 — re-raise with guidance
+            if "Failed to find data source" in str(exc):
+                raise RuntimeError(
+                    f"ingestion format {fmt!r} needs its data-source module "
+                    "on the Spark classpath (avro: add "
+                    "org.apache.spark:spark-avro_2.13)"
+                ) from exc
+            raise
 
     raw = apply_ingestion_transforms(raw, config)
     df = schema.apply_types(raw)
