@@ -87,7 +87,15 @@ def _chunks(blob: bytes, start: int, end: int):
 
 def parse_avi(blob: bytes) -> AVIInfo:
     """Parse container metadata + video frame directory. Raises
-    ValueError for anything that is not a well-formed 'AVI ' RIFF."""
+    ValueError for anything that is not a well-formed 'AVI ' RIFF
+    (short-field struct/index errors normalize to the same contract)."""
+    try:
+        return _parse_avi(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed AVI field layout: {exc}") from exc
+
+
+def _parse_avi(blob: bytes) -> AVIInfo:
     if blob is None or len(blob) < 12:
         raise ValueError("blob too short for a RIFF header")
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":

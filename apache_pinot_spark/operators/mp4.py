@@ -156,7 +156,17 @@ def _walk(blob: bytes, s: int, e: int, info: MP4Info, trk: MP4Track | None):
 
 def parse_mp4(blob: bytes) -> MP4Info:
     """Parse the container metadata. Raises ValueError for anything that
-    is not a well-formed ISO BMFF stream with a moov box."""
+    is not a well-formed ISO BMFF stream with a moov box (a box whose
+    declared size fits the blob but undershoots its own field layout
+    surfaces as struct/index errors deep in the field reads — normalized
+    to the same ValueError reject contract)."""
+    try:
+        return _parse_mp4(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4 field layout: {exc}") from exc
+
+
+def _parse_mp4(blob: bytes) -> MP4Info:
     if blob is None or len(blob) < 16:
         raise ValueError("blob too short for an MP4 container")
     top = list(_boxes(blob, 0, len(blob)))

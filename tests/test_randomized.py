@@ -394,3 +394,66 @@ def test_gif_decoder_never_raises_on_mutations(data):
         blob = blob[:i] + noise + blob[i:]
     out = G.decode_gif(bytes(blob))
     assert out is None or (out.ndim == 3 and out.shape[2] in (3, 4))
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_mp4_parser_exception_discipline_on_garbage(blob):
+    """parse_mp4 on arbitrary bytes either raises ValueError (the reject
+    contract) or returns a parsed MP4Info — never any other exception."""
+    from apache_pinot_spark.operators.mp4 import MP4Info, parse_mp4
+
+    try:
+        out = parse_mp4(blob)
+    except ValueError:
+        return
+    assert isinstance(out, MP4Info)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_avi_parser_exception_discipline_on_garbage(blob):
+    from apache_pinot_spark.operators.avi import AVIInfo, parse_avi
+
+    try:
+        out = parse_avi(blob)
+    except ValueError:
+        return
+    assert isinstance(out, AVIInfo)
+
+
+@given(st.integers(0, 10_000), st.integers(0, 7), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_mp4_golden_mutation_discipline(pos, bit, newbyte):
+    """Truncations and bit flips of a well-formed MP4 either still parse
+    or reject with ValueError — the container walk never walks off the
+    rails with an IndexError/struct.error."""
+    from tests.test_mp4 import GOLDEN_STTS, _golden
+    from apache_pinot_spark.operators.mp4 import parse_mp4
+
+    blob = bytearray(_golden(GOLDEN_STTS, stss=[1, 6]))
+    p = pos % len(blob)
+    blob[p] = (blob[p] ^ (1 << bit)) & 0xFF
+    trunc = bytes(blob)[: max(1, newbyte * len(blob) // 255)]
+    for candidate in (bytes(blob), trunc):
+        try:
+            parse_mp4(candidate)
+        except ValueError:
+            pass
+
+
+@given(st.integers(0, 10_000), st.integers(0, 7), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_avi_golden_mutation_discipline(pos, bit, newbyte):
+    from tests.test_avi import _avi, _frames
+    from apache_pinot_spark.operators.avi import parse_avi
+
+    blob = bytearray(_avi(_frames(3)))
+    p = pos % len(blob)
+    blob[p] = (blob[p] ^ (1 << bit)) & 0xFF
+    trunc = bytes(blob)[: max(1, newbyte * len(blob) // 255)]
+    for candidate in (bytes(blob), trunc):
+        try:
+            parse_avi(candidate)
+        except ValueError:
+            pass
