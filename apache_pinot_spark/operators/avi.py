@@ -200,7 +200,9 @@ def sample_avi_frames(
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
 
     def run(batches):
-        # self-contained worker closure (non-repo-cwd drivers)
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment; the parser is too large to inline by value
         import pandas as _pd
 
         from apache_pinot_spark.operators.avi import (

@@ -255,8 +255,9 @@ def sample_video_frames_from_blobs(
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
 
     def run(batches):
-        # self-contained worker closure: import inside (driver may run
-        # from a non-repo cwd; see .claude verify notes)
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment; the parser is too large to inline by value
         import pandas as _pd
 
         from apache_pinot_spark.operators.mp4 import choose_samples, parse_mp4

@@ -66,11 +66,17 @@ class PQCodebooks:
     books: list  # [m][ksub][dsub] floats
 
 
-def _normalize(v: Column) -> Column:
-    from apache_pinot_spark.operators.similarity import norm_expr
+def _unit_rows(X):
+    """Row-normalize a (n, dim) float64 matrix in place-safe numpy (zero
+    rows keep themselves). Normalization lives in the numpy workers, NOT
+    in a Spark HOF: `transform(v, x -> x / norm(v))` re-evaluates the
+    O(dim) interpreted norm fold PER ELEMENT — O(dim^2) per row, measured
+    as ~100 s of the 1M-vector index build before this change."""
+    import numpy as np
 
-    n = norm_expr(v)
-    return F.transform(v, lambda x: x / F.when(n == 0, F.lit(1.0)).otherwise(n))
+    n = np.sqrt((X * X).sum(axis=1))
+    n[n == 0] = 1.0
+    return X / n[:, None]
 
 
 def pq_train(
@@ -114,7 +120,7 @@ def pq_train(
         )
     dsub = dim // m
     v = _spread(corpus).select(
-        F.col(id_col).alias("id"), _normalize(_to_double(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
     sample_rows = (
         v.withColumn("__h", F.md5(F.col("id").cast("string")))
@@ -122,7 +128,8 @@ def pq_train(
         .limit(max_train_rows)
         .collect()
     )
-    X = np.asarray([list(r["v"]) for r in sample_rows], dtype=np.float64)
+    X = _unit_rows(np.asarray([list(r["v"]) for r in sample_rows],
+                              dtype=np.float64))
     init = X[:ksub]
     if len(init) < ksub:  # tiny corpora: pad by cycling the sample
         reps = ksub // max(len(init), 1) + 1
@@ -165,10 +172,13 @@ def pq_encode(
     extra = list(extra_cols or [])
     src = _spread(corpus).select(
         F.col(id_col).alias("id"),
-        _normalize(_to_double(F.col(vec_col))).alias("v"),
+        _to_double(F.col(vec_col)).alias("v"),
         *extra,
     )
 
+    # SELF-CONTAINED worker (gated path — the driver may run from a
+    # non-repo cwd where executors cannot import this package): the
+    # row-normalize is inlined rather than imported (_unit_rows).
     def enc(batches):
         import numpy as _np
         import pandas as _pd
@@ -176,7 +186,10 @@ def pq_encode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = _np.asarray(list(pdf["v"]), dtype=_np.float64)
+            X = _np.asarray(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = _np.sqrt((X * X).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            X = X / nrm[:, None]
             sub = X.reshape(len(X), m, dsub)
             codes = _np.empty((len(X), m), dtype=_np.int32)
             for j in range(m):
@@ -354,7 +367,7 @@ def ivfpq_query(
             # default 65536-query ceiling the latter could reach ~1 GB.
             tables: dict = {}  # query_id -> m x ksub inner-product table
             scores = _np.empty(len(pdf), dtype=_np.float64)
-            codes = _np.asarray(list(pdf["codes"]), dtype=_np.int64)
+            codes = _np.asarray(pdf["codes"].tolist(), dtype=_np.int64)
             qids = pdf["query_id"].to_numpy()
             for qid in _np.unique(qids):
                 tab = tables.get(qid)

@@ -207,7 +207,8 @@ def lsh_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray([list(x) for x in pdf["v"]], dtype=np.float64)
+            # .tolist() conversion is ~2x the per-cell list() comprehension
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
             proj = V @ Wt  # (N, T*P)
             signs = (proj > 0).reshape(len(pdf), num_tables, num_planes)
             buckets = (signs * bits).sum(axis=2).astype(np.int32)  # (N, T)
@@ -666,7 +667,7 @@ def _assign_to_centroids(v: DataFrame, cmat, cnorm) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
-            V = _np.asarray([list(x) for x in pdf["v"]], dtype=_np.float64)
+            V = _np.asarray(pdf["v"].tolist(), dtype=_np.float64)
             if len(V) == 0:
                 yield _pd.DataFrame({"id": [], "v": [], "cluster": []})
                 continue
