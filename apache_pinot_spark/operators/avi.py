@@ -27,6 +27,7 @@ stream (the multimodal convention).
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 
@@ -165,6 +166,11 @@ def choose_frames(info: AVIInfo, every_n_seconds: float) -> list:
     if fps <= 0 or n == 0:
         return []
     duration = n / fps
+    # untrusted-field hardening: fps comes from strh rate/scale (or avih
+    # micro_sec_per_frame) — corruption like rate=1/scale=2^32 makes
+    # duration/every_n ~1e10 instants, so the loop iterates per DISTINCT
+    # FRAME pick (bounded by the frames actually present in movi), jumping
+    # k arithmetically to the first instant that can reach a new frame.
     picks, k, last = [], 0, -1
     while True:
         t = k * every_n_seconds
@@ -174,7 +180,11 @@ def choose_frames(info: AVIInfo, every_n_seconds: float) -> list:
         if idx != last:
             picks.append((idx, idx / fps))
             last = idx
-        k += 1
+        if idx >= n - 1:
+            break  # every later instant resolves to the last frame
+        # first instant whose floor(t*fps) can reach idx+1
+        nxt = math.ceil((idx + 1) / (fps * every_n_seconds))
+        k = max(k + 1, nxt)
     return picks
 
 

@@ -28,7 +28,9 @@ never the mdat payload.
 
 from __future__ import annotations
 
+import math
 import struct
+from bisect import bisect_right
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -121,6 +123,14 @@ def _parse_stts(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
         delta = _u32(blob, s + 12 + 8 * i)
         entries.append((cnt, delta))
         total += cnt
+        # untrusted-field bound: every real sample occupies >= 1 byte of
+        # mdat, so a count exceeding the blob size is a lie (a ~150-byte
+        # blob claiming 2^32 samples would otherwise drive unbounded
+        # per-sample work downstream) — reject, don't trust
+        if total > len(blob):
+            raise ValueError(
+                f"stts claims {total} samples in a {len(blob)}-byte blob"
+            )
     trk.stts = entries
     trk.sample_count = total
 
@@ -203,36 +213,83 @@ def choose_samples(trk: MP4Track, every_n_seconds: float,
     decode time is <= the instant (seek semantics). With
     ``keyframes_only`` the pick snaps back to the nearest preceding sync
     sample (what a real frame extractor can decode without a GOP walk).
-    Consecutive instants that resolve to the same sample dedupe."""
+    Consecutive instants that resolve to the same sample dedupe.
+
+    Untrusted-field hardening: the loop never iterates per INSTANT (an
+    mdhd u64 duration is corruption/attacker-controlled — duration/e
+    iterations could be ~1e18); it iterates per DISTINCT RAW SAMPLE pick
+    (bounded by sample_count, which _parse_stts bounds by blob size),
+    jumping k arithmetically to the first instant that can resolve to a
+    new sample. Per-instant lookups are O(log runs) via bisect over the
+    cumulative stts run tables, not a linear scan over all samples."""
     if every_n_seconds <= 0:
         raise ValueError("every_n_seconds must be > 0")
-    times = sample_times(trk)
-    if not times:
+    if trk.timescale <= 0:
+        raise ValueError("track has no mdhd timescale")
+    if not trk.stts or trk.sample_count <= 0:
         return []
-    sync = (
-        set(trk.stss) if trk.stss is not None
-        else set(range(1, trk.sample_count + 1))
-    )
-    duration_s = trk.duration / trk.timescale if trk.timescale else times[-1]
+    # cumulative run tables: run j holds samples [cum_n[j], cum_n[j+1])
+    # starting at tick cum_t[j] with per-sample delta deltas[j]
+    deltas, cum_n, cum_t = [], [0], [0]
+    for cnt, delta in trk.stts:
+        deltas.append(delta)
+        cum_n.append(cum_n[-1] + cnt)
+        cum_t.append(cum_t[-1] + cnt * delta)
+    total_n = cum_n[-1]
+    ts = trk.timescale
+
+    def time_of(i: int) -> float:  # decode time (s) of 0-based sample i
+        j = bisect_right(cum_n, i) - 1
+        return (cum_t[j] + (i - cum_n[j]) * deltas[j]) / ts
+
+    def idx_at(target: float) -> int:  # last sample with time <= target
+        tt = target * ts
+        j = bisect_right(cum_t, tt) - 1
+        if j >= len(deltas):
+            i = total_n - 1
+        elif deltas[j] == 0:
+            i = cum_n[j + 1] - 1
+        else:
+            i = min(cum_n[j] + int((tt - cum_t[j]) // deltas[j]),
+                    cum_n[j + 1] - 1)
+        i = min(max(i, 0), total_n - 1)
+        # exact float refinement: the arithmetic above compares ticks to
+        # target*ts; the contract compares (ticks/ts) to target — refine
+        # +/-1 so boundary rounding matches the per-sample comparison
+        while i + 1 < total_n and time_of(i + 1) <= target:
+            i += 1
+        while i > 0 and time_of(i) > target:
+            i -= 1
+        return i
+
+    sync_sorted = sorted(trk.stss) if trk.stss is not None else None
+    sync_set = set(trk.stss) if trk.stss is not None else None
+
+    def is_sync(i: int) -> bool:
+        return sync_set is None or (i + 1) in sync_set
+
+    duration_s = trk.duration / ts
     picks, k, last = [], 0, -1
     while True:
         target = k * every_n_seconds
         if target > duration_s:
             break
-        # last sample with time <= target (times are non-decreasing)
-        idx = 0
-        for i, t in enumerate(times):
-            if t <= target:
-                idx = i
-            else:
-                break
-        if keyframes_only:
-            while idx > 0 and (idx + 1) not in sync:
-                idx -= 1
+        raw = idx_at(target)
+        idx = raw
+        if keyframes_only and sync_sorted is not None:
+            p = bisect_right(sync_sorted, idx + 1) - 1
+            # nearest preceding sync sample; none before -> sample 0
+            # (same endpoint as the scan-back contract)
+            idx = sync_sorted[p] - 1 if p >= 0 else 0
+            idx = min(max(idx, 0), total_n - 1)
         if idx != last:
-            picks.append((idx, times[idx], (idx + 1) in sync))
+            picks.append((idx, time_of(idx), is_sync(idx)))
             last = idx
-        k += 1
+        if raw >= total_n - 1:
+            break  # every later instant resolves to the same raw sample
+        # first instant that can resolve past `raw`
+        nxt = math.ceil(time_of(raw + 1) / every_n_seconds)
+        k = max(k + 1, nxt)
     return picks
 
 

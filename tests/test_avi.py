@@ -132,3 +132,43 @@ def test_metadata_only_mode_skips_decode(spark):
     # non-MJPG parses fine when decode is off: timestamps real, pixels NULL
     assert [r.frame_index for r in out] == [0, 2, 3]
     assert all(r.mean_luma is None and r.height is None for r in out)
+
+
+def test_tiny_fps_bounded_work():
+    # untrusted-field hardening (ADVICE r9): strh rate=1 / scale=u32-max
+    # makes fps ~2.3e-10, so duration = n/fps ~1e10 s — per-instant
+    # iteration would hang the stage for ~1e10/every_n loops. The pick
+    # loop must jump per-frame and finish instantly.
+    import time as _time
+
+    frames = _frames(3)
+    blob = bytearray(_avi(frames, fps=4))
+    pos = bytes(blob).index(b"strh") + 8 + 8 + 12  # fcc+size, type+handler, pad
+    blob[pos : pos + 8] = struct.pack("<II", 0xFFFFFFFF, 1)  # scale, rate
+    info = A.parse_avi(bytes(blob))
+    assert 0 < info.video.fps < 1e-9
+    t0 = _time.monotonic()
+    picks = A.choose_frames(info, 1.0)
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 2.0, f"pick loop not bounded: {elapsed:.1f}s"
+    # every movi frame is reachable on the 1 s grid at this fps; dedupe
+    # keeps the list bounded by the frames actually present
+    assert [i for i, _ in picks] == [0, 1, 2]
+
+
+def test_choose_frames_matches_naive_reference():
+    # jump-based loop pick-for-pick identical to the per-instant reference
+    info = A.parse_avi(_avi(_frames(8), fps=4))
+    fps, n = info.video.fps, len(info.frames)
+    for e in (0.1, 0.3, 0.5, 0.9, 2.0):
+        ref, k, last = [], 0, -1
+        while True:
+            t = k * e
+            if t > n / fps:
+                break
+            idx = min(int(t * fps), n - 1)
+            if idx != last:
+                ref.append((idx, idx / fps))
+                last = idx
+            k += 1
+        assert A.choose_frames(info, e) == ref, e

@@ -158,3 +158,75 @@ def test_largesize_and_version1_boxes():
     assert info.timescale == 600 and info.duration == 660
     (trk,) = info.video_tracks
     assert trk.timescale == 1000 and trk.duration == 1100
+
+
+# --- untrusted-field hardening (ADVICE r9): corrupt container fields must
+# not drive unbounded executor work (OOM / stage hang) ---------------------
+
+
+def test_stts_sample_count_lie_rejects():
+    # a tiny blob claiming ~4.3e9 samples: one stts run with u32-max count.
+    # Materializing per-sample state would OOM the worker; the parser must
+    # reject at the field read instead.
+    blob = _golden([(0xFFFFFFFF, 100)])
+    with pytest.raises(ValueError, match="stts claims"):
+        M.parse_mp4(blob)
+    # sum-of-runs lie (each run small, total huge) rejects too
+    blob2 = _golden([(1000, 1)] * 4)
+    with pytest.raises(ValueError, match="stts claims"):
+        M.parse_mp4(blob2)
+
+
+def test_huge_mdhd_duration_bounded_work():
+    # version-1 mdhd u64 duration ~3.5e13 ticks with every_n=0.001 s would
+    # be ~3.5e13 target instants under per-instant iteration; the pick loop
+    # must jump per-sample and finish instantly with the same semantics.
+    import time as _time
+
+    mdhd = _box(
+        b"mdhd",
+        _full(1) + struct.pack(">QQIQ", 0, 0, 1000, 2**45) + b"\x00" * 4,
+    )
+    stbl = _stts(GOLDEN_STTS) + _stss([1, 6])
+    trak = _box(
+        b"trak",
+        _box(b"mdia", mdhd + _hdlr(b"vide") + _box(b"minf", _box(b"stbl", stbl))),
+    )
+    blob = (
+        _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        + _box(b"moov", _mvhd(600, 660) + trak)
+    )
+    (trk,) = M.parse_mp4(blob).video_tracks
+    assert trk.duration == 2**45
+    t0 = _time.monotonic()
+    picks = M.choose_samples(trk, 0.001)
+    kf = M.choose_samples(trk, 0.001, keyframes_only=True)
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 2.0, f"pick loop not bounded: {elapsed:.1f}s"
+    # semantics preserved: every sample is reachable at 1 ms grid
+    assert [i for i, _, _ in picks] == list(range(8))
+    assert [i for i, _, _ in kf] == [0, 5]  # only sync samples 1 and 6
+
+
+def test_choose_samples_matches_naive_reference():
+    # jump-based loop must be pick-for-pick identical to the per-instant
+    # reference on an honest track (regression pin for the r10 rewrite)
+    (trk,) = M.parse_mp4(_golden(GOLDEN_STTS, stss=[1, 6])).video_tracks
+    times = M.sample_times(trk)
+    for e in (0.05, 0.13, 0.25, 0.4, 1.0):
+        for kf in (False, True):
+            sync = set(trk.stss) if trk.stss else set(range(1, 9))
+            ref, k, last = [], 0, -1
+            while True:
+                target = k * e
+                if target > trk.duration / trk.timescale:
+                    break
+                idx = max(i for i, t in enumerate(times) if t <= target)
+                if kf:
+                    while idx > 0 and (idx + 1) not in sync:
+                        idx -= 1
+                if idx != last:
+                    ref.append((idx, times[idx], (idx + 1) in sync))
+                    last = idx
+                k += 1
+            assert M.choose_samples(trk, e, keyframes_only=kf) == ref, (e, kf)
