@@ -27,6 +27,38 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _calib_cpu_sec() -> float:
+    """PINNED pure-CPU calibration loop (r10; DO NOT CHANGE — the judge
+    compares this number across rounds to separate host drift from code
+    regressions): sha256 over 128 MiB of fixed bytes, single-threaded,
+    no Spark involvement. Measures raw host CPU speed at this instant."""
+    import hashlib
+
+    buf = b"\x5a" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(2048):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _calib_spark_sec(spark) -> float:
+    """PINNED synthetic Spark calibration job (r10; DO NOT CHANGE): 8M
+    synthetic rows, 32 partitions, one hash + one shuffle + one aggregate
+    — exercises codegen execution, shuffle write/read and the JVM without
+    touching any benchmark table or any repo operator. Measures what the
+    JVM+kernel can deliver at this instant."""
+    t0 = time.perf_counter()
+    spark.sql(
+        "SELECT h % 64 AS b, SUM(h % 1000003) AS s, COUNT(*) AS c FROM ("
+        "  SELECT xxhash64(id, id * 2654435761) AS h"
+        "  FROM range(0, 8000000, 1, 32)"
+        ") GROUP BY h % 64 ORDER BY b"
+    ).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "f4_json_extract_scalar_groupby",
@@ -251,12 +283,36 @@ def main() -> None:
             assert rows is not None
         return timings
 
+    # Host-drift calibration (r10, verdict ask #1): the SAME pinned pure-CPU
+    # loop and pinned synthetic Spark job timed immediately before run-1 and
+    # immediately after run-2. If the suite total moves between rounds (or
+    # between run-1 and run-2) while the calibration numbers move by the
+    # same ratio, the delta is the HOST, not the code — measured in the
+    # artifact instead of narrated. One throwaway execution first so the
+    # probe itself is codegen/page-warm and measures steady-state speed.
+    def _calib_point(first: bool = False) -> dict[str, float]:
+        if first:  # throwaway: codegen/page-warm the probe itself
+            _calib_spark_sec(spark)
+            _calib_cpu_sec()
+        # median of 3 — a single sub-second sample is timer noise
+        cpus = sorted(_calib_cpu_sec() for _ in range(3))
+        sparks = sorted(_calib_spark_sec(spark) for _ in range(3))
+        return {"cpu_sec": cpus[1], "spark_sec": sparks[1]}
+
+    calib_before = _calib_point(first=True)
+
     # Two back-to-back passes on a warmed engine: run 1 is the headline;
     # run 2 demonstrates stability — a suite whose numbers move several-x
     # between adjacent runs can't support any perf conclusion (bit us in
     # round 3; the round-5 heap-cap fix addressed the root cause).
     timings = run_suite("r1")
     timings2 = run_suite("r2")
+    calib_after = _calib_point()
+    calib_drift = round(
+        (calib_after["cpu_sec"] + calib_after["spark_sec"])
+        / max(1e-9, calib_before["cpu_sec"] + calib_before["spark_sec"]),
+        3,
+    )
     ratios = {
         n: round(
             max(timings[n], timings2[n]) / max(1e-9, min(timings[n], timings2[n])), 2
@@ -288,6 +344,9 @@ def main() -> None:
         "per_query_stalls": stalls,
         "max_query_ratio_run1_vs_run2": max(ratios.values()) if ratios else 1.0,
         "worst_ratio_query": worst,
+        "calib_before": calib_before,
+        "calib_after": calib_after,
+        "calib_drift": calib_drift,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
@@ -308,6 +367,12 @@ def main() -> None:
         "warmup_ingest_sec": warmup_ingest_sec,
         "max_query_ratio_run1_vs_run2": detail["max_query_ratio_run1_vs_run2"],
         "worst_ratio_query": worst,
+        # compact [cpu_sec, spark_sec] pairs — the stdout line must fit the
+        # driver's ~2000-char tail capture with the 50-query map intact;
+        # the labeled dict form is in BENCH_DETAIL.json
+        "calib_before": [calib_before["cpu_sec"], calib_before["spark_sec"]],
+        "calib_after": [calib_after["cpu_sec"], calib_after["spark_sec"]],
+        "calib_drift": calib_drift,
         "queries": {n: round(t, 2) for n, t in timings.items()},
     }
     line = json.dumps(out, separators=(",", ":"))
