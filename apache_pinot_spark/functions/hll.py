@@ -270,20 +270,34 @@ def hll_sketch_grouped_query(
     at most m rows per group ride the shuffle), then assembles the m-byte
     sketch from the <= m surviving rows with a sequence/transform over a
     map (missing registers pack as 0x00). Byte-identical to
-    hll_sketch_from_pair_sql's output. Spark-dialect only (HOF assembly);
-    oracles keep the direct per-row estimate."""
+    hll_sketch_from_pair_sql's output, INCLUDING groups whose values are
+    all NULL (reg is NULL only for NULL values): those ride through the
+    inner GROUP BY as a (seg, NULL) row and the NULL-skipping
+    collect_list packs them as an empty map -> the all-zero 64-byte
+    sketch, matching the single-level form's COALESCE(..., 0) output
+    shape (a WHERE reg IS NOT NULL here would DROP the group — r9 ADVICE).
+    Spark-dialect only (HOF assembly); oracles keep the direct per-row
+    estimate.
+
+    When to use which form: this two-level shape wins when the GROUP BY
+    cardinality is high (the m MAX(CASE) conditionals of the single-level
+    form each carry a buffer slot per group); for LOW-cardinality or flat
+    builds the single-level hll_sketch_from_pair_sql is faster — the
+    r10 same-host A/B at sf0.1 (8 segments, 600k rows) measured 1.12 s
+    single-level vs 1.85 s two-level for the full a6 build+merge query,
+    sketches byte-identical."""
     assert m == HLL_M
     reg, rho = hll_pair_sqls(value_col_sql, "spark")
     return f"""
     SELECT seg, unhex(concat_ws('', transform(sequence(0, {m - 1}),
              r -> lpad(hex(coalesce(element_at(m_, r), 0)), 2, '0')))) AS sketch
     FROM (
-      SELECT seg, map_from_entries(collect_list(struct(reg, mr))) AS m_
+      SELECT seg, map_from_entries(collect_list(
+               CASE WHEN reg IS NOT NULL THEN struct(reg, mr) END)) AS m_
       FROM (
         SELECT seg, reg, MAX(rho) AS mr
         FROM (SELECT {group_col_sql} AS seg, {reg} AS reg, {rho} AS rho
               FROM {src_table})
-        WHERE reg IS NOT NULL
         GROUP BY seg, reg
       )
       GROUP BY seg

@@ -578,7 +578,8 @@ df_query(
 def _hll_sketch_bytes(spark, sf_dir):
     from apache_pinot_spark.functions.hll import (
         hll_merge_estimate_sql,
-        hll_sketch_grouped_query,
+        hll_pair_sqls,
+        hll_sketch_from_pair_sql,
     )
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
@@ -590,13 +591,20 @@ def _hll_sketch_bytes(spark, sf_dir):
     _spread(li.select("l_partkey", "l_orderkey")).createOrReplaceTempView(
         "__hll_lineitem"
     )
-    # two-level build: ONE (reg, rho) projection + MAX per row instead of
-    # 64 MAX(CASE) conditionals per row (byte-identical sketches)
-    segments = spark.sql(
-        hll_sketch_grouped_query(
-            "l_partkey", "pmod(l_orderkey, 8)", "__hll_lineitem"
-        )
-    )
+    # single-level pair build: project (reg, rho) ONCE per row, then the
+    # 64 MAX(CASE) partials over the two small INT columns. At a6's
+    # 8-segment cardinality this beat the two-level grouped form 1.12 s
+    # vs 1.85 s in the r10 same-host A/B at sf0.1 (the two-level shape —
+    # hll_sketch_grouped_query — wins only at HIGH group cardinality,
+    # where per-group MAX(CASE) buffer slots dominate); sketches are
+    # byte-identical either way, pinned by tests.
+    reg, rho = hll_pair_sqls("l_partkey", "spark")
+    segments = spark.sql(f"""
+        SELECT seg, {hll_sketch_from_pair_sql('reg', 'rho', 'spark')} AS sketch
+        FROM (SELECT pmod(l_orderkey, 8) AS seg, {reg} AS reg, {rho} AS rho
+              FROM __hll_lineitem)
+        GROUP BY seg
+    """)
     segments.createOrReplaceTempView("__hll_segments")
     exact = li.agg(F.countDistinct("l_partkey").alias("exact_dc"))
     est = spark.sql(

@@ -118,3 +118,39 @@ def test_two_level_grouped_sketch_byte_identical_to_pair_form(spark):
         ).collect()
     }
     assert single == grouped and len(grouped) == 4
+
+
+def test_two_level_grouped_sketch_keeps_all_null_groups(spark):
+    """r9 ADVICE: a group whose values are ALL NULL must emit the all-zero
+    64-byte sketch (what the single-level COALESCE form does), not vanish
+    — the old WHERE reg IS NOT NULL dropped the group before the outer
+    GROUP BY."""
+    from apache_pinot_spark.functions.hll import (
+        hll_pair_sqls,
+        hll_sketch_from_pair_sql,
+        hll_sketch_grouped_query,
+    )
+
+    spark.sql(
+        "SELECT CASE WHEN id % 3 = 2 THEN CAST(NULL AS BIGINT) ELSE id END AS v, "
+        "id % 3 AS seg FROM range(300)"
+    ).createOrReplaceTempView("__null_grp_src")
+    reg, rho = hll_pair_sqls("v", "spark")
+    single = {
+        r["seg"]: bytes(r["sketch"])
+        for r in spark.sql(
+            "SELECT seg, "
+            f"{hll_sketch_from_pair_sql('__reg', '__rho', 'spark')} AS sketch "
+            f"FROM (SELECT seg, {reg} AS __reg, {rho} AS __rho "
+            "FROM __null_grp_src) GROUP BY seg"
+        ).collect()
+    }
+    grouped = {
+        r["seg"]: bytes(r["sketch"])
+        for r in spark.sql(
+            hll_sketch_grouped_query("v", "seg", "__null_grp_src")
+        ).collect()
+    }
+    assert set(grouped) == {0, 1, 2}, "all-NULL group dropped"
+    assert grouped[2] == b"\x00" * 64
+    assert single == grouped
