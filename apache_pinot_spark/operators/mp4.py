@@ -5,25 +5,30 @@ trusting caller-supplied duration/fps columns
 reads the movie box out of the blob itself and samples against the
 track's ACTUAL sample table.
 
-Scope (deliberately container-level, no codec work):
+Scope:
   * box walk: size/type headers, 64-bit largesize, size-0 = to-EOF,
     recursion through the container boxes (moov/trak/mdia/minf/stbl)
   * mvhd / mdhd: movie + media timescale & duration (versions 0 and 1)
   * hdlr: handler type (video tracks are 'vide')
   * stts: decode-time deltas → exact per-sample timestamps
   * stss: sync-sample (keyframe) numbers — absent box = all sync
-  * stsz: sample count (+ constant size shortcut)
+  * payload tier (r10): stsd sample format, stsz sizes (constant or
+    per-sample table), stsc sample-to-chunk runs, stco/co64 chunk
+    offsets — sample index → (absolute offset, size) → frame bytes,
+    and sample_mp4_frames decodes JPEG-coded tracks ('jpeg'/'mjpa'/...)
+    with the repo's pure-Python baseline-JPEG decoder, the exact shape
+    operators/avi provides for MJPEG-in-AVI.
 
-The DECODE of the chosen frames is the downstream capability-gated stage
-(operators/multimodal, no imaging/video libs in this container); what
-this module makes real is the part a data pipeline schedules on: which
-sample indices / timestamps exist, which are seekable keyframes, and the
-per-blob reject path for corrupt containers.
+Frame decode beyond JPEG-coded tracks (H.264/AV1/...) stays the
+capability-gated stage (operators/multimodal — no video codec libs in
+this container); everything a pipeline schedules on — sample indices,
+timestamps, keyframes, payload byte ranges — plus the MJPEG decode path
+is real here, with the per-blob reject path for corrupt containers.
 
-Scale shape: parsing is per-row map-side work over the binary column
-(Arrow-batched, zero shuffle); the moov box for typical files is tens of
-KB, and the parser touches only header bytes plus the stbl tables —
-never the mdat payload.
+Scale shape: parsing + decode are per-row map-side work over the binary
+column (Arrow-batched, zero shuffle); the moov box for typical files is
+tens of KB, the parser touches only header bytes plus the stbl tables,
+and only the PICKED samples' byte ranges are sliced out of mdat.
 """
 
 from __future__ import annotations
@@ -47,6 +52,14 @@ class MP4Track:
     stts: list = field(default_factory=list)  # [(sample_count, delta)]
     stss: list | None = None  # 1-based sync sample numbers; None = all sync
     sample_count: int = 0
+    # payload tier (r10): the chunk map that turns a sample index into the
+    # frame's actual bytes — stsd sample format, stsz sizes, stsc
+    # sample-to-chunk runs, stco/co64 chunk offsets
+    format: str = ""  # fourcc of stsd entry 1 (e.g. 'jpeg' for MJPEG)
+    stsz_const: int = 0  # constant sample size; 0 = per-sample table
+    stsz: list | None = None  # per-sample sizes when stsz_const == 0
+    stsc: list = field(default_factory=list)  # [(first_chunk, samples_per_chunk)]
+    chunk_offsets: list = field(default_factory=list)  # absolute file offsets
 
 
 @dataclass
@@ -142,6 +155,46 @@ def _parse_stss(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
     trk.stss = [_u32(blob, s + 8 + 4 * i) for i in range(n)]
 
 
+def _parse_stsd(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
+    # only the first sample entry's format fourcc is needed: it names the
+    # codec of the track's samples (MJPEG-in-MP4 uses 'jpeg'/'mjpa')
+    n = _u32(blob, s + 4)
+    if n >= 1:
+        if s + 16 > e:
+            raise ValueError("stsd sample entry overruns box")
+        trk.format = blob[s + 12 : s + 16].decode("latin1")
+
+
+def _parse_stsz(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
+    const = _u32(blob, s + 4)
+    n = _u32(blob, s + 8)
+    trk.stsz_const = const
+    if const == 0:
+        if s + 12 + 4 * n > e:
+            raise ValueError("stsz entry table overruns box")
+        trk.stsz = [_u32(blob, s + 12 + 4 * i) for i in range(n)]
+
+
+def _parse_stsc(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
+    n = _u32(blob, s + 4)
+    if s + 8 + 12 * n > e:
+        raise ValueError("stsc entry table overruns box")
+    trk.stsc = [
+        (_u32(blob, s + 8 + 12 * i), _u32(blob, s + 12 + 12 * i))
+        for i in range(n)
+    ]
+
+
+def _parse_stco(blob: bytes, s: int, e: int, trk: MP4Track,
+                wide: bool = False) -> None:
+    n = _u32(blob, s + 4)
+    w = 8 if wide else 4
+    if s + 8 + w * n > e:
+        raise ValueError("chunk offset table overruns box")
+    rd = _u64 if wide else _u32
+    trk.chunk_offsets = [rd(blob, s + 8 + w * i) for i in range(n)]
+
+
 def _walk(blob: bytes, s: int, e: int, info: MP4Info, trk: MP4Track | None):
     for btype, bs, be in _boxes(blob, s, e):
         if btype == b"trak":
@@ -160,8 +213,18 @@ def _walk(blob: bytes, s: int, e: int, info: MP4Info, trk: MP4Track | None):
             _parse_stts(blob, bs, be, trk)
         elif btype == b"stss" and trk is not None:
             _parse_stss(blob, bs, be, trk)
-        # every other box (tkhd, dinf, stsd, stsc, stco, mdat, free, ...)
-        # is skipped by size — the walk never needs its contents
+        elif btype == b"stsd" and trk is not None:
+            _parse_stsd(blob, bs, be, trk)
+        elif btype == b"stsz" and trk is not None:
+            _parse_stsz(blob, bs, be, trk)
+        elif btype == b"stsc" and trk is not None:
+            _parse_stsc(blob, bs, be, trk)
+        elif btype == b"stco" and trk is not None:
+            _parse_stco(blob, bs, be, trk)
+        elif btype == b"co64" and trk is not None:
+            _parse_stco(blob, bs, be, trk, wide=True)
+        # every other box (tkhd, dinf, mdat, free, ...) is skipped by
+        # size — the walk never needs its contents
 
 
 def parse_mp4(blob: bytes) -> MP4Info:
@@ -293,6 +356,68 @@ def choose_samples(trk: MP4Track, every_n_seconds: float,
     return picks
 
 
+# JPEG-in-MP4 sample-entry fourccs the repo's own baseline decoder can
+# handle (ISO 14496-12 stsd formats for motion-JPEG tracks)
+JPEG_FORMATS = frozenset({"jpeg", "mjpa", "mjpb", "MJPG", "mjpg"})
+
+
+def sample_locations(trk: MP4Track) -> list:
+    """[(absolute_offset, size)] per sample, 0-based, from the stsc
+    sample-to-chunk runs + stco/co64 chunk offsets + stsz sizes — the map
+    that turns choose_samples' picks into actual frame bytes.
+
+    Untrusted-field bounds: the loop appends at most sample_count
+    entries (already bounded by blob size in _parse_stts), so a lying
+    stsc samples_per_chunk of 2^32 cannot drive unbounded work; chunk
+    indices are validated against the stco table; offset/size sanity
+    against the blob happens at extraction (sample_bytes), where the
+    specific sample is known."""
+    n = trk.sample_count
+    if n <= 0:
+        return []
+    if not trk.chunk_offsets or not trk.stsc:
+        raise ValueError("track carries no stsc/stco chunk map")
+    if trk.stsz_const:
+        def size_of(i: int) -> int:
+            return trk.stsz_const
+    else:
+        if trk.stsz is None or len(trk.stsz) < n:
+            raise ValueError("stsz table shorter than stts sample count")
+        size_of = trk.stsz.__getitem__
+    nc = len(trk.chunk_offsets)
+    stsc = trk.stsc
+    locs: list = []
+    for ei, (first, spc) in enumerate(stsc):
+        if first < 1 or first > nc:
+            raise ValueError("stsc first_chunk outside the stco table")
+        if ei + 1 < len(stsc) and stsc[ei + 1][0] <= first:
+            raise ValueError("stsc first_chunk not strictly ascending")
+        last = (stsc[ei + 1][0] - 1) if ei + 1 < len(stsc) else nc
+        last = min(last, nc)
+        for c in range(first, last + 1):
+            off = trk.chunk_offsets[c - 1]
+            k = 0
+            while k < spc and len(locs) < n:
+                sz = size_of(len(locs))
+                locs.append((off, sz))
+                off += sz
+                k += 1
+            if len(locs) >= n:
+                return locs
+    raise ValueError("chunk map covers fewer samples than stts declares")
+
+
+def sample_bytes(blob: bytes, locs: list, index: int) -> bytes:
+    """Raw payload bytes of sample ``index`` (0-based); rejects offsets/
+    sizes that point outside the blob (corrupt stco/stsz)."""
+    off, size = locs[index]
+    if off < 0 or size < 0 or off + size > len(blob):
+        raise ValueError(
+            f"sample {index} [{off}, {off + size}) extends past blob end"
+        )
+    return blob[off : off + size]
+
+
 def sample_video_frames_from_blobs(
     df: DataFrame,
     every_n_seconds: float,
@@ -343,5 +468,103 @@ def sample_video_frames_from_blobs(
         run,
         schema=f"id {id_type}, sample_index INT, timestamp_s DOUBLE, "
                "is_sync BOOLEAN",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def sample_mp4_frames(
+    df: DataFrame,
+    every_n_seconds: float,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    keyframes_only: bool = False,
+    decode: bool = True,
+) -> DataFrame:
+    """(media_id, sample_index, timestamp_s, is_sync, height, width,
+    mean_luma) — the r10 payload tier: picks samples against the blob's
+    REAL stts/stss tables (as sample_video_frames_from_blobs does), then
+    resolves each pick to its actual bytes via the stsc/stco/co64/stsz
+    chunk map and, for JPEG-coded tracks (stsd 'jpeg'/'mjpa'/...),
+    decodes the frame with the repo's pure-Python baseline-JPEG decoder —
+    the exact shape operators/avi.sample_avi_frames provides for
+    MJPEG-in-AVI (mean_luma = mean of the decoded frame's channel
+    average, a deterministic content fingerprint).
+
+    One Arrow map pass, zero shuffle; only the PICKED samples' byte
+    ranges are sliced — never the whole mdat. Non-MP4 / chunk-map-less /
+    non-JPEG-track (when decode=True) / corrupt blobs emit ONE all-NULL
+    row (the multimodal reject convention); a picked frame whose bytes
+    fail JPEG decode keeps its index/timestamp with NULL pixel stats."""
+    if every_n_seconds <= 0:
+        raise ValueError("every_n_seconds must be > 0")
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment; the parser is too large to inline by value
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
+        from apache_pinot_spark.operators.mp4 import (
+            JPEG_FORMATS,
+            choose_samples,
+            parse_mp4,
+            sample_bytes,
+            sample_locations,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "sample_index", "timestamp_s", "is_sync",
+                    "height", "width", "mean_luma")}
+
+            def emit(mid, idx=None, ts=None, sync=None, h=None, w=None,
+                     luma=None):
+                out["id"].append(mid)
+                out["sample_index"].append(idx)
+                out["timestamp_s"].append(ts)
+                out["is_sync"].append(sync)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["mean_luma"].append(luma)
+
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                try:
+                    data = bytes(blob) if blob is not None else None
+                    info = parse_mp4(data)
+                    vts = info.video_tracks
+                    if not vts:
+                        raise ValueError("no video track")
+                    trk = vts[0]
+                    picks = choose_samples(trk, every_n_seconds,
+                                           keyframes_only)
+                    locs = sample_locations(trk)
+                    if decode and trk.format not in JPEG_FORMATS:
+                        raise ValueError(
+                            f"decode requested for non-JPEG track "
+                            f"({trk.format!r})"
+                        )
+                except Exception:
+                    emit(mid)
+                    continue
+                for idx, ts, sync in picks:
+                    h = w = luma = None
+                    if decode:
+                        try:
+                            img = decode_jpeg(sample_bytes(data, locs, idx))
+                        except Exception:
+                            img = None
+                        if img is not None:
+                            h, w = int(img.shape[0]), int(img.shape[1])
+                            luma = float(img.astype("float64").mean())
+                    emit(mid, idx, ts, sync, h, w, luma)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, sample_index INT, timestamp_s DOUBLE, "
+               "is_sync BOOLEAN, height INT, width INT, mean_luma DOUBLE",
     )
     return out.withColumnRenamed("id", id_col)

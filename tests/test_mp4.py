@@ -230,3 +230,223 @@ def test_choose_samples_matches_naive_reference():
                     last = idx
                 k += 1
             assert M.choose_samples(trk, e, keyframes_only=kf) == ref, (e, kf)
+
+
+# --- r10 payload tier: stsc/stco/co64/stsz/stsd -> real frame bytes -------
+
+
+def _stsd(fmt: bytes) -> bytes:
+    entry = struct.pack(">I", 16) + fmt + b"\x00" * 6 + struct.pack(">H", 1)
+    return _box(b"stsd", _full() + struct.pack(">I", 1) + entry)
+
+
+def _stsz(sizes, const: int = 0) -> bytes:
+    body = _full() + struct.pack(">II", const, len(sizes))
+    if const == 0:
+        for s in sizes:
+            body += struct.pack(">I", s)
+    return _box(b"stsz", body)
+
+
+def _stsc(entries) -> bytes:
+    body = _full() + struct.pack(">I", len(entries))
+    for first, spc in entries:
+        body += struct.pack(">III", first, spc, 1)
+    return _box(b"stsc", body)
+
+
+def _stco(offsets, wide: bool = False) -> bytes:
+    fmt, btype = (">Q", b"co64") if wide else (">I", b"stco")
+    body = _full() + struct.pack(">I", len(offsets))
+    for o in offsets:
+        body += struct.pack(fmt, o)
+    return _box(btype, body)
+
+
+def _jpeg_frames(n=4, h=8, w=8):
+    import numpy as np
+
+    from apache_pinot_spark.operators import jpeg_codec as J
+
+    return [J.encode_jpeg(np.full((h, w), 24 * i + 10, dtype=np.uint8))
+            for i in range(n)]
+
+
+def _mp4_with_payload(frames, stts_entries, fmt=b"jpeg", stss=None,
+                      chunking=None, wide_offsets=False, mts=1000):
+    """Assemble ftyp+moov+mdat with REAL payload bytes and a correct
+    chunk map. chunking = list of samples-per-chunk (default: one chunk
+    holding all frames). Returns the blob."""
+    chunking = chunking or [len(frames)]
+    assert sum(chunking) == len(frames)
+    sizes = [len(f) for f in frames]
+    # stsc runs: collapse consecutive equal samples-per-chunk
+    stsc_entries, chunk_first = [], 1
+    for i, spc in enumerate(chunking):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((chunk_first, spc))
+        chunk_first += 1
+    mdur = sum(c * d for c, d in stts_entries)
+
+    def build(offsets):
+        stbl = (
+            _stsd(fmt) + _stts(stts_entries)
+            + (_stss(stss) if stss is not None else b"")
+            + _stsc(stsc_entries) + _stsz(sizes)
+            + _stco(offsets, wide=wide_offsets)
+        )
+        trak = _box(
+            b"trak",
+            _box(b"mdia", _mdhd(mts, mdur) + _hdlr(b"vide")
+                 + _box(b"minf", _box(b"stbl", stbl))),
+        )
+        moov = _box(b"moov", _mvhd(600, 660) + trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        mdat = _box(b"mdat", b"".join(frames))
+        return ftyp + moov + mdat
+
+    # two-pass: placeholder offsets fix the moov size, then fill real ones
+    placeholder = build([0] * len(chunking))
+    mdat_body = placeholder.index(b"mdat", len(placeholder) - 8
+                                  - sum(sizes) - 8) + 4
+    offsets, si, off = [], 0, mdat_body
+    for spc in chunking:
+        offsets.append(off)
+        off += sum(sizes[si : si + spc])
+        si += spc
+    blob = build(offsets)
+    assert len(blob) == len(placeholder)
+    return blob
+
+
+def test_payload_roundtrip_single_chunk():
+    frames = _jpeg_frames(4)
+    blob = _mp4_with_payload(frames, [(4, 250)])
+    (trk,) = M.parse_mp4(blob).video_tracks
+    assert trk.format == "jpeg" and trk.stsz == [len(f) for f in frames]
+    locs = M.sample_locations(trk)
+    assert len(locs) == 4
+    for i, f in enumerate(frames):
+        assert M.sample_bytes(blob, locs, i) == f
+
+
+def test_payload_roundtrip_multi_chunk_and_co64():
+    frames = _jpeg_frames(6)
+    for wide in (False, True):
+        blob = _mp4_with_payload(
+            frames, [(6, 100)], chunking=[2, 2, 1, 1], wide_offsets=wide)
+        (trk,) = M.parse_mp4(blob).video_tracks
+        assert len(trk.chunk_offsets) == 4
+        locs = M.sample_locations(trk)
+        for i, f in enumerate(frames):
+            assert M.sample_bytes(blob, locs, i) == f
+
+
+def test_payload_constant_size_shortcut():
+    # stsz with a constant sample size and NO per-sample table
+    frames = [b"A" * 32, b"B" * 32, b"C" * 32]
+    blob = _mp4_with_payload(frames, [(3, 100)])
+    # rewrite stsz to const form: locate the box, set const=32, keep count
+    pos = blob.index(b"stsz") + 4 + 4  # past fourcc + fullbox header
+    patched = bytearray(blob)
+    patched[pos : pos + 4] = struct.pack(">I", 32)
+    (trk,) = M.parse_mp4(bytes(patched)).video_tracks
+    assert trk.stsz_const == 32
+    locs = M.sample_locations(trk)
+    for i, f in enumerate(frames):
+        assert M.sample_bytes(bytes(patched), locs, i) == f
+
+
+def test_corrupt_chunk_map_rejects():
+    frames = _jpeg_frames(3)
+    blob = _mp4_with_payload(frames, [(3, 100)])
+    (trk,) = M.parse_mp4(blob).video_tracks
+    # stco offset pointing past EOF -> extraction rejects that sample
+    trk2 = M.parse_mp4(blob).video_tracks[0]
+    trk2.chunk_offsets = [len(blob) + 1000]
+    locs = M.sample_locations(trk2)
+    with pytest.raises(ValueError, match="past blob end"):
+        M.sample_bytes(blob, locs, 0)
+    # stsc first_chunk outside the stco table -> ValueError
+    trk3 = M.parse_mp4(blob).video_tracks[0]
+    trk3.stsc = [(5, 3)]
+    with pytest.raises(ValueError, match="outside the stco"):
+        M.sample_locations(trk3)
+    # lying stsc samples_per_chunk (2^32) cannot drive unbounded work:
+    # the walk is capped at sample_count
+    trk4 = M.parse_mp4(blob).video_tracks[0]
+    trk4.stsc = [(1, 0xFFFFFFFF)]
+    assert len(M.sample_locations(trk4)) == 3
+    # chunk map that covers fewer samples than stts declares
+    trk5 = M.parse_mp4(blob).video_tracks[0]
+    trk5.stsc = [(1, 1)]  # 1 chunk x 1 sample < 3 samples
+    with pytest.raises(ValueError, match="fewer samples"):
+        M.sample_locations(trk5)
+
+
+def test_spark_decode_operator_matches_avi_shape(spark):
+    import numpy as np
+
+    from apache_pinot_spark.operators import jpeg_codec as J
+
+    lumas = [10, 90, 170, 250]
+    frames = [J.encode_jpeg(np.full((8, 8), v, dtype=np.uint8))
+              for v in lumas]
+    good = _mp4_with_payload(frames, [(4, 250)], stss=[1, 3])  # 1 fps
+    nonjpeg = _mp4_with_payload(frames, [(4, 250)], fmt=b"avc1")
+    corrupt_off = bytearray(good)
+    pos = good.index(b"stco") + 4 + 4 + 4  # fourcc, fullbox, count
+    corrupt_off[pos : pos + 4] = struct.pack(">I", len(good) + 99)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(nonjpeg)),       # parses; decode requested -> reject
+        (3, corrupt_off),              # picks resolve; bytes reject -> NULL stats
+        (4, bytearray(b"not an mp4")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = M.sample_mp4_frames(df, 0.25).orderBy("media_id", "sample_index")
+    got = [(r.media_id, r.sample_index, r.is_sync, r.height, r.width,
+            r.mean_luma) for r in out.collect()]
+    good_rows = [g for g in got if g[0] == 1]
+    assert [g[1] for g in good_rows] == [0, 1, 2, 3]
+    assert [g[2] for g in good_rows] == [True, False, True, False]
+    assert all(g[3] == 8 and g[4] == 8 for g in good_rows)
+    # decoded luma tracks the encoder input (JPEG is lossy; stay loose)
+    for g, v in zip(good_rows, lumas):
+        assert abs(g[5] - v) < 6.0, (g, v)
+    assert [g for g in got if g[0] == 2] == [(2, None, None, None, None, None)]
+    # corrupt stco: sampling still works (stts intact), pixel stats NULL
+    c3 = [g for g in got if g[0] == 3]
+    assert [g[1] for g in c3] == [0, 1, 2, 3]
+    assert all(g[3] is None and g[5] is None for g in c3)
+    assert [g for g in got if g[0] in (4, 5)] == [
+        (4, None, None, None, None, None), (5, None, None, None, None, None)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_payload_mutation_property():
+    # single-byte mutations anywhere in the container: parse/locate/
+    # extract either succeed or raise ValueError — never hang, never
+    # return bytes outside the blob
+    import random
+
+    frames = _jpeg_frames(3)
+    blob = _mp4_with_payload(frames, [(3, 100)], chunking=[2, 1])
+    rng = random.Random(1310)
+    for _ in range(300):
+        mut = bytearray(blob)
+        pos = rng.randrange(len(mut))
+        mut[pos] = rng.randrange(256)
+        try:
+            info = M.parse_mp4(bytes(mut))
+            for trk in info.video_tracks:
+                locs = M.sample_locations(trk)
+                for i in range(min(len(locs), trk.sample_count)):
+                    got = M.sample_bytes(bytes(mut), locs, i)
+                    off, size = locs[i]
+                    assert 0 <= off and off + size <= len(mut)
+                    assert len(got) == size
+        except ValueError:
+            pass
