@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from apache_pinot_spark.functions.text import tokens_expr
 
 
+def _plan_has_nodes(plan: str, names: tuple) -> bool:
+    """True when any of ``names`` appears as a logical OPERATOR at the
+    start of an analyzed-plan line (after the tree-drawing prefix
+    ``+- :- |  `` etc.) — substring matching over the whole plan string
+    false-positives on column names and string literals that happen to
+    contain 'Join'/'Sort'/... (r9 ADVICE). Prefix (not word-boundary)
+    matching is intentional: 'FlatMapCoGroups' must catch
+    'FlatMapCoGroupsInPandas', 'Repartition' must catch
+    'RepartitionByExpression'."""
+    import re
+
+    pat = re.compile(r"^[\s+:|-]*(?:" + "|".join(names) + ")", re.M)
+    return bool(pat.search(plan))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive as ONE scan partition; hash-heavy per-row
     pipelines must fan out across cores first. One cheap shuffle of the
@@ -50,8 +65,10 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         plan = ""
     shuffly = ("Join", "Aggregate", "Window", "Deduplicate", "Repartition",
-               "Generate", "Union", "Sort")
-    if any(tok in plan for tok in shuffly):
+               "Generate", "Union", "Sort", "Distinct", "Intersect",
+               "Except", "Expand", "CoGroup", "FlatMapCoGroups",
+               "Rebalance", "LateralJoin", "Unpivot")
+    if _plan_has_nodes(plan, shuffly):
         return df.repartition(target)
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 

@@ -325,6 +325,11 @@ def ivfpq_query(
     m, dsub = idx.codebooks.m, idx.codebooks.dsub
     index = idx.index
 
+    # derive id dtypes from the inputs (r9 ADVICE: pq_encode/lsh_buckets
+    # accept native id dtypes; the probe/adc/refine schemas must follow,
+    # or string-keyed corpora fail here and nowhere else)
+    q_id_type = dict(queries.dtypes)[id_col]
+    idx_id_type = dict(index.dtypes)["id"]
     qrows = (
         queries.select(
             F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
@@ -346,7 +351,7 @@ def ivfpq_query(
             probe_rows.append((r["query_id"], qn.tolist(), int(c)))
     spark = queries.sparkSession
     probes = spark.createDataFrame(
-        probe_rows, schema="query_id BIGINT, qn ARRAY<DOUBLE>, cluster INT"
+        probe_rows, schema=f"query_id {q_id_type}, qn ARRAY<DOUBLE>, cluster INT"
     )
 
     cand = index.join(F.broadcast(probes), on="cluster").filter(
@@ -384,7 +389,7 @@ def ivfpq_query(
             )
 
     approx = cand.mapInPandas(
-        adc, schema="query_id BIGINT, id BIGINT, ascore DOUBLE"
+        adc, schema=f"query_id {q_id_type}, id {idx_id_type}, ascore DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("id"))
     survivors = (
@@ -398,7 +403,7 @@ def ivfpq_query(
     base = idx.base
     qdf = spark.createDataFrame(
         [(r["query_id"], list(map(float, r["qv"]))) for r in qrows],
-        schema="query_id BIGINT, qv ARRAY<DOUBLE>",
+        schema=f"query_id {q_id_type}, qv ARRAY<DOUBLE>",
     )
     exact = (
         base.join(F.broadcast(survivors), on="id")

@@ -481,12 +481,20 @@ def _stats_row_count(df: DataFrame) -> int | None:
     shrink or preserve the real count, so the derived block count can
     only be too HIGH — smaller blocks, same output (blocking is
     internal)."""
+    from apache_pinot_spark.operators.dedup import _plan_has_nodes
+
     try:
         qe = df._jdf.queryExecution()
-        # analyzed plan: one line per logical operator, stable node names
+        # analyzed plan: one line per logical operator, stable node names;
+        # matched at line starts so column names / literals containing
+        # these words can't flip the check (r9 ADVICE), and including the
+        # full multiplying-node set (Expand from grouping sets / some
+        # distinct-aggregate rewrites, cogroups, lateral joins, unpivot)
         plan = qe.analyzed().toString()
-        multipliers = ("Join", "Generate", "Union", "FlatMapCoGroups")
-        if any(tok in plan for tok in multipliers):
+        multipliers = ("Join", "Generate", "Union", "FlatMapCoGroups",
+                       "CoGroup", "Expand", "LateralJoin", "Unpivot",
+                       "Intersect", "Except")
+        if _plan_has_nodes(plan, multipliers):
             return None
         # a CACHED relation hides its file source from inputFiles(); its
         # materialized Catalyst stats carry the EXACT row count instead
@@ -675,7 +683,10 @@ def _assign_to_centroids(v: DataFrame, cmat, cnorm) -> DataFrame:
             sim = (V @ cmat.T) / _np.outer(vn, cnorm)
             yield _pd.DataFrame(
                 {
-                    "id": pdf["id"].astype("int64"),
+                    # pass the id column through untouched — the schema
+                    # carries the input's native dtype (an astype("int64")
+                    # here broke string-keyed corpora, r10)
+                    "id": pdf["id"],
                     "v": pdf["v"],
                     "cluster": _np.argmax(sim, axis=1).astype("int32"),
                 }
@@ -816,8 +827,12 @@ def ivf_topk(
         for c in np.argsort(-sim)[:nprobe]:
             probe_rows.append((r["query_id"], qv.tolist(), int(c)))
     spark = corpus.sparkSession
+    # query_id carries the queries frame's native id dtype (r10: a pinned
+    # BIGINT here broke string-keyed corpora)
     probes = spark.createDataFrame(
-        probe_rows, schema="query_id BIGINT, qv ARRAY<DOUBLE>, cluster INT"
+        probe_rows,
+        schema=f"query_id {dict(queries.dtypes)[id_col]}, qv ARRAY<DOUBLE>, "
+               "cluster INT",
     )
 
     cand = assigned.join(F.broadcast(probes), on="cluster").filter(

@@ -574,3 +574,47 @@ def test_embedding_operators_accept_string_ids(spark):
     books = pq_train(df, dim=8, m=4, ksub=4, iterations=1)
     enc = pq_encode(df, books)
     assert dict(enc.dtypes)["id"] == "string" and enc.count() == 30
+    # r10 (ADVICE): the full IVF+PQ query path too — probe/adc/refine
+    # schemas derive the id dtype instead of pinning BIGINT
+    from apache_pinot_spark.operators.pq import ivfpq_topk
+
+    res = ivfpq_topk(df, q, dim=8, k=3, num_clusters=2, nprobe=2,
+                     m=4, ksub=4, iterations=1, refine_factor=8)
+    got = res.collect()
+    assert len(got) == 3 and all(isinstance(r.neighbor_id, str) for r in got)
+    assert all(isinstance(r.query_id, str) for r in got)
+    # parity with brute force under full refinement
+    assert {r.neighbor_id for r in got} == {r.neighbor_id for r in top}
+    ivf = similarity.ivf_topk(df, q, dim=8, k=3, num_clusters=2, nprobe=2)
+    assert all(isinstance(r.query_id, str) for r in ivf.collect())
+
+
+def test_plan_node_matching_anchors_at_line_start(spark):
+    """r9 ADVICE: _spread / _stats_row_count must key on logical OPERATOR
+    nodes, not substrings — a column literally named 'Join' or a literal
+    containing 'Sort' must not trigger the shuffle-upstream branch, while
+    Expand (grouping sets) must count as a row multiplier."""
+    from apache_pinot_spark.operators.dedup import _plan_has_nodes
+    from apache_pinot_spark.operators.similarity import _stats_row_count
+
+    narrow = spark.range(10).selectExpr(
+        "id AS Join", "'Sort by Union' AS note")
+    plan = narrow._jdf.queryExecution().analyzed().toString()
+    assert not _plan_has_nodes(
+        plan, ("Join", "Sort", "Union", "Aggregate", "Window"))
+    joined = spark.range(10).join(spark.range(5), "id")
+    jplan = joined._jdf.queryExecution().analyzed().toString()
+    assert _plan_has_nodes(jplan, ("Join",))
+    # Expand (grouping sets) multiplies rows -> footer total would be an
+    # under-estimate -> must return None (fallback to a real count)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        spark.range(100).selectExpr("id", "id % 3 AS k", "id % 5 AS j") \
+            .write.parquet(p)
+        t = spark.read.parquet(p)
+        assert _stats_row_count(t) == 100
+        cube = t.cube("k", "j").count()
+        assert _stats_row_count(cube) is None
