@@ -240,6 +240,7 @@ def stratified_sample_exact(
     n: int | dict[tuple, int],
     key_col: str,
     salt: str = "v1",
+    portable: bool = False,
 ) -> DataFrame:
     """Exactly ``n`` rows per stratum (all rows when the stratum is
     smaller), chosen deterministically: rows rank by xxhash64(key, salt)
@@ -247,6 +248,11 @@ def stratified_sample_exact(
     keys, and salt reproduce the same sample on any cluster, and a new
     salt re-deals it. ``n`` may be a dict mapping stratum value tuples
     to per-stratum budgets (strata absent from the dict are dropped).
+
+    ``portable`` switches the rank hash to md5(CAST(key AS STRING) ||
+    salt) — the split_column convention — so a SQL oracle can replay the
+    exact member selection (xxhash64 stays the default: JVM-side and
+    faster); both forms are deterministic and salt-re-dealable.
 
     Scale shape: ONE shuffle on the strata key for the window rank; the
     per-stratum sort spills if a stratum is huge, which is the correct
@@ -258,8 +264,13 @@ def stratified_sample_exact(
 
     if not strata_cols:
         raise ValueError("stratified_sample_exact needs at least one stratum column")
+    rank_hash = (
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        if portable
+        else F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+    )
     w = Window.partitionBy(*strata_cols).orderBy(
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)),
+        rank_hash,
         F.col(key_col),  # total order even on a hash collision
     )
     ranked = df.withColumn("__rank", F.row_number().over(w))
@@ -299,6 +310,7 @@ def cap_source_share(
     key_col: str,
     salt: str = "v1",
     max_domains: int = 100_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Domain/source frequency cap (the C4/RedPajama recipe's guard
     against one crawl domain dominating the corpus): drop rows so that
@@ -344,5 +356,5 @@ def cap_source_share(
         return df  # nobody capped: zero-cost passthrough
     return stratified_sample_exact(
         df, [source_col], {(s,): b for s, b in budgets.items() if b > 0},
-        key_col, salt,
+        key_col, salt, portable=portable,
     )

@@ -158,7 +158,7 @@ def curate_corpus(
 
         cur = _stage("source_cap", cap_source_share(
             cur, cfg.source_col, cfg.max_source_share, key_col=k,
-            salt=cfg.split_salt,
+            salt=cfg.split_salt, portable=cfg.split_portable,
         ))
     if cfg.near_dedup:
         pairs = dedup.lsh_verified_pairs(

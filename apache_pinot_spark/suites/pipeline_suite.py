@@ -7,6 +7,12 @@ Gate configuration (chosen so each stage is exactly replayable):
   * exact dedup           — min-doc_id survivor per md5(text) group
   * quality + language    — the tx_quality_buckets / tx_lang_id_eval
                             arithmetic (both independently gate-green)
+  * source cap (r10)      — cap_source_share portable mode: the greatest
+                            fixed point N* of
+                            sum_s min(count_s, floor(share*N*)) = N*
+                            (replayed as max{n : f(n) >= n} over a range
+                            scan), then the lowest-md5(doc_id||salt)
+                            rows win within each capped source
   * near-dup dedup        — the dedup_jaccard_verified md5-portable
                             LSH + Jaccard pipeline, then connected
                             components (min-label) via a recursive CTE,
@@ -40,6 +46,9 @@ from apache_pinot_spark.querysuite import df_query
 _SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
 _SALT = "v1"
 _NEAR_THRESHOLD = 0.02
+# binds at every SF: post-quality source shares run ~3.7-6.4% over 20
+# sources, so 5.5% caps the heavy sources without collapsing the corpus
+_MAX_SOURCE_SHARE = 0.055
 
 
 def _stage_accounting(spark: SparkSession, sf_dir: str):
@@ -49,7 +58,7 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
-        "doc_id", "text"
+        "doc_id", "text", "source"
     )
     cfg = CurationConfig(
         boilerplate=False,
@@ -58,6 +67,7 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
         near_band_size=2,
         near_shingle_n=3,
         near_threshold=_NEAR_THRESHOLD,
+        max_source_share=_MAX_SOURCE_SHARE,
         decontaminate=True,
         contamination_n=8,
         max_contamination=0.1,
@@ -130,14 +140,14 @@ _T_VAL_HI = portable_split_threshold(990)
 _ORACLE = f"""
 WITH RECURSIVE
 ex AS (
-  SELECT d.doc_id, d.text
+  SELECT d.doc_id, d.text, d.source
   FROM documents d
   JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS keep
         FROM documents GROUP BY 1) g
     ON md5(d.text) = g.fp AND d.doc_id = g.keep
 ),
 feat AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, source,
     length(text) AS n_chars_m,
     len({_WS}) AS n_tokens,
     len(list_filter({_WS_L}, x -> x IN ({_STOP_SQL}))) AS n_stop,
@@ -148,7 +158,7 @@ feat AS (
   FROM ex
 ),
 scored AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, source,
     greatest(least(
       50.0
       + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 100, 25.0)
@@ -165,12 +175,35 @@ scored AS (
       ELSE 'und' END AS guess
   FROM feat
 ),
-q AS (SELECT doc_id, text FROM scored WHERE q >= 50.0 AND guess = 'en'),
+q AS (SELECT doc_id, text, source FROM scored WHERE q >= 50.0 AND guess = 'en'),
+-- source cap (cap_source_share portable mode): greatest fixed point of
+-- N = sum_s min(count_s, floor(share*N)), i.e. max n with f(n) >= n
+-- (the operator's monotone-decreasing iteration from the total lands
+-- exactly there); survivors are the lowest-md5(doc_id||salt) rows per
+-- capped source, ties by doc_id
+qc AS (SELECT source, COUNT(*) AS c FROM q GROUP BY source),
+fp AS (
+  SELECT MAX(t.n) AS nstar
+  FROM (SELECT unnest(generate_series(0,
+          (SELECT CAST(SUM(c) AS BIGINT) FROM qc))) AS n) t
+  WHERE (SELECT SUM(LEAST(c, CAST(floor({_MAX_SOURCE_SHARE} * t.n) AS BIGINT)))
+         FROM qc) >= t.n
+),
+sc AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), doc_id
+           ) AS rk
+    FROM q
+  )
+  WHERE rk <= (SELECT CAST(floor({_MAX_SOURCE_SHARE} * nstar) AS BIGINT) FROM fp)
+),
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS t
-  FROM q
+  FROM sc
 ),
 sh AS (
   SELECT doc_id,
@@ -214,7 +247,7 @@ reach(id, lab) AS (
 ),
 comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
 dropped AS (SELECT id FROM comp WHERE comp <> id),
-nd AS (SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id FROM dropped)),
+nd AS (SELECT doc_id FROM sc WHERE doc_id NOT IN (SELECT id FROM dropped)),
 bgrams AS (
   SELECT DISTINCT g FROM (
     SELECT unnest(CASE WHEN len(t) >= 8
@@ -262,13 +295,15 @@ SELECT stage_idx, stage, rows FROM (
   UNION ALL
   SELECT 2, 'quality_language', (SELECT COUNT(*) FROM q)
   UNION ALL
-  SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM nd)
+  SELECT 3, 'source_cap', (SELECT COUNT(*) FROM sc)
   UNION ALL
-  SELECT 4, 'decontamination', (SELECT COUNT(*) FROM dec)
+  SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
   UNION ALL
-  SELECT 5, 'splits', (SELECT COUNT(*) FROM dec)
+  SELECT 5, 'decontamination', (SELECT COUNT(*) FROM dec)
   UNION ALL
-  SELECT 6, 'split_' || split, COUNT(*) FROM spl GROUP BY split
+  SELECT 6, 'splits', (SELECT COUNT(*) FROM dec)
+  UNION ALL
+  SELECT 7, 'split_' || split, COUNT(*) FROM spl GROUP BY split
 )
 ORDER BY stage_idx, stage
 """
@@ -281,7 +316,8 @@ df_query(
     tables=["documents"],
     doc="End-to-end curation pipeline (operators/pipeline.curate_corpus) "
         "staged row accounting: exact dedup, quality+language gate, "
-        "md5-portable LSH near-dup dedup with connected-components "
+        "source-share cap (fixed-point sizing + portable hash-ranked "
+        "selection), md5-portable LSH near-dup dedup with connected-components "
         "canonical survivors, benchmark 8-gram decontamination, and "
         "portable split assignment — every stage replayed in SQL "
         "(recursive CTE for the components)",

@@ -179,3 +179,54 @@ def test_portable_splits_match_duckdb_and_fractions(spark, duck):
     assert abs(counts["train"] / 5000 - 0.98) < 0.01
     # boundary sentinel: 1000 mills maps ABOVE every hex prefix
     assert portable_split_threshold(1000) == "g" > "ffffffff"
+
+
+def test_portable_sampler_matches_duckdb_md5_ranking(spark, duck):
+    """portable=True ranks by md5(CAST(key AS STRING) || salt) so a SQL
+    oracle replays the exact member selection (r10, feeds the gated
+    pipeline's source_cap stage)."""
+    from apache_pinot_spark.operators.chunking import stratified_sample_exact
+
+    rows = [(i, "ab"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample_exact(
+            df, ["lang"], 30, "doc_id", salt="v1", portable=True
+        ).collect()
+    )
+    duck.sql("CREATE OR REPLACE TABLE t AS SELECT unnest(range(200)) AS doc_id")
+    want = sorted(
+        (r[0], r[1])
+        for r in duck.sql(
+            """
+            SELECT lang, doc_id FROM (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS lang,
+                     doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'v1'), doc_id
+                     ) AS rk
+              FROM t)
+            WHERE rk <= 30
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 60
+
+
+def test_cap_source_share_portable_flag_changes_members_not_counts(spark):
+    from apache_pinot_spark.operators.chunking import cap_source_share
+
+    rows = [(i, f"s{min(i % 10, 3)}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # share 0.3 binds the dominant source without collapsing (0.2 < 1/4
+    # would hit the documented degenerate empty fixed point here)
+    a = cap_source_share(df, "source", 0.3, key_col="doc_id")
+    b = cap_source_share(df, "source", 0.3, key_col="doc_id", portable=True)
+    ca = {r["source"]: r["n"] for r in
+          a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    cb = {r["source"]: r["n"] for r in
+          b.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert ca == cb  # budgets identical; only the ranked members differ
+    assert set(ca) == {"s0", "s1", "s2", "s3"}
