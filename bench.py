@@ -181,11 +181,13 @@ def main() -> None:
     )
 
     _syn_stages = _curate(
-        syn_docs,
+        syn_docs.withColumn("source", F.concat(F.lit("s"),
+                                               F.pmod(F.col("doc_id"), 7))),
         _CC(boilerplate=False, redact_pii=False, near_num_hashes=4,
             near_band_size=2, near_shingle_n=3, near_threshold=0.02,
             decontaminate=False, keep_langs=(), min_quality=0.0,
-            split_portable=True, cache_stages=("quality_language",)),
+            max_source_share=0.3, split_portable=True,
+            cache_stages=("quality_language",)),
     )
     for _df in _syn_stages.values():
         _df.count()
