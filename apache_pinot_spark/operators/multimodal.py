@@ -451,8 +451,26 @@ def extract_audio_features(
             x, _sr = _sf.read(_io.BytesIO(b), dtype="float64", always_2d=True)
             return _np.asarray(x).mean(axis=1)
 
+        def _flac_decode(b):
+            # the repo's own FLAC subset decoder (operators/flac) — a
+            # guarded import so this closure stays usable on executors
+            # without the package installed (it then rejects to NULL,
+            # the same contract as any undecodable blob)
+            from apache_pinot_spark.operators.flac import decode_flac, parse_flac
+
+            import numpy as _np
+
+            info = parse_flac(b)
+            pcm, _sr = decode_flac(b)
+            return pcm.astype(_np.float64).mean(axis=1) / float(
+                1 << (info.bits_per_sample - 1))
+
         def _real_bands(b, n):
             try:
+                # magic-based dispatch: FLAC blobs route to the repo's
+                # verified-CRC decoder even on the stdlib-wave tier
+                if b[:4] == b"fLaC" and decoder != "soundfile":
+                    return _pcm_bands(_flac_decode(b), n)
                 x = _sf_decode(b) if decoder == "soundfile" else _wave_decode(b)
                 return _pcm_bands(x, n)
             except Exception:
