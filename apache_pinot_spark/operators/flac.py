@@ -11,16 +11,16 @@ progressive but not arithmetic coding):
   * frame headers: sync code, blocking strategy, block-size /
     sample-rate / channel-assignment / sample-size codes, UTF-8-coded
     frame number, 8-bit header CRC (polynomial 0x07) — VERIFIED
-  * subframes: CONSTANT, VERBATIM, FIXED predictor orders 0-4 with
-    Rice-partitioned residuals (methods 0 and 1, escape partitions),
-    wasted-bits shift; all four channel assignments (independent,
-    left/side, right/side, mid/side — side channels carry bps+1 bits)
+  * subframes: CONSTANT, VERBATIM, FIXED predictor orders 0-4, and LPC
+    (r10: quantized linear prediction — precision/shift/coefficients +
+    the shared Rice residual path, so real-world encoder output
+    decodes), all with Rice-partitioned residuals (methods 0 and 1,
+    escape partitions) and the wasted-bits shift; all four channel
+    assignments (independent, left/side, right/side, mid/side — side
+    channels carry bps+1 bits)
   * frame footer: 16-bit CRC (polynomial 0x8005) — VERIFIED
   * whole-stream integrity: STREAMINFO's MD5 of the raw interleaved
     little-endian PCM — VERIFIED when non-zero
-  * LPC subframes (type 0b1xxxxx) REJECT with a clear ValueError — the
-    capability plug point; everything scheduled on (sample counts,
-    durations, band energies over the decodable tier) is real
 
 The matching ``encode_flac`` produces spec-conformant streams (fixed
 block size, CONSTANT / VERBATIM / FIXED-order subframes, single-
@@ -327,11 +327,23 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> list:
         for e in resid:
             pred = sum(c * samples[-i - 1] for i, c in enumerate(coeffs))
             samples.append(e + pred)
-    elif stype >= 32:
-        raise ValueError(
-            "LPC subframes are beyond the decodable tier "
-            "(capability plug point — see module docstring)"
-        )
+    elif stype >= 32:  # LPC, order = (type & 31) + 1
+        order = (stype & 31) + 1
+        if order > block_size:
+            raise ValueError("LPC order exceeds block size")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:  # raw value 0b1111 is invalid per spec
+            raise ValueError("invalid LPC coefficient precision 0b1111")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is reserved")
+        coeffs = [r.read_signed(precision) for _ in range(order)]
+        resid = _decode_residual(r, block_size, order)
+        samples = list(warm)
+        for e in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coeffs))
+            samples.append(e + (pred >> shift))
     else:
         raise ValueError(f"reserved subframe type {stype}")
     if wasted:

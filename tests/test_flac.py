@@ -148,14 +148,49 @@ def test_stereo_decorrelation_modes_decode():
     assert pcm[:, 0].tolist() == left and pcm[:, 1].tolist() == right
 
 
-def test_lpc_subframe_is_the_capability_plug_point():
+def test_lpc_subframe_roundtrip():
+    """Quantized-LPC decode (r10): a hand-assembled LPC subframe whose
+    residuals come from an INDEPENDENT reference implementation of the
+    prediction model must reconstruct the original samples exactly."""
+    x = [120, -340, 2210, -1830, 950, 3333, -2900, 410, 77, -5120,
+         4096, -64, 1024, 2048, -1111, 6000]
+    n = len(x)
+    order, precision, shift = 2, 12, 5
+    coeffs = [63, -30]  # prediction: (63*x[i-1] - 30*x[i-2]) >> 5
+    resid = [x[i] - ((coeffs[0] * x[i - 1] + coeffs[1] * x[i - 2]) >> shift)
+             for i in range(order, n)]
+
     def lpc_subframe(w):
         w.write(0, 1)
-        w.write(0b100000, 6)  # LPC order 1
-        w.write(0, 1)
+        w.write(32 + order - 1, 6)  # LPC, order 2
+        w.write(0, 1)               # no wasted bits
+        for v in x[:order]:
+            w.write(v, 16)          # warmup samples
+        w.write(precision - 1, 4)
+        w.write(shift, 5)
+        for c in coeffs:
+            w.write(c, precision)
+        w.write(0, 2)               # residual method 0
+        w.write(0, 4)               # partition order 0
+        param = FL._best_rice_param(resid, 4)
+        w.write(param, 4)
+        FL._write_rice(w, resid, param)
 
-    blob = _hand_frame((8000, 1, 4), lpc_subframe, 4, 0)
-    with pytest.raises(ValueError, match="LPC subframes"):
+    blob = _hand_frame((8000, 1, n), lpc_subframe, n, 0)
+    pcm, sr = FL.decode_flac(blob)
+    assert sr == 8000 and pcm[:, 0].tolist() == x
+
+    # reserved/invalid LPC fields still reject
+    def bad_precision(w):
+        w.write(0, 1)
+        w.write(32, 6)   # LPC order 1
+        w.write(0, 1)
+        w.write(5, 16)   # warmup
+        w.write(0b1111, 4)  # precision code 0b1111 = invalid
+        w.write(0, 5)
+
+    blob = _hand_frame((8000, 1, 4), bad_precision, 4, 0)
+    with pytest.raises(ValueError, match="precision"):
         FL.decode_flac(blob)
 
 
