@@ -56,6 +56,8 @@ class MP4Track:
     # frame's actual bytes — stsd sample format, stsz sizes, stsc
     # sample-to-chunk runs, stco/co64 chunk offsets
     format: str = ""  # fourcc of stsd entry 1 (e.g. 'jpeg' for MJPEG)
+    width: int = 0  # coded size from the visual sample entry (0 = absent)
+    height: int = 0
     stsz_const: int = 0  # constant sample size; 0 = per-sample table
     stsz: list | None = None  # per-sample sizes when stsz_const == 0
     stsc: list = field(default_factory=list)  # [(first_chunk, samples_per_chunk)]
@@ -156,13 +158,19 @@ def _parse_stss(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
 
 
 def _parse_stsd(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
-    # only the first sample entry's format fourcc is needed: it names the
-    # codec of the track's samples (MJPEG-in-MP4 uses 'jpeg'/'mjpa')
+    # first sample entry: format fourcc (names the codec — MJPEG-in-MP4
+    # uses 'jpeg'/'mjpa') and, for visual entries, the coded width/height
+    # (VisualSampleEntry: 8-byte box header + 8 bytes SampleEntry fields
+    # + 16 bytes pre_defined/reserved, then u16 width, u16 height)
     n = _u32(blob, s + 4)
     if n >= 1:
         if s + 16 > e:
             raise ValueError("stsd sample entry overruns box")
         trk.format = blob[s + 12 : s + 16].decode("latin1")
+        entry = s + 8  # start of the first sample entry box
+        if entry + 36 <= e:
+            trk.width = _u32(blob, entry + 32) >> 16
+            trk.height = _u32(blob, entry + 32) & 0xFFFF
 
 
 def _parse_stsz(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
@@ -566,5 +574,80 @@ def sample_mp4_frames(
         run,
         schema=f"id {id_type}, sample_index INT, timestamp_s DOUBLE, "
                "is_sync BOOLEAN, height INT, width INT, mean_luma DOUBLE",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def mp4_video_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, format, width, height, duration_s, n_samples,
+    keyframe_ratio, total_sample_bytes, bitrate_bps) per blob — the
+    resolution/bitrate/keyframe audit columns a video-curation pipeline
+    filters on BEFORE committing to any frame decode (e.g. drop
+    sub-360p, cap bitrate outliers, require seekable keyframe density).
+    All values come from the container tables (tkhd-free: stsd coded
+    size, stts duration, stss density, stsz byte sums) — no payload
+    read. One Arrow map pass, zero shuffle; corrupt blobs emit ONE
+    all-NULL row (the multimodal reject convention)."""
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.mp4 import parse_mp4
+
+        cols = ("id", "format", "width", "height", "duration_s",
+                "n_samples", "keyframe_ratio", "total_sample_bytes",
+                "bitrate_bps")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                try:
+                    info = parse_mp4(bytes(blob) if blob is not None else None)
+                    vts = info.video_tracks
+                    if not vts:
+                        raise ValueError("no video track")
+                    trk = vts[0]
+                    if trk.timescale <= 0 or trk.sample_count <= 0:
+                        raise ValueError("video track carries no samples")
+                    dur = trk.duration / trk.timescale
+                    n = trk.sample_count
+                    kf = (len(trk.stss) if trk.stss is not None else n) / n
+                    if trk.stsz_const:
+                        total_bytes = trk.stsz_const * n
+                    elif trk.stsz is not None:
+                        total_bytes = sum(trk.stsz[:n])
+                    else:
+                        total_bytes = None
+                    bitrate = (total_bytes * 8.0 / dur
+                               if total_bytes is not None and dur > 0 else None)
+                except Exception:
+                    out["id"].append(mid)
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                out["id"].append(mid)
+                out["format"].append(trk.format or None)
+                out["width"].append(trk.width or None)
+                out["height"].append(trk.height or None)
+                out["duration_s"].append(dur)
+                out["n_samples"].append(n)
+                out["keyframe_ratio"].append(kf)
+                out["total_sample_bytes"].append(total_bytes)
+                out["bitrate_bps"].append(bitrate)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, format STRING, width INT, height INT, "
+               "duration_s DOUBLE, n_samples INT, keyframe_ratio DOUBLE, "
+               "total_sample_bytes BIGINT, bitrate_bps DOUBLE",
     )
     return out.withColumnRenamed("id", id_col)

@@ -450,3 +450,45 @@ def test_payload_mutation_property():
                     assert len(got) == size
         except ValueError:
             pass
+
+
+# --- r10: container-level video stats (resolution / bitrate / keyframes) --
+
+
+def _stsd_visual(fmt: bytes, w: int, h: int) -> bytes:
+    # VisualSampleEntry: box hdr(8) + SampleEntry(6 reserved + 2 dri)
+    # + pre_defined(2)+reserved(2)+pre_defined(12) + width(2)+height(2)
+    body = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+            + struct.pack(">HH", w, h) + b"\x00" * 40)
+    entry = struct.pack(">I", 8 + len(body)) + fmt + body
+    return _box(b"stsd", _full() + struct.pack(">I", 1) + entry)
+
+
+def test_video_stats_operator(spark):
+    frames = _jpeg_frames(4)
+    good = _mp4_with_payload(frames, [(4, 250)], stss=[1, 3])
+    # splice in a visual sample entry carrying 640x360
+    pos = good.index(b"stsd") - 4
+    old_len = struct.unpack_from(">I", good, pos)[0]
+    new_stsd = _stsd_visual(b"jpeg", 640, 360)
+    patched = bytearray(good[:pos]) + bytearray(new_stsd) + bytearray(
+        good[pos + old_len:])
+    # fix enclosing box sizes (stbl, minf, mdia, trak, moov grew)
+    delta = len(new_stsd) - old_len
+    for marker in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        mpos = patched.index(marker) - 4
+        sz = struct.unpack_from(">I", bytes(patched), mpos)[0]
+        patched[mpos : mpos + 4] = struct.pack(">I", sz + delta)
+    (trk,) = M.parse_mp4(bytes(patched)).video_tracks
+    assert (trk.width, trk.height) == (640, 360)
+
+    rows = [(1, patched), (2, bytearray(b"garbage not mp4")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r.media_id: r for r in M.mp4_video_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.format, r1.width, r1.height) == ("jpeg", 640, 360)
+    assert r1.n_samples == 4 and r1.keyframe_ratio == pytest.approx(0.5)
+    assert r1.duration_s == pytest.approx(1.0)  # 4 x 250 ticks @ ts=1000
+    assert r1.total_sample_bytes == sum(len(f) for f in frames)
+    assert r1.bitrate_bps == pytest.approx(r1.total_sample_bytes * 8 / 1.0)
+    assert got[2].format is None and got[3].format is None
