@@ -264,3 +264,68 @@ def sample_avi_frames(
                "height INT, width INT, mean_luma DOUBLE",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def avi_video_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, handler, width, height, fps, n_frames, duration_s,
+    total_frame_bytes, bitrate_bps) per AVI blob — the same
+    container-level audit columns mp4.mp4_video_stats provides for ISO
+    BMFF, read from avih/strh and the movi frame directory (no payload
+    decode). One Arrow map pass, zero shuffle; corrupt / non-AVI blobs
+    emit ONE all-NULL row (the multimodal reject convention)."""
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.avi import parse_avi
+
+        cols = ("id", "handler", "width", "height", "fps", "n_frames",
+                "duration_s", "total_frame_bytes", "bitrate_bps")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                try:
+                    info = parse_avi(bytes(blob) if blob is not None else None)
+                    vid = info.video
+                    if vid is None or not info.frames:
+                        raise ValueError("no video stream / frames")
+                    fps = vid.fps if vid.fps > 0 else (
+                        1e6 / info.micro_sec_per_frame
+                        if info.micro_sec_per_frame else 0.0)
+                    if fps <= 0:
+                        raise ValueError("no frame rate derivable")
+                    n = len(info.frames)
+                    dur = n / fps
+                    total = sum(sz for _, sz in info.frames)
+                except Exception:
+                    out["id"].append(mid)
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                out["id"].append(mid)
+                out["handler"].append(vid.handler or None)
+                out["width"].append(info.width or None)
+                out["height"].append(info.height or None)
+                out["fps"].append(fps)
+                out["n_frames"].append(n)
+                out["duration_s"].append(dur)
+                out["total_frame_bytes"].append(total)
+                out["bitrate_bps"].append(total * 8.0 / dur if dur > 0 else None)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, handler STRING, width INT, height INT, "
+               "fps DOUBLE, n_frames INT, duration_s DOUBLE, "
+               "total_frame_bytes BIGINT, bitrate_bps DOUBLE",
+    )
+    return out.withColumnRenamed("id", id_col)

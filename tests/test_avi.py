@@ -172,3 +172,18 @@ def test_choose_frames_matches_naive_reference():
                 last = idx
             k += 1
         assert A.choose_frames(info, e) == ref, e
+
+
+def test_video_stats_operator(spark):
+    frames = _frames(8)
+    rows = [(1, bytearray(_avi(frames, fps=4))),
+            (2, bytearray(b"not an avi")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r.media_id: r for r in A.avi_video_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.handler, r1.width, r1.height) == ("MJPG", 16, 16)
+    assert r1.fps == 4.0 and r1.n_frames == 8
+    assert r1.duration_s == pytest.approx(2.0)
+    assert r1.total_frame_bytes == sum(len(f) for f in frames)
+    assert r1.bitrate_bps == pytest.approx(r1.total_frame_bytes * 8 / 2.0)
+    assert got[2].handler is None and got[3].handler is None
