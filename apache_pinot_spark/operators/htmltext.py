@@ -1,0 +1,209 @@
+"""HTML → training text extraction — the step between a crawl ingest
+(operators/warc) and the documents-table operators (quality scoring,
+dedup, curation): pure-stdlib (html.parser) extraction of visible text
+with paragraph structure, plus the jusText-style paragraph gate built
+from signals this repo already ships (stopword density, link density,
+length) — no parsing library, no network.
+
+What it does:
+  * strips <script>/<style>/<noscript>/<template>/<svg> subtrees,
+    comments, doctypes and processing instructions
+  * decodes entities (stdlib HTMLParser does &amp;/&#x2014;/named forms)
+  * emits PARAGRAPHS: text runs split at block-level boundaries
+    (p, div, br, li, h1-6, tr, section, article, blockquote, pre),
+    whitespace-normalized
+  * per-paragraph signals: char length, word count, link density
+    (fraction of words inside <a>), stopword density (the repo's
+    DEFAULT_STOP_WORDS)
+  * the boilerplate gate (``keep``): jusText-shaped heuristic —
+    paragraphs that are short, link-heavy, or stopword-poor are
+    navigation/boilerplate and drop; the kept paragraphs join to the
+    document text a pipeline feeds to quality scoring and dedup
+
+Malformed HTML never raises: html.parser is a tolerant tokenizer (tag
+soup degrades to best-effort text), which is the correct contract for
+web corpora — the reject stream is only for rows whose input is NULL.
+
+Scale shape: per-row map-side work (Arrow-batched, zero shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SKIP_SUBTREES = {"script", "style", "noscript", "template", "svg",
+                  "head", "iframe"}
+_BLOCK_TAGS = {"p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4",
+               "h5", "h6", "tr", "td", "th", "table", "section", "article",
+               "blockquote", "pre", "header", "footer", "nav", "aside",
+               "main", "figure", "figcaption", "hr", "form"}
+
+
+@dataclass
+class Paragraph:
+    text: str
+    n_chars: int
+    n_words: int
+    link_density: float
+    stopword_density: float
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.parts: list = []  # (text, in_link) runs of the current para
+        self.paragraphs: list = []
+
+    def _flush(self):
+        if not self.parts:
+            return
+        words, link_words = [], 0
+        for text, in_link in self.parts:
+            ws = text.split()
+            words.extend(ws)
+            if in_link:
+                link_words += len(ws)
+        self.parts = []
+        if not words:
+            return
+        self.paragraphs.append((" ".join(words), link_words))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self.skip_depth += 1
+        elif tag == "a":
+            self.link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self.skip_depth > 0:
+            self.skip_depth -= 1
+        elif tag == "a" and self.link_depth > 0:
+            self.link_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self.skip_depth == 0 and data.strip():
+            self.parts.append((data, self.link_depth > 0))
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_paragraphs(html: str, stop_words: frozenset | None = None) -> list:
+    """[Paragraph] for the visible text of ``html`` (tolerant of tag
+    soup — malformed markup degrades, never raises)."""
+    from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
+
+    sw = stop_words if stop_words is not None else DEFAULT_STOP_WORDS
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    out = []
+    for text, link_words in p.paragraphs:
+        words = text.split()
+        n = len(words)
+        stops = sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in sw)
+        out.append(Paragraph(
+            text=text,
+            n_chars=len(text),
+            n_words=n,
+            link_density=link_words / n if n else 0.0,
+            stopword_density=stops / n if n else 0.0,
+        ))
+    return out
+
+
+def keep_paragraph(p: Paragraph,
+                   min_words: int = 5,
+                   max_link_density: float = 0.4,
+                   min_stopword_density: float = 0.05) -> bool:
+    """jusText-shaped boilerplate gate: drop short, link-heavy, or
+    stopword-poor paragraphs (navigation, footers, tag clouds). The
+    stopword floor only applies to paragraphs long enough for the
+    signal to mean anything (>= 10 words)."""
+    if p.n_words < min_words:
+        return False
+    if p.link_density > max_link_density:
+        return False
+    if p.n_words >= 10 and p.stopword_density < min_stopword_density:
+        return False
+    return True
+
+
+def html_to_text(html: str, **gate_kwargs) -> str:
+    """The kept paragraphs joined with newlines — the document text a
+    curation pipeline feeds to quality scoring / dedup."""
+    return "\n".join(
+        p.text for p in extract_paragraphs(html) if keep_paragraph(p, **gate_kwargs)
+    )
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "body",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+    min_stopword_density: float = 0.05,
+) -> DataFrame:
+    """(id, text, n_paragraphs, n_kept, n_chars, link_density) per row —
+    boilerplate-gated visible text plus the audit counts. NULL input
+    rows emit NULL text (the reject convention); malformed markup
+    degrades to best-effort extraction, by design. One Arrow map pass,
+    zero shuffle."""
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(html_col).alias("h"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.htmltext import (
+            extract_paragraphs,
+            keep_paragraph,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "text", "n_paragraphs", "n_kept",
+                                   "n_chars", "link_density")}
+            for mid, html in zip(pdf["id"], pdf["h"]):
+                out["id"].append(mid)
+                if html is None:
+                    for k in ("text", "n_paragraphs", "n_kept", "n_chars",
+                              "link_density"):
+                        out[k].append(None)
+                    continue
+                paras = extract_paragraphs(str(html))
+                kept = [p for p in paras if keep_paragraph(
+                    p, min_words=min_words,
+                    max_link_density=max_link_density,
+                    min_stopword_density=min_stopword_density)]
+                text = "\n".join(p.text for p in kept)
+                total_words = sum(p.n_words for p in paras)
+                link_words = sum(p.link_density * p.n_words for p in paras)
+                out["text"].append(text)
+                out["n_paragraphs"].append(len(paras))
+                out["n_kept"].append(len(kept))
+                out["n_chars"].append(len(text))
+                out["link_density"].append(
+                    link_words / total_words if total_words else 0.0)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, text STRING, n_paragraphs INT, n_kept INT, "
+               "n_chars INT, link_density DOUBLE",
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -1,0 +1,164 @@
+"""WARC ingest (operators/warc.py) + HTML text extraction
+(operators/htmltext.py): hand-built WARC fixtures per ISO 28500 record
+grammar, gzip member splitting, bounded bodies, and the end-to-end
+crawl → records → boilerplate-gated text chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from apache_pinot_spark.operators import htmltext as H
+from apache_pinot_spark.operators import warc as W
+
+_HTML = b"""<!DOCTYPE html><html><head><title>T</title>
+<script>var x = "SCRIPT NOISE should never appear";</script>
+<style>.c { color: red }</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/x">X</a></nav>
+<h1>The Article Title Words Here</h1>
+<p>This is the first real paragraph and it has enough words to pass the
+gate because it is a normal sentence with common stopwords in it.</p>
+<p>Short one.</p>
+<div>The second real paragraph also reads like prose, with the usual
+mix of the and of and a that real writing always has in it.</div>
+<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+</body></html>"""
+
+
+def _record(rtype: bytes, uri: bytes, body: bytes, extra: bytes = b"") -> bytes:
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: " + rtype + b"\r\n"
+           b"WARC-Record-ID: <urn:uuid:0000-" + rtype + b">\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: " + uri + b"\r\n" + extra +
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+           b"\r\n")
+    return hdr + body + b"\r\n\r\n"
+
+
+def _http_response(payload: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Server: x\r\n\r\n" + payload)
+
+
+def _warc_gz() -> bytes:
+    recs = [
+        _record(b"warcinfo", b"-", b"software: test\r\n",
+                extra=b"Content-Type: application/warc-fields\r\n"),
+        _record(b"request", b"http://example.com/a",
+                b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+        _record(b"response", b"http://example.com/a",
+                _http_response(_HTML),
+                extra=b"Content-Type: application/http; msgtype=response\r\n"),
+    ]
+    return b"".join(gzip.compress(r) for r in recs)
+
+
+def test_gzip_member_splitting_and_record_grammar():
+    blob = _warc_gz()
+    recs = list(W.parse_warc_records(blob))
+    assert [r.warc_type for r in recs] == ["warcinfo", "request", "response"]
+    resp = recs[2]
+    assert resp.target_uri == "http://example.com/a"
+    assert resp.http_status == 200
+    assert resp.http_content_type == "text/html"
+    assert resp.body == _HTML  # HTTP headers stripped
+    # plain (non-gz) WARC parses identically
+    plain = b"".join(gzip.decompress(m) for m in
+                     [gzip.compress(_record(b"response", b"http://e/x",
+                                            _http_response(b"hi")))])
+    (r,) = W.parse_warc_records(plain)
+    assert r.body == b"hi" and r.http_status == 200
+
+
+def test_bounded_bodies_and_reject_paths():
+    big = _record(b"response", b"http://e/big",
+                  _http_response(b"A" * 1000))
+    tail = _record(b"response", b"http://e/after", _http_response(b"ok"))
+    recs = list(W.parse_warc_records(big + tail, max_body_bytes=100))
+    assert recs[0].truncated and recs[0].body is None
+    # alignment survives the skip: the next record still parses
+    assert recs[1].target_uri == "http://e/after" and recs[1].body == b"ok"
+    with pytest.raises(ValueError, match="too short"):
+        list(W.parse_warc_records(b"WARC"))
+    with pytest.raises(ValueError, match="version line"):
+        list(W.parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n" + b"x" * 40))
+    # lying Content-Length that overruns the member
+    bad = _record(b"response", b"http://e/x", _http_response(b"hi"))
+    bad = bad.replace(b"Content-Length: " +
+                      str(len(_http_response(b"hi"))).encode(),
+                      b"Content-Length: 99999")
+    with pytest.raises(ValueError, match="overruns"):
+        list(W.parse_warc_records(bad))
+    # corrupt gzip member
+    gz = bytearray(gzip.compress(_record(b"response", b"http://e/x",
+                                         _http_response(b"hi"))))
+    gz[12] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip"):
+        list(W.parse_warc_records(bytes(gz)))
+
+
+def test_html_extraction_gates_boilerplate():
+    paras = H.extract_paragraphs(_HTML.decode())
+    texts = [p.text for p in paras]
+    assert not any("SCRIPT NOISE" in t for t in texts)
+    assert not any("color: red" in t for t in texts)
+    nav = next(p for p in paras if "Home" in p.text)
+    assert nav.link_density == 1.0 and not H.keep_paragraph(nav)
+    kept = H.html_to_text(_HTML.decode())
+    assert "first real paragraph" in kept
+    assert "second real paragraph" in kept
+    assert "Short one." not in kept  # under min_words
+    assert "Home" not in kept and "Privacy" not in kept  # link-dense
+    # tag soup never raises
+    assert isinstance(H.html_to_text("<p>a <b>b</i> &amp; <<< c"), str)
+    assert "&" in H.html_to_text(
+        "<p>" + "words that are real and the of a in this sentence &amp; fine"
+    )
+
+
+def test_spark_crawl_to_text_chain(spark):
+    rows = [("f1.warc.gz", bytearray(_warc_gz())),
+            ("bad.warc.gz", bytearray(b"garbage, not a warc at all")),
+            ("null.warc.gz", None)]
+    df = spark.createDataFrame(rows, "path STRING, content BINARY")
+    recs = W.warc_records(df)
+    got = recs.orderBy("path", "record_index").collect()
+    by_path = {}
+    for r in got:
+        by_path.setdefault(r.path, []).append(r)
+    assert [r.warc_type for r in by_path["f1.warc.gz"]] == [
+        "warcinfo", "request", "response"]
+    resp = by_path["f1.warc.gz"][2]
+    assert resp.http_status == 200 and "first real paragraph" in resp.body
+    assert by_path["bad.warc.gz"][0].warc_type is None  # reject row
+    assert by_path["null.warc.gz"][0].warc_type is None
+
+    # chain: responses → boilerplate-gated text
+    pages = recs.filter("warc_type = 'response' AND http_status = 200") \
+        .selectExpr("target_uri AS doc_id", "body")
+    text = H.extract_html_text(pages).collect()[0]
+    assert text.n_paragraphs >= 5 and text.n_kept == 3
+    assert "second real paragraph" in text.text
+    assert "Home" not in text.text
+    plan = H.extract_html_text(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_warc_mutation_property():
+    import random
+
+    blob = _warc_gz()
+    rng = random.Random(909)
+    for _ in range(150):
+        mut = bytearray(blob)
+        mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            recs = list(W.parse_warc_records(bytes(mut)))
+            assert len(recs) <= 3
+        except ValueError:
+            pass
