@@ -251,3 +251,45 @@ def warc_records(
                "truncated BOOLEAN, body STRING",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def crawl_to_documents(
+    spark,
+    path_glob: str,
+    min_text_chars: int = 200,
+    max_body_bytes: int = 8 << 20,
+) -> DataFrame:
+    """One-call crawl ingest: .warc.gz files → (doc_id, url, fetch_date,
+    text, n_chars) in the repo's documents-table shape, ready for the
+    curation pipeline (operators/pipeline.curate_corpus). Reads whole
+    files via Spark's binaryFile source (each file = one task — WARC
+    files are written ~1 GB each precisely so this parallelizes),
+    explodes to records, keeps 200-status HTML responses, extracts
+    boilerplate-gated text, and drops sub-``min_text_chars`` documents.
+    doc_id is xxhash64(url, date) — deterministic across re-ingests."""
+    from apache_pinot_spark.operators.htmltext import extract_html_text
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    recs = warc_records(files, content_col="content", id_col="path",
+                        max_body_bytes=max_body_bytes)
+    pages = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            F.xxhash64(F.col("target_uri"), F.col("warc_date")).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetch_date"),
+            "body",
+        )
+    )
+    text = extract_html_text(pages, html_col="body", id_col="doc_id")
+    meta = pages.select("doc_id", "url", "fetch_date")
+    return (
+        text.filter(F.col("n_chars") >= min_text_chars)
+        .join(meta, on="doc_id")
+        .select("doc_id", "url", "fetch_date", "text",
+                F.col("n_chars").alias("n_chars"))
+    )

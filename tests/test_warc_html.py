@@ -162,3 +162,21 @@ def test_warc_mutation_property():
             assert len(recs) <= 3
         except ValueError:
             pass
+
+
+def test_crawl_to_documents_source(spark, tmp_path):
+    p = tmp_path / "part-0.warc.gz"
+    p.write_bytes(_warc_gz())
+    docs = W.crawl_to_documents(spark, str(tmp_path / "*.warc.gz"),
+                                min_text_chars=50)
+    rows = docs.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "http://example.com/a"
+    assert r.fetch_date == "2024-01-01T00:00:00Z"
+    assert "first real paragraph" in r.text and "Home" not in r.text
+    assert r.n_chars == len(r.text)
+    assert isinstance(r.doc_id, int)  # xxhash64(url, date), re-ingest stable
+    again = W.crawl_to_documents(spark, str(tmp_path / "*.warc.gz"),
+                                 min_text_chars=50).collect()[0]
+    assert again.doc_id == r.doc_id
