@@ -290,6 +290,12 @@ def crawl_to_documents(
     return (
         text.filter(F.col("n_chars") >= min_text_chars)
         .join(meta, on="doc_id")
-        .select("doc_id", "url", "fetch_date", "text",
-                F.col("n_chars").alias("n_chars"))
+        .select(
+            "doc_id", "url", "fetch_date", "text",
+            F.col("n_chars").alias("n_chars"),
+            # source = lowercased host (Spark's built-in parse_url, JVM
+            # side) — exactly what the pipeline's source-share cap
+            # stratifies on (operators/chunking.cap_source_share)
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+        )
     )

@@ -180,3 +180,46 @@ def test_crawl_to_documents_source(spark, tmp_path):
     again = W.crawl_to_documents(spark, str(tmp_path / "*.warc.gz"),
                                  min_text_chars=50).collect()[0]
     assert again.doc_id == r.doc_id
+
+
+def test_crawl_feeds_curation_pipeline(spark, tmp_path):
+    """End-to-end: .warc.gz files → crawl_to_documents → curate_corpus —
+    the full web-corpus story (exact dedup catches the duplicated page;
+    the source column from parse_url feeds the source-share cap)."""
+    from apache_pinot_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    prose = ("<p>This is a perfectly ordinary paragraph of web prose with "
+             "the usual stopwords in it and some distinct content %d.</p>")
+
+    def page(i):
+        return ("<html><body>" + "".join(prose % (i * 9 + j)
+                for j in range(6)) + "</body></html>").encode()
+
+    recs = []
+    for host, i in [("a.com", 0), ("a.com", 1), ("b.com", 2), ("b.com", 0)]:
+        # b.com/0 duplicates a.com/0's TEXT (different URL -> exact dup)
+        body = _http_response(page(i))
+        recs.append(_record(
+            b"response", f"http://{host}/p{i}".encode(), body,
+            extra=b"Content-Type: application/http; msgtype=response\r\n"))
+    (tmp_path / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+
+    docs = W.crawl_to_documents(spark, str(tmp_path / "*.warc.gz"),
+                                min_text_chars=50)
+    rows = docs.collect()
+    assert len(rows) == 4
+    assert {r.source for r in rows} == {"a.com", "b.com"}
+
+    stages = curate_corpus(
+        docs.select("doc_id", "text", "source"),
+        CurationConfig(boilerplate=False, redact_pii=False,
+                       near_dedup=False, decontaminate=False,
+                       keep_langs=("en",), min_quality=30.0),
+    )
+    assert stages["input"].count() == 4
+    assert stages["exact_dedup"].count() == 3  # the cross-host dup drops
+    assert stages["splits"].count() == 3
