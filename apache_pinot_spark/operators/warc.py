@@ -258,44 +258,63 @@ def crawl_to_documents(
     path_glob: str,
     min_text_chars: int = 200,
     max_body_bytes: int = 8 << 20,
+    wet: bool = False,
 ) -> DataFrame:
     """One-call crawl ingest: .warc.gz files → (doc_id, url, fetch_date,
-    text, n_chars) in the repo's documents-table shape, ready for the
-    curation pipeline (operators/pipeline.curate_corpus). Reads whole
-    files via Spark's binaryFile source (each file = one task — WARC
-    files are written ~1 GB each precisely so this parallelizes),
-    explodes to records, keeps 200-status HTML responses, extracts
-    boilerplate-gated text, and drops sub-``min_text_chars`` documents.
-    doc_id is xxhash64(url, date) — deterministic across re-ingests."""
+    text, n_chars, source) in the repo's documents-table shape, ready
+    for the curation pipeline (operators/pipeline.curate_corpus). Reads
+    whole files via Spark's binaryFile source (each file = one task —
+    WARC files are written ~1 GB each precisely so this parallelizes)
+    and explodes to records. Two crawl tiers:
+
+      wet=False (raw .warc.gz): keep 200-status text/html responses,
+        extract boilerplate-gated text (operators/htmltext), drop
+        sub-``min_text_chars`` documents.
+      wet=True (.warc.wet.gz — the crawl's pre-extracted text tier):
+        keep ``conversion`` records; the record body IS the document
+        text (no HTML pass), same length gate.
+
+    doc_id is xxhash64(url, date) — deterministic across re-ingests;
+    source = lowercased host (Spark's built-in parse_url, JVM-side) —
+    exactly what the pipeline's source-share cap stratifies on."""
     from apache_pinot_spark.operators.htmltext import extract_html_text
 
     files = spark.read.format("binaryFile").load(path_glob)
     recs = warc_records(files, content_col="content", id_col="path",
                         max_body_bytes=max_body_bytes)
-    pages = (
-        recs.filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.col("content_type").startswith("text/html")
+    if wet:
+        kept = recs.filter(
+            (F.col("warc_type") == "conversion") & F.col("body").isNotNull()
         )
-        .select(
+        docs = kept.select(
             F.xxhash64(F.col("target_uri"), F.col("warc_date")).alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetch_date"),
-            "body",
+            F.col("body").alias("text"),
+            F.length("body").alias("n_chars"),
         )
-    )
-    text = extract_html_text(pages, html_col="body", id_col="doc_id")
-    meta = pages.select("doc_id", "url", "fetch_date")
+    else:
+        pages = (
+            recs.filter(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select(
+                F.xxhash64(F.col("target_uri"), F.col("warc_date")).alias("doc_id"),
+                F.col("target_uri").alias("url"),
+                F.col("warc_date").alias("fetch_date"),
+                "body",
+            )
+        )
+        text = extract_html_text(pages, html_col="body", id_col="doc_id")
+        meta = pages.select("doc_id", "url", "fetch_date")
+        docs = text.join(meta, on="doc_id").select(
+            "doc_id", "url", "fetch_date", "text", "n_chars")
     return (
-        text.filter(F.col("n_chars") >= min_text_chars)
-        .join(meta, on="doc_id")
+        docs.filter(F.col("n_chars") >= min_text_chars)
         .select(
-            "doc_id", "url", "fetch_date", "text",
-            F.col("n_chars").alias("n_chars"),
-            # source = lowercased host (Spark's built-in parse_url, JVM
-            # side) — exactly what the pipeline's source-share cap
-            # stratifies on (operators/chunking.cap_source_share)
+            "doc_id", "url", "fetch_date", "text", "n_chars",
             F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
         )
     )

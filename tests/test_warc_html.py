@@ -223,3 +223,26 @@ def test_crawl_feeds_curation_pipeline(spark, tmp_path):
     assert stages["input"].count() == 4
     assert stages["exact_dedup"].count() == 3  # the cross-host dup drops
     assert stages["splits"].count() == 3
+
+
+def test_wet_tier_conversion_records(spark, tmp_path):
+    """wet=True ingests the crawl's pre-extracted text tier: conversion
+    records' bodies ARE the document text — no HTML pass."""
+    wet_text = ("This is the pre-extracted text of the page with enough "
+                "characters to clear the length gate easily. " * 2).strip()
+    recs = [
+        _record(b"warcinfo", b"-", b"software: wet-test\r\n"),
+        _record(b"conversion", b"http://A.com/page1",
+                wet_text.encode(),
+                extra=b"Content-Type: text/plain\r\n"),
+        _record(b"conversion", b"http://b.com/page2", b"too short",
+                extra=b"Content-Type: text/plain\r\n"),
+    ]
+    (tmp_path / "c.warc.wet.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    docs = W.crawl_to_documents(spark, str(tmp_path / "*.wet.gz"),
+                                min_text_chars=50, wet=True).collect()
+    assert len(docs) == 1
+    r = docs[0]
+    assert r.text == wet_text and r.url == "http://A.com/page1"
+    assert r.source == "a.com"  # host lowercased
