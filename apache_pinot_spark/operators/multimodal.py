@@ -90,11 +90,13 @@ def image_decoder() -> str | None:
 
 def decode_image_stdlib(data: bytes) -> "object | None":
     """Magic-dispatched stdlib decode: PNG, JPEG (baseline sequential or
-    progressive), GIF (first frame), or uncompressed BMP → H×W×C uint8
-    array; None for anything else (reject stream)."""
+    progressive), GIF (first frame), uncompressed BMP, or baseline TIFF
+    (r10: none/PackBits strips, both byte orders) → H×W×C uint8 array;
+    None for anything else (reject stream)."""
     from apache_pinot_spark.operators.gif_codec import decode_bmp, decode_gif
     from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
     from apache_pinot_spark.operators.png_codec import PNG_MAGIC, decode_png
+    from apache_pinot_spark.operators.tiff_codec import decode_tiff
 
     if not data:
         return None
@@ -106,6 +108,8 @@ def decode_image_stdlib(data: bytes) -> "object | None":
         return decode_gif(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     return None
 
 
