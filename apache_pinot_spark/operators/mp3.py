@@ -148,12 +148,14 @@ def _parse_header(blob: bytes, off: int) -> MP3Frame:
                     sample_rate, mode, samples)
 
 
-def _xing_offset(version: str, mode: str) -> int:
-    # side-info length after the 4-byte header (no CRC), per the public
-    # Xing header placement convention
+def _xing_offset(version: str, mode: str, crc_protected: bool = False) -> int:
+    # side-info length after the 4-byte header, per the public Xing
+    # header placement convention; a protection bit of 0 means a 2-byte
+    # CRC sits between the header and the side info
+    crc = 2 if crc_protected else 0
     if version == "1":
-        return 4 + (17 if mode == "mono" else 32)
-    return 4 + (9 if mode == "mono" else 17)
+        return 4 + crc + (17 if mode == "mono" else 32)
+    return 4 + crc + (9 if mode == "mono" else 17)
 
 
 def parse_mp3(blob: bytes, max_frames: int = 1 << 20) -> MP3Info:
@@ -199,7 +201,9 @@ def parse_mp3(blob: bytes, max_frames: int = 1 << 20) -> MP3Info:
             raise ValueError(f"more than {max_frames} frames")
         if first:
             first = False
-            xo = off + _xing_offset(frame.version, frame.mode)
+            # protection bit (byte 1 LSB) == 0 → CRC-16 present
+            xo = off + _xing_offset(frame.version, frame.mode,
+                                    crc_protected=(blob[off + 1] & 0x01) == 0)
             tag = blob[xo : xo + 4]
             if tag in (b"Xing", b"Info") and xo + 8 <= off + frame.size:
                 flags = int.from_bytes(blob[xo + 4 : xo + 8], "big")

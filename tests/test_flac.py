@@ -255,3 +255,35 @@ def test_generic_audio_featurizer_dispatches_flac(spark):
     via_flac = FL.flac_band_energies(df, n_bands=4).collect()[0]
     assert via_generic.band_energy == pytest.approx(
         via_flac.band_energy, rel=1e-12)
+
+
+def test_non_byte_width_md5_skip_and_reserved_guards():
+    """r11 ADVICE fixes: (a) 20-bit streams (non-byte sample width) skip
+    the PCM MD5 check instead of rejecting valid files with a spurious
+    mismatch; (b) a frame block size above STREAMINFO's max_block
+    rejects (the old guard could never fire); (c) sample-size code 3 is
+    reserved and rejects before the header CRC check."""
+    # (a) encoder emits zero MD5 for 20-bit; plant a nonzero MD5 in
+    # STREAMINFO — decode must still succeed (the width is not
+    # byte-serializable, so verification is skipped by design)
+    x = _tone(256, 20, 60000)
+    blob = bytearray(FL.encode_flac(x, 8000, bits_per_sample=20,
+                                    block_size=256))
+    blob[8 + 18] = 0xAB  # md5[0] inside STREAMINFO
+    pcm, _ = FL.decode_flac(bytes(blob))
+    assert np.array_equal(pcm[:, 0], x)
+
+    # (b) shrink STREAMINFO max_block below the frame's block size
+    blob16 = bytearray(FL.encode_flac(_tone(256, 20, 10000), 8000, 16, 256))
+    blob16[10:12] = (128).to_bytes(2, "big")  # max_block = 128 < 256
+    with pytest.raises(ValueError, match="exceeds stream maximum"):
+        FL.decode_flac(bytes(blob16))
+
+    # (c) force ss_code=3 in the first frame header byte 3 (ch4|ss3|res1)
+    good = FL.encode_flac(_tone(256, 20, 10000), 8000, 16, 256)
+    info = FL.parse_flac(good)
+    mut = bytearray(good)
+    b3 = info.frames_start + 3
+    mut[b3] = (mut[b3] & 0xF1) | (3 << 1)
+    with pytest.raises(ValueError, match="reserved sample size code 3"):
+        FL.decode_flac(bytes(mut))

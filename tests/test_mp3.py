@@ -129,3 +129,25 @@ def test_mutation_property_bounded():
             assert 1 <= len(info.frames) <= 6
         except ValueError:
             pass
+
+
+def test_xing_header_with_crc_protection():
+    """r11 ADVICE fix: protection bit 0 puts a 2-byte CRC between the
+    header and the side info — the Xing/Info tag shifts by 2 and must
+    still be found."""
+    hdr = bytearray(_header())
+    hdr[1] &= 0xFE  # protection bit 0 => CRC-16 present
+    f = M._parse_header(bytes(hdr) + b"\x00" * 8, 0)
+    first = bytearray(bytes(hdr) + b"\x00" * (f.size - 4))
+    xo = 4 + 2 + 32  # header + CRC + MPEG1-stereo side info
+    first[xo : xo + 4] = b"Xing"
+    first[xo + 4 : xo + 8] = (0x3).to_bytes(4, "big")
+    first[xo + 8 : xo + 12] = (99).to_bytes(4, "big")
+    first[xo + 12 : xo + 16] = (51348).to_bytes(4, "big")
+    blob = bytes(first) + _frame(br_idx=5)
+    info = M.parse_mp3(blob)
+    assert info.xing_frames == 99 and info.is_vbr
+    # an UNprotected stream must not shift: the original placement test
+    # (test_xing_vbr_header) still reads at 4+32 — re-assert here that a
+    # protected-stream offset miss does not false-positive
+    assert info.n_frames == 99
