@@ -315,46 +315,163 @@ def cap_source_share(
     """Domain/source frequency cap (the C4/RedPajama recipe's guard
     against one crawl domain dominating the corpus): drop rows so that
     NO source exceeds ``max_share`` of the FINAL corpus. The final size
-    N* solves sum_s min(count_s, floor(max_share*N*)) = N* — computed by
-    the monotone fixed-point iteration over the bounded per-source count
-    table (sources already under the cap keep every row); the rows kept
-    within a capped source are the lowest-hash ones (deterministic,
+    N* solves sum_s min(count_s, floor(max_share*N*)) = N* — the
+    GREATEST fixed point, i.e. max{N : f(N) >= N}; the rows kept within
+    a capped source are the lowest-hash ones (deterministic,
     salt-re-dealable — the stratified sampler's convention).
 
-    Scale shape: one bounded-or-raise count collect + the sampler's one
-    window shuffle. Note the degenerate regime: with S sources of equal
-    size, max_share < 1/S admits ONLY the empty corpus (no N > 0
+    Two equivalent solvers for N* (byte-identical selection, tested
+    against each other): up to ``max_domains`` distinct sources, the
+    driver fixed-point loop over a collected count table; PAST that, a
+    fully distributed closed-form solve (see _cap_fixed_point_segments)
+    over the distinct-count-VALUE table — web-scale host cardinality
+    (tens of millions of domains) never builds a driver dict. Both end
+    in the same one-shuffle window-rank selection with a per-source
+    budget of k* = floor(max_share * N*) (min(count_s, k*) and rank <=
+    k* select the same rows, so the integer-budget sampler suffices).
+
+    Scale shape: one count shuffle + (fast path) a bounded collect OR
+    (distributed path) a distinct-value rollup and a metadata-scale
+    single-partition window over DISTINCT COUNT VALUES (not sources:
+    counts collide heavily, and even pathological all-distinct-count
+    corpora put only one slim row per source count here), then the
+    sampler's one window shuffle. Degenerate regime: with S sources of
+    equal size, max_share < 1/S admits ONLY the empty corpus (no N > 0
     satisfies the cap) — the fixed point is 0 and this returns no rows,
     by construction rather than by accident."""
     if not 0 < max_share <= 1:
         raise ValueError(f"max_share must be in (0, 1], got {max_share}")
-    rows = (
-        df.groupBy(source_col)
-        .agg(F.count("*").alias("__n"))
-        .limit(max_domains + 1)
-        .collect()
-    )
-    if len(rows) > max_domains:
-        raise ValueError(
-            f"cap_source_share: more than {max_domains} distinct "
-            f"{source_col} values — raise max_domains explicitly if intended"
-        )
-    counts = {r[source_col]: r["__n"] for r in rows}
-    if not counts:
-        return df.limit(0)
-    n = sum(counts.values())
-    while True:
-        cap = int(max_share * n)
-        budgets = {s: min(c, cap) for s, c in counts.items()}
-        n2 = sum(budgets.values())
-        if n2 == n:
-            break
-        n = n2
-        if n == 0:
+    counts_df = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    rows = counts_df.limit(max_domains + 1).collect()
+    if len(rows) <= max_domains:
+        # fast path: driver fixed-point iteration (n <- f(n) from the
+        # total is monotone non-increasing and lands on the greatest
+        # fixed point)
+        counts = {r[source_col]: r["__n"] for r in rows}
+        if not counts:
             return df.limit(0)
-    if all(budgets[s] == counts[s] for s in counts):
-        return df  # nobody capped: zero-cost passthrough
+        n = sum(counts.values())
+        while True:
+            cap = int(max_share * n)
+            budgets = {s: min(c, cap) for s, c in counts.items()}
+            n2 = sum(budgets.values())
+            if n2 == n:
+                break
+            n = n2
+            if n == 0:
+                return df.limit(0)
+        if all(budgets[s] == counts[s] for s in counts):
+            return df  # nobody capped: zero-cost passthrough
+        kstar = cap
+    else:
+        from pyspark import StorageLevel
+
+        counts_df = counts_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            total, cmax = counts_df.agg(F.sum("__n"), F.max("__n")).first()
+            if total is None:
+                return df.limit(0)
+            if int(max_share * total) >= cmax:
+                return df  # nobody capped (the loop's first-pass exit)
+            kstar = _cap_fixed_point_kstar(counts_df, max_share)
+        finally:
+            counts_df.unpersist(False)
+        if kstar <= 0:
+            return df.limit(0)
     return stratified_sample_exact(
-        df, [source_col], {(s,): b for s, b in budgets.items() if b > 0},
-        key_col, salt, portable=portable,
+        df, [source_col], int(kstar), key_col, salt, portable=portable,
     )
+
+
+def _cap_fixed_point_kstar(counts_df: DataFrame, share: float) -> int:
+    """Distributed solve of the source-cap fixed point: the largest
+    per-source budget k* with floor(share * g(k*)) >= k*, where
+    g(k) = sum_s min(count_s, k) — equivalently k* = floor(share * N*)
+    for the greatest fixed point N* of N = g(floor(share * N)) that the
+    driver loop iterates to (proof sketch: k feasible iff
+    floor(share*g(k)) >= k; both that test and g are monotone, so the
+    max-feasible k and the greatest fixed point coincide, and the final
+    selection rank <= k* equals min(count_s, k*) budgets).
+
+    g(k) is piecewise linear in k with breakpoints only at distinct
+    count VALUES: roll counts up by value, one cumulative-sum window
+    over that (metadata-scale) table, then solve each linear segment in
+    closed form — share*(r*k + rest) >= k gives
+    k <= share*rest / (1 - share*r) — and verify the float-exact test
+    floor(share*(r*k + rest)) >= k on a +-2 neighborhood of the
+    closed-form candidate (the float product can round the boundary by
+    one either way; within a segment the test is a monotone prefix, so
+    the neighborhood sweep finds the segment max exactly). The global
+    k* is the max over segments; ONE tiny collect of one aggregate row.
+
+    Uses the same IEEE-754 double ops as the driver loop (Python float
+    and JVM double multiply identically), so both solvers pick
+    byte-identical survivor sets."""
+    from pyspark.sql import Window
+
+    by_val = counts_df.groupBy("__n").agg(F.count("*").alias("__m"))
+    w = (
+        Window.orderBy(F.col("__n").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # r = sources with count >= v; mass = their total rows. The window
+    # is single-partition by construction — it runs over distinct count
+    # values, a metadata-scale table.
+    total = counts_df.select(F.sum("__n").alias("t"))
+    seg = (
+        by_val.select(
+            F.col("__n").alias("v"),
+            F.sum("__m").over(w).alias("r"),
+            F.sum(F.col("__n") * F.col("__m")).over(w).alias("mass"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v", "r",
+            (F.col("t") - F.col("mass")).alias("rest"),
+            F.coalesce(
+                F.lead("v").over(Window.orderBy(F.col("v").desc())),
+                F.lit(0),
+            ).alias("lo"),
+            (F.col("v") - F.lit(1)).alias("hi"),
+        )
+    )
+    share_l = F.lit(float(share))
+    sr = share_l * F.col("r").cast("double")
+    closed = F.floor(
+        share_l * F.col("rest").cast("double") / (F.lit(1.0) - sr)
+    )
+    cand = F.least(
+        F.col("hi"),
+        F.when(sr >= 1.0, F.col("hi")).otherwise(closed),
+    )
+
+    def _feasible(k):
+        g = F.col("r") * k + F.col("rest")
+        return (
+            (k >= F.col("lo")) & (k <= F.col("hi")) & (k >= 0)
+            & (F.floor(share_l * g.cast("double")) >= k)
+        )
+
+    best = F.greatest(
+        *[F.when(_feasible(cand + d), cand + d) for d in range(4, -5, -1)]
+    )
+    row = seg.agg(F.max(best).alias("k")).first()
+    k0 = int(row["k"]) if row["k"] is not None else 0
+    # residual-float guard: the closed form locates the segment boundary
+    # to within the sweep except past ~4e16-row corpora with a ~99.99%
+    # saturated cap; one extra aggregate job probes k0+1..k0+4 with the
+    # GLOBAL float-exact test g(k) = sum_s min(count_s, k) and takes the
+    # largest feasible — cheap insurance that costs one pass over the
+    # (persisted) count table
+    probes = counts_df.agg(*[
+        F.floor(
+            share_l
+            * F.sum(F.least(F.col("__n"), F.lit(k0 + d))).cast("double")
+        ).alias(f"h{d}")
+        for d in (1, 2, 3, 4)
+    ]).first()
+    for d in (4, 3, 2, 1):
+        h = probes[f"h{d}"]
+        if h is not None and h >= k0 + d:
+            return k0 + d
+    return k0

@@ -155,14 +155,30 @@ def extract_html_text(
     min_words: int = 5,
     max_link_density: float = 0.4,
     min_stopword_density: float = 0.05,
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(id, text, n_paragraphs, n_kept, n_chars, link_density) per row —
-    boilerplate-gated visible text plus the audit counts. NULL input
-    rows emit NULL text (the reject convention); malformed markup
-    degrades to best-effort extraction, by design. One Arrow map pass,
-    zero shuffle."""
-    id_type = dict(df.dtypes)[id_col]
-    src = df.select(F.col(id_col).alias("id"), F.col(html_col).alias("h"))
+    """(id, *passthrough, text, n_paragraphs, n_kept, n_chars,
+    link_density) per row — boilerplate-gated visible text plus the
+    audit counts. NULL input rows emit NULL text (the reject
+    convention); malformed markup degrades to best-effort extraction,
+    by design. ``passthrough`` columns ride THROUGH the Arrow map's
+    schema unchanged, so callers never need a metadata re-join (a
+    doc_id self-join here would shuffle the whole corpus twice at crawl
+    scale). One Arrow map pass, zero shuffle."""
+    dtypes = dict(df.dtypes)
+    id_type = dtypes[id_col]
+    reserved = {"id", "h", "text", "n_paragraphs", "n_kept", "n_chars",
+                "link_density"}
+    bad = [c for c in passthrough
+           if c in reserved or c in (id_col, html_col)]
+    if bad:
+        raise ValueError(f"passthrough columns collide with outputs: {bad}")
+    src = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
+        F.col(html_col).alias("h"),
+    )
+    pt = tuple(passthrough)
 
     def run(batches):
         # worker imports THIS package: executors need it importable
@@ -199,11 +215,16 @@ def extract_html_text(
                 out["n_chars"].append(len(text))
                 out["link_density"].append(
                     link_words / total_words if total_words else 0.0)
-            yield _pd.DataFrame(out)
+            frame = _pd.DataFrame(out)
+            for c in pt:  # row order is preserved: copy columns verbatim
+                frame[c] = list(pdf[c])
+            yield frame[["id", *pt, "text", "n_paragraphs", "n_kept",
+                         "n_chars", "link_density"]]
 
+    pt_schema = "".join(f", {c} {dtypes[c]}" for c in passthrough)
     out = src.mapInPandas(
         run,
-        schema=f"id {id_type}, text STRING, n_paragraphs INT, n_kept INT, "
-               "n_chars INT, link_density DOUBLE",
+        schema=f"id {id_type}{pt_schema}, text STRING, n_paragraphs INT, "
+               "n_kept INT, n_chars INT, link_density DOUBLE",
     )
     return out.withColumnRenamed("id", id_col)

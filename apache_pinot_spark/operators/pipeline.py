@@ -61,8 +61,11 @@ class CurationConfig:
     quality_filter: bool = True
     min_quality: float = 50.0
     keep_langs: tuple = ("en",)  # empty/None = keep all languages
-    # PII redaction (rewrites text, drops no rows)
+    # PII redaction (rewrites text, drops no rows); None = all categories,
+    # else a subset of redaction.PII_PATTERNS keys (e.g. the RE2-portable
+    # redaction.PORTABLE_CATEGORIES when a SQL oracle must replay the pass)
     redact_pii: bool = True
+    pii_categories: tuple | None = None
     # near-dup dedup
     near_dedup: bool = True
     near_num_hashes: int = 8
@@ -151,8 +154,9 @@ def curate_corpus(
             keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
         cur = _stage("quality_language", cur.filter(keep))
     if cfg.redact_pii:
+        cats = list(cfg.pii_categories) if cfg.pii_categories else None
         cur = _stage("pii_redaction",
-                     cur.withColumn(t, redaction.redact_expr(F.col(t))))
+                     cur.withColumn(t, redaction.redact_expr(F.col(t), cats)))
     if cfg.max_source_share is not None:
         from apache_pinot_spark.operators.chunking import cap_source_share
 

@@ -54,6 +54,32 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
 }
 
+#: categories whose patterns stay in the RE2-compatible subset (no
+#: lookaround) and replace identically under Java regex and DuckDB/RE2 —
+#: the set a SQL oracle can replay verbatim. "phone" is excluded: its
+#: lookbehind/lookahead guards have no RE2 form.
+PORTABLE_CATEGORIES: tuple = (
+    "url_credential", "email", "ipv4", "ssn_like", "credit_card_like",
+)
+
+
+def redact_oracle_sql(col_sql: str, categories: list[str] | None = None) -> str:
+    """The DuckDB regexp_replace chain equivalent to ``redact_expr`` for
+    the portable categories — one source of truth for the gated
+    pipeline oracle and the cross-engine parity tests. DuckDB needs the
+    explicit 'g' flag (Java's regexp_replace is global by default)."""
+    cats = list(categories) if categories is not None else list(
+        PORTABLE_CATEGORIES)
+    bad = [c for c in cats if c not in PORTABLE_CATEGORIES]
+    if bad:
+        raise ValueError(f"non-RE2-portable categories {bad}")
+    expr = col_sql
+    for cat in cats:
+        pattern, token = PII_PATTERNS[cat]
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{token}', 'g')"
+    return expr
+
 
 def redact_expr(col: Column | str, categories: list[str] | None = None) -> Column:
     """One chained `regexp_replace` per enabled category — a single

@@ -18,18 +18,36 @@ Scope:
     attacker/corruption-controlled Content-Length cannot allocate
     unbounded memory; oversized records emit their headers with a NULL
     body and a truncated flag
+  * gzip inflation is size-bounded per member (``max_member_bytes``,
+    enforced chunkwise DURING decompression) — a gzip bomb cannot
+    allocate unbounded memory either; oversized members reject
+  * error isolation is per gzip member: a corrupt member (or corrupt
+    record grammar inside one) loses at most that member's remaining
+    records — the walker resyncs at the next gzip magic and keeps
+    going, and the Spark operator reports a per-blob ``n_rejected``
+    count (real crawls contain corrupt records; losing a whole ~1 GB
+    file to one bad record is silent data loss at scale)
+  * charset: record text decodes per the ``charset=`` parameter of the
+    HTTP (or WARC) Content-Type when it names a known codec — the
+    non-UTF-8 web (GBK, Shift-JIS, windows-125x, ISO-8859-*) must not
+    mojibake before langid/dedup see it; a UTF-8/16 BOM wins over the
+    header, and the fallback is ``body_charset`` with replacement
 
 Scale shape: per-row map-side work over the binary column
 (Arrow-batched); one input blob explodes to one row per WARC record —
-the only row multiplication a crawl ingest needs. Corrupt blobs emit
-ONE all-NULL row (the multimodal reject convention). For whole-file
+the only row multiplication a crawl ingest needs (the Arrow pass emits
+one output frame per BLOB, so peak memory is one file's records, not
+one batch's). Blobs yielding no records emit ONE all-NULL row (the
+multimodal reject convention) carrying the reject count. For whole-file
 ingest, pair with ``spark.read.format("binaryFile")`` over the .warc.gz
 paths and pass the ``content`` column here.
 """
 
 from __future__ import annotations
 
+import codecs
 import io
+import re
 import zlib
 from dataclasses import dataclass, field
 
@@ -37,6 +55,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _GZIP_MAGIC = b"\x1f\x8b"
+#: 3-byte resync signature: magic + deflate method byte — cuts false
+#: positives when scanning forward past a corrupt member
+_GZIP_RESYNC = b"\x1f\x8b\x08"
+_INFLATE_CHUNK = 1 << 20
+#: default per-member inflation ceiling: far above any sane per-record
+#: member (records are body-bounded at 8 MiB by default) yet small
+#: enough that a bomb member cannot OOM an executor task
+DEFAULT_MAX_MEMBER_BYTES = 256 << 20
+
+_CHARSET_RE = re.compile(r'charset\s*=\s*"?\'?([A-Za-z0-9_:.+-]+)', re.I)
 
 
 @dataclass
@@ -54,10 +82,47 @@ class WarcRecord:
     headers: dict = field(default_factory=dict)
 
 
-def split_gzip_members(blob: bytes):
+def _inflate_member(blob: bytes, pos: int, cap: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``pos``, enforcing the ``cap``
+    chunkwise DURING decompression (a bomb raises before it
+    materializes). Returns (data, consumed_compressed_bytes). Raises
+    ValueError on corruption, truncation, or cap breach."""
+    d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+    out = bytearray()
+    feed_end = pos
+    tail = b""
+    try:
+        while True:
+            if tail:
+                chunk, tail = tail, b""
+            else:
+                chunk = bytes(blob[feed_end : feed_end + _INFLATE_CHUNK])
+                feed_end += len(chunk)
+                if not chunk:
+                    raise ValueError(f"truncated gzip member at {pos}")
+            out += d.decompress(chunk, cap + 1 - len(out))
+            if len(out) > cap:
+                raise ValueError(
+                    f"gzip member at {pos} inflates past {cap} bytes")
+            tail = d.unconsumed_tail
+            if d.eof:
+                break
+    except zlib.error as exc:
+        raise ValueError(f"corrupt gzip member at {pos}: {exc}") from exc
+    consumed = feed_end - pos - len(tail) - len(d.unused_data)
+    if consumed <= 0:
+        raise ValueError(f"gzip member at {pos} consumed no bytes")
+    return bytes(out), consumed
+
+
+def split_gzip_members(
+    blob: bytes, max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES
+):
     """Yield the inflated bytes of each gzip member in a multi-member
-    stream (the .warc.gz layout). Non-gzip input yields the blob itself
-    once. Raises ValueError on a corrupt member."""
+    stream (the .warc.gz layout), each inflation bounded by
+    ``max_member_bytes``. Non-gzip input yields the blob itself once.
+    Raises ValueError on a corrupt or oversized member (STRICT form —
+    the Spark operator uses the per-member-tolerant walker instead)."""
     if blob[:2] != _GZIP_MAGIC:
         yield blob
         return
@@ -65,18 +130,40 @@ def split_gzip_members(blob: bytes):
     while pos < len(blob):
         if blob[pos : pos + 2] != _GZIP_MAGIC:
             raise ValueError(f"gzip member boundary expected at {pos}")
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        try:
-            out = d.decompress(blob[pos:])
-        except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member at {pos}: {exc}") from exc
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at {pos}")
-        yield out
-        consumed = len(blob) - pos - len(d.unused_data)
-        if consumed <= 0:
-            raise ValueError("gzip member consumed no bytes")
+        data, consumed = _inflate_member(blob, pos, max_member_bytes)
+        yield data
         pos += consumed
+
+
+def _iter_members_tolerant(blob: bytes, max_member_bytes: int):
+    """Yield ('member', inflated_bytes) | ('reject', reason) per gzip
+    member, isolating errors: a corrupt/oversized member emits one
+    reject event and the walker RESYNCS at the next gzip magic — the
+    random-access property .warc.gz is written for. Non-gzip input is
+    one plain member."""
+    if blob[:2] != _GZIP_MAGIC:
+        yield ("member", blob)
+        return
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        try:
+            data, consumed = _inflate_member(blob, pos, max_member_bytes)
+        except ValueError as exc:
+            yield ("reject", str(exc))
+            nxt = blob.find(_GZIP_RESYNC, pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield ("member", data)
+        pos += consumed
+        if pos < n and blob[pos : pos + 2] != _GZIP_MAGIC:
+            yield ("reject", f"gzip member boundary expected at {pos}")
+            nxt = blob.find(_GZIP_RESYNC, pos)
+            if nxt < 0:
+                return
+            pos = nxt
 
 
 def _parse_headers(text: bytes) -> dict:
@@ -92,68 +179,109 @@ def _parse_headers(text: bytes) -> dict:
     return headers
 
 
-def parse_warc_records(blob: bytes, max_body_bytes: int = 8 << 20):
+def _parse_member_records(member: bytes, max_body_bytes: int):
+    """Yield WarcRecord for every record in ONE inflated member. Raises
+    ValueError mid-iteration on corrupt grammar (records already yielded
+    stand — the tolerant walker turns the raise into a member-scoped
+    reject)."""
+    stream = io.BytesIO(member)
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        if not line:
+            break
+        if line in (b"\r\n", b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC/1.x version line, got {line[:20]!r}")
+        # header block ends at the first blank line
+        hdr_lines = bytearray()
+        while True:
+            hl = stream.readline()
+            if hl in (b"\r\n", b"\n", b""):
+                break
+            hdr_lines += hl.rstrip(b"\n").rstrip(b"\r") + b"\r\n"
+        headers = _parse_headers(bytes(hdr_lines))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError as exc:
+            raise ValueError("non-integer Content-Length") from exc
+        if length < 0:
+            raise ValueError("negative Content-Length")
+        rec = WarcRecord(
+            warc_type=headers.get("warc-type", ""),
+            target_uri=headers.get("warc-target-uri"),
+            record_id=headers.get("warc-record-id"),
+            date=headers.get("warc-date"),
+            content_type=headers.get("content-type"),
+            content_length=length,
+            headers=headers,
+        )
+        # bounded read: a lying Content-Length cannot allocate more
+        # than max_body_bytes; the stream still advances by `length`
+        # so subsequent records stay aligned
+        take = min(length, max_body_bytes)
+        body = stream.read(take)
+        if len(body) < take:
+            raise ValueError("record body overruns member")
+        if length > max_body_bytes:
+            rec.truncated = True
+            body = None
+            # skip the unread tail so the next record stays aligned;
+            # a tail extending past the member is corruption
+            end = stream.seek(length - take, io.SEEK_CUR)
+            if end > len(member):
+                raise ValueError("record body overruns member")
+        if rec.warc_type == "response" and body is not None:
+            rec.http_status, rec.http_content_type, payload = \
+                _parse_http_response(body)
+            rec.body = payload
+        else:
+            rec.body = body
+        yield rec
+
+
+def parse_warc_records(
+    blob: bytes,
+    max_body_bytes: int = 8 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+):
     """Yield WarcRecord for every record in the (possibly multi-member
-    gzip) blob. Raises ValueError for non-WARC input."""
+    gzip) blob. Raises ValueError for non-WARC input (STRICT form —
+    fixture/tooling use; the Spark operator rides the tolerant
+    iterator)."""
     if blob is None or len(blob) < 8:
         raise ValueError("blob too short for a WARC record")
-    for member in split_gzip_members(bytes(blob)):
-        stream = io.BytesIO(member)
+    for member in split_gzip_members(bytes(blob), max_member_bytes):
+        yield from _parse_member_records(member, max_body_bytes)
+
+
+def iter_warc_records_tolerant(
+    blob: bytes,
+    max_body_bytes: int = 8 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+):
+    """Yield ('rec', WarcRecord) | ('reject', reason) — per-member error
+    isolation: one corrupt record loses at most its own gzip member's
+    remaining records, one bomb/corrupt member loses only itself."""
+    if blob is None or len(blob) < 8:
+        yield ("reject", "blob too short for a WARC record")
+        return
+    for kind, payload in _iter_members_tolerant(bytes(blob), max_member_bytes):
+        if kind == "reject":
+            yield ("reject", payload)
+            continue
+        gen = _parse_member_records(payload, max_body_bytes)
         while True:
-            # skip inter-record blank lines
-            line = stream.readline()
-            if not line:
-                break
-            if line in (b"\r\n", b"\n"):
-                continue
-            if not line.startswith(b"WARC/"):
-                raise ValueError(
-                    f"expected WARC/1.x version line, got {line[:20]!r}")
-            # header block ends at the first blank line
-            hdr_lines = bytearray()
-            while True:
-                hl = stream.readline()
-                if hl in (b"\r\n", b"\n", b""):
-                    break
-                hdr_lines += hl.rstrip(b"\n").rstrip(b"\r") + b"\r\n"
-            headers = _parse_headers(bytes(hdr_lines))
             try:
-                length = int(headers.get("content-length", "0"))
+                rec = next(gen)
+            except StopIteration:
+                break
             except ValueError as exc:
-                raise ValueError("non-integer Content-Length") from exc
-            if length < 0:
-                raise ValueError("negative Content-Length")
-            rec = WarcRecord(
-                warc_type=headers.get("warc-type", ""),
-                target_uri=headers.get("warc-target-uri"),
-                record_id=headers.get("warc-record-id"),
-                date=headers.get("warc-date"),
-                content_type=headers.get("content-type"),
-                content_length=length,
-                headers=headers,
-            )
-            # bounded read: a lying Content-Length cannot allocate more
-            # than max_body_bytes; the stream still advances by `length`
-            # so subsequent records stay aligned
-            take = min(length, max_body_bytes)
-            body = stream.read(take)
-            if len(body) < take:
-                raise ValueError("record body overruns member")
-            if length > max_body_bytes:
-                rec.truncated = True
-                body = None
-                # skip the unread tail so the next record stays aligned;
-                # a tail extending past the member is corruption
-                end = stream.seek(length - take, io.SEEK_CUR)
-                if end > len(member):
-                    raise ValueError("record body overruns member")
-            if rec.warc_type == "response" and body is not None:
-                rec.http_status, rec.http_content_type, payload = \
-                    _parse_http_response(body)
-                rec.body = payload
-            else:
-                rec.body = body
-            yield rec
+                yield ("reject", f"record grammar: {exc}")
+                break
+            yield ("rec", rec)
 
 
 def _parse_http_response(body: bytes):
@@ -179,20 +307,58 @@ def _parse_http_response(body: bytes):
     return status, ctype, body[sep + 4 :]
 
 
+def select_charset(content_type: str | None, fallback: str = "utf-8") -> str:
+    """The codec name a record body should decode with: the Content-Type
+    ``charset=`` parameter when it names a codec Python knows, else the
+    fallback. (The web lies about charsets, so decoding always pairs
+    this with errors='replace'.)"""
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            label = m.group(1).strip()
+            try:
+                return codecs.lookup(label).name
+            except LookupError:
+                pass
+    return fallback
+
+
+def _decode_body(body: bytes, content_type: str | None, fallback: str):
+    """(text, charset_used) — a UTF-8/16 BOM wins over the header (the
+    strongest in-band signal), then the Content-Type charset, then the
+    fallback; always errors='replace'."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace"), "utf-8"
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    enc = select_charset(content_type, fallback)
+    try:
+        return body.decode(enc, "replace"), enc
+    except (LookupError, ValueError):
+        return body.decode(fallback, "replace"), fallback
+
+
 def warc_records(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "path",
     max_body_bytes: int = 8 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     body_charset: str = "utf-8",
 ) -> DataFrame:
     """Explode WARC blobs into one row per record: (id, record_index,
     warc_type, target_uri, warc_date, http_status, content_type,
-    content_length, truncated, body) — ``body`` decoded as
-    ``body_charset`` with replacement (web corpora are charset soup; the
-    HTML extractor downstream re-handles entities). One Arrow map pass;
-    the record explosion is the only row multiplication. Corrupt blobs
-    emit ONE all-NULL row (the multimodal reject convention)."""
+    content_length, truncated, body, charset, n_rejected) — ``body``
+    decoded per the record's Content-Type charset (BOM > header >
+    ``body_charset`` fallback, always with replacement), ``charset``
+    names the codec used, and ``n_rejected`` counts the blob's rejected
+    members/records (repeated on every row of the blob — max() it per id
+    for the ingest audit). One Arrow map pass emitting one frame per
+    blob; the record explosion is the only row multiplication. Blobs
+    with no parseable records emit ONE all-NULL row (the multimodal
+    reject convention) carrying the reject count."""
     id_type = dict(df.dtypes)[id_col]
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
 
@@ -202,53 +368,68 @@ def warc_records(
         # deployment
         import pandas as _pd
 
-        from apache_pinot_spark.operators.warc import parse_warc_records
+        from apache_pinot_spark.operators.warc import (
+            _decode_body,
+            iter_warc_records_tolerant,
+        )
 
         cols = ("id", "record_index", "warc_type", "target_uri",
                 "warc_date", "http_status", "content_type",
-                "content_length", "truncated", "body")
+                "content_length", "truncated", "body", "charset",
+                "n_rejected")
+
+        def emit(out, mid, idx=None, rec=None):
+            out["id"].append(mid)
+            out["record_index"].append(idx)
+            if rec is None:
+                for k in cols[2:-1]:
+                    out[k].append(None)
+                return
+            out["warc_type"].append(rec.warc_type or None)
+            out["target_uri"].append(rec.target_uri)
+            out["warc_date"].append(rec.date)
+            out["http_status"].append(rec.http_status)
+            ctype = rec.http_content_type or rec.content_type
+            out["content_type"].append(ctype)
+            out["content_length"].append(rec.content_length)
+            out["truncated"].append(rec.truncated)
+            if rec.body is not None:
+                text, used = _decode_body(rec.body, ctype, body_charset)
+                out["body"].append(text)
+                out["charset"].append(used)
+            else:
+                out["body"].append(None)
+                out["charset"].append(None)
+
         for pdf in batches:
-            out = {k: [] for k in cols}
-
-            def emit(mid, idx=None, rec=None):
-                out["id"].append(mid)
-                out["record_index"].append(idx)
-                if rec is None:
-                    for k in cols[2:]:
-                        out[k].append(None)
-                    return
-                out["warc_type"].append(rec.warc_type or None)
-                out["target_uri"].append(rec.target_uri)
-                out["warc_date"].append(rec.date)
-                out["http_status"].append(rec.http_status)
-                out["content_type"].append(
-                    rec.http_content_type or rec.content_type)
-                out["content_length"].append(rec.content_length)
-                out["truncated"].append(rec.truncated)
-                out["body"].append(
-                    rec.body.decode(body_charset, "replace")
-                    if rec.body is not None else None)
-
             for mid, blob in zip(pdf["id"], pdf["c"]):
-                try:
-                    recs = list(parse_warc_records(
-                        bytes(blob) if blob is not None else None,
-                        max_body_bytes=max_body_bytes))
-                    if not recs:
-                        raise ValueError("no WARC records")
-                except Exception:
-                    emit(mid)
-                    continue
-                for i, rec in enumerate(recs):
-                    emit(mid, i, rec)
-            yield _pd.DataFrame(out)
+                # one output frame PER BLOB: peak memory is one file's
+                # records, and the per-blob reject count is known before
+                # the frame is built
+                out = {k: [] for k in cols}
+                n_rej, idx = 0, 0
+                for kind, payload in iter_warc_records_tolerant(
+                    bytes(blob) if blob is not None else None,
+                    max_body_bytes=max_body_bytes,
+                    max_member_bytes=max_member_bytes,
+                ):
+                    if kind == "reject":
+                        n_rej += 1
+                        continue
+                    emit(out, mid, idx, payload)
+                    idx += 1
+                if idx == 0:
+                    emit(out, mid)  # all-NULL reject row
+                out["n_rejected"] = [n_rej] * len(out["id"])
+                yield _pd.DataFrame(out)
 
     out = src.mapInPandas(
         run,
         schema=f"id {id_type}, record_index INT, warc_type STRING, "
                "target_uri STRING, warc_date STRING, http_status INT, "
                "content_type STRING, content_length BIGINT, "
-               "truncated BOOLEAN, body STRING",
+               "truncated BOOLEAN, body STRING, charset STRING, "
+               "n_rejected INT",
     )
     return out.withColumnRenamed("id", id_col)
 
@@ -258,6 +439,7 @@ def crawl_to_documents(
     path_glob: str,
     min_text_chars: int = 200,
     max_body_bytes: int = 8 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     wet: bool = False,
 ) -> DataFrame:
     """One-call crawl ingest: .warc.gz files → (doc_id, url, fetch_date,
@@ -276,12 +458,18 @@ def crawl_to_documents(
 
     doc_id is xxhash64(url, date) — deterministic across re-ingests;
     source = lowercased host (Spark's built-in parse_url, JVM-side) —
-    exactly what the pipeline's source-share cap stratifies on."""
+    exactly what the pipeline's source-share cap stratifies on.
+
+    Plan shape: binaryFile scan → record explode (Arrow map) → [HTML
+    extract (Arrow map, metadata passed THROUGH its schema)] → filter →
+    projection — ZERO shuffles/joins end to end; corrupt members reject
+    per member inside the explode (see warc_records' n_rejected)."""
     from apache_pinot_spark.operators.htmltext import extract_html_text
 
     files = spark.read.format("binaryFile").load(path_glob)
     recs = warc_records(files, content_col="content", id_col="path",
-                        max_body_bytes=max_body_bytes)
+                        max_body_bytes=max_body_bytes,
+                        max_member_bytes=max_member_bytes)
     if wet:
         kept = recs.filter(
             (F.col("warc_type") == "conversion") & F.col("body").isNotNull()
@@ -307,10 +495,13 @@ def crawl_to_documents(
                 "body",
             )
         )
-        text = extract_html_text(pages, html_col="body", id_col="doc_id")
-        meta = pages.select("doc_id", "url", "fetch_date")
-        docs = text.join(meta, on="doc_id").select(
-            "doc_id", "url", "fetch_date", "text", "n_chars")
+        # url/fetch_date ride THROUGH the Arrow map's schema — a re-join
+        # on doc_id here would shuffle the whole corpus twice for
+        # metadata the extractor can just carry
+        docs = extract_html_text(
+            pages, html_col="body", id_col="doc_id",
+            passthrough=("url", "fetch_date"),
+        ).select("doc_id", "url", "fetch_date", "text", "n_chars")
     return (
         docs.filter(F.col("n_chars") >= min_text_chars)
         .select(

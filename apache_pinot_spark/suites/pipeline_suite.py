@@ -7,6 +7,13 @@ Gate configuration (chosen so each stage is exactly replayable):
   * exact dedup           — min-doc_id survivor per md5(text) group
   * quality + language    — the tx_quality_buckets / tx_lang_id_eval
                             arithmetic (both independently gate-green)
+  * PII redaction (r11)   — redact_expr over the RE2-portable category
+                            subset (redaction.PORTABLE_CATEGORIES; the
+                            phone pattern's lookarounds have no RE2
+                            form), replayed as the identical DuckDB
+                            regexp_replace chain with the 'g' flag —
+                            row-preserving, but the rewritten text
+                            feeds every downstream shingle/gram
   * source cap (r10)      — cap_source_share portable mode: the greatest
                             fixed point N* of
                             sum_s min(count_s, floor(share*N*)) = N*
@@ -26,8 +33,7 @@ Gate configuration (chosen so each stage is exactly replayable):
                             with plain string grams — the engine's
                             xxhash64 join key is an internal detail)
 Boilerplate removal keeps its own dedicated slot
-(curation_boilerplate_removal); PII redaction is row-preserving and
-covered by unit tests, so it stays off here.
+(curation_boilerplate_removal).
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from apache_pinot_spark.catalog import load_tables
 from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
 from apache_pinot_spark.operators import textanalysis as tx
 from apache_pinot_spark.operators.chunking import portable_split_threshold
+from apache_pinot_spark.operators.redaction import redact_oracle_sql
 from apache_pinot_spark.querysuite import df_query
 
 _SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -60,9 +67,12 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
     docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
         "doc_id", "text", "source"
     )
+    from apache_pinot_spark.operators.redaction import PORTABLE_CATEGORIES
+
     cfg = CurationConfig(
         boilerplate=False,
-        redact_pii=False,
+        redact_pii=True,
+        pii_categories=PORTABLE_CATEGORIES,
         near_num_hashes=4,
         near_band_size=2,
         near_shingle_n=3,
@@ -181,6 +191,9 @@ scored AS (
   FROM feat
 ),
 q AS (SELECT doc_id, text, source FROM scored WHERE q >= 50.0 AND guess = 'en'),
+-- PII redaction (row-preserving text rewrite): the same regexp_replace
+-- chain as redact_expr, RE2-portable categories only, global flag
+red AS (SELECT doc_id, {redact_oracle_sql('text')} AS text, source FROM q),
 -- source cap (cap_source_share portable mode): greatest fixed point of
 -- N = sum_s min(count_s, floor(share*N)), i.e. max n with f(n) >= n
 -- (the operator's monotone-decreasing iteration from the total lands
@@ -200,7 +213,7 @@ sc AS (
            ROW_NUMBER() OVER (PARTITION BY source
              ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), doc_id
            ) AS rk
-    FROM q
+    FROM red
   )
   WHERE rk <= (SELECT CAST(floor({_MAX_SOURCE_SHARE} * nstar) AS BIGINT) FROM fp)
 ),
@@ -300,15 +313,17 @@ SELECT stage_idx, stage, rows FROM (
   UNION ALL
   SELECT 2, 'quality_language', (SELECT COUNT(*) FROM q)
   UNION ALL
-  SELECT 3, 'source_cap', (SELECT COUNT(*) FROM sc)
+  SELECT 3, 'pii_redaction', (SELECT COUNT(*) FROM red)
   UNION ALL
-  SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM nd)
+  SELECT 4, 'source_cap', (SELECT COUNT(*) FROM sc)
   UNION ALL
-  SELECT 5, 'decontamination', (SELECT COUNT(*) FROM dec)
+  SELECT 5, 'near_dedup', (SELECT COUNT(*) FROM nd)
   UNION ALL
-  SELECT 6, 'splits', (SELECT COUNT(*) FROM dec)
+  SELECT 6, 'decontamination', (SELECT COUNT(*) FROM dec)
   UNION ALL
-  SELECT 7, 'split_' || split, COUNT(*) FROM spl GROUP BY split
+  SELECT 7, 'splits', (SELECT COUNT(*) FROM dec)
+  UNION ALL
+  SELECT 8, 'split_' || split, COUNT(*) FROM spl GROUP BY split
 )
 ORDER BY stage_idx, stage
 """
@@ -321,9 +336,9 @@ df_query(
     tables=["documents"],
     doc="End-to-end curation pipeline (operators/pipeline.curate_corpus) "
         "staged row accounting: exact dedup, quality+language gate, "
-        "source-share cap (fixed-point sizing + portable hash-ranked "
-        "selection), md5-portable LSH near-dup dedup with connected-components "
-        "canonical survivors, benchmark 8-gram decontamination, and "
-        "portable split assignment — every stage replayed in SQL "
-        "(recursive CTE for the components)",
+        "RE2-portable PII redaction (r11), source-share cap (fixed-point "
+        "sizing + portable hash-ranked selection), md5-portable LSH "
+        "near-dup dedup with connected-components canonical survivors, "
+        "benchmark 8-gram decontamination, and portable split assignment "
+        "— every stage replayed in SQL (recursive CTE for the components)",
 )

@@ -230,3 +230,78 @@ def test_cap_source_share_portable_flag_changes_members_not_counts(spark):
           b.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert ca == cb  # budgets identical; only the ranked members differ
     assert set(ca) == {"s0", "s1", "s2", "s3"}
+
+
+def _driver_fixed_point(counts: dict, share: float):
+    """Reference replica of the driver-loop fixed point (same float ops):
+    returns k* = floor(share * N*), or None when nobody is capped, 0 when
+    the corpus collapses."""
+    n = sum(counts.values())
+    while True:
+        cap = int(share * n)
+        budgets = {s: min(c, cap) for s, c in counts.items()}
+        n2 = sum(budgets.values())
+        if n2 == n:
+            break
+        n = n2
+        if n == 0:
+            return 0
+    if all(budgets[s] == counts[s] for s in counts):
+        return None  # passthrough
+    return cap
+
+
+def test_cap_source_share_distributed_matches_driver_loop(spark):
+    """r11: past max_domains the fixed point solves DISTRIBUTED
+    (closed-form over the distinct-count-value rollup + float-exact
+    verification sweep) — per-source survivor counts must equal the
+    driver loop's min(count_s, k*) budgets across distributions,
+    including the degenerate empty and passthrough regimes."""
+    import random
+
+    from apache_pinot_spark.operators.chunking import cap_source_share
+
+    rng = random.Random(411)
+    cases = [
+        ({f"s{i}": max(1, 200 // (i + 1)) for i in range(12)}, 0.09),
+        ({f"s{i}": max(1, 200 // (i + 1)) for i in range(12)}, 0.055),
+        ({f"s{i}": 20 for i in range(10)}, 0.09),   # < 1/S -> empty corpus
+        ({f"s{i}": 20 for i in range(10)}, 0.5),    # nobody capped
+        ({"big": 500, **{f"t{i}": rng.randrange(1, 15) for i in range(15)}},
+         0.3),
+        ({"only": 73}, 0.4),                         # single source: empty
+        ({"only": 73}, 1.0),                         # share=1 passthrough
+        ({f"s{i}": rng.randrange(1, 60) for i in range(25)}, 0.07),
+    ]
+    for counts, share in cases:
+        rows = []
+        k = 0
+        for s, c in counts.items():
+            for _ in range(c):
+                rows.append((k, s))
+                k += 1
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        kstar = _driver_fixed_point(counts, share)
+        got = cap_source_share(df, "source", share, key_col="doc_id",
+                               max_domains=1)  # force the distributed path
+        per_source = {r["source"]: r["n"] for r in got.groupBy("source")
+                      .agg(F.count("*").alias("n")).collect()}
+        if kstar is None:
+            want = dict(counts)  # passthrough
+        elif kstar == 0:
+            want = {}
+        else:
+            want = {s: min(c, kstar) for s, c in counts.items()
+                    if min(c, kstar) > 0}
+        assert per_source == want, (share, kstar, per_source, want)
+
+    # member-level equality on one binding case: the distributed path's
+    # integer-budget rank selection picks the SAME rows as the driver
+    # dict-budget path
+    rows = [(i, f"s{min(i % 10, 3)}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    fast = cap_source_share(df, "source", 0.3, key_col="doc_id")
+    dist = cap_source_share(df, "source", 0.3, key_col="doc_id",
+                            max_domains=1)
+    assert sorted(r.doc_id for r in fast.collect()) == \
+           sorted(r.doc_id for r in dist.collect())

@@ -246,3 +246,149 @@ def test_wet_tier_conversion_records(spark, tmp_path):
     r = docs[0]
     assert r.text == wet_text and r.url == "http://A.com/page1"
     assert r.source == "a.com"  # host lowercased
+
+
+def test_member_error_isolation_and_reject_count():
+    """r11 hardening: one corrupt gzip member loses only itself — the
+    other members' records survive and the reject is counted (the old
+    all-or-nothing reject lost ~1 GB of pages to one bad record)."""
+    good1 = gzip.compress(_record(b"response", b"http://e/1",
+                                  _http_response(b"one")))
+    bad = bytearray(gzip.compress(_record(b"response", b"http://e/2",
+                                          _http_response(b"two"))))
+    bad[14] ^= 0xFF  # corrupt the deflate stream mid-member
+    good2 = gzip.compress(_record(b"response", b"http://e/3",
+                                  _http_response(b"three")))
+    blob = good1 + bytes(bad) + good2
+    events = list(W.iter_warc_records_tolerant(blob))
+    kinds = [k for k, _ in events]
+    recs = [r for k, r in events if k == "rec"]
+    assert kinds.count("reject") >= 1
+    assert [r.target_uri for r in recs] == ["http://e/1", "http://e/3"]
+    # the strict form still rejects the whole blob (fixture/tooling API)
+    with pytest.raises(ValueError, match="gzip"):
+        list(W.parse_warc_records(blob))
+
+    # record-grammar corruption INSIDE a good member: loses at most that
+    # member's remainder, not the sibling members
+    bad_grammar = gzip.compress(
+        _record(b"response", b"http://e/a", _http_response(b"aa"))
+        + b"NOT-A-WARC-LINE\r\n" + b"x" * 64)
+    blob2 = bad_grammar + good2
+    events2 = list(W.iter_warc_records_tolerant(blob2))
+    recs2 = [r for k, r in events2 if k == "rec"]
+    assert [r.target_uri for r in recs2] == ["http://e/a", "http://e/3"]
+    assert [k for k, _ in events2].count("reject") == 1
+
+
+def test_gzip_bomb_member_rejects_bounded():
+    """r11 hardening: inflation is capped chunkwise DURING
+    decompression — a ~3000:1 bomb member rejects without ever
+    materializing, and sibling members still parse."""
+    bomb = gzip.compress(b"\x00" * (32 << 20))  # 32 MiB from ~32 KiB
+    assert len(bomb) < (32 << 20) // 1000
+    good = gzip.compress(_record(b"response", b"http://e/ok",
+                                 _http_response(b"fine")))
+    events = list(W.iter_warc_records_tolerant(
+        bomb + good, max_member_bytes=1 << 20))
+    rejects = [r for k, r in events if k == "reject"]
+    recs = [r for k, r in events if k == "rec"]
+    assert any("inflates past" in r for r in rejects)
+    assert [r.target_uri for r in recs] == ["http://e/ok"]
+    # strict splitter enforces the same cap
+    with pytest.raises(ValueError, match="inflates past"):
+        list(W.split_gzip_members(bomb, max_member_bytes=1 << 20))
+    # and a legit member under the cap still inflates exactly
+    (m,) = W.split_gzip_members(gzip.compress(b"abc" * 1000))
+    assert m == b"abc" * 1000
+
+
+def test_charset_selection_no_mojibake(spark):
+    """r11 hardening: the Content-Type charset= parameter drives body
+    decoding — GBK and Shift-JIS pages extract real text instead of
+    mojibake; unknown labels fall back to utf-8/replace; a BOM wins."""
+    gbk_text = "中文网页的正文内容，包含足够的文字。"
+    sjis_text = "日本語のページ本文です。"
+    html_gbk = f"<html><body><p>{gbk_text}</p></body></html>".encode("gbk")
+    html_sjis = f"<html><body><p>{sjis_text}</p></body></html>".encode(
+        "shift_jis")
+    recs = [
+        _record(b"response", b"http://cn.example/1",
+                _http_response(html_gbk, b"text/html; charset=GBK")),
+        _record(b"response", b"http://jp.example/2",
+                _http_response(html_sjis, b"text/html; charset=Shift_JIS")),
+        _record(b"response", b"http://x.example/3",
+                _http_response(b"plain ascii page body here",
+                               b"text/html; charset=not-a-codec")),
+        _record(b"response", b"http://bom.example/4",
+                _http_response(b"\xef\xbb\xbf" + "bom text ü".encode("utf-8"),
+                               b"text/html; charset=latin-1")),
+    ]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    df = spark.createDataFrame([("f.warc.gz", bytearray(blob))],
+                               "path STRING, content BINARY")
+    rows = {r.target_uri: r for r in W.warc_records(df).collect()}
+    assert gbk_text in rows["http://cn.example/1"].body
+    assert rows["http://cn.example/1"].charset == "gbk"
+    assert sjis_text in rows["http://jp.example/2"].body
+    assert rows["http://jp.example/2"].charset == "shift_jis"
+    assert "�" not in rows["http://cn.example/1"].body
+    assert rows["http://x.example/3"].charset == "utf-8"  # unknown label
+    assert rows["http://bom.example/4"].body == "bom text ü"  # BOM wins
+    assert rows["http://bom.example/4"].charset == "utf-8"
+    assert all(r.n_rejected == 0 for r in rows.values())
+    # unit form
+    assert W.select_charset("text/html; charset=\"windows-1251\"") == "cp1251"
+    assert W.select_charset("text/html") == "utf-8"
+    assert W.select_charset(None) == "utf-8"
+
+
+def test_spark_reject_count_column(spark):
+    """n_rejected rides every record row of its blob; a blob with zero
+    parseable records emits the all-NULL row with the count."""
+    good = gzip.compress(_record(b"response", b"http://e/1",
+                                 _http_response(b"one")))
+    bad = bytearray(gzip.compress(_record(b"response", b"http://e/2",
+                                          _http_response(b"two"))))
+    bad[14] ^= 0xFF
+    df = spark.createDataFrame(
+        [("mixed.warc.gz", bytearray(good + bytes(bad))),
+         ("allbad.warc.gz", bytearray(bytes(bad)))],
+        "path STRING, content BINARY")
+    rows = W.warc_records(df).collect()
+    mixed = [r for r in rows if r.path == "mixed.warc.gz"]
+    allbad = [r for r in rows if r.path == "allbad.warc.gz"]
+    assert len(mixed) == 1 and mixed[0].target_uri == "http://e/1"
+    assert mixed[0].n_rejected == 1
+    assert len(allbad) == 1 and allbad[0].warc_type is None
+    assert allbad[0].n_rejected == 1
+
+
+def test_crawl_to_documents_plan_has_no_exchange(spark, tmp_path):
+    """r11: url/fetch_date pass THROUGH extract_html_text's Arrow schema
+    — the documents frame needs zero joins, so the ingest plan has no
+    Exchange between the binaryFile scan and the documents projection
+    (the old doc_id self-join shuffled the whole corpus twice)."""
+    (tmp_path / "p.warc.gz").write_bytes(_warc_gz())
+    docs = W.crawl_to_documents(spark, str(tmp_path / "*.warc.gz"),
+                                min_text_chars=50)
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    r = docs.collect()[0]
+    assert r.url == "http://example.com/a"
+    assert r.fetch_date == "2024-01-01T00:00:00Z"
+    assert "first real paragraph" in r.text and r.source == "example.com"
+
+
+def test_extract_html_text_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "u1", "<p>real prose with the usual stopwords in it here</p>"),
+         (2, "u2", None)],
+        "doc_id LONG, url STRING, body STRING")
+    out = H.extract_html_text(df, passthrough=("url",)).orderBy("doc_id")
+    rows = out.collect()
+    assert [r.url for r in rows] == ["u1", "u2"]
+    assert rows[0].text and rows[1].text is None
+    with pytest.raises(ValueError, match="collide"):
+        H.extract_html_text(df, passthrough=("text",))
