@@ -19,11 +19,15 @@ Scope:
     with the repo's pure-Python baseline-JPEG decoder, the exact shape
     operators/avi provides for MJPEG-in-AVI.
 
-Frame decode beyond JPEG-coded tracks (H.264/AV1/...) stays the
+H.264 tracks ('avc1'/'avc3', r11): the avcC decoder configuration is
+pulled from the sample entry and picked IDR keyframes decode with the
+repo's pure-Python baseline intra decoder (operators/h264) — the
+keyframe-sampling slice a curation pipeline needs. Frame decode beyond
+JPEG/H.264-intra (AV1, H.264 inter prediction, HEVC, ...) stays the
 capability-gated stage (operators/multimodal — no video codec libs in
 this container); everything a pipeline schedules on — sample indices,
-timestamps, keyframes, payload byte ranges — plus the MJPEG decode path
-is real here, with the per-blob reject path for corrupt containers.
+timestamps, keyframes, payload byte ranges — is real here, with the
+per-blob reject path for corrupt containers.
 
 Scale shape: parsing + decode are per-row map-side work over the binary
 column (Arrow-batched, zero shuffle); the moov box for typical files is
@@ -62,6 +66,7 @@ class MP4Track:
     stsz: list | None = None  # per-sample sizes when stsz_const == 0
     stsc: list = field(default_factory=list)  # [(first_chunk, samples_per_chunk)]
     chunk_offsets: list = field(default_factory=list)  # absolute file offsets
+    avcc: bytes | None = None  # AVCDecoderConfigurationRecord (avc1 tracks)
 
 
 @dataclass
@@ -171,6 +176,19 @@ def _parse_stsd(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
         if entry + 36 <= e:
             trk.width = _u32(blob, entry + 32) >> 16
             trk.height = _u32(blob, entry + 32) & 0xFFFF
+        if trk.format in ("avc1", "avc3"):
+            # child boxes follow the 86-byte VisualSampleEntry; pull the
+            # decoder configuration (avcC) for the r11 H.264 intra tier
+            entry_size = _u32(blob, entry)
+            c = entry + 86
+            while c + 8 <= min(entry + entry_size, e):
+                csize = _u32(blob, c)
+                if csize < 8 or c + csize > e:
+                    break
+                if blob[c + 4 : c + 8] == b"avcC":
+                    trk.avcc = bytes(blob[c + 8 : c + csize])
+                    break
+                c += csize
 
 
 def _parse_stsz(blob: bytes, s: int, e: int, trk: MP4Track) -> None:
@@ -492,17 +510,22 @@ def sample_mp4_frames(
     mean_luma) — the r10 payload tier: picks samples against the blob's
     REAL stts/stss tables (as sample_video_frames_from_blobs does), then
     resolves each pick to its actual bytes via the stsc/stco/co64/stsz
-    chunk map and, for JPEG-coded tracks (stsd 'jpeg'/'mjpa'/...),
-    decodes the frame with the repo's pure-Python baseline-JPEG decoder —
-    the exact shape operators/avi.sample_avi_frames provides for
-    MJPEG-in-AVI (mean_luma = mean of the decoded frame's channel
-    average, a deterministic content fingerprint).
+    chunk map and decodes the frame: JPEG-coded tracks (stsd
+    'jpeg'/'mjpa'/...) with the repo's pure-Python baseline-JPEG
+    decoder, H.264 tracks ('avc1'/'avc3' with an avcC record, r11) with
+    the repo's baseline intra decoder (operators/h264 — IDR keyframes,
+    exactly the samples keyframes_only picks; non-IDR picks keep their
+    index/timestamp with NULL pixel stats). mean_luma = mean of the
+    decoded frame's luma/channel average, a deterministic content
+    fingerprint — the exact shape operators/avi.sample_avi_frames
+    provides for MJPEG-in-AVI.
 
     One Arrow map pass, zero shuffle; only the PICKED samples' byte
     ranges are sliced — never the whole mdat. Non-MP4 / chunk-map-less /
-    non-JPEG-track (when decode=True) / corrupt blobs emit ONE all-NULL
-    row (the multimodal reject convention); a picked frame whose bytes
-    fail JPEG decode keeps its index/timestamp with NULL pixel stats."""
+    other-codec-track (when decode=True) / corrupt blobs emit ONE
+    all-NULL row (the multimodal reject convention); a picked frame
+    whose bytes fail decode keeps its index/timestamp with NULL pixel
+    stats."""
     if every_n_seconds <= 0:
         raise ValueError("every_n_seconds must be > 0")
     id_type = dict(df.dtypes)[id_col]
@@ -514,6 +537,7 @@ def sample_mp4_frames(
         # deployment; the parser is too large to inline by value
         import pandas as _pd
 
+        from apache_pinot_spark.operators.h264 import decode_h264_avcc_sample
         from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
         from apache_pinot_spark.operators.mp4 import (
             JPEG_FORMATS,
@@ -549,9 +573,11 @@ def sample_mp4_frames(
                     picks = choose_samples(trk, every_n_seconds,
                                            keyframes_only)
                     locs = sample_locations(trk)
-                    if decode and trk.format not in JPEG_FORMATS:
+                    is_avc = trk.format in ("avc1", "avc3") and trk.avcc
+                    if decode and trk.format not in JPEG_FORMATS \
+                            and not is_avc:
                         raise ValueError(
-                            f"decode requested for non-JPEG track "
+                            f"decode requested for undecodable track "
                             f"({trk.format!r})"
                         )
                 except Exception:
@@ -561,7 +587,13 @@ def sample_mp4_frames(
                     h = w = luma = None
                     if decode:
                         try:
-                            img = decode_jpeg(sample_bytes(data, locs, idx))
+                            raw = sample_bytes(data, locs, idx)
+                            if is_avc:
+                                yp, _, _ = decode_h264_avcc_sample(
+                                    trk.avcc, raw)
+                                img = yp
+                            else:
+                                img = decode_jpeg(raw)
                         except Exception:
                             img = None
                         if img is not None:

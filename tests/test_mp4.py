@@ -272,8 +272,22 @@ def _jpeg_frames(n=4, h=8, w=8):
             for i in range(n)]
 
 
+def _stsd_avc1(avcc: bytes, w: int = 16, h: int = 16) -> bytes:
+    """Proper 86-byte VisualSampleEntry ('avc1') + avcC child box."""
+    vse = (b"avc1" + b"\x00" * 6 + struct.pack(">H", 1)
+           + b"\x00" * 16
+           + struct.pack(">HH", w, h)
+           + struct.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + struct.pack(">H", 1)
+           + b"\x00" * 32
+           + struct.pack(">H", 24) + struct.pack(">h", -1))
+    entry = _box(b"avc1", vse[4:] + _box(b"avcC", avcc))
+    return _box(b"stsd", _full() + struct.pack(">I", 1) + entry)
+
+
 def _mp4_with_payload(frames, stts_entries, fmt=b"jpeg", stss=None,
-                      chunking=None, wide_offsets=False, mts=1000):
+                      chunking=None, wide_offsets=False, mts=1000,
+                      stsd_box=None):
     """Assemble ftyp+moov+mdat with REAL payload bytes and a correct
     chunk map. chunking = list of samples-per-chunk (default: one chunk
     holding all frames). Returns the blob."""
@@ -290,7 +304,8 @@ def _mp4_with_payload(frames, stts_entries, fmt=b"jpeg", stss=None,
 
     def build(offsets):
         stbl = (
-            _stsd(fmt) + _stts(stts_entries)
+            (stsd_box if stsd_box is not None else _stsd(fmt))
+            + _stts(stts_entries)
             + (_stss(stss) if stss is not None else b"")
             + _stsc(stsc_entries) + _stsz(sizes)
             + _stco(offsets, wide=wide_offsets)
@@ -492,3 +507,56 @@ def test_video_stats_operator(spark):
     assert r1.total_sample_bytes == sum(len(f) for f in frames)
     assert r1.bitrate_bps == pytest.approx(r1.total_sample_bytes * 8 / 1.0)
     assert got[2].format is None and got[3].format is None
+
+
+def test_avc1_track_decodes_idr_keyframes(spark):
+    """r11: an 'avc1' track with an avcC record decodes its picked IDR
+    samples through operators/h264 — mean_luma equals the encoder
+    reconstruction's luma mean EXACTLY (both sides run the same dequant
+    path), the shape the JPEG tier established."""
+    import numpy as np
+
+    from apache_pinot_spark.operators import h264 as H
+
+    lumas = [20, 120, 220]
+    samples, recons, avcc = [], [], None
+    for v in lumas:
+        y = np.full((16, 16), v, np.uint8)
+        cbp = np.full((8, 8), 100, np.uint8)
+        crp = np.full((8, 8), 140, np.uint8)
+        ann, recon = H.encode_h264_annexb(y, cbp, crp, qp=20)
+        nals = list(H.parse_annexb(ann))
+        sps = next(r for _, t, r in nals if t == 7)
+        pps = next(r for _, t, r in nals if t == 8)
+        idr = next(r for _, t, r in nals if t == 5)
+        avcc = H.build_avcc(sps, pps)
+        nal = bytes([0x65]) + H._escape_rbsp(idr)
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+        recons.append(recon)
+    blob = _mp4_with_payload(samples, [(3, 500)],
+                             stsd_box=_stsd_avc1(avcc, 16, 16))
+    (trk,) = M.parse_mp4(blob).video_tracks
+    assert trk.format == "avc1" and trk.avcc == avcc
+    assert trk.width == 16 and trk.height == 16
+    # direct slice + decode
+    locs = M.sample_locations(trk)
+    dy, _, _ = H.decode_h264_avcc_sample(avcc, M.sample_bytes(blob, locs, 1))
+    assert np.array_equal(dy, recons[1][0])
+    # Spark operator end to end
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id LONG, content BINARY")
+    rows = M.sample_mp4_frames(df, 0.5).orderBy("sample_index").collect()
+    assert [r.sample_index for r in rows] == [0, 1, 2]
+    for r, recon in zip(rows, recons):
+        assert (r.height, r.width) == (16, 16)
+        assert r.mean_luma == pytest.approx(
+            float(recon[0].astype(np.float64).mean()))
+    # a corrupt sample keeps its index/timestamp with NULL pixel stats
+    mut = bytearray(blob)
+    locs = M.sample_locations(trk)
+    off, size = locs[2]
+    mut[off + 10] ^= 0xFF
+    df2 = spark.createDataFrame([(1, bytearray(bytes(mut)))],
+                                "media_id LONG, content BINARY")
+    rows2 = M.sample_mp4_frames(df2, 0.5).orderBy("sample_index").collect()
+    assert rows2[0].mean_luma is not None
