@@ -77,6 +77,7 @@ class WarcRecord:
     content_length: int = 0
     http_status: int | None = None  # response records only
     http_content_type: str | None = None
+    http_content_encoding: str | None = None  # gzip/deflate when sent
     body: bytes | None = None  # payload (HTTP body for response records)
     truncated: bool = False  # body dropped/cut by max_body_bytes
     headers: dict = field(default_factory=dict)
@@ -234,12 +235,69 @@ def _parse_member_records(member: bytes, max_body_bytes: int):
             if end > len(member):
                 raise ValueError("record body overruns member")
         if rec.warc_type == "response" and body is not None:
-            rec.http_status, rec.http_content_type, payload = \
+            rec.http_status, rec.http_content_type, cenc, payload = \
                 _parse_http_response(body)
+            rec.http_content_encoding = cenc
+            if cenc and payload is not None:
+                # raw crawls store compressed HTTP bodies verbatim;
+                # inflate gzip/deflate here (bounded — a bomb body marks
+                # the RECORD truncated, it cannot OOM the task; the
+                # Content-Length framing keeps the stream aligned
+                # regardless)
+                try:
+                    payload = _inflate_http_body(payload, cenc,
+                                                 max_body_bytes)
+                except ValueError:
+                    payload = None
+                    rec.truncated = True
             rec.body = payload
         else:
             rec.body = body
         yield rec
+
+
+def _inflate_http_body(body: bytes, encoding: str, cap: int) -> bytes:
+    """Bounded decode of an HTTP Content-Encoding'd payload: gzip and
+    both deflate flavors (zlib-wrapped and raw — servers ship either).
+    'identity' passes through; unknown codings raise (the record's body
+    routes to the truncated/NULL path, never silently-wrong text)."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity", "none"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        wbits_options = (31,)
+    elif enc == "deflate":
+        wbits_options = (15, -15)
+    else:
+        raise ValueError(f"unsupported Content-Encoding {encoding!r}")
+    last_exc = None
+    for wbits in wbits_options:
+        d = zlib.decompressobj(wbits=wbits)
+        out = bytearray()
+        pos = 0
+        tail = b""
+        try:
+            while True:
+                chunk = tail or body[pos : pos + _INFLATE_CHUNK]
+                if not tail:
+                    pos += len(chunk)
+                tail = b""
+                if not chunk:
+                    if d.eof or not out:
+                        break
+                    raise ValueError("truncated compressed body")
+                out += d.decompress(chunk, cap + 1 - len(out))
+                if len(out) > cap:
+                    raise ValueError("compressed body inflates past cap")
+                tail = d.unconsumed_tail
+                if d.eof:
+                    break
+            if not out and body:
+                raise ValueError("empty inflate")
+            return bytes(out)
+        except (zlib.error, ValueError) as exc:
+            last_exc = exc
+    raise ValueError(f"cannot inflate {enc} body: {last_exc}")
 
 
 def parse_warc_records(
@@ -285,26 +343,30 @@ def iter_warc_records_tolerant(
 
 
 def _parse_http_response(body: bytes):
-    """(status, content_type, payload) from an HTTP/1.x response block;
-    non-HTTP bodies come back as (None, None, body) — some crawls store
-    raw payloads in response records."""
+    """(status, content_type, content_encoding, payload) from an
+    HTTP/1.x response block; non-HTTP bodies come back as
+    (None, None, None, body) — some crawls store raw payloads in
+    response records."""
     if not body.startswith(b"HTTP/"):
-        return None, None, body
+        return None, None, None, body
     sep = body.find(b"\r\n\r\n")
     if sep < 0:
-        return None, None, body
+        return None, None, None, body
     head = body[:sep].split(b"\r\n")
     try:
         status = int(head[0].split()[1])
     except (IndexError, ValueError):
-        return None, None, body
-    ctype = None
+        return None, None, None, body
+    ctype = cenc = None
     for line in head[1:]:
         if b":" in line:
             k, v = line.split(b":", 1)
-            if k.strip().lower() == b"content-type":
+            key = k.strip().lower()
+            if key == b"content-type":
                 ctype = v.strip().decode("latin1", "replace")
-    return status, ctype, body[sep + 4 :]
+            elif key == b"content-encoding":
+                cenc = v.strip().decode("latin1", "replace").lower()
+    return status, ctype, cenc, body[sep + 4 :]
 
 
 def select_charset(content_type: str | None, fallback: str = "utf-8") -> str:
