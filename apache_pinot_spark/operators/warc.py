@@ -8,6 +8,11 @@ Scope:
     gzip members — split and inflate each member independently (the
     random-access property crawler tooling relies on), falling back to
     treating the blob as one plain-text WARC when not gzipped
+  * zstd member splitting: the IIPC .warc.zst convention (one record
+    run per RFC 8878 frame, optional leading skippable dictionary
+    frame) rides the same member contract via operators/zstdio —
+    per-frame error isolation, bounded inflation, dictionary frames
+    reject honestly (the bundled codec has no dictionary API)
   * record grammar: ``WARC/1.x`` version line, header block
     (name: value, no continuation-line support — Common Crawl does not
     emit them), Content-Length-framed body, CRLF CRLF record separator
@@ -67,6 +72,16 @@ DEFAULT_MAX_MEMBER_BYTES = 256 << 20
 _CHARSET_RE = re.compile(r'charset\s*=\s*"?\'?([A-Za-z0-9_:.+-]+)', re.I)
 
 
+def _looks_zstd(blob: bytes) -> bool:
+    from apache_pinot_spark.operators.zstdio import (
+        ZSTD_MAGIC,
+        _is_skippable_magic,
+    )
+
+    return len(blob) >= 4 and (
+        blob[:4] == ZSTD_MAGIC or _is_skippable_magic(blob, 0))
+
+
 @dataclass
 class WarcRecord:
     warc_type: str = ""
@@ -77,7 +92,7 @@ class WarcRecord:
     content_length: int = 0
     http_status: int | None = None  # response records only
     http_content_type: str | None = None
-    http_content_encoding: str | None = None  # gzip/deflate when sent
+    http_content_encoding: str | None = None  # gzip/deflate/br/zstd when sent
     body: bytes | None = None  # payload (HTTP body for response records)
     truncated: bool = False  # body dropped/cut by max_body_bytes
     headers: dict = field(default_factory=dict)
@@ -121,9 +136,16 @@ def split_gzip_members(
 ):
     """Yield the inflated bytes of each gzip member in a multi-member
     stream (the .warc.gz layout), each inflation bounded by
-    ``max_member_bytes``. Non-gzip input yields the blob itself once.
-    Raises ValueError on a corrupt or oversized member (STRICT form —
-    the Spark operator uses the per-member-tolerant walker instead)."""
+    ``max_member_bytes``. A .warc.zst blob (zstd or skippable magic)
+    delegates to the zstd frame splitter; other non-gzip input yields
+    the blob itself once. Raises ValueError on a corrupt or oversized
+    member (STRICT form — the Spark operator uses the
+    per-member-tolerant walker instead)."""
+    if _looks_zstd(blob):
+        from apache_pinot_spark.operators.zstdio import split_zstd_members
+
+        yield from split_zstd_members(blob, max_member_bytes)
+        return
     if blob[:2] != _GZIP_MAGIC:
         yield blob
         return
@@ -140,8 +162,16 @@ def _iter_members_tolerant(blob: bytes, max_member_bytes: int):
     """Yield ('member', inflated_bytes) | ('reject', reason) per gzip
     member, isolating errors: a corrupt/oversized member emits one
     reject event and the walker RESYNCS at the next gzip magic — the
-    random-access property .warc.gz is written for. Non-gzip input is
-    one plain member."""
+    random-access property .warc.gz is written for. A .warc.zst blob
+    rides the zstd frame walker's identical contract; other non-gzip
+    input is one plain member."""
+    if _looks_zstd(blob):
+        from apache_pinot_spark.operators.zstdio import (
+            iter_zstd_members_tolerant,
+        )
+
+        yield from iter_zstd_members_tolerant(blob, max_member_bytes)
+        return
     if blob[:2] != _GZIP_MAGIC:
         yield ("member", blob)
         return
@@ -256,14 +286,43 @@ def _parse_member_records(member: bytes, max_body_bytes: int):
         yield rec
 
 
+def _pyarrow_inflate_bounded(body: bytes, codec: str, cap: int) -> bytes:
+    """Bounded streaming decode through a pyarrow-bundled codec (brotli,
+    zstd) — the Content-Encodings zlib does not speak. Same chunkwise
+    cap discipline as the zlib paths: a bomb raises before it
+    materializes."""
+    import pyarrow as pa
+
+    stream = pa.CompressedInputStream(pa.BufferReader(body), codec)
+    out = bytearray()
+    try:
+        while True:
+            chunk = stream.read(min(_INFLATE_CHUNK, cap + 1 - len(out)))
+            if not chunk:
+                break
+            out += chunk
+            if len(out) > cap:
+                raise ValueError(f"{codec} body inflates past {cap} bytes")
+    except (pa.lib.ArrowInvalid, OSError) as exc:
+        raise ValueError(f"corrupt {codec} body: {exc}") from exc
+    if not out and body:
+        raise ValueError(f"empty {codec} inflate")
+    return bytes(out)
+
+
 def _inflate_http_body(body: bytes, encoding: str, cap: int) -> bytes:
     """Bounded decode of an HTTP Content-Encoding'd payload: gzip and
-    both deflate flavors (zlib-wrapped and raw — servers ship either).
+    both deflate flavors (zlib-wrapped and raw — servers ship either)
+    via zlib; brotli ('br') and zstd via the pyarrow-bundled codecs.
     'identity' passes through; unknown codings raise (the record's body
     routes to the truncated/NULL path, never silently-wrong text)."""
     enc = encoding.strip().lower()
     if enc in ("", "identity", "none"):
         return body
+    if enc == "br":
+        return _pyarrow_inflate_bounded(body, "brotli", cap)
+    if enc == "zstd":
+        return _pyarrow_inflate_bounded(body, "zstd", cap)
     if enc in ("gzip", "x-gzip"):
         wbits_options = (31,)
     elif enc == "deflate":
@@ -504,7 +563,7 @@ def crawl_to_documents(
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     wet: bool = False,
 ) -> DataFrame:
-    """One-call crawl ingest: .warc.gz files → (doc_id, url, fetch_date,
+    """One-call crawl ingest: .warc.gz / .warc.zst files → (doc_id, url, fetch_date,
     text, n_chars, source) in the repo's documents-table shape, ready
     for the curation pipeline (operators/pipeline.curate_corpus). Reads
     whole files via Spark's binaryFile source (each file = one task —
