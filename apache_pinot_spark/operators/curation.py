@@ -175,3 +175,71 @@ def ngram_contamination(
         )
     )
     return out
+
+
+def badword_stats(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    word_col: str = "word",
+) -> DataFrame:
+    """(key_col, total_tokens, bad_tokens, bad_frac) per document against
+    a word blocklist — the C4 "bad words" gate's accounting (C4 drops a
+    page on ANY hit, i.e. bad_tokens > 0; Gopher-style recipes gate on
+    the fraction instead — both read off this frame).
+
+    Matching is on the curation family's RAW tokenizer (lower, split
+    non-alphanumeric, stop words KEPT — operators/dsir._tokens; the
+    text-search tokenizer would drop stopword blocklist entries and
+    shrink the denominator), so multi-token blocklist phrases should be
+    added as their individual words by the caller. Plan: one corpus
+    tokenize + explode, LEFT join against the BROADCAST (≤ tens of
+    thousands of rows) lowered blocklist, one map-side-combined
+    groupBy(key) — the same shape as ngram_contamination above."""
+    from apache_pinot_spark.operators.dsir import _tokens
+
+    bl = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(word_col)).alias("__bad"),
+            F.lit(1).alias("__hit"),
+        ).distinct()
+    )
+    toks = _spread(df).select(
+        F.col(key_col).alias("__key"),
+        F.explode_outer(_tokens(F.col(text_col))).alias("__tok"),
+    )
+    return (
+        toks.join(bl, toks["__tok"] == F.col("__bad"), "left")
+        .groupBy("__key")
+        .agg(
+            F.count("__tok").alias("total_tokens"),
+            F.count("__hit").alias("bad_tokens"),
+        )
+        .select(
+            F.col("__key").alias(key_col),
+            "total_tokens",
+            "bad_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("bad_tokens").cast("double") / F.col("total_tokens"),
+            ).otherwise(F.lit(0.0)).alias("bad_frac"),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    word_col: str = "word",
+    max_bad_frac: float = 0.0,
+) -> DataFrame:
+    """Drop documents whose blocklisted-token fraction exceeds
+    ``max_bad_frac`` (0.0 = the C4 any-hit rule). Output schema = input
+    schema; one keyed anti join past the badword_stats shuffle."""
+    hits = badword_stats(df, blocklist, text_col, key_col, word_col) \
+        .filter(F.col("bad_frac") > max_bad_frac) \
+        .select(key_col)
+    return df.join(hits, on=key_col, how="left_anti")

@@ -627,6 +627,6 @@ def crawl_to_documents(
         docs.filter(F.col("n_chars") >= min_text_chars)
         .select(
             "doc_id", "url", "fetch_date", "text", "n_chars",
-            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
         )
     )
