@@ -52,6 +52,19 @@ class CurationConfig:
 
     text_col: str = "text"
     id_col: str = "doc_id"
+    # URL-level dedup (crawl-shaped corpora; requires ``url_col`` in the
+    # frame — the cheapest duplicate kill, BEFORE any text parses)
+    url_dedup: bool = False
+    url_col: str = "url"
+    # UT1-style domain blocklist (requires the blocked_domains frame)
+    block_domains: bool = False
+    # C4 banned-words gate (requires the word_blocklist frame);
+    # max_bad_frac=0.0 is the C4 any-hit rule
+    block_words: bool = False
+    max_bad_frac: float = 0.0
+    # trained model-based quality gate (requires the quality_model);
+    # applied AFTER the heuristic quality/language gate
+    min_model_prob: float | None = None
     # exact dedup
     exact_dedup: bool = True
     # boilerplate (C4 repeated-line) removal
@@ -108,13 +121,19 @@ def curate_corpus(
     config: CurationConfig | None = None,
     benchmark: DataFrame | None = None,
     reference: DataFrame | None = None,
+    blocked_domains: DataFrame | None = None,
+    word_blocklist: DataFrame | None = None,
+    quality_model=None,
 ) -> dict[str, DataFrame]:
     """Run the staged curation plan. Returns {stage_name: DataFrame} in
     stage order — every entry is the corpus AS OF that stage (same
     schema as the input, plus a ``split`` column on the final stage),
     fully lazy. ``benchmark`` feeds decontamination; ``reference``
-    feeds the lm/dsir selection stage (both required only when their
-    stage is enabled)."""
+    feeds the lm/dsir selection stage; ``blocked_domains`` (a `domain`
+    frame) feeds the UT1 gate, ``word_blocklist`` (a `word` frame) the
+    C4 gate, ``quality_model`` (operators/quality_clf.QualityModel) the
+    trained quality gate — each required only when its stage is
+    enabled."""
     from apache_pinot_spark.operators import curation, dedup, redaction
     from apache_pinot_spark.operators import textanalysis as tx
     from apache_pinot_spark.operators.chunking import assign_splits
@@ -142,17 +161,51 @@ def curate_corpus(
         stages[name] = df
         return df
 
+    if cfg.url_dedup:
+        from apache_pinot_spark.operators.urls import url_dedup
+
+        if cfg.url_col not in cur.columns:
+            raise ValueError(
+                f"url_dedup=True requires a {cfg.url_col!r} column")
+        cur = _stage("url_dedup", url_dedup(
+            cur, url_col=cfg.url_col, id_col=k).drop("canonical_url"))
+    if cfg.block_domains:
+        from apache_pinot_spark.operators.urls import blocked_domain_filter
+
+        if blocked_domains is None:
+            raise ValueError(
+                "block_domains=True requires a blocked_domains frame")
+        cur = _stage("domain_blocklist", blocked_domain_filter(
+            cur, blocked_domains, host_col=cfg.source_col, id_col=k))
     if cfg.exact_dedup:
         cur = _stage("exact_dedup", dedup.dedupe_exact(cur, text_col=t, key_col=k))
     if cfg.boilerplate:
         cur = _stage("boilerplate", curation.remove_repeated_lines(
             cur, text_col=t, key_col=k, min_count=cfg.boilerplate_min_count
         ))
+    if cfg.block_words:
+        if word_blocklist is None:
+            raise ValueError(
+                "block_words=True requires a word_blocklist frame")
+        cur = _stage("word_blocklist", curation.blocklist_filter(
+            cur, word_blocklist, text_col=t, key_col=k,
+            max_bad_frac=cfg.max_bad_frac))
     if cfg.quality_filter:
         keep = tx.quality_score_expr(F.col(t)) >= F.lit(cfg.min_quality)
         if cfg.keep_langs:
             keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
         cur = _stage("quality_language", cur.filter(keep))
+    if cfg.min_model_prob is not None:
+        from apache_pinot_spark.operators.quality_clf import score_quality
+
+        if quality_model is None:
+            raise ValueError(
+                "min_model_prob requires a quality_model")
+        keep_ids = score_quality(cur, quality_model, text_col=t,
+                                 id_col=k) \
+            .filter(F.col("quality_prob") >= cfg.min_model_prob) \
+            .select(k)
+        cur = _stage("model_quality", cur.join(keep_ids, on=k, how="left_semi"))
     if cfg.redact_pii:
         cats = list(cfg.pii_categories) if cfg.pii_categories else None
         cur = _stage("pii_redaction",

@@ -1,0 +1,104 @@
+"""The r11 optional pipeline gates wired into curate_corpus: URL dedup,
+domain blocklist, C4 word blocklist, trained model-quality gate — stage
+order, row accounting, schema preservation, and the
+required-input errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.operators.pipeline import CurationConfig, curate_corpus
+from apache_pinot_spark.operators.quality_clf import QualityModel
+
+_PROSE = ("this is a perfectly ordinary paragraph of prose with the "
+          "usual common stopwords that real writing always has in it "
+          "and it is long enough to pass the quality gate easily ")
+
+
+def _crawl_corpus(spark):
+    rows = [
+        # 0/1: same canonical URL (tracking param variant) — URL dedup
+        (0, _PROSE + "alpha", "en", "good.example.com",
+         "http://good.example.com/a?utm_source=x"),
+        (1, _PROSE + "alpha beta", "en", "good.example.com",
+         "http://good.example.com/a"),
+        # 2: blocked domain (subdomain of the blocklist entry)
+        (2, _PROSE + "gamma", "en", "spam.blocked.example",
+         "http://spam.blocked.example/p"),
+        # 3: banned word
+        (3, _PROSE + "casinoword", "en", "good.example.com",
+         "http://good.example.com/b"),
+        # 4: clean survivor
+        (4, _PROSE + "delta", "en", "good.example.com",
+         "http://good.example.com/c"),
+        # 5: junk the model gate kills (heuristic quality would keep it)
+        (5, _PROSE + "junkmarker", "en", "good.example.com",
+         "http://good.example.com/d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, url string")
+    return df.withColumn("n_chars", F.length("text"))
+
+
+def _model():
+    # hand-built model: strongly negative weight on junkmarker's bucket
+    import hashlib
+
+    bad_bucket = hashlib.md5(b"junkmarker").hexdigest()[:3]
+    return QualityModel(weights={bad_bucket: -400.0}, bias=2.0)
+
+
+def test_all_gates_in_order_and_accounting(spark):
+    cfg = CurationConfig(
+        url_dedup=True, block_domains=True, block_words=True,
+        min_model_prob=0.5,
+        exact_dedup=True, boilerplate=False, quality_filter=True,
+        redact_pii=False, near_dedup=False, decontaminate=False,
+    )
+    stages = curate_corpus(
+        _crawl_corpus(spark), cfg,
+        blocked_domains=spark.createDataFrame([("blocked.example",)],
+                                              "domain string"),
+        word_blocklist=spark.createDataFrame([("casinoword",)],
+                                             "word string"),
+        quality_model=_model(),
+    )
+    names = list(stages)
+    assert names == ["input", "url_dedup", "domain_blocklist",
+                     "exact_dedup", "word_blocklist", "quality_language",
+                     "model_quality", "splits"]
+    counts = {n: df.count() for n, df in stages.items()}
+    assert counts["input"] == 6
+    assert counts["url_dedup"] == 5          # doc 1 lost to doc 0
+    assert counts["domain_blocklist"] == 4   # doc 2 blocked
+    assert counts["word_blocklist"] == 3     # doc 3 banned
+    assert counts["model_quality"] == 2      # doc 5 scored out
+    assert sorted(r.doc_id for r in stages["model_quality"].collect()) == [0, 4]
+    # schema preserved through every gate (splits adds its column)
+    for n in names[:-1]:
+        assert stages[n].columns == stages["input"].columns
+    assert "split" in stages["splits"].columns
+
+
+def test_required_inputs_raise(spark):
+    docs = _crawl_corpus(spark)
+    with pytest.raises(ValueError, match="blocked_domains"):
+        curate_corpus(docs, CurationConfig(
+            block_domains=True, decontaminate=False))
+    with pytest.raises(ValueError, match="word_blocklist"):
+        curate_corpus(docs, CurationConfig(
+            block_words=True, decontaminate=False))
+    with pytest.raises(ValueError, match="quality_model"):
+        curate_corpus(docs, CurationConfig(
+            min_model_prob=0.5, decontaminate=False))
+    with pytest.raises(ValueError, match="'url'"):
+        curate_corpus(docs.drop("url"), CurationConfig(
+            url_dedup=True, decontaminate=False))
+
+
+def test_gates_off_by_default(spark):
+    stages = curate_corpus(_crawl_corpus(spark),
+                           CurationConfig(decontaminate=False))
+    assert not {"url_dedup", "domain_blocklist", "word_blocklist",
+                "model_quality"} & set(stages)
