@@ -82,6 +82,42 @@ def read_jsonl_corpus(
     (RedPajama subset dumps, single-source scrapes) stamp a constant;
     otherwise the per-file fallback is NULL, which the pipeline's
     source-share cap treats as its own stratum."""
+    opts = _resolve_fields(preset, text_field, id_field, source_field,
+                           lang_field, url_field)
+    lines = spark.read.text(paths if isinstance(paths, str) else list(paths))
+    return _project_jsonl(lines, opts, default_source, min_text_chars)
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    preset: str | None = None,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source_field: str | None = None,
+    lang_field: str | None = None,
+    url_field: str | None = None,
+    default_source: str | None = None,
+    min_text_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured Streaming twin of ``read_jsonl_corpus``: watch a
+    corpus directory as dumps land (the continuous-ingest deployment),
+    same field mapping, same per-line error isolation — the projection
+    is the identical expression tree, so batch and stream cannot drift.
+    Pair with an idempotent sink (streaming/realtime's commit contract).
+    ``max_files_per_trigger`` bounds a micro-batch for backfill."""
+    opts = _resolve_fields(preset, text_field, id_field, source_field,
+                           lang_field, url_field)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path)
+    return _project_jsonl(lines, opts, default_source, min_text_chars)
+
+
+def _resolve_fields(preset, text_field, id_field, source_field,
+                    lang_field, url_field) -> dict:
     opts = dict(CORPUS_PRESETS[preset]) if preset else {}
     explicit = dict(text_field=text_field, id_field=id_field,
                     source_field=source_field, lang_field=lang_field,
@@ -91,9 +127,13 @@ def read_jsonl_corpus(
         if v is not None and not (k == "text_field" and v == "text"
                                   and "text_field" in opts):
             opts[k] = v
-    text_f = opts.get("text_field", "text")
-    lines = spark.read.text(paths if isinstance(paths, str) else list(paths))
-    txt = F.get_json_object(F.col("value"), _jpath(text_f))
+    return opts
+
+
+def _project_jsonl(lines: DataFrame, opts: dict,
+                   default_source: str | None,
+                   min_text_chars: int) -> DataFrame:
+    txt = F.get_json_object(F.col("value"), _jpath(opts.get("text_field", "text")))
 
     def maybe(fname):
         f = opts.get(fname)

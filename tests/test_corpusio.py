@@ -129,3 +129,28 @@ def test_feeds_curation_pipeline(spark, tmp_path):
     stages = curate_corpus(corpus, cfg)
     final = list(stages.values())[-1]
     assert final.count() > 0
+
+
+def test_stream_jsonl_corpus(spark, tmp_path):
+    # the streaming twin: same projection over readStream.text — drive
+    # one availableNow micro-batch into a memory sink
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write(src, "a.jsonl", _DOCS[:2])
+    _write(src, "b.jsonl.gz", [_DOCS[1]], "gz")
+    stream = C.stream_jsonl_corpus(spark, str(src), preset="pile",
+                                   min_text_chars=50,
+                                   max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("jsonl_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM jsonl_stream").collect()
+    assert len(rows) == 3
+    assert {r.source for r in rows} == {"Wikipedia", "Books3"}
+    # batch and stream produce IDENTICAL docs for identical input
+    batch = C.read_jsonl_corpus(
+        spark, [str(src / "a.jsonl"), str(src / "b.jsonl.gz")],
+        preset="pile", min_text_chars=50)
+    assert sorted((r.doc_id, r.text) for r in rows) \
+        == sorted((r.doc_id, r.text) for r in batch.collect())
