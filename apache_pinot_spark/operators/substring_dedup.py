@@ -62,14 +62,29 @@ def _window_rows(df: DataFrame, text_col: str, id_col: str,
         import hashlib
         import re
 
+        import numpy as _np
         import pandas as _pd
 
+        MASK = (1 << 64) - 1
+        B = 0x100000001B3  # odd multiplier (FNV prime) — invertible mod 2^64
+        BW = pow(B, w, 1 << 64)
+        tok_memo: dict = {}
+
         def h64(s: str) -> int:
-            # blake2b-derived signed 64-bit signature (xxhash is not a
-            # declared dependency; the signature only needs to be
-            # consistent within the job and collision-negligible)
-            d = hashlib.blake2b(s.encode(), digest_size=8).digest()
-            return int.from_bytes(d, "big", signed=True)
+            # blake2b-derived 64-bit per-TOKEN hash (xxhash is not a
+            # declared dependency); window signatures are a degree-w
+            # polynomial in B over these — O(1) per window via the
+            # rolling update instead of re-joining w tokens (the probed
+            # hot loop). Collisions only cost a false dup pair, and the
+            # polynomial keeps ORDER sensitivity a bag-of-hashes sum
+            # would lose.
+            v = tok_memo.get(s)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "big")
+                tok_memo[s] = v
+            return v
 
         for pdf in batches:
             ids, idxs, sigs, starts, ends = [], [], [], [], []
@@ -78,15 +93,29 @@ def _window_rows(df: DataFrame, text_col: str, id_col: str,
                     continue
                 toks = [(m.start(), m.end(), m.group(0).lower())
                         for m in re.finditer(r"[0-9A-Za-z]+", text)]
-                for i in range(len(toks) - w + 1):
-                    body = " ".join(t[2] for t in toks[i : i + w])
-                    ids.append(mid)
-                    idxs.append(i)
-                    sigs.append(h64(body))
-                    starts.append(toks[i][0])
-                    ends.append(toks[i + w - 1][1])
-            yield _pd.DataFrame({"id": ids, "win_idx": idxs, "sig": sigs,
-                                 "start_char": starts, "end_char": ends})
+                n = len(toks) - w + 1
+                if n <= 0:
+                    continue
+                hs = [h64(t[2]) for t in toks]
+                sig = 0
+                for v in hs[:w]:
+                    sig = (sig * B + v) & MASK
+                out_sigs = [sig]
+                for i in range(1, n):
+                    sig = (sig * B - hs[i - 1] * BW + hs[i + w - 1]) & MASK
+                    out_sigs.append(sig)
+                ids.extend([mid] * n)
+                idxs.extend(range(n))
+                # shift to signed 64 for the LongType column
+                sigs.extend(s - (1 << 64) if s >= (1 << 63) else s
+                            for s in out_sigs)
+                starts.extend(t[0] for t in toks[:n])
+                ends.extend(toks[i + w - 1][1] for i in range(n))
+            yield _pd.DataFrame(
+                {"id": ids, "win_idx": _np.array(idxs, dtype="int32"),
+                 "sig": _np.array(sigs, dtype="int64"),
+                 "start_char": _np.array(starts, dtype="int32"),
+                 "end_char": _np.array(ends, dtype="int32")})
 
     from apache_pinot_spark.operators.dedup import _spread
 
