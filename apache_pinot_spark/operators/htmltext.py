@@ -59,6 +59,10 @@ class _Extractor(HTMLParser):
         self.link_depth = 0
         self.parts: list = []  # (text, in_link) runs of the current para
         self.paragraphs: list = []
+        # page-level signals (meta/link live in <head>, whose DATA is
+        # skipped but whose start tags still fire)
+        self.robots_noindex = False
+        self.canonical_url: str | None = None
 
     def _flush(self):
         if not self.parts:
@@ -79,6 +83,17 @@ class _Extractor(HTMLParser):
             self.skip_depth += 1
         elif tag == "a":
             self.link_depth += 1
+        elif tag == "meta":
+            a = dict(attrs)
+            if (a.get("name") or "").strip().lower() == "robots" \
+                    and "noindex" in (a.get("content") or "").lower():
+                self.robots_noindex = True
+        elif tag == "link":
+            a = dict(attrs)
+            rels = (a.get("rel") or "").lower().split()
+            href = (a.get("href") or "").strip()
+            if "canonical" in rels and href and self.canonical_url is None:
+                self.canonical_url = href
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -99,9 +114,22 @@ class _Extractor(HTMLParser):
         self._flush()
 
 
+def extract_page(html: str, stop_words: frozenset | None = None):
+    """([Paragraph], robots_noindex, canonical_url) — the paragraph
+    extraction plus the page-level indexing signals a crawl pipeline
+    gates/canonicalizes on (<meta name=robots content=noindex> and
+    <link rel=canonical>). One parse."""
+    paras, p = _paragraphs_and_parser(html, stop_words)
+    return paras, p.robots_noindex, p.canonical_url
+
+
 def extract_paragraphs(html: str, stop_words: frozenset | None = None) -> list:
     """[Paragraph] for the visible text of ``html`` (tolerant of tag
     soup — malformed markup degrades, never raises)."""
+    return _paragraphs_and_parser(html, stop_words)[0]
+
+
+def _paragraphs_and_parser(html: str, stop_words: frozenset | None = None):
     from apache_pinot_spark.functions.text import DEFAULT_STOP_WORDS
 
     sw = stop_words if stop_words is not None else DEFAULT_STOP_WORDS
@@ -120,7 +148,7 @@ def extract_paragraphs(html: str, stop_words: frozenset | None = None) -> list:
             link_density=link_words / n if n else 0.0,
             stopword_density=stops / n if n else 0.0,
         ))
-    return out
+    return out, p
 
 
 def keep_paragraph(p: Paragraph,
@@ -158,17 +186,19 @@ def extract_html_text(
     passthrough: tuple = (),
 ) -> DataFrame:
     """(id, *passthrough, text, n_paragraphs, n_kept, n_chars,
-    link_density) per row — boilerplate-gated visible text plus the
-    audit counts. NULL input rows emit NULL text (the reject
-    convention); malformed markup degrades to best-effort extraction,
-    by design. ``passthrough`` columns ride THROUGH the Arrow map's
-    schema unchanged, so callers never need a metadata re-join (a
-    doc_id self-join here would shuffle the whole corpus twice at crawl
+    link_density, robots_noindex, canonical_url) per row —
+    boilerplate-gated visible text plus the audit counts and the page's
+    indexing signals (noindex gate / rel=canonical for URL dedup).
+    NULL input rows emit NULL text (the reject convention); malformed
+    markup degrades to best-effort extraction, by design.
+    ``passthrough`` columns ride THROUGH the Arrow map's schema
+    unchanged, so callers never need a metadata re-join (a doc_id
+    self-join here would shuffle the whole corpus twice at crawl
     scale). One Arrow map pass, zero shuffle."""
     dtypes = dict(df.dtypes)
     id_type = dtypes[id_col]
     reserved = {"id", "h", "text", "n_paragraphs", "n_kept", "n_chars",
-                "link_density"}
+                "link_density", "robots_noindex", "canonical_url"}
     bad = [c for c in passthrough
            if c in reserved or c in (id_col, html_col)]
     if bad:
@@ -187,21 +217,21 @@ def extract_html_text(
         import pandas as _pd
 
         from apache_pinot_spark.operators.htmltext import (
-            extract_paragraphs,
+            extract_page,
             keep_paragraph,
         )
 
+        cols = ("id", "text", "n_paragraphs", "n_kept", "n_chars",
+                "link_density", "robots_noindex", "canonical_url")
         for pdf in batches:
-            out = {k: [] for k in ("id", "text", "n_paragraphs", "n_kept",
-                                   "n_chars", "link_density")}
+            out = {k: [] for k in cols}
             for mid, html in zip(pdf["id"], pdf["h"]):
                 out["id"].append(mid)
                 if html is None:
-                    for k in ("text", "n_paragraphs", "n_kept", "n_chars",
-                              "link_density"):
+                    for k in cols[1:]:
                         out[k].append(None)
                     continue
-                paras = extract_paragraphs(str(html))
+                paras, noindex, canonical = extract_page(str(html))
                 kept = [p for p in paras if keep_paragraph(
                     p, min_words=min_words,
                     max_link_density=max_link_density,
@@ -215,16 +245,18 @@ def extract_html_text(
                 out["n_chars"].append(len(text))
                 out["link_density"].append(
                     link_words / total_words if total_words else 0.0)
+                out["robots_noindex"].append(noindex)
+                out["canonical_url"].append(canonical)
             frame = _pd.DataFrame(out)
             for c in pt:  # row order is preserved: copy columns verbatim
                 frame[c] = list(pdf[c])
-            yield frame[["id", *pt, "text", "n_paragraphs", "n_kept",
-                         "n_chars", "link_density"]]
+            yield frame[["id", *pt, *cols[1:]]]
 
     pt_schema = "".join(f", {c} {dtypes[c]}" for c in passthrough)
     out = src.mapInPandas(
         run,
         schema=f"id {id_type}{pt_schema}, text STRING, n_paragraphs INT, "
-               "n_kept INT, n_chars INT, link_density DOUBLE",
+               "n_kept INT, n_chars INT, link_density DOUBLE, "
+               "robots_noindex BOOLEAN, canonical_url STRING",
     )
     return out.withColumnRenamed("id", id_col)

@@ -79,6 +79,11 @@ class CurationConfig:
     # redaction.PORTABLE_CATEGORIES when a SQL oracle must replay the pass)
     redact_pii: bool = True
     pii_categories: tuple | None = None
+    # exact-substring dedup (Lee et al. 2021 span excision) — the
+    # heaviest dedup tier (stride-1 window rows ~ total tokens), so off
+    # by default; run it on already-document-deduped corpora
+    substring_dedup: bool = False
+    substring_window_tokens: int = 50
     # near-dup dedup
     near_dedup: bool = True
     near_num_hashes: int = 8
@@ -226,6 +231,15 @@ def curate_corpus(
         deduped = dedup_keep_canonical(cur, pairs, key_col=k)
         artifacts.append(deduped._cc_labels_keepalive)
         cur = _stage("near_dedup", deduped)
+    if cfg.substring_dedup:
+        from apache_pinot_spark.operators.substring_dedup import (
+            dedup_exact_substrings,
+        )
+
+        cur = _stage("substring_dedup", dedup_exact_substrings(
+            cur, text_col=t, id_col=k,
+            window_tokens=cfg.substring_window_tokens,
+        ).drop("n_chars_removed"))
     if cfg.decontaminate:
         if benchmark is None:
             raise ValueError("decontaminate=True requires a benchmark frame")

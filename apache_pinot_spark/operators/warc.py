@@ -562,6 +562,7 @@ def crawl_to_documents(
     max_body_bytes: int = 8 << 20,
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     wet: bool = False,
+    drop_noindex: bool = False,
 ) -> DataFrame:
     """One-call crawl ingest: .warc.gz / .warc.zst files → (doc_id, url, fetch_date,
     text, n_chars, source) in the repo's documents-table shape, ready
@@ -619,10 +620,18 @@ def crawl_to_documents(
         # url/fetch_date ride THROUGH the Arrow map's schema — a re-join
         # on doc_id here would shuffle the whole corpus twice for
         # metadata the extractor can just carry
-        docs = extract_html_text(
+        extracted = extract_html_text(
             pages, html_col="body", id_col="doc_id",
             passthrough=("url", "fetch_date"),
-        ).select("doc_id", "url", "fetch_date", "text", "n_chars")
+        )
+        if drop_noindex:
+            # pages that opt out of indexing via <meta name=robots
+            # content=noindex> — a polite-corpus policy knob, off by
+            # default (the public crawl recipes do not apply it)
+            extracted = extracted.filter(
+                ~F.coalesce(F.col("robots_noindex"), F.lit(False)))
+        docs = extracted.select("doc_id", "url", "fetch_date", "text",
+                                "n_chars")
     return (
         docs.filter(F.col("n_chars") >= min_text_chars)
         .select(

@@ -102,3 +102,24 @@ def test_gates_off_by_default(spark):
                            CurationConfig(decontaminate=False))
     assert not {"url_dedup", "domain_blocklist", "word_blocklist",
                 "model_quality"} & set(stages)
+
+
+def test_substring_dedup_stage(spark):
+    dup = ("this exact shared disclaimer paragraph is repeated verbatim "
+           "across documents and is long enough for the window size here")
+    docs = spark.createDataFrame(
+        [(1, _PROSE + "one. " + dup, "en", "a.example", "http://a.example/1"),
+         (2, _PROSE + "two. " + dup, "en", "b.example", "http://b.example/2")],
+        "doc_id bigint, text string, lang string, source string, url string"
+    ).withColumn("n_chars", F.length("text"))
+    cfg = CurationConfig(
+        substring_dedup=True, substring_window_tokens=10,
+        exact_dedup=False, boilerplate=False, quality_filter=False,
+        redact_pii=False, near_dedup=False, decontaminate=False,
+    )
+    stages = curate_corpus(docs, cfg)
+    assert "substring_dedup" in stages
+    out = {r.doc_id: r.text for r in stages["substring_dedup"].collect()}
+    assert dup in out[1] and dup not in out[2]
+    # schema preserved (accounting column dropped inside the stage)
+    assert stages["substring_dedup"].columns == docs.columns

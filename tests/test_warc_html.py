@@ -392,3 +392,38 @@ def test_extract_html_text_passthrough(spark):
     assert rows[0].text and rows[1].text is None
     with pytest.raises(ValueError, match="collide"):
         H.extract_html_text(df, passthrough=("text",))
+
+
+def test_page_signals_noindex_and_canonical(spark, tmp_path):
+    import gzip as _gz
+
+    noindex_page = (b"<html><head><meta name='robots' "
+                    b"content='NOINDEX, nofollow'>"
+                    b"<link rel='canonical' href='http://e.com/canon'>"
+                    b"</head><body><p>" + b"plain prose with the usual "
+                    b"stopwords in it repeated enough words " * 4
+                    + b"</p></body></html>")
+    plain_page = (b"<html><body><p>" + b"plain prose with the usual "
+                  b"stopwords in it repeated enough words " * 4
+                  + b"</p></body></html>")
+    from apache_pinot_spark.operators.htmltext import extract_page
+    paras, noindex, canon = extract_page(noindex_page.decode())
+    assert noindex is True and canon == "http://e.com/canon"
+    assert len(paras) == 1  # head signals never leak into text
+    _, noindex2, canon2 = extract_page(plain_page.decode())
+    assert noindex2 is False and canon2 is None
+
+    # end-to-end: drop_noindex removes only the opted-out page
+    recs = [
+        _record(b"response", b"http://a.example.com/x",
+                _http_response(noindex_page)),
+        _record(b"response", b"http://b.example.com/y",
+                _http_response(plain_page)),
+    ]
+    p = tmp_path / "signals.warc.gz"
+    p.write_bytes(b"".join(_gz.compress(r) for r in recs))
+    both = W.crawl_to_documents(spark, str(p), min_text_chars=50)
+    assert both.count() == 2
+    kept = W.crawl_to_documents(spark, str(p), min_text_chars=50,
+                                drop_noindex=True)
+    assert [r.source for r in kept.collect()] == ["b.example.com"]
