@@ -639,3 +639,113 @@ def crawl_to_documents(
             F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("source"),
         )
     )
+
+
+def read_warc_ranges(
+    spark,
+    manifest: DataFrame,
+    base_dir: str = "",
+    max_body_bytes: int = 8 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    body_charset: str = "utf-8",
+) -> DataFrame:
+    """Range-read SELECTED records out of WARC files — the consumer of
+    operators/cdx.fetch_manifest: each manifest row carries ONE file's
+    bounded record list (warc_filename, task_idx, records
+    ARRAY<STRUCT<offset, length, url>>), and each task seeks to its
+    offsets and parses just those members (per-record gzip members /
+    zstd frames are the random-access property the index's offsets
+    address). At crawl scale this reads ~the selected bytes, not the
+    archive: a 1% selection touches 1% of the WARC bytes plus one open
+    per (file, task).
+
+    Output schema matches ``warc_records`` (plus ``url`` from the
+    manifest); per-record errors reject to an all-NULL row carrying the
+    blob's reject count, never the task. ``base_dir`` prefixes the
+    manifest's relative filenames — any filesystem the executors mount
+    (the usual deployment: an object-store fuse mount or local shards).
+
+    One Arrow map pass over the manifest; parallelism = manifest rows
+    (fetch_manifest's ``max_records_per_task`` is the skew bound)."""
+    base = base_dir
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import os
+
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.warc import (
+            _decode_body,
+            iter_warc_records_tolerant,
+        )
+
+        cols = ("warc_filename", "url", "record_index", "warc_type",
+                "target_uri", "warc_date", "http_status", "content_type",
+                "content_length", "truncated", "body", "charset",
+                "n_rejected")
+        for pdf in batches:
+            for fname, recs in zip(pdf["warc_filename"], pdf["records"]):
+                out = {k: [] for k in cols}
+                path = os.path.join(base, fname) if base else fname
+                try:
+                    fh = open(path, "rb")
+                except OSError:
+                    fh = None
+                for rec in recs:
+                    url = rec["url"]
+                    emitted = 0
+                    n_rej = 0
+                    if fh is not None and rec["length"] and rec["length"] > 0:
+                        fh.seek(int(rec["offset"]))
+                        blob = fh.read(int(rec["length"]))
+                        for kind, payload in iter_warc_records_tolerant(
+                            blob, max_body_bytes=max_body_bytes,
+                            max_member_bytes=max_member_bytes,
+                        ):
+                            if kind == "reject":
+                                n_rej += 1
+                                continue
+                            ctype = (payload.http_content_type
+                                     or payload.content_type)
+                            if payload.body is not None:
+                                text, used = _decode_body(
+                                    payload.body, ctype, body_charset)
+                            else:
+                                text, used = None, None
+                            out["warc_filename"].append(fname)
+                            out["url"].append(url)
+                            out["record_index"].append(emitted)
+                            out["warc_type"].append(payload.warc_type or None)
+                            out["target_uri"].append(payload.target_uri)
+                            out["warc_date"].append(payload.date)
+                            out["http_status"].append(payload.http_status)
+                            out["content_type"].append(ctype)
+                            out["content_length"].append(payload.content_length)
+                            out["truncated"].append(payload.truncated)
+                            out["body"].append(text)
+                            out["charset"].append(used)
+                            out["n_rejected"].append(n_rej)
+                            emitted += 1
+                    else:
+                        n_rej += 1
+                    if emitted == 0:  # all-NULL reject row for this range
+                        out["warc_filename"].append(fname)
+                        out["url"].append(url)
+                        for k in cols[2:-1]:
+                            out[k].append(None)
+                        out["n_rejected"].append(max(n_rej, 1))
+                if fh is not None:
+                    fh.close()
+                yield _pd.DataFrame(out)
+
+    return manifest.mapInPandas(
+        run,
+        schema="warc_filename STRING, url STRING, record_index INT, "
+               "warc_type STRING, target_uri STRING, warc_date STRING, "
+               "http_status INT, content_type STRING, "
+               "content_length BIGINT, truncated BOOLEAN, body STRING, "
+               "charset STRING, n_rejected INT",
+    )

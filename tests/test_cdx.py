@@ -120,3 +120,60 @@ def test_cdxj_duckdb_parity(spark, tmp_path):
       FROM split ORDER BY surt_key
     """).fetchall()
     assert ours == [tuple(r) for r in got]
+
+
+def _warc_member(uri: bytes, page: bytes) -> bytes:
+    import gzip
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: " + uri + b"\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    return gzip.compress(rec)
+
+
+def test_cdx_to_range_read_end_to_end(spark, tmp_path):
+    """The full story: index → gate → latest capture → fetch manifest →
+    byte-range member reads (never the whole file)."""
+    from apache_pinot_spark.operators.warc import read_warc_ranges
+
+    pages = {}
+    blob, lines = b"", []
+    for i in range(5):
+        uri = f"http://site{i}.example.com/p".encode()
+        page = (b"<html><body><p>page %d prose body with plain words "
+                b"in it</p></body></html>" % i)
+        member = _warc_member(uri, page)
+        lines.append(_line(f"com,site{i})/p", "20240101000000",
+                           url=uri.decode(), offset=len(blob),
+                           length=len(member), filename="ranged.warc.gz",
+                           status=200 if i != 3 else 500))
+        pages[uri.decode()] = page
+        blob += member
+    (tmp_path / "ranged.warc.gz").write_bytes(blob)
+    caps = X.read_cdxj(spark, _write(tmp_path, lines))
+    manifest = X.fetch_manifest(
+        X.latest_capture_per_url(X.select_captures(caps)),
+        max_records_per_task=2)
+    rows = read_warc_ranges(spark, manifest,
+                            base_dir=str(tmp_path)).collect()
+    assert len(rows) == 4  # the 500 capture was gated out at the INDEX
+    assert all(r.http_status == 200 and r.n_rejected == 0 for r in rows)
+    assert {r.url for r in rows} == {f"http://site{i}.example.com/p"
+                                     for i in (0, 1, 2, 4)}
+    for r in rows:
+        assert r.target_uri == r.url
+        assert f"page {r.url[len('http://site')]}" in r.body
+    # a lying offset rejects ITS range only, with the reject row
+    bad = _line("com,badx)/q", "20240101000000", url="http://badx/q",
+                offset=len(blob) - 7, length=64, filename="ranged.warc.gz")
+    caps2 = X.read_cdxj(spark, _write(tmp_path, lines + [bad]))
+    rows2 = read_warc_ranges(
+        spark, X.fetch_manifest(X.latest_capture_per_url(
+            X.select_captures(caps2))), base_dir=str(tmp_path)).collect()
+    ok = [r for r in rows2 if r.n_rejected == 0]
+    rej = [r for r in rows2 if r.body is None]
+    assert len(ok) == 4 and len(rej) == 1
+    assert rej[0].url == "http://badx/q" and rej[0].n_rejected >= 1
