@@ -216,3 +216,154 @@ def near_dup_image_pairs(
         .distinct()
     )
     return pairs
+
+
+def video_phash_signatures(
+    df: DataFrame,
+    every_n_seconds: float = 1.0,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    keyframes_only: bool = True,
+) -> DataFrame:
+    """(media_id, sample_index, timestamp_s, phash) — the video twin:
+    keyframes picked against the MP4 container's real stts/stss tables
+    (operators/mp4.choose_samples), byte-sliced via the chunk map, and
+    decoded through the repo's JPEG / H.264-intra tier, each frame
+    pHashed in the same Arrow pass (pixels never cross the Arrow
+    boundary). Undecodable blobs emit ONE all-NULL row; a picked frame
+    whose bytes fail decode keeps its index/timestamp with NULL phash.
+    Zero shuffle."""
+    if every_n_seconds <= 0:
+        raise ValueError("every_n_seconds must be > 0")
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.h264 import decode_h264_avcc_sample
+        from apache_pinot_spark.operators.imagehash import phash64
+        from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
+        from apache_pinot_spark.operators.mp4 import (
+            JPEG_FORMATS,
+            choose_samples,
+            parse_mp4,
+            sample_bytes,
+            sample_locations,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "sample_index", "timestamp_s", "phash")}
+
+            def emit(mid, idx=None, ts=None, ph=None):
+                out["id"].append(mid)
+                out["sample_index"].append(idx)
+                out["timestamp_s"].append(ts)
+                out["phash"].append(ph)
+
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                try:
+                    data = bytes(blob) if blob is not None else None
+                    info = parse_mp4(data)
+                    if not info.video_tracks:
+                        raise ValueError("no video track")
+                    trk = info.video_tracks[0]
+                    picks = choose_samples(trk, every_n_seconds,
+                                           keyframes_only)
+                    locs = sample_locations(trk)
+                    is_avc = trk.format in ("avc1", "avc3") and trk.avcc
+                    if trk.format not in JPEG_FORMATS and not is_avc:
+                        raise ValueError(
+                            f"undecodable track {trk.format!r}")
+                except Exception:
+                    emit(mid)
+                    continue
+                for idx, ts, _sync in picks:
+                    ph = None
+                    try:
+                        raw = sample_bytes(data, locs, idx)
+                        if is_avc:
+                            img, _, _ = decode_h264_avcc_sample(trk.avcc, raw)
+                        else:
+                            img = decode_jpeg(raw)
+                        if img is not None:
+                            ph = phash64(img)
+                    except Exception:
+                        ph = None
+                    emit(mid, idx, ts, ph)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, sample_index INT, timestamp_s DOUBLE, "
+               "phash BIGINT",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def near_dup_video_pairs(
+    signatures: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    min_matching_frames: int = 2,
+    offset_grain_s: float = 1.0,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, matching_frames, t_offset_s) for videos sharing ≥
+    ``min_matching_frames`` keyframes at a CONSISTENT time offset —
+    the image tier's pigeonhole band join per frame plus the audio
+    tier's alignment vote (a re-encoded or trimmed copy of the same
+    footage concentrates its frame matches on one offset; coincidental
+    single-frame collisions don't). Shuffle budget: band equi-joins +
+    two map-side groupBys."""
+    frames = signatures.filter(F.col("phash").isNotNull()).select(
+        F.col(id_col).alias("vid"), F.col("timestamp_s").alias("ts"),
+        F.col("phash").alias("hv"))
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = []
+    for b in range(n_bands):
+        shift = b * width
+        w = width if b < n_bands - 1 else 64 - shift
+        bval = F.shiftrightunsigned(F.col("hv"), shift)
+        if w < 64:
+            bval = bval.bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(frames.select("vid", "ts", "hv",
+                                   F.lit(b).alias("band"),
+                                   bval.alias("bval")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bval")))
+    banded = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    left = banded.select("band", "bval", F.col("vid").alias("id_a"),
+                         F.col("ts").alias("ta"), F.col("hv").alias("ha"))
+    right = banded.select("band", "bval", F.col("vid").alias("id_b"),
+                          F.col("ts").alias("tb"), F.col("hv").alias("hb"))
+    grain = float(offset_grain_s)
+    matches = (
+        left.join(right, on=["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                <= max_hamming)
+        .select("id_a", "id_b", "ta", "tb",
+                F.round((F.col("tb") - F.col("ta")) / grain)
+                .cast("long").alias("obin"))
+        .distinct()  # one frame pair may agree on several bands
+        .groupBy("id_a", "id_b", "obin")
+        .agg(F.count("*").alias("matching_frames"))
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("matching_frames").desc(), F.col("obin"))
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1)
+                & (F.col("matching_frames") >= min_matching_frames))
+        .select("id_a", "id_b", "matching_frames",
+                (F.col("obin") * grain).alias("t_offset_s"))
+    )

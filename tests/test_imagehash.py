@@ -135,3 +135,42 @@ def test_near_dup_bucket_cap(spark):
     assert pairs.count() == 0  # flood capped: exact dups belong upstream
     assert IH.near_dup_image_pairs(df, max_hamming=3,
                                    max_bucket=100).count() == 50 * 49 // 2
+
+
+def _textured_frame(phase: float, h=48, w=48):
+    y, x = np.mgrid[0:h, 0:w].astype(float)
+    g = (128 + 60 * np.sin(x / 4.0 + phase) + 45 * np.cos(y / 6.0 - phase)
+         + 25 * np.sin((x + 2 * y) / 9.0 + 2 * phase))
+    return np.clip(g, 0, 255).astype(np.uint8)
+
+
+def test_video_phash_signatures_and_near_dup(spark):
+    import test_mp4 as M
+
+    from apache_pinot_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from apache_pinot_spark.operators.multimodal import decode_image_stdlib  # noqa: F401
+
+    frames_a = [encode_jpeg(_textured_frame(i * 0.9)) for i in range(6)]
+    # B = the SAME footage re-encoded (decode -> encode), shifted 2 s
+    junk = [encode_jpeg(_textured_frame(9.7 + i)) for i in range(2)]
+    frames_b = junk + [encode_jpeg(np.squeeze(decode_jpeg(f)))
+                       for f in frames_a]
+    frames_c = [encode_jpeg(_textured_frame(5.1 + 1.3 * i))
+                for i in range(6)]
+
+    def mp4(frames):
+        return M._mp4_with_payload(frames, [(len(frames), 1000)], mts=1000)
+
+    df = spark.createDataFrame(
+        [(1, mp4(frames_a)), (2, mp4(frames_b)), (3, mp4(frames_c)),
+         (4, b"junk blob")],
+        "media_id bigint, content binary")
+    sigs = IH.video_phash_signatures(df, every_n_seconds=1.0,
+                                     keyframes_only=False)
+    rows = sigs.collect()
+    assert sum(1 for r in rows if r.media_id == 1 and r.phash is not None) == 6
+    assert [r.phash for r in rows if r.media_id == 4] == [None]
+    pairs = IH.near_dup_video_pairs(sigs, min_matching_frames=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].t_offset_s == pytest.approx(2.0)
+    assert pairs[0].matching_frames >= 4
