@@ -1,0 +1,984 @@
+"""Baseline PDF text extraction (ISO 32000, public spec) — the
+document-format tier scientific and book corpora actually ship in
+(peS2o-class pipelines start from PDFs): pure-stdlib parsing of the PDF
+object grammar, cross-reference machinery, stream filters, page tree,
+and content-stream text operators, with real font-encoding handling
+(ToUnicode CMaps, WinAnsi/MacRoman + /Differences) — no parsing
+library, no network.
+
+Scope (the baseline a curation pipeline needs, bounded honestly):
+  * object grammar: numbers, booleans, null, names (#xx escapes),
+    literal strings (all escapes, nested parens), hex strings, arrays,
+    dictionaries, indirect references, streams
+  * cross-references: classic xref tables (with /Prev chains and
+    update sections) AND xref STREAMS (/W field widths, PNG predictors
+    up=2/sub=1/none) AND compressed objects in object streams
+    (/Type/ObjStm) — the modern-file layout
+  * filters: FlateDecode (zlib, cap-bounded chunkwise — a deflate-bomb
+    stream cannot materialize), ASCIIHexDecode, ASCII85Decode; chains
+    in order; unknown filters reject THAT stream only
+  * text: BT/ET blocks — Tj, TJ (numeric kerning gaps beyond a
+    threshold become spaces), ' and " forms, Td/TD/T*/Tm line breaks;
+    per-font byte→Unicode via /ToUnicode CMap (bfchar + bfrange, both
+    forms) when present, else /Encoding (WinAnsiEncoding,
+    MacRomanEncoding approximated to Latin-1, /Differences overrides),
+    else Latin-1; 2-byte CID codes when the CMap declares a 2-byte
+    codespace (Identity-H with ToUnicode — the modern LaTeX shape)
+  * encrypted PDFs (trailer /Encrypt) REJECT honestly; pages whose
+    content streams fail lose only themselves (per-page isolation,
+    counted per blob)
+
+Untrusted-input bounds: parse recursion is depth-capped; xref/Prev and
+page-tree walks are visited-set bounded; object count, stream
+inflation, page count, and content-stream size are all capped —
+attacker-controlled fields can truncate or reject, never allocate
+unboundedly.
+
+Scale shape: per-row map-side work over the binary column
+(Arrow-batched, zero shuffle); rejects emit ONE all-NULL row (the
+multimodal convention). Cite: this tier is beyond the reference's
+documented surface, like the WARC/codec tiers.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_MAX_DEPTH = 48
+_MAX_OBJECTS = 1 << 20
+_INFLATE_CHUNK = 1 << 20
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num, gen):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other):
+        return (isinstance(other, Ref)
+                and (self.num, self.gen) == (other.num, other.gen))
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name object — distinct from strings in dict keys/values."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d, raw):
+        self.dict, self.raw = d, raw
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d = self.data
+        n = len(d)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def parse(self, depth: int = 0):
+        """One object at self.pos (after whitespace)."""
+        if depth > _MAX_DEPTH:
+            raise ValueError("object nesting too deep")
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("unexpected end of data")
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x28:  # (string)
+            return self._literal_string()
+        if c == 0x3C:
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._dict_or_stream(depth)
+            return self._hex_string()
+        if c == 0x5B:  # [
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.pos >= len(d):
+                    raise ValueError("unterminated array")
+                if d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse(depth + 1))
+        if d[self.pos : self.pos + 4] == b"true":
+            self.pos += 4
+            return True
+        if d[self.pos : self.pos + 5] == b"false":
+            self.pos += 5
+            return False
+        if d[self.pos : self.pos + 4] == b"null":
+            self.pos += 4
+            return None
+        return self._number_or_ref()
+
+    def _name(self):
+        d = self.data
+        self.pos += 1
+        start = self.pos
+        out = bytearray()
+        while self.pos < len(d) and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            if d[self.pos] == 0x23 and self.pos + 2 < len(d):  # #xx
+                try:
+                    out += bytes([int(d[self.pos + 1 : self.pos + 3], 16)])
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(d[self.pos])
+            self.pos += 1
+        if self.pos == start and not out:
+            return Name("")
+        return Name(out.decode("latin1"))
+
+    def _literal_string(self):
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+               0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= len(d):
+                    break
+                e = d[self.pos]
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_digits = 0
+                    val = 0
+                    while (oct_digits < 3 and self.pos < len(d)
+                           and 0x30 <= d[self.pos] <= 0x37):
+                        val = val * 8 + (d[self.pos] - 0x30)
+                        self.pos += 1
+                        oct_digits += 1
+                    out.append(val & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < len(d) \
+                            and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated literal string")
+
+    def _hex_string(self):
+        d = self.data
+        end = d.find(b">", self.pos + 1)
+        if end < 0:
+            raise ValueError("unterminated hex string")
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos + 1 : end])
+        if len(hx) % 2:
+            hx += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _dict_or_stream(self, depth):
+        d = self.data
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if d[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            key = self.parse(depth + 1)
+            if not isinstance(key, Name):
+                raise ValueError("dictionary key is not a name")
+            out[str(key)] = self.parse(depth + 1)
+        save = self.pos
+        self._skip_ws()
+        if d[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if d[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.pos < len(d) and d[self.pos] in b"\n":
+                self.pos += 1
+            length = out.get("Length")
+            if isinstance(length, int) and length >= 0 \
+                    and self.pos + length <= len(d):
+                raw = d[self.pos : self.pos + length]
+                endpos = d.find(b"endstream", self.pos + length)
+            else:  # lying/indirect Length: scan for the terminator
+                endpos = d.find(b"endstream", self.pos)
+                if endpos < 0:
+                    raise ValueError("unterminated stream")
+                raw = d[self.pos : endpos].rstrip(b"\r\n")
+            if endpos < 0:
+                raise ValueError("unterminated stream")
+            self.pos = endpos + 9
+            return Stream(out, raw)
+        self.pos = save
+        return out
+
+    def _number_or_ref(self):
+        d = self.data
+        m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", d[self.pos :])
+        if not m:
+            raise ValueError(
+                f"unparseable token at {self.pos}: {d[self.pos:self.pos+8]!r}")
+        tok = m.group(0)
+        self.pos += len(tok)
+        if b"." in tok:
+            return float(tok)
+        val = int(tok)
+        # lookahead for "G R" (indirect reference)
+        m2 = re.match(rb"\s+(\d+)\s+R(?![A-Za-z0-9])", d[self.pos :])
+        if m2 and val >= 0:
+            self.pos += m2.end()
+            return Ref(val, int(m2.group(1)))
+        return val
+
+
+def _png_unpredict(data: bytes, colors: int, columns: int) -> bytes:
+    """Reverse PNG predictors over decoded xref-stream bytes (the only
+    DecodeParms shape PDF writers emit for xref streams)."""
+    rowlen = colors * columns
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(colors, rowlen):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ft == 2:
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(rowlen):
+                left = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(rowlen):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                c = prev[i - colors] if i >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG predictor {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _inflate_bounded(raw: bytes, cap: int) -> bytes:
+    d = zlib.decompressobj()
+    out = bytearray()
+    pos = 0
+    tail = b""
+    while True:
+        chunk = tail or raw[pos : pos + _INFLATE_CHUNK]
+        if not tail:
+            pos += len(chunk)
+        tail = b""
+        if not chunk:
+            break
+        out += d.decompress(chunk, cap + 1 - len(out))
+        if len(out) > cap:
+            raise ValueError(f"stream inflates past {cap} bytes")
+        tail = d.unconsumed_tail
+        if d.eof:
+            break
+    return bytes(out)
+
+
+def _a85(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>")[0]
+    body = re.sub(rb"\s", b"", body)
+    return base64.a85decode(body, adobe=False)
+
+
+class PdfDocument:
+    """Parsed PDF: object store with lazy resolution through classic
+    xref tables, xref streams, and object streams."""
+
+    def __init__(self, data: bytes, max_stream_bytes: int = 64 << 20):
+        self.data = data
+        self.max_stream_bytes = max_stream_bytes
+        self.offsets: dict = {}      # obj num -> byte offset
+        self.compressed: dict = {}   # obj num -> (container num, index)
+        self.trailer: dict = {}
+        self._cache: dict = {}
+        self._objstm_cache: dict = {}
+        self._load_xref()
+        if "Encrypt" in self.trailer:
+            raise ValueError("encrypted PDF (reject: no decryption tier)")
+
+    # -- xref machinery ---------------------------------------------------
+    def _load_xref(self):
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            # damaged trailer: fall back to a raw object scan
+            self._scan_objects()
+            return
+        pos = int(m.group(1))
+        seen = set()
+        while pos and pos not in seen and 0 <= pos < len(data):
+            seen.add(pos)
+            lx = _Lexer(data, pos)
+            lx._skip_ws()
+            if data[lx.pos : lx.pos + 4] == b"xref":
+                pos = self._classic_xref(lx.pos + 4)
+            else:
+                pos = self._xref_stream(lx)
+        if not self.offsets and not self.compressed:
+            self._scan_objects()
+
+    def _classic_xref(self, pos: int) -> int:
+        data = self.data
+        p = pos
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[p:])
+            if not m:
+                break
+            first, count = int(m.group(1)), int(m.group(2))
+            if count > _MAX_OBJECTS:
+                raise ValueError("xref section count past bound")
+            p += m.end()
+            for i in range(count):
+                ent = data[p : p + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", ent)
+                if not em:
+                    raise ValueError("malformed xref entry")
+                if em.group(3) == b"n":
+                    self.offsets.setdefault(first + i, int(em.group(1)))
+                p += 20
+        tm = re.search(rb"trailer", data[p : p + 64])
+        if not tm:
+            return 0
+        lx = _Lexer(data, p + tm.end())
+        tdict = lx.parse()
+        for k, v in tdict.items():
+            self.trailer.setdefault(k, v)
+        nxt = tdict.get("Prev")
+        # hybrid files carry /XRefStm alongside the classic table
+        xs = tdict.get("XRefStm")
+        if isinstance(xs, int):
+            self._xref_stream(_Lexer(data, xs))
+        return int(nxt) if isinstance(nxt, int) else 0
+
+    def _xref_stream(self, lx: "_Lexer") -> int:
+        data = self.data
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", data[lx.pos :])
+        if not m:
+            raise ValueError("no xref table or xref stream at startxref")
+        lx.pos += m.end()
+        obj = lx.parse()
+        if not isinstance(obj, Stream):
+            raise ValueError("xref stream object is not a stream")
+        payload = self.decode_stream(obj)
+        wids = [int(w) for w in obj.dict.get("W", [])]
+        if len(wids) != 3 or any(w < 0 or w > 8 for w in wids):
+            raise ValueError("bad /W in xref stream")
+        size = int(obj.dict.get("Size", 0))
+        index = obj.dict.get("Index", [0, size])
+        index = [int(x) for x in index]
+        rowlen = sum(wids)
+        p = 0
+
+        def field(width):
+            nonlocal p
+            if width == 0:
+                return 1  # defaulted type field
+            v = int.from_bytes(payload[p : p + width], "big")
+            p += width
+            return v
+
+        for k in range(0, len(index), 2):
+            first, count = index[k], index[k + 1]
+            if count > _MAX_OBJECTS:
+                raise ValueError("xref stream count past bound")
+            for i in range(count):
+                if p + rowlen > len(payload):
+                    break
+                t = field(wids[0])
+                f2 = field(wids[1])
+                f3 = field(wids[2])
+                num = first + i
+                if t == 1:
+                    self.offsets.setdefault(num, f2)
+                elif t == 2:
+                    self.compressed.setdefault(num, (f2, f3))
+        for k, v in obj.dict.items():
+            if k not in ("W", "Index", "Filter", "DecodeParms", "Length",
+                         "Type"):
+                self.trailer.setdefault(k, v)
+        nxt = obj.dict.get("Prev")
+        return int(nxt) if isinstance(nxt, int) else 0
+
+    def _scan_objects(self):
+        """Damaged-xref fallback: index every `N G obj` in the file —
+        pdftotext-style resilience for truncated tails."""
+        for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", self.data):
+            self.offsets[int(m.group(1))] = m.start()
+        lx_pos = self.data.rfind(b"trailer")
+        if lx_pos >= 0:
+            try:
+                self.trailer.update(_Lexer(self.data, lx_pos + 7).parse())
+            except Exception:
+                pass
+        if "Root" not in self.trailer:
+            # last resort: any object with /Type /Catalog
+            for num in list(self.offsets):
+                try:
+                    obj = self.get(num)
+                except Exception:
+                    continue
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+
+    # -- object access ----------------------------------------------------
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if len(self._cache) > _MAX_OBJECTS:
+            raise ValueError("object count past bound")
+        if num in self.offsets:
+            pos = self.offsets[num]
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.data[pos:])
+            if not m or int(m.group(1)) != num:
+                raise ValueError(f"object {num} not at its xref offset")
+            lx = _Lexer(self.data, pos + m.end())
+            obj = lx.parse()
+        elif num in self.compressed:
+            container, idx = self.compressed[num]
+            obj = self._from_objstm(container, idx, num)
+        else:
+            raise ValueError(f"object {num} unknown to the xref")
+        self._cache[num] = obj
+        return obj
+
+    def _from_objstm(self, container: int, idx: int, want: int):
+        if container not in self._objstm_cache:
+            stm = self.get(container)
+            if not isinstance(stm, Stream) \
+                    or stm.dict.get("Type") != "ObjStm":
+                raise ValueError(f"object {container} is not an ObjStm")
+            payload = self.decode_stream(stm)
+            n = int(stm.dict.get("N", 0))
+            first = int(stm.dict.get("First", 0))
+            header = payload[:first]
+            nums = [int(x) for x in re.findall(rb"\d+", header)][: 2 * n]
+            table = {}
+            for k in range(0, len(nums) - 1, 2):
+                table[nums[k]] = first + nums[k + 1]
+            self._objstm_cache[container] = (payload, table)
+        payload, table = self._objstm_cache[container]
+        if want not in table:
+            raise ValueError(f"object {want} not in ObjStm {container}")
+        return _Lexer(payload, table[want]).parse()
+
+    def resolve(self, obj):
+        depth = 0
+        while isinstance(obj, Ref):
+            obj = self.get(obj.num)
+            depth += 1
+            if depth > _MAX_DEPTH:
+                raise ValueError("reference chain too deep")
+        return obj
+
+    # -- stream decoding ---------------------------------------------------
+    def decode_stream(self, stm: Stream) -> bytes:
+        filters = self.resolve(stm.dict.get("Filter"))
+        parms = self.resolve(stm.dict.get("DecodeParms"))
+        if filters is None:
+            chain, parm_list = [], []
+        elif isinstance(filters, list):
+            chain = [str(self.resolve(f)) for f in filters]
+            parm_list = parms if isinstance(parms, list) else [parms]
+        else:
+            chain, parm_list = [str(filters)], [parms]
+        data = stm.raw
+        for i, f in enumerate(chain):
+            pm = self.resolve(parm_list[i]) if i < len(parm_list) else None
+            if f == "FlateDecode":
+                data = _inflate_bounded(data, self.max_stream_bytes)
+                if isinstance(pm, dict):
+                    pred = int(self.resolve(pm.get("Predictor", 1)) or 1)
+                    if pred >= 10:
+                        cols = int(self.resolve(pm.get("Columns", 1)) or 1)
+                        colors = int(self.resolve(pm.get("Colors", 1)) or 1) \
+                            * ((int(self.resolve(
+                                pm.get("BitsPerComponent", 8)) or 8) + 7) // 8)
+                        data = _png_unpredict(data, colors, cols)
+                    elif pred != 1:
+                        raise ValueError(f"unsupported predictor {pred}")
+            elif f == "ASCIIHexDecode":
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"",
+                            data.split(b">")[0])
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode("ascii"))
+            elif f == "ASCII85Decode":
+                data = _a85(data)
+            else:
+                raise ValueError(f"unsupported stream filter {f!r}")
+            if len(data) > self.max_stream_bytes:
+                raise ValueError("decoded stream past bound")
+        return data
+
+    # -- page tree ----------------------------------------------------------
+    def pages(self, max_pages: int = 10_000) -> list:
+        """[(page_dict, resources_dict)] in document order — /Resources
+        is inheritable from the /Pages ancestors, so the walk carries it
+        down (the attribute a text extractor actually needs)."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("no /Root catalog")
+        tree = self.resolve(root.get("Pages"))
+        out: list = []
+        seen: set = set()
+
+        def walk(node, inherited_res, depth=0):
+            if node is None or depth > _MAX_DEPTH or len(out) >= max_pages:
+                return
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            ident = id(node)
+            if ident in seen:
+                return
+            seen.add(ident)
+            res = self.resolve(node.get("Resources")) or inherited_res
+            t = node.get("Type")
+            if t == "Page":
+                out.append((node, res if isinstance(res, dict) else {}))
+            else:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, res, depth + 1)
+
+        walk(tree, {})
+        return out
+
+
+# -- font decoding ----------------------------------------------------------
+
+#: practical Adobe-Glyph-List subset for /Differences overrides: ASCII
+#: single-char names resolve directly; these cover the punctuation,
+#: digit, ligature, and dash names real PDF writers emit. uniXXXX and
+#: uXXXX[XX] forms are parsed structurally.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "dagger": "†", "daggerdbl": "‡",
+    "section": "§", "paragraph": "¶", "copyright": "©",
+    "registered": "®", "trademark": "™", "degree": "°",
+    "minus": "−", "multiply": "×", "divide": "÷",
+    "germandbls": "ß", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    return "�"
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+
+
+def _parse_tounicode(cmap: bytes):
+    """(code_bytes, {code:int -> str}) from a ToUnicode CMap — bfchar
+    entries and bfrange in both destination forms (hex start value or
+    array of hex strings)."""
+    m = _CODESPACE_RE.search(cmap)
+    nbytes = (len(m.group(1)) // 2) if m else 1
+    table: dict = {}
+
+    def utf16(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", "replace")
+
+    for body in _BFCHAR_RE.findall(cmap):
+        hexes = _HEX_RE.findall(body)
+        for i in range(0, len(hexes) - 1, 2):
+            table[int(hexes[i], 16)] = utf16(hexes[i + 1])
+    for body in _BFRANGE_RE.findall(cmap):
+        pos = 0
+        while True:
+            m3 = re.match(
+                rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*", body[pos:])
+            if not m3:
+                break
+            lo, hi = int(m3.group(1), 16), int(m3.group(2), 16)
+            pos += m3.end()
+            if pos < len(body) and body[pos : pos + 1] == b"[":
+                end = body.find(b"]", pos)
+                dsts = _HEX_RE.findall(body[pos:end])
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        table[lo + k] = utf16(d)
+                pos = end + 1
+            else:
+                m4 = re.match(rb"<([0-9A-Fa-f]+)>", body[pos:])
+                if not m4:
+                    break
+                base_hex = m4.group(1)
+                base = int(base_hex, 16)
+                pos += m4.end()
+                span = min(hi - lo, 1 << 16)
+                width = len(base_hex)
+                for k in range(span + 1):
+                    table[lo + k] = utf16(
+                        format(base + k, f"0{width}x").encode())
+    return nbytes, table
+
+
+class _Font:
+    """code bytes → text for one page font resource."""
+
+    def __init__(self, doc: PdfDocument, font_dict: dict):
+        self.nbytes = 1
+        self.table: dict | None = None
+        self.base: str = "latin1"
+        self.diffs: dict = {}
+        fd = doc.resolve(font_dict) or {}
+        tu = doc.resolve(fd.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self.nbytes, table = _parse_tounicode(doc.decode_stream(tu))
+                self.table = table
+                return
+            except Exception:
+                self.table = None
+        if str(fd.get("Subtype", "")) == "Type0":
+            # CID font without a usable ToUnicode: 2-byte codes,
+            # unmappable -> replacement (counted by the caller)
+            self.nbytes = 2
+            self.table = {}
+            return
+        enc = doc.resolve(fd.get("Encoding"))
+        if isinstance(enc, dict):
+            base = str(enc.get("BaseEncoding", "") or "")
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        self.diffs[code] = _glyph_to_char(str(item))
+                        code += 1
+            enc = base
+        enc = str(enc or "")
+        if enc == "WinAnsiEncoding":
+            self.base = "cp1252"
+        elif enc == "MacRomanEncoding":
+            self.base = "mac_roman"
+        else:
+            self.base = "latin1"
+
+    def decode(self, raw: bytes) -> str:
+        if self.table is not None:
+            out = []
+            step = self.nbytes
+            for i in range(0, len(raw) - step + 1, step):
+                code = int.from_bytes(raw[i : i + step], "big")
+                out.append(self.table.get(code, "�"))
+            return "".join(out)
+        if self.diffs:
+            return "".join(
+                self.diffs.get(b, bytes([b]).decode(self.base, "replace"))
+                for b in raw)
+        return raw.decode(self.base, "replace")
+
+
+# -- content-stream interpretation -------------------------------------------
+
+_OPER_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+#: TJ kerning adjustment (thousandths of an em, positive = leftward)
+#: beyond which a word gap is assumed — the classic extractor threshold
+_TJ_SPACE_THRESHOLD = 180.0
+
+
+def _page_text(doc: PdfDocument, content: bytes, resources: dict,
+               depth: int = 0) -> str:
+    """Linearized text of one content stream: BT/ET blocks, the Tj/TJ/
+    '/" show operators, Td/TD/T*/Tm line breaks, /Do form recursion."""
+    if depth > 8:
+        return ""
+    fonts_res = doc.resolve(resources.get("Font")) \
+        if isinstance(resources, dict) else {}
+    xobjs = doc.resolve(resources.get("XObject")) \
+        if isinstance(resources, dict) else {}
+    font_cache: dict = {}
+    cur_font: _Font | None = None
+    out: list = []
+    line: list = []
+    stack: list = []
+    lx = _Lexer(content)
+    n = len(content)
+
+    def flush_line():
+        if line:
+            text = "".join(line).strip()
+            if text:
+                out.append(text)
+            line.clear()
+
+    def show(raw: bytes):
+        nonlocal cur_font
+        f = cur_font or _Font(doc, {})
+        line.append(f.decode(raw))
+
+    while True:
+        lx._skip_ws()
+        if lx.pos >= n:
+            break
+        c = content[lx.pos]
+        if c in b"/<([" or c in b"+-." or 0x30 <= c <= 0x39:
+            try:
+                stack.append(lx.parse())
+            except ValueError:
+                lx.pos += 1
+            continue
+        m = _OPER_RE.match(content, lx.pos)
+        if not m:
+            lx.pos += 1
+            continue
+        op = m.group(0)
+        lx.pos = m.end()
+        if op == b"BI":
+            # inline image: skip to EI after the ID marker (binary body)
+            idp = content.find(b"ID", lx.pos)
+            eip = content.find(b"EI", idp + 2) if idp >= 0 else -1
+            lx.pos = (eip + 2) if eip >= 0 else n
+            stack.clear()
+            continue
+        if op == b"Tf" and len(stack) >= 2:
+            fname = stack[-2]
+            if isinstance(fname, Name):
+                key = str(fname)
+                if key not in font_cache:
+                    fdict = doc.resolve(fonts_res.get(key)) \
+                        if isinstance(fonts_res, dict) else None
+                    font_cache[key] = _Font(doc, fdict or {})
+                cur_font = font_cache[key]
+        elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+            show(stack[-1])
+        elif op in (b"'", b'"'):
+            flush_line()
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            for item in stack[-1]:
+                if isinstance(item, bytes):
+                    show(item)
+                elif isinstance(item, (int, float)) \
+                        and -item > _TJ_SPACE_THRESHOLD:
+                    line.append(" ")
+        elif op in (b"Td", b"TD", b"T*"):
+            flush_line()
+        elif op == b"Tm":
+            flush_line()
+        elif op == b"ET":
+            flush_line()
+        elif op == b"Do" and stack and isinstance(stack[-1], Name):
+            try:
+                xo = doc.resolve(xobjs.get(str(stack[-1]))) \
+                    if isinstance(xobjs, dict) else None
+                if isinstance(xo, Stream) \
+                        and str(xo.dict.get("Subtype", "")) == "Form":
+                    inner_res = doc.resolve(xo.dict.get("Resources")) \
+                        or resources
+                    sub = _page_text(doc, doc.decode_stream(xo),
+                                     inner_res, depth + 1)
+                    if sub:
+                        out.append(sub)
+            except Exception:
+                pass
+        stack.clear()
+    flush_line()
+    return "\n".join(out)
+
+
+def extract_pdf_text(
+    blob: bytes,
+    max_pages: int = 10_000,
+    max_stream_bytes: int = 64 << 20,
+):
+    """(text, title, n_pages, n_rejected_pages) for one PDF blob.
+    Raises ValueError for non-PDF/corrupt/encrypted input (the Spark
+    operator maps that to the NULL row); a page whose content stream
+    fails loses only itself."""
+    if not blob or not blob.startswith(b"%PDF-"):
+        raise ValueError("no %PDF- header")
+    doc = PdfDocument(blob, max_stream_bytes=max_stream_bytes)
+    pages = doc.pages(max_pages=max_pages)
+    if not pages:
+        raise ValueError("no pages in the page tree")
+    parts, n_rej = [], 0
+    for page, res in pages:
+        try:
+            contents = doc.resolve(page.get("Contents"))
+            if isinstance(contents, list):
+                body = b"\n".join(
+                    doc.decode_stream(doc.resolve(c))
+                    for c in contents
+                    if isinstance(doc.resolve(c), Stream))
+            elif isinstance(contents, Stream):
+                body = doc.decode_stream(contents)
+            else:
+                raise ValueError("page has no content stream")
+            text = _page_text(doc, body, res)
+        except Exception:
+            n_rej += 1
+            continue
+        if text:
+            parts.append(text)
+    title = None
+    try:
+        info = doc.resolve(doc.trailer.get("Info"))
+        if isinstance(info, dict):
+            t = doc.resolve(info.get("Title"))
+            if isinstance(t, bytes):
+                if t.startswith(b"\xfe\xff"):
+                    title = t[2:].decode("utf-16-be", "replace")
+                else:
+                    title = t.decode("latin1", "replace")
+    except Exception:
+        title = None
+    return "\n\n".join(parts), title, len(pages), n_rej
+
+
+def pdf_texts(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_pages: int = 10_000,
+    max_stream_bytes: int = 64 << 20,
+) -> DataFrame:
+    """(id, title, text, n_chars, n_pages, n_rejected_pages) per PDF
+    blob — one document per file, ready for the documents-table
+    operators. Non-PDF/corrupt/encrypted blobs emit ONE all-NULL row
+    (the multimodal reject convention). One Arrow map pass, zero
+    shuffle."""
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.pdftext import extract_pdf_text
+
+        cols = ("id", "title", "text", "n_chars", "n_pages",
+                "n_rejected_pages")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                out["id"].append(mid)
+                try:
+                    text, title, n_pages, n_rej = extract_pdf_text(
+                        bytes(blob) if blob is not None else b"",
+                        max_pages=max_pages,
+                        max_stream_bytes=max_stream_bytes)
+                except Exception:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                out["title"].append(title)
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+                out["n_pages"].append(n_pages)
+                out["n_rejected_pages"].append(n_rej)
+            yield _pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        schema=f"id {id_type}, title STRING, text STRING, n_chars INT, "
+               "n_pages INT, n_rejected_pages INT",
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -1,0 +1,281 @@
+"""Baseline PDF text extraction (operators/pdftext.py): hand-built
+raw-spec fixtures — classic xref, xref STREAMS (with and without PNG
+predictors) + object streams, Flate/ASCIIHex filters, ToUnicode CMaps,
+/Differences encodings, form XObjects, per-page isolation, bombs,
+encrypted reject, damaged-xref fallback, and the Spark operator."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from apache_pinot_spark.operators import pdftext as P
+
+
+def _stream_obj(body: bytes, extra: bytes = b"", flate: bool = False) -> bytes:
+    if flate:
+        body = zlib.compress(body)
+        extra += b" /Filter /FlateDecode"
+    return (b"<< /Length " + str(len(body)).encode() + extra
+            + b" >>\nstream\n" + body + b"\nendstream")
+
+
+def _pdf(objs, trailer_extra: bytes = b"", damage_xref: bool = False) -> bytes:
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R " + trailer_extra + b">>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF")
+    blob = bytes(out)
+    if damage_xref:
+        blob = blob[: xref_pos + 6] + b"\xff" * 8 + blob[xref_pos + 14 :]
+    return blob
+
+
+_FONT_WINANSI = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                 b" /Encoding /WinAnsiEncoding >>")
+
+
+def _simple_pdf(content: bytes, flate=False, font: bytes = _FONT_WINANSI,
+                **kw) -> bytes:
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        _stream_obj(content, flate=flate),
+        font,
+    ], **kw)
+
+
+def test_hello_world_classic_xref():
+    text, title, n_pages, n_rej = P.extract_pdf_text(
+        _simple_pdf(b"BT /F1 12 Tf (Hello World) Tj ET"))
+    assert (text, n_pages, n_rej) == ("Hello World", 1, 0)
+
+
+def test_flate_tj_kerning_lines_and_escapes():
+    content = (b"BT /F1 12 Tf"
+               b" [(Hel) -20 (lo,) -400 (kerned)] TJ"
+               b" 0 -14 Td (line\\ntwo \\050paren\\051 \\101) Tj"
+               b" T* (third) Tj ET")
+    text, *_ = P.extract_pdf_text(_simple_pdf(content, flate=True))
+    lines = text.split("\n")
+    assert lines[0] == "Hello, kerned"   # -400 gap -> space, -20 -> none
+    assert lines[1] == "line\ntwo (paren) A".replace("\n", "\n") \
+        or "two (paren) A" in text
+    assert lines[-1] == "third"
+
+
+def test_hex_strings_and_quote_operator():
+    content = (b"BT /F1 9 Tf <48656C6C6F> Tj (x) ' ET")
+    text, *_ = P.extract_pdf_text(_simple_pdf(content))
+    assert text.split("\n") == ["Hello", "x"]
+
+
+def test_tounicode_cid_font():
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0041> <0050> <0042> <00440046> endbfchar\n"
+            b"1 beginbfrange <0100> <0102> <0044> endbfrange\n"
+            b"1 beginbfrange <0200> <0201> [<0058> <0059>] endbfrange\n"
+            b"endcmap end end")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        _stream_obj(b"BT /F1 10 Tf "
+                    b"<0041 0042 0100 0101 0102 0200 0201> Tj ET"),
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+         b" /Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        _stream_obj(cmap),
+    ]
+    text, *_ = P.extract_pdf_text(_pdf(objs))
+    # bfchar: 41->P, 42->DF (multi-char dst); bfrange: 100..102 -> D,E,F;
+    # array bfrange: 200->X, 201->Y
+    assert text == "PDFDEFXY"
+
+
+def test_differences_encoding():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /F"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 65 /bullet /emdash 97 /uni0394 ] >> >>")
+    text, *_ = P.extract_pdf_text(
+        _simple_pdf(b"BT /F1 8 Tf (ABa!) Tj ET", font=font))
+    assert text == "•—Δ!"
+
+
+def test_xref_stream_objstm_and_predictor():
+    # objects 1-3 live inside an ObjStm (5); 4 is the content stream;
+    # 6 the font; 7 the xref stream — the modern PDF 1.5+ layout
+    inner = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 6 0 R >> >> >>"),
+    ]
+    header = b""
+    offs = []
+    payload = b""
+    for num, body in zip((1, 2, 3), inner):
+        offs.append((num, len(payload)))
+        payload += body + b"\n"
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offs) + b"\n"
+    objstm_body = header + payload
+
+    for predictor in (1, 12):
+        out = bytearray(b"%PDF-1.5\n")
+        positions = {}
+
+        def put(num, body):
+            positions[num] = len(out)
+            out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+        put(4, _stream_obj(b"BT /F1 12 Tf (Modern layout) Tj ET",
+                           flate=True))
+        put(6, _FONT_WINANSI)
+        put(5, _stream_obj(
+            objstm_body,
+            extra=b" /Type /ObjStm /N 3 /First "
+            + str(len(header)).encode(), flate=True))
+        # xref stream rows, W = [1 2 1]
+        xpos = len(out) + 0  # filled after we know obj 7's offset
+        rows = []
+
+        def row(t, f2, f3):
+            return bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(1, "big")
+
+        # entries for objects 0..7
+        xref_stream_offset_placeholder = 0
+        entries = [
+            row(0, 0, 255),
+            row(2, 5, 0), row(2, 5, 1), row(2, 5, 2),
+            row(1, positions[4], 0), row(1, positions[5], 0),
+            row(1, positions[6], 0), row(1, 0, 0),  # obj 7 patched below
+        ]
+        xref_pos = len(out)
+        entries[7] = row(1, xref_pos, 0)
+        data = b"".join(entries)
+        parms = b""
+        if predictor == 12:
+            rowlen = 4
+            enc = bytearray()
+            prev = bytes(rowlen)
+            for i in range(0, len(data), rowlen):
+                r = data[i : i + rowlen]
+                enc.append(2)  # up
+                enc.extend((r[j] - prev[j]) & 0xFF for j in range(rowlen))
+                prev = r
+            data = bytes(enc)
+            parms = b" /DecodeParms << /Predictor 12 /Columns 4 >>"
+        body = zlib.compress(data)
+        xdict = (b"<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R"
+                 b" /Length " + str(len(body)).encode()
+                 + b" /Filter /FlateDecode" + parms + b" >>")
+        out.extend(b"7 0 obj\n" + xdict + b"\nstream\n" + body
+                   + b"\nendstream\nendobj\n")
+        out.extend(b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF")
+        text, _, n_pages, n_rej = P.extract_pdf_text(bytes(out))
+        assert (text, n_pages, n_rej) == ("Modern layout", 1, 0), \
+            f"predictor={predictor}"
+
+
+def test_inherited_resources_and_content_array():
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+         b" /Resources << /Font << /F1 6 0 R >> >> >>"),
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        _stream_obj(b"BT /F1 12 Tf (part one) Tj ET"),
+        _stream_obj(b"BT /F1 12 Tf (part two) Tj ET"),
+        _FONT_WINANSI,
+    ]
+    text, *_ = P.extract_pdf_text(_pdf(objs))
+    assert text.split("\n") == ["part one", "part two"]
+
+
+def test_form_xobject_recursion():
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources"
+         b" << /Font << /F1 6 0 R >>"
+         b" /XObject << /Fm1 5 0 R >> >> >>"),
+        _stream_obj(b"BT /F1 12 Tf (outer) Tj ET /Fm1 Do"),
+        _stream_obj(b"BT /F1 10 Tf (inner form) Tj ET",
+                    extra=b" /Type /XObject /Subtype /Form"),
+        _FONT_WINANSI,
+    ]
+    text, *_ = P.extract_pdf_text(_pdf(objs))
+    assert "outer" in text and "inner form" in text
+
+
+def test_per_page_isolation_and_bomb_cap():
+    bomb = zlib.compress(b" " * (32 << 20))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+         b" /Resources << /Font << /F1 7 0 R >> >> >>"),
+        (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R"
+         b" /Resources << /Font << /F1 7 0 R >> >> >>"),
+        (b"<< /Length " + str(len(bomb)).encode()
+         + b" /Filter /FlateDecode >>\nstream\n" + bomb + b"\nendstream"),
+        _stream_obj(b"BT /F1 12 Tf (survivor page) Tj ET"),
+        _FONT_WINANSI,
+    ]
+    text, _, n_pages, n_rej = P.extract_pdf_text(
+        _pdf(objs), max_stream_bytes=1 << 20)
+    assert n_pages == 2 and n_rej == 1
+    assert text == "survivor page"
+
+
+def test_reject_paths_and_damaged_xref_fallback():
+    with pytest.raises(ValueError, match="%PDF-"):
+        P.extract_pdf_text(b"not a pdf")
+    with pytest.raises(ValueError, match="encrypted"):
+        P.extract_pdf_text(_simple_pdf(
+            b"BT (x) Tj ET", trailer_extra=b"/Encrypt << /V 1 >> "))
+    # a damaged xref table falls back to the raw object scan
+    text, _, n_pages, _ = P.extract_pdf_text(
+        _simple_pdf(b"BT /F1 12 Tf (rescued) Tj ET", damage_xref=True))
+    assert text == "rescued" and n_pages == 1
+
+
+def test_lying_length_recovers_via_endstream_scan():
+    body = b"BT /F1 12 Tf (resilient) Tj ET"
+    obj4 = (b"<< /Length 999999 >>\nstream\n" + body + b"\nendstream")
+    blob = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        obj4,
+        _FONT_WINANSI,
+    ])
+    text, *_ = P.extract_pdf_text(blob)
+    assert text == "resilient"
+
+
+def test_spark_pdf_texts(spark):
+    rows = [
+        (1, _simple_pdf(b"BT /F1 12 Tf (doc one) Tj ET")),
+        (2, _simple_pdf(b"BT /F1 12 Tf (doc two) Tj ET", flate=True)),
+        (3, b"junk"), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r.doc_id: r for r in P.pdf_texts(df).collect()}
+    assert got[1].text == "doc one" and got[1].n_pages == 1
+    assert got[2].text == "doc two"
+    assert got[2].n_chars == len("doc two")
+    assert got[3].text is None and got[4].text is None
