@@ -195,3 +195,30 @@ def epub_texts(
                "n_chapters INT, n_rejected INT",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def epub_to_documents(
+    spark,
+    path_glob: str,
+    min_text_chars: int = 200,
+    max_member_bytes: int = 16 << 20,
+    max_chapters: int = 2000,
+) -> DataFrame:
+    """One-call book-corpus ingest: *.epub files → (doc_id, title,
+    creator, text, lang, n_chars, source='books') in the
+    documents-table shape (the crawl_to_documents twin for books)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    texts = epub_texts(files, content_col="content", id_col="path",
+                       max_member_bytes=max_member_bytes,
+                       max_chapters=max_chapters)
+    return (
+        texts.filter(F.col("text").isNotNull()
+                     & (F.col("n_chars") >= min_text_chars))
+        .select(
+            F.xxhash64(F.col("path")).alias("doc_id"),
+            "title", "creator", "text",
+            F.col("language").alias("lang"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.lit("books").alias("source"),
+        )
+    )

@@ -573,6 +573,24 @@ class PdfDocument:
                 data = bytes.fromhex(hx.decode("ascii"))
             elif f == "ASCII85Decode":
                 data = _a85(data)
+            elif f == "RunLengthDecode":
+                out = bytearray()
+                p = 0
+                while p < len(data):
+                    ln = data[p]
+                    p += 1
+                    if ln == 128:
+                        break
+                    if ln < 128:
+                        out += data[p : p + ln + 1]
+                        p += ln + 1
+                    else:
+                        if p < len(data):
+                            out += bytes([data[p]]) * (257 - ln)
+                            p += 1
+                    if len(out) > self.max_stream_bytes:
+                        raise ValueError("decoded stream past bound")
+                data = bytes(out)
             else:
                 raise ValueError(f"unsupported stream filter {f!r}")
             if len(data) > self.max_stream_bytes:
@@ -982,3 +1000,33 @@ def pdf_texts(
                "n_pages INT, n_rejected_pages INT",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def pdf_to_documents(
+    spark,
+    path_glob: str,
+    min_text_chars: int = 200,
+    max_pages: int = 10_000,
+    max_stream_bytes: int = 64 << 20,
+) -> DataFrame:
+    """One-call PDF-corpus ingest: *.pdf files → (doc_id, title, text,
+    n_chars, n_pages, source) in the documents-table shape (source =
+    the file's directory name — the usual dump layout keys provenance
+    by folder), ready for operators/pipeline.curate_corpus. Reads whole
+    files via the binaryFile source (one task per file, the WARC-tier
+    contract); rejects and sub-threshold texts drop."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    texts = pdf_texts(files, content_col="content", id_col="path",
+                      max_pages=max_pages,
+                      max_stream_bytes=max_stream_bytes)
+    return (
+        texts.filter(F.col("text").isNotNull()
+                     & (F.col("n_chars") >= min_text_chars))
+        .select(
+            F.xxhash64(F.col("path")).alias("doc_id"),
+            "title", "text",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "n_pages",
+            F.element_at(F.split(F.col("path"), "/"), -2).alias("source"),
+        )
+    )

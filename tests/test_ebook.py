@@ -123,3 +123,14 @@ def test_feeds_documents_pipeline(spark):
     # the four books are textually identical modulo title: exact dedup
     # keeps one
     assert stages["exact_dedup"].count() == 1
+
+
+def test_epub_to_documents_one_call(spark, tmp_path):
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "one.epub").write_bytes(_epub(title=b"One", chapters=4))
+    (d / "junk.epub").write_bytes(b"not a zip")
+    docs = E.epub_to_documents(spark, str(d / "*.epub"), min_text_chars=50)
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert (rows[0].title, rows[0].source, rows[0].lang) == ("One", "books", "en")

@@ -279,3 +279,55 @@ def test_spark_pdf_texts(spark):
     assert got[2].text == "doc two"
     assert got[2].n_chars == len("doc two")
     assert got[3].text is None and got[4].text is None
+
+
+def test_runlength_filter():
+    # literal run of 3, then 'z' repeated 100 times (L=257-100), then EOD
+    rl = bytes([2]) + b"abc" + bytes([257 - 100]) + b"z" + bytes([128])
+    body = (b"<< /Length " + str(len(rl)).encode()
+            + b" /Filter /RunLengthDecode >>\nstream\n" + rl
+            + b"\nendstream")
+    # decode through the document machinery
+    blob = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        body,
+    ])
+    doc = P.PdfDocument(blob)
+    stm = doc.get(4)
+    assert doc.decode_stream(stm) == b"abc" + b"z" * 100
+
+
+def test_mutation_never_hangs_or_crashes():
+    import random as _r
+
+    base = _simple_pdf(b"BT /F1 12 Tf (mutation target text) Tj ET",
+                       flate=True)
+    rng = _r.Random(13)
+    outcomes = {"ok": 0, "reject": 0}
+    for _ in range(200):
+        mutated = bytearray(base)
+        for _k in range(rng.randrange(1, 4)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        try:
+            text, _, _, _ = P.extract_pdf_text(bytes(mutated),
+                                               max_stream_bytes=1 << 20)
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["reject"] += 1
+    # both outcomes occur; the point is bounded, exception-clean behavior
+    assert outcomes["ok"] + outcomes["reject"] == 200
+
+
+def test_pdf_to_documents_one_call(spark, tmp_path):
+    d = tmp_path / "papers"
+    d.mkdir()
+    long_text = b"BT /F1 12 Tf (" + b"real words in a paper " * 12 + b") Tj ET"
+    (d / "a.pdf").write_bytes(_simple_pdf(long_text))
+    (d / "b.pdf").write_bytes(b"broken")
+    docs = P.pdf_to_documents(spark, str(d / "*.pdf"), min_text_chars=50)
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0].source == "papers"
+    assert rows[0].n_pages == 1 and "real words" in rows[0].text
