@@ -337,6 +337,52 @@ def _inflate_bounded(raw: bytes, cap: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, cap: int, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4 / TIFF-style LZW): MSB-first
+    variable-width codes 9→12 bits, 256=clear, 257=EOD, table grows by
+    one entry per emitted code; ``early_change`` widens one code early
+    (the default every real writer uses). Output is cap-bounded."""
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW code before any literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # 12-bit space full: stop growing
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} past table")
+            out += entry
+            if len(out) > cap:
+                raise ValueError(f"LZW stream inflates past {cap} bytes")
+            prev = entry
+            if len(table) + (1 if early_change else 0) >= (1 << width) \
+                    and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _a85(data: bytes) -> bytes:
     import base64
 
@@ -573,6 +619,11 @@ class PdfDocument:
                 data = bytes.fromhex(hx.decode("ascii"))
             elif f == "ASCII85Decode":
                 data = _a85(data)
+            elif f == "LZWDecode":
+                ec = 1
+                if isinstance(pm, dict):
+                    ec = int(self.resolve(pm.get("EarlyChange", 1)) or 0)
+                data = _lzw_decode(data, self.max_stream_bytes, ec)
             elif f == "RunLengthDecode":
                 out = bytearray()
                 p = 0

@@ -65,6 +65,10 @@ class CurationConfig:
     # trained model-based quality gate (requires the quality_model);
     # applied AFTER the heuristic quality/language gate
     min_model_prob: float | None = None
+    # Unicode normalization (NFC + control/zero-width strip) BEFORE any
+    # hashing stage — NFC/NFD variants of the same text must collide
+    normalize_unicode: bool = False
+    normalize_form: str = "NFC"
     # exact dedup
     exact_dedup: bool = True
     # boilerplate (C4 repeated-line) removal
@@ -182,6 +186,9 @@ def curate_corpus(
                 "block_domains=True requires a blocked_domains frame")
         cur = _stage("domain_blocklist", blocked_domain_filter(
             cur, blocked_domains, host_col=cfg.source_col, id_col=k))
+    if cfg.normalize_unicode:
+        cur = _stage("normalize", tx.normalize_corpus(
+            cur, text_col=t, form=cfg.normalize_form))
     if cfg.exact_dedup:
         cur = _stage("exact_dedup", dedup.dedupe_exact(cur, text_col=t, key_col=k))
     if cfg.boilerplate:

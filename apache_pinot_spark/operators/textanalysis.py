@@ -392,3 +392,56 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
         "top_2gram_char_frac": _top_gram_char_frac(2),
         "top_3gram_char_frac": _top_gram_char_frac(3),
     }
+
+
+def normalize_corpus(
+    df,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+):
+    """Unicode-normalize the corpus text in place — the prep step every
+    tokenizer-facing pipeline runs BEFORE hashing/dedup (the same
+    logical text must not exist as NFC and NFD variants, or exact dedup
+    and n-gram decontamination silently miss): unicodedata normalization
+    (NFC default; NFKC for tokenizer-compat folding), newline
+    canonicalization (\\r\\n and \\r → \\n), and (by default) removal of
+    control characters except \\n/\\t and of the zero-width/format
+    characters (ZWSP/ZWNJ/ZWJ/BOM/bidi marks) that poison shingles.
+
+    Arrow-vectorized mapInPandas pass (normalization has no JVM
+    builtin); zero shuffle; NULLs pass through; all other columns ride
+    through unchanged. The NFC leg replays in DuckDB as
+    ``nfc_normalize`` (see tests/test_textanalysis_normalize.py)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    do_strip = bool(strip_control)
+    cols = list(df.columns)
+
+    def run(batches):
+        import re as _re
+        import unicodedata as _u
+
+        drop = _re.compile(
+            "[\u200b\u200c\u200d\u2060\ufeff\u00ad"
+            "\u202a-\u202e\u2066-\u2069]")
+
+        def one(t):
+            if t is None:
+                return None
+            t = _u.normalize(form, t)
+            t = t.replace("\r\n", "\n").replace("\r", "\n")
+            if do_strip:
+                t = drop.sub("", t)
+                t = "".join(
+                    c for c in t
+                    if c in "\n\t" or _u.category(c) != "Cc")
+            return t
+
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(one)
+            yield pdf[cols]
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(run, schema=schema)

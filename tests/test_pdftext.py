@@ -331,3 +331,79 @@ def test_pdf_to_documents_one_call(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].source == "papers"
     assert rows[0].n_pages == 1 and "real words" in rows[0].text
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Independent test-side LZW ENCODER (the spec's compressor shape):
+    emits clear, literals/phrases, EOD with the same early-change width
+    schedule — so the decoder is validated against a second
+    implementation of the algorithm, not against itself."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits = []
+
+    def put(code):
+        bits.append(format(code, f"0{width}b"))
+
+    put(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder-visible table size is next_code - 1 (it can
+            # only build the entry after the NEXT code); both sides
+            # widen at the same stream position
+            if (next_code - 1) + (1 if early_change else 0) \
+                    >= (1 << width) and width < 12:
+                width += 1
+        else:
+            # table full: the spec requires a clear code here
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        put(table[w])
+    put(257)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big")
+
+
+def test_lzw_filter_roundtrip():
+    import random as _r
+
+    rng = _r.Random(4)
+    cases = [b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT",
+             b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             bytes(rng.randrange(256) for _ in range(5000)),
+             (b"the quick brown fox " * 400)]
+    for data in cases:
+        enc = _lzw_encode(data)
+        assert P._lzw_decode(enc, 1 << 24) == data
+    # and through the document machinery
+    body = _lzw_encode(b"BT /F1 12 Tf (lzw text) Tj ET")
+    blob = _simple_pdf(b"")  # rebuild with an LZW content stream
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (b"<< /Length " + str(len(body)).encode()
+         + b" /Filter /LZWDecode >>\nstream\n" + body + b"\nendstream"),
+        _FONT_WINANSI,
+    ]
+    text, *_ = P.extract_pdf_text(_pdf(objs))
+    assert text == "lzw text"
+    # bomb bound: a tiny LZW stream expanding huge rejects at the cap
+    bomb = _lzw_encode(b"z" * (1 << 20))
+    with pytest.raises(ValueError, match="inflates past"):
+        P._lzw_decode(bomb, 1 << 10)

@@ -123,3 +123,21 @@ def test_substring_dedup_stage(spark):
     assert dup in out[1] and dup not in out[2]
     # schema preserved (accounting column dropped inside the stage)
     assert stages["substring_dedup"].columns == docs.columns
+
+
+def test_normalize_stage(spark):
+    import unicodedata as U
+
+    prose = _PROSE + "résumé"
+    docs = spark.createDataFrame(
+        [(1, U.normalize("NFC", prose), "en", "a.example", "u1"),
+         (2, U.normalize("NFD", prose), "en", "b.example", "u2")],
+        "doc_id bigint, text string, lang string, source string, url string"
+    ).withColumn("n_chars", F.length("text"))
+    cfg = CurationConfig(
+        normalize_unicode=True, exact_dedup=True, boilerplate=False,
+        quality_filter=False, redact_pii=False, near_dedup=False,
+        decontaminate=False)
+    stages = curate_corpus(docs, cfg)
+    assert list(stages)[1] == "normalize"
+    assert stages["exact_dedup"].count() == 1  # NFC/NFD variants collide
