@@ -222,3 +222,77 @@ def epub_to_documents(
             F.lit("books").alias("source"),
         )
     )
+
+
+_WP_RE = re.compile(rb"<w:p[ >].*?</w:p>", re.S)
+_WT_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
+_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def parse_docx(blob: bytes, max_member_bytes: int = 64 << 20) -> str:
+    """Visible text of a DOCX (OOXML WordprocessingML, ECMA-376 —
+    public): word/document.xml's <w:t> runs grouped by <w:p> paragraphs,
+    entities decoded. Tables/headers/footnotes live in other parts and
+    are out of the baseline (documented bound). Raises ValueError for
+    non-DOCX containers; the same cap-bounded member reads as EPUB."""
+    from html import unescape
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        names = set(zf.namelist())
+    except Exception as exc:
+        raise ValueError(f"not a readable zip container: {exc}") from exc
+    if "word/document.xml" not in names:
+        raise ValueError("no word/document.xml — not a DOCX")
+    xml = _read_bounded(zf, "word/document.xml", max_member_bytes)
+    paras = []
+    for p in _WP_RE.findall(xml):
+        runs = [unescape(t.decode("utf-8", "replace"))
+                for t in _WT_RE.findall(p)]
+        text = "".join(_TAG_RE.sub(b"", r.encode()).decode("utf-8", "replace")
+                       if "<" in r else r for r in runs).strip()
+        if text:
+            paras.append(text)
+    if not paras:
+        raise ValueError("no paragraph text in document.xml")
+    return "\n".join(paras)
+
+
+def docx_texts(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """(id, text, n_chars) per DOCX blob; non-DOCX/corrupt blobs emit
+    ONE all-NULL row. One Arrow map pass, zero shuffle."""
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+
+    def run(batches):
+        # worker imports THIS package: executors need it importable
+        # (pip-installed or shipped via --py-files) — the normal library
+        # deployment
+        import pandas as _pd
+
+        from apache_pinot_spark.operators.ebook import parse_docx
+
+        for pdf in batches:
+            ids, texts, chars = [], [], []
+            for mid, blob in zip(pdf["id"], pdf["c"]):
+                ids.append(mid)
+                try:
+                    text = parse_docx(
+                        bytes(blob) if blob is not None else b"",
+                        max_member_bytes=max_member_bytes)
+                except Exception:
+                    texts.append(None)
+                    chars.append(None)
+                    continue
+                texts.append(text)
+                chars.append(len(text))
+            yield _pd.DataFrame({"id": ids, "text": texts, "n_chars": chars})
+
+    out = src.mapInPandas(
+        run, schema=f"id {id_type}, text STRING, n_chars INT")
+    return out.withColumnRenamed("id", id_col)
