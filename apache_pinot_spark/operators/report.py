@@ -90,3 +90,47 @@ def corpus_report(
     if source_col and source_col in docs.columns:
         report["sources"] = comp(source_col)
     return report
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Snapshot diff for iterative corpus builds — the between-release
+    ledger a data card cites: how many documents were added, removed,
+    kept verbatim, and kept-but-rewritten (same id, different text —
+    what redaction/normalization/substring-excision do). One full outer
+    join on id with xxhash64 text comparison; returns scalars plus the
+    four frames (lazy) for drill-down."""
+    oh = old.select(F.col(id_col).alias("id"),
+                    F.xxhash64(F.col(text_col)).alias("oh"),
+                    F.col(text_col).isNotNull().alias("onn"))
+    nh = new.select(F.col(id_col).alias("id"),
+                    F.xxhash64(F.col(text_col)).alias("nh"),
+                    F.col(text_col).isNotNull().alias("nnn"))
+    j = oh.join(nh, on="id", how="full_outer")
+    added = j.filter(F.col("oh").isNull() & F.col("nh").isNotNull())
+    removed = j.filter(F.col("nh").isNull() & F.col("oh").isNotNull())
+    both = j.filter(F.col("oh").isNotNull() & F.col("nh").isNotNull())
+    unchanged = both.filter((F.col("oh") == F.col("nh"))
+                            & F.col("onn") & F.col("nnn"))
+    changed = both.exceptAll(unchanged)
+    counts = j.agg(
+        F.count_if(F.col("oh").isNull() & F.col("nh").isNotNull()).alias("a"),
+        F.count_if(F.col("nh").isNull() & F.col("oh").isNotNull()).alias("r"),
+        F.count_if(F.col("oh").isNotNull() & F.col("nh").isNotNull()
+                   & (F.col("oh") == F.col("nh"))
+                   & F.col("onn") & F.col("nnn")).alias("u"),
+        F.count_if(F.col("oh").isNotNull() & F.col("nh").isNotNull()
+                   & ((F.col("oh") != F.col("nh"))
+                      | ~F.col("onn") | ~F.col("nnn"))).alias("c"),
+    ).collect()[0]
+    return {
+        "added": counts.a, "removed": counts.r,
+        "unchanged": counts.u, "changed": counts.c,
+        "added_ids": added.select("id"),
+        "removed_ids": removed.select("id"),
+        "changed_ids": changed.select("id"),
+    }

@@ -70,3 +70,41 @@ def test_report_without_optional_columns(spark):
     r = corpus_report(docs)
     assert "langs" not in r and "sources" not in r
     assert r["n_docs"] == 1
+
+
+def test_corpus_diff(spark):
+    import duckdb
+
+    from apache_pinot_spark.operators.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (4, None)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "was changed"), (5, "brand new"),
+         (4, None)],
+        "doc_id bigint, text string")
+    d = corpus_diff(old, new)
+    assert (d["added"], d["removed"], d["unchanged"], d["changed"]) \
+        == (1, 1, 1, 2)  # doc 4: NULL-text rows count as changed
+    assert [r.id for r in d["added_ids"].collect()] == [5]
+    assert [r.id for r in d["removed_ids"].collect()] == [3]
+    assert sorted(r.id for r in d["changed_ids"].collect()) == [2, 4]
+    # DuckDB replay of the count classification
+    con = duckdb.connect()
+    con.register("o", old.toPandas())
+    con.register("n", new.toPandas())
+    got = con.sql("""
+      SELECT
+        count(*) FILTER (o.doc_id IS NULL) AS a,
+        count(*) FILTER (n.doc_id IS NULL) AS r,
+        count(*) FILTER (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                         AND o.text IS NOT DISTINCT FROM n.text
+                         AND o.text IS NOT NULL) AS u,
+        count(*) FILTER (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                         AND (o.text IS DISTINCT FROM n.text
+                              OR o.text IS NULL)) AS c
+      FROM o FULL OUTER JOIN n USING (doc_id)
+    """).fetchone()
+    assert (d["added"], d["removed"], d["unchanged"], d["changed"]) == got
