@@ -445,3 +445,57 @@ def normalize_corpus(
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     return df.mapInPandas(run, schema=schema)
+
+
+def gopher_quality_expr(
+    col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+):
+    """The published Gopher/MassiveText quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1) as ONE boolean JVM expression — the named
+    composite over signals this module already ships: word-count
+    bounds, mean word length in [3, 10], the hash/ellipsis symbol-to-
+    word ratio, the ≥80%-alphabetic-words rule, a stop-word floor, and
+    the repetition caps (duplicate lines/chars, top n-gram coverage).
+    Thresholds default to the paper's values; every knob is a keyword.
+
+    Compose as ``docs.filter(gopher_quality_expr("text"))`` or as a
+    column for audit-first pipelines. All scan-stage expressions —
+    zero Python, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    word_chars = F.aggregate(words, F.lit(0),
+                             lambda a, w: a + F.length(w))
+    mean_wl = word_chars / F.greatest(n_words, F.lit(1))
+    n_hash = F.size(F.split(c, "#")) - 1
+    n_ellipsis = (F.size(F.split(c, r"\.\.\.")) - 1) \
+        + (F.size(F.split(c, "…")) - 1)
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / F.greatest(n_words, F.lit(1))
+    stop_hits = stopword_count_expr(c)
+    rep = repetition_signals(c)
+    return (
+        (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words))
+        & (mean_wl >= F.lit(min_mean_word_len))
+        & (mean_wl <= F.lit(max_mean_word_len))
+        & (symbol_ratio <= F.lit(max_symbol_word_ratio))
+        & (alpha_frac >= F.lit(min_alpha_word_frac))
+        & (stop_hits >= F.lit(min_stopword_hits))
+        & (rep["dup_line_frac"] <= F.lit(max_dup_line_frac))
+        & (rep["dup_line_char_frac"] <= F.lit(max_dup_line_char_frac))
+        & (rep["top_2gram_char_frac"] <= F.lit(max_top_2gram_char_frac))
+        & (rep["top_3gram_char_frac"] <= F.lit(max_top_3gram_char_frac))
+    )
