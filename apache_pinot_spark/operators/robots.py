@@ -34,7 +34,6 @@ def parse_robots(body: str):
     rules = [(is_allow, raw_pattern)] in file order."""
     groups: list = []
     sitemaps: list = []
-    cur_agents: list | None = None
     last_was_agent = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -163,3 +162,53 @@ def robots_audit(
                        for f in pages.schema.fields) \
         + ", robots_allowed boolean"
     return joined.mapInPandas(run, schema=schema)
+
+
+_LOC_RE = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.S)
+_URLBLOCK_RE = re.compile(rb"<url>(.*?)</url>", re.S)
+_SITEMAPBLOCK_RE = re.compile(rb"<sitemap>(.*?)</sitemap>", re.S)
+
+
+def parse_sitemap(body: bytes, max_urls: int = 100_000):
+    """(kind, entries) of one sitemap document (sitemaps.org protocol —
+    the discovery tier robots.txt's Sitemap lines point at): kind is
+    'urlset' (entries = [(url, lastmod|None)]) or 'index' (entries =
+    [(child_sitemap_url, lastmod|None)]). Gzip bodies inflate bounded;
+    entity-decoded; caps bound attacker-controlled growth."""
+    from html import unescape
+
+    if body[:2] == b"\x1f\x8b":
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        pos = 0
+        while pos < len(body):
+            chunk = body[pos : pos + (1 << 20)]
+            pos += len(chunk)
+            out += d.decompress(chunk, (64 << 20) + 1 - len(out))
+            if len(out) > (64 << 20):
+                raise ValueError("sitemap inflates past bound")
+            if d.eof:
+                break
+        body = bytes(out)
+
+    def block_entries(block_re):
+        entries = []
+        for block in block_re.findall(body):
+            locm = _LOC_RE.search(block)
+            if not locm:
+                continue
+            url = unescape(locm.group(1).decode("utf-8", "replace"))
+            lm = re.search(rb"<lastmod>\s*(.*?)\s*</lastmod>", block)
+            entries.append((url, lm.group(1).decode("ascii", "replace")
+                            if lm else None))
+            if len(entries) >= max_urls:
+                break
+        return entries
+
+    if b"<sitemapindex" in body:
+        return "index", block_entries(_SITEMAPBLOCK_RE)
+    if b"<urlset" in body:
+        return "urlset", block_entries(_URLBLOCK_RE)
+    raise ValueError("neither <urlset> nor <sitemapindex> present")

@@ -78,3 +78,30 @@ def test_spark_robots_audit(spark):
     got = {r.doc_id: r.robots_allowed
            for r in R.robots_audit(pages, robots, "corpusbot").collect()}
     assert got == {1: False, 2: True, 3: True}  # no robots -> allowed
+
+
+def test_parse_sitemap_urlset_index_and_gzip():
+    import gzip
+
+    from apache_pinot_spark.operators.robots import parse_sitemap
+
+    urlset = (b'<?xml version="1.0"?><urlset xmlns="http://x">'
+              b"<url><loc>https://e.com/a</loc>"
+              b"<lastmod>2024-01-01</lastmod></url>"
+              b"<url><loc> https://e.com/b?x=1&amp;y=2 </loc></url>"
+              b"</urlset>")
+    kind, entries = parse_sitemap(urlset)
+    assert kind == "urlset"
+    assert entries == [("https://e.com/a", "2024-01-01"),
+                       ("https://e.com/b?x=1&y=2", None)]
+    idx = (b"<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>"
+           b"</sitemap><sitemap><loc>https://e.com/s2.xml.gz</loc>"
+           b"<lastmod>2024-06-01</lastmod></sitemap></sitemapindex>")
+    kind, entries = parse_sitemap(idx)
+    assert kind == "index" and len(entries) == 2
+    assert entries[1] == ("https://e.com/s2.xml.gz", "2024-06-01")
+    # gzipped sitemap inflates transparently
+    kind, entries = parse_sitemap(gzip.compress(urlset))
+    assert kind == "urlset" and len(entries) == 2
+    with pytest.raises(ValueError, match="urlset"):
+        parse_sitemap(b"<html>not a sitemap</html>")
