@@ -78,6 +78,11 @@ class CurationConfig:
     quality_filter: bool = True
     min_quality: float = 50.0
     keep_langs: tuple = ("en",)  # empty/None = keep all languages
+    # the Gopher/MassiveText composite (paper thresholds) as an
+    # additional heuristic gate; dict overrides gopher_quality_expr
+    # keywords (e.g. {"min_words": 20})
+    gopher_quality: bool = False
+    gopher_overrides: dict = field(default_factory=dict)
     # PII redaction (rewrites text, drops no rows); None = all categories,
     # else a subset of redaction.PII_PATTERNS keys (e.g. the RE2-portable
     # redaction.PORTABLE_CATEGORIES when a SQL oracle must replay the pass)
@@ -207,6 +212,9 @@ def curate_corpus(
         if cfg.keep_langs:
             keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
         cur = _stage("quality_language", cur.filter(keep))
+    if cfg.gopher_quality:
+        cur = _stage("gopher_quality", cur.filter(
+            tx.gopher_quality_expr(F.col(t), **(cfg.gopher_overrides or {}))))
     if cfg.min_model_prob is not None:
         from apache_pinot_spark.operators.quality_clf import score_quality
 

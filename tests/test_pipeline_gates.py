@@ -141,3 +141,29 @@ def test_normalize_stage(spark):
     stages = curate_corpus(docs, cfg)
     assert list(stages)[1] == "normalize"
     assert stages["exact_dedup"].count() == 1  # NFC/NFD variants collide
+
+
+def test_gopher_stage(spark):
+    clean = ("the history of science gives many examples of careful and "
+             "patient work by people who wanted to understand the world "
+             "around them and who wrote their results in plain language "
+             "for other people to read and check with their own words ") * 2
+    docs = spark.createDataFrame(
+        [(1, clean, "en", "a.example", "u1"),
+         (2, " ".join(f"#tag{i}" for i in range(120)), "en",
+          "a.example", "u2")],
+        "doc_id bigint, text string, lang string, source string, url string"
+    ).withColumn("n_chars", F.length("text"))
+    cfg = CurationConfig(
+        gopher_quality=True, exact_dedup=False, boilerplate=False,
+        quality_filter=False, redact_pii=False, near_dedup=False,
+        decontaminate=False)
+    stages = curate_corpus(docs, cfg)
+    assert "gopher_quality" in stages
+    assert [r.doc_id for r in stages["gopher_quality"].collect()] == [1]
+    # overrides reach the expression
+    cfg2 = CurationConfig(
+        gopher_quality=True, gopher_overrides={"min_words": 10_000},
+        exact_dedup=False, boilerplate=False, quality_filter=False,
+        redact_pii=False, near_dedup=False, decontaminate=False)
+    assert curate_corpus(docs, cfg2)["gopher_quality"].count() == 0
