@@ -139,8 +139,12 @@ def _project_jsonl(lines: DataFrame, opts: dict,
         f = opts.get(fname)
         return F.get_json_object(F.col("value"), _jpath(f)) if f else F.lit(None).cast("string")
 
+    # When a configured id_field is missing on a line, fall back to the
+    # text hash: xxhash64(NULL) is the constant seed hash, so without the
+    # coalesce every id-less document would share ONE doc_id and exact
+    # dedup would silently collapse them to a single survivor.
     doc_id = (
-        F.xxhash64(maybe("id_field"))
+        F.xxhash64(F.coalesce(maybe("id_field"), txt))
         if opts.get("id_field") else F.xxhash64(txt)
     )
     source = maybe("source_field")

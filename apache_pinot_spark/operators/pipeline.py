@@ -175,14 +175,27 @@ def curate_corpus(
         stages[name] = df
         return df
 
+    def _refresh_n_chars(df):
+        # Stages that REWRITE the text column must not carry a stale
+        # per-document length through the accounting — recompute it,
+        # keeping the column's existing type.
+        if "n_chars" in df.columns:
+            typ = dict(df.dtypes)["n_chars"]
+            df = df.withColumn("n_chars", F.length(F.col(t)).cast(typ))
+        return df
+
     if cfg.url_dedup:
         from apache_pinot_spark.operators.urls import url_dedup
 
         if cfg.url_col not in cur.columns:
             raise ValueError(
                 f"url_dedup=True requires a {cfg.url_col!r} column")
-        cur = _stage("url_dedup", url_dedup(
-            cur, url_col=cfg.url_col, id_col=k).drop("canonical_url"))
+        dd = url_dedup(cur, url_col=cfg.url_col, id_col=k)
+        if "canonical_url" not in cur.columns:
+            # drop only the column WE added — a pre-existing
+            # rel=canonical signal from extract_page passes through
+            dd = dd.drop("canonical_url")
+        cur = _stage("url_dedup", dd)
     if cfg.block_domains:
         from apache_pinot_spark.operators.urls import blocked_domain_filter
 
@@ -192,14 +205,15 @@ def curate_corpus(
         cur = _stage("domain_blocklist", blocked_domain_filter(
             cur, blocked_domains, host_col=cfg.source_col, id_col=k))
     if cfg.normalize_unicode:
-        cur = _stage("normalize", tx.normalize_corpus(
-            cur, text_col=t, form=cfg.normalize_form))
+        cur = _stage("normalize", _refresh_n_chars(tx.normalize_corpus(
+            cur, text_col=t, form=cfg.normalize_form)))
     if cfg.exact_dedup:
         cur = _stage("exact_dedup", dedup.dedupe_exact(cur, text_col=t, key_col=k))
     if cfg.boilerplate:
-        cur = _stage("boilerplate", curation.remove_repeated_lines(
-            cur, text_col=t, key_col=k, min_count=cfg.boilerplate_min_count
-        ))
+        cur = _stage("boilerplate", _refresh_n_chars(
+            curation.remove_repeated_lines(
+                cur, text_col=t, key_col=k,
+                min_count=cfg.boilerplate_min_count)))
     if cfg.block_words:
         if word_blocklist is None:
             raise ValueError(
@@ -228,8 +242,8 @@ def curate_corpus(
         cur = _stage("model_quality", cur.join(keep_ids, on=k, how="left_semi"))
     if cfg.redact_pii:
         cats = list(cfg.pii_categories) if cfg.pii_categories else None
-        cur = _stage("pii_redaction",
-                     cur.withColumn(t, redaction.redact_expr(F.col(t), cats)))
+        cur = _stage("pii_redaction", _refresh_n_chars(
+            cur.withColumn(t, redaction.redact_expr(F.col(t), cats))))
     if cfg.max_source_share is not None:
         from apache_pinot_spark.operators.chunking import cap_source_share
 
@@ -251,10 +265,11 @@ def curate_corpus(
             dedup_exact_substrings,
         )
 
-        cur = _stage("substring_dedup", dedup_exact_substrings(
-            cur, text_col=t, id_col=k,
-            window_tokens=cfg.substring_window_tokens,
-        ).drop("n_chars_removed"))
+        cur = _stage("substring_dedup", _refresh_n_chars(
+            dedup_exact_substrings(
+                cur, text_col=t, id_col=k,
+                window_tokens=cfg.substring_window_tokens,
+            ).drop("n_chars_removed")))
     if cfg.decontaminate:
         if benchmark is None:
             raise ValueError("decontaminate=True requires a benchmark frame")

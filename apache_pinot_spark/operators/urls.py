@@ -38,10 +38,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: default tracking parameters, matched against the full "k=v" pair by
-#: key; utm_* is a prefix family
+#: key; utm_* is a prefix family. Bare ``ref`` is deliberately NOT in
+#: the default: on some origins it is transport noise (?ref=rss), but
+#: GitHub-style ``?ref=branch`` SELECTS different content, and a
+#: canonicalizer must never merge two distinct pages — add "ref" back
+#: per-corpus when the origins are known to use it as a referrer tag.
 DEFAULT_TRACKING_PARAMS = (
     "utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid",
-    "igshid", "ref", "ref_src",
+    "igshid", "ref_src",
 )
 
 
@@ -109,20 +113,27 @@ def url_dedup(
     deterministic-survivor convention of operators/dedup.py). Rows whose
     URL does not canonicalize (NULL) are kept as their own stratum.
     One keyed shuffle; survivors keep all input columns plus
-    ``canonical_url``."""
+    ``canonical_url``. If the input ALREADY carries a ``canonical_url``
+    column (e.g. htmltext.extract_page's rel=canonical signal), it is
+    preserved untouched — the dedup key is computed under a private
+    name so the caller's signal is never clobbered."""
     cu = canonical_url_expr(url_col, tracking_params)
-    with_cu = df.withColumn("canonical_url", cu)
+    had_canonical = "canonical_url" in df.columns
+    with_cu = df.withColumn("_canon_url", cu)
     from pyspark.sql import Window
 
     w = Window.partitionBy(
-        F.coalesce(F.col("canonical_url"),
+        F.coalesce(F.col("_canon_url"),
                    F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
     ).orderBy(F.col(id_col))
-    return (
+    out = (
         with_cu.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if had_canonical:
+        return out.drop("_canon_url")
+    return out.withColumnRenamed("_canon_url", "canonical_url")
 
 
 def host_suffixes_expr(host: Column | str, max_labels: int = 8) -> Column:
@@ -133,17 +144,21 @@ def host_suffixes_expr(host: Column | str, max_labels: int = 8) -> Column:
     h = F.lower(F.col(host) if isinstance(host, str) else host)
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    start = F.greatest(n - F.lit(max_labels) + 1, F.lit(1))
-    # guard n < 2: F.sequence(1, 0) would generate a DESCENDING [1, 0]
-    # and slice() rejects start 0 — single-label hosts ("localhost")
-    # match exactly instead
-    sfx = F.when(
-        n >= 2,
+    # The full host is ALWAYS element 0 — even past the label cap — so a
+    # blocklist entry naming an (n > max_labels)-label host exactly still
+    # matches (no subdomain-depth evasion of exact-host entries). The cap
+    # only bounds how many PARENT suffixes we enumerate.
+    start = F.greatest(n - F.lit(max_labels) + 1, F.lit(2))
+    # guard start > n-1: F.sequence would generate a DESCENDING range
+    # (e.g. 2-label hosts, or max_labels < 2)
+    parents = F.when(
+        (n >= 3) & (start <= n - 1),
         F.transform(
             F.sequence(start, n - 1),  # suffix starting positions (1-based)
             lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
         ),
-    ).otherwise(F.array(h))
+    ).otherwise(F.array().cast("array<string>"))
+    sfx = F.concat(F.array(h), parents)
     return F.filter(sfx, lambda s: s != F.lit(""))
 
 

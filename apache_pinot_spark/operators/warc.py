@@ -698,7 +698,12 @@ def read_warc_ranges(
                     url = rec["url"]
                     emitted = 0
                     n_rej = 0
-                    if fh is not None and rec["length"] and rec["length"] > 0:
+                    # NULL offset is as bad as NULL length (read_cdxj
+                    # casts null-safe and never filters): count as a
+                    # reject row, never int(None) → task failure
+                    if (fh is not None and rec["length"]
+                            and rec["length"] > 0
+                            and rec["offset"] is not None):
                         fh.seek(int(rec["offset"]))
                         blob = fh.read(int(rec["length"]))
                         for kind, payload in iter_warc_records_tolerant(

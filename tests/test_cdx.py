@@ -177,3 +177,28 @@ def test_cdx_to_range_read_end_to_end(spark, tmp_path):
     rej = [r for r in rows2 if r.body is None]
     assert len(ok) == 4 and len(rej) == 1
     assert rej[0].url == "http://badx/q" and rej[0].n_rejected >= 1
+
+
+def test_range_read_null_offset_rejects_row_not_task(spark, tmp_path):
+    # a manifest row with non-null length but NULL offset must land as a
+    # reject row (per-record isolation), never int(None) → task failure
+    uri = b"http://ok.example.com/p"
+    member = _warc_member(uri, b"<html><body><p>fine page body with "
+                               b"plain words here</p></body></html>")
+    (tmp_path / "m.warc.gz").write_bytes(member)
+    from apache_pinot_spark.operators.warc import read_warc_ranges
+    manifest = spark.createDataFrame(
+        [("m.warc.gz",
+          [{"url": "http://ok.example.com/p", "offset": 0,
+            "length": len(member)},
+           {"url": "http://null-off.example/q", "offset": None,
+            "length": 64}])],
+        "warc_filename string, records array<struct<url:string,"
+        "offset:bigint,length:bigint>>")
+    rows = read_warc_ranges(spark, manifest,
+                            base_dir=str(tmp_path)).collect()
+    ok = [r for r in rows if r.n_rejected == 0]
+    rej = [r for r in rows if r.body is None]
+    assert len(ok) == 1 and ok[0].url == "http://ok.example.com/p"
+    assert len(rej) == 1 and rej[0].url == "http://null-off.example/q"
+    assert rej[0].n_rejected >= 1

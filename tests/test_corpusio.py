@@ -61,6 +61,21 @@ def test_dolma_shape_and_id_field(spark, tmp_path):
     assert both.select("doc_id").distinct().count() == 3
 
 
+def test_missing_id_field_falls_back_to_text_hash(spark, tmp_path):
+    # xxhash64(NULL) is the constant seed hash — without the text-hash
+    # fallback, every id-less line would share ONE doc_id and exact
+    # dedup would collapse distinct documents
+    rows = [
+        {"id": "doc-1", "text": "alpha " * 30},
+        {"text": "beta " * 30},    # no id: falls back to hash(text)
+        {"text": "gamma " * 30},   # no id: DIFFERENT doc_id from beta
+    ]
+    p = _write(tmp_path, "noid.jsonl", rows)
+    out = C.read_jsonl_corpus(spark, p, preset="dolma").collect()
+    assert len(out) == 3
+    assert len({r.doc_id for r in out}) == 3
+
+
 def test_oscar_bracket_path(spark, tmp_path):
     oscar = [{"content": "gamma " * 40,
               "warc_headers": {"warc-target-uri": "http://x.example/a"}}]

@@ -18,8 +18,11 @@ _GOLDENS = [
     ("https://example.com:8443/x", "https://example.com:8443/x"),
     ("http://example.com", "http://example.com/"),
     ("http://sub.example.com./p", "http://sub.example.com/p"),
+    # bare ref is NOT in the default strip list (GitHub-style ?ref=branch
+    # selects different content); ref_src (Twitter) is
     ("http://example.com/p?ref=abc&reference=keep",
-     "http://example.com/p?reference=keep"),
+     "http://example.com/p?ref=abc&reference=keep"),
+    ("http://example.com/p?ref_src=twsrc&a=1", "http://example.com/p?a=1"),
     ("http://example.com/p?utm_campaign=z", "http://example.com/p"),
     ("not a url", None),
     ("ftp://files.example.com/a/b", "ftp://files.example.com/a/b"),
@@ -32,6 +35,43 @@ def test_canonical_url_goldens(spark):
     got = [r.c for r in
            df.select(U.canonical_url_expr("url").alias("c")).collect()]
     assert got == [want for _, want in _GOLDENS]
+
+
+def test_ref_strippable_by_optin(spark):
+    # corpora whose origins use ?ref= as a referrer tag opt back in
+    df = spark.createDataFrame([("http://example.com/p?ref=rss&a=1",)],
+                               "url string")
+    got = df.select(U.canonical_url_expr(
+        "url", tracking_params=U.DEFAULT_TRACKING_PARAMS + ("ref",)
+    ).alias("c")).collect()[0].c
+    assert got == "http://example.com/p?a=1"
+
+
+def test_host_suffixes_include_full_host_past_cap(spark):
+    # an exact blocklist entry naming a (> max_labels)-label host must
+    # still match: the full host is always element 0 of the suffix list
+    deep = "a.b.c.d.e.f.g.h.i.example.com"  # 11 labels
+    df = spark.createDataFrame([(deep,), ("x.y",), ("localhost",)],
+                               "h string")
+    rows = df.select(U.host_suffixes_expr("h", max_labels=4)
+                     .alias("s")).collect()
+    deep_sfx = rows[0].s
+    assert deep_sfx[0] == deep            # full host present
+    assert len(deep_sfx) == 4             # cap holds (1 full + 3 parents)
+    assert deep_sfx[-1] == "example.com"  # shortest parent kept
+    assert rows[1].s == ["x.y"]
+    assert rows[2].s == ["localhost"]
+
+
+def test_url_dedup_preserves_existing_canonical_url(spark):
+    # extract_page's rel=canonical signal must survive url_dedup
+    rows = [(1, "http://example.com/a", "http://orig/canon1"),
+            (2, "http://example.com/b", "http://orig/canon2")]
+    df = spark.createDataFrame(rows,
+                               "doc_id bigint, url string, canonical_url string")
+    out = U.url_dedup(df)
+    got = {r.doc_id: r.canonical_url for r in out.collect()}
+    assert got == {1: "http://orig/canon1", 2: "http://orig/canon2"}
 
 
 def test_canonicalization_is_idempotent(spark):
