@@ -128,6 +128,20 @@ class CurationConfig:
     # tied to the returned stage frames (lifecycle sweep releases them
     # when the stages dict dies).
     cache_stages: tuple = ()
+    # 'persist' keeps the stage LAZY (MEMORY_AND_DISK; sibling plans
+    # reuse it via the cache manager's structural matching — the
+    # default, and the right choice when one downstream plan consumes
+    # the stages). 'checkpoint' = EAGER localCheckpoint: each cached
+    # stage materializes once at build time and the logical lineage
+    # TRUNCATES there, so a consumer that builds MANY sibling plans
+    # over the stages (per-stage audit accounting) re-executes nothing
+    # and re-optimizes only the tiny truncated plans — measured 2-4×
+    # on the gate accounting, where the canonicalizer/Gopher trees are
+    # large and every count subtree re-embedded them. The trade is
+    # explicit: checkpoint mode gives up curate_corpus's build-no-jobs
+    # laziness for the cached stages (and local-checkpoint blocks don't
+    # survive executor loss) — use persist for long cluster runs.
+    cache_mode: str = "persist"
 
 
 def curate_corpus(
@@ -164,11 +178,20 @@ def curate_corpus(
     # operators' own keepalive attributes through).
     artifacts: list = []
 
+    if cfg.cache_mode not in ("persist", "checkpoint"):
+        raise ValueError(f"unknown cache_mode {cfg.cache_mode!r}")
+
     def _stage(name, df):
         if name in (cfg.cache_stages or ()):
-            from pyspark import StorageLevel
+            if cfg.cache_mode == "checkpoint":
+                # eager: a lazy checkpoint would be re-executed (and
+                # thrown away) by downstream _spread partition probes
+                # before anything pins it
+                df = df.localCheckpoint(eager=True)
+            else:
+                from pyspark import StorageLevel
 
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
             # release when the stages dict (held by every stage frame) dies
             artifacts.append(_CachedStage(df))
         df._curation_artifacts_keepalive = artifacts

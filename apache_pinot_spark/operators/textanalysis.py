@@ -444,7 +444,15 @@ def normalize_corpus(
 
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in df.schema.fields)
-    return df.mapInPandas(run, schema=schema)
+    # _spread first (the Arrow-pass convention, see substring_dedup):
+    # per-row unicodedata work must fan out across cores on small-file
+    # inputs, and — because a Python map is a predicate-pushdown
+    # barrier — every JVM gate stacked ABOVE this pass (word blocklist,
+    # Gopher composite) inherits the parallel partitioning instead of
+    # sinking to a single-partition scan.
+    from apache_pinot_spark.operators.dedup import _spread
+
+    return _spread(df).mapInPandas(run, schema=schema)
 
 
 def gopher_quality_expr(
@@ -498,4 +506,80 @@ def gopher_quality_expr(
         & (rep["dup_line_char_frac"] <= F.lit(max_dup_line_char_frac))
         & (rep["top_2gram_char_frac"] <= F.lit(max_top_2gram_char_frac))
         & (rep["top_3gram_char_frac"] <= F.lit(max_top_3gram_char_frac))
+    )
+
+
+def gopher_quality_oracle_sql(
+    col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+) -> str:
+    """DuckDB boolean expression replaying ``gopher_quality_expr`` rule
+    for rule (tests/test_gopher.py pins parity per violator) — every
+    ratio is int counts + ONE double division on both engines, so the
+    comparisons are bit-deterministic. The top-n-gram mode is the
+    straightforward distinct×grams scan (quadratic per document — an
+    oracle run at sf0.01 document lengths, not the engine's linear
+    sorted-run fold)."""
+    c = col
+    ws = f"list_filter(regexp_split_to_array({c}, '\\s+'), x -> x <> '')"
+    lws = f"list_filter(regexp_split_to_array(lower({c}), '\\s+'), x -> x <> '')"
+    n_words = f"len({ws})"
+    word_chars = f"coalesce(list_sum(list_transform({ws}, x -> length(x))), 0)"
+    mean_wl = f"(CAST({word_chars} AS DOUBLE) / greatest({n_words}, 1))"
+    n_hash = f"(len(string_split({c}, '#')) - 1)"
+    n_ellipsis = (f"((len(regexp_split_to_array({c}, '\\.\\.\\.')) - 1)"
+                  f" + (len(string_split({c}, '…')) - 1))")
+    symbol_ratio = (f"(CAST({n_hash} + {n_ellipsis} AS DOUBLE)"
+                    f" / greatest({n_words}, 1))")
+    alpha_frac = (f"(CAST(len(list_filter({ws}, x -> regexp_matches(x, '[A-Za-z]')))"
+                  f" AS DOUBLE) / greatest({n_words}, 1))")
+    stop_sql = ",".join("'" + w + "'" for w in sorted(DEFAULT_STOP_WORDS))
+    stop_hits = f"len(list_filter({lws}, x -> x IN ({stop_sql})))"
+    lines = (f"list_filter(list_transform(string_split({c}, chr(10)), "
+             f"x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')), "
+             f"x -> length(x) > 0)")
+    n_lines = f"len({lines})"
+    dup_lines = f"({n_lines} - len(list_distinct({lines})))"
+    line_chars = f"coalesce(list_sum(list_transform({lines}, x -> length(x))), 0)"
+    dl_chars = (f"coalesce(list_sum(list_transform(list_distinct({lines}), "
+                f"x -> length(x))), 0)")
+    dup_line_frac = (f"(CASE WHEN {n_lines} > 0 THEN "
+                     f"CAST({dup_lines} AS DOUBLE) / {n_lines} ELSE 0.0 END)")
+    dup_line_char_frac = (f"(CASE WHEN {line_chars} > 0 THEN "
+                          f"CAST({line_chars} - {dl_chars} AS DOUBLE) / {line_chars} "
+                          f"ELSE 0.0 END)")
+
+    def top_gram_frac(n: int) -> str:
+        grams = (f"(CASE WHEN len({lws}) >= {n} THEN "
+                 f"list_transform(range(1, len({lws}) - {n - 1} + 1), "
+                 f"i -> array_to_string(({lws})[i:i+{n - 1}], ' ')) "
+                 f"ELSE [] END)")
+        tok_chars = f"coalesce(list_sum(list_transform({lws}, x -> length(x))), 0)"
+        best = (f"coalesce(list_max(list_transform(list_distinct({grams}), "
+                f"g -> len(list_filter({grams}, x -> x = g))"
+                f" * (length(g) - {n - 1}))), 0)")
+        return (f"(CASE WHEN len({grams}) > 0 AND {tok_chars} > 0 THEN "
+                f"CAST({best} AS DOUBLE) / {tok_chars} ELSE 0.0 END)")
+
+    return (
+        f"(({n_words} >= {min_words}) AND ({n_words} <= {max_words})"
+        f" AND ({mean_wl} >= {min_mean_word_len!r})"
+        f" AND ({mean_wl} <= {max_mean_word_len!r})"
+        f" AND ({symbol_ratio} <= {max_symbol_word_ratio!r})"
+        f" AND ({alpha_frac} >= {min_alpha_word_frac!r})"
+        f" AND ({stop_hits} >= {min_stopword_hits})"
+        f" AND ({dup_line_frac} <= {max_dup_line_frac!r})"
+        f" AND ({dup_line_char_frac} <= {max_dup_line_char_frac!r})"
+        f" AND ({top_gram_frac(2)} <= {max_top_2gram_char_frac!r})"
+        f" AND ({top_gram_frac(3)} <= {max_top_3gram_char_frac!r}))"
     )

@@ -49,6 +49,50 @@ DEFAULT_TRACKING_PARAMS = (
 )
 
 
+def canonical_url_oracle_sql(
+    col: str,
+    tracking_params=DEFAULT_TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> str:
+    """DuckDB SQL expression replaying ``canonical_url_expr`` — the
+    portable oracle the driver's correctness gate runs side-by-side with
+    the Spark expression (tests/test_urls_blocklist.py pins parity on
+    the golden list). DuckDB has no parse_url, so the replay parses with
+    regexps under the RFC 3986 generic-URI grammar; inputs Java's URI
+    parser rejects entirely (e.g. embedded spaces) can diverge — the
+    gate's synthesized URLs are well-formed, and garbage without a
+    scheme://host canonicalizes to NULL on BOTH engines."""
+    u = col
+    preds = []
+    for p in tracking_params:
+        if p.endswith("_"):
+            preds.append(f"starts_with(string_split(kv, '=')[1], '{p}')")
+        else:
+            preds.append(f"string_split(kv, '=')[1] = '{p}'")
+    tracking = " OR ".join(preds) if preds else "FALSE"
+    scheme = f"lower(nullif(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), ''))"
+    auth = f"nullif(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '')"
+    host = f"lower(regexp_replace(regexp_replace({auth}, '^[^@]*@', ''), ':[0-9]+$', ''))"
+    host = f"regexp_replace({host}, '\\.$', '')"
+    if strip_www:
+        host = f"regexp_replace({host}, '^www\\.', '')"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    path = (f"regexp_extract({u}, "
+            f"'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)")
+    path = f"(CASE WHEN coalesce({path}, '') = '' THEN '/' ELSE {path} END)"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    kept = (f"array_to_string(list_sort(list_filter("
+            f"string_split(coalesce({query}, ''), '&'), "
+            f"kv -> kv <> '' AND NOT ({tracking}))), '&')")
+    portpart = (f"(CASE WHEN {port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+                f"OR ({scheme} = 'https' AND {port} = '443')) "
+                f"THEN ':' || {port} ELSE '' END)")
+    querypart = f"(CASE WHEN {kept} <> '' THEN '?' || {kept} ELSE '' END)"
+    return (f"(CASE WHEN {scheme} IS NOT NULL AND coalesce({host}, '') <> '' "
+            f"THEN {scheme} || '://' || {host} || {portpart} || {path} || {querypart} "
+            f"END)")
+
+
 def _tracking_pred(kv: Column, prefixes) -> Column:
     key = F.split(kv, "=", 2)[0]
     cond = F.lit(False)

@@ -22,5 +22,6 @@ from apache_pinot_spark.suites import json_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import dedup_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import similarity_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import pipeline_suite  # noqa: F401,E402
+from apache_pinot_spark.suites import curation_gates_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import textanalysis_suite  # noqa: F401,E402
 from apache_pinot_spark.suites import ops_suite  # noqa: F401,E402

@@ -1,0 +1,312 @@
+"""Driver-gate query for the r11 crawl-side curation gates
+(operators/urls.url_dedup, textanalysis.normalize_corpus,
+curation.blocklist_filter, textanalysis.gopher_quality_expr,
+substring_dedup.dedup_exact_substrings) — the r11 wave shipped these
+default-off and pytest-only; this slot runs them as ONE staged
+curate_corpus flow with a DuckDB oracle replaying every stage
+(the r12 verdict's top ask).
+
+Accounting is (stage_idx, stage, rows, chars): ``chars`` =
+sum(length(text)) per stage, which makes the row-PRESERVING rewrite
+stages (normalize, substring excision) genuinely hash-gated — a stale
+or wrong rewrite shifts the char totals even when row counts agree.
+
+Gate inputs are synthesized deterministically from the documents table
+so every stage has real work at any SF (both engines build them from
+the same literals):
+  * a crawl URL per doc — mixed-case scheme/host, www prefix, default
+    port, utm_ param, unsorted params, fragment — whose adjusted id
+    (doc_id-1 when doc_id%13=0) makes ~7.7%% of docs collide after
+    canonicalization, at EVERY scale factor (a modulus key space would
+    collapse the corpus at sf0.1)
+  * zero-width/BOM/soft-hyphen prefix noise on doc_id%7=3 and an NFD
+    composed-accent tail on doc_id%11=5 — normalize must strip/compose
+    exactly (chars accounting pins it)
+  * word blocklist = ('vector',) with the fraction gate at 0.05
+  * Gopher composite with the paper thresholds, min_words=30 override
+    (synthetic docs run 10-100 words)
+  * exact-substring dedup at window_tokens=15 — the planted near-dup
+    documents share long token runs, so real spans are excised; the
+    oracle replays the stride-1 window construction with character
+    offsets derived from the token/separator split (fully general — no
+    single-space assumption), keeper = min (doc_id, win_idx) per
+    duplicated window, merged-island span arithmetic in SQL
+
+The engine signature is a 64-bit rolling polynomial; the oracle keys
+windows by the literal token string (space-joined, injective) — a
+signature collision would diverge the two, at ~2^-64 per window pair.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_pinot_spark.catalog import load_tables
+from apache_pinot_spark.operators.chunking import portable_split_threshold
+from apache_pinot_spark.operators.textanalysis import gopher_quality_oracle_sql
+from apache_pinot_spark.operators.urls import canonical_url_oracle_sql
+from apache_pinot_spark.querysuite import df_query
+
+_SALT = "v1"
+_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+_WINDOW_TOKENS = 15
+_MAX_BAD_FRAC = 0.05
+_MIN_WORDS = 30
+# normalize-stage probes: all-stripped zero-width prefix; NFD tail that
+# composes to "\nCafé idea" (combining acute + trailing ZWSP removed)
+_ZW_PREFIX = "\ufeff\u200b\u00ad"
+_NFD_TAIL = "\nCafe\u0301 idea\u200b"
+# the same literals as DuckDB expressions (chr() so the SQL text stays
+# ASCII-clean and the newline survives any literal handling)
+_ZW_PREFIX_SQL = "(chr(65279) || chr(8203) || chr(173))"
+_NFD_TAIL_SQL = "(chr(10) || 'Cafe' || chr(769) || ' idea' || chr(8203))"
+
+
+def _synth_inputs(docs: DataFrame) -> DataFrame:
+    aid = (
+        F.col("doc_id")
+        - F.when((F.col("doc_id") % 13 == 0) & (F.col("doc_id") > 0), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    url = F.concat(
+        F.lit("HTTPS://www.corpus.Example.COM:443/doc/"), aid.cast("string"),
+        F.lit("?utm_source=feed&b="), (aid % 5).cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    noise = F.when(F.col("doc_id") % 7 == 3, F.lit(_ZW_PREFIX)).otherwise(F.lit(""))
+    tail = F.when(F.col("doc_id") % 11 == 5, F.lit(_NFD_TAIL)).otherwise(F.lit(""))
+    return docs.withColumn("url", url).withColumn(
+        "text", F.concat(noise, F.col("text"), tail))
+
+
+def _gates_accounting(spark: SparkSession, sf_dir: str):
+    from apache_pinot_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = _synth_inputs(
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text", "source"))
+    bl = spark.createDataFrame([("vector",)], "word string")
+    cfg = CurationConfig(
+        url_dedup=True,
+        normalize_unicode=True,
+        exact_dedup=False,
+        boilerplate=False,
+        block_words=True,
+        max_bad_frac=_MAX_BAD_FRAC,
+        quality_filter=False,
+        gopher_quality=True,
+        gopher_overrides={"min_words": _MIN_WORDS},
+        redact_pii=False,
+        near_dedup=False,
+        substring_dedup=True,
+        substring_window_tokens=_WINDOW_TOKENS,
+        decontaminate=False,
+        splits=dict(_SPLITS),
+        split_salt=_SALT,
+        split_portable=True,
+        # every stage count re-derives its prefix chain; with all five
+        # mid-stages materialized each count is (previous stage + one
+        # stage) instead of an O(stages²) recompute stack. checkpoint
+        # mode (lineage truncation) rather than persist: this query
+        # builds ~10 sibling aggregate plans over the stages, and
+        # re-optimizing the large canonicalizer/Gopher expression trees
+        # per subtree dominated the persist-mode wall time (measured
+        # 2-3×)
+        cache_stages=("url_dedup", "normalize", "word_blocklist",
+                      "gopher_quality", "substring_dedup"),
+        cache_mode="checkpoint",
+    )
+    stages = curate_corpus(docs, cfg, word_blocklist=bl)
+    parts = []
+    for i, (name, df) in enumerate(stages.items()):
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum(F.length("text")), F.lit(0))
+                .cast("bigint").alias("chars"),
+            ).select(
+                F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+                "rows", "chars",
+            )
+        )
+    split_sizes = (
+        stages["splits"]
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0))
+            .cast("bigint").alias("chars"),
+        )
+        .select(
+            F.lit(len(stages)).alias("stage_idx"),
+            F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+            "rows", "chars",
+        )
+    )
+    out = reduce(DataFrame.unionByName, parts).unionByName(split_sizes) \
+        .orderBy("stage_idx", "stage")
+    out._curation_artifacts_keepalive = stages
+    return out
+
+
+_W = _WINDOW_TOKENS
+_T_TRAIN_HI = portable_split_threshold(980)
+_T_VAL_HI = portable_split_threshold(990)
+
+# normalize replay: NFC, newline canonicalization, zero-width/format
+# strip, Cc strip (keep \n \t) — the exact normalize_corpus chain
+_NORM = (
+    "regexp_replace(regexp_replace(replace(replace(nfc_normalize(text), "
+    "chr(13) || chr(10), chr(10)), chr(13), chr(10)), "
+    "'[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}\\x{00ad}"
+    "\\x{202a}-\\x{202e}\\x{2066}-\\x{2069}]', "
+    "'', 'g'), "
+    "'[\\x00-\\x08\\x0b-\\x0c\\x0e-\\x1f\\x7f]|[\\x{0080}-\\x{009f}]', "
+    "'', 'g')"
+)
+
+_LTOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 7 = 3 THEN {_ZW_PREFIX_SQL} ELSE '' END)
+           || text
+           || (CASE WHEN doc_id % 11 = 5 THEN {_NFD_TAIL_SQL} ELSE '' END)
+           AS text,
+         'HTTPS://www.corpus.Example.COM:443/doc/' || CAST(aid AS VARCHAR)
+           || '?utm_source=feed&b=' || CAST(aid % 5 AS VARCHAR)
+           || '&a=1#frag' AS url
+  FROM (SELECT *, doc_id - (CASE WHEN doc_id % 13 = 0 AND doc_id > 0
+                            THEN 1 ELSE 0 END) AS aid
+        FROM documents)
+),
+canon AS (SELECT *, {canonical_url_oracle_sql('url')} AS cu FROM base),
+u AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY coalesce(cu, chr(0) || 'null:' || CAST(doc_id AS VARCHAR))
+      ORDER BY doc_id) AS rn
+    FROM canon)
+  WHERE rn = 1
+),
+norm AS (SELECT doc_id, source, {_NORM} AS text FROM u),
+wstats AS (
+  SELECT doc_id,
+         len({_LTOKS}) AS total,
+         len(list_filter({_LTOKS}, x -> x = 'vector')) AS bad
+  FROM norm
+),
+wg AS (
+  SELECT n.* FROM norm n JOIN wstats s USING (doc_id)
+  WHERE (CASE WHEN s.total > 0 THEN CAST(s.bad AS DOUBLE) / s.total
+         ELSE 0.0 END) <= {_MAX_BAD_FRAC}
+),
+gop AS (
+  SELECT * FROM wg
+  WHERE {gopher_quality_oracle_sql('text', min_words=_MIN_WORDS)}
+),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[0-9A-Za-z]+') AS tk,
+         regexp_split_to_array(text, '[0-9A-Za-z]+') AS sep,
+         length(text) AS n_chars0
+  FROM gop
+),
+wins AS (
+  SELECT doc_id, i - 1 AS win_idx,
+         array_to_string(list_transform(tk[i:i+{_W - 1}], t -> lower(t)), ' ')
+           AS sig,
+         coalesce(length(array_to_string(sep[1:i], '')), 0)
+           + coalesce(length(array_to_string(tk[1:i-1], '')), 0) AS start_c,
+         coalesce(length(array_to_string(sep[1:i+{_W - 1}], '')), 0)
+           + coalesce(length(array_to_string(tk[1:i+{_W - 2}], '')), 0)
+           + length(tk[i+{_W - 1}]) AS end_c
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - {_W} + 1, 0) + 1)) AS i) s
+),
+occ AS (
+  SELECT doc_id, win_idx, start_c, end_c,
+         COUNT(*) OVER (PARTITION BY sig) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id, win_idx) AS rk
+  FROM wins
+),
+cuts AS (SELECT doc_id, start_c, end_c FROM occ WHERE n_occ >= 2 AND rk > 1),
+ord_c AS (
+  SELECT *, MAX(end_c) OVER (
+    PARTITION BY doc_id ORDER BY start_c, end_c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM cuts
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR start_c > prev_max
+                THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY start_c, end_c
+    ROWS UNBOUNDED PRECEDING) AS island
+  FROM ord_c
+),
+mg AS (SELECT doc_id, island, MIN(start_c) AS a, MAX(end_c) AS b
+       FROM isl GROUP BY doc_id, island),
+rem AS (SELECT doc_id, SUM(b - a) AS removed FROM mg GROUP BY doc_id),
+sd AS (
+  SELECT t.doc_id, t.n_chars0 - coalesce(r.removed, 0) AS n_chars1
+  FROM toks t LEFT JOIN rem r USING (doc_id)
+),
+spl AS (
+  SELECT doc_id, n_chars1,
+    CASE WHEN pfx < '{_T_TRAIN_HI}' THEN 'train'
+         WHEN pfx < '{_T_VAL_HI}' THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_chars1,
+               substr(md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), 1, 8) AS pfx
+        FROM sd)
+)
+SELECT stage_idx, stage, rows, chars FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS rows,
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) AS chars FROM base
+  UNION ALL
+  SELECT 1, 'url_dedup', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM u
+  UNION ALL
+  SELECT 2, 'normalize', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM norm
+  UNION ALL
+  SELECT 3, 'word_blocklist', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM wg
+  UNION ALL
+  SELECT 4, 'gopher_quality', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM gop
+  UNION ALL
+  SELECT 5, 'substring_dedup', COUNT(*),
+         CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
+  UNION ALL
+  SELECT 6, 'splits', COUNT(*),
+         CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
+  UNION ALL
+  SELECT 7, 'split_' || split, COUNT(*),
+         CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM spl GROUP BY split
+)
+ORDER BY stage_idx, stage
+"""
+
+
+df_query(
+    "curation_gates_accounting",
+    _gates_accounting,
+    _ORACLE,
+    tables=["documents"],
+    doc="r11 curation gates as one staged curate_corpus flow with "
+        "rows+chars accounting: URL canonicalization dedup (full "
+        "canonicalizer replayed in SQL), Unicode normalization (NFC + "
+        "zero-width/control strip, char-exact), C4-style word-blocklist "
+        "fraction gate, the Gopher/MassiveText composite (all 11 rules "
+        "replayed), and Lee-et-al exact-substring dedup (stride-1 window "
+        "spans, keeper selection, merged-island excision arithmetic — "
+        "char-exact), then portable split assignment",
+)

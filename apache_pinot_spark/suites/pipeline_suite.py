@@ -5,8 +5,8 @@ replays every enabled stage in SQL.
 
 Gate configuration (chosen so each stage is exactly replayable):
   * exact dedup           — min-doc_id survivor per md5(text) group
-  * quality + language    — the tx_quality_buckets / tx_lang_id_eval
-                            arithmetic (both independently gate-green)
+  * quality + language    — the tx_quality_lang_eval arithmetic (both
+                            facets independently gate-green)
   * PII redaction (r11)   — redact_expr over the RE2-portable category
                             subset (redaction.PORTABLE_CATEGORIES; the
                             phone pattern's lookarounds have no RE2

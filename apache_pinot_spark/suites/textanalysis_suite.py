@@ -142,19 +142,47 @@ df_query(
 )
 
 
-def _quality_buckets(spark, sf_dir):
+# r12 fold: tx_quality_buckets + tx_lang_id_eval share one slot (freed
+# the window position for curation_gates_accounting, the r12 verdict's
+# top ask). Both facets keep their full original validation — the
+# quality histogram rows carry facet='quality' (k1=bucket, k2=''), the
+# language confusion rows facet='langid' (k1=lang, k2=guess); the
+# oracle is the UNION ALL of the two original oracles shaped the same.
+def _quality_lang_eval(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    return (
+    qb = (
         d.select(F.floor(tx.quality_score_expr("text") / 10).cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("bucket")
+        .select(
+            F.lit("quality").alias("facet"),
+            F.col("bucket").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            "cnt",
+        )
     )
+    le = (
+        d.select("lang", tx.lang_id_expr("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("langid").alias("facet"),
+            F.col("lang").alias("k1"),
+            F.col("guess").alias("k2"),
+            "cnt",
+        )
+    )
+    return qb.unionByName(le).orderBy("facet", "k1", "k2")
+
+
+def _marker_sql(lang: str) -> str:
+    markers = ",".join("'" + m + "'" for m in tx.LANG_MARKERS[lang])
+    return f"len(list_filter({_WS_TOKS_LOWER}, x -> x IN ({markers})))"
 
 
 df_query(
-    "tx_quality_buckets",
-    _quality_buckets,
+    "tx_quality_lang_eval",
+    _quality_lang_eval,
     f"""
     WITH feat AS (
       SELECT
@@ -174,35 +202,12 @@ df_query(
         - least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 100, 50.0)
       , 100.0), 0.0) AS q
       FROM feat
-    )
-    SELECT CAST(floor(q / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
-    FROM score GROUP BY 1 ORDER BY bucket
-    """,
-    tables=["documents"],
-    doc="Quality-score histogram (length/stopword/digit heuristics)",
-)
-
-
-def _lang_eval(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return (
-        d.select("lang", tx.lang_id_expr("text").alias("guess"))
-        .groupBy("lang", "guess")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("lang", "guess")
-    )
-
-
-def _marker_sql(lang: str) -> str:
-    markers = ",".join("'" + m + "'" for m in tx.LANG_MARKERS[lang])
-    return f"len(list_filter({_WS_TOKS_LOWER}, x -> x IN ({markers})))"
-
-
-df_query(
-    "tx_lang_id_eval",
-    _lang_eval,
-    f"""
-    WITH m AS (
+    ),
+    buckets AS (
+      SELECT CAST(floor(q / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
+      FROM score GROUP BY 1
+    ),
+    m AS (
       SELECT lang,
              {_marker_sql('de')} AS de_c, {_marker_sql('en')} AS en_c,
              {_marker_sql('es')} AS es_c, {_marker_sql('fr')} AS fr_c,
@@ -219,11 +224,23 @@ df_query(
         ELSE 'und' END AS guess
       FROM m
     )
-    SELECT lang, guess, COUNT(*) AS cnt FROM g GROUP BY lang, guess ORDER BY lang, guess
+    SELECT facet, k1, k2, cnt FROM (
+      SELECT 'quality' AS facet, CAST(bucket AS VARCHAR) AS k1, '' AS k2, cnt
+      FROM buckets
+      UNION ALL
+      SELECT 'langid', lang, guess, COUNT(*) FROM g GROUP BY lang, guess
+    )
+    ORDER BY facet, k1, k2
     """,
     tables=["documents"],
-    doc="Marker-word language-ID vs labeled lang column",
+    doc="Quality-score histogram (length/stopword/digit heuristics) + "
+        "marker-word language-ID confusion vs the labeled lang column "
+        "(r12 fold of tx_quality_buckets + tx_lang_id_eval; both "
+        "original oracles replay unchanged under a facet tag)",
 )
+
+
+
 
 
 def _fingerprint_overlap(spark, sf_dir):
