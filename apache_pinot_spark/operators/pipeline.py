@@ -152,6 +152,7 @@ def curate_corpus(
     blocked_domains: DataFrame | None = None,
     word_blocklist: DataFrame | None = None,
     quality_model=None,
+    lang_model=None,
 ) -> dict[str, DataFrame]:
     """Run the staged curation plan. Returns {stage_name: DataFrame} in
     stage order — every entry is the corpus AS OF that stage (same
@@ -246,9 +247,22 @@ def curate_corpus(
             max_bad_frac=cfg.max_bad_frac))
     if cfg.quality_filter:
         keep = tx.quality_score_expr(F.col(t)) >= F.lit(cfg.min_quality)
-        if cfg.keep_langs:
+        if cfg.keep_langs and lang_model is None:
             keep = keep & tx.lang_id_expr(F.col(t)).isin(*cfg.keep_langs)
-        cur = _stage("quality_language", cur.filter(keep))
+        nxt = cur.filter(keep)
+        if cfg.keep_langs and lang_model is not None:
+            # trained tier (operators/langid): predicted language via
+            # the softmax scorer — one broadcast join + groupBy(id),
+            # then a keyed semi join back
+            from apache_pinot_spark.operators.langid import score_lang
+
+            keep_ids = (
+                score_lang(nxt, lang_model, text_col=t, id_col=k)
+                .filter(F.col("lang").isin(*cfg.keep_langs))
+                .select(k)
+            )
+            nxt = nxt.join(keep_ids, on=k, how="left_semi")
+        cur = _stage("quality_language", nxt)
     if cfg.gopher_quality:
         cur = _stage("gopher_quality", cur.filter(
             tx.gopher_quality_expr(F.col(t), **(cfg.gopher_overrides or {}))))
