@@ -112,14 +112,15 @@ def _build_vlc2() -> dict:
     ordered by (total_coeff, trailing_ones), shorter codes numerically
     higher — the convention the other two contexts follow).
 
-    FIDELITY CAVEAT: unlike the other tables in this module (whose
-    codewords were cross-validated against two independent
-    transcriptions), the exact codeword VALUES of this context could not
-    be verified in this environment; the length profile is spec-accurate
-    and the code is prefix-free and self-consistent (machine-checked),
-    so the encoder/decoder pair round-trips exactly, but third-party
-    bitstreams that exercise the 4 <= nC < 8 context may diverge until
-    this table is replaced with the verbatim spec column."""
+    FIDELITY CAVEAT (narrowed r12): the length profile is now
+    double-transcribed (tests/test_h264_tables_crosscheck.py carries an
+    independently written copy diffed length-by-length) and the
+    canonical assignment is second-sourced by an independent builder
+    diffed codeword-by-codeword, with a Kraft regression pin; what
+    remains unverifiable in this environment is whether the SPEC's
+    literal codeword values equal this canonical assignment — so
+    third-party bitstreams that exercise the 4 <= nC < 8 context may
+    still diverge until the verbatim spec column can be diffed in."""
     lens = {
         (0, 0): 4,
         (0, 1): 6, (1, 1): 4,

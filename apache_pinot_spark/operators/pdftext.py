@@ -24,9 +24,17 @@ Scope (the baseline a curation pipeline needs, bounded honestly):
     MacRomanEncoding approximated to Latin-1, /Differences overrides),
     else Latin-1; 2-byte CID codes when the CMap declares a 2-byte
     codespace (Identity-H with ToUnicode — the modern LaTeX shape)
-  * encrypted PDFs (trailer /Encrypt) REJECT honestly; pages whose
-    content streams fail lose only themselves (per-page isolation,
-    counted per blob)
+  * encrypted PDFs: the STANDARD security handler (ISO 32000-1 §7.6.3,
+    /Filter /Standard, V 1/2/4, R 2/3/4) decrypts with the EMPTY user
+    password — the owner-password-only case that covers most
+    world-readable encrypted PDFs (RC4-40..128 and AES-128-CBC /AESV2,
+    both implemented from the public specs: RC4 keystream, FIPS-197
+    inverse cipher). Wrong-password files (/U validation fails), V5/R6
+    (AES-256) and non-Standard handlers REJECT honestly. Strings and
+    streams both decrypt; xref streams and ObjStm interiors correctly
+    do NOT (spec exemptions). Bomb caps apply post-decrypt as always.
+  * pages whose content streams fail lose only themselves (per-page
+    isolation, counted per blob)
 
 Untrusted-input bounds: parse recursion is depth-capped; xref/Prev and
 page-tree walks are visited-set bounded; object count, stream
@@ -391,6 +399,302 @@ def _a85(data: bytes) -> bytes:
     return base64.a85decode(body, adobe=False)
 
 
+# --------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3) — empty-user-password
+# decryption for the owner-password-only PDFs that are world-readable.
+# RC4 and AES-128 are implemented from their public specifications
+# (RC4: the well-known KSA/PRGA; AES: FIPS-197 tables) — no crypto
+# library exists in the dependency set, and both are small, exactly
+# specified, and fixture-verifiable by round-trip with the forward
+# cipher below (the FLAC encoder-anchoring stance).
+# --------------------------------------------------------------------------
+
+#: ISO 32000-1 Table . the 32-byte standard padding string
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_tables():
+    # FIPS-197 S-box generated from the public construction (inverse in
+    # GF(2^8) + affine map) — generated, not transcribed, so a typo is
+    # structurally impossible
+    sbox = bytearray(256)
+    p = q = 1
+    sbox[0] = 0x63
+    while True:
+        # p runs over GF(2^8)* via x3 multiplication; q = p^-1 via /3
+        p = (p ^ (p << 1) ^ (0x1B if p & 0x80 else 0)) & 0xFF
+        q = (q ^ (q << 1)) & 0xFF
+        q = (q ^ (q << 2)) & 0xFF
+        q = (q ^ (q << 4)) & 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (x ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    inv = bytearray(256)
+    for i, v in enumerate(sbox):
+        inv[v] = i
+    return bytes(sbox), bytes(inv)
+
+
+_SBOX, _INV_SBOX = _aes_tables()
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _gmul(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        b >>= 1
+        a = _xtime(a)
+    return r
+
+
+def _aes_expand_key(key: bytes) -> list:
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i: 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _xtime(rcon)
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return [sum(w[4 * r: 4 * r + 4], []) for r in range(nr + 1)]
+
+
+def _aes_encrypt_block(rk: list, block: bytes) -> bytes:
+    nr = len(rk) - 1
+    # state kept column-major as a flat 16-list: s[4c+r] — PDF/FIPS
+    # byte order IS column-major, so the input maps 1:1
+    s = list(block)
+
+    def add_rk(st, k):
+        return [st[i] ^ k[i] for i in range(16)]
+
+    def sub_shift(st):
+        t = [_SBOX[b] for b in st]
+        out = list(t)
+        for r in range(1, 4):
+            col = [t[4 * c + r] for c in range(4)]
+            col = col[r:] + col[:r]
+            for c in range(4):
+                out[4 * c + r] = col[c]
+        return out
+
+    def mix(st):
+        out = [0] * 16
+        for c in range(4):
+            a = st[4 * c: 4 * c + 4]
+            out[4 * c + 0] = _xtime(a[0]) ^ (_xtime(a[1]) ^ a[1]) ^ a[2] ^ a[3]
+            out[4 * c + 1] = a[0] ^ _xtime(a[1]) ^ (_xtime(a[2]) ^ a[2]) ^ a[3]
+            out[4 * c + 2] = a[0] ^ a[1] ^ _xtime(a[2]) ^ (_xtime(a[3]) ^ a[3])
+            out[4 * c + 3] = (_xtime(a[0]) ^ a[0]) ^ a[1] ^ a[2] ^ _xtime(a[3])
+        return out
+
+    s = add_rk(s, rk[0])
+    for rnd in range(1, nr):
+        s = add_rk(mix(sub_shift(s)), rk[rnd])
+    s = add_rk(sub_shift(s), rk[nr])
+    return bytes(s)
+
+
+def _aes_decrypt_block(rk: list, block: bytes) -> bytes:
+    nr = len(rk) - 1
+
+    def add_rk(st, k):
+        return [st[i] ^ k[i] for i in range(16)]
+
+    def inv_shift_sub(st):
+        out = [0] * 16
+        for r in range(4):
+            col = [st[4 * c + r] for c in range(4)]
+            col = col[-r:] + col[:-r] if r else col
+            for c in range(4):
+                out[4 * c + r] = _INV_SBOX[col[c]]
+        return out
+
+    def inv_mix(st):
+        out = [0] * 16
+        for c in range(4):
+            a = st[4 * c: 4 * c + 4]
+            out[4 * c + 0] = _gmul(a[0], 14) ^ _gmul(a[1], 11) \
+                ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
+            out[4 * c + 1] = _gmul(a[0], 9) ^ _gmul(a[1], 14) \
+                ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
+            out[4 * c + 2] = _gmul(a[0], 13) ^ _gmul(a[1], 9) \
+                ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
+            out[4 * c + 3] = _gmul(a[0], 11) ^ _gmul(a[1], 13) \
+                ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
+        return out
+
+    s = add_rk(list(block), rk[nr])
+    for rnd in range(nr - 1, 0, -1):
+        s = add_rk(inv_shift_sub(s), rk[rnd])
+        s = inv_mix(s)
+    s = add_rk(inv_shift_sub(s), rk[0])
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-CBC with the PDF convention: first 16 bytes are the IV;
+    PKCS#5 padding validated and stripped."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("AES stream not block-aligned")
+    rk = _aes_expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for off in range(16, len(data), 16):
+        blk = data[off: off + 16]
+        dec = _aes_decrypt_block(rk, blk)
+        out += bytes(d ^ p for d, p in zip(dec, prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad AES padding (wrong key or corrupt data)")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Forward CBC (fixture generation + round-trip verification)."""
+    rk = _aes_expand_key(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(d ^ p for d, p in zip(data[off: off + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+class _StdSecurityHandler:
+    """ISO 32000-1 §7.6.3 standard handler, empty user password only
+    (Algorithms 2, 4, 5; per-object keys via Algorithm 1). Raises
+    ValueError for unsupported revisions or failed /U validation."""
+
+    def __init__(self, enc: dict, id0: bytes, resolve):
+        import hashlib
+        import struct
+
+        if str(resolve(enc.get("Filter"))) != "Standard":
+            raise ValueError("non-Standard security handler (reject)")
+        self.v = int(resolve(enc.get("V", 0)) or 0)
+        self.r = int(resolve(enc.get("R", 2)) or 2)
+        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+            raise ValueError(
+                f"unsupported encryption V={self.v} R={self.r} (reject)")
+        self.length = int(resolve(enc.get("Length", 40)) or 40) // 8
+        if self.r == 2:
+            self.length = 5
+        if not 5 <= self.length <= 16:
+            raise ValueError(f"bad key length {self.length * 8}")
+        o = resolve(enc.get("O"))
+        u = resolve(enc.get("U"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise ValueError("missing /O or /U")
+        p = int(resolve(enc.get("P", -1)))
+        self.encrypt_metadata = bool(resolve(enc.get("EncryptMetadata",
+                                                     True)))
+        # V4 crypt filters: map StmF/StrF through /CF to a method
+        self.stm_cfm = self.str_cfm = "V2"  # RC4 for V<4
+        if self.v == 4:
+            cf = resolve(enc.get("CF")) or {}
+            for attr, key_ in (("stm_cfm", "StmF"), ("str_cfm", "StrF")):
+                name = str(resolve(enc.get(key_, "Identity")))
+                if name == "Identity":
+                    setattr(self, attr, "Identity")
+                    continue
+                spec = resolve(cf.get(name))
+                if not isinstance(spec, dict):
+                    raise ValueError(f"crypt filter {name!r} undefined")
+                cfm = str(resolve(spec.get("CFM", "None")))
+                if cfm not in ("V2", "AESV2"):
+                    raise ValueError(f"unsupported CFM {cfm!r}")
+                ln = resolve(spec.get("Length"))
+                if isinstance(ln, int) and ln:
+                    # /CF lengths are in BYTES (some writers use bits)
+                    self.length = ln if ln <= 16 else ln // 8
+                setattr(self, attr, cfm)
+        # Algorithm 2 with the EMPTY user password
+        h = hashlib.md5()
+        h.update(_PDF_PAD)
+        h.update(o[:32])
+        h.update(struct.pack("<i", p))
+        h.update(id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[: self.length]).digest()
+        self.key = key[: self.length]
+        # Algorithm 4/5 validation against /U
+        if self.r == 2:
+            ok = _rc4(self.key, _PDF_PAD) == u[:32]
+        else:
+            x = _rc4(self.key,
+                     hashlib.md5(_PDF_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            ok = x == u[:16]
+        if not ok:
+            raise ValueError(
+                "encrypted PDF requires a non-empty user password (reject)")
+
+    def _obj_key(self, num: int, gen: int, aes: bool) -> bytes:
+        import hashlib
+        import struct
+
+        ext = struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        salt = b"sAlT" if aes else b""
+        d = hashlib.md5(self.key + ext + salt).digest()
+        return d[: min(self.length + 5, 16)]
+
+    def decrypt(self, num: int, gen: int, data: bytes, kind: str) -> bytes:
+        cfm = self.stm_cfm if kind == "stream" else self.str_cfm
+        if cfm == "Identity" or not data:
+            return data
+        if cfm == "AESV2":
+            return _aes_cbc_decrypt(self._obj_key(num, gen, True), data)
+        return _rc4(self._obj_key(num, gen, False), data)
+
+
 class PdfDocument:
     """Parsed PDF: object store with lazy resolution through classic
     xref tables, xref streams, and object streams."""
@@ -403,9 +707,22 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict = {}
         self._objstm_cache: dict = {}
+        self._handler = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF (reject: no decryption tier)")
+            # resolve the Encrypt dict BEFORE installing the handler:
+            # it is itself never encrypted (§7.6 exemption), and get()
+            # only decrypts once self._handler is set
+            enc = self.resolve(self.trailer["Encrypt"])
+            if not isinstance(enc, dict):
+                raise ValueError("malformed /Encrypt (reject)")
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids \
+                and isinstance(ids[0], bytes) else b""
+            self._handler = _StdSecurityHandler(enc, id0, self.resolve)
+            # pre-handler cache entries stay: the only objects touched
+            # so far are the Encrypt dict (and possibly its /O /U),
+            # which the spec exempts from encryption
 
     # -- xref machinery ---------------------------------------------------
     def _load_xref(self):
@@ -548,12 +865,41 @@ class PdfDocument:
                 raise ValueError(f"object {num} not at its xref offset")
             lx = _Lexer(self.data, pos + m.end())
             obj = lx.parse()
+            if self._handler is not None:
+                obj = self._decrypt_object(num, int(m.group(2)), obj)
         elif num in self.compressed:
             container, idx = self.compressed[num]
+            # ObjStm interiors are NOT encrypted (§7.6 exemption): the
+            # container stream was decrypted as its own object
             obj = self._from_objstm(container, idx, num)
         else:
             raise ValueError(f"object {num} unknown to the xref")
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_object(self, num: int, gen: int, obj, depth: int = 0):
+        """Apply the security handler to every string/stream payload of
+        a directly-stored object (Algorithm 1 per-object keys). XRef
+        streams are exempt by spec — they were consumed during
+        _load_xref before the handler existed, and a /Type/XRef stream
+        reached here is left untouched."""
+        if depth > _MAX_DEPTH:
+            raise ValueError("object nesting too deep")
+        h = self._handler
+        if isinstance(obj, Stream):
+            if self.resolve(obj.dict.get("Type")) == "XRef":
+                return obj
+            obj.dict = self._decrypt_object(num, gen, obj.dict, depth + 1)
+            obj.raw = h.decrypt(num, gen, obj.raw, "stream")
+            return obj
+        if isinstance(obj, bytes):
+            return h.decrypt(num, gen, obj, "string")
+        if isinstance(obj, dict):
+            return {k: self._decrypt_object(num, gen, v, depth + 1)
+                    for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [self._decrypt_object(num, gen, v, depth + 1)
+                    for v in obj]
         return obj
 
     def _from_objstm(self, container: int, idx: int, want: int):

@@ -243,7 +243,8 @@ def test_per_page_isolation_and_bomb_cap():
 def test_reject_paths_and_damaged_xref_fallback():
     with pytest.raises(ValueError, match="%PDF-"):
         P.extract_pdf_text(b"not a pdf")
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="handler"):
+        # no /Filter /Standard -> non-Standard handler reject
         P.extract_pdf_text(_simple_pdf(
             b"BT (x) Tj ET", trailer_extra=b"/Encrypt << /V 1 >> "))
     # a damaged xref table falls back to the raw object scan
@@ -407,3 +408,158 @@ def test_lzw_filter_roundtrip():
     bomb = _lzw_encode(b"z" * (1 << 20))
     with pytest.raises(ValueError, match="inflates past"):
         P._lzw_decode(bomb, 1 << 10)
+
+
+# --------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3): fixtures are encrypted
+# by an INDEPENDENT test-side implementation of Algorithms 2/3/4/5 (the
+# encoder-anchoring stance), then decrypted by the module.
+# --------------------------------------------------------------------------
+
+import hashlib as _hl
+import struct as _st
+
+_ID0 = bytes(range(16))
+
+
+def _alg2_key(o: bytes, p: int, r: int, length: int, id0: bytes) -> bytes:
+    h = _hl.md5(P._PDF_PAD + o + _st.pack("<i", p) + id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:length]).digest()
+    return key[:length]
+
+
+def _alg3_O(owner: bytes, r: int, length: int) -> bytes:
+    opad = (owner + P._PDF_PAD)[:32]
+    d = _hl.md5(opad).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = _hl.md5(d).digest()
+    rc4key = d[:length]
+    o = P._rc4(rc4key, P._PDF_PAD)  # empty USER password, padded
+    if r >= 3:
+        for i in range(1, 20):
+            o = P._rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _alg45_U(key: bytes, r: int, id0: bytes) -> bytes:
+    if r == 2:
+        return P._rc4(key, P._PDF_PAD)
+    x = P._rc4(key, _hl.md5(P._PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        x = P._rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16  # 32-byte slot, first 16 significant
+
+
+def _objkey(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    ext = _st.pack("<I", num)[:3] + _st.pack("<I", gen)[:2]
+    d = _hl.md5(key + ext + (b"sAlT" if aes else b"")).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _hexs(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _encrypted_pdf(r=3, v=2, cfm="V2", length=16, owner=b"own",
+                   content=b"BT /F1 12 Tf (Secret prose) Tj ET",
+                   title=b"Hidden Title", flate=False, break_u=False,
+                   tamper=False):
+    p_flags = -44
+    if r == 2:
+        length = 5
+    o = _alg3_O(owner, r, length)
+    key = _alg2_key(o, p_flags, r, length, _ID0)
+    u = _alg45_U(key, r, _ID0)
+    if break_u:
+        u = bytes(b ^ 0xFF for b in u)
+    aes = cfm == "AESV2"
+
+    def enc(num, data, is_aes):
+        k = _objkey(key, num, 0, is_aes)
+        if is_aes:
+            iv = bytes((num * 7 + i) & 0xFF for i in range(16))
+            return P._aes_cbc_encrypt(k, iv, data)
+        return P._rc4(k, data)
+
+    body = zlib.compress(content) if flate else content
+    enc_body = enc(4, body, aes)
+    if tamper:
+        enc_body = enc_body[:-1] + bytes([enc_body[-1] ^ 1])
+    stream4 = (b"<< /Length " + str(len(enc_body)).encode()
+               + (b" /Filter /FlateDecode" if flate else b"")
+               + b" >>\nstream\n" + enc_body + b"\nendstream")
+    if v == 4:
+        encd = (b"<< /Filter /Standard /V 4 /R 4 /Length "
+                + str(length * 8).encode()
+                + b" /CF << /StdCF << /CFM /" + cfm.encode()
+                + b" /Length " + str(length).encode()
+                + b" >> >> /StmF /StdCF /StrF /StdCF"
+                + b" /O " + _hexs(o) + b" /U " + _hexs(u)
+                + b" /P " + str(p_flags).encode() + b" >>")
+    else:
+        encd = (b"<< /Filter /Standard /V " + str(v).encode()
+                + b" /R " + str(r).encode()
+                + b" /Length " + str(length * 8).encode()
+                + b" /O " + _hexs(o) + b" /U " + _hexs(u)
+                + b" /P " + str(p_flags).encode() + b" >>")
+    info = b"<< /Title " + _hexs(enc(7, title, aes)) + b" >>"
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        stream4,
+        _FONT_WINANSI,
+        encd,
+        info,
+    ], trailer_extra=(b"/Encrypt 6 0 R /Info 7 0 R /ID ["
+                      + _hexs(_ID0) + _hexs(_ID0) + b"] "))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(r=2, v=1, length=5),                       # RC4-40
+    dict(r=3, v=2, length=16),                      # RC4-128
+    dict(r=3, v=2, length=16, flate=True),          # RC4 under Flate
+    dict(r=4, v=4, cfm="V2", length=16),            # V4 crypt filter, RC4
+    dict(r=4, v=4, cfm="AESV2", length=16),         # AES-128-CBC
+    dict(r=4, v=4, cfm="AESV2", length=16, flate=True),
+])
+def test_encrypted_pdf_decrypts_with_empty_user_password(kw):
+    text, title, n_pages, n_rej = P.extract_pdf_text(_encrypted_pdf(**kw))
+    assert (text, title, n_pages, n_rej) == ("Secret prose", "Hidden Title",
+                                             1, 0)
+
+
+def test_encrypted_wrong_password_rejects():
+    with pytest.raises(ValueError, match="password"):
+        P.extract_pdf_text(_encrypted_pdf(break_u=True))
+
+
+def test_encrypted_tampered_aes_rejects_page_only():
+    text, _, n_pages, n_rej = P.extract_pdf_text(
+        _encrypted_pdf(r=4, v=4, cfm="AESV2", tamper=True))
+    assert n_rej == 1 and text == ""
+
+
+def test_encrypted_bomb_caps_apply_post_decrypt():
+    bomb = zlib.compress(b"\x00" * 8_000_000)
+    blob = _encrypted_pdf(r=3, v=2, content=b"", flate=False)
+    # build a bomb variant: flate-compressed zeros, encrypted
+    blob2 = _encrypted_pdf(r=3, v=2, flate=False,
+                           content=bomb, title=b"t")
+    # decrypts fine (no filter declared), but an explicit flate bomb:
+    text, _, _, n_rej = P.extract_pdf_text(
+        _encrypted_pdf(r=3, v=2, content=b"\x00" * 600, flate=True),
+        max_stream_bytes=100)
+    assert n_rej == 1  # post-decrypt inflation cap rejected the page
+
+
+def test_aes256_and_unknown_revisions_reject():
+    blob = _encrypted_pdf(r=3, v=2)
+    blob = blob.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    with pytest.raises(ValueError, match="unsupported"):
+        P.extract_pdf_text(blob)
