@@ -185,10 +185,18 @@ def curate_corpus(
     def _stage(name, df):
         if name in (cfg.cache_stages or ()):
             if cfg.cache_mode == "checkpoint":
+                # spread BEFORE checkpointing: AQE coalesces small
+                # post-join/window outputs to one partition, the
+                # checkpoint would lock that in, and every JVM gate
+                # stacked on the checkpointed RDD would run single-core
+                # (predicate pushdown sinks filters to the RDD scan, so
+                # repartitioning above the checkpoint cannot fix it —
+                # measured 16 s single-core vs 2 s for the Gopher gate).
                 # eager: a lazy checkpoint would be re-executed (and
                 # thrown away) by downstream _spread partition probes
-                # before anything pins it
-                df = df.localCheckpoint(eager=True)
+                # before anything pins it.
+                par = df.sparkSession.sparkContext.defaultParallelism
+                df = df.repartition(par).localCheckpoint(eager=True)
             else:
                 from pyspark import StorageLevel
 

@@ -125,6 +125,8 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
     stages = curate_corpus(docs, cfg, word_blocklist=bl)
     parts = []
     for i, (name, df) in enumerate(stages.items()):
+        if name == "splits":
+            continue  # folded into the rollup below
         parts.append(
             df.agg(
                 F.count(F.lit(1)).alias("rows"),
@@ -135,17 +137,23 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
                 "rows", "chars",
             )
         )
+    # ONE rollup over the splits frame yields the splits-stage total AND
+    # the three per-split rows (one subtree instead of four)
+    n_stages = len(stages)
     split_sizes = (
         stages["splits"]
-        .groupBy("split")
+        .rollup("split")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.coalesce(F.sum(F.length("text")), F.lit(0))
             .cast("bigint").alias("chars"),
         )
         .select(
-            F.lit(len(stages)).alias("stage_idx"),
-            F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+            F.when(F.col("split").isNull(), F.lit(n_stages - 1))
+            .otherwise(F.lit(n_stages)).alias("stage_idx"),
+            F.when(F.col("split").isNull(), F.lit("splits"))
+            .otherwise(F.concat(F.lit("split_"), F.col("split")))
+            .alias("stage"),
             "rows", "chars",
         )
     )
