@@ -24,13 +24,16 @@ Scope (the baseline a curation pipeline needs, bounded honestly):
     MacRomanEncoding approximated to Latin-1, /Differences overrides),
     else Latin-1; 2-byte CID codes when the CMap declares a 2-byte
     codespace (Identity-H with ToUnicode — the modern LaTeX shape)
-  * encrypted PDFs: the STANDARD security handler (ISO 32000-1 §7.6.3,
-    /Filter /Standard, V 1/2/4, R 2/3/4) decrypts with the EMPTY user
-    password — the owner-password-only case that covers most
-    world-readable encrypted PDFs (RC4-40..128 and AES-128-CBC /AESV2,
-    both implemented from the public specs: RC4 keystream, FIPS-197
-    inverse cipher). Wrong-password files (/U validation fails), V5/R6
-    (AES-256) and non-Standard handlers REJECT honestly. Strings and
+  * encrypted PDFs: the STANDARD security handler decrypts with the
+    EMPTY user password — the owner-password-only case that covers
+    most world-readable encrypted PDFs. V 1/2/4 R 2/3/4 (ISO 32000-1
+    §7.6.3: RC4-40..128 and AES-128-CBC /AESV2 with per-object keys)
+    AND V5 R5/R6 (ISO 32000-2 §7.6.4: AES-256 /AESV3 — Algorithm 2.B
+    iterated SHA-256/384/512 hash, /UE file-key unwrap, file-key-direct
+    data decryption). All ciphers implemented from the public specs
+    (RC4 keystream; FIPS-197 with a GENERATED S-box, verified against
+    the published test vector). Wrong-password files (/U validation
+    fails) and non-Standard handlers REJECT honestly. Strings and
     streams both decrypt; xref streams and ObjStm interiors correctly
     do NOT (spec exemptions). Bomb caps apply post-decrypt as always.
   * pages whose content streams fail lose only themselves (per-page
@@ -569,6 +572,51 @@ def _aes_decrypt_block(rk: list, block: bytes) -> bytes:
     return bytes(s)
 
 
+def _aes_cbc_raw_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding, NO iv prepend (Algorithm 2.B's inner
+    step and fixture generation; data must be block-aligned)."""
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(d ^ p for d, p in zip(data[off: off + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_raw_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt, NO padding, NO iv prefix (the /UE file-key unwrap)."""
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = data[off: off + 16]
+        dec = _aes_decrypt_block(rk, blk)
+        out += bytes(d ^ p for d, p in zip(dec, prev))
+        prev = blk
+    return bytes(out)
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6) / plain SHA-256 (the deprecated
+    R5): the password hash for AES-256 PDFs."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_raw_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """AES-CBC with the PDF convention: first 16 bytes are the IV;
     PKCS#5 padding validated and stripped."""
@@ -616,6 +664,9 @@ class _StdSecurityHandler:
             raise ValueError("non-Standard security handler (reject)")
         self.v = int(resolve(enc.get("V", 0)) or 0)
         self.r = int(resolve(enc.get("R", 2)) or 2)
+        if self.v == 5 and self.r in (5, 6):
+            self._init_v5(enc, resolve)
+            return
         if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
             raise ValueError(
                 f"unsupported encryption V={self.v} R={self.r} (reject)")
@@ -677,6 +728,39 @@ class _StdSecurityHandler:
             raise ValueError(
                 "encrypted PDF requires a non-empty user password (reject)")
 
+    def _init_v5(self, enc: dict, resolve):
+        """AES-256 (ISO 32000-2 §7.6.4): R6's Algorithm 2.B hash (R5 =
+        the deprecated single-SHA-256 revision), empty user password —
+        validate against /U[0:32] with the validation salt, then unwrap
+        the 32-byte file key from /UE with the key salt. Data uses the
+        FILE key directly (no per-object keys in V5)."""
+        u = resolve(enc.get("U"))
+        ue = resolve(enc.get("UE"))
+        if not isinstance(u, bytes) or len(u) < 48 \
+                or not isinstance(ue, bytes) or len(ue) != 32:
+            raise ValueError("V5 encryption missing /U(48) or /UE(32)")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt, b"", self.r) != u[:32]:
+            raise ValueError(
+                "encrypted PDF requires a non-empty user password (reject)")
+        inter = _hash_2b(b"", ksalt, b"", self.r)
+        self.key = _aes_cbc_raw_decrypt(inter, b"\x00" * 16, ue)
+        self.length = 32
+        self.encrypt_metadata = bool(resolve(enc.get("EncryptMetadata",
+                                                     True)))
+        self.stm_cfm = self.str_cfm = "AESV3"
+        cf = resolve(enc.get("CF")) or {}
+        for attr, key_ in (("stm_cfm", "StmF"), ("str_cfm", "StrF")):
+            name = str(resolve(enc.get(key_, "StdCF")))
+            if name == "Identity":
+                setattr(self, attr, "Identity")
+                continue
+            spec = resolve(cf.get(name))
+            cfm = str(resolve(spec.get("CFM", "AESV3"))) \
+                if isinstance(spec, dict) else "AESV3"
+            if cfm != "AESV3":
+                raise ValueError(f"unsupported V5 CFM {cfm!r}")
+
     def _obj_key(self, num: int, gen: int, aes: bool) -> bytes:
         import hashlib
         import struct
@@ -690,6 +774,8 @@ class _StdSecurityHandler:
         cfm = self.stm_cfm if kind == "stream" else self.str_cfm
         if cfm == "Identity" or not data:
             return data
+        if cfm == "AESV3":  # V5: the file key directly, no object key
+            return _aes_cbc_decrypt(self.key, data)
         if cfm == "AESV2":
             return _aes_cbc_decrypt(self._obj_key(num, gen, True), data)
         return _rc4(self._obj_key(num, gen, False), data)

@@ -83,6 +83,11 @@ class CurationConfig:
     # keywords (e.g. {"min_words": 20})
     gopher_quality: bool = False
     gopher_overrides: dict = field(default_factory=dict)
+    # The Stack/StarCoder code-quality composite (for CODE corpora —
+    # line-length/alpha/comment gates, autogen markers); dict overrides
+    # codefilters.code_quality_expr keywords
+    code_quality: bool = False
+    code_overrides: dict = field(default_factory=dict)
     # PII redaction (rewrites text, drops no rows); None = all categories,
     # else a subset of redaction.PII_PATTERNS keys (e.g. the RE2-portable
     # redaction.PORTABLE_CATEGORIES when a SQL oracle must replay the pass)
@@ -274,6 +279,13 @@ def curate_corpus(
     if cfg.gopher_quality:
         cur = _stage("gopher_quality", cur.filter(
             tx.gopher_quality_expr(F.col(t), **(cfg.gopher_overrides or {}))))
+    if cfg.code_quality:
+        from apache_pinot_spark.operators.codefilters import (
+            code_quality_expr,
+        )
+
+        cur = _stage("code_quality", cur.filter(
+            code_quality_expr(F.col(t), **(cfg.code_overrides or {}))))
     if cfg.min_model_prob is not None:
         from apache_pinot_spark.operators.quality_clf import score_quality
 

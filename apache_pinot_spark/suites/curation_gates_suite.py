@@ -52,6 +52,9 @@ from apache_pinot_spark.querysuite import df_query
 
 _SALT = "v1"
 _SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+#: UT1-style blocklist entries — registrable domains, so the suffix
+#: semantics (www./deep.a. variants also drop) do real work
+_BLOCKED_DOMAINS = ("src3.example.org", "src7.example.org")
 _WINDOW_TOKENS = 15
 _MAX_BAD_FRAC = 0.05
 _MIN_WORDS = 30
@@ -78,7 +81,16 @@ def _synth_inputs(docs: DataFrame) -> DataFrame:
     )
     noise = F.when(F.col("doc_id") % 7 == 3, F.lit(_ZW_PREFIX)).otherwise(F.lit(""))
     tail = F.when(F.col("doc_id") % 11 == 5, F.lit(_NFD_TAIL)).otherwise(F.lit(""))
-    return docs.withColumn("url", url).withColumn(
+    # per-doc crawl host with varying subdomain DEPTH, so the domain
+    # blocklist's registrable-suffix semantics (blocking srcK.example.org
+    # blocks deep.a.srcK.example.org too) carry real weight
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("deep.a."))
+        .otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org"),
+    )
+    return docs.withColumn("url", url).withColumn("host", host).withColumn(
         "text", F.concat(noise, F.col("text"), tail))
 
 
@@ -92,8 +104,12 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
         load_tables(spark, sf_dir, ["documents"])["documents"]
         .select("doc_id", "text", "source"))
     bl = spark.createDataFrame([("vector",)], "word string")
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string")
     cfg = CurationConfig(
         url_dedup=True,
+        block_domains=True,
+        source_col="host",
         normalize_unicode=True,
         exact_dedup=False,
         boilerplate=False,
@@ -122,7 +138,8 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
                       "gopher_quality", "substring_dedup"),
         cache_mode="checkpoint",
     )
-    stages = curate_corpus(docs, cfg, word_blocklist=bl)
+    stages = curate_corpus(docs, cfg, word_blocklist=bl,
+                           blocked_domains=blocked)
     parts = []
     for i, (name, df) in enumerate(stages.items()):
         if name == "splits":
@@ -181,6 +198,9 @@ _NORM = (
 
 _LTOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+_BLOCKED_SQL = " OR ".join(
+    f"(host = '{d}' OR host LIKE '%.{d}')" for d in _BLOCKED_DOMAINS)
+
 _ORACLE = f"""
 WITH base AS (
   SELECT doc_id, source,
@@ -190,21 +210,31 @@ WITH base AS (
            AS text,
          'HTTPS://www.corpus.Example.COM:443/doc/' || CAST(aid AS VARCHAR)
            || '?utm_source=feed&b=' || CAST(aid % 5 AS VARCHAR)
-           || '&a=1#frag' AS url
+           || '&a=1#frag' AS url,
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+               WHEN doc_id % 3 = 1 THEN 'deep.a.'
+               ELSE '' END) || source || '.example.org' AS host
   FROM (SELECT *, doc_id - (CASE WHEN doc_id % 13 = 0 AND doc_id > 0
                             THEN 1 ELSE 0 END) AS aid
         FROM documents)
 ),
 canon AS (SELECT *, {canonical_url_oracle_sql('url')} AS cu FROM base),
 u AS (
-  SELECT doc_id, text, source FROM (
+  SELECT doc_id, text, source, host FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY coalesce(cu, chr(0) || 'null:' || CAST(doc_id AS VARCHAR))
       ORDER BY doc_id) AS rn
     FROM canon)
   WHERE rn = 1
 ),
-norm AS (SELECT doc_id, source, {_NORM} AS text FROM u),
+-- UT1 domain gate: a host is blocked when it EQUALS a blocklist entry
+-- or ends with '.' || entry — exactly the registrable-suffix semantics
+-- of host_suffixes_expr (the full host is always a candidate)
+db AS (
+  SELECT doc_id, text, source FROM u
+  WHERE NOT ({_BLOCKED_SQL})
+),
+norm AS (SELECT doc_id, source, {_NORM} AS text FROM db),
 wstats AS (
   SELECT doc_id,
          len({_LTOKS}) AS total,
@@ -282,22 +312,25 @@ SELECT stage_idx, stage, rows, chars FROM (
   SELECT 1, 'url_dedup', COUNT(*),
          CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM u
   UNION ALL
-  SELECT 2, 'normalize', COUNT(*),
+  SELECT 2, 'domain_blocklist', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM db
+  UNION ALL
+  SELECT 3, 'normalize', COUNT(*),
          CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM norm
   UNION ALL
-  SELECT 3, 'word_blocklist', COUNT(*),
+  SELECT 4, 'word_blocklist', COUNT(*),
          CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM wg
   UNION ALL
-  SELECT 4, 'gopher_quality', COUNT(*),
+  SELECT 5, 'gopher_quality', COUNT(*),
          CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM gop
   UNION ALL
-  SELECT 5, 'substring_dedup', COUNT(*),
+  SELECT 6, 'substring_dedup', COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
   UNION ALL
-  SELECT 6, 'splits', COUNT(*),
+  SELECT 7, 'splits', COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
   UNION ALL
-  SELECT 7, 'split_' || split, COUNT(*),
+  SELECT 8, 'split_' || split, COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM spl GROUP BY split
 )
 ORDER BY stage_idx, stage
@@ -311,10 +344,12 @@ df_query(
     tables=["documents"],
     doc="r11 curation gates as one staged curate_corpus flow with "
         "rows+chars accounting: URL canonicalization dedup (full "
-        "canonicalizer replayed in SQL), Unicode normalization (NFC + "
-        "zero-width/control strip, char-exact), C4-style word-blocklist "
-        "fraction gate, the Gopher/MassiveText composite (all 11 rules "
-        "replayed), and Lee-et-al exact-substring dedup (stride-1 window "
-        "spans, keeper selection, merged-island excision arithmetic — "
-        "char-exact), then portable split assignment",
+        "canonicalizer replayed in SQL), UT1 domain blocklist "
+        "(registrable-suffix semantics over varying-depth hosts), "
+        "Unicode normalization (NFC + zero-width/control strip, "
+        "char-exact), C4-style word-blocklist fraction gate, the "
+        "Gopher/MassiveText composite (all 11 rules replayed), and "
+        "Lee-et-al exact-substring dedup (stride-1 window spans, keeper "
+        "selection, merged-island excision arithmetic — char-exact), "
+        "then portable split assignment",
 )

@@ -92,7 +92,9 @@ def test_gates_accounting_matches_oracle(spark):
     # stage and strictly decreasing chars at normalize/substring
     by = {r.stage: (r.rows, r.chars) for r in sdf.itertuples()}
     assert by["url_dedup"][0] < by["input"][0]
-    assert by["normalize"][1] < by["url_dedup"][1]
+    assert by["domain_blocklist"][0] < by["url_dedup"][0]
+    assert by["normalize"][0] == by["domain_blocklist"][0]
+    assert by["normalize"][1] < by["domain_blocklist"][1]
     assert by["word_blocklist"][0] < by["normalize"][0]
     assert by["gopher_quality"][0] < by["word_blocklist"][0]
     assert by["substring_dedup"][0] == by["gopher_quality"][0]

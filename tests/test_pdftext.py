@@ -558,8 +558,53 @@ def test_encrypted_bomb_caps_apply_post_decrypt():
     assert n_rej == 1  # post-decrypt inflation cap rejected the page
 
 
-def test_aes256_and_unknown_revisions_reject():
+def _encrypted_pdf_v5(r=6, content=b"BT /F1 12 Tf (AES256 prose) Tj ET",
+                      title=b"V5 Title", break_u=False):
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"12345678", b"abcdefgh"
+    u = P._hash_2b(b"", vsalt, b"", r) + vsalt + ksalt
+    if break_u:
+        u = bytes(b ^ 0xFF for b in u[:32]) + u[32:]
+    ue = P._aes_cbc_raw_encrypt(P._hash_2b(b"", ksalt, b"", r),
+                                b"\x00" * 16, file_key)
+
+    def enc(num, data):
+        iv = bytes((num * 11 + i) & 0xFF for i in range(16))
+        return P._aes_cbc_encrypt(file_key, iv, data)
+
+    stream4 = (b"<< /Length " + str(len(enc(4, content))).encode()
+               + b" >>\nstream\n" + enc(4, content) + b"\nendstream")
+    encd = (b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+            + b" /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /U " + _hexs(u) + b" /UE " + _hexs(ue)
+            + b" /O " + _hexs(b"\x00" * 48) + b" /OE " + _hexs(b"\x00" * 32)
+            + b" /P -44 >>")
+    info = b"<< /Title " + _hexs(enc(7, title)) + b" >>"
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+         b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        stream4,
+        _FONT_WINANSI,
+        encd,
+        info,
+    ], trailer_extra=b"/Encrypt 6 0 R /Info 7 0 R ")
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aes256_v5_decrypts_with_empty_user_password(r):
+    text, title, n_pages, n_rej = P.extract_pdf_text(_encrypted_pdf_v5(r=r))
+    assert (text, title, n_pages, n_rej) == ("AES256 prose", "V5 Title",
+                                             1, 0)
+
+
+def test_aes256_wrong_password_and_unknown_revisions_reject():
+    with pytest.raises(ValueError, match="password"):
+        P.extract_pdf_text(_encrypted_pdf_v5(break_u=True))
     blob = _encrypted_pdf(r=3, v=2)
-    blob = blob.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    blob = blob.replace(b"/V 2 /R 3", b"/V 3 /R 7")
     with pytest.raises(ValueError, match="unsupported"):
         P.extract_pdf_text(blob)
