@@ -137,3 +137,68 @@ def test_crawl_books_papers_to_curated_splits(spark, tmp_path):
     rep = corpus_report(final, top_k=5)
     assert rep["n_docs"] == 4 and rep["duplicate_text_rate"] == 0.0
     assert dict(rep["sources"]).keys() >= {"good.example.com"}
+
+
+def test_wiki_and_code_mixture_through_recipes(spark, tmp_path):
+    """r12 tiers composing: a MediaWiki dump and a code corpus each run
+    their published recipe, then union into one mixture with splits and
+    a data card — the multi-source pretraining-mix story."""
+    import bz2
+
+    from apache_pinot_spark.operators.mediawiki import wikitext_to_documents
+    from apache_pinot_spark.operators.pipeline import curate_corpus
+    from apache_pinot_spark.operators.recipes import (
+        gopher_config,
+        the_stack_code_config,
+    )
+    from apache_pinot_spark.operators.report import corpus_report
+
+    # --- wiki tier: 6 articles + a redirect
+    def page(title, pid, text):
+        return (f"<page><title>{title}</title><ns>0</ns><id>{pid}</id>"
+                f"<revision><id>{pid}0</id><text>{text}</text></revision>"
+                f"</page>")
+
+    body = ("'''Subject''' is a topic in [[science]] and the study of it "
+            "has a long history with many results that are described "
+            "in detail here for the reader to enjoy at length. " * 3
+            + "{{refs}}")
+    xml = "<mediawiki>" + "".join(
+        page(f"Art {i}", i + 1, body + f" Variant number {i}.")
+        for i in range(6)) + "</mediawiki>"
+    wp = tmp_path / "wiki.xml.bz2"
+    wp.write_bytes(bz2.compress(xml.encode()))
+    wiki = wikitext_to_documents(spark, str(wp), min_text_chars=50) \
+        .select("doc_id", "text", "source")
+    wiki_stages = curate_corpus(
+        wiki, gopher_config(gopher_overrides={"min_words": 20},
+                            decontaminate=False,
+                            near_threshold=0.95))
+    wiki_out = wiki_stages["splits"].select("doc_id", "text", "source",
+                                            "split")
+    assert wiki_out.count() >= 1
+
+    # --- code tier: 4 files, one autogen, one minified
+    code_rows = [
+        (1001, "# module one\n"
+               "def useful_function(input_value):\n"
+               "    # explain the step\n"
+               "    return input_value + 1\n", "repo"),
+        (1002, "// Auto-Generated. DO NOT EDIT\nint x = 1;\n", "repo"),
+        (1003, "var a=1;" * 400 + "\n", "repo"),  # one huge line
+        (1004, "-- query helper\nSELECT column_name FROM table_name "
+               "WHERE other_column IS NOT NULL\n", "repo"),
+    ]
+    code = spark.createDataFrame(code_rows, "doc_id bigint, text string, "
+                                            "source string")
+    code_stages = curate_corpus(code, the_stack_code_config(near_dedup=False))
+    code_out = code_stages["splits"].select("doc_id", "text", "source",
+                                            "split")
+    kept_code = sorted(r.doc_id for r in code_out.collect())
+    assert kept_code == [1001, 1004]  # autogen + long-line dropped
+
+    # --- the mixture
+    mix = wiki_out.unionByName(code_out)
+    rep = corpus_report(mix.drop("split"), top_k=5)
+    assert rep["n_docs"] == mix.count()
+    assert dict(rep["sources"]).keys() >= {"wikipedia", "repo"}
