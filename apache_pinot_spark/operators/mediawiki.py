@@ -389,9 +389,14 @@ def read_multistream_ranges(
                         fh.seek(off)
                         # one stream: read until the decompressor says
                         # eof; cap the read window at the next offset
-                        # when known
+                        # when known, else at the stream-size bound (a
+                        # bare read(-1) would pull the WHOLE dump tail
+                        # into memory for the file's last selected
+                        # stream — a real 20 GB-dump bomb)
                         end = offs[i + 1] if i + 1 < len(offs) else None
-                        span = fh.read((end - off) if end else -1)
+                        cap = (end - off) if end \
+                            else max_stream_bytes + (1 << 16)
+                        span = fh.read(cap)
                         got = False
                         for kind, payload in iter_bz2_streams(
                                 span, max_stream_bytes):
