@@ -296,21 +296,26 @@ def ingest_batch(
     else:
         # csv/json/parquet/orc are Spark built-ins and flow through the
         # generic reader (Pinot's batch ingestion formats,
-        # pinot-input-format docs); avro ships as the external spark-avro
-        # module — convert Spark's raw FAILED_TO_FIND_DATA_SOURCE into
-        # the artifact to add (same stance as sources/lake.py)
+        # pinot-input-format docs); avro prefers the external spark-avro
+        # module (JVM-side, splittable) and falls back to the native
+        # from-scratch container reader (sources/avroio.py, per-file
+        # parallelism) when the jar is absent
         opts = {"header": "true", "inferSchema": "false"}
         opts.update(reader_options or {})
         try:
             raw = spark.read.options(**opts).format(fmt).load(source)
         except Exception as exc:  # noqa: BLE001 — re-raise with guidance
-            if "Failed to find data source" in str(exc):
+            if "Failed to find data source" not in str(exc):
+                raise
+            if fmt == "avro":
+                from apache_pinot_spark.sources import avroio
+
+                raw = avroio.read_avro(spark, source)
+            else:
                 raise RuntimeError(
                     f"ingestion format {fmt!r} needs its data-source module "
-                    "on the Spark classpath (avro: add "
-                    "org.apache.spark:spark-avro_2.13)"
+                    "on the Spark classpath"
                 ) from exc
-            raise
 
     raw = apply_ingestion_transforms(raw, config)
     df = schema.apply_types(raw)

@@ -1,21 +1,24 @@
-"""Open-table-format connectors (Delta Lake / Apache Iceberg), gated by
-a classpath capability probe.
+"""Open-table-format connectors (Delta Lake / Apache Iceberg).
 
-The segment store's native layout is partitioned parquet
-(sources/batch.py); production deployments increasingly keep the
-offline half of a hybrid table in a lakehouse table format instead.
-Both formats are first-class Spark DataSourceV2 connectors, so reads
-land in the same scan machinery (pushdown, pruning, AQE) as the native
-parquet path — the engine only needs to (a) detect whether the
-connector jar is on the classpath and (b) fail with actionable
-guidance when it is not, instead of Spark's raw
-DATA_SOURCE_NOT_FOUND.
+Two tiers:
 
-This container ships neither jar, so the real read/write paths are
-exercised by @skipif tests that activate wherever the connectors
-exist (same capability-probe pattern as the multimodal decoders,
-operators/multimodal.py); the probe and the failure mode are tested
-everywhere.
+  * **Connector jar present** (a real cluster): reads/writes go through
+    the first-class DataSourceV2 connector — full pushdown, pruning,
+    AQE, and the connector's own commit protocols.
+  * **Jar absent** (this container, and any pyspark-only install): the
+    NATIVE implementations take over — sources/delta.py implements the
+    published Delta transaction-log protocol (read + single-writer
+    write, time travel, checkpoints, metadata-level partition pruning)
+    and sources/iceberg.py implements the Iceberg table spec read path
+    (metadata JSON → Avro manifests → parquet scan, v2 position
+    deletes). Both operate on plain parquet + metadata files, so tables
+    interop with the real connectors in both directions.
+
+The probe stays: `lake_format_available` tells which tier will serve,
+and `read_lake`/`write_lake` route automatically. Operations the native
+tier genuinely cannot honor (Iceberg WRITES — the spec's commit
+protocol needs an atomic catalog swap we do not reimplement) raise
+with the artifact to add, never silently degrade.
 """
 
 from __future__ import annotations
@@ -53,18 +56,45 @@ def available_formats(spark: SparkSession) -> dict[str, bool]:
     return {f: lake_format_available(spark, f) for f in LAKE_FORMATS}
 
 
-def read_lake(spark: SparkSession, path: str, fmt: str) -> DataFrame:
-    """Read a Delta/Iceberg table as a DataFrame (path-based). Raises
-    RuntimeError with the artifact to add when the connector is not on
-    the classpath."""
-    _require(spark, fmt)
-    return spark.read.format(fmt).load(path)
+def read_lake(spark: SparkSession, path: str, fmt: str,
+              **native_kwargs) -> DataFrame:
+    """Read a Delta/Iceberg table (path-based): connector when the jar
+    is on the classpath, native protocol implementation otherwise.
+    ``native_kwargs`` (version=..., timestamp_ms=..., partition_filter=)
+    reach the native readers' time-travel/pruning knobs."""
+    _spec(fmt)
+    if lake_format_available(spark, fmt):
+        return spark.read.format(fmt).load(path)
+    if fmt == "delta":
+        from apache_pinot_spark.sources.delta import read_delta
+
+        return read_delta(spark, path, **native_kwargs)
+    from apache_pinot_spark.sources.iceberg import read_iceberg
+
+    return read_iceberg(spark, path, **native_kwargs)
 
 
-def write_lake(df: DataFrame, path: str, fmt: str, mode: str = "append") -> None:
-    """Write a DataFrame to a Delta/Iceberg table (path-based)."""
-    _require(df.sparkSession, fmt)
-    df.write.format(fmt).mode(mode).save(path)
+def write_lake(df: DataFrame, path: str, fmt: str, mode: str = "append",
+               **native_kwargs) -> None:
+    """Write a DataFrame to a Delta/Iceberg table (path-based). Delta
+    writes fall back to the native single-writer log implementation;
+    Iceberg writes require the connector (its commit protocol needs an
+    atomic catalog swap this engine does not reimplement)."""
+    _spec(fmt)
+    spark = df.sparkSession
+    if lake_format_available(spark, fmt):
+        df.write.format(fmt).mode(mode).save(path)
+        return
+    if fmt == "delta":
+        from apache_pinot_spark.sources.delta import write_delta
+
+        write_delta(df, path, mode=mode, **native_kwargs)
+        return
+    cls, artifact = _spec(fmt)
+    raise RuntimeError(
+        f"native {fmt!r} WRITES are not implemented (reads are); add the "
+        f"connector: {artifact} (probe class {cls} not loadable)"
+    )
 
 
 def _spec(fmt: str) -> tuple[str, str]:
@@ -74,12 +104,3 @@ def _spec(fmt: str) -> tuple[str, str]:
         raise ValueError(
             f"unknown lake format {fmt!r}; supported: {sorted(LAKE_FORMATS)}"
         ) from None
-
-
-def _require(spark: SparkSession, fmt: str) -> None:
-    cls, artifact = _spec(fmt)
-    if not lake_format_available(spark, fmt):
-        raise RuntimeError(
-            f"lake format {fmt!r} needs its connector on the Spark classpath: "
-            f"add {artifact} (probe class {cls} not loadable)"
-        )

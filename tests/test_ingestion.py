@@ -663,20 +663,41 @@ def test_ingest_orc_source_round_trips(spark, tmp_path_factory, schema):
     assert {r.studentID for r in out.select("studentID").collect()} == set(range(10))
 
 
-def test_ingest_avro_without_module_fails_actionably(spark, tmp_path, schema):
-    """The spark-avro module is external; without it the ingest fails
-    with the artifact to add, not Spark's raw data-source error. (On a
-    cluster WITH the module, format='avro' resolves and this test
-    exercises the round trip instead.)"""
+def test_ingest_avro_native_round_trip(spark, tmp_path, schema):
+    """format='avro' works with or without spark-avro: the jar path is
+    preferred when present; otherwise the native container reader
+    (sources/avroio.py) takes over — either way the transcript corpus
+    round-trips through the full ingest pipeline."""
+    from apache_pinot_spark.sources import avroio
+
+    avro_schema = {
+        "type": "record", "name": "transcript", "fields": [
+            {"name": "studentID", "type": "int"},
+            {"name": "firstName", "type": ["null", "string"]},
+            {"name": "gender", "type": "string"},
+            {"name": "subjects", "type": {"type": "array", "items": "string"}},
+            {"name": "score", "type": "float"},
+            {"name": "timestampInEpoch", "type": "long"},
+        ],
+    }
+    recs = [
+        {"studentID": i, "firstName": None if i == 3 else f"s{i}",
+         "gender": "F" if i % 2 else "M", "subjects": ["math", "cs"][: 1 + i % 2],
+         "score": 3.0 + i, "timestampInEpoch": 1_571_900_400_000 + i * 86_400_000}
+        for i in range(6)
+    ]
+    src = tmp_path / "avro_src"
+    src.mkdir()
+    (src / "a.avro").write_bytes(avroio.write_container(recs[:3], avro_schema))
+    (src / "b.avro").write_bytes(
+        avroio.write_container(recs[3:], avro_schema, codec="null"))
     cfg = B.TableConfig(table_name="transcript_avro",
                         time_column="timestampInEpoch")
-    try:
-        spark.read.format("avro").load("/tmp/__avro_probe_nonexistent__")
-        avro_available = True
-    except Exception as exc:
-        avro_available = "Failed to find data source" not in str(exc)
-    if avro_available:
-        pytest.skip("spark-avro present: the guarded path is inert here")
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        B.ingest_batch(spark, schema, cfg, "/tmp/nonexistent.avro",
-                       fmt="avro", warehouse=str(tmp_path))
+    path = B.ingest_batch(spark, schema, cfg, str(src), fmt="avro",
+                          warehouse=str(tmp_path / "wh"))
+    out = spark.read.parquet(path)
+    assert out.count() == 6
+    got = {r.studentID: r for r in out.collect()}
+    # sentinel fill applied to the NULL firstName (Pinot semantics)
+    assert got[3].firstName == "null"
+    assert sorted(got[1].subjects) == ["cs", "math"]

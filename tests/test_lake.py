@@ -1,6 +1,7 @@
-"""Lake-format capability gate (sources/lake.py): probe behavior, the
-actionable failure mode, and — wherever a connector jar actually exists
-on the classpath — a real round-trip."""
+"""Lake-format routing (sources/lake.py): the connector-jar probe, the
+native-protocol fallbacks (Delta read/write, Iceberg read), and the
+honest reject for natively-unimplementable operations (Iceberg write
+without the connector)."""
 
 from __future__ import annotations
 
@@ -20,20 +21,29 @@ def test_unknown_format_rejected(spark):
         L.read_lake(spark, "/nowhere", "hudi")
 
 
-def test_missing_connector_error_names_the_artifact(spark, tmp_path):
-    for fmt in ("delta", "iceberg"):
-        if L.lake_format_available(spark, fmt):
-            continue  # covered by the round-trip test instead
-        with pytest.raises(RuntimeError) as ei:
-            L.read_lake(spark, str(tmp_path), fmt)
-        msg = str(ei.value)
-        assert fmt in msg and "classpath" in msg
-        # the message must carry the artifact coordinate, not just "missing"
-        assert ":" in msg.split("add ", 1)[1]
+def test_delta_round_trip_regardless_of_jar(spark, tmp_path):
+    """Delta works EVERYWHERE now: connector when present, the native
+    transaction-log implementation otherwise."""
+    df = spark.range(10).withColumnRenamed("id", "k")
+    L.write_lake(df, str(tmp_path / "d"), "delta", mode="append")
+    back = L.read_lake(spark, str(tmp_path / "d"), "delta")
+    assert sorted(r["k"] for r in back.collect()) == list(range(10))
+
+
+def test_iceberg_write_without_connector_names_artifact(spark, tmp_path):
+    if L.lake_format_available(spark, "iceberg"):
+        pytest.skip("iceberg connector present: native reject path inert")
+    df = spark.range(3)
+    with pytest.raises(RuntimeError) as ei:
+        L.write_lake(df, str(tmp_path / "i"), "iceberg")
+    msg = str(ei.value)
+    assert "iceberg" in msg and "reads are" in msg
+    # the message must carry the artifact coordinate, not just "missing"
+    assert "org.apache.iceberg" in msg
 
 
 @pytest.mark.parametrize("fmt", ["delta", "iceberg"])
-def test_lake_round_trip_when_connector_present(spark, tmp_path, fmt):
+def test_connector_round_trip_when_jar_present(spark, tmp_path, fmt):
     if not L.lake_format_available(spark, fmt):
         pytest.skip(f"{fmt} connector not on classpath in this environment")
     df = spark.range(10).withColumnRenamed("id", "k")
