@@ -90,9 +90,11 @@ def image_decoder() -> str | None:
 
 def decode_image_stdlib(data: bytes) -> "object | None":
     """Magic-dispatched stdlib decode: PNG, JPEG (baseline sequential or
-    progressive), GIF (first frame), uncompressed BMP, or baseline TIFF
-    (r10: none/PackBits strips, both byte orders) → H×W×C uint8 array;
-    None for anything else (reject stream)."""
+    progressive), GIF (first frame), uncompressed BMP, baseline TIFF
+    (r10: none/PackBits strips, both byte orders), or lossless WebP
+    (r12: full VP8L — all transforms, color cache, LZ77; lossy VP8
+    stays audit-only) → H×W×C uint8 array; None for anything else
+    (reject stream)."""
     from apache_pinot_spark.operators.gif_codec import decode_bmp, decode_gif
     from apache_pinot_spark.operators.jpeg_codec import decode_jpeg
     from apache_pinot_spark.operators.png_codec import PNG_MAGIC, decode_png
@@ -110,6 +112,13 @@ def decode_image_stdlib(data: bytes) -> "object | None":
         return decode_bmp(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from apache_pinot_spark.operators.webp import decode_webp
+
+        try:
+            return decode_webp(data)
+        except Exception:
+            return None
     return None
 
 

@@ -91,6 +91,9 @@ class DeltaSnapshot:
     files: list[_AddFile]
     metadata: dict[str, Any]
     protocol: dict[str, Any]
+    #: appId -> highest committed transaction version (the spec's txn
+    #: actions — the idempotent-streaming-writes mechanism)
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -189,6 +192,7 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
     adds: dict[str, _AddFile] = {}
     meta: dict[str, Any] = {}
     protocol: dict[str, Any] = {}
+    txns: dict[str, int] = {}
 
     # start from the newest checkpoint at or below the target
     cp_version = max((v for v in checkpoints if v <= target), default=None)
@@ -200,6 +204,10 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
             if d.get("protocol") and d["protocol"].get(
                     "minReaderVersion") is not None:
                 protocol = d["protocol"]
+            txn = d.get("txn")
+            if txn and txn.get("appId") is not None:
+                txns[txn["appId"]] = max(txns.get(txn["appId"], -1),
+                                         int(txn.get("version") or 0))
             add = d.get("add")
             if add and add.get("path"):
                 path = urllib.parse.unquote(add["path"])
@@ -241,6 +249,10 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                     num_records=_stats_records(add.get("stats")))
             elif "remove" in a:
                 adds.pop(urllib.parse.unquote(a["remove"]["path"]), None)
+            elif "txn" in a:
+                t = a["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1),
+                                       int(t.get("version") or 0))
 
     if protocol:
         _check_protocol(protocol)
@@ -252,7 +264,7 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                          partition_columns=list(
                              meta.get("partitionColumns") or []),
                          files=sorted(adds.values(), key=lambda f: f.path),
-                         metadata=meta, protocol=protocol)
+                         metadata=meta, protocol=protocol, txns=txns)
 
 
 def _stats_records(stats: str | None) -> int | None:
@@ -382,7 +394,8 @@ def delta_history(table: str) -> list[dict[str, Any]]:
 def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                 partition_by: list[str] | None = None,
                 checkpoint_interval: int = 10,
-                layout: str = "repartition") -> int:
+                layout: str = "repartition",
+                txn: tuple[str, int] | None = None) -> int:
     """Write a DataFrame as a Delta commit; returns the new version.
 
     mode='append' adds files; mode='overwrite' also emits remove actions
@@ -396,6 +409,12 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     values writes 2048 fragments (measured: full-table read 14.9 s vs
     8.8 s, SCALE §25). 'preserve' keeps the caller's distribution (for
     pre-shaped frames).
+
+    ``txn=(app_id, version)`` records the spec's transaction action and
+    makes the write IDEMPOTENT per (app_id, version): a replay whose
+    version is <= the recorded one is a no-op — exactly the mechanism
+    the real connector's streaming sink uses for exactly-once
+    foreachBatch commits (stream_to_delta passes the epoch id here).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append or overwrite")
@@ -408,6 +427,8 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     existing = None
     if commits or checkpoints:
         existing = snapshot(spark, table)
+        if txn is not None and existing.txns.get(txn[0], -1) >= int(txn[1]):
+            return existing.version  # replayed batch: idempotent no-op
         part_cols = existing.partition_columns
         if partition_by is not None and list(partition_by) != part_cols:
             raise ValueError(
@@ -490,6 +511,10 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             "configuration": {},
             "createdTime": now_ms,
         }})
+    if txn is not None:
+        actions.append({"txn": {"appId": str(txn[0]),
+                                "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     if mode == "overwrite" and existing is not None:
         for af in existing.files:
             actions.append({"remove": {
@@ -571,6 +596,9 @@ def _write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
                       ("id", "name", "description", "format", "schemaString",
                        "partitionColumns", "configuration", "createdTime")}},
     ]
+    for app_id, ver in sorted(snap.txns.items()):
+        rows.append({"txn": {"appId": app_id, "version": ver,
+                             "lastUpdated": 0}})
     for af in snap.files:
         rows.append({"add": {
             "path": urllib.parse.quote(af.path),
@@ -613,3 +641,26 @@ def vacuum_expired_commits(table: str, keep_last: int = 30) -> int:
 def _rmtree(path: str) -> None:
     import shutil
     shutil.rmtree(path, ignore_errors=True)
+
+
+def stream_to_delta(stream_df: DataFrame, table: str, *,
+                    query_name: str, checkpoint_dir: str,
+                    partition_by: list[str] | None = None,
+                    trigger: dict | None = None):
+    """Structured-Streaming sink into a native Delta table: foreachBatch
+    append where each micro-batch commits with ``txn=(query_name,
+    epoch_id)`` — a restarted/replayed batch is a no-op, giving the
+    connector sink's exactly-once semantics on top of Spark's own
+    checkpointed epoch ids. Returns the started StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_delta(batch_df, table, mode="append",
+                    partition_by=partition_by,
+                    txn=(query_name, int(epoch_id)))
+
+    writer = (stream_df.writeStream.foreachBatch(_sink)
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -232,3 +232,53 @@ def test_lake_entrypoint_uses_native_fallback(spark, table):
     L.write_lake(df, table, "delta", mode="append")
     back = L.read_lake(spark, table, "delta")
     assert [r.k for r in back.collect()] == [5]
+
+
+def test_txn_idempotent_writes(spark, table):
+    """The spec's txn action: a replayed (appId, version) commit is a
+    no-op, and txn state survives checkpointing."""
+    df1 = _mkdf(spark, [{"k": 1}])
+    v0 = D.write_delta(df1, table, txn=("app", 0))
+    assert v0 == 0
+    # replay of version 0: no new commit, no duplicate rows
+    v_replay = D.write_delta(df1, table, txn=("app", 0))
+    assert v_replay == 0
+    assert D.read_delta(spark, table).count() == 1
+    v1 = D.write_delta(_mkdf(spark, [{"k": 2}]), table, txn=("app", 1))
+    assert v1 == 1
+    # a DIFFERENT app at the same version still writes
+    v2 = D.write_delta(_mkdf(spark, [{"k": 3}]), table, txn=("app2", 0))
+    assert v2 == 2
+    snap = D.snapshot(spark, table)
+    assert snap.txns == {"app": 1, "app2": 0}
+    # txn state persists through a checkpoint + log vacuum
+    D._write_checkpoint(spark, table, snap.version)
+    assert D.vacuum_expired_commits(table, keep_last=0) > 0
+    snap2 = D.snapshot(spark, table)
+    assert snap2.txns == {"app": 1, "app2": 0}
+    assert D.write_delta(df1, table, txn=("app", 1)) == snap2.version
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path):
+    """File stream → native Delta sink: every input row lands exactly
+    once, and the per-epoch txn actions are recorded."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.jsonl").write_text(
+            "\n".join(json.dumps({"k": 10 * i + j}) for j in range(4)))
+    from pyspark.sql import types as T
+
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("k", T.LongType())]))
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src)))
+    table = str(tmp_path / "dtbl")
+    q = D.stream_to_delta(stream, table, query_name="ingest_k",
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = sorted(r.k for r in D.read_delta(spark, table).collect())
+    assert got == sorted(10 * i + j for i in range(3) for j in range(4))
+    snap = D.snapshot(spark, table)
+    assert "ingest_k" in snap.txns and snap.txns["ingest_k"] >= 1
