@@ -904,3 +904,150 @@ def webp_stats(spark, path_or_df, blob_col: str = "content"):
                      for f in schema})
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF) — lossless-coded frames
+# ---------------------------------------------------------------------------
+
+def decode_animation(blob: bytes, *, max_frames: int = 256,
+                     max_pixels: int = _MAX_PIXELS_DEFAULT) -> list[dict]:
+    """Animated WebP → composited frames, each a dict with ``index``,
+    ``timestamp_ms`` (cumulative at frame START), ``duration_ms``, and
+    ``canvas`` (H×W×4 uint8 snapshot AFTER the frame renders).
+
+    The container spec's compositing rules: frames place at (2·x, 2·y);
+    blend flag bit 1 = overwrite rect (0 = alpha-over); dispose flag
+    bit 0 = clear the frame rect to transparent afterwards. VP8L-coded
+    frames decode for real; a lossy (VP8) frame rejects the whole
+    animation honestly — a half-composited canvas would poison
+    near-dup signatures downstream."""
+    import numpy as np
+
+    info = parse_webp(blob, max_pixels)
+    if not info["has_animation"]:
+        raise WebPError("not an animated WebP (VP8X animation flag off)")
+    cw, ch = info["width"], info["height"]
+    if not cw or not ch or cw * ch > max_pixels:
+        raise WebPError("bad animation canvas")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    frames: list[dict] = []
+    t_ms = 0
+    pos = 12
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if fourcc == b"ANMF":
+            if len(frames) >= max_frames:
+                break
+            if len(body) < 16:
+                raise WebPError("ANMF header truncated")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            blend_overwrite = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise WebPError("frame rect outside the canvas")
+            # frame payload: sub-chunks; decode the VP8L one
+            fpos = 16
+            rgba = None
+            while fpos + 8 <= len(body):
+                sub = body[fpos:fpos + 4]
+                ssz = struct.unpack_from("<I", body, fpos + 4)[0]
+                sbody = body[fpos + 8:fpos + 8 + ssz]
+                if sub == b"VP8L":
+                    arr = decode_vp8l(sbody, max_pixels)
+                    if arr.shape[:2] != (fh, fw):
+                        raise WebPError("frame dims disagree with ANMF")
+                    if arr.shape[2] == 3:
+                        rgba = np.dstack([arr, np.full(
+                            (fh, fw), 255, np.uint8)])
+                    else:
+                        rgba = arr
+                elif sub == b"VP8 ":
+                    raise WebPError(
+                        "lossy-coded animation frame: VP8 decode is the "
+                        "documented plug point")
+                fpos += 8 + ssz + (ssz & 1)
+            if rgba is None:
+                raise WebPError("ANMF carries no image chunk")
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            if blend_overwrite:
+                region[:] = rgba
+            else:  # alpha-over, integer math per the spec
+                a = rgba[..., 3:4].astype(np.uint16)
+                inv = (255 - a) * region[..., 3:4].astype(np.uint16) // 255
+                out_a = a + inv
+                safe = np.where(out_a == 0, 1, out_a)
+                for c in range(3):
+                    region[..., c] = ((rgba[..., c] * a[..., 0]
+                                       + region[..., c] * inv[..., 0])
+                                      // safe[..., 0]).astype(np.uint8)
+                region[..., 3] = out_a[..., 0].astype(np.uint8)
+            frames.append({"index": len(frames), "timestamp_ms": t_ms,
+                           "duration_ms": dur,
+                           "canvas": canvas.copy()})
+            t_ms += dur
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = 0
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise WebPError("animation carries no ANMF frames")
+    return frames
+
+
+def encode_webp_animation(frames, durations_ms, *, offsets=None,
+                          dispose_bg=None, blend_overwrite=None) -> bytes:
+    """Fixture anchor: H×W×3/4 frames → animated WebP (VP8X + ANIM +
+    ANMF with VP8L-coded payloads). Canvas = frame 0's size; later
+    frames may be smaller with (x, y) offsets (must be even)."""
+    import numpy as np
+
+    if not frames:
+        raise WebPError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    dispose_bg = dispose_bg or [False] * len(frames)
+    blend_overwrite = (blend_overwrite
+                       if blend_overwrite is not None
+                       else [True] * len(frames))
+    ch, cw = np.asarray(frames[0]).shape[:2]
+    chunks = bytearray()
+    # VP8X: animation + alpha flags, canvas size
+    flags = 0x12
+    chunks += b"VP8X" + struct.pack("<I", 10) + bytes([flags, 0, 0, 0]) \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    chunks += b"\x00" * 0
+    # ANIM: transparent background, loop forever
+    chunks += b"ANIM" + struct.pack("<I", 6) + b"\x00\x00\x00\x00" \
+        + b"\x00\x00"
+    for img, dur, (fx, fy), disp, bov in zip(frames, durations_ms,
+                                             offsets, dispose_bg,
+                                             blend_overwrite):
+        a = np.asarray(img, dtype=np.uint8)
+        fh, fw = a.shape[:2]
+        if fx % 2 or fy % 2:
+            raise WebPError("ANMF offsets must be even")
+        vp8l_file = encode_webp_lossless(a)
+        # extract the VP8L chunk payload from the single-image file
+        lsz = struct.unpack_from("<I", vp8l_file, 16)[0]
+        payload = vp8l_file[20:20 + lsz]
+        body = bytearray()
+        body += (fx // 2).to_bytes(3, "little")
+        body += (fy // 2).to_bytes(3, "little")
+        body += (fw - 1).to_bytes(3, "little")
+        body += (fh - 1).to_bytes(3, "little")
+        body += int(dur).to_bytes(3, "little")
+        body += bytes([(0x01 if disp else 0) | (0x02 if bov else 0)])
+        body += b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + bytes(body)
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" \
+        + bytes(chunks)

@@ -81,6 +81,7 @@ class _AddFile:
     partition_values: dict[str, str | None]
     size: int
     num_records: int | None = None
+    stats: dict | None = None  # parsed spec stats (zone maps)
 
 
 @dataclass
@@ -215,7 +216,8 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                     path=path,
                     partition_values=add.get("partitionValues") or {},
                     size=int(add.get("size") or 0),
-                    num_records=_stats_records(add.get("stats")))
+                    num_records=_stats_records(add.get("stats")),
+                    stats=_parse_stats(add.get("stats")))
             rem = d.get("remove")
             if rem and rem.get("path"):
                 adds.pop(urllib.parse.unquote(rem["path"]), None)
@@ -246,7 +248,8 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                     path=path,
                     partition_values=add.get("partitionValues") or {},
                     size=int(add.get("size") or 0),
-                    num_records=_stats_records(add.get("stats")))
+                    num_records=_stats_records(add.get("stats")),
+                    stats=_parse_stats(add.get("stats")))
             elif "remove" in a:
                 adds.pop(urllib.parse.unquote(a["remove"]["path"]), None)
             elif "txn" in a:
@@ -267,14 +270,20 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                          metadata=meta, protocol=protocol, txns=txns)
 
 
-def _stats_records(stats: str | None) -> int | None:
+def _parse_stats(stats: str | None) -> dict | None:
     if not stats:
         return None
     try:
-        n = json.loads(stats).get("numRecords")
-        return int(n) if n is not None else None
+        d = json.loads(stats)
+        return d if isinstance(d, dict) else None
     except (ValueError, TypeError):
         return None
+
+
+def _stats_records(stats: str | None) -> int | None:
+    d = _parse_stats(stats)
+    n = d.get("numRecords") if d else None
+    return int(n) if n is not None else None
 
 
 def _version_at_timestamp(table: str, commits: list[int], ts_ms: int) -> int:
@@ -328,13 +337,21 @@ def decoded_file_path() -> F.Column:
 
 def read_delta(spark: SparkSession, table: str, *,
                version: int | None = None, timestamp_ms: int | None = None,
-               partition_filter=None) -> DataFrame:
+               partition_filter=None,
+               data_filters: list[tuple[str, str, Any]] | None = None,
+               ) -> DataFrame:
     """Delta table → DataFrame at a snapshot.
 
     ``partition_filter``: callable ``dict[str, Any] -> bool`` over the
     TYPED partition values of one file; files failing it are pruned at
-    the metadata level (never scheduled). Data-column predicates belong
-    on the returned DataFrame as usual (parquet pushdown applies there).
+    the metadata level (never scheduled).
+
+    ``data_filters``: (col, op, value) conjuncts (op in = < <= > >=)
+    evaluated against each file's min/max ZONE MAPS — a file provably
+    outside the range is skipped without being opened (the stats-based
+    data skipping the connector does). Skipping is conservative (files
+    without stats always survive), so the SAME predicate still belongs
+    on the returned DataFrame; this trims I/O, not semantics.
     """
     snap = snapshot(spark, table, version=version, timestamp_ms=timestamp_ms)
     part_cols = snap.partition_columns
@@ -346,8 +363,11 @@ def read_delta(spark: SparkSession, table: str, *,
     for af in snap.files:
         vals = {c: _cast_partition_value(af.partition_values.get(c),
                                          by_name[c]) for c in part_cols}
-        if partition_filter is None or partition_filter(vals):
-            typed.append((af, vals))
+        if partition_filter is not None and not partition_filter(vals):
+            continue
+        if data_filters and stats_exclude(af.stats, data_filters):
+            continue
+        typed.append((af, vals))
 
     if not typed:
         return spark.createDataFrame([], snap.schema)
@@ -452,6 +472,12 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(dirpath, name)
+            try:
+                import pyarrow.parquet as pq
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue  # per-task empty splits carry nothing
+            except Exception:
+                pass  # unreadable footer: keep the file, stats skip it
             rel_dir = os.path.relpath(dirpath, stage)
             pv: dict[str, str | None] = {}
             if rel_dir != ".":
@@ -473,14 +499,12 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             })
     _rmtree(stage)
 
-    # per-file numRecords stats from the parquet footers (no data pass)
+    # per-file stats from the parquet footers (no data pass): numRecords
+    # plus per-column min/max zone maps — the spec's data-skipping stats
     for a in adds:
         try:
-            import pyarrow.parquet as pq
-            n = pq.ParquetFile(
-                os.path.join(table, urllib.parse.unquote(a["path"]))
-            ).metadata.num_rows
-            a["stats"] = json.dumps({"numRecords": int(n)})
+            full = os.path.join(table, urllib.parse.unquote(a["path"]))
+            a["stats"] = json.dumps(_footer_stats(full))
         except Exception:  # stats are optional per spec
             pass
 
@@ -664,3 +688,89 @@ def stream_to_delta(stream_df: DataFrame, table: str, *,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# File-level stats (zone maps) — write-side collection + read-side skip
+# ---------------------------------------------------------------------------
+
+def _footer_stats(path: str) -> dict[str, Any]:
+    """numRecords + per-column minValues/maxValues/nullCount aggregated
+    from the parquet footer's row-group statistics (primitive top-level
+    columns; JSON-serializable values per the spec's stats schema)."""
+    import datetime as dtm
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+
+    def jsonable(v):
+        if isinstance(v, (dtm.datetime, dtm.date)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return None  # binary bounds don't serialize to spec JSON
+        if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                     float("-inf"))):
+            return None
+        return v
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves are out of the JSON stats scope
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                continue
+            lo, hi = jsonable(st.min), jsonable(st.max)
+            if lo is None or hi is None:
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    out: dict[str, Any] = {"numRecords": int(md.num_rows)}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return out
+
+
+def stats_exclude(stats: dict[str, Any] | None,
+                  data_filters: list[tuple[str, str, Any]]) -> bool:
+    """True iff the zone map PROVES no row in the file can satisfy ALL
+    of the (col, op, value) conjuncts. Missing stats keep the file —
+    skipping is only ever an optimization, never a semantics change."""
+    if not stats:
+        return False
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, op, value in data_filters:
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and (value < lo or value > hi):
+                return True
+            if op == "<" and lo >= value:
+                return True
+            if op == "<=" and lo > value:
+                return True
+            if op == ">" and hi <= value:
+                return True
+            if op == ">=" and hi < value:
+                return True
+        except TypeError:
+            continue  # incomparable types: keep the file
+    return False

@@ -30,8 +30,14 @@ Honest limits, stated loudly rather than silently wrong: columns
 resolve BY NAME, not by parquet field-id — a table whose columns were
 renamed after data was written would misread, so the reader REJECTS
 metadata whose current schema carries a name-mapping or whose schema
-log shows a rename (same stance as Delta column-mapping). Iceberg
-WRITES need the connector (sources/lake.py routes and says so).
+log shows a rename (same stance as Delta column-mapping).
+
+WRITES (`write_iceberg`): v2 snapshots on filesystem
+(HadoopCatalog-style) tables — parquet data files, manifest + manifest
+-list Avro written with spec field-ids through sources/avroio, new
+vN.metadata.json committed with O_CREAT|O_EXCL + version-hint update.
+Append/overwrite, identity partitioning. Single-writer per table (a
+real catalog is what arbitrates concurrent commits).
 """
 
 from __future__ import annotations
@@ -198,6 +204,8 @@ class _DataFile:
     partition: dict[str, Any]
     record_count: int
     equality_ids: list[int] = field(default_factory=list)
+    lower_bounds: dict[int, bytes] = field(default_factory=dict)
+    upper_bounds: dict[int, bytes] = field(default_factory=dict)
 
 
 @dataclass
@@ -308,7 +316,9 @@ def snapshot(table: str, *, snapshot_id: int | None = None,
                 local=_resolve_path(table, meta, df_rec["file_path"]),
                 content=content, seq=seq, partition=dict(part),
                 record_count=int(df_rec.get("record_count") or 0),
-                equality_ids=list(df_rec.get("equality_ids") or []))
+                equality_ids=list(df_rec.get("equality_ids") or []),
+                lower_bounds=_bounds_map(df_rec.get("lower_bounds")),
+                upper_bounds=_bounds_map(df_rec.get("upper_bounds")))
             (data if content == _CONTENT_DATA
              else pos_del if content == _CONTENT_POSITION_DELETES
              else eq_del).append(rec)
@@ -325,14 +335,24 @@ def snapshot(table: str, *, snapshot_id: int | None = None,
 def read_iceberg(spark: SparkSession, table: str, *,
                  snapshot_id: int | None = None,
                  timestamp_ms: int | None = None,
-                 partition_filter=None) -> DataFrame:
+                 partition_filter=None,
+                 data_filters: list[tuple[str, str, Any]] | None = None,
+                 ) -> DataFrame:
     """Iceberg table → DataFrame at a snapshot (v1 and v2, parquet data,
     position + equality deletes). ``partition_filter`` sees each data
-    file's typed partition record and prunes before any file is opened.
+    file's typed partition record and prunes before any file is opened;
+    ``data_filters`` (col, op, value) conjuncts skip files whose
+    manifest lower/upper bounds prove exclusion (conservative — files
+    without bounds survive; keep the predicate on the DataFrame too).
     """
     snap = snapshot(table, snapshot_id=snapshot_id,
                     timestamp_ms=timestamp_ms,
                     partition_filter=partition_filter)
+    if data_filters:
+        fields = _current_schema(snap.metadata)["fields"]
+        snap.data_files = [
+            f for f in snap.data_files
+            if not _bounds_exclude(fields, f, data_filters)]
     if not snap.data_files:
         return spark.createDataFrame([], snap.schema)
     cols = [f.name for f in snap.schema.fields]
@@ -437,3 +457,547 @@ def iceberg_history(table: str) -> list[dict[str, Any]]:
                 "timestamp-ms": s.get("timestamp-ms", 0)}
                for s in meta.get("snapshots") or []]
     return sorted(log, key=lambda e: -e["timestamp-ms"])
+
+
+# ---------------------------------------------------------------------------
+# Write path (HadoopCatalog-style filesystem tables, v2)
+# ---------------------------------------------------------------------------
+
+def spark_type_to_iceberg(dt: T.DataType, next_id: list[int]) -> Any:
+    """Spark → Iceberg type JSON; nested types consume field ids from
+    the shared counter (depth-first, the spec's assignment order)."""
+    import pyspark.sql.types as ST
+
+    prim = {ST.BooleanType: "boolean", ST.IntegerType: "int",
+            ST.ShortType: "int", ST.ByteType: "int", ST.LongType: "long",
+            ST.FloatType: "float", ST.DoubleType: "double",
+            ST.DateType: "date", ST.TimestampType: "timestamptz",
+            ST.TimestampNTZType: "timestamp", ST.StringType: "string",
+            ST.BinaryType: "binary"}
+    for cls, name in prim.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, ST.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, ST.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": spark_type_to_iceberg(f.dataType,
+                                                         next_id)})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, ST.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {"type": "list", "element-id": eid,
+                "element-required": not dt.containsNull,
+                "element": spark_type_to_iceberg(dt.elementType, next_id)}
+    if isinstance(dt, ST.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {"type": "map", "key-id": kid, "value-id": vid,
+                "key": spark_type_to_iceberg(dt.keyType, next_id),
+                "value-required": not dt.valueContainsNull,
+                "value": spark_type_to_iceberg(dt.valueType, next_id)}
+    raise IcebergError(f"no Iceberg mapping for Spark type {dt}")
+
+
+def _iceberg_to_avro_type(t: Any) -> Any:
+    """Partition-value Avro type for identity transforms (nullable).
+    Restricted to the types whose partition values round-trip exactly
+    through directory names; date/timestamp partitioning wants a
+    transform spec (days/months/...), out of the native writer's
+    scope — rejected honestly."""
+    prim = {"boolean": "boolean", "int": "int", "long": "long",
+            "float": "float", "double": "double", "string": "string"}
+    if isinstance(t, str) and t in prim:
+        return ["null", prim[t]]
+    raise IcebergError(f"unsupported identity-partition type {t!r}")
+
+
+def _manifest_avro_schema(part_fields: list[dict]) -> dict:
+    """The spec's manifest_entry Avro schema (v2), field-ids included so
+    REAL Iceberg readers resolve it; partition struct fields get ids
+    1000+ (the spec's partition-field-id convention)."""
+    r102 = {"type": "record", "name": "r102", "fields": [
+        {"name": pf["name"], "type": _iceberg_to_avro_type(pf["type"]),
+         "default": None, "field-id": 1000 + i}
+        for i, pf in enumerate(part_fields)]}
+    def _bounds(name, kid, vid):
+        # int-keyed maps serialize as arrays of key/value records in
+        # Iceberg's Avro (the spec's map array-encoding)
+        return {"name": name, "default": None, "type": ["null", {
+            "type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": f"k{kid}_v{vid}",
+                      "fields": [
+                          {"name": "key", "type": "int",
+                           "field-id": kid},
+                          {"name": "value", "type": "bytes",
+                           "field-id": vid}]}}]}
+
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": r102, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        dict(_bounds("lower_bounds", 126, 127), **{"field-id": 125}),
+        dict(_bounds("upper_bounds", 129, 130), **{"field-id": 128}),
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": data_file, "field-id": 2},
+    ]}
+
+
+_MANIFEST_LIST_AVRO = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
+                  partition_by: list[str] | None = None) -> int:
+    """Write a DataFrame as a new Iceberg v2 snapshot on a filesystem
+    (HadoopCatalog-style) table — no connector jar. Returns the new
+    snapshot id.
+
+    mode='append' adds a manifest beside the previous snapshot's;
+    'overwrite' starts the new snapshot from only the new manifest (old
+    files stay reachable through time travel — the spec's model).
+    Partitioning is identity-transform (partition values recorded in
+    manifests; the columns stay IN the data files per the spec, so no
+    reconstitution is ever needed). The metadata commit is an atomic
+    O_CREAT|O_EXCL create of the next vN.metadata.json — SINGLE-WRITER
+    per table: a lost race slides to the next version slot without
+    merging the other writer's snapshot (concurrent multi-writer
+    commits need a real catalog; the delta.py LogStore honesty note).
+    Manifests carry spec field-ids so real Iceberg readers resolve
+    them.
+    """
+    import uuid as uuid_mod
+
+    from apache_pinot_spark.sources import avroio
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append or overwrite")
+    spark = df.sparkSession
+    part_cols = list(partition_by or [])
+    for c in part_cols:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in the frame")
+
+    md_dir = _metadata_dir(table)
+    exists = os.path.isdir(md_dir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(md_dir))
+    if exists:
+        meta = load_metadata(table)
+        schema_json = _current_schema(meta)
+        names = [f["name"] for f in schema_json["fields"]]
+        if [f.name for f in df.schema.fields] != names:
+            raise IcebergError(
+                f"schema mismatch: table has {names}, frame has "
+                f"{[f.name for f in df.schema.fields]}")
+        spec_fields = (meta.get("partition-specs")
+                       or [{"fields": []}])[0].get("fields", [])
+        existing_parts = [pf["name"] for pf in spec_fields]
+        if partition_by is not None and part_cols != existing_parts:
+            raise IcebergError(
+                f"table is partitioned by {existing_parts}")
+        part_cols = existing_parts
+        version = 1 + max(
+            int(m.group(1)) for m in
+            (re.match(r"v(\d+)\.metadata\.json$", n)
+             for n in os.listdir(md_dir)) if m)
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+    else:
+        os.makedirs(md_dir, exist_ok=True)
+        os.makedirs(os.path.join(table, "data"), exist_ok=True)
+        counter = [len(df.schema.fields) + 1]
+        fields = []
+        for i, f in enumerate(df.schema.fields):
+            fields.append({"id": i + 1, "name": f.name,
+                           "required": not f.nullable,
+                           "type": spark_type_to_iceberg(f.dataType,
+                                                         counter)})
+        schema_json = {"schema-id": 0, "type": "struct", "fields": fields}
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL,
+                                             f"apache-pinot-spark:{table}")),
+            "location": f"file://{os.path.abspath(table)}",
+            "last-sequence-number": 0,
+            "last-updated-ms": 0,
+            "last-column-id": counter[0] - 1,
+            "schemas": [schema_json], "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": c, "transform": "identity",
+                 "source-id": [f["id"] for f in fields
+                               if f["name"] == c][0],
+                 "field-id": 1000 + i}
+                for i, c in enumerate(part_cols)]}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(part_cols),
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [], "snapshot-log": [], "metadata-log": [],
+        }
+        version = 1
+        seq = 1
+
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    part_field_types = [{"name": c, "type": by_name[c]["type"]}
+                        for c in part_cols]
+
+    # 1. data files (staging + move; delta.py's layout discipline)
+    import time as time_mod
+    stage = os.path.join(table, f".staging-{os.getpid()}-"
+                         f"{time_mod.time_ns()}")
+    out_df = df.repartition(*[F.col(c) for c in part_cols]) \
+        if part_cols else df
+    writer = out_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    # partitionBy drops the partition columns from the files; Iceberg
+    # requires every column present — rewrite each partition dir's
+    # files WITH the columns via a second pass when partitioned
+    entries = []
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    if part_cols:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, stage)
+                pv: dict[str, Any] = {}
+                for seg in rel.split(os.sep):
+                    k, _, raw = seg.partition("=")
+                    if k in part_cols:
+                        pv[k] = (None if raw ==
+                                 "__HIVE_DEFAULT_PARTITION__"
+                                 else urllib.parse.unquote(raw))
+                tbl = pq.read_table(os.path.join(dirpath, name))
+                if tbl.num_rows == 0:
+                    continue  # per-task empty splits carry nothing
+                pa_types = {"boolean": pa.bool_(), "int": pa.int32(),
+                            "long": pa.int64(), "float": pa.float32(),
+                            "double": pa.float64(),
+                            "string": pa.string()}
+                for c in part_cols:
+                    it = by_name[c]["type"]
+                    val = _cast_part(pv.get(c), it)
+                    tbl = tbl.append_column(
+                        c, pa.array([val] * tbl.num_rows,
+                                    type=pa_types[it]))
+                # restore declared column order
+                tbl = tbl.select([f["name"]
+                                  for f in schema_json["fields"]])
+                fname = f"{uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, rel + name)}.parquet"
+                dst = os.path.join(data_dir, fname)
+                pq.write_table(tbl, dst)
+                pv_typed = {c: _cast_part(pv.get(c), by_name[c]["type"])
+                            for c in part_cols}
+                entries.append(_entry(table, dst, pv_typed, part_cols,
+                                      tbl.num_rows, seq,
+                                      schema_json["fields"]))
+    else:
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                import pyarrow.parquet as pq
+                src = os.path.join(dirpath, name)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue  # per-task empty splits carry nothing
+                dst = os.path.join(data_dir, name)
+                os.replace(src, dst)
+                entries.append(_entry(table, dst, {}, part_cols,
+                                      n_rows, seq,
+                                      schema_json["fields"]))
+    import shutil
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # 2. manifest + manifest list + metadata, committed atomically
+    snapshot_id = int(time_mod.time_ns() % (1 << 62))
+    man_name = f"{uuid_mod.uuid4().hex}-m0.avro"
+    man_path = os.path.join(md_dir, man_name)
+    man_schema = _manifest_avro_schema(part_field_types)
+    for e in entries:
+        e["snapshot_id"] = snapshot_id
+    with open(man_path, "wb") as fh:
+        fh.write(avroio.write_container(entries, man_schema))
+
+    ml_rows = [{
+        "manifest_path": f"file://{os.path.abspath(man_path)}",
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"]
+                                for e in entries),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    if mode == "append" and meta.get("snapshots"):
+        cur = _pick_snapshot(meta, None, None)
+        ml = _resolve_path(table, meta, cur["manifest-list"])
+        ml_rows = _read_manifest_avro(ml) + ml_rows
+    ml_name = f"snap-{snapshot_id}-1-{uuid_mod.uuid4().hex}.avro"
+    ml_path = os.path.join(md_dir, ml_name)
+    with open(ml_path, "wb") as fh:
+        fh.write(avroio.write_container(ml_rows, _MANIFEST_LIST_AVRO))
+
+    now_ms = int(time_mod.time() * 1000)
+    snap = {"snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "manifest-list": f"file://{os.path.abspath(ml_path)}",
+            "summary": {"operation":
+                        "append" if mode == "append" else "overwrite"},
+            "schema-id": schema_json.get("schema-id", 0)}
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+
+    for _ in range(1000):
+        target = os.path.join(md_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                         0o644)
+        except FileExistsError:
+            version += 1
+            continue
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(new_meta, fh)
+        break
+    else:
+        raise IcebergError("could not win a metadata commit slot")
+    with open(os.path.join(md_dir, "version-hint.text"), "w",
+              encoding="utf-8") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
+def _cast_part(v: str | None, iceberg_type: Any):
+    if v is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        return int(v)
+    if iceberg_type in ("float", "double"):
+        return float(v)
+    if iceberg_type == "boolean":
+        return v == "true"
+    return v
+
+
+def _entry(table: str, dst: str, pv: dict, part_cols: list[str],
+           n_rows: int, seq: int, fields: list[dict] | None = None) -> dict:
+    lower = upper = None
+    if fields:
+        try:
+            lo, hi = _footer_bounds(dst, fields)
+            if lo:
+                lower = [{"key": k, "value": v}
+                         for k, v in sorted(lo.items())]
+                upper = [{"key": k, "value": v}
+                         for k, v in sorted(hi.items())]
+        except Exception:  # bounds are optional; never fail the write
+            pass
+    return {"status": 1, "snapshot_id": None,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{os.path.abspath(dst)}",
+                "file_format": "PARQUET",
+                "partition": {c: pv.get(c) for c in part_cols},
+                "record_count": int(n_rows),
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lower,
+                "upper_bounds": upper,
+                "equality_ids": None,
+            }}
+
+
+# ---------------------------------------------------------------------------
+# Column bounds (spec Appendix D single-value serialization) + skipping
+# ---------------------------------------------------------------------------
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Manifest bounds arrive as an array-encoded int→bytes map (list of
+    {key, value} records) or a plain dict; normalize to {field_id: bytes}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): bytes(v) for k, v in raw.items() if v is not None}
+    out = {}
+    for kv in raw:
+        if kv and kv.get("value") is not None:
+            out[int(kv["key"])] = bytes(kv["value"])
+    return out
+
+
+def encode_single_value(iceberg_type: Any, v: Any) -> bytes | None:
+    """Spec Appendix D: little-endian numerics, UTF-8 strings."""
+    import struct as st
+
+    if v is None or not isinstance(iceberg_type, str):
+        return None
+    t = iceberg_type
+    try:
+        if t == "int":
+            return st.pack("<i", int(v))
+        if t == "long":
+            return st.pack("<q", int(v))
+        if t == "float":
+            return st.pack("<f", float(v))
+        if t == "double":
+            return st.pack("<d", float(v))
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "string":
+            return str(v).encode("utf-8")
+        if t == "date":
+            from datetime import date
+            if isinstance(v, date):
+                v = (v - date(1970, 1, 1)).days
+            return st.pack("<i", int(v))
+        if t in ("timestamp", "timestamptz"):
+            from datetime import datetime, timezone
+            if isinstance(v, datetime):
+                ref = (datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                       if v.tzinfo else datetime(1970, 1, 1))
+                v = int((v - ref).total_seconds() * 1_000_000)
+            return st.pack("<q", int(v))
+    except (ValueError, OverflowError, st.error):
+        return None
+    return None  # decimal/fixed/binary bounds: out of scope, omitted
+
+
+def decode_single_value(iceberg_type: Any, b: bytes):
+    import struct as st
+
+    if b is None or not isinstance(iceberg_type, str):
+        return None
+    t = iceberg_type
+    try:
+        if t == "int" and len(b) == 4:
+            return st.unpack("<i", b)[0]
+        if t == "long" and len(b) == 8:
+            return st.unpack("<q", b)[0]
+        if t == "float" and len(b) == 4:
+            return st.unpack("<f", b)[0]
+        if t == "double" and len(b) == 8:
+            return st.unpack("<d", b)[0]
+        if t == "boolean" and len(b) == 1:
+            return b != b"\x00"
+        if t == "string":
+            return b.decode("utf-8", errors="replace")
+        if t == "date" and len(b) == 4:
+            return st.unpack("<i", b)[0]
+        if t in ("timestamp", "timestamptz") and len(b) == 8:
+            return st.unpack("<q", b)[0]
+    except st.error:
+        return None
+    return None
+
+
+def _footer_bounds(path: str, fields: list[dict]
+                   ) -> tuple[dict[int, bytes], dict[int, bytes]]:
+    """Per-column lower/upper bounds from the parquet footer's row-group
+    stats, keyed by Iceberg field id (top-level primitives only)."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in fields
+               if isinstance(f.get("type"), str)}
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or "." in name:
+                continue
+            stt = col.statistics
+            if stt is None or not stt.has_min_max:
+                continue
+            lo, hi = stt.min, stt.max
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    for name, lo in mins.items():
+        f = by_name[name]
+        enc_lo = encode_single_value(f["type"], lo)
+        enc_hi = encode_single_value(f["type"], maxs[name])
+        if enc_lo is not None and enc_hi is not None:
+            lower[f["id"]] = enc_lo
+            upper[f["id"]] = enc_hi
+    return lower, upper
+
+
+def _bounds_exclude(snap_fields: list[dict], f: "_DataFile",
+                    data_filters: list[tuple[str, str, Any]]) -> bool:
+    """True iff the file's bounds prove no row satisfies every conjunct
+    (delta.stats_exclude's rule, keyed through field ids)."""
+    from apache_pinot_spark.sources.delta import stats_exclude
+
+    by_name = {fd["name"]: fd for fd in snap_fields
+               if isinstance(fd.get("type"), str)}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for col, _op, _v in data_filters:
+        fd = by_name.get(col)
+        if fd is None:
+            continue
+        lo = f.lower_bounds.get(fd["id"])
+        hi = f.upper_bounds.get(fd["id"])
+        if lo is None or hi is None:
+            continue
+        dlo = decode_single_value(fd["type"], lo)
+        dhi = decode_single_value(fd["type"], hi)
+        if dlo is None or dhi is None:
+            continue
+        mins[col] = dlo
+        maxs[col] = dhi
+    return stats_exclude({"minValues": mins, "maxValues": maxs},
+                         data_filters)

@@ -15,10 +15,10 @@ Two tiers:
     interop with the real connectors in both directions.
 
 The probe stays: `lake_format_available` tells which tier will serve,
-and `read_lake`/`write_lake` route automatically. Operations the native
-tier genuinely cannot honor (Iceberg WRITES — the spec's commit
-protocol needs an atomic catalog swap we do not reimplement) raise
-with the artifact to add, never silently degrade.
+and `read_lake`/`write_lake` route automatically. Both native writers
+are single-writer per table (atomic O_EXCL metadata commits);
+multi-cluster coordination needs the connector + a real catalog, and
+the writers' docstrings say so rather than silently degrading.
 """
 
 from __future__ import annotations
@@ -76,10 +76,10 @@ def read_lake(spark: SparkSession, path: str, fmt: str,
 
 def write_lake(df: DataFrame, path: str, fmt: str, mode: str = "append",
                **native_kwargs) -> None:
-    """Write a DataFrame to a Delta/Iceberg table (path-based). Delta
-    writes fall back to the native single-writer log implementation;
-    Iceberg writes require the connector (its commit protocol needs an
-    atomic catalog swap this engine does not reimplement)."""
+    """Write a DataFrame to a Delta/Iceberg table (path-based):
+    connector when the jar is on the classpath, native protocol
+    implementation otherwise (Delta transaction log / Iceberg v2
+    HadoopCatalog-style snapshots — both single-writer per table)."""
     _spec(fmt)
     spark = df.sparkSession
     if lake_format_available(spark, fmt):
@@ -90,11 +90,9 @@ def write_lake(df: DataFrame, path: str, fmt: str, mode: str = "append",
 
         write_delta(df, path, mode=mode, **native_kwargs)
         return
-    cls, artifact = _spec(fmt)
-    raise RuntimeError(
-        f"native {fmt!r} WRITES are not implemented (reads are); add the "
-        f"connector: {artifact} (probe class {cls} not loadable)"
-    )
+    from apache_pinot_spark.sources.iceberg import write_iceberg
+
+    write_iceberg(df, path, mode=mode, **native_kwargs)
 
 
 def _spec(fmt: str) -> tuple[str, str]:

@@ -282,3 +282,47 @@ def test_stream_to_delta_exactly_once(spark, tmp_path):
     assert got == sorted(10 * i + j for i in range(3) for j in range(4))
     snap = D.snapshot(spark, table)
     assert "ingest_k" in snap.txns and snap.txns["ingest_k"] >= 1
+
+
+def test_zone_map_stats_written_and_skip_rules(spark, table):
+    D.write_delta(_mkdf(spark, [{"k": i, "s": f"v{i}"}
+                                for i in range(10)]), table)
+    snap = D.snapshot(spark, table)
+    stats = [af.stats for af in snap.files if af.stats]
+    assert stats and all("minValues" in st for st in stats)
+    assert min(st["minValues"]["k"] for st in stats) == 0
+    assert max(st["maxValues"]["k"] for st in stats) == 9
+    assert min(st["minValues"]["s"] for st in stats) == "v0"
+    assert max(st["maxValues"]["s"] for st in stats) == "v9"
+    # exclusion rule boundaries
+    s = {"minValues": {"k": 10}, "maxValues": {"k": 20}}
+    assert D.stats_exclude(s, [("k", "=", 9)])
+    assert not D.stats_exclude(s, [("k", "=", 10)])
+    assert D.stats_exclude(s, [("k", "<", 10)])
+    assert not D.stats_exclude(s, [("k", "<=", 10)])
+    assert D.stats_exclude(s, [("k", ">", 20)])
+    assert not D.stats_exclude(s, [("k", ">=", 20)])
+    assert not D.stats_exclude(None, [("k", "=", 999)])
+    assert not D.stats_exclude({}, [("k", "=", 999)])
+    # incomparable types keep the file
+    assert not D.stats_exclude(s, [("k", "=", "abc")])
+
+
+def test_zone_map_skipping_never_opens_excluded_files(spark, table):
+    """Two disjoint-range files; the excluded one is CORRUPTED on disk,
+    so only metadata-level skipping can make the filtered read work."""
+    import urllib.parse as up
+
+    D.write_delta(_mkdf(spark, [{"k": i} for i in range(100)]), table)
+    D.write_delta(_mkdf(spark, [{"k": i} for i in range(1000, 1100)]),
+                  table)
+    snap = D.snapshot(spark, table)
+    low_file = next(af for af in snap.files
+                    if af.stats["maxValues"]["k"] < 1000)
+    with open(os.path.join(table, up.unquote(low_file.path)), "wb") as fh:
+        fh.write(b"NOT PARQUET ANYMORE")
+    got = D.read_delta(spark, table,
+                       data_filters=[("k", ">=", 1000)]).collect()
+    assert sorted(r.k for r in got) == list(range(1000, 1100))
+    with pytest.raises(Exception):  # unfiltered read meets the corruption
+        D.read_delta(spark, table).count()

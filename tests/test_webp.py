@@ -528,3 +528,61 @@ def test_color_transform_roundtrip():
             a, r, g, b = finals[y][x]
             want = (r, g, b, a) if out.shape[2] == 4 else (r, g, b)
             assert tuple(out[y, x]) == want, (x, y)
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+def test_animation_frames_compositing_and_disposal():
+    f0 = np.full((8, 8, 3), 10, np.uint8)       # full-canvas base
+    f1 = np.full((4, 4, 3), 200, np.uint8)      # small patch at (2, 2)
+    f2 = np.full((2, 2, 3), 50, np.uint8)       # tiny patch at (0, 0)
+    blob = W.encode_webp_animation(
+        [f0, f1, f2], [100, 40, 60],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        dispose_bg=[False, True, False])
+    info = W.parse_webp(blob)
+    assert info["has_animation"] and info["kind"] == "extended"
+    assert (info["width"], info["height"]) == (8, 8)
+    frames = W.decode_animation(blob)
+    assert [f["timestamp_ms"] for f in frames] == [0, 100, 140]
+    assert [f["duration_ms"] for f in frames] == [100, 40, 60]
+    c0, c1, c2 = (f["canvas"] for f in frames)
+    assert (c0[..., :3] == 10).all() and (c0[..., 3] == 255).all()
+    assert (c1[2:6, 2:6, 0] == 200).all() and c1[0, 0, 0] == 10
+    # frame 1 disposed to background: its rect is transparent in c2
+    # except where untouched by frame 2
+    assert (c2[2:6, 2:6, 3] == 0).all()
+    assert (c2[0:2, 0:2, 0] == 50).all()
+    assert c2[7, 7, 0] == 10  # base survives outside disposed rect
+
+
+def test_animation_alpha_blend():
+    base = np.full((4, 4, 4), 100, np.uint8)
+    base[..., 3] = 255
+    overlay = np.zeros((4, 4, 4), np.uint8)
+    overlay[..., 0] = 200
+    overlay[..., 3] = 128  # half-transparent red
+    blob = W.encode_webp_animation(
+        [base, overlay], [10, 10],
+        blend_overwrite=[True, False])
+    frames = W.decode_animation(blob)
+    c = frames[1]["canvas"]
+    # integer alpha-over: r = (200*128 + 100*(127*255//255)) // 255
+    a, inv = 128, (255 - 128) * 255 // 255
+    expect_r = (200 * a + 100 * inv) // (a + inv)
+    assert abs(int(c[0, 0, 0]) - expect_r) <= 1
+    assert c[0, 0, 3] == a + inv
+
+
+def test_animation_rejects():
+    with pytest.raises(W.WebPError, match="not an animated"):
+        W.decode_animation(W.encode_webp_lossless(_rand_img(4, 4, 3, 0)))
+    f0 = np.full((4, 4, 3), 10, np.uint8)
+    blob = bytearray(W.encode_webp_animation([f0], [10]))
+    # corrupt the ANMF frame rect to escape the canvas
+    at = bytes(blob).find(b"ANMF") + 8
+    blob[at + 6:at + 9] = (100).to_bytes(3, "little")  # width-1 = 100
+    with pytest.raises(W.WebPError):
+        W.decode_animation(bytes(blob))
