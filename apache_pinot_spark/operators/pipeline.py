@@ -71,6 +71,14 @@ class CurationConfig:
     normalize_form: str = "NFC"
     # exact dedup
     exact_dedup: bool = True
+    # Bloom-filter CROSS-SNAPSHOT dedup (the Dolma deduper shape):
+    # drop documents (or excise paragraphs) already folded into a prior
+    # release's filter — requires the bloom_ref=(filter_df, meta) pair
+    # from operators/bloomdedup (build/save/load). Runs right after
+    # exact dedup: within-corpus duplicates die first, then
+    # already-released content.
+    bloom_dedup: bool = False
+    bloom_mode: str = "document"  # or "paragraph"
     # boilerplate (C4 repeated-line) removal
     boilerplate: bool = True
     boilerplate_min_count: int = 3
@@ -158,6 +166,7 @@ def curate_corpus(
     word_blocklist: DataFrame | None = None,
     quality_model=None,
     lang_model=None,
+    bloom_ref: tuple | None = None,
 ) -> dict[str, DataFrame]:
     """Run the staged curation plan. Returns {stage_name: DataFrame} in
     stage order — every entry is the corpus AS OF that stage (same
@@ -166,7 +175,9 @@ def curate_corpus(
     feeds the lm/dsir selection stage; ``blocked_domains`` (a `domain`
     frame) feeds the UT1 gate, ``word_blocklist`` (a `word` frame) the
     C4 gate, ``quality_model`` (operators/quality_clf.QualityModel) the
-    trained quality gate — each required only when its stage is
+    trained quality gate, ``bloom_ref`` ((filter_df, meta) from
+    operators/bloomdedup) the cross-snapshot dedup stage — each
+    required only when its stage is
     enabled."""
     from apache_pinot_spark.operators import curation, dedup, redaction
     from apache_pinot_spark.operators import textanalysis as tx
@@ -246,6 +257,23 @@ def curate_corpus(
             cur, text_col=t, form=cfg.normalize_form)))
     if cfg.exact_dedup:
         cur = _stage("exact_dedup", dedup.dedupe_exact(cur, text_col=t, key_col=k))
+    if cfg.bloom_dedup:
+        from apache_pinot_spark.operators import bloomdedup as _bl
+
+        if bloom_ref is None:
+            raise ValueError(
+                "bloom_dedup=True requires bloom_ref=(filter_df, meta)")
+        bl_df, bl_meta = bloom_ref
+        if cfg.bloom_mode == "document":
+            nxt = _bl.filter_unseen(cur, t, bl_df, bl_meta)
+        elif cfg.bloom_mode == "paragraph":
+            nxt = _bl.dedup_paragraphs(
+                cur, bl_df, bl_meta, text_col=t, id_col=k
+            ).drop("n_paragraphs_removed")
+            nxt = _refresh_n_chars(nxt).filter(F.length(F.col(t)) > 0)
+        else:
+            raise ValueError(f"unknown bloom_mode {cfg.bloom_mode!r}")
+        cur = _stage("bloom_dedup", nxt)
     if cfg.boilerplate:
         cur = _stage("boilerplate", _refresh_n_chars(
             curation.remove_repeated_lines(

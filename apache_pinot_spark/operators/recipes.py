@@ -136,7 +136,12 @@ def dolma_config(**overrides) -> CurationConfig:
     trained lang_model), Gopher rules + a C4-derived subset, URL-level
     dedup, paragraph-level exact dedup (approximated by the
     repeated-line boilerplate stage + document exact dedup), PII
-    masking ON (the paper masks emails/phones/IPs)."""
+    masking ON (the paper masks emails/phones/IPs). Dolma's
+    BLOOM-FILTER deduper (cross-release document/paragraph dedup) is
+    the pipeline's ``bloom_dedup`` stage — enable it with
+    ``dolma_config(bloom_dedup=True, bloom_mode="paragraph")`` and pass
+    ``bloom_ref=`` (operators/bloomdedup) to curate_corpus; off here
+    because it needs the prior release's filter artifact."""
     cfg = dict(
         url_dedup=True,
         normalize_unicode=True,

@@ -167,3 +167,54 @@ def test_gopher_stage(spark):
         exact_dedup=False, boilerplate=False, quality_filter=False,
         redact_pii=False, near_dedup=False, decontaminate=False)
     assert curate_corpus(docs, cfg2)["gopher_quality"].count() == 0
+
+
+def test_bloom_dedup_stage_document_and_paragraph(spark):
+    """Cross-snapshot Bloom stage: documents already in the reference
+    release drop (document mode) or their shared paragraphs excise
+    (paragraph mode); missing bloom_ref errors actionably."""
+    from pyspark.sql import Row
+
+    from apache_pinot_spark.operators import bloomdedup as B
+    from apache_pinot_spark.operators.pipeline import (CurationConfig,
+                                                       curate_corpus)
+
+    released = spark.createDataFrame([
+        Row(doc_id=i, text=f"previously released document {i} body")
+        for i in range(30)])
+    meta = {"m_bits": 1 << 16, "k": 5, "hash_mode": "xxhash64"}
+    bloom = B.build_bloom(released, "text", **meta)
+
+    new = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"previously released document {i} body",
+             lang="en", source="s", n_chars=40) for i in range(5)]
+        + [Row(doc_id=200 + i, text=f"genuinely new content {i} here",
+               lang="en", source="s", n_chars=30) for i in range(5)])
+
+    cfg = CurationConfig(bloom_dedup=True, exact_dedup=True,
+                         boilerplate=False, quality_filter=False,
+                         redact_pii=False, near_dedup=False,
+                         decontaminate=False)
+    stages = curate_corpus(new, cfg, bloom_ref=(bloom, meta))
+    kept = stages["bloom_dedup"].select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [200 + i for i in range(5)]
+    assert "bloom_dedup" in stages and "splits" in stages
+
+    with pytest.raises(ValueError, match="bloom_ref"):
+        curate_corpus(new, cfg)
+
+    # paragraph mode: shared paragraph excised, fresh one survives
+    par_released = spark.createDataFrame(
+        [Row(doc_id=1, text="shared paragraph body")])
+    par_bloom = B.build_paragraph_bloom(par_released, m_bits=1 << 16, k=5)
+    par_new = spark.createDataFrame([Row(
+        doc_id=9, text="fresh opener\nshared paragraph body",
+        lang="en", source="s", n_chars=36)])
+    cfg2 = CurationConfig(bloom_dedup=True, bloom_mode="paragraph",
+                          exact_dedup=False, boilerplate=False,
+                          quality_filter=False, redact_pii=False,
+                          near_dedup=False, decontaminate=False)
+    got = curate_corpus(par_new, cfg2,
+                        bloom_ref=(par_bloom, meta))["bloom_dedup"] \
+        .collect()[0]
+    assert got.text == "fresh opener" and got.n_chars == 12
