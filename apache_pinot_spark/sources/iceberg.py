@@ -1001,3 +1001,67 @@ def _bounds_exclude(snap_fields: list[dict], f: "_DataFile",
         maxs[col] = dhi
     return stats_exclude({"minValues": mins, "maxValues": maxs},
                          data_filters)
+
+
+def stream_to_iceberg(stream_df: DataFrame, table: str, *,
+                      query_name: str, checkpoint_dir: str,
+                      partition_by: list[str] | None = None,
+                      trigger: dict | None = None):
+    """Structured-Streaming sink into a native Iceberg table:
+    foreachBatch append where each micro-batch records
+    ``(query_name, epoch_id)`` in the snapshot summary and a replayed
+    epoch is a no-op — the delta tier's txn mechanism expressed through
+    Iceberg's summary map (real Iceberg sinks rely on Spark's
+    checkpoint alone; the summary check adds delta-grade idempotence
+    for restarts). Returns the started StreamingQuery."""
+
+    writer = (stream_df.writeStream
+              .foreachBatch(_epoch_sink(table, query_name, partition_by))
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def committed_epoch(table: str, query_name: str) -> int:
+    """Highest epoch id a query has stamped into this table's snapshot
+    summaries (-1 when none) — the streaming sink's replay guard."""
+    try:
+        meta = load_metadata(table)
+    except (FileNotFoundError, IcebergError):
+        return -1
+    best = -1
+    for s in meta.get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("spark.query-name") == query_name:
+            try:
+                best = max(best, int(summ.get("spark.epoch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
+def _epoch_sink(table: str, query_name: str,
+                partition_by: list[str] | None):
+    """foreachBatch body for stream_to_iceberg (module-level so the
+    replay guard is directly testable)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) <= committed_epoch(table, query_name):
+            return  # replayed batch: idempotent no-op
+        sid = write_iceberg(batch_df, table, mode="append",
+                            partition_by=partition_by)
+        # stamp the epoch into the just-written snapshot's summary
+        mp = current_metadata_path(table)
+        with open(mp, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == sid:
+                s.setdefault("summary", {})["spark.query-name"] = \
+                    query_name
+                s["summary"]["spark.epoch-id"] = str(int(epoch_id))
+        with open(mp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    return _sink

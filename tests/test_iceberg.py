@@ -514,3 +514,58 @@ def test_write_emits_bounds_and_reader_skips(spark, root):
     assert sorted(r.k for r in got) == list(range(5000, 5050))
     with pytest.raises(Exception):
         I.read_iceberg(spark, root).count()
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path, root):
+    """File stream → native Iceberg sink: every row lands once, epoch
+    ids stamp the snapshot summaries, and a REPLAYED epoch is a no-op."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.jsonl").write_text(
+            "\n".join(json.dumps({"k": 10 * i + j}) for j in range(4)))
+    from pyspark.sql import types as T
+
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("k", T.LongType())]))
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src)))
+    q = I.stream_to_iceberg(stream, root, query_name="ice_ingest",
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = sorted(r.k for r in I.read_iceberg(spark, root).collect())
+    assert got == sorted(10 * i + j for i in range(3) for j in range(4))
+    meta = I.load_metadata(root)
+    stamped = [s["summary"].get("spark.epoch-id")
+               for s in meta["snapshots"]
+               if s.get("summary", {}).get("spark.query-name")
+               == "ice_ingest"]
+    assert len(stamped) >= 1 and all(e is not None for e in stamped)
+    # REPLAY a committed epoch through the actual sink body: no new
+    # snapshot, no duplicate rows; a FRESH epoch writes
+    n_snaps = len(meta["snapshots"])
+    committed = I.committed_epoch(root, "ice_ingest")
+    assert committed == max(int(e) for e in stamped) >= 0
+    sink = I._epoch_sink(root, "ice_ingest", None)
+    sink(_wdf(spark, [{"k": 999}]), committed)  # stale: no-op
+    assert len(I.load_metadata(root)["snapshots"]) == n_snaps
+    assert I.read_iceberg(spark, root).where("k = 999").count() == 0
+    sink(_wdf(spark, [{"k": 999}]), committed + 1)  # fresh: commits
+    assert I.read_iceberg(spark, root).where("k = 999").count() == 1
+    assert I.committed_epoch(root, "ice_ingest") == committed + 1
+
+
+def test_register_lake_table_views(spark, tmp_path):
+    from apache_pinot_spark.catalog import PinotCatalog
+    from apache_pinot_spark.sources import delta as D
+
+    cat = PinotCatalog(spark, str(tmp_path / "wh"))
+    dtbl = str(tmp_path / "dt")
+    D.write_delta(_wdf(spark, [{"k": 1}, {"k": 2}]), dtbl)
+    D.write_delta(_wdf(spark, [{"k": 3}]), dtbl)
+    cat.register_lake_table("lake_now", dtbl, "delta")
+    assert spark.sql("SELECT COUNT(*) c FROM lake_now").collect()[0].c == 3
+    # time-travel view pinned at version 0
+    cat.register_lake_table("lake_v0", dtbl, "delta", version=0)
+    assert spark.sql("SELECT COUNT(*) c FROM lake_v0").collect()[0].c == 2
