@@ -217,8 +217,9 @@ def filter_unseen(df: DataFrame, key_col: str, bloom: DataFrame,
     """Keep only definitely-new rows (drops possibly-seen; the Bloom
     guarantee makes this safe for dedup — a dropped row is a true
     duplicate except at the accounted false-positive rate)."""
+    flag_col = kwargs.get("flag_col", "bloom_seen")
     flagged = mark_seen(df, key_col, bloom, meta, **kwargs)
-    return flagged.where(~F.col("bloom_seen")).drop("bloom_seen")
+    return flagged.where(~F.col(flag_col)).drop(flag_col)
 
 
 # ---------------------------------------------------------------------------
@@ -253,11 +254,23 @@ def dedup_paragraphs(df: DataFrame, bloom: DataFrame, meta: dict[str, Any],
     (order preserved); emits ``n_paragraphs_removed`` and refreshes
     ``n_chars`` when present. Documents whose every paragraph was seen
     come back with empty text (caller gates on length, the pipeline
-    convention)."""
-    paras = explode_paragraphs(df, text_col, id_col, sep)
-    flagged = mark_seen(paras, "paragraph", bloom, meta, **kwargs)
+    convention).
+
+    Blank segments (empty lines / paragraph separators) are PRESERVED
+    during reassembly — only bloom-seen non-blank paragraphs are
+    excised, so a document with zero removals round-trips its text
+    byte-identically (the Dolma deduper excises only removed spans;
+    blanks are never inserted into the filter by ``build_bloom``, and
+    any false-positive probe on a blank is ignored here)."""
+    flag_col = kwargs.get("flag_col", "bloom_seen")
+    segs = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("para_idx", "paragraph"))
+    flagged = mark_seen(segs, "paragraph", bloom, meta, **kwargs)
+    blank = F.length(F.trim("paragraph")) == 0
     kept = (flagged
-            .withColumn("__keep", ~F.col("bloom_seen"))
+            .withColumn("__keep", blank | ~F.col(flag_col))
             .groupBy(id_col)
             .agg(F.array_join(
                      F.transform(

@@ -270,7 +270,11 @@ def curate_corpus(
             nxt = _bl.dedup_paragraphs(
                 cur, bl_df, bl_meta, text_col=t, id_col=k
             ).drop("n_paragraphs_removed")
-            nxt = _refresh_n_chars(nxt).filter(F.length(F.col(t)) > 0)
+            # all-paragraphs-removed docs keep only separators/blanks
+            # (span excision preserves blank segments); gate on the
+            # trimmed length so they still drop here
+            nxt = _refresh_n_chars(nxt).filter(
+                F.length(F.trim(F.col(t))) > 0)
         else:
             raise ValueError(f"unknown bloom_mode {cfg.bloom_mode!r}")
         cur = _stage("bloom_dedup", nxt)

@@ -320,13 +320,16 @@ def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool,
                 tw, th = _subsample(xsize, bits), _subsample(h, bits)
                 tiles, _ = _decode_image_stream(br, tw, th, False,
                                                 max_pixels)
-                transforms.append(("predictor", bits, tw, tiles))
+                # record the width IN EFFECT when this transform was
+                # read: one read after COLOR_INDEXING operates on the
+                # packed buffer, and the inverse must use that width
+                transforms.append(("predictor", bits, tw, tiles, xsize))
             elif ttype == 1:  # COLOR
                 bits = br.read(3) + 2
                 tw, th = _subsample(xsize, bits), _subsample(h, bits)
                 tiles, _ = _decode_image_stream(br, tw, th, False,
                                                 max_pixels)
-                transforms.append(("color", bits, tw, tiles))
+                transforms.append(("color", bits, tw, tiles, xsize))
             elif ttype == 2:  # SUBTRACT_GREEN
                 transforms.append(("subtract_green",))
             else:  # COLOR_INDEXING
@@ -609,11 +612,11 @@ def decode_vp8l(data: bytes, max_pixels: int = _MAX_PIXELS_DEFAULT):
         elif t[0] == "subtract_green":
             _inv_subtract_green(pixels)
         elif t[0] == "color":
-            _, bits, tw, tiles = t
-            _inv_color_transform(pixels, w, h, bits, tw, tiles)
+            _, bits, tw, tiles, eff_w = t
+            _inv_color_transform(pixels, eff_w, h, bits, tw, tiles)
         elif t[0] == "predictor":
-            _, bits, tw, tiles = t
-            _inv_predictor(pixels, w, h, bits, tw, tiles)
+            _, bits, tw, tiles, eff_w = t
+            _inv_predictor(pixels, eff_w, h, bits, tw, tiles)
     arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
     rgba[..., 0] = (arr >> 16) & 0xFF

@@ -75,6 +75,14 @@ class DeltaProtocolError(RuntimeError):
     """Table requires a protocol feature this reader does not implement."""
 
 
+class DeltaConcurrentModificationError(RuntimeError):
+    """A concurrent writer won the commit slot and this writer's action
+    set cannot be safely replayed on top of the new state (it carries
+    remove/metaData/protocol actions, i.e. it is not append-only — the
+    same condition under which the real connector raises its
+    ConcurrentModificationException family)."""
+
+
 @dataclass
 class _AddFile:
     path: str  # url-DECODED, relative to the table root
@@ -335,6 +343,27 @@ def decoded_file_path() -> F.Column:
     return F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
 
 
+def guarded_file_map_join(df: DataFrame, fmap: DataFrame, key: str,
+                          context: str) -> DataFrame:
+    """Left-join ``df`` to a (tiny, broadcast) file map on ``key`` with
+    a loud failure instead of a silent miss: the map carries a non-null
+    ``__fm_hit`` marker, and any row whose marker is NULL after the
+    join raises at scan time (a miss means ``_metadata.file_path`` and
+    the map key were normalized differently — e.g. a symlinked table
+    root — and would otherwise yield NULL partition values here or
+    un-applied deletes in the iceberg reader)."""
+    fmap = fmap.withColumn("__fm_hit", F.lit(True))
+    out = df.join(F.broadcast(fmap), key, "left")
+    # a FILTER (not a dropped projection — that would be pruned away)
+    # so the guard always executes: matched rows pass, missed rows raise
+    guard = F.when(
+        F.col("__fm_hit").isNull(),
+        F.raise_error(F.concat(
+            F.lit(f"{context}: file-map join missed for "),
+            F.col(key))).cast("boolean")).otherwise(F.lit(True))
+    return out.where(guard).drop("__fm_hit")
+
+
 def read_delta(spark: SparkSession, table: str, *,
                version: int | None = None, timestamp_ms: int | None = None,
                partition_filter=None,
@@ -372,7 +401,11 @@ def read_delta(spark: SparkSession, table: str, *,
     if not typed:
         return spark.createDataFrame([], snap.schema)
 
-    paths = [os.path.join(table, af.path) for af, _ in typed]
+    # realpath BEFORE the scan so _metadata.file_path and the map key
+    # are built from the same resolved string (a symlinked table root
+    # would otherwise silently miss the join → NULL partition columns)
+    paths = [os.path.realpath(os.path.join(table, af.path))
+             for af, _ in typed]
     df = spark.read.schema(data_schema).parquet(*paths)
     if not part_cols:
         return df.select([f.name for f in snap.schema.fields])
@@ -380,16 +413,17 @@ def read_delta(spark: SparkSession, table: str, *,
     # reconstitute partition columns: broadcast the tiny file→values map
     # through _metadata.file_path (ONE scan for every file, no unions)
     map_rows = [
-        {"__delta_file": os.path.realpath(p), **vals}
+        {"__delta_file": p, **vals}
         for p, (_af, vals) in zip(paths, typed)
     ]
     map_schema = T.StructType(
         [T.StructField("__delta_file", T.StringType(), False)]
         + [T.StructField(c, by_name[c], True) for c in part_cols])
     fmap = spark.createDataFrame(map_rows, map_schema)
-    joined = (df.withColumn("__delta_file", decoded_file_path())
-                .join(F.broadcast(fmap), "__delta_file", "left")
-                .drop("__delta_file"))
+    joined = guarded_file_map_join(
+        df.withColumn("__delta_file", decoded_file_path()),
+        fmap, "__delta_file", "read_delta partition reconstitution"
+    ).drop("__delta_file")
     return joined.select([f.name for f in snap.schema.fields])
 
 
@@ -557,16 +591,46 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
 
 
 def _commit_atomically(table: str, actions: list[dict], version: int) -> int:
-    """O_CREAT|O_EXCL on the next commit file; on a lost race, advance
-    to the now-next version and retry (optimistic concurrency — the
-    single-filesystem analogue of the connector's LogStore)."""
+    """O_CREAT|O_EXCL on the next commit file (optimistic concurrency —
+    the single-filesystem analogue of the connector's LogStore).
+
+    On a lost race the retry is NOT blind: the winner's commit is read
+    back and logical conflict detection runs before sliding to the next
+    slot, mirroring the real connector's semantics:
+
+    * action sets that are not append-only (they carry remove /
+      metaData / protocol actions — overwrites and table creations)
+      raise :class:`DeltaConcurrentModificationError` instead of
+      committing a merged state whose remove list misses the winner's
+      adds;
+    * txn idempotence is re-validated against the POST-race state: if
+      any commit that landed during the race already recorded our
+      (appId, version) txn — a racing replay of the same stream batch —
+      the write becomes a no-op and the winner's version is returned.
+    """
     payload = "\n".join(json.dumps(a, separators=(",", ":"))
                         for a in actions) + "\n"
+    append_only = all(set(a) <= {"commitInfo", "add", "txn"}
+                      for a in actions)
+    our_txn = next((a["txn"] for a in actions if "txn" in a), None)
     for _ in range(1000):
         target = os.path.join(_log_path(table), _commit_name(version))
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
+            winner = _read_commit(table, version)
+            if our_txn is not None:
+                for act in winner:
+                    t = act.get("txn")
+                    if (t and t.get("appId") == our_txn["appId"]
+                            and int(t.get("version", -1))
+                            >= int(our_txn["version"])):
+                        return version  # racing replay already landed
+            if not append_only:
+                raise DeltaConcurrentModificationError(
+                    f"commit {version} of {table} lost the race to a "
+                    f"concurrent writer and carries non-append actions; "
+                    f"re-read the table and retry the overwrite")
             version += 1
             continue
         with os.fdopen(fd, "w", encoding="utf-8") as fh:

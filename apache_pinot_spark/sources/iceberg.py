@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apache_pinot_spark.sources import avroio
-from apache_pinot_spark.sources.delta import decoded_file_path
+from apache_pinot_spark.sources.delta import (decoded_file_path,
+                                              guarded_file_map_join)
 
 _STATUS_DELETED = 2
 _CONTENT_DATA = 0
@@ -356,8 +357,12 @@ def read_iceberg(spark: SparkSession, table: str, *,
     if not snap.data_files:
         return spark.createDataFrame([], snap.schema)
     cols = [f.name for f in snap.schema.fields]
-    df = spark.read.schema(snap.schema).parquet(
-        *[f.local for f in snap.data_files])
+    # realpath BEFORE the scan so _metadata.file_path and the broadcast
+    # map keys are built from the same resolved string (a symlinked
+    # table root would otherwise miss the join → __ib_seq NULL → delete
+    # anti-joins never match and deleted rows come back)
+    data_locals = [os.path.realpath(f.local) for f in snap.data_files]
+    df = spark.read.schema(snap.schema).parquet(*data_locals)
 
     if not snap.position_delete_files and not snap.equality_delete_files:
         return df.select(cols)
@@ -365,32 +370,32 @@ def read_iceberg(spark: SparkSession, table: str, *,
     # attach each row's manifest path + data sequence number through the
     # (tiny, broadcast) file map — needed by both delete kinds
     fmap = spark.createDataFrame(
-        [{"__ib_file": os.path.realpath(f.local), "__ib_path": f.path,
-          "__ib_seq": f.seq} for f in snap.data_files],
+        [{"__ib_file": loc, "__ib_path": f.path, "__ib_seq": f.seq}
+         for loc, f in zip(data_locals, snap.data_files)],
         T.StructType([T.StructField("__ib_file", T.StringType(), False),
                       T.StructField("__ib_path", T.StringType(), False),
                       T.StructField("__ib_seq", T.LongType(), False)]))
-    df = (df
-          .withColumn("__ib_file", decoded_file_path())
-          .withColumn("__ib_pos", F.col("_metadata.row_index"))
-          .join(F.broadcast(fmap), "__ib_file", "left"))
+    df = guarded_file_map_join(
+        df.withColumn("__ib_file", decoded_file_path())
+          .withColumn("__ib_pos", F.col("_metadata.row_index")),
+        fmap, "__ib_file", "read_iceberg data-file map")
 
     if snap.position_delete_files:
         del_schema = T.StructType([
             T.StructField("file_path", T.StringType()),
             T.StructField("pos", T.LongType())])
-        seq_rows = [{"__pd_file": os.path.realpath(f.local),
-                     "__pd_seq": f.seq}
-                    for f in snap.position_delete_files]
+        pd_locals = [os.path.realpath(f.local)
+                     for f in snap.position_delete_files]
         seq_map = spark.createDataFrame(
-            seq_rows,
+            [{"__pd_file": loc, "__pd_seq": f.seq}
+             for loc, f in zip(pd_locals, snap.position_delete_files)],
             T.StructType([T.StructField("__pd_file", T.StringType(), False),
                           T.StructField("__pd_seq", T.LongType(), False)]))
-        dels = (spark.read.schema(del_schema).parquet(
-                    *[f.local for f in snap.position_delete_files])
-                .withColumn("__pd_file", decoded_file_path())
-                .join(F.broadcast(seq_map), "__pd_file", "left")
-                .select("file_path", "pos", "__pd_seq"))
+        dels = guarded_file_map_join(
+            spark.read.schema(del_schema).parquet(*pd_locals)
+            .withColumn("__pd_file", decoded_file_path()),
+            seq_map, "__pd_file", "read_iceberg position-delete map"
+        ).select("file_path", "pos", "__pd_seq")
         # spec: a position delete applies to data files whose data
         # sequence number is <= the delete file's sequence number
         df = df.join(
@@ -405,16 +410,17 @@ def read_iceberg(spark: SparkSession, table: str, *,
                    for i in _ids_to_field_indexes(snap, eq_ids)]
         eq_schema = T.StructType(
             [snap.schema[c] for c in eq_cols])
+        ed_locals = [os.path.realpath(f.local) for f in files]
         seq_map = spark.createDataFrame(
-            [{"__ed_file": os.path.realpath(f.local), "__ed_seq": f.seq}
-             for f in files],
+            [{"__ed_file": loc, "__ed_seq": f.seq}
+             for loc, f in zip(ed_locals, files)],
             T.StructType([T.StructField("__ed_file", T.StringType(), False),
                           T.StructField("__ed_seq", T.LongType(), False)]))
-        dels = (spark.read.schema(eq_schema).parquet(
-                    *[f.local for f in files])
-                .withColumn("__ed_file", decoded_file_path())
-                .join(F.broadcast(seq_map), "__ed_file", "left")
-                .select(*eq_cols, "__ed_seq"))
+        dels = guarded_file_map_join(
+            spark.read.schema(eq_schema).parquet(*ed_locals)
+            .withColumn("__ed_file", decoded_file_path()),
+            seq_map, "__ed_file", "read_iceberg equality-delete map"
+        ).select(*eq_cols, "__ed_seq")
         # spec: equality deletes apply to data files with a STRICTLY
         # SMALLER data sequence number
         cond = (dels["__ed_seq"] > df["__ib_seq"])
@@ -584,7 +590,8 @@ _MANIFEST_LIST_AVRO = {
 
 
 def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  summary_extra: dict[str, str] | None = None) -> int:
     """Write a DataFrame as a new Iceberg v2 snapshot on a filesystem
     (HadoopCatalog-style) table — no connector jar. Returns the new
     snapshot id.
@@ -785,7 +792,9 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
             "sequence-number": seq,
             "manifest-list": f"file://{os.path.abspath(ml_path)}",
             "summary": {"operation":
-                        "append" if mode == "append" else "overwrite"},
+                        "append" if mode == "append" else "overwrite",
+                        **{str(k): str(v)
+                           for k, v in (summary_extra or {}).items()}},
             "schema-id": schema_json.get("schema-id", 0)}
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = seq
@@ -1050,18 +1059,13 @@ def _epoch_sink(table: str, query_name: str,
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) <= committed_epoch(table, query_name):
             return  # replayed batch: idempotent no-op
-        sid = write_iceberg(batch_df, table, mode="append",
-                            partition_by=partition_by)
-        # stamp the epoch into the just-written snapshot's summary
-        mp = current_metadata_path(table)
-        with open(mp, encoding="utf-8") as fh:
-            meta = json.load(fh)
-        for s in meta["snapshots"]:
-            if s["snapshot-id"] == sid:
-                s.setdefault("summary", {})["spark.query-name"] = \
-                    query_name
-                s["summary"]["spark.epoch-id"] = str(int(epoch_id))
-        with open(mp, "w", encoding="utf-8") as fh:
-            json.dump(meta, fh)
+        # the epoch rides in the snapshot summary of the ORIGINAL
+        # atomic O_EXCL metadata commit — no post-hoc rewrite of the
+        # live vN.metadata.json (a crash mid-rewrite would corrupt the
+        # table's current metadata and defeat the exactly-once guard)
+        write_iceberg(batch_df, table, mode="append",
+                      partition_by=partition_by,
+                      summary_extra={"spark.query-name": query_name,
+                                     "spark.epoch-id": str(int(epoch_id))})
 
     return _sink

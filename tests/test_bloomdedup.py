@@ -179,3 +179,34 @@ def test_build_is_deterministic_and_bounded(spark, meta):
     assert [(r.word_idx, r.bits) for r in a] == \
         [(r.word_idx, r.bits) for r in b]
     assert len(a) <= (1 << 16) // 64  # never more rows than words
+
+
+def test_paragraph_dedup_preserves_blank_segments(spark, meta):
+    """Span excision semantics (Dolma): blank lines / separators are
+    NOT collapsed — an untouched document round-trips byte-identically,
+    and excision removes only the seen paragraphs."""
+    ref = _docs(spark, ["shared paragraph one"])
+    bloom = B.build_paragraph_bloom(ref, m_bits=1 << 16, k=5,
+                                    hash_mode="xxhash64")
+    untouched = "alpha\n\nbeta\n\n\ngamma\n"
+    touched = "alpha\n\nshared paragraph one\ngamma"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=untouched, n_chars=len(untouched)),
+        Row(doc_id=2, text=touched, n_chars=len(touched))])
+    got = {r.doc_id: r for r in B.dedup_paragraphs(df, bloom, meta)
+           .collect()}
+    assert got[1].text == untouched           # byte-identical round trip
+    assert got[1].n_paragraphs_removed == 0
+    assert got[1].n_chars == len(untouched)
+    assert got[2].text == "alpha\n\ngamma"    # blanks kept, seen excised
+    assert got[2].n_paragraphs_removed == 1
+
+
+def test_filter_unseen_honors_custom_flag_col(spark, bloom, meta):
+    """A caller-supplied flag_col flows through mark_seen AND the final
+    filter/drop (regression: the drop was hardcoded to bloom_seen)."""
+    got = B.filter_unseen(_docs(spark, SEEN[:5] + NEW[:5]), "text",
+                          bloom, meta, flag_col="custom_flag")
+    texts = {r.text for r in got.collect()}
+    assert texts == set(NEW[:5])
+    assert "custom_flag" not in got.columns

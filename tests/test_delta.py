@@ -326,3 +326,84 @@ def test_zone_map_skipping_never_opens_excluded_files(spark, table):
     assert sorted(r.k for r in got) == list(range(1000, 1100))
     with pytest.raises(Exception):  # unfiltered read meets the corruption
         D.read_delta(spark, table).count()
+
+
+def test_racing_overwrite_raises_concurrent_modification(spark, table):
+    """A TRUE lost race (the winner lands AFTER our snapshot read, i.e.
+    the slot we computed is occupied at commit time) with a non-append
+    action set must raise instead of committing a merged state whose
+    remove list misses the winner's adds."""
+    D.write_delta(_mkdf(spark, [{"k": 0}]), table)
+    log = os.path.join(table, "_delta_log")
+    # the winner occupies the slot the overwrite would target (v1)
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0,
+                                            "operation": "NOOP"}}) + "\n")
+    overwrite_actions = [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with pytest.raises(D.DeltaConcurrentModificationError):
+        D._commit_atomically(table, overwrite_actions, 1)
+    # the loser did NOT slide into version 2
+    assert not os.path.exists(
+        os.path.join(log, "00000000000000000002.json"))
+
+
+def test_racing_append_still_retries(table, tmp_path):
+    """Append-only action sets keep the safe slide-to-next-slot retry."""
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    v = D._commit_atomically(table, [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}], 0)
+    assert v == 1
+
+
+def test_racing_txn_replay_revalidates_post_race(table):
+    """txn idempotence is re-checked against the POST-race log: if the
+    commit that won our slot already recorded our (appId, version), the
+    retry becomes a no-op returning the winner's version instead of
+    double-committing the batch."""
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    log = os.path.join(table, "_delta_log")
+    # the winner: a racing replay of OUR batch (same appId/version 1)
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"txn": {"appId": "app", "version": 1,
+                                     "lastUpdated": 0}}) + "\n")
+    v = D._commit_atomically(table, [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"txn": {"appId": "app", "version": 1, "lastUpdated": 1}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}], 1)
+    assert v == 1  # the winner's version, not a new slot
+    assert not os.path.exists(
+        os.path.join(log, "00000000000000000002.json"))
+    # a DIFFERENT app racing the same slot slides forward normally
+    v2 = D._commit_atomically(table, [
+        {"txn": {"appId": "other", "version": 1, "lastUpdated": 1}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}], 1)
+    assert v2 == 2
+
+
+def test_symlinked_table_root_partition_reconstitution(spark, tmp_path):
+    """Reading through a symlinked table root must still reconstitute
+    partition columns (the file-map join keys and _metadata.file_path
+    are normalized identically; a miss raises instead of NULL-filling)."""
+    real = tmp_path / "real"
+    real.mkdir()
+    table = str(real / "tbl")
+    D.write_delta(_mkdf(spark, [{"k": 1, "tag": "a"}, {"k": 2, "tag": "b"}]),
+                  table, partition_by=["tag"])
+    link = tmp_path / "link"
+    os.symlink(str(real), str(link))
+    got = {r.k: r.tag
+           for r in D.read_delta(spark, str(link / "tbl")).collect()}
+    assert got == {1: "a", 2: "b"}

@@ -569,3 +569,48 @@ def test_register_lake_table_views(spark, tmp_path):
     # time-travel view pinned at version 0
     cat.register_lake_table("lake_v0", dtbl, "delta", version=0)
     assert spark.sql("SELECT COUNT(*) c FROM lake_v0").collect()[0].c == 2
+
+
+def test_symlinked_table_root_applies_deletes(spark, tmp_path):
+    """Reading a table whose root path goes through a symlink must
+    still apply position deletes: the broadcast file-map keys and
+    _metadata.file_path are normalized identically (realpath before
+    the scan), and a miss now raises instead of silently returning
+    deleted rows."""
+    real = tmp_path / "realdir"
+    real.mkdir()
+    link = tmp_path / "linkdir"
+    os.symlink(str(real), str(link))
+    root = str(link / "ice")  # fixture built THROUGH the symlink
+    fx = Fixture(root, KS)
+    fx.add_file("data/f1.parquet", _t([1, 2, 3], ["a", "b", "c"]), seq=1)
+    d = pa.table({"file_path": pa.array([fx.uri("data/f1.parquet")]),
+                  "pos": pa.array([1], pa.int64())})
+    fx.add_file("data/d1.parquet", d, seq=2, content=1)
+    fx.commit(snapshot_id=3)
+    got = I.read_iceberg(spark, root).orderBy("k").collect()
+    assert [(r.k, r.s) for r in got] == [(1, "a"), (3, "c")]
+
+
+def test_epoch_lands_in_original_commit(spark, tmp_path, root):
+    """The streaming sink's epoch stamp rides in write_iceberg's atomic
+    O_EXCL metadata commit (summary_extra), not a post-hoc in-place
+    rewrite of the live vN.metadata.json."""
+    sink = I._epoch_sink(root, "q1", None)
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    sink(df, 0)
+    assert I.committed_epoch(root, "q1") == 0
+    # the CURRENT metadata file already carries the stamp — no second
+    # writer ever re-opened it (mtime == O_EXCL create is not directly
+    # observable; instead prove the summary is present in the committed
+    # snapshot and a replay is a no-op)
+    meta = I.load_metadata(root)
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["spark.query-name"] == "q1"
+    assert snap["summary"]["spark.epoch-id"] == "0"
+    sink(df, 0)  # replay: no new snapshot
+    assert len(I.load_metadata(root)["snapshots"]) == 1
+    sink(df, 1)
+    assert I.committed_epoch(root, "q1") == 1
+    got = I.read_iceberg(spark, root)
+    assert got.count() == 2

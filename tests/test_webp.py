@@ -586,3 +586,45 @@ def test_animation_rejects():
     blob[at + 6:at + 9] = (100).to_bytes(3, "little")  # width-1 = 100
     with pytest.raises(W.WebPError):
         W.decode_animation(bytes(blob))
+
+
+def test_hand_built_palette_then_predictor_packed_width():
+    """Spec-legal transform order COLOR_INDEXING then PREDICTOR: the
+    predictor was read AFTER the palette so its inverse must run at the
+    PACKED width (regression: it ran at the original width and indexed
+    past the packed buffer). 5x1, 4-color palette -> width_bits 2 ->
+    packed width 2."""
+    pal = [_argb(255, 255, 0, 0), _argb(255, 0, 255, 0),
+           _argb(255, 0, 0, 255), _argb(255, 255, 255, 255)]
+    deltas = [pal[0]]
+    for i in range(1, 4):
+        d = 0
+        for s in (24, 16, 8, 0):
+            d |= (((pal[i] >> s) - (pal[i - 1] >> s)) & 0xFF) << s
+        deltas.append(d)
+    bw = W._BitWriter()
+    _header(bw, 5, 1)
+    # transform 1: COLOR_INDEXING (xsize 5 -> packed 2)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(3, 8)          # n_colors - 1
+    bw.write(0, 1)          # palette sub-image: no cache
+    _emit_literal_codes(bw, deltas)
+    # transform 2: PREDICTOR, read against the PACKED width (2)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(0, 3)          # size_bits = 2 -> one tile covers 2x1
+    bw.write(0, 1)          # tile sub-image: no cache
+    _emit_literal_codes(bw, [_argb(0, 0, 1, 0)])   # mode 1 (L)
+    bw.write(0, 1)          # no more transforms
+    bw.write(0, 1)          # no cache
+    bw.write(0, 1)          # no meta
+    # packed green bytes [0xE4, 0x00] as predictor residuals:
+    # (0,0) pred=black adds ARGB(ff,0,0,0); (1,0) top row pred=L
+    _emit_literal_codes(bw, [_argb(0, 0, 0xE4, 0),
+                             _argb(0, 0, (0x00 - 0xE4) & 0xFF, 0)])
+    out = W.decode_vp8l(_vp8l_payload(bw))
+    assert out.shape == (1, 5, 3)
+    assert [tuple(px) for px in out[0]] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+        (255, 0, 0)]
