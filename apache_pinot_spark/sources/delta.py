@@ -25,10 +25,21 @@ READ (`read_delta`):
     tiny file→partitionValues map through `_metadata.file_path` —
     partition columns are not stored in the data files; this
     reconstitutes them without per-partition unions.
-  * honest rejects: column mapping (`delta.columnMapping.mode` other
-    than none), deletion vectors, and protocol versions/features past
-    the implemented surface raise with the feature named, never return
-    wrong rows.
+  * **column mapping** (modes `name` and `id`): data/stat/partition
+    keys are PHYSICAL names; the reader scans with the physical schema
+    and renames back to logical names recursively (structs, arrays,
+    maps), all JVM-side. In `id` mode conformant writers store physical
+    names in the files alongside the parquet field ids, so
+    physical-name resolution reads both modes.
+  * **deletion vectors**: add.deletionVector descriptors (inline `i`,
+    UUID sidecar `u`, absolute `p`) parse per the spec's DV format
+    (Z85, magic 1681511377, portable 64-bit RoaringBitmapArray,
+    CRC-32-checked frames) and apply as an anti-join on
+    `(_metadata.file_path, _metadata.row_index)`; logical files key by
+    (path, DV id) in state reconstruction, and DV descriptors survive
+    our checkpoints.
+  * honest rejects: protocol versions/features past the implemented
+    surface raise with the feature named, never return wrong rows.
 
 WRITE (`write_delta` / `DeltaTable.create`):
   * parquet data files + `add` actions (numRecords stats), `remove`
@@ -53,10 +64,14 @@ from __future__ import annotations
 import json
 import math
 import os
+import struct
 import time
 import urllib.parse
+import zlib
 from dataclasses import dataclass, field
 from typing import Any
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,7 +83,8 @@ _LOG_DIR = "_delta_log"
 _READER_VERSION = 1
 _WRITER_VERSION = 2
 #: reader features we can honor when a table declares minReaderVersion 3
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"timestampNtz", "columnMapping", "deletionVectors"})
 
 
 class DeltaProtocolError(RuntimeError):
@@ -90,6 +106,9 @@ class _AddFile:
     size: int
     num_records: int | None = None
     stats: dict | None = None  # parsed spec stats (zone maps)
+    #: raw deletionVector descriptor (spec: storageType, pathOrInlineDv,
+    #: offset, sizeInBytes, cardinality) — None when the file has none
+    deletion_vector: dict | None = None
 
 
 @dataclass
@@ -154,7 +173,8 @@ def _read_commit(table: str, version: int) -> list[dict]:
 
 def _check_protocol(protocol: dict[str, Any]) -> None:
     mrv = int(protocol.get("minReaderVersion", 1))
-    if mrv <= _READER_VERSION:
+    # reader version 2 = column mapping — implemented (name + id modes)
+    if mrv <= max(_READER_VERSION, 2):
         return
     if mrv == 3:
         feats = set(protocol.get("readerFeatures") or [])
@@ -163,24 +183,27 @@ def _check_protocol(protocol: dict[str, Any]) -> None:
             return
         raise DeltaProtocolError(
             f"table requires reader features {sorted(unsupported)}; this "
-            "native reader implements none of them — use the delta-spark "
-            "connector for this table")
+            f"native reader implements {sorted(_SUPPORTED_READER_FEATURES)}"
+            " — use the delta-spark connector for this table")
     raise DeltaProtocolError(
         f"table requires minReaderVersion {mrv}; this native reader "
-        f"implements {_READER_VERSION} (v2 column mapping is not "
-        "implemented)")
+        f"implements up to 3 with features "
+        f"{sorted(_SUPPORTED_READER_FEATURES)}")
 
 
 def _check_metadata(meta: dict[str, Any]) -> None:
-    conf = meta.get("configuration") or {}
-    mode = conf.get("delta.columnMapping.mode", "none")
-    if mode != "none":
+    mode = _cm_mode(meta)
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            f"columnMapping.mode={mode!r} is not implemented; physical "
-            "column names would be misread — refusing")
+            f"columnMapping.mode={mode!r} is not a spec mode — refusing")
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaProtocolError(f"data format {fmt!r} not supported")
+
+
+def _cm_mode(meta: dict[str, Any]) -> str:
+    return (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
 
 
 def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
@@ -203,6 +226,30 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
     protocol: dict[str, Any] = {}
     txns: dict[str, int] = {}
 
+    # logical files are keyed by (path, deletion-vector unique id) per
+    # the spec's action reconciliation: a DV update removes (path, old
+    # DV) and adds (path, new DV) — path-only keying would let the
+    # remove clobber the new add
+    def _dv_uid(action: dict) -> str:
+        dv = action.get("deletionVector")
+        if not dv:
+            return ""
+        return (f"{dv.get('storageType', '')}:{dv.get('pathOrInlineDv', '')}"
+                f"@{dv.get('offset', 0)}")
+
+    def _apply_add(add: dict) -> None:
+        path = urllib.parse.unquote(add["path"])
+        adds[(path, _dv_uid(add))] = _AddFile(
+            path=path,
+            partition_values=add.get("partitionValues") or {},
+            size=int(add.get("size") or 0),
+            num_records=_stats_records(add.get("stats")),
+            stats=_parse_stats(add.get("stats")),
+            deletion_vector=add.get("deletionVector") or None)
+
+    def _apply_remove(rem: dict) -> None:
+        adds.pop((urllib.parse.unquote(rem["path"]), _dv_uid(rem)), None)
+
     # start from the newest checkpoint at or below the target
     cp_version = max((v for v in checkpoints if v <= target), default=None)
     if cp_version is not None:
@@ -219,16 +266,10 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
                                          int(txn.get("version") or 0))
             add = d.get("add")
             if add and add.get("path"):
-                path = urllib.parse.unquote(add["path"])
-                adds[path] = _AddFile(
-                    path=path,
-                    partition_values=add.get("partitionValues") or {},
-                    size=int(add.get("size") or 0),
-                    num_records=_stats_records(add.get("stats")),
-                    stats=_parse_stats(add.get("stats")))
+                _apply_add(add)
             rem = d.get("remove")
             if rem and rem.get("path"):
-                adds.pop(urllib.parse.unquote(rem["path"]), None)
+                _apply_remove(rem)
         start = cp_version + 1
     else:
         start = 0
@@ -246,20 +287,9 @@ def snapshot(spark: SparkSession, table: str, *, version: int | None = None,
             elif "protocol" in a:
                 protocol = a["protocol"]
             elif "add" in a:
-                add = a["add"]
-                if add.get("deletionVector"):
-                    raise DeltaProtocolError(
-                        "deletion vectors present; this native reader would "
-                        "return deleted rows — refusing")
-                path = urllib.parse.unquote(add["path"])
-                adds[path] = _AddFile(
-                    path=path,
-                    partition_values=add.get("partitionValues") or {},
-                    size=int(add.get("size") or 0),
-                    num_records=_stats_records(add.get("stats")),
-                    stats=_parse_stats(add.get("stats")))
+                _apply_add(a["add"])
             elif "remove" in a:
-                adds.pop(urllib.parse.unquote(a["remove"]["path"]), None)
+                _apply_remove(a["remove"])
             elif "txn" in a:
                 t = a["txn"]
                 txns[t["appId"]] = max(txns.get(t["appId"], -1),
@@ -364,6 +394,173 @@ def guarded_file_map_join(df: DataFrame, fmap: DataFrame, key: str,
     return out.where(guard).drop("__fm_hit")
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (spec "Deletion Vectors" + "Deletion Vector Format")
+# ---------------------------------------------------------------------------
+
+#: ZeroMQ Z85 alphabet — the base85 variant the Delta spec uses for DV
+#: UUIDs and inline DV payloads
+_Z85_ALPHABET = ("0123456789abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+#: magic number heading serialized DV data (little-endian int32)
+_DV_MAGIC = 1681511377
+
+
+def z85_decode(s: str) -> bytes:
+    """Z85 decode (5 chars → 4 bytes, big-endian base-85)."""
+    if len(s) % 5:
+        raise DeltaProtocolError(
+            f"z85 payload length {len(s)} is not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i:i + 5]:
+            d = _Z85_INDEX.get(ch)
+            if d is None:
+                raise DeltaProtocolError(f"invalid z85 character {ch!r}")
+            acc = acc * 85 + d
+        if acc > 0xFFFFFFFF:
+            raise DeltaProtocolError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _parse_dv_bitmaps(data: bytes, expected_cardinality=None) -> np.ndarray:
+    """Serialized RoaringBitmapArray (portable 64-bit format: LE magic,
+    LE int64 bitmap count, then per bucket a LE int32 high-word key +
+    a standard 32-bit roaring bitmap) → sorted int64 row indexes."""
+    from apache_pinot_spark.functions import bitmap_wire
+
+    if len(data) < 12:
+        raise DeltaProtocolError("deletion vector data too short")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _DV_MAGIC:
+        raise DeltaProtocolError(
+            f"deletion vector magic {magic} != {_DV_MAGIC}")
+    (n,) = struct.unpack_from("<q", data, 4)
+    if n < 0 or n > (1 << 31):
+        raise DeltaProtocolError(f"deletion vector bucket count {n}")
+    pos, arrs = 12, []
+    for _ in range(n):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        try:
+            bm, pos = bitmap_wire.deserialize_stream(data, pos)
+        except ValueError as exc:
+            raise DeltaProtocolError(f"bad DV bitmap: {exc}") from exc
+        arrs.append(bm.to_values().astype(np.int64) + (int(key) << 32))
+    out = (np.sort(np.concatenate(arrs)) if arrs
+           else np.zeros(0, np.int64))
+    if (expected_cardinality is not None
+            and len(out) != int(expected_cardinality)):
+        raise DeltaProtocolError(
+            f"DV cardinality {len(out)} != descriptor's "
+            f"{expected_cardinality}")
+    return out
+
+
+def dv_positions(table: str, dv: dict[str, Any]) -> np.ndarray:
+    """Resolve one deletionVector descriptor to its deleted row
+    indexes. storageType 'i' = inline z85 payload; 'u' = UUID-named
+    sidecar under the table root ([prefix] + z85 uuid, file
+    ``deletion_vector_<uuid>.bin``); 'p' = absolute path. On-disk DVs:
+    1-byte format version, then at ``offset`` a big-endian int32 size,
+    the data, and a big-endian CRC-32 of the data."""
+    st = dv.get("storageType")
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "u":
+            import uuid as uuid_mod
+
+            enc = dv["pathOrInlineDv"]
+            if len(enc) < 20:
+                raise DeltaProtocolError("DV uuid payload under 20 chars")
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid_mod.UUID(bytes=z85_decode(tail))
+            parts = [table] + ([prefix] if prefix else [])
+            path = os.path.join(*parts, f"deletion_vector_{u}.bin")
+        else:
+            p = dv["pathOrInlineDv"]
+            path = p[len("file://"):] if p.startswith("file://") else p
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        off = int(dv.get("offset") or 1)
+        if len(blob) < off + 4:
+            raise DeltaProtocolError("DV file truncated at size field")
+        (size,) = struct.unpack_from(">i", blob, off)
+        if size < 0 or len(blob) < off + 4 + size + 4:
+            raise DeltaProtocolError("DV file truncated in payload")
+        data = blob[off + 4: off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise DeltaProtocolError("DV checksum mismatch")
+    else:
+        raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+    return _parse_dv_bitmaps(data, dv.get("cardinality"))
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (spec "Column Mapping", modes name and id)
+# ---------------------------------------------------------------------------
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _phys_field_name(f: T.StructField) -> str:
+    try:
+        md = dict(f.metadata or {})
+    except (TypeError, ValueError):
+        md = {}
+    return md.get(_CM_PHYS, f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """The logical schema with every (nested) field renamed to its
+    physicalName — the schema the parquet data files actually carry.
+    (In 'id' mode delta writers store physical names in the files too,
+    alongside parquet field ids, so physical-name resolution reads both
+    modes; the ids are redundant on conformant files.)"""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(_phys_field_name(f), _physical_type(f.dataType),
+                          f.nullable) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_type(dt.keyType),
+                         _physical_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _to_logical_expr(col: F.Column, phys_dt: T.DataType,
+                     log_dt: T.DataType) -> F.Column:
+    """Expression renaming physically-named (nested) data back to the
+    logical schema — struct rebuilds, arrays via transform, map values
+    via transform_values (all JVM-side)."""
+    if isinstance(log_dt, T.StructType):
+        phys_fields = phys_dt.fields
+        return F.struct(*[
+            _to_logical_expr(col.getField(pf.name), pf.dataType, lf.dataType)
+            .alias(lf.name)
+            for pf, lf in zip(phys_fields, log_dt.fields)])
+    if isinstance(log_dt, T.ArrayType):
+        pe, le = phys_dt.elementType, log_dt.elementType
+        if isinstance(le, (T.StructType, T.ArrayType, T.MapType)):
+            return F.transform(col, lambda x: _to_logical_expr(x, pe, le))
+        return col
+    if isinstance(log_dt, T.MapType):
+        pv, lv = phys_dt.valueType, log_dt.valueType
+        if isinstance(lv, (T.StructType, T.ArrayType, T.MapType)):
+            return F.transform_values(
+                col, lambda _k, v: _to_logical_expr(v, pv, lv))
+        return col
+    return col
+
+
 def read_delta(spark: SparkSession, table: str, *,
                version: int | None = None, timestamp_ms: int | None = None,
                partition_filter=None,
@@ -383,48 +580,96 @@ def read_delta(spark: SparkSession, table: str, *,
     on the returned DataFrame; this trims I/O, not semantics.
     """
     snap = snapshot(spark, table, version=version, timestamp_ms=timestamp_ms)
-    part_cols = snap.partition_columns
-    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    cm = _cm_mode(snap.metadata) != "none"
+    part_cols = snap.partition_columns  # logical names (spec: metaData
+    # partitionColumns stay logical; add.partitionValues keys and stats
+    # keys are PHYSICAL under column mapping)
     by_name = {f.name: f.dataType for f in snap.schema.fields}
+    phys_of = {f.name: (_phys_field_name(f) if cm else f.name)
+               for f in snap.schema.fields}
+
+    phys_filters = None
+    if data_filters:
+        phys_filters = [(phys_of.get(c, c), op, v)
+                        for (c, op, v) in data_filters]
 
     typed: list[tuple[_AddFile, dict[str, Any]]] = []
     for af in snap.files:
-        vals = {c: _cast_partition_value(af.partition_values.get(c),
-                                         by_name[c]) for c in part_cols}
+        vals = {c: _cast_partition_value(
+                    af.partition_values.get(phys_of[c]), by_name[c])
+                for c in part_cols}
         if partition_filter is not None and not partition_filter(vals):
             continue
-        if data_filters and stats_exclude(af.stats, data_filters):
+        if phys_filters and stats_exclude(af.stats, phys_filters):
             continue
         typed.append((af, vals))
 
     if not typed:
         return spark.createDataFrame([], snap.schema)
 
+    logical_data = T.StructType(
+        [f for f in snap.schema.fields if f.name not in part_cols])
+    read_schema = _physical_type(logical_data) if cm else logical_data
+
     # realpath BEFORE the scan so _metadata.file_path and the map key
     # are built from the same resolved string (a symlinked table root
     # would otherwise silently miss the join → NULL partition columns)
     paths = [os.path.realpath(os.path.join(table, af.path))
              for af, _ in typed]
-    df = spark.read.schema(data_schema).parquet(*paths)
-    if not part_cols:
-        return df.select([f.name for f in snap.schema.fields])
+    df = spark.read.schema(read_schema).parquet(*paths)
 
-    # reconstitute partition columns: broadcast the tiny file→values map
-    # through _metadata.file_path (ONE scan for every file, no unions)
-    map_rows = [
-        {"__delta_file": p, **vals}
-        for p, (_af, vals) in zip(paths, typed)
-    ]
-    map_schema = T.StructType(
-        [T.StructField("__delta_file", T.StringType(), False)]
-        + [T.StructField(c, by_name[c], True) for c in part_cols])
-    fmap = spark.createDataFrame(map_rows, map_schema)
-    joined = guarded_file_map_join(
-        df.withColumn("__delta_file", decoded_file_path()),
-        fmap, "__delta_file", "read_delta partition reconstitution"
-    ).drop("__delta_file")
-    return joined.select([f.name for f in snap.schema.fields])
+    dv_files = [(p, af) for p, (af, _) in zip(paths, typed)
+                if af.deletion_vector]
+    if part_cols or dv_files:
+        df = df.withColumn("__delta_file", decoded_file_path())
+
+    if dv_files:
+        # deletion vectors: anti-join deleted (file, row_index) pairs.
+        # DV payloads are metadata-scale (compressed roaring sidecars
+        # whose total size the descriptors bound); the expanded
+        # positions frame is O(deleted rows), built in one Arrow batch
+        # and broadcast by AQE when small
+        import pandas as pd
+
+        frames = [pd.DataFrame({
+            "__delta_file": p,
+            "__delta_pos": dv_positions(table, af.deletion_vector)})
+            for p, af in dv_files]
+        dels = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema=T.StructType([
+                T.StructField("__delta_file", T.StringType(), False),
+                T.StructField("__delta_pos", T.LongType(), False)]))
+        df = (df.withColumn("__delta_pos", F.col("_metadata.row_index"))
+              .join(dels, ["__delta_file", "__delta_pos"], "left_anti")
+              .drop("__delta_pos"))
+
+    if part_cols:
+        # reconstitute partition columns: broadcast the tiny file→values
+        # map through _metadata.file_path (ONE scan, no unions)
+        map_rows = [
+            {"__delta_file": p, **vals}
+            for p, (_af, vals) in zip(paths, typed)
+        ]
+        map_schema = T.StructType(
+            [T.StructField("__delta_file", T.StringType(), False)]
+            + [T.StructField(c, by_name[c], True) for c in part_cols])
+        fmap = spark.createDataFrame(map_rows, map_schema)
+        df = guarded_file_map_join(
+            df, fmap, "__delta_file", "read_delta partition reconstitution")
+    if part_cols or dv_files:
+        df = df.drop("__delta_file")
+
+    if not cm:
+        return df.select([f.name for f in snap.schema.fields])
+    out = []
+    for lf, pf in zip(logical_data.fields, read_schema.fields):
+        out.append((lf.name, _to_logical_expr(
+            F.col(pf.name), pf.dataType, lf.dataType).alias(lf.name)))
+    exprs = dict(out)
+    return df.select([
+        exprs[f.name] if f.name in exprs else F.col(f.name)
+        for f in snap.schema.fields])
 
 
 def delta_history(table: str) -> list[dict[str, Any]]:
@@ -651,7 +896,13 @@ _CHECKPOINT_SCHEMA = T.StructType([
         T.StructField("size", T.LongType()),
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
-        T.StructField("stats", T.StringType())])),
+        T.StructField("stats", T.StringType()),
+        T.StructField("deletionVector", T.StructType([
+            T.StructField("storageType", T.StringType()),
+            T.StructField("pathOrInlineDv", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+            T.StructField("sizeInBytes", T.IntegerType()),
+            T.StructField("cardinality", T.LongType())]))])),
     T.StructField("remove", T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("deletionTimestamp", T.LongType()),
@@ -671,15 +922,25 @@ _CHECKPOINT_SCHEMA = T.StructType([
         T.StructField("createdTime", T.LongType())])),
     T.StructField("protocol", T.StructType([
         T.StructField("minReaderVersion", T.IntegerType()),
-        T.StructField("minWriterVersion", T.IntegerType())])),
+        T.StructField("minWriterVersion", T.IntegerType()),
+        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures", T.ArrayType(T.StringType()))])),
 ])
 
 
 def _write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
     snap = snapshot(spark, table, version=version)
+    # preserve the TABLE's protocol incl. feature lists (a foreign
+    # column-mapping/DV table must not be silently downgraded by our
+    # checkpoint)
+    proto = {"minReaderVersion": int(snap.protocol.get(
+                 "minReaderVersion", _READER_VERSION)),
+             "minWriterVersion": int(snap.protocol.get(
+                 "minWriterVersion", _WRITER_VERSION)),
+             "readerFeatures": snap.protocol.get("readerFeatures"),
+             "writerFeatures": snap.protocol.get("writerFeatures")}
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": _READER_VERSION,
-                      "minWriterVersion": _WRITER_VERSION}},
+        {"protocol": proto},
         {"metaData": {k: snap.metadata.get(k) for k in
                       ("id", "name", "description", "format", "schemaString",
                        "partitionColumns", "configuration", "createdTime")}},
@@ -696,6 +957,14 @@ def _write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
             "dataChange": False,
             "stats": (json.dumps({"numRecords": af.num_records})
                       if af.num_records is not None else None),
+            # DV descriptors must survive checkpointing or deleted
+            # rows would resurrect after a log vacuum (spec-known keys
+            # only — a foreign optional field must not break the row)
+            "deletionVector": (
+                {k: af.deletion_vector.get(k) for k in
+                 ("storageType", "pathOrInlineDv", "offset",
+                  "sizeInBytes", "cardinality")}
+                if af.deletion_vector else None),
         }})
     df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1)
     out_dir = os.path.join(_log_path(table), f".cp-{time.time_ns()}")

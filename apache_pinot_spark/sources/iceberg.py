@@ -26,11 +26,15 @@ Read path, exactly the spec's:
      (delete_seq ≥ data_seq); **equality deletes** as per-group
      anti-joins on the equality columns (delete_seq > data_seq).
 
-Honest limits, stated loudly rather than silently wrong: columns
-resolve BY NAME, not by parquet field-id — a table whose columns were
-renamed after data was written would misread, so the reader REJECTS
-metadata whose current schema carries a name-mapping or whose schema
-log shows a rename (same stance as Delta column-mapping).
+Columns resolve by PARQUET FIELD ID (the spec's Column Projection
+rule): files are grouped by their resolution signature — one scan per
+schema epoch — renamed/null-filled to the current schema and unioned,
+so tables whose columns were renamed after data was written read
+correctly; id-less imported files resolve through
+``schema.name-mapping.default``, and legacy files with neither fall
+back to by-name. The one honest reject left: NESTED-field renames
+(Spark's parquet reader matches nested struct fields by name) raise
+loudly instead of null-filling the renamed field.
 
 WRITES (`write_iceberg`): v2 snapshots on filesystem
 (HadoopCatalog-style) tables — parquet data files, manifest + manifest
@@ -121,27 +125,121 @@ def _current_schema(meta: dict[str, Any]) -> dict[str, Any]:
     raise IcebergError("metadata carries no schema")
 
 
-def _reject_renames(meta: dict[str, Any]) -> None:
-    """Name-based column resolution is only safe when names never
-    changed: compare every historical schema's id→name map against the
-    current one and reject on conflict (missing ids are fine — added
-    columns read as NULL from older files, the parquet mergeSchema
-    semantics)."""
+# ---------------------------------------------------------------------------
+# Field-id column resolution (spec "Column Projection" + name mapping)
+# ---------------------------------------------------------------------------
+
+def _parse_name_mapping(meta: dict[str, Any]) -> dict[str, int]:
+    """``schema.name-mapping.default`` → {file column name: field id}
+    for TOP-LEVEL fields (the spec's fallback for files written without
+    parquet field ids)."""
     props = meta.get("properties") or {}
-    if "schema.name-mapping.default" in props:
-        raise IcebergError(
-            "table carries a name-mapping (field-id resolution required); "
-            "this native reader resolves by name — use the connector")
-    current = {f["id"]: f["name"]
-               for f in _current_schema(meta).get("fields", [])}
-    for s in meta.get("schemas", []):
-        for f in s.get("fields", []):
-            cur = current.get(f["id"])
-            if cur is not None and cur != f["name"]:
-                raise IcebergError(
-                    f"column id {f['id']} was renamed "
-                    f"({f['name']!r} → {cur!r}); name-based resolution "
-                    "would misread old files — use the connector")
+    raw = props.get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    try:
+        entries = json.loads(raw)
+    except ValueError as exc:
+        raise IcebergError(f"bad name-mapping JSON: {exc}") from exc
+    out: dict[str, int] = {}
+    for e in entries or []:
+        fid = e.get("field-id")
+        if fid is None:
+            continue
+        for name in e.get("names") or []:
+            out[str(name)] = int(fid)
+    return out
+
+
+def _arrow_field_id(af) -> int | None:
+    md = af.metadata or {}
+    v = md.get(b"PARQUET:field_id")
+    try:
+        return int(v) if v is not None else None
+    except (TypeError, ValueError):
+        return None
+
+
+def _check_nested_resolvable(arrow_type, ice_type, path: str) -> None:
+    """Nested fields resolve BY NAME inside a top-level column (Spark's
+    parquet reader matches nested struct fields by name): verify the
+    file's nested field ids (when present) map to the SAME names the
+    current schema uses, and reject nested renames loudly instead of
+    null-filling the renamed field."""
+    import pyarrow as pa
+
+    if isinstance(ice_type, dict) and ice_type.get("type") == "struct":
+        if not pa.types.is_struct(arrow_type):
+            return
+        by_id = {}
+        for i in range(arrow_type.num_fields):
+            sub = arrow_type.field(i)
+            fid = _arrow_field_id(sub)
+            if fid is not None:
+                by_id[fid] = sub
+        arrow_names = {arrow_type.field(i).name
+                       for i in range(arrow_type.num_fields)}
+        for f in ice_type.get("fields", []):
+            sub = by_id.get(f.get("id"))
+            if sub is not None:
+                if sub.name != f["name"]:
+                    raise IcebergError(
+                        f"nested field {path}.{f['name']} (id {f['id']}) "
+                        f"is stored as {sub.name!r} in a data file; "
+                        "nested-field renames are not resolvable by this "
+                        "reader (top-level renames are) — rewrite the "
+                        "file or use the connector")
+                _check_nested_resolvable(sub.type, f.get("type"),
+                                         f"{path}.{f['name']}")
+            elif not by_id and f["name"] in arrow_names:
+                idx = arrow_type.field(f["name"])
+                _check_nested_resolvable(idx.type, f.get("type"),
+                                         f"{path}.{f['name']}")
+    elif isinstance(ice_type, dict) and ice_type.get("type") == "list":
+        import pyarrow as pa
+        if pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type):
+            _check_nested_resolvable(arrow_type.value_type,
+                                     ice_type.get("element"),
+                                     f"{path}[]")
+    elif isinstance(ice_type, dict) and ice_type.get("type") == "map":
+        import pyarrow as pa
+        if pa.types.is_map(arrow_type):
+            _check_nested_resolvable(arrow_type.item_type,
+                                     ice_type.get("value"),
+                                     f"{path}{{}}")
+
+
+def _file_resolution(local: str, fields_json: list[dict],
+                     name_mapping: dict[str, int]) -> tuple:
+    """For one parquet data/delete file: (current field name →
+    physical column name | None) per requested field, resolved by
+    parquet field id first (spec rule), then the name mapping, then by
+    name for legacy id-less files. None = column absent (reads NULL).
+    Returns a hashable signature so identically-resolved files share
+    ONE scan."""
+    import pyarrow.parquet as pq
+
+    aschema = pq.ParquetFile(local).schema_arrow
+    by_id: dict[int, Any] = {}
+    by_name: dict[str, Any] = {}
+    any_ids = False
+    for af in aschema:
+        fid = _arrow_field_id(af)
+        if fid is None and name_mapping:
+            fid = name_mapping.get(af.name)
+        if fid is not None:
+            any_ids = True
+            by_id[int(fid)] = af
+        by_name[af.name] = af
+    out = []
+    for f in fields_json:
+        pf = by_id.get(int(f["id"]))
+        if pf is None and not any_ids:
+            pf = by_name.get(f["name"])  # legacy id-less files: by name
+        if pf is not None:
+            _check_nested_resolvable(pf.type, f.get("type"), f["name"])
+        out.append((f["name"], pf.name if pf is not None else None))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +373,6 @@ def snapshot(table: str, *, snapshot_id: int | None = None,
              partition_filter: Callable[[dict[str, Any]], bool] | None = None,
              ) -> IcebergSnapshot:
     meta = load_metadata(table)
-    _reject_renames(meta)
     schema = iceberg_schema_to_spark(_current_schema(meta))
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
 
@@ -333,6 +430,56 @@ def snapshot(table: str, *, snapshot_id: int | None = None,
 # Read path
 # ---------------------------------------------------------------------------
 
+def _resolved_scan(spark: SparkSession, locals_: list[str],
+                   fields_json: list[dict],
+                   spark_fields: list[T.StructField],
+                   name_mapping: dict[str, int],
+                   file_alias: str | None = None,
+                   pos_alias: str | None = None) -> DataFrame:
+    """Scan parquet files whose columns may be stored under OLD names
+    (the table renamed columns after they were written): files are
+    grouped by their field-id resolution signature — one scan per
+    schema epoch, metadata-level work only — each group is renamed /
+    null-filled to the current schema, and the groups union. The
+    common no-renames case collapses to exactly one scan with the
+    table schema. ``file_alias``/``pos_alias`` project the scan's
+    ``_metadata`` (decoded file path / row index) INSIDE each group's
+    select, where the metadata column is still reachable."""
+    groups: dict[tuple, list[str]] = {}
+    for loc in locals_:
+        groups.setdefault(
+            _file_resolution(loc, fields_json, name_mapping), []
+        ).append(loc)
+    id_sig = tuple((f["name"], f["name"]) for f in fields_json)
+    meta_cols = []
+    if file_alias:
+        meta_cols.append(decoded_file_path().alias(file_alias))
+    if pos_alias:
+        meta_cols.append(F.col("_metadata.row_index").alias(pos_alias))
+    parts = []
+    for sig, locs in groups.items():
+        if sig == id_sig:
+            gdf = spark.read.schema(
+                T.StructType(spark_fields)).parquet(*locs)
+            sel = [F.col(f.name) for f in spark_fields]
+        else:
+            read_fields, sel = [], []
+            for (lname, pname), lf in zip(sig, spark_fields):
+                if pname is None:
+                    sel.append(F.lit(None).cast(lf.dataType).alias(lname))
+                else:
+                    read_fields.append(
+                        T.StructField(pname, lf.dataType, True))
+                    sel.append(F.col(pname).alias(lname))
+            gdf = spark.read.schema(
+                T.StructType(read_fields)).parquet(*locs)
+        parts.append(gdf.select(*sel, *meta_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str, *,
                  snapshot_id: int | None = None,
                  timestamp_ms: int | None = None,
@@ -357,14 +504,21 @@ def read_iceberg(spark: SparkSession, table: str, *,
     if not snap.data_files:
         return spark.createDataFrame([], snap.schema)
     cols = [f.name for f in snap.schema.fields]
+    fields_json = _current_schema(snap.metadata).get("fields", [])
+    nmap = _parse_name_mapping(snap.metadata)
+    has_deletes = bool(snap.position_delete_files
+                       or snap.equality_delete_files)
     # realpath BEFORE the scan so _metadata.file_path and the broadcast
     # map keys are built from the same resolved string (a symlinked
     # table root would otherwise miss the join → __ib_seq NULL → delete
     # anti-joins never match and deleted rows come back)
     data_locals = [os.path.realpath(f.local) for f in snap.data_files]
-    df = spark.read.schema(snap.schema).parquet(*data_locals)
+    df = _resolved_scan(spark, data_locals, fields_json,
+                        list(snap.schema.fields), nmap,
+                        file_alias="__ib_file" if has_deletes else None,
+                        pos_alias="__ib_pos" if has_deletes else None)
 
-    if not snap.position_delete_files and not snap.equality_delete_files:
+    if not has_deletes:
         return df.select(cols)
 
     # attach each row's manifest path + data sequence number through the
@@ -376,9 +530,7 @@ def read_iceberg(spark: SparkSession, table: str, *,
                       T.StructField("__ib_path", T.StringType(), False),
                       T.StructField("__ib_seq", T.LongType(), False)]))
     df = guarded_file_map_join(
-        df.withColumn("__ib_file", decoded_file_path())
-          .withColumn("__ib_pos", F.col("_metadata.row_index")),
-        fmap, "__ib_file", "read_iceberg data-file map")
+        df, fmap, "__ib_file", "read_iceberg data-file map")
 
     if snap.position_delete_files:
         del_schema = T.StructType([
@@ -406,10 +558,9 @@ def read_iceberg(spark: SparkSession, table: str, *,
             "left_anti")
 
     for eq_ids, files in _group_equality(snap).items():
-        eq_cols = [snap.schema.fields[i].name
-                   for i in _ids_to_field_indexes(snap, eq_ids)]
-        eq_schema = T.StructType(
-            [snap.schema[c] for c in eq_cols])
+        eq_idx = _ids_to_field_indexes(snap, eq_ids)
+        eq_cols = [snap.schema.fields[i].name for i in eq_idx]
+        eq_fields_json = [fields_json[i] for i in eq_idx]
         ed_locals = [os.path.realpath(f.local) for f in files]
         seq_map = spark.createDataFrame(
             [{"__ed_file": loc, "__ed_seq": f.seq}
@@ -417,8 +568,9 @@ def read_iceberg(spark: SparkSession, table: str, *,
             T.StructType([T.StructField("__ed_file", T.StringType(), False),
                           T.StructField("__ed_seq", T.LongType(), False)]))
         dels = guarded_file_map_join(
-            spark.read.schema(eq_schema).parquet(*ed_locals)
-            .withColumn("__ed_file", decoded_file_path()),
+            _resolved_scan(spark, ed_locals, eq_fields_json,
+                           [snap.schema[c] for c in eq_cols], nmap,
+                           file_alias="__ed_file"),
             seq_map, "__ed_file", "read_iceberg equality-delete map"
         ).select(*eq_cols, "__ed_seq")
         # spec: equality deletes apply to data files with a STRICTLY

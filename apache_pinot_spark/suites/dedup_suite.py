@@ -167,3 +167,124 @@ df_query(
     tables=["documents"],
     doc="Portable 16-bit SimHash bucket histogram",
 )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter cross-snapshot dedup (operators/bloomdedup.py, the Dolma
+# deduper) — r13 gate promotion (verdict #3; the slot freed by folding
+# tx_fingerprint_overlap into tx_token_accounting). Exercises the FULL
+# build → probe → paragraph-excision flow in md5-portable mode: the
+# oracle replays the k double-hash bit positions term-for-term
+# (bloom_positions_oracle_sql), so filter membership — INCLUDING false
+# positives — is bit-identical cross-engine. Paragraphs are synthesized
+# deterministically (8-word chunks; the corpus is single-line), the
+# reference snapshot is doc_id % 7 = 0, and the probe is the WHOLE
+# corpus, so reference docs fully excise (the cross-snapshot contract)
+# while shared chunks + accounted FPs excise elsewhere.
+# --------------------------------------------------------------------------
+
+_BL_M, _BL_K = 1 << 24, 5
+
+
+def _chunked_text():
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0))),
+            lambda c: F.array_join(F.slice(words, c * 8 + 1, 8), " ")),
+        "\n")
+
+
+def _bloom_excision(spark, sf_dir):
+    from apache_pinot_spark.operators import bloomdedup as B
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d2 = d.select("doc_id", _chunked_text().alias("text"))
+    meta = {"m_bits": _BL_M, "k": _BL_K, "hash_mode": "md5"}
+    ref = d2.filter(F.col("doc_id") % 7 == 0)
+    bloom = B.build_paragraph_bloom(ref, m_bits=_BL_M, k=_BL_K,
+                                    hash_mode="md5")
+    out = B.dedup_paragraphs(d2, bloom, meta)
+    return (
+        out.groupBy((F.col("doc_id") % 8).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("docs"),
+             F.sum("n_paragraphs_removed").cast("bigint").alias("removed"),
+             F.sum(F.length("text")).cast("bigint").alias("chars_after"),
+             F.sum(F.when(F.length(F.trim("text")) > 0, 1).otherwise(0))
+             .cast("bigint").alias("survivors"))
+        .orderBy("bucket"))
+
+
+def _bl_oracle() -> str:
+    from apache_pinot_spark.operators.bloomdedup import (
+        bloom_positions_oracle_sql)
+
+    pos = bloom_positions_oracle_sql("para", _BL_M, _BL_K)
+    return f"""
+    WITH d2 AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+               c -> coalesce(array_to_string(ws[c*8+1 : c*8+8], ' '), '')),
+               chr(10)) AS text
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+    ),
+    exp AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, chr(10))) AS para,
+             unnest(range(1, len(regexp_split_to_array(text, chr(10))) + 1))
+               AS idx
+      FROM d2
+    ),
+    ref_pos AS (
+      SELECT DISTINCT unnest({pos}) AS pos
+      FROM exp WHERE doc_id % 7 = 0 AND trim(para) <> ''
+    ),
+    probe_pos AS (
+      SELECT doc_id, idx, unnest({pos}) AS pos
+      FROM exp WHERE trim(para) <> ''
+    ),
+    seen AS (
+      SELECT p.doc_id, p.idx, bool_and(r.pos IS NOT NULL) AS is_seen
+      FROM probe_pos p LEFT JOIN ref_pos r ON r.pos = p.pos
+      GROUP BY p.doc_id, p.idx
+    ),
+    marked AS (
+      SELECT e.doc_id, e.idx, e.para,
+             COALESCE(s.is_seen, FALSE) AS removed
+      FROM exp e LEFT JOIN seen s
+        ON s.doc_id = e.doc_id AND s.idx = e.idx
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(
+               list(para ORDER BY idx) FILTER (WHERE NOT removed),
+               chr(10)), '') AS new_text,
+             SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed
+      FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id % 8 AS bucket, COUNT(*) AS docs,
+           CAST(SUM(n_removed) AS BIGINT) AS removed,
+           CAST(SUM(length(new_text)) AS BIGINT) AS chars_after,
+           CAST(SUM(CASE WHEN length(trim(new_text)) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS survivors
+    FROM rebuilt GROUP BY 1 ORDER BY 1
+    """
+
+
+df_query(
+    "dedup_bloom_excision",
+    _bloom_excision,
+    _bl_oracle(),
+    tables=["documents"],
+    doc="Bloom cross-snapshot dedup gate: build a md5-portable filter "
+        "over the doc_id%7=0 snapshot's synthesized paragraphs, probe "
+        "the whole corpus, excise seen paragraphs (blanks preserved), "
+        "account rows/removed/chars/survivors per doc_id%8 bucket; the "
+        "oracle replays the k bit positions term-for-term so membership "
+        "(incl. false positives) is bit-identical",
+)

@@ -68,7 +68,37 @@ def _token_accounting(spark, sf_dir):
         .groupBy("lang")
         .agg(F.sum("n_pieces").alias("sum_bpe_exact"))
     )
-    return base.join(F.broadcast(exact), on="lang").orderBy("lang")
+    tokens = (base.join(F.broadcast(exact), on="lang")
+              .select(F.lit("tokens").alias("facet"),
+                      F.col("lang").alias("k1"),
+                      F.col("docs").cast("bigint").alias("docs"),
+                      F.col("sum_tokens").cast("bigint"),
+                      F.col("sum_chars").cast("bigint"),
+                      "avg_tokens",
+                      F.col("sum_bpe_tokens").cast("bigint"),
+                      F.col("sum_bpe_exact").cast("bigint")))
+    # r13 fold: the winnowing fingerprint-overlap facet shares this
+    # slot (frees a window position for the bloom-dedup gate); its
+    # original oracle replays unchanged under facet='fingerprint'
+    # (docs := shared_fps, sum_tokens := docs_involved, rest 0)
+    fps = (tx.winnow_fingerprints(d, shingle_n=4, keep=4)
+           .withColumnRenamed("key", "doc_id"))
+    overlap = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .agg(F.count("*").cast("bigint").alias("shared_fps"),
+             F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint")
+             .alias("docs_involved"))
+        .select(F.lit("fingerprint").alias("facet"),
+                F.lit("").alias("k1"),
+                F.col("shared_fps").alias("docs"),
+                F.col("docs_involved").alias("sum_tokens"),
+                F.lit(0).cast("bigint").alias("sum_chars"),
+                F.lit(0.0).alias("avg_tokens"),
+                F.lit(0).cast("bigint").alias("sum_bpe_tokens"),
+                F.lit(0).cast("bigint").alias("sum_bpe_exact")))
+    return tokens.unionByName(overlap).orderBy("facet", "k1")
 
 
 _BPE_KEYS_SQL = "[" + ",".join(f"'{a}|{b}'" for a, b in _BPE_MERGES) + "]"
@@ -121,24 +151,44 @@ df_query(
     _token_accounting,
     rf"""
     WITH RECURSIVE
-    {_BPE_ORACLE_CTES.strip().rstrip()}
-    SELECT d.lang, COUNT(*) AS docs,
-           CAST(SUM(len({_WS_TOKS})) AS BIGINT) AS sum_tokens,
-           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
-           CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
-             AS sum_bpe_tokens,
-           ANY_VALUE(b.sum_bpe_exact) AS sum_bpe_exact
-    FROM documents d JOIN bpe_by_lang b ON b.lang = d.lang
-    GROUP BY d.lang ORDER BY d.lang
+    {_BPE_ORACLE_CTES.strip().rstrip()},
+    fp AS (
+      SELECT doc_id,
+             unnest(list_sort(list_transform(
+               range(1, greatest(len({_WS_TOKS_LOWER}) - 3, 0) + 1),
+               i -> md5(array_to_string(({_WS_TOKS_LOWER})[i:i+3], ' '))))[1:4]) AS fp
+      FROM documents
+    ),
+    shared AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT * FROM (
+      SELECT 'tokens' AS facet, d.lang AS k1, COUNT(*) AS docs,
+             CAST(SUM(len({_WS_TOKS})) AS BIGINT) AS sum_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+             CAST(SUM(len({_WS_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS sum_bpe_tokens,
+             ANY_VALUE(b.sum_bpe_exact) AS sum_bpe_exact
+      FROM documents d JOIN bpe_by_lang b ON b.lang = d.lang
+      GROUP BY d.lang
+      UNION ALL
+      SELECT 'fingerprint', '', COUNT(*),
+             CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+             0, 0.0, 0, 0
+      FROM shared
+    ) ORDER BY facet, k1
     """,
     tables=["documents"],
     doc="Whitespace token stats + BPE-ish subword estimate (alnum runs + "
         "punctuation chars) + EXACT greedy-BPE piece counts under a frozen "
         "24-merge tokenizer artifact (operators/bpe.bpe_token_counts; the "
         "oracle replays best-rank-leftmost merging with a recursive CTE — "
-        "r9 fold of the BPE token-accounting gate item), per language",
+        "r9 fold of the BPE token-accounting gate item), per language; "
+        "plus the winnowing fingerprint-overlap facet (r13 fold of "
+        "tx_fingerprint_overlap — its oracle replays unchanged)",
 )
 
 
@@ -243,42 +293,9 @@ df_query(
 
 
 
-def _fingerprint_overlap(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    fps = tx.winnow_fingerprints(d, shingle_n=4, keep=4).withColumnRenamed("key", "doc_id")
-    return (
-        fps.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .agg(
-            F.count("*").alias("shared_fps"),
-            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("docs_involved"),
-        )
-    )
-
-
-df_query(
-    "tx_fingerprint_overlap",
-    _fingerprint_overlap,
-    f"""
-    WITH fp AS (
-      SELECT doc_id,
-             unnest(list_sort(list_transform(
-               range(1, greatest(len({_WS_TOKS_LOWER}) - 3, 0) + 1),
-               i -> md5(array_to_string(({_WS_TOKS_LOWER})[i:i+3], ' '))))[1:4]) AS fp
-      FROM documents
-    ),
-    shared AS (
-      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY fp
-      HAVING COUNT(DISTINCT doc_id) > 1
-    )
-    SELECT COUNT(*) AS shared_fps,
-           CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS docs_involved
-    FROM shared
-    """,
-    tables=["documents"],
-    doc="Winnowing-style fingerprint overlap across documents",
-)
+# (tx_fingerprint_overlap folded into tx_token_accounting above — r13;
+# the slot it freed registers the bloom-dedup excision gate in
+# suites/dedup_suite.py)
 
 
 # --------------------------------------------------------------------------

@@ -126,39 +126,67 @@ def test_schema_comes_from_metadata_not_inference(spark, table):
 
 
 def test_protocol_gate_rejects_unknown_features(spark, table):
+    """deletionVectors/columnMapping/timestampNtz reader features are
+    now implemented and ACCEPTED; a genuinely unimplemented feature
+    still rejects with its name."""
     D.write_delta(_mkdf(spark, [{"k": 1}]), table)
     log = os.path.join(table, "_delta_log")
     with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"]}}) + "\n")
-    with pytest.raises(D.DeltaProtocolError, match="deletionVectors"):
+            "readerFeatures": ["deletionVectors", "columnMapping",
+                               "timestampNtz"]}}) + "\n")
+    assert D.read_delta(spark, table).count() == 1  # all supported
+    with open(os.path.join(log, "00000000000000000002.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"]}}) + "\n")
+    with pytest.raises(D.DeltaProtocolError, match="v2Checkpoint"):
         D.read_delta(spark, table)
-    # column mapping rejects too
-    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+    # reader version 2 (column mapping) is accepted now
+    with open(os.path.join(log, "00000000000000000002.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+    assert D.read_delta(spark, table).count() == 1
+    # a NON-SPEC column mapping mode still rejects
+    with open(os.path.join(log, "00000000000000000003.json"), "w") as fh:
         snap_meta = {"id": "x", "format": {"provider": "parquet",
                                            "options": {}},
                      "schemaString": json.dumps(
                          {"type": "struct", "fields": []}),
                      "partitionColumns": [],
-                     "configuration": {"delta.columnMapping.mode": "name"}}
+                     "configuration": {"delta.columnMapping.mode": "bogus"}}
         fh.write(json.dumps({"metaData": snap_meta}) + "\n")
     with pytest.raises(D.DeltaProtocolError, match="columnMapping"):
         D.read_delta(spark, table)
 
 
-def test_deletion_vector_add_rejects(spark, table):
-    D.write_delta(_mkdf(spark, [{"k": 1}]), table)
+def test_deletion_vector_bad_descriptor_rejects(spark, table):
+    """Unknown storageType and malformed 'u' payloads raise instead of
+    returning deleted rows."""
+    import urllib.parse as up
+
+    D.write_delta(_mkdf(spark, [{"k": 1}]).coalesce(1), table)
+    real = up.quote(D.snapshot(spark, table).files[0].path)
     log = os.path.join(table, "_delta_log")
     with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
         fh.write(json.dumps({"add": {
-            "path": "x.parquet", "partitionValues": {}, "size": 1,
+            "path": real, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {"storageType": "zz", "pathOrInlineDv": "d",
+                               "offset": 0, "sizeInBytes": 1,
+                               "cardinality": 1}}}) + "\n")
+    with pytest.raises(D.DeltaProtocolError, match="storageType"):
+        D.read_delta(spark, table).collect()
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": real, "partitionValues": {}, "size": 1,
             "modificationTime": 0, "dataChange": True,
             "deletionVector": {"storageType": "u", "pathOrInlineDv": "d",
                                "offset": 0, "sizeInBytes": 1,
                                "cardinality": 1}}}) + "\n")
-    with pytest.raises(D.DeltaProtocolError, match="eletion vector"):
-        D.read_delta(spark, table)
+    with pytest.raises(D.DeltaProtocolError, match="20 chars"):
+        D.read_delta(spark, table).collect()
 
 
 def test_not_a_delta_table(spark, tmp_path):

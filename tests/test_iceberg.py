@@ -267,25 +267,106 @@ def test_deleted_status_entries_excluded(spark, root):
     assert [r.k for r in got] == [1]
 
 
-def test_rename_and_name_mapping_reject(spark, root):
+def _t_ids(cols):
+    """pa table whose schema carries parquet field ids: cols =
+    [(name, field_id, pa_type, values), ...]."""
+    fields = [pa.field(n, t, metadata={b"PARQUET:field_id":
+                                       str(i).encode()})
+              for (n, i, t, _v) in cols]
+    return pa.Table.from_arrays(
+        [pa.array(v, t) for (_n, _i, t, v) in cols],
+        schema=pa.schema(fields))
+
+
+def test_renamed_column_resolves_by_field_id(spark, root):
+    """One file written BEFORE a rename (old names + field ids), one
+    after: both resolve to the current schema — two scan groups union,
+    no reject."""
     fx = Fixture(root, KS)
-    fx.add_file("data/f1.parquet", _t([1], ["a"]), seq=1)
+    old = _t_ids([("old_k", 1, pa.int64(), [1, 2]),
+                  ("txt", 2, pa.string(), ["a", "b"])])
+    fx.add_file("data/old.parquet", old, seq=1)
+    new = _t_ids([("k", 1, pa.int64(), [3]),
+                  ("s", 2, pa.string(), ["c"])])
+    fx.add_file("data/new.parquet", new, seq=2)
     fx.commit(snapshot_id=1)
-    # historical schema where field id 2 was called 'txt' → renamed
+    got = I.read_iceberg(spark, root).orderBy("k").collect()
+    assert [(r.k, r.s) for r in got] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_renamed_column_with_deletes(spark, root):
+    """Position deletes still apply when the data file predates a
+    rename (the resolution projects _metadata inside the group)."""
+    fx = Fixture(root, KS)
+    old = _t_ids([("old_k", 1, pa.int64(), [1, 2, 3]),
+                  ("txt", 2, pa.string(), ["a", "b", "c"])])
+    fx.add_file("data/old.parquet", old, seq=1)
+    d = pa.table({"file_path": pa.array([fx.uri("data/old.parquet")]),
+                  "pos": pa.array([1], pa.int64())})
+    fx.add_file("data/d1.parquet", d, seq=2, content=1)
+    # equality delete written with the OLD column name + field id
+    ed = _t_ids([("old_k", 1, pa.int64(), [3])])
+    fx.add_file("data/e1.parquet", ed, seq=3, content=2,
+                equality_ids=[1])
+    fx.commit(snapshot_id=1)
+    got = I.read_iceberg(spark, root).orderBy("k").collect()
+    assert [(r.k, r.s) for r in got] == [(1, "a")]
+
+
+def test_name_mapping_resolves_idless_files(spark, root):
+    """Files without parquet field ids resolve through
+    schema.name-mapping.default (the spec's import path)."""
+    fx = Fixture(root, KS)
+    imported = pa.table({"orig_key": pa.array([9], pa.int64()),
+                         "orig_text": pa.array(["z"], pa.string())})
+    fx.add_file("data/imp.parquet", imported, seq=1)
+    fx.commit(snapshot_id=1)
     meta_path = I.current_metadata_path(root)
     meta = json.load(open(meta_path))
-    meta["schemas"].insert(0, {
-        "schema-id": 99, "type": "struct", "fields": [
-            {"id": 1, "name": "k", "required": False, "type": "long"},
-            {"id": 2, "name": "txt", "required": False, "type": "string"}]})
+    meta["properties"]["schema.name-mapping.default"] = json.dumps([
+        {"field-id": 1, "names": ["orig_key"]},
+        {"field-id": 2, "names": ["orig_text"]}])
     json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(I.IcebergError, match="renamed"):
-        I.read_iceberg(spark, root)
-    meta["schemas"].pop(0)
-    meta["properties"]["schema.name-mapping.default"] = "[]"
-    json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(I.IcebergError, match="name-mapping"):
-        I.read_iceberg(spark, root)
+    got = I.read_iceberg(spark, root).collect()
+    assert [(r.k, r.s) for r in got] == [(9, "z")]
+
+
+def test_added_and_dropped_columns_with_field_ids(spark, root):
+    """Old file missing a later-added column null-fills it; an extra
+    (dropped) column in the file is ignored."""
+    fx = Fixture(root, KS)
+    old = _t_ids([("k", 1, pa.int64(), [5]),
+                  ("gone", 77, pa.string(), ["junk"])])  # dropped col
+    fx.add_file("data/old.parquet", old, seq=1)
+    fx.commit(snapshot_id=1)
+    got = I.read_iceberg(spark, root).collect()
+    assert [(r.k, r.s) for r in got] == [(5, None)]
+
+
+def test_nested_rename_rejects_loudly(spark, root):
+    """Nested-field renames are the one unresolvable case (Spark reads
+    nested structs by name): reject, never null-fill silently."""
+    nested_schema = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 3, "name": "o", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 4, "name": "new_inner", "required": False,
+                 "type": "long"}]}}]
+    fx = Fixture(root, nested_schema)
+    inner = pa.field("old_inner", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"4"})
+    tbl = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()),
+         pa.array([{"old_inner": 10}], pa.struct([inner]))],
+        schema=pa.schema([
+            pa.field("k", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("o", pa.struct([inner]),
+                     metadata={b"PARQUET:field_id": b"3"})]))
+    fx.add_file("data/f1.parquet", tbl, seq=1)
+    fx.commit(snapshot_id=1)
+    with pytest.raises(I.IcebergError, match="nested"):
+        I.read_iceberg(spark, root).collect()
 
 
 def test_v1_layout_reads(spark, root):
