@@ -147,3 +147,82 @@ GROUP BY h.id
 ORDER BY score DESC, h.id ASC
 LIMIT {top_k}
 """
+
+
+def bm25_scores_multi(
+    corpus: DataFrame,
+    queries,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """(query_id, id_col, score, n_matched_terms, rank) — per-query
+    BM25 top-k for MANY queries in ONE corpus pass (contamination
+    triage runs thousands of eval prompts, not one; a per-query job
+    per prompt re-scans the corpus a thousand times).
+
+    ``queries``: dict query_id → query string, or a list (ids are the
+    list indexes as strings). Scale shape: the union of all query
+    terms filters the explode BEFORE the shuffle (the single-query
+    contract, batched); document frequencies and idf are computed once
+    per TERM (query-independent, so they equal the single-query path's
+    values term-for-term); the (query_id, term) map is a broadcast;
+    per-query top-k is one row_number window partitioned by query_id.
+    Ties break by ascending doc id — same pin as ``bm25_scores``."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, (list, tuple)):
+        queries = {str(i): q for i, q in enumerate(queries)}
+    if not queries:
+        raise ValueError("no queries")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    qt = []
+    for qid, q in queries.items():
+        terms = query_terms(q)
+        if not terms:
+            raise ValueError(
+                f"query {qid!r} has no tokens under the corpus tokenizer")
+        qt.extend((str(qid), t) for t in terms)
+    all_terms = sorted({t for _, t in qt})
+
+    toks = _tokens(F.col(text_col))
+    base = _spread(corpus).select(
+        F.col(id_col).alias("id"), toks.alias("toks"),
+    ).select("id", F.size("toks").alias("dl"), "toks")
+    stats = base.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+
+    hits = (base
+            .select("id", "dl", F.explode("toks").alias("term"))
+            .where(F.col("term").isin(*all_terms))
+            .groupBy("id", "dl", "term")
+            .agg(F.count("*").alias("tf")))
+    df_per_term = (hits.groupBy("term")
+                   .agg(F.countDistinct("id").alias("df")))
+    idf = df_per_term.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"))
+    spark = corpus.sparkSession
+    qmap = spark.createDataFrame(qt, "query_id string, term string")
+
+    scored = (hits.join(F.broadcast(idf), "term")
+              .join(F.broadcast(qmap), "term")
+              .withColumn(
+                  "part",
+                  F.col("idf") * (F.col("tf") * (k1 + 1))
+                  / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                         / F.lit(avgdl))))
+              .groupBy("query_id", "id")
+              .agg(F.sum("part").alias("score"),
+                   F.count("*").alias("n_matched_terms")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .withColumnRenamed("id", id_col))

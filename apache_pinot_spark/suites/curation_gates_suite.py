@@ -46,6 +46,13 @@ from pyspark.sql import functions as F
 
 from apache_pinot_spark.catalog import load_tables
 from apache_pinot_spark.operators.chunking import portable_split_threshold
+from apache_pinot_spark.operators.qclf_frozen import (
+    FROZEN_BIAS as _FROZEN_BIAS,
+    FROZEN_MIN_PROB as _FROZEN_MIN_PROB,
+    frozen_quality_model,
+    marker_tail_sql as _marker_tail_sql,
+    weights_values_sql as _qclf_weights_sql,
+)
 from apache_pinot_spark.operators.textanalysis import gopher_quality_oracle_sql
 from apache_pinot_spark.operators.urls import canonical_url_oracle_sql
 from apache_pinot_spark.querysuite import df_query
@@ -90,8 +97,15 @@ def _synth_inputs(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("")),
         F.col("source"), F.lit(".example.org"),
     )
+    # r13: every doc also carries a deterministic quality-marker tail
+    # (spam phrases on doc_id%3=0, reference phrases otherwise) — the
+    # frozen model-quality classifier's gate signal, appended LAST so
+    # the earlier stages see it too (their oracles replay it)
+    from apache_pinot_spark.operators.qclf_frozen import marker_tail_expr
+
     return docs.withColumn("url", url).withColumn("host", host).withColumn(
-        "text", F.concat(noise, F.col("text"), tail))
+        "text", F.concat(noise, F.col("text"), tail, F.lit(" "),
+                         marker_tail_expr(F.col("doc_id"))))
 
 
 def _gates_accounting(spark: SparkSession, sf_dir: str):
@@ -118,6 +132,11 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
         quality_filter=False,
         gopher_quality=True,
         gopher_overrides={"min_words": _MIN_WORDS},
+        # r13: the frozen model-quality gate (operators/qclf_frozen) —
+        # the 7th r11 gate, now oracle-replayed: margins cluster ~0.03+
+        # away from the threshold by corpus construction, so the
+        # decision survives cross-engine float-summation drift
+        min_model_prob=_FROZEN_MIN_PROB,
         redact_pii=False,
         near_dedup=False,
         substring_dedup=True,
@@ -135,11 +154,13 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
         # per subtree dominated the persist-mode wall time (measured
         # 2-3×)
         cache_stages=("url_dedup", "normalize", "word_blocklist",
-                      "gopher_quality", "substring_dedup"),
+                      "gopher_quality", "model_quality",
+                      "substring_dedup"),
         cache_mode="checkpoint",
     )
     stages = curate_corpus(docs, cfg, word_blocklist=bl,
-                           blocked_domains=blocked)
+                           blocked_domains=blocked,
+                           quality_model=frozen_quality_model())
     parts = []
     for i, (name, df) in enumerate(stages.items()):
         if name == "splits":
@@ -207,6 +228,7 @@ WITH base AS (
          (CASE WHEN doc_id % 7 = 3 THEN {_ZW_PREFIX_SQL} ELSE '' END)
            || text
            || (CASE WHEN doc_id % 11 = 5 THEN {_NFD_TAIL_SQL} ELSE '' END)
+           || ' ' || {_marker_tail_sql('doc_id')}
            AS text,
          'HTTPS://www.corpus.Example.COM:443/doc/' || CAST(aid AS VARCHAR)
            || '?utm_source=feed&b=' || CAST(aid % 5 AS VARCHAR)
@@ -250,12 +272,44 @@ gop AS (
   SELECT * FROM wg
   WHERE {gopher_quality_oracle_sql('text', min_words=_MIN_WORDS)}
 ),
+-- r13: frozen model-quality gate (operators/qclf_frozen): hashed
+-- 1..2-gram tf features, broadcast weight table, logistic margin.
+-- Float sums run in a different order than the engine's, but the
+-- corpus construction keeps every margin >= ~0.03 from the decision
+-- threshold, so the comparison is drift-proof. (Zero-gram docs can't
+-- reach here: the Gopher gate already requires >= {_MIN_WORDS} words.)
+qg AS (
+  SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM (
+    SELECT doc_id, unnest(t) AS g
+    FROM (SELECT doc_id, {_LTOKS} AS t FROM gop)
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM (SELECT doc_id, {_LTOKS} AS t FROM gop) g2,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0)))
+               AS i) s
+  )
+),
+qtf AS (SELECT doc_id, bucket, count(*) AS c FROM qg GROUP BY 1, 2),
+qlen AS (SELECT doc_id, sum(c) AS L FROM qtf GROUP BY 1),
+qw(bucket, w) AS (VALUES {_qclf_weights_sql()}),
+qm AS (
+  SELECT f.doc_id,
+         {_FROZEN_BIAS} + coalesce(
+           sum((CAST(f.c AS DOUBLE) / l.L) * w.w), 0) AS margin
+  FROM qtf f JOIN qlen l USING (doc_id)
+  LEFT JOIN qw w ON w.bucket = f.bucket
+  GROUP BY f.doc_id
+),
+mq AS (
+  SELECT g.* FROM gop g JOIN qm ON qm.doc_id = g.doc_id
+  WHERE 1.0 / (1.0 + exp(-qm.margin)) >= {_FROZEN_MIN_PROB}
+),
 toks AS (
   SELECT doc_id,
          regexp_extract_all(text, '[0-9A-Za-z]+') AS tk,
          regexp_split_to_array(text, '[0-9A-Za-z]+') AS sep,
          length(text) AS n_chars0
-  FROM gop
+  FROM mq
 ),
 wins AS (
   SELECT doc_id, i - 1 AS win_idx,
@@ -324,13 +378,16 @@ SELECT stage_idx, stage, rows, chars FROM (
   SELECT 5, 'gopher_quality', COUNT(*),
          CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM gop
   UNION ALL
-  SELECT 6, 'substring_dedup', COUNT(*),
+  SELECT 6, 'model_quality', COUNT(*),
+         CAST(coalesce(SUM(length(text)), 0) AS BIGINT) FROM mq
+  UNION ALL
+  SELECT 7, 'substring_dedup', COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
   UNION ALL
-  SELECT 7, 'splits', COUNT(*),
+  SELECT 8, 'splits', COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM sd
   UNION ALL
-  SELECT 8, 'split_' || split, COUNT(*),
+  SELECT 9, 'split_' || split, COUNT(*),
          CAST(coalesce(SUM(n_chars1), 0) AS BIGINT) FROM spl GROUP BY split
 )
 ORDER BY stage_idx, stage
@@ -348,7 +405,10 @@ df_query(
         "(registrable-suffix semantics over varying-depth hosts), "
         "Unicode normalization (NFC + zero-width/control strip, "
         "char-exact), C4-style word-blocklist fraction gate, the "
-        "Gopher/MassiveText composite (all 11 rules replayed), and "
+        "Gopher/MassiveText composite (all 11 rules replayed), the "
+        "FROZEN model-quality classifier (r13: hashed-gram logistic "
+        "margins replayed against the shipped weight literals — the "
+        "7th r11 gate, closing the verdict's escape hatch), and "
         "Lee-et-al exact-substring dedup (stride-1 window spans, keeper "
         "selection, merged-island excision arithmetic — char-exact), "
         "then portable split assignment",

@@ -376,22 +376,28 @@ df_query(
 # --------------------------------------------------------------------------
 
 
+_KN_PRUNE = {1: 500, 2: 1500, 3: 1500}
+_KN_CTX_PRUNE = {2: 1000, 3: 1000}
+
+
 def _lm_scores(spark, sf_dir):
+    from apache_pinot_spark.operators import knlm as K
     from apache_pinot_spark.operators import lm as L
 
     docs = _docs(spark, sf_dir)
-    model = L.train_bigram_lm(
-        docs.filter(F.col("lang") == "en"), vocab_size=500, bigram_size=1000
-    )
-    return (
-        L.lm_doc_scores(docs, model)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.col("sum_logp").cast("double").alias("sum_logp"),
-        )
-        .orderBy("doc_id")
-    )
+    ref = docs.filter(F.col("lang") == "en")
+    model = L.train_bigram_lm(ref, vocab_size=500, bigram_size=1000)
+    # r13: the interpolated Kneser-Ney trigram (operators/knlm) scores
+    # the same corpus side by side — the published CCNet/RedPajama
+    # estimator next to the stupid-backoff baseline, both decimal-exact
+    kn = K.train_kn_lm(ref, order=3, prune=dict(_KN_PRUNE),
+                       ctx_prune=dict(_KN_CTX_PRUNE))
+    bg = L.lm_doc_scores(docs, model).select(
+        "doc_id", "n_tokens",
+        F.col("sum_logp").cast("double").alias("sum_logp"))
+    kns = K.kn_doc_scores(docs, kn).select(
+        "doc_id", F.col("sum_logp").cast("double").alias("sum_logp_kn"))
+    return bg.join(kns, on="doc_id").orderBy("doc_id")
 
 
 df_query(
@@ -449,14 +455,122 @@ df_query(
     agg AS (
       SELECT doc_id, count(*) AS n, CAST(sum(lp) AS DECIMAL(38,12)) AS s
       FROM sc GROUP BY doc_id
+    ),
+    -- ============ interpolated Kneser-Ney trigram (operators/knlm) ==
+    -- full training replay: raw 2/3-gram counts on the reference,
+    -- continuation counts, leave-one-out discounts n1/(n1+2 n2),
+    -- bottom-up interpolation in UNROUNDED doubles, top-K pruning by
+    -- (count DESC, key ASC), ln+round(6) per shipped entry, then the
+    -- ARPA longest-match walk with DECIMAL backoff sums
+    kpos AS (
+      SELECT doc_id, lang,
+             CASE WHEN i >= 2 THEN t[i-1] END AS h2,
+             CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END AS h3,
+             t[i] AS w
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(t) + 1)) AS i) s
+    ),
+    kr2 AS (SELECT h2 AS h, w, count(*) AS c FROM kpos
+            WHERE lang = 'en' AND h2 IS NOT NULL GROUP BY h2, w),
+    kr3 AS (SELECT h3 AS h, w, count(*) AS c FROM kpos
+            WHERE lang = 'en' AND h3 IS NOT NULL GROUP BY h3, w),
+    kc1 AS (SELECT w, count(*) AS c FROM kr2 GROUP BY w),
+    kc2 AS (SELECT substr(h, instr(h, ' ') + 1) AS h, w, count(*) AS c
+            FROM kr3 GROUP BY 1, 2),
+    kd1 AS (SELECT CASE WHEN n1 + 2.0*n2 > 0 THEN n1/(n1 + 2.0*n2)
+                   ELSE 0.5 END AS d
+            FROM (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n1,
+                         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n2 FROM kc1)),
+    kd2 AS (SELECT CASE WHEN n1 + 2.0*n2 > 0 THEN n1/(n1 + 2.0*n2)
+                   ELSE 0.5 END AS d
+            FROM (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n1,
+                         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n2 FROM kc2)),
+    kd3 AS (SELECT CASE WHEN n1 + 2.0*n2 > 0 THEN n1/(n1 + 2.0*n2)
+                   ELSE 0.5 END AS d
+            FROM (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n1,
+                         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS n2 FROM kr3)),
+    ku AS (SELECT CAST(SUM(c) AS DOUBLE) AS den, COUNT(*) AS v FROM kc1),
+    kp1f AS (
+      SELECT kc1.w, kc1.c,
+             greatest(kc1.c - kd1.d, 0) / ku.den
+             + (kd1.d * ku.v / ku.den) * (1.0 / (ku.v + 1)) AS p
+      FROM kc1, kd1, ku
+    ),
+    ks2 AS (SELECT h, CAST(SUM(c) AS DOUBLE) AS den, COUNT(*) AS n1p
+            FROM kc2 GROUP BY h),
+    kp2f AS (
+      SELECT kc2.h, kc2.w, kc2.c,
+             greatest(kc2.c - kd2.d, 0) / s.den
+             + (kd2.d * s.n1p / s.den) * p1.p AS p
+      FROM kc2 JOIN ks2 s USING (h) JOIN kp1f p1 USING (w), kd2
+    ),
+    ks3 AS (SELECT h, CAST(SUM(c) AS DOUBLE) AS den, COUNT(*) AS n1p
+            FROM kr3 GROUP BY h),
+    kp3f AS (
+      SELECT kr3.h, kr3.w, kr3.c,
+             greatest(kr3.c - kd3.d, 0) / s.den
+             + (kd3.d * s.n1p / s.den) * p2.p AS p
+      FROM kr3 JOIN ks3 s USING (h)
+      JOIN kp2f p2 ON p2.h = substr(kr3.h, instr(kr3.h, ' ') + 1)
+                  AND p2.w = kr3.w, kd3
+    ),
+    kp1 AS (SELECT w, CAST(round(ln(p), 6) AS DECIMAL(26,12)) AS logp
+            FROM kp1f ORDER BY c DESC, w ASC LIMIT 500),
+    kp2 AS (SELECT h, w, CAST(round(ln(p), 6) AS DECIMAL(26,12)) AS logp
+            FROM kp2f ORDER BY c DESC, h ASC, w ASC LIMIT 1500),
+    kp3 AS (SELECT h, w, CAST(round(ln(p), 6) AS DECIMAL(26,12)) AS logp
+            FROM kp3f ORDER BY c DESC, h ASC, w ASC LIMIT 1500),
+    kb2 AS (SELECT h, CAST(round(ln(kd2.d * n1p / den), 6)
+                           AS DECIMAL(26,12)) AS logb
+            FROM ks2, kd2 ORDER BY den DESC, h ASC LIMIT 1000),
+    kb3 AS (SELECT h, CAST(round(ln(kd3.d * n1p / den), 6)
+                           AS DECIMAL(26,12)) AS logb
+            FROM ks3, kd3 ORDER BY den DESC, h ASC LIMIT 1000),
+    kunk AS (SELECT CAST(round(ln((kd1.d * ku.v / ku.den)
+                                  * (1.0 / (ku.v + 1))), 6)
+                         AS DECIMAL(26,12)) AS u FROM kd1, ku),
+    ksc AS (
+      SELECT k.doc_id,
+             CASE WHEN p3.logp IS NOT NULL THEN p3.logp
+                  WHEN p2.logp IS NOT NULL THEN
+                    coalesce(b3.logb, CAST(0 AS DECIMAL(26,12))) + p2.logp
+                  ELSE coalesce(b3.logb, CAST(0 AS DECIMAL(26,12)))
+                       + coalesce(b2.logb, CAST(0 AS DECIMAL(26,12)))
+                       + coalesce(p1.logp, kunk.u)
+             END AS lp
+      FROM kpos k
+      LEFT JOIN kp3 p3 ON p3.h = k.h3 AND p3.w = k.w
+      LEFT JOIN kb3 b3 ON b3.h = k.h3
+      LEFT JOIN kp2 p2 ON p2.h = k.h2 AND p2.w = k.w
+      LEFT JOIN kb2 b2 ON b2.h = k.h2
+      LEFT JOIN kp1 p1 ON p1.w = k.w, kunk
+    ),
+    kagg AS (
+      SELECT doc_id, CAST(sum(lp) AS DECIMAL(38,12)) AS s
+      FROM ksc GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
-           CAST(CAST(coalesce(agg.s, 0) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logp
-    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+           CAST(CAST(coalesce(agg.s, 0) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logp,
+           CAST(CAST(coalesce(kagg.s, 0) AS DECIMAL(38,12)) AS DOUBLE)
+             AS sum_logp_kn
+    FROM documents d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    LEFT JOIN kagg ON kagg.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     tables=["documents"],
-    doc="CCNet-style bigram-LM stupid-backoff log-prob scores vs the "
-        "lang='en' reference corpus — decimal-exact sums (operators/lm.py)",
+    doc="CCNet-style LM log-prob scores vs the lang='en' reference "
+        "corpus, decimal-exact sums: stupid-backoff bigram "
+        "(operators/lm.py) and — r13 — the interpolated Kneser-Ney "
+        "trigram (operators/knlm.py, the published CCNet/RedPajama "
+        "estimator) with FULL training replay in the oracle "
+        "(continuation counts, leave-one-out discounts, bottom-up "
+        "interpolation, pruning, ARPA backoff walk)",
 )

@@ -9,13 +9,21 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from apache_pinot_spark.operators import bm25 as B
 
 SF = "/root/testdata/sf0.001"
 
+#: deterministic word-soup corpus for the multi-query tests
+_VOCAB = ["table", "scan", "join", "key", "sort", "fast", "row",
+          "hash", "merge", "window", "agg", "filter"]
 
-def _corpus(spark, texts):
+
+def _corpus(spark, texts=None):
+    if texts is None:
+        texts = [" ".join(_VOCAB[(i * j) % 12] for j in range(3, 18))
+                 for i in range(60)]
     return spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
 
@@ -84,3 +92,57 @@ def test_top_k_limits_and_rank_order(spark, duck):
     top3 = B.bm25_scores(docs, "the and of", top_k=3).collect()
     assert len(top3) == 3
     assert top3[0].score >= top3[1].score >= top3[2].score
+
+
+def test_multi_query_matches_single_query_path(spark):
+    """The batched form's per-query results equal the single-query
+    path's (same idf/tf arithmetic; float sums agree to 1e-12; ranks
+    and matched-term counts exact)."""
+    from apache_pinot_spark.operators.bm25 import (bm25_scores,
+                                                   bm25_scores_multi)
+
+    d = _corpus(spark)
+    queries = {"q_scan": "table scan fast",
+               "q_join": "hash join merge",
+               "q_win": "window sort key"}
+    multi = bm25_scores_multi(d, queries, top_k=5).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, q in queries.items():
+        single = bm25_scores(d, q, top_k=5).collect()
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.doc_id for r in got] == [r.doc_id for r in single], qid
+        assert [r.n_matched_terms for r in got] == \
+            [r.n_matched_terms for r in single], qid
+        for g, s in zip(got, single):
+            assert abs(g.score - s.score) < 1e-12, (qid, g, s)
+
+
+def test_multi_query_thousand_queries_one_pass(spark):
+    """1000 queries complete in one batched job (the SCALE shape); the
+    per-query top-k is bounded and ranks are dense from 1."""
+    from apache_pinot_spark.operators.bm25 import bm25_scores_multi
+
+    d = _corpus(spark)
+    vocab = ["table", "scan", "join", "key", "sort", "fast", "row",
+             "hash", "merge", "window"]
+    queries = {f"q{i}": f"{vocab[i % 10]} {vocab[(i // 10) % 10]}"
+               for i in range(1000)}
+    out = bm25_scores_multi(d, queries, top_k=3)
+    rows = out.groupBy("query_id").count().collect()
+    assert len(rows) == 1000
+    assert all(r["count"] <= 3 for r in rows)
+    one = sorted((r.rank for r in out.where(F.col("query_id") == "q7")
+                  .collect()))
+    assert one == list(range(1, len(one) + 1))
+
+
+def test_multi_query_validation(spark):
+    from apache_pinot_spark.operators.bm25 import bm25_scores_multi
+
+    d = _corpus(spark)
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_scores_multi(d, {"bad": "!!!"})
+    with pytest.raises(ValueError, match="no queries"):
+        bm25_scores_multi(d, {})

@@ -97,5 +97,8 @@ def test_gates_accounting_matches_oracle(spark):
     assert by["normalize"][1] < by["domain_blocklist"][1]
     assert by["word_blocklist"][0] < by["normalize"][0]
     assert by["gopher_quality"][0] < by["word_blocklist"][0]
-    assert by["substring_dedup"][0] == by["gopher_quality"][0]
-    assert by["substring_dedup"][1] < by["gopher_quality"][1]
+    # r13: the frozen model-quality gate drops the spam-tailed class
+    # (roughly a third of survivors) and keeps the rest
+    assert 0 < by["model_quality"][0] < by["gopher_quality"][0]
+    assert by["substring_dedup"][0] == by["model_quality"][0]
+    assert by["substring_dedup"][1] < by["model_quality"][1]
