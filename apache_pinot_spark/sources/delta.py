@@ -1107,3 +1107,358 @@ def stats_exclude(stats: dict[str, Any] | None,
         except TypeError:
             continue  # incomparable types: keep the file
     return False
+
+
+# ---------------------------------------------------------------------------
+# Data-file maintenance: VACUUM + OPTIMIZE-style compaction
+# ---------------------------------------------------------------------------
+
+def vacuum_data_files(spark: SparkSession, table: str, *,
+                      retain_ms: int = 7 * 24 * 3600 * 1000,
+                      dry_run: bool = False,
+                      now_ms: int | None = None) -> list[str]:
+    """The spec's VACUUM: physically delete data files that are NOT
+    referenced by the CURRENT snapshot and whose tombstone (or, for
+    orphans the log never saw, file mtime) is older than ``retain_ms``.
+    Returns the table-relative paths removed (or would-be removed with
+    ``dry_run=True``).
+
+    Protections, per the real command's contract:
+      * current-snapshot files are never candidates — neither are their
+        deletion-vector sidecars;
+      * the retention window guards in-flight readers of recent
+        versions (time travel past it is what breaks, exactly like the
+        connector);
+      * only ``*.parquet`` and ``deletion_vector_*.bin`` under the
+        table root are considered — the transaction log is untouched
+        (``vacuum_expired_commits`` is the log-side cleanup).
+
+    Scale shape: the candidate walk is filesystem metadata; the live
+    set comes from one snapshot reconstruction (manifest scale). No
+    data is read.
+    """
+    now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+    snap = snapshot(spark, table)
+    live: set[str] = set()
+    for af in snap.files:
+        live.add(os.path.normpath(af.path))
+        dv = af.deletion_vector
+        if dv and dv.get("storageType") == "u":
+            import uuid as uuid_mod
+
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid_mod.UUID(bytes=z85_decode(tail))
+            rel = os.path.join(prefix, f"deletion_vector_{u}.bin") \
+                if prefix else f"deletion_vector_{u}.bin"
+            live.add(os.path.normpath(rel))
+
+    # newest tombstone per path from the log (remove actions)
+    commits, _cp = _list_log(table)
+    tomb: dict[str, int] = {}
+    for v in commits:
+        for a in _read_commit(table, v):
+            rem = a.get("remove")
+            if rem and rem.get("path"):
+                p = os.path.normpath(urllib.parse.unquote(rem["path"]))
+                ts = int(rem.get("deletionTimestamp") or 0)
+                tomb[p] = max(tomb.get(p, 0), ts)
+
+    removed: list[str] = []
+    for dirpath, dirs, names in os.walk(table):
+        dirs[:] = [d for d in dirs
+                   if d != _LOG_DIR and not d.startswith(".")]
+        for name in names:
+            is_data = name.endswith(".parquet")
+            is_dv = (name.startswith("deletion_vector_")
+                     and name.endswith(".bin"))
+            if not (is_data or is_dv):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.normpath(os.path.relpath(full, table))
+            if rel in live:
+                continue
+            cutoff = tomb.get(rel)
+            if cutoff is None:  # orphan the log never saw: use mtime
+                cutoff = int(os.path.getmtime(full) * 1000)
+            if now - cutoff < retain_ms:
+                continue
+            removed.append(rel)
+            if not dry_run:
+                os.remove(full)
+    return sorted(removed)
+
+
+def compact_delta(spark: SparkSession, table: str, *,
+                  min_files: int = 2,
+                  layout: str = "repartition") -> int | None:
+    """OPTIMIZE-style bin-packing compaction: partitions (or the
+    unpartitioned table) holding at least ``min_files`` live files are
+    rewritten as one file each in a single commit — adds with
+    ``dataChange=False`` + removes of the originals, the spec's
+    compaction shape (readers see identical rows before and after;
+    the old files stay until VACUUM).
+
+    Returns the committed version, or None when nothing qualified.
+    A lost commit race raises DeltaConcurrentModificationError (the
+    action set carries removes), matching the real command."""
+    snap = snapshot(spark, table)
+    part_cols = snap.partition_columns
+    groups: dict[tuple, list[_AddFile]] = {}
+    for af in snap.files:
+        key = tuple(sorted((af.partition_values or {}).items()))
+        groups.setdefault(key, []).append(af)
+    todo = {k: fs for k, fs in groups.items() if len(fs) >= min_files}
+    if not todo:
+        return None
+
+    victims = [af for fs in todo.values() for af in fs]
+    paths = [os.path.realpath(os.path.join(table, af.path))
+             for af in victims]
+    if any(af.deletion_vector for af in victims):
+        raise DeltaProtocolError(
+            "compaction over deletion-vector files must materialize the "
+            "DVs first (read_delta + overwrite) — refusing to drop them "
+            "silently")
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in part_cols])
+    cm = _cm_mode(snap.metadata) != "none"
+    if cm:
+        data_schema = _physical_type(data_schema)
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if part_cols:
+        # reattach partition values so write groups land correctly
+        phys_of = {f.name: (_phys_field_name(f) if cm else f.name)
+                   for f in snap.schema.fields}
+        fmap_rows = []
+        for p, af in zip(paths, victims):
+            row = {"__delta_file": p}
+            for c in part_cols:
+                row[c] = _cast_partition_value(
+                    (af.partition_values or {}).get(phys_of[c]),
+                    {f.name: f.dataType for f in snap.schema.fields}[c])
+            fmap_rows.append(row)
+        map_schema = T.StructType(
+            [T.StructField("__delta_file", T.StringType(), False)]
+            + [T.StructField(c, snap.schema[c].dataType, True)
+               for c in part_cols])
+        df = guarded_file_map_join(
+            df.withColumn("__delta_file", decoded_file_path()),
+            spark.createDataFrame(fmap_rows, map_schema),
+            "__delta_file", "compact_delta partition reattach"
+        ).drop("__delta_file")
+
+    # one file per partition group
+    if part_cols:
+        df = df.repartition(*[F.col(c) for c in part_cols])
+    else:
+        df = df.coalesce(1)
+    stage = os.path.join(table, f".compact-{os.getpid()}-{time.time_ns()}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    for dirpath, _dirs, names in os.walk(stage):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, name)
+            try:
+                import pyarrow.parquet as pq
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+            except Exception:
+                pass
+            rel_dir = os.path.relpath(dirpath, stage)
+            pv: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    kk, _, raw = seg.partition("=")
+                    pv[kk] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                              else urllib.parse.unquote(raw))
+            rel_target = (os.path.join(rel_dir, name)
+                          if rel_dir != "." else name)
+            dst = os.path.join(table, rel_target)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            add = {
+                "path": urllib.parse.quote(rel_target.replace(os.sep, "/")),
+                "partitionValues": {k: pv.get(k)
+                                    for k in (snap.metadata.get(
+                                        "partitionColumns") or [])},
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": False,
+            }
+            try:
+                add["stats"] = json.dumps(_footer_stats(dst))
+            except Exception:
+                pass
+            adds.append(add)
+    _rmtree(stage)
+
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "OPTIMIZE",
+        "operationParameters": {"minFiles": str(min_files)},
+        "engineInfo": "apache-pinot-spark native-delta"}}]
+    actions.extend({"add": a} for a in adds)
+    for af in victims:
+        actions.append({"remove": {
+            "path": urllib.parse.quote(af.path),
+            "deletionTimestamp": now_ms,
+            "dataChange": False}})
+    return _commit_atomically(table, actions, snap.version + 1)
+
+
+# ---------------------------------------------------------------------------
+# DELETE via deletion vectors (the modern writer path)
+# ---------------------------------------------------------------------------
+
+def z85_encode(b: bytes) -> str:
+    """Z85 encode (4 bytes → 5 chars) — inverse of :func:`z85_decode`."""
+    if len(b) % 4:
+        raise ValueError("z85 input length must be a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[acc % 85])
+            acc //= 85
+        out += reversed(chunk)
+    return "".join(out)
+
+
+def _serialize_dv_bitmaps(positions: np.ndarray) -> bytes:
+    """Sorted row indexes → the spec's serialized RoaringBitmapArray
+    (LE magic, LE int64 bucket count, per bucket LE int32 high key +
+    standard 32-bit roaring)."""
+    from apache_pinot_spark.functions import bitmap_wire
+
+    pos = np.unique(np.asarray(positions, dtype=np.int64))
+    if (pos < 0).any():
+        raise ValueError("negative row index in deletion vector")
+    out = struct.pack("<iq", _DV_MAGIC, 0)
+    buckets = 0
+    chunks = [out]
+    for key in np.unique(pos >> 32):
+        vals = (pos[(pos >> 32) == key] & 0xFFFFFFFF).astype(np.uint32)
+        bm = bitmap_wire.RoaringBitmap32.from_values(vals)
+        chunks.append(struct.pack("<i", int(key))
+                      + bitmap_wire.serialize(bm))
+        buckets += 1
+    chunks[0] = struct.pack("<iq", _DV_MAGIC, buckets)
+    return b"".join(chunks)
+
+
+def delete_where(spark: SparkSession, table: str, condition) -> int | None:
+    """DELETE FROM ``table`` WHERE ``condition`` by writing DELETION
+    VECTORS — no data file is rewritten (the modern connector's default
+    DELETE path). Returns the committed version, or None when nothing
+    matched.
+
+    ``condition``: a Column or SQL string over the table's LOGICAL
+    schema. Matching (file, row_index) pairs are computed in one scan
+    (column mapping honored), merged with each file's EXISTING DV, and
+    serialized into ONE new sidecar (CRC-framed, Z85 uuid naming); the
+    commit removes each touched (path, old DV) logical file and re-adds
+    (path, new DV). A lost commit race raises
+    DeltaConcurrentModificationError (the set carries removes).
+
+    Scale shape: the scan is predicate-pushed; only MATCHING rows'
+    (file, pos) pairs come back to the driver (the DV premise — deletes
+    are a small fraction; a full-table delete belongs to overwrite).
+    """
+    import uuid as uuid_mod
+
+    snap = snapshot(spark, table)
+    if not snap.files:
+        return None
+    cm = _cm_mode(snap.metadata) != "none"
+    part_cols = snap.partition_columns
+    logical_data = T.StructType(
+        [f for f in snap.schema.fields if f.name not in part_cols])
+    read_schema = _physical_type(logical_data) if cm else logical_data
+    paths = [os.path.realpath(os.path.join(table, af.path))
+             for af in snap.files]
+    by_path = {p: af for p, af in zip(paths, snap.files)}
+
+    df = (spark.read.schema(read_schema).parquet(*paths)
+          .withColumn("__delta_file", decoded_file_path())
+          .withColumn("__delta_pos", F.col("_metadata.row_index")))
+    if part_cols:
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        phys_of = {f.name: (_phys_field_name(f) if cm else f.name)
+                   for f in snap.schema.fields}
+        map_rows = [
+            {"__delta_file": p,
+             **{c: _cast_partition_value(
+                 (af.partition_values or {}).get(phys_of[c]), by_name[c])
+                for c in part_cols}}
+            for p, af in zip(paths, snap.files)]
+        map_schema = T.StructType(
+            [T.StructField("__delta_file", T.StringType(), False)]
+            + [T.StructField(c, by_name[c], True) for c in part_cols])
+        df = guarded_file_map_join(
+            df, spark.createDataFrame(map_rows, map_schema),
+            "__delta_file", "delete_where partition reconstitution")
+    if cm:
+        exprs = [
+            _to_logical_expr(F.col(pf.name), pf.dataType, lf.dataType)
+            .alias(lf.name)
+            for pf, lf in zip(read_schema.fields, logical_data.fields)]
+        keep = [F.col(c) for c in
+                ("__delta_file", "__delta_pos", *part_cols)]
+        df = df.select(*exprs, *keep)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hits = (df.where(cond)
+            .select("__delta_file", "__delta_pos")
+            .collect())
+    if not hits:
+        return None
+    new_pos: dict[str, list[int]] = {}
+    for r in hits:
+        new_pos.setdefault(r["__delta_file"], []).append(
+            int(r["__delta_pos"]))
+
+    now_ms = int(time.time() * 1000)
+    u = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL,
+                       f"{table}:{snap.version + 1}:{now_ms}")
+    sidecar = f"deletion_vector_{u}.bin"
+    blob = bytearray(b"\x01")
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "DELETE",
+        "operationParameters": {}, "engineInfo":
+            "apache-pinot-spark native-delta"}}]
+    for p, positions in sorted(new_pos.items()):
+        af = by_path[p]
+        merged = np.asarray(positions, dtype=np.int64)
+        if af.deletion_vector:  # union with the file's existing DV
+            merged = np.concatenate(
+                [merged, dv_positions(table, af.deletion_vector)])
+        data = _serialize_dv_bitmaps(merged)
+        offset = len(blob)
+        blob += struct.pack(">i", len(data)) + data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        card = len(np.unique(merged))
+        dv = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+              "offset": offset, "sizeInBytes": len(data),
+              "cardinality": card}
+        rm = {"path": urllib.parse.quote(af.path),
+              "deletionTimestamp": now_ms, "dataChange": True}
+        if af.deletion_vector:
+            rm["deletionVector"] = af.deletion_vector
+        actions.append({"remove": rm})
+        actions.append({"add": {
+            "path": urllib.parse.quote(af.path),
+            "partitionValues": af.partition_values,
+            "size": af.size, "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(af.stats) if af.stats else None,
+            "deletionVector": dv}})
+    with open(os.path.join(table, sidecar), "wb") as fh:
+        fh.write(bytes(blob))
+    return _commit_atomically(table, actions, snap.version + 1)

@@ -1221,3 +1221,111 @@ def _epoch_sink(table: str, query_name: str,
                                      "spark.epoch-id": str(int(epoch_id))})
 
     return _sink
+
+
+# ---------------------------------------------------------------------------
+# Snapshot expiry (the spec's expire_snapshots maintenance action)
+# ---------------------------------------------------------------------------
+
+def expire_snapshots(table: str, *, keep_last: int = 1,
+                     older_than_ms: int | None = None,
+                     dry_run: bool = False) -> dict[str, list]:
+    """Drop old snapshots from the table metadata and physically delete
+    files only THEY reference (manifest lists, manifests, and data /
+    delete files unreachable from every retained snapshot). The current
+    snapshot always survives; ``keep_last`` keeps the N newest, and
+    ``older_than_ms`` additionally protects anything newer than the
+    cutoff. Returns {"snapshots": [ids], "files": [paths]} removed (or
+    would-be with ``dry_run``).
+
+    The new metadata lands as the NEXT vN.metadata.json through the
+    same atomic O_EXCL commit as writes — a crash leaves the previous
+    metadata intact. Scale shape: everything here is manifest-scale
+    metadata work; no data is read."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot "
+                         "always survives)")
+    meta = load_metadata(table)
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: s["timestamp-ms"])
+    if not snaps:
+        return {"snapshots": [], "files": []}
+    current_id = meta.get("current-snapshot-id")
+    retained, expired = [], []
+    for i, s in enumerate(snaps):
+        keep = (i >= len(snaps) - keep_last
+                or s["snapshot-id"] == current_id)
+        if not keep and older_than_ms is not None \
+                and s["timestamp-ms"] >= older_than_ms:
+            keep = True
+        (retained if keep else expired).append(s)
+    if not expired:
+        return {"snapshots": [], "files": []}
+
+    def _reachable(snapshot_list):
+        mls, mans, datas = set(), set(), set()
+        for s in snapshot_list:
+            ml = s.get("manifest-list")
+            if not ml:
+                continue
+            ml_local = _resolve_path(table, meta, ml)
+            mls.add(os.path.normpath(ml_local))
+            try:
+                rows = _read_manifest_avro(ml_local)
+            except (OSError, IcebergError):
+                continue
+            for row in rows:
+                man_local = _resolve_path(table, meta,
+                                          row["manifest_path"])
+                mans.add(os.path.normpath(man_local))
+                try:
+                    entries = _read_manifest_avro(man_local)
+                except (OSError, IcebergError):
+                    continue
+                for entry in entries:
+                    dfr = entry.get("data_file") or {}
+                    if dfr.get("file_path"):
+                        datas.add(os.path.normpath(_resolve_path(
+                            table, meta, dfr["file_path"])))
+        return mls, mans, datas
+
+    keep_mls, keep_mans, keep_datas = _reachable(retained)
+    exp_mls, exp_mans, exp_datas = _reachable(expired)
+    doomed = sorted((exp_mls - keep_mls) | (exp_mans - keep_mans)
+                    | (exp_datas - keep_datas))
+
+    if not dry_run:
+        expired_ids = {s["snapshot-id"] for s in expired}
+        new_meta = dict(meta)
+        new_meta["snapshots"] = [s for s in snaps
+                                 if s["snapshot-id"] not in expired_ids]
+        new_meta["snapshot-log"] = [
+            e for e in (meta.get("snapshot-log") or [])
+            if e.get("snapshot-id") not in expired_ids]
+        md_dir = _metadata_dir(table)
+        cur = os.path.basename(current_metadata_path(table))
+        m = re.match(r"v(\d+)\.metadata\.json$", cur)
+        version = (int(m.group(1)) if m else 0) + 1
+        for _ in range(1000):
+            target = os.path.join(md_dir, f"v{version}.metadata.json")
+            try:
+                fd = os.open(target,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            except FileExistsError:
+                version += 1
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(new_meta, fh)
+            break
+        else:
+            raise IcebergError("could not win a metadata commit slot")
+        with open(os.path.join(md_dir, "version-hint.text"), "w",
+                  encoding="utf-8") as fh:
+            fh.write(str(version))
+        for p in doomed:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return {"snapshots": sorted(s["snapshot-id"] for s in expired),
+            "files": doomed}
