@@ -1193,11 +1193,14 @@ def compact_delta(spark: SparkSession, table: str, *,
                   min_files: int = 2,
                   layout: str = "repartition") -> int | None:
     """OPTIMIZE-style bin-packing compaction: partitions (or the
-    unpartitioned table) holding at least ``min_files`` live files are
-    rewritten as one file each in a single commit — adds with
-    ``dataChange=False`` + removes of the originals, the spec's
-    compaction shape (readers see identical rows before and after;
-    the old files stay until VACUUM).
+    unpartitioned table) holding at least ``min_files`` live files —
+    or ANY file carrying a deletion vector — are rewritten as one file
+    each in a single commit: adds with ``dataChange=False`` + removes
+    of the originals, the spec's compaction shape (readers see
+    identical rows before and after; the old files stay until VACUUM).
+    DV-carrying files are PURGED on the way through (their deleted rows
+    are dropped physically and the rewritten files carry no DV) — the
+    real OPTIMIZE's reorg/purge behavior.
 
     Returns the committed version, or None when nothing qualified.
     A lost commit race raises DeltaConcurrentModificationError (the
@@ -1208,24 +1211,43 @@ def compact_delta(spark: SparkSession, table: str, *,
     for af in snap.files:
         key = tuple(sorted((af.partition_values or {}).items()))
         groups.setdefault(key, []).append(af)
-    todo = {k: fs for k, fs in groups.items() if len(fs) >= min_files}
+    todo = {k: fs for k, fs in groups.items()
+            if len(fs) >= min_files
+            or any(af.deletion_vector for af in fs)}
     if not todo:
         return None
 
     victims = [af for fs in todo.values() for af in fs]
     paths = [os.path.realpath(os.path.join(table, af.path))
              for af in victims]
-    if any(af.deletion_vector for af in victims):
-        raise DeltaProtocolError(
-            "compaction over deletion-vector files must materialize the "
-            "DVs first (read_delta + overwrite) — refusing to drop them "
-            "silently")
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in part_cols])
     cm = _cm_mode(snap.metadata) != "none"
     if cm:
         data_schema = _physical_type(data_schema)
     df = spark.read.schema(data_schema).parquet(*paths)
+
+    dv_files = [(p, af) for p, af in zip(paths, victims)
+                if af.deletion_vector]
+    if dv_files:
+        # purge: drop each DV'd file's deleted rows during the rewrite
+        import pandas as pd
+
+        frames = [pd.DataFrame({
+            "__delta_file": p,
+            "__delta_pos": dv_positions(table, af.deletion_vector)})
+            for p, af in dv_files]
+        dels = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema=T.StructType([
+                T.StructField("__delta_file", T.StringType(), False),
+                T.StructField("__delta_pos", T.LongType(), False)]))
+        df = (df.withColumn("__delta_file", decoded_file_path())
+              .withColumn("__delta_pos", F.col("_metadata.row_index"))
+              .join(dels, ["__delta_file", "__delta_pos"], "left_anti")
+              .drop("__delta_pos"))
+    elif part_cols:
+        df = df.withColumn("__delta_file", decoded_file_path())
     if part_cols:
         # reattach partition values so write groups land correctly
         phys_of = {f.name: (_phys_field_name(f) if cm else f.name)
@@ -1243,10 +1265,11 @@ def compact_delta(spark: SparkSession, table: str, *,
             + [T.StructField(c, snap.schema[c].dataType, True)
                for c in part_cols])
         df = guarded_file_map_join(
-            df.withColumn("__delta_file", decoded_file_path()),
-            spark.createDataFrame(fmap_rows, map_schema),
+            df, spark.createDataFrame(fmap_rows, map_schema),
             "__delta_file", "compact_delta partition reattach"
         ).drop("__delta_file")
+    elif dv_files:
+        df = df.drop("__delta_file")
 
     # one file per partition group
     if part_cols:
@@ -1306,10 +1329,15 @@ def compact_delta(spark: SparkSession, table: str, *,
         "engineInfo": "apache-pinot-spark native-delta"}}]
     actions.extend({"add": a} for a in adds)
     for af in victims:
-        actions.append({"remove": {
-            "path": urllib.parse.quote(af.path),
-            "deletionTimestamp": now_ms,
-            "dataChange": False}})
+        rm = {"path": urllib.parse.quote(af.path),
+              "deletionTimestamp": now_ms,
+              "dataChange": False}
+        if af.deletion_vector:
+            # the logical-file key is (path, dvId): without the DV on
+            # the remove, reconstruction would pop (path, "") and leave
+            # the old DV'd file live — duplicate rows after compaction
+            rm["deletionVector"] = af.deletion_vector
+        actions.append({"remove": rm})
     return _commit_atomically(table, actions, snap.version + 1)
 
 

@@ -291,3 +291,39 @@ def test_delete_where_then_vacuum_keeps_sidecar(spark, table):
     assert removed == []  # data file + live sidecar both protected
     assert sorted(r.k for r in D.read_delta(spark, table).collect()) \
         == [0, 1, 2, 3, 4]
+
+
+def test_compact_purges_deletion_vectors(spark, table):
+    """OPTIMIZE over DV-carrying files: deleted rows are dropped
+    physically, the rewritten files carry no DV, and the logical rows
+    are unchanged — even a single-file table qualifies when it has a
+    DV (the purge trigger)."""
+    D.write_delta(_mkdf(spark, [{"k": i} for i in range(8)]).coalesce(1),
+                  table)
+    D.delete_where(spark, table, "k >= 6")
+    v = D.compact_delta(spark, table)  # 1 file, but DV'd → rewritten
+    assert v == 2
+    snap = D.snapshot(spark, table)
+    assert snap.num_files == 1
+    assert snap.files[0].deletion_vector is None
+    got = sorted(r.k for r in D.read_delta(spark, table).collect())
+    assert got == list(range(6))
+    # vacuum can now drop the pre-purge file AND its sidecar
+    removed = D.vacuum_data_files(spark, table, retain_ms=0)
+    assert any(r.endswith(".parquet") for r in removed)
+    assert any(r.startswith("deletion_vector_") for r in removed)
+    assert sorted(r.k for r in D.read_delta(spark, table).collect()) \
+        == list(range(6))
+
+
+def test_compact_mixed_dv_and_plain_partitioned(spark, table):
+    rows = [{"k": i, "tag": "a" if i < 6 else "b"} for i in range(12)]
+    D.write_delta(_mkdf(spark, rows), table, partition_by=["tag"])
+    D.write_delta(_mkdf(spark, [{"k": 100, "tag": "a"}]), table,
+                  partition_by=["tag"])
+    D.delete_where(spark, table, "k = 3")
+    assert D.compact_delta(spark, table) is not None
+    snap = D.snapshot(spark, table)
+    assert all(af.deletion_vector is None for af in snap.files)
+    got = sorted(r.k for r in D.read_delta(spark, table).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 100]
