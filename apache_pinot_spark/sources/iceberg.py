@@ -71,6 +71,12 @@ class IcebergError(RuntimeError):
     """Unreadable/unsupported Iceberg table state."""
 
 
+#: table-property prefix preserving per-query streaming epoch
+#: high-water marks across snapshot expiry
+_EPOCH_PROP_PREFIX = "apache-pinot-spark.committed-epoch."
+
+
+
 # ---------------------------------------------------------------------------
 # Metadata resolution
 # ---------------------------------------------------------------------------
@@ -1187,12 +1193,22 @@ def stream_to_iceberg(stream_df: DataFrame, table: str, *,
 
 def committed_epoch(table: str, query_name: str) -> int:
     """Highest epoch id a query has stamped into this table's snapshot
-    summaries (-1 when none) — the streaming sink's replay guard."""
+    summaries (-1 when none) — the streaming sink's replay guard.
+    Snapshot expiry preserves each query's high-water mark in a table
+    property, so expiring stamped snapshots cannot re-open the door to
+    a replayed epoch."""
     try:
         meta = load_metadata(table)
     except (FileNotFoundError, IcebergError):
         return -1
     best = -1
+    prop = (meta.get("properties") or {}).get(
+        f"{_EPOCH_PROP_PREFIX}{query_name}")
+    if prop is not None:
+        try:
+            best = int(prop)
+        except (TypeError, ValueError):
+            pass
     for s in meta.get("snapshots") or []:
         summ = s.get("summary") or {}
         if summ.get("spark.query-name") == query_name:
@@ -1302,6 +1318,26 @@ def expire_snapshots(table: str, *, keep_last: int = 1,
         new_meta["snapshot-log"] = [
             e for e in (meta.get("snapshot-log") or [])
             if e.get("snapshot-id") not in expired_ids]
+        # preserve streaming replay guards: an expired snapshot's
+        # (query, epoch) stamp folds into a table-property high-water
+        # mark so committed_epoch never regresses after expiry
+        props = dict(new_meta.get("properties") or {})
+        for s_exp in expired:
+            summ = s_exp.get("summary") or {}
+            qn = summ.get("spark.query-name")
+            if not qn:
+                continue
+            try:
+                ep = int(summ.get("spark.epoch-id", -1))
+            except (TypeError, ValueError):
+                continue
+            key = f"{_EPOCH_PROP_PREFIX}{qn}"
+            try:
+                prev = int(props.get(key, -1))
+            except (TypeError, ValueError):
+                prev = -1
+            props[key] = str(max(prev, ep))
+        new_meta["properties"] = props
         md_dir = _metadata_dir(table)
         cur = os.path.basename(current_metadata_path(table))
         m = re.match(r"v(\d+)\.metadata\.json$", cur)

@@ -327,3 +327,23 @@ def test_compact_mixed_dv_and_plain_partitioned(spark, table):
     assert all(af.deletion_vector is None for af in snap.files)
     got = sorted(r.k for r in D.read_delta(spark, table).collect())
     assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 100]
+
+
+def test_expire_snapshots_preserves_streaming_epoch_guard(spark, tmp_path):
+    """Expiring snapshots that carry the streaming sink's epoch stamps
+    must not regress committed_epoch — a replayed old epoch would
+    otherwise double-commit after table maintenance."""
+    root = str(tmp_path / "ice3")
+    sink = I._epoch_sink(root, "qA", None)
+    df = spark.createDataFrame([(1,)], "k long")
+    for epoch in (0, 1, 2):
+        sink(df, epoch)
+    I.write_iceberg(_wdf(spark, [{"k": 9}]), root)  # unstamped snapshot
+    assert I.committed_epoch(root, "qA") == 2
+    got = I.expire_snapshots(root, keep_last=1)
+    assert len(got["snapshots"]) == 3  # all stamped snapshots expired
+    assert I.committed_epoch(root, "qA") == 2  # guard survives
+    sink(df, 2)  # replay of the highest expired epoch: still a no-op
+    assert len(I.load_metadata(root)["snapshots"]) == 1
+    sink(df, 3)  # a genuinely new epoch commits
+    assert I.committed_epoch(root, "qA") == 3
