@@ -1365,3 +1365,30 @@ def expire_snapshots(table: str, *, keep_last: int = 1,
                 pass
     return {"snapshots": sorted(s["snapshot-id"] for s in expired),
             "files": doomed}
+
+
+def compact_iceberg(spark: SparkSession, table: str) -> int | None:
+    """Rewrite the current snapshot's data files as ONE overwrite
+    ("replace") snapshot with every position/equality delete applied —
+    Iceberg's rewrite_data_files + delete-purge in the spec's model:
+    old snapshots stay reachable for time travel until
+    :func:`expire_snapshots` retires them. Returns the new snapshot id,
+    or None when the table has a single clean data file already."""
+    snap = snapshot(table)
+    needs = (len(snap.data_files) > 1
+             or bool(snap.position_delete_files)
+             or bool(snap.equality_delete_files))
+    if not needs:
+        return None
+    df = read_iceberg(spark, table)
+    part_fields = ((snap.metadata.get("partition-specs")
+                    or [{"fields": []}])[0].get("fields", []))
+    part_cols = [pf["name"] for pf in part_fields] or None
+    if part_cols:
+        df = df.repartition(*[F.col(c) for c in part_cols])
+    else:
+        df = df.coalesce(1)
+    sid = write_iceberg(df, table, mode="overwrite",
+                        partition_by=part_cols,
+                        summary_extra={"compaction": "rewrite-data-files"})
+    return sid

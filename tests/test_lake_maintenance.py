@@ -347,3 +347,47 @@ def test_expire_snapshots_preserves_streaming_epoch_guard(spark, tmp_path):
     assert len(I.load_metadata(root)["snapshots"]) == 1
     sink(df, 3)  # a genuinely new epoch commits
     assert I.committed_epoch(root, "qA") == 3
+
+
+def test_compact_iceberg_purges_deletes_and_merges_files(spark, tmp_path):
+    root = str(tmp_path / "ice4")
+    s1 = I.write_iceberg(_wdf(spark, [{"k": 1}, {"k": 2}]).coalesce(1),
+                         root)
+    I.write_iceberg(_wdf(spark, [{"k": 3}]).coalesce(1), root)
+    assert len(I.snapshot(root).data_files) == 2
+    sid = I.compact_iceberg(spark, root)
+    assert sid is not None
+    snap = I.snapshot(root)
+    assert len(snap.data_files) == 1
+    got = sorted(r.k for r in I.read_iceberg(spark, root).collect())
+    assert got == [1, 2, 3]
+    # time travel to the pre-compaction snapshots still works
+    assert sorted(r.k for r in
+                  I.read_iceberg(spark, root, snapshot_id=s1)
+                  .collect()) == [1, 2]
+    # idempotent
+    assert I.compact_iceberg(spark, root) is None
+    # expiry then physically retires the old files
+    got2 = I.expire_snapshots(root, keep_last=1)
+    assert got2["snapshots"]
+    assert sorted(r.k for r in I.read_iceberg(spark, root).collect()) \
+        == [1, 2, 3]
+
+
+def test_catalog_views_over_dv_and_cm_tables(spark, tmp_path):
+    """register_lake_table routes through the native readers, so views
+    over deletion-vector tables read the post-delete rows."""
+    from apache_pinot_spark.catalog import PinotCatalog
+
+    table = str(tmp_path / "dvtbl")
+    D.write_delta(_mkdf(spark, [{"k": i} for i in range(6)]).coalesce(1),
+                  table)
+    D.delete_where(spark, table, "k >= 4")
+    cat = PinotCatalog(spark, str(tmp_path / "wh"))
+    cat.register_lake_table("dv_view", table, "delta")
+    got = sorted(r.k for r in spark.sql(
+        "SELECT k FROM dv_view").collect())
+    assert got == [0, 1, 2, 3]
+    # a time-travel-pinned view sees the pre-delete state
+    cat.register_lake_table("dv_view_v0", table, "delta", version=0)
+    assert spark.sql("SELECT COUNT(*) c FROM dv_view_v0").collect()[0].c == 6
