@@ -169,6 +169,20 @@ def mark_seen(df: DataFrame, key_col: str, bloom: DataFrame,
     pos_arr = _positions(key, m_bits, k, hash_mode)
 
     if mode == "broadcast":
+        # PERSIST the filter words before fanning out into k broadcast
+        # sides: each side aliases the columns differently, so exchange
+        # reuse never fires and the whole bloom-build subtree (snapshot
+        # scan → position explode → bit_or aggregate) would execute k
+        # times — measured as k copies of the build in the
+        # dedup_bloom_excision plan. The cached frame is bounded by the
+        # broadcast cap (≤ m_bits/64 rows ≤ 64 MB of words); its
+        # lifetime is tied to the returned frame (release_on_death), the
+        # repo's deterministic-release convention.
+        from pyspark import StorageLevel
+
+        from apache_pinot_spark.operators.lifecycle import release_on_death
+
+        bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
         out = df.withColumn("__bl_pos", pos_arr)
         seen = F.lit(True)
         for i in range(k):
@@ -185,9 +199,10 @@ def mark_seen(df: DataFrame, key_col: str, bloom: DataFrame,
             flag_col,
             F.when(key.isNull() | (F.length(key) == 0), F.lit(False))
             .otherwise(seen))
-        return out.drop("__bl_pos",
-                        *[c for i in range(k)
-                          for c in (f"__bl_w{i}", f"__bl_b{i}")])
+        out = out.drop("__bl_pos",
+                       *[c for i in range(k)
+                         for c in (f"__bl_w{i}", f"__bl_b{i}")])
+        return release_on_death(out, bloom)
 
     # shuffle mode: explode positions, one join + per-row aggregate
     rid = F.monotonically_increasing_id()
@@ -219,7 +234,12 @@ def filter_unseen(df: DataFrame, key_col: str, bloom: DataFrame,
     duplicate except at the accounted false-positive rate)."""
     flag_col = kwargs.get("flag_col", "bloom_seen")
     flagged = mark_seen(df, key_col, bloom, meta, **kwargs)
-    return flagged.where(~F.col(flag_col)).drop(flag_col)
+    out = flagged.where(~F.col(flag_col)).drop(flag_col)
+    # keep the probe frame (and through it the persisted bloom words —
+    # see mark_seen's release_on_death tie) alive until the caller's
+    # frame dies
+    out._bloom_probe_keepalive = flagged
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +308,10 @@ def dedup_paragraphs(df: DataFrame, bloom: DataFrame, meta: dict[str, Any],
            .drop("__new_text"))
     if "n_chars" in df.columns:
         out = out.withColumn("n_chars", F.length(text_col))
+    # keep the probe frame (and through it the persisted bloom words —
+    # see mark_seen's release_on_death tie) alive until the caller's
+    # frame dies
+    out._bloom_probe_keepalive = flagged
     return out
 
 

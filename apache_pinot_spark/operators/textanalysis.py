@@ -419,27 +419,45 @@ def normalize_corpus(
     cols = list(df.columns)
 
     def run(batches):
-        import re as _re
+        # r13 hot-loop rework (guide \u00a74.2): the old per-row closure ran
+        # a per-CHARACTER Python loop (`category(c) != "Cc"` + join) \u2014
+        # the single hottest spot in the gates bench slot (~5.9 s of an
+        # ~11 s query at sf0.1, measured by stage-attribution A/B).
+        # Now: unicodedata.normalize stays per-row (pyarrow 16's
+        # utf8_normalize NFC does not compose \u2014 verified \u2014 and CPython's
+        # normalize has the UAX#15 quick-check fast path, near-free on
+        # the ASCII-dominant corpus), while the newline canonicalization
+        # and BOTH strip classes run as Arrow kernels: two substring
+        # replaces plus ONE merged RE2 character-class deletion
+        # (zero-width/format marks \u222a every Cc except \n \t \u2014 deleting
+        # the union in one pass is exactly the old two sequential
+        # deletions; Cc is U+0000\u2013U+001F + U+007F\u2013U+009F, and \r is in
+        # the class for byte-exactness even though the newline replace
+        # has already consumed it).
         import unicodedata as _u
 
-        drop = _re.compile(
-            "[\u200b\u200c\u200d\u2060\ufeff\u00ad"
-            "\u202a-\u202e\u2066-\u2069]")
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
 
-        def one(t):
-            if t is None:
-                return None
-            t = _u.normalize(form, t)
-            t = t.replace("\r\n", "\n").replace("\r", "\n")
+        _strip_class = ("[\u200b\u200c\u200d\u2060\ufeff\u00ad"
+                        "\u202a-\u202e\u2066-\u2069"
+                        "\x00-\x08\x0b-\x1f\x7f-\x9f]")
+        _norm = _u.normalize
+
+        def vec(series):
+            vals = [t if t is None else _norm(form, t) for t in series]
+            arr = _pa.array(vals, type=_pa.string())
+            arr = _pc.replace_substring(arr, pattern="\r\n",
+                                        replacement="\n")
+            arr = _pc.replace_substring(arr, pattern="\r",
+                                        replacement="\n")
             if do_strip:
-                t = drop.sub("", t)
-                t = "".join(
-                    c for c in t
-                    if c in "\n\t" or _u.category(c) != "Cc")
-            return t
+                arr = _pc.replace_substring_regex(
+                    arr, pattern=_strip_class, replacement="")
+            return arr.to_pandas()
 
         for pdf in batches:
-            pdf[text_col] = pdf[text_col].map(one)
+            pdf[text_col] = vec(pdf[text_col])
             yield pdf[cols]
 
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
