@@ -71,23 +71,39 @@ class KNModel:
     quantize: int = 6
 
 
-def _ctx_positions(text: Column, order: int) -> Column:
-    """array<struct<ctx:array<string>, w:string>>: every token with its
-    up-to-(order−1) preceding tokens — one JVM pass."""
-    toks = _tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks))
-    nm1 = F.lit(order - 1)
+def _position_ctx_cols(toks: Column, i: Column, order: int) -> list:
+    """Per-position context keys h2..h_order as plain string columns
+    (NULL when the position has fewer than k−1 preceding tokens): for a
+    0-based position ``i``, h_k joins the 0-based tokens [i−k+1, i−1]
+    with spaces — `element_at` is 1-based, so those are 1-based indices
+    [i−k+2, i]. Whole-stage-codegen expressions throughout; the old
+    formulation built an array<struct<ctx,w>> through interpreted
+    `transform`+`slice` HOF lambdas, which profiled as the dominant
+    per-row cost of both KN training and scoring (guide §4.1: prefer
+    built-ins that codegen). The `when` guard short-circuits per row, so
+    out-of-range element_at indices are never evaluated."""
+    cols = []
+    for k in range(2, order + 1):
+        parts = [F.element_at(toks, i - (k - 2) + j) for j in range(k - 1)]
+        cols.append(
+            F.when(i >= k - 1, F.concat_ws(" ", *parts)).alias(f"h{k}"))
+    return cols
 
-    def one(i):
-        ln = F.least(i - 1, nm1)
-        return F.struct(
-            F.slice(toks, i - ln, ln).alias("ctx"),
-            F.element_at(toks, i).alias("w"),
-        )
 
-    return F.when(F.size(toks) >= 1, F.transform(idx, one)).otherwise(
-        F.array().cast(
-            "array<struct<ctx:array<string>,w:string>>"))
+def _positions_frame(df: DataFrame, text_col: str, order: int,
+                     id_col: str | None = None,
+                     outer: bool = False) -> DataFrame:
+    """Exploded (w, h2..h_order[, id]) position rows — one per token.
+    outer=True keeps empty/NULL-text rows as a single all-NULL position
+    (the scoring path's empty-doc marker)."""
+    toks = _tokens(F.col(text_col))
+    gen = (F.posexplode_outer if outer else F.posexplode)
+    base_cols = [F.col(id_col)] if id_col else []
+    ex = df.select(*base_cols, toks.alias("__toks"),
+                   gen(toks).alias("__i", "w"))
+    out_cols = base_cols + [F.col("w")] + _position_ctx_cols(
+        F.col("__toks"), F.col("__i"), order)
+    return ex.select(*out_cols)
 
 
 def train_kn_lm(
@@ -112,12 +128,7 @@ def train_kn_lm(
                      5: 200_000}
     default_ctx = {k: 100_000 for k in range(2, 6)}
 
-    pos = (
-        _spread(reference)
-        .select(F.explode(_ctx_positions(F.col(text_col), order)).alias("p"))
-        .select("p.ctx", "p.w")
-        .persist()
-    )
+    pos = _positions_frame(_spread(reference), text_col, order).persist()
     # vocab-scale intermediates persisted for the duration of training:
     # the final tag-union materialization would otherwise RE-EXECUTE
     # every shared subtree per union branch (p_{k-1} feeds both its own
@@ -131,10 +142,9 @@ def train_kn_lm(
         # counts per Kneser-Ney)
         raw: dict[int, DataFrame] = {}
         for k in range(2, order + 1):
-            key = F.array_join(F.slice(F.col("ctx"), -(k - 1), k - 1), " ")
             raw[k] = (
-                pos.where(F.size("ctx") >= k - 1)
-                .groupBy(key.alias("h"), "w")
+                pos.where(F.col(f"h{k}").isNotNull())
+                .groupBy(F.col(f"h{k}").alias("h"), "w")
                 .agg(F.count("*").alias("cnt"))
             )
 
@@ -318,21 +328,8 @@ def kn_doc_scores(
     explode, broadcast joins only, one groupBy(doc). Decimal sums are
     order-independent (engine/oracle hash-identical)."""
     n = model.order
-    pos = (
-        _spread(docs)
-        .select(F.col(id_col),
-                F.explode_outer(_ctx_positions(F.col(text_col), n))
-                .alias("p"))
-        .select(id_col, "p.ctx", "p.w")
-    )
-    # context key per order (NULL when the position is too early)
-    for k in range(2, n + 1):
-        pos = pos.withColumn(
-            f"h{k}",
-            F.when(F.size("ctx") >= k - 1,
-                   F.array_join(F.slice(F.col("ctx"), -(k - 1), k - 1),
-                                " ")))
-    cur = pos
+    cur = _positions_frame(_spread(docs), text_col, n, id_col=id_col,
+                           outer=True)
     for k in range(2, n + 1):
         pk = model.probs[k].select(
             F.col("h").alias(f"h{k}"), F.col("w").alias("w"),
