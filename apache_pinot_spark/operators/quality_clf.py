@@ -183,12 +183,27 @@ def score_quality(
     verbatim in SQL on the md5 bucket convention (the weight table +
     the same tokenize/hash chain — see tests/test_quality_clf.py)."""
     spark = docs.sparkSession
-    feats = _tf_features(docs, text_col, id_col, model.n,
-                         model.hash_chars, model.bucket_hash)
+    # One shuffle (r13): Σ_b tf_b·w_b == (Σ over gram INSTANCES of
+    # w(bucket)) / L with L the doc's total gram count, so the margin
+    # comes straight off the exploded gram rows — broadcast LEFT join
+    # the weight table (map-side; unmatched grams carry w NULL and
+    # still count toward L), then ONE map-side-combined groupBy(id) of
+    # sum(w) and count(*). This replaces groupBy(id, bucket) + a
+    # window-sum over id + an inner join — three corpus-scale exchanges
+    # down to one — and is the exact arithmetic the DuckDB replay test
+    # uses (COALESCE(SUM(w),0)/COUNT(*)); float summation order changes
+    # at the ulp level only, within every gate's decision margin.
+    grams = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(_buckets(F.col(text_col), model.n, model.hash_chars,
+                           model.bucket_hash)).alias("bucket"),
+    )
     margins = (
-        feats.join(F.broadcast(model.weights_df(spark)), on="bucket")
+        grams.join(F.broadcast(model.weights_df(spark)), on="bucket",
+                   how="left")
         .groupBy("id")
-        .agg(F.sum(F.col("tf") * F.col("w")).alias("m"))
+        .agg((F.coalesce(F.sum("w"), F.lit(0.0))
+              / F.count(F.lit(1))).alias("m"))
     )
     margin = F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(model.bias)
     return (

@@ -157,21 +157,26 @@ def dedup_exact_substrings(
     overlapping duplicated windows merge into one maximal cut span, and
     docs with nothing to cut pass through byte-identical."""
     wins = _window_rows(df, text_col, id_col, window_tokens)
-    canon = (
-        wins.groupBy("sig")
-        .agg(
-            F.count("*").alias("n_occ"),
-            F.min(F.struct("id", "win_idx")).alias("keeper"),
-        )
-        .filter(F.col("n_occ") >= 2)
-        .select("sig", "keeper")
-    )
+    # Non-canonical occurrences of duplicated windows via ONE pass over
+    # the window rows: count + row_number over sig (r13; the groupBy+
+    # join-back formulation this replaces computed the whole Arrow
+    # tokenize/rolling-hash pass TWICE — once under the canon aggregate
+    # and once as the join's probe side — since the wins frame was
+    # unpersisted and read by two subtrees). rk > 1 under (id, win_idx)
+    # ordering is exactly "not the global min (id, win_idx) occurrence":
+    # (id, win_idx) pairs are unique within a sig, so the order is
+    # strict and the keeper selection is identical — and it is the very
+    # formulation the DuckDB oracle replays (occ/cuts CTEs in the gates
+    # suite).
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("sig")
+    wso = ws.orderBy("id", "win_idx")
     cuts = (
-        wins.join(canon, on="sig")
-        .filter(
-            (F.col("id") != F.col("keeper.id"))
-            | (F.col("win_idx") != F.col("keeper.win_idx"))
-        )
+        wins
+        .withColumn("__n_occ", F.count(F.lit(1)).over(ws))
+        .withColumn("__rk", F.row_number().over(wso))
+        .filter((F.col("__n_occ") >= 2) & (F.col("__rk") > 1))
         .groupBy("id")
         .agg(F.collect_list(F.struct("start_char", "end_char")).alias("spans"))
     )
