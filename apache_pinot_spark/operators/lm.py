@@ -74,29 +74,23 @@ class BigramLM:
     vocab_size: int
 
 
-def _pair_positions(text: Column) -> Column:
-    """array<struct<prev,w>> of scoring positions: (NULL, tok_1) then
-    (tok_i, tok_{i+1}) — one JVM pass, no shuffle."""
-    toks = _tokens(text)
-    empty = F.array().cast("array<struct<prev:string,w:string>>")
-    first = F.when(
-        F.size(toks) >= 1,
-        F.array(
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.element_at(toks, 1).alias("w"),
-            )
-        ),
-    ).otherwise(empty)
-    rest = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
-        ),
-    ).otherwise(empty)
-    return F.concat(first, rest)
+def _pair_frame(df: DataFrame, text_col: str, id_col: str | None = None,
+                outer: bool = False) -> DataFrame:
+    """Exploded (prev, w[, id]) scoring positions — (NULL, tok_1) then
+    (tok_i, tok_{i+1}) — via posexplode + guarded element_at (r13:
+    whole-stage codegen; the previous array<struct> construction went
+    through interpreted zip_with/slice HOF lambdas on every corpus row,
+    the same hotspot class as knlm's _ctx_positions). outer=True keeps
+    empty/NULL-text rows as one all-NULL position (the scoring path's
+    empty-doc marker); the guarded element_at never evaluates for the
+    i=0 row (CASE short-circuits per row)."""
+    toks = _tokens(F.col(text_col))
+    gen = F.posexplode_outer if outer else F.posexplode
+    base = [F.col(id_col)] if id_col else []
+    ex = df.select(*base, toks.alias("__toks"), gen(toks).alias("__i", "w"))
+    prev = F.when(F.col("__i") >= 1,
+                  F.element_at(F.col("__toks"), F.col("__i")))
+    return ex.select(*base, prev.alias("prev"), F.col("w"))
 
 
 def _round6(x: float, quantize: int) -> Decimal:
@@ -129,9 +123,7 @@ def train_bigram_lm(
     # exactly one scoring position ((NULL, t1) or (t_{i-1}, t_i)), so
     # unigram counts are the per-w sums of the (prev, w) count table —
     # a vocab-scale re-aggregation, not a second corpus pass.
-    pos = _spread(reference).select(
-        F.explode(_pair_positions(F.col(text_col))).alias("p")
-    ).select("p.prev", "p.w")
+    pos = _pair_frame(_spread(reference), text_col)
     pw = pos.groupBy("prev", "w").agg(F.count("*").alias("cnt")).persist()
     ucnt = pw.groupBy("w").agg(F.sum("cnt").alias("cnt"))
     # ONE scalar job yields both training constants (populates the pw
@@ -210,10 +202,7 @@ def lm_doc_scores(
     NULL avg."""
     oov = F.lit(lm.logp_oov).cast(_LOGP_DECIMAL)
     bo = F.lit(lm.backoff_logp).cast(_LOGP_DECIMAL)
-    pos = _spread(docs).select(
-        F.col(id_col),
-        F.explode_outer(_pair_positions(F.col(text_col))).alias("p")
-    ).select(id_col, "p.prev", "p.w")
+    pos = _pair_frame(_spread(docs), text_col, id_col=id_col, outer=True)
     uni = F.coalesce(F.col("logp_uni"), oov)
     scored = (
         pos.join(F.broadcast(lm.bigrams), on=["prev", "w"], how="left")
