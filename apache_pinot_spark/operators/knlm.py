@@ -7,11 +7,13 @@ D_k = n1/(n1 + 2·n2), their eq. 26 leave-one-out estimate).
 Same engine discipline as the bigram tier (operators/lm.py), upgraded
 to the real estimator:
 
-  * Training touches the reference corpus ONCE (one explode into
-    (context-array, token) positions, persisted); every count table —
-    raw k-grams for the top order, Kneser-Ney CONTINUATION counts
-    (distinct left extensions) for the lower orders, per-context
-    denominators and distinct-continuation counts — is a vocab-scale
+  * Training touches the reference corpus ONCE: one explode into
+    (token, context-key...) positions feeds a single tagged groupBy
+    that yields the raw k-gram counts for EVERY order in one shuffle
+    (r13 — was one corpus-cache pass + shuffle per order). Every other
+    count table — Kneser-Ney CONTINUATION counts (distinct left
+    extensions) for the lower orders, per-context denominators and
+    distinct-continuation counts — is one tagged vocab-scale
     aggregation over that frame, never a second corpus scan.
   * Probabilities assemble bottom-up through vocab-scale joins:
       p_1(w)    = max(N1+(·w) − D_1, 0)/N1+(··) + λ_1 · 1/(V+1)
@@ -128,62 +130,66 @@ def train_kn_lm(
                      5: 200_000}
     default_ctx = {k: 100_000 for k in range(2, 6)}
 
-    pos = _positions_frame(_spread(reference), text_col, order).persist()
+    pos = _positions_frame(_spread(reference), text_col, order)
     # vocab-scale intermediates persisted for the duration of training:
     # the final tag-union materialization would otherwise RE-EXECUTE
     # every shared subtree per union branch (p_{k-1} feeds both its own
-    # prune and p_k's join; raw_{k+1} feeds cont_k and the top order) —
+    # prune and p_k's join; raw_tbl feeds cont_tbl and the top order) —
     # measured 2-3x the training wall time without these
     scratch: list[DataFrame] = []
     try:
-        # raw k-gram count tables, k = 2..order: positions with >= k-1
-        # context tokens, keyed by the LAST k-1 of them (the raw
-        # unigram table is never used — order 1 runs on continuation
-        # counts per Kneser-Ney)
-        raw: dict[int, DataFrame] = {}
-        for k in range(2, order + 1):
-            raw[k] = (
-                pos.where(F.col(f"h{k}").isNotNull())
-                .groupBy(F.col(f"h{k}").alias("h"), "w")
-                .agg(F.count("*").alias("cnt"))
-            )
+        # raw k-gram count tables for ALL orders k = 2..order in ONE
+        # corpus pass and ONE shuffle (r13, guide §2.4: the per-order
+        # groupBys each re-read the persisted position cache and paid a
+        # full shuffle stage; at bench scale the tables are tiny — 931
+        # bigram / 26.5k trigram types from 112k positions — so KN
+        # training was stage-count-bound, not data-bound). Each position
+        # emits one (k, h_k) struct per defined context; map-side
+        # partial aggregation collapses to type counts before the
+        # exchange, so shuffle bytes equal the two separate shuffles
+        # combined. The raw unigram table is never used — order 1 runs
+        # on continuation counts per Kneser-Ney.
+        tag = F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"), F.col(f"h{k}").alias("h"))
+            for k in range(2, order + 1)
+        ])).alias("t")
+        raw_tbl = (
+            pos.select("w", tag)
+            .where(F.col("t.h").isNotNull())
+            .groupBy(F.col("t.k").alias("k"), F.col("t.h").alias("h"), "w")
+            .agg(F.count("*").alias("cnt"))
+            .persist()
+        )
+        scratch.append(raw_tbl)
 
         # continuation tables C_k (k < order) from raw_{k+1} TYPES:
-        # drop the first context token, count distinct left extensions
-        cont: dict[int, DataFrame] = {}
-        for k in range(1, order):
-            up = raw[k + 1]
-            sp = F.instr("h", " ")
-            suf = (F.when(sp > 0, F.expr("substring(h, instr(h, ' ') + 1)"))
-                   .otherwise(F.lit("")))
-            cont[k] = (up.groupBy(suf.alias("h"), "w")
-                       .agg(F.count("*").alias("cnt")))
-
-        used = {k: (raw[k] if k == order else cont[k])
+        # drop the first context token, count distinct left extensions —
+        # all orders in one vocab-scale shuffle over the tagged frame
+        sp = F.instr("h", " ")
+        suf = (F.when(sp > 0, F.expr("substring(h, instr(h, ' ') + 1)"))
+               .otherwise(F.lit("")))
+        cont_tbl = (
+            raw_tbl.select((F.col("k") - 1).alias("k"), suf.alias("h"), "w")
+            .groupBy("k", "h", "w")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # used_tbl: continuation counts for k < order, raw counts at the
+        # top order — ONE persisted frame; per-order views filter the tag
+        used_tbl = cont_tbl.unionByName(
+            raw_tbl.where(F.col("k") == order)).persist()
+        scratch.append(used_tbl)
+        used = {k: used_tbl.where(F.col("k") == k).select("h", "w", "cnt")
                 for k in range(1, order + 1)}
-        for k in used:
-            used[k] = used[k].persist()
-            scratch.append(used[k])
 
         # ONE collect for every training constant: per-order discount
-        # stats n1/n2, plus the unigram totals den_1 and V — a tagged
-        # union of tiny aggregates (populates the pos cache once)
-        stat_parts = [
-            used[k].agg(
-                F.lit(k).alias("k"),
-                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-                .alias("n1"),
-                F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
-                .alias("n2"),
-                F.sum("cnt").alias("den"),
-                F.count(F.lit(1)).alias("v"),
-            )
-            for k in range(1, order + 1)
-        ]
-        stats_df = stat_parts[0]
-        for p in stat_parts[1:]:
-            stats_df = stats_df.unionByName(p)
-        by_k = {r["k"]: r for r in stats_df.collect()}
+        # stats n1/n2, plus the unigram totals den_1 and V (populates
+        # the raw/used caches once)
+        by_k = {r["k"]: r for r in used_tbl.groupBy("k").agg(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).alias("n2"),
+            F.sum("cnt").alias("den"),
+            F.count(F.lit(1)).alias("v"),
+        ).collect()}
         den1 = float(by_k[1]["den"] or 0)
         v = int(by_k[1]["v"] or 0)
         if den1 <= 0:
@@ -219,16 +225,18 @@ def train_kn_lm(
             .select("w", F.round(F.log("p"), quantize)
                     .cast(_LOGP_DECIMAL).alias("logp"))
         )
+        # per-context denominators and distinct-continuation counts for
+        # every order in ONE shuffle over the tagged frame (r13: was one
+        # groupBy stage per order)
+        ctx_stats = used_tbl.where(F.col("k") >= 2).groupBy("k", "h").agg(
+            F.sum("cnt").alias("den"),
+            F.count(F.lit(1)).alias("n1p"),
+        ).persist()
+        scratch.append(ctx_stats)
         for k in range(2, order + 1):
             dk = discounts[k]
-            stats_k = used[k].groupBy("h").agg(
-                F.sum("cnt").alias("den"),
-                F.count(F.lit(1)).alias("n1p"),
-            ).persist()
-            scratch.append(stats_k)
-            sp = F.instr("h", " ")
-            suf = (F.when(sp > 0, F.expr("substring(h, instr(h, ' ') + 1)"))
-                   .otherwise(F.lit("")))
+            stats_k = ctx_stats.where(F.col("k") == k).select(
+                "h", "den", "n1p")
             base = (
                 used[k]
                 .join(stats_k, on="h")
@@ -305,7 +313,6 @@ def train_kn_lm(
                 df.unpersist()
             except Exception:
                 pass
-        pos.unpersist()
 
     return KNModel(
         order=order,
