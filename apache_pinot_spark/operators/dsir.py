@@ -145,20 +145,28 @@ def dsir_log_weights_split(
         target_predicate.alias("in_target"),
         F.explode(_buckets(F.col(text_col), n, hash_chars, bucket_hash)).alias("bucket"),
     )
+    # counts feeds BOTH the totals broadcast and the weights projection;
+    # without the persist the whole tokenize+explode+groupBy subtree
+    # executes twice (exchange reuse never fires across the broadcast
+    # boundary — r13 plan audit). ≤ B rows; lifetime tied to the
+    # returned frame, populated by its first downstream action.
+    from apache_pinot_spark.operators.lifecycle import release_on_death
+
     counts = feats.groupBy("bucket").agg(
         F.count("*").alias("rc"),
         F.count_if(F.col("in_target")).alias("tc"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
     )
     joined = counts.crossJoin(F.broadcast(totals))
     p = (F.col("tc") + F.lit(lam)) / (F.coalesce(F.col("t_total"), F.lit(0)) + F.lit(lam * B))
     q = (F.col("rc") + F.lit(lam)) / (F.coalesce(F.col("r_total"), F.lit(0)) + F.lit(lam * B))
-    return joined.select(
+    out = joined.select(
         "bucket",
         F.round(F.log(p / q), quantize).cast(_WEIGHT_DECIMAL).alias("weight"),
     )
+    return release_on_death(out, counts)
 
 
 def dsir_log_weights(
@@ -185,8 +193,13 @@ def dsir_log_weights(
     lam = float(smoothing)
     if lam <= 0:
         raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
-    tc = hashed_ngram_counts(target, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "tc")
-    rc = hashed_ngram_counts(raw, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "rc")
+    # each count table feeds BOTH its totals broadcast and the full-outer
+    # join — persisted so the corpus tokenize+explode runs once per
+    # corpus, not twice (r13; see dsir_log_weights_split)
+    from apache_pinot_spark.operators.lifecycle import release_on_death
+
+    tc = hashed_ngram_counts(target, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "tc").persist()
+    rc = hashed_ngram_counts(raw, text_col, n, hash_chars, bucket_hash).withColumnRenamed("cnt", "rc").persist()
     tt = tc.agg(F.sum("tc").alias("t_total"))
     rt = rc.agg(F.sum("rc").alias("r_total"))
     joined = (
@@ -197,10 +210,11 @@ def dsir_log_weights(
     )
     p = (F.col("tc") + F.lit(lam)) / (F.coalesce(F.col("t_total"), F.lit(0)) + F.lit(lam * B))
     q = (F.col("rc") + F.lit(lam)) / (F.coalesce(F.col("r_total"), F.lit(0)) + F.lit(lam * B))
-    return joined.select(
+    out = joined.select(
         "bucket",
         F.round(F.log(p / q), quantize).cast(_WEIGHT_DECIMAL).alias("weight"),
     )
+    return release_on_death(out, tc, rc)
 
 
 def dsir_scores(
