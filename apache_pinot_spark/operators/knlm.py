@@ -384,3 +384,97 @@ def kn_doc_scores(
     )
     out._kn_model_keepalive = model
     return out
+
+
+def kn_bigram_doc_scores(
+    docs: DataFrame,
+    model: KNModel,
+    bigram,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs with a KN model AND a bigram stupid-backoff model
+    (operators/lm.BigramLM) in ONE corpus pass: (id_col, n_tokens,
+    sum_logp [bigram], avg_logp, sum_logp_kn, avg_logp_kn).
+
+    The KN positions frame already carries the bigram scorer's whole
+    context — ``prev`` is exactly ``h2`` (the one-token history) — so
+    scoring both estimators costs one tokenize+explode and one
+    groupBy(doc) instead of two of each plus an aggregate-aggregate
+    join (guide §2.4: shared exchange; the shuffles are corpus-scale,
+    the extra joins broadcast-scale). Per-position arithmetic is the
+    verbatim lm_doc_scores/kn_doc_scores CASE logic and all sums are
+    order-independent DECIMAL adds, so both score columns are
+    bit-identical to the two-pass composition (pinned by
+    test_fused_bigram_scoring_is_bit_identical)."""
+    n = model.order
+    cur = _positions_frame(_spread(docs), text_col, n, id_col=id_col,
+                           outer=True)
+    for k in range(2, n + 1):
+        pk = model.probs[k].select(
+            F.col("h").alias(f"h{k}"), F.col("w").alias("w"),
+            F.col("logp").alias(f"p{k}"))
+        cur = cur.join(F.broadcast(pk), on=[f"h{k}", "w"], how="left")
+        bk = model.backoffs[k].select(
+            F.col("h").alias(f"h{k}"), F.col("logb").alias(f"b{k}"))
+        cur = cur.join(F.broadcast(bk), on=f"h{k}", how="left")
+    p1 = model.probs[1].select("w", F.col("logp").alias("p1"))
+    cur = cur.join(F.broadcast(p1), on="w", how="left")
+    # bigram model tables ride the same positions frame: (h2, w) IS the
+    # (prev, w) bigram key, NULL h2 IS the first-token marker
+    bg = bigram.bigrams.select(
+        F.col("prev").alias("h2"), "w", F.col("logp").alias("bgp"))
+    cur = cur.join(F.broadcast(bg), on=["h2", "w"], how="left")
+    cur = cur.join(F.broadcast(bigram.unigrams), on="w", how="left")
+
+    unk = F.lit(model.logp_unk).cast(_LOGP_DECIMAL)
+    zero = F.lit(Decimal(0)).cast(_LOGP_DECIMAL)
+
+    def bsum(ks):
+        out = zero
+        for k in ks:
+            out = out + F.coalesce(F.col(f"b{k}"), zero)
+        return out
+
+    kn_expr = F.coalesce(F.col("p1"), unk) + bsum(range(2, n + 1))
+    for k in range(2, n + 1):
+        kn_expr = F.when(F.col(f"p{k}").isNotNull(),
+                         F.col(f"p{k}") + bsum(range(k + 1, n + 1))) \
+            .otherwise(kn_expr)
+    oov = F.lit(bigram.logp_oov).cast(_LOGP_DECIMAL)
+    bo = F.lit(bigram.backoff_logp).cast(_LOGP_DECIMAL)
+    uni = F.coalesce(F.col("logp_uni"), oov)
+    null_tok = F.lit(None).cast(_LOGP_DECIMAL)
+    cur = cur.select(
+        id_col,
+        F.when(F.col("w").isNull(), null_tok)  # empty doc
+        .otherwise(kn_expr).alias("logp_kn"),
+        F.when(F.col("w").isNull(), null_tok)    # empty doc
+        .when(F.col("bgp").isNotNull(), F.col("bgp"))  # true bigram
+        .when(F.col("h2").isNull(), uni)               # first token
+        .otherwise(bo + uni)                           # backoff
+        .alias("logp_bg"),
+    )
+    out = (
+        cur.groupBy(id_col)
+        .agg(
+            F.count("logp_bg").alias("n_tokens"),
+            F.coalesce(F.sum("logp_bg"), F.lit(0))
+            .cast(_SUM_DECIMAL).alias("sum_logp"),
+            F.coalesce(F.sum("logp_kn"), F.lit(0))
+            .cast(_SUM_DECIMAL).alias("sum_logp_kn"),
+        )
+        .select(
+            id_col, "n_tokens", "sum_logp",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("sum_logp").cast("double") / F.col("n_tokens"))
+            .alias("avg_logp"),
+            "sum_logp_kn",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("sum_logp_kn").cast("double") / F.col("n_tokens"))
+            .alias("avg_logp_kn"),
+        )
+    )
+    out._kn_model_keepalive = model
+    out._lm_model_keepalive = bigram
+    return out

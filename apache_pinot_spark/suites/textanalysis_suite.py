@@ -389,15 +389,18 @@ def _lm_scores(spark, sf_dir):
     model = L.train_bigram_lm(ref, vocab_size=500, bigram_size=1000)
     # r13: the interpolated Kneser-Ney trigram (operators/knlm) scores
     # the same corpus side by side — the published CCNet/RedPajama
-    # estimator next to the stupid-backoff baseline, both decimal-exact
+    # estimator next to the stupid-backoff baseline, both decimal-exact.
+    # Fused scoring (guide §2.4): the KN positions frame carries the
+    # bigram context (prev == h2), so ONE corpus explode + ONE groupBy
+    # yields both score columns — bit-identical to the former two-pass
+    # + join composition (order-independent decimal sums).
     kn = K.train_kn_lm(ref, order=3, prune=dict(_KN_PRUNE),
                        ctx_prune=dict(_KN_CTX_PRUNE))
-    bg = L.lm_doc_scores(docs, model).select(
+    return K.kn_bigram_doc_scores(docs, kn, model).select(
         "doc_id", "n_tokens",
-        F.col("sum_logp").cast("double").alias("sum_logp"))
-    kns = K.kn_doc_scores(docs, kn).select(
-        "doc_id", F.col("sum_logp").cast("double").alias("sum_logp_kn"))
-    return bg.join(kns, on="doc_id").orderBy("doc_id")
+        F.col("sum_logp").cast("double").alias("sum_logp"),
+        F.col("sum_logp_kn").cast("double").alias("sum_logp_kn"),
+    ).orderBy("doc_id")
 
 
 df_query(

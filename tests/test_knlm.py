@@ -263,3 +263,29 @@ def test_validation(spark):
         K.train_kn_lm(_df(spark, REF), order=6)
     with pytest.raises(ValueError, match="order"):
         K.train_kn_lm(_df(spark, REF), order=1)
+
+
+def test_fused_bigram_scoring_is_bit_identical(spark):
+    """kn_bigram_doc_scores (r13 fusion: one corpus pass scoring both
+    estimators) must be BIT-identical — decimals included — to the
+    two-pass lm_doc_scores + kn_doc_scores composition, across OOV-heavy,
+    empty and degenerate probes and under aggressive pruning (every
+    backoff branch of both CASE walks exercised)."""
+    from apache_pinot_spark.operators import lm as L
+
+    ref = _df(spark, REF)
+    probe = _df(spark, PROBE)
+    kn = K.train_kn_lm(ref, order=3, prune={1: 6, 2: 5, 3: 4},
+                       ctx_prune={2: 3, 3: 3})
+    bg = L.train_bigram_lm(ref, vocab_size=8, bigram_size=6)
+    sep_bg = {r.doc_id: (r.n_tokens, r.sum_logp, r.avg_logp)
+              for r in L.lm_doc_scores(probe, bg).collect()}
+    sep_kn = {r.doc_id: (r.sum_logp, r.avg_logp)
+              for r in K.kn_doc_scores(probe, kn).collect()}
+    fused = {r.doc_id: r
+             for r in K.kn_bigram_doc_scores(probe, kn, bg).collect()}
+    assert set(fused) == set(sep_bg) == set(sep_kn)
+    for i in fused:
+        r = fused[i]
+        assert (r.n_tokens, r.sum_logp, r.avg_logp) == sep_bg[i], i
+        assert (r.sum_logp_kn, r.avg_logp_kn) == sep_kn[i], i
