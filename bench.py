@@ -268,6 +268,31 @@ def main() -> None:
         except OSError:
             return 0
 
+    # r14 (verdict ask #1b): report host CPU STEAL alongside the calib
+    # pair so the artifact self-labels co-tenant contamination instead of
+    # the judge reverse-engineering it from calib drift. Field 9 of the
+    # aggregate /proc/stat cpu line is steal jiffies; the r13 diagnosis
+    # showed the co-tenant contends only under saturation (7-20% steal
+    # phases invisible to single-threaded probes), and the bench's own
+    # parallel timed region IS saturated, so a passive before/after delta
+    # over each run captures exactly the contention the run experienced.
+    # Reported metadata only — nothing in the timing path changes.
+    _HZ = float(os.sysconf("SC_CLK_TCK") or 100)
+    _NCPU = float(os.cpu_count() or 1)
+
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()
+            return int(f[8]) if len(f) > 8 else 0
+        except OSError:
+            return 0
+
+    def _steal_pct(j0: int, t0: float, j1: int, t1: float) -> float:
+        """Steal jiffies as % of total host CPU capacity over [t0, t1]."""
+        dt = max(1e-9, t1 - t0)
+        return round((j1 - j0) / (dt * _HZ * _NCPU) * 100.0, 2)
+
     stalls: dict[str, dict[str, int]] = {}
 
     def run_suite(tag: str) -> dict[str, float]:
@@ -307,8 +332,13 @@ def main() -> None:
     # run 2 demonstrates stability — a suite whose numbers move several-x
     # between adjacent runs can't support any perf conclusion (bit us in
     # round 3; the round-5 heap-cap fix addressed the root cause).
+    sj0, st0 = _steal_jiffies(), time.perf_counter()
     timings = run_suite("r1")
+    sj1, st1 = _steal_jiffies(), time.perf_counter()
     timings2 = run_suite("r2")
+    sj2, st2 = _steal_jiffies(), time.perf_counter()
+    steal_pct_run1 = _steal_pct(sj0, st0, sj1, st1)
+    steal_pct_run2 = _steal_pct(sj1, st1, sj2, st2)
     calib_after = _calib_point()
     calib_drift = round(
         (calib_after["cpu_sec"] + calib_after["spark_sec"])
@@ -349,6 +379,8 @@ def main() -> None:
         "calib_before": calib_before,
         "calib_after": calib_after,
         "calib_drift": calib_drift,
+        "steal_pct_run1": steal_pct_run1,
+        "steal_pct_run2": steal_pct_run2,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
@@ -375,6 +407,9 @@ def main() -> None:
         "calib_before": [calib_before["cpu_sec"], calib_before["spark_sec"]],
         "calib_after": [calib_after["cpu_sec"], calib_after["spark_sec"]],
         "calib_drift": calib_drift,
+        # measured host steal (% of total CPU capacity) during each timed
+        # run — the contamination self-label (r14 ask #1b)
+        "steal_pct": [steal_pct_run1, steal_pct_run2],
         "queries": {n: round(t, 2) for n, t in timings.items()},
     }
     line = json.dumps(out, separators=(",", ":"))
