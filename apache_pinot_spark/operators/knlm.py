@@ -46,12 +46,16 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from decimal import Decimal
+from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apache_pinot_spark.operators.dedup import _spread
 from apache_pinot_spark.operators.dsir import _tokens
+
+if TYPE_CHECKING:  # lm.py does not import knlm — no cycle, but keep the
+    from apache_pinot_spark.operators.lm import BigramLM  # runtime lazy
 
 _LOGP_DECIMAL = "DECIMAL(26,12)"
 _SUM_DECIMAL = "DECIMAL(38,12)"
@@ -124,13 +128,67 @@ def train_kn_lm(
     SQL-replayable."""
     if not 2 <= order <= 5:
         raise ValueError(f"order must be in 2..5, got {order}")
+    # raw k-gram count tables for ALL orders k = 2..order in ONE
+    # corpus pass and ONE shuffle (r13, guide §2.4: the per-order
+    # groupBys each re-read the persisted position cache and paid a
+    # full shuffle stage; at bench scale the tables are tiny — 931
+    # bigram / 26.5k trigram types from 112k positions — so KN
+    # training was stage-count-bound, not data-bound). Each position
+    # emits one (k, h_k) struct per defined context; map-side
+    # partial aggregation collapses to type counts before the
+    # exchange, so shuffle bytes equal the two separate shuffles
+    # combined. The raw unigram table is never used — order 1 runs
+    # on continuation counts per Kneser-Ney.
+    pos = _positions_frame(_spread(reference), text_col, order)
+    raw_tbl = _tagged_kgram_counts(pos, order).persist()
+    return _assemble_kn_lm(raw_tbl, order, prune, ctx_prune, quantize,
+                           own_raw=True)
+
+
+def _tagged_kgram_counts(pos: DataFrame, order: int,
+                         keep_null_h2: bool = False) -> DataFrame:
+    """(k, h, w, cnt) raw k-gram type counts for every order k = 2..order
+    from one tagged explode + one shuffle over a positions frame.
+    keep_null_h2=True also keeps the k=2 rows whose context is NULL (the
+    first-token positions) — exactly the extra rows the bigram stupid-
+    backoff trainer's (prev, w) count table needs, letting the fused
+    trainer (train_kn_bigram_lm) share ONE count shuffle across both
+    estimators; the KN assembly filters them back out (its group keys
+    separate NULL-h rows, so every non-NULL count is unchanged)."""
+    tag = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("k"), F.col(f"h{k}").alias("h"))
+        for k in range(2, order + 1)
+    ])).alias("t")
+    cond = F.col("t.h").isNotNull()
+    if keep_null_h2:
+        cond = cond | (F.col("t.k") == 2)
+    return (
+        pos.select("w", tag)
+        .where(cond)
+        .groupBy(F.col("t.k").alias("k"), F.col("t.h").alias("h"), "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _assemble_kn_lm(
+    raw_tbl: DataFrame,
+    order: int,
+    prune: dict | None,
+    ctx_prune: dict | None,
+    quantize: int,
+    own_raw: bool,
+) -> KNModel:
+    """Assemble a KNModel from the (k, h, w, cnt) raw count table
+    (h NOT NULL rows only; ``_tagged_kgram_counts``). own_raw=True when
+    this trainer persisted ``raw_tbl`` itself and should release it;
+    the fused trainer shares one persisted count table across both
+    estimators and owns its lifetime (own_raw=False)."""
     prune = dict(prune or {})
     ctx_prune = dict(ctx_prune or {})
     default_prune = {1: 50_000, 2: 200_000, 3: 200_000, 4: 200_000,
                      5: 200_000}
     default_ctx = {k: 100_000 for k in range(2, 6)}
 
-    pos = _positions_frame(_spread(reference), text_col, order)
     # vocab-scale intermediates persisted for the duration of training:
     # the final tag-union materialization would otherwise RE-EXECUTE
     # every shared subtree per union branch (p_{k-1} feeds both its own
@@ -138,29 +196,8 @@ def train_kn_lm(
     # measured 2-3x the training wall time without these
     scratch: list[DataFrame] = []
     try:
-        # raw k-gram count tables for ALL orders k = 2..order in ONE
-        # corpus pass and ONE shuffle (r13, guide §2.4: the per-order
-        # groupBys each re-read the persisted position cache and paid a
-        # full shuffle stage; at bench scale the tables are tiny — 931
-        # bigram / 26.5k trigram types from 112k positions — so KN
-        # training was stage-count-bound, not data-bound). Each position
-        # emits one (k, h_k) struct per defined context; map-side
-        # partial aggregation collapses to type counts before the
-        # exchange, so shuffle bytes equal the two separate shuffles
-        # combined. The raw unigram table is never used — order 1 runs
-        # on continuation counts per Kneser-Ney.
-        tag = F.explode(F.array(*[
-            F.struct(F.lit(k).alias("k"), F.col(f"h{k}").alias("h"))
-            for k in range(2, order + 1)
-        ])).alias("t")
-        raw_tbl = (
-            pos.select("w", tag)
-            .where(F.col("t.h").isNotNull())
-            .groupBy(F.col("t.k").alias("k"), F.col("t.h").alias("h"), "w")
-            .agg(F.count("*").alias("cnt"))
-            .persist()
-        )
-        scratch.append(raw_tbl)
+        if own_raw:
+            scratch.append(raw_tbl)
 
         # continuation tables C_k (k < order) from raw_{k+1} TYPES:
         # drop the first context token, count distinct left extensions —
@@ -324,19 +361,64 @@ def train_kn_lm(
     )
 
 
-def kn_doc_scores(
-    docs: DataFrame,
-    model: KNModel,
+def train_kn_bigram_lm(
+    reference: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id_col, n_tokens, sum_logp DECIMAL, avg_logp DOUBLE): ARPA
-    longest-match backoff walk over the pruned KN tables — one corpus
-    explode, broadcast joins only, one groupBy(doc). Decimal sums are
-    order-independent (engine/oracle hash-identical)."""
+    order: int = 3,
+    prune: dict | None = None,
+    ctx_prune: dict | None = None,
+    quantize: int = 6,
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    backoff: float = 0.4,
+):
+    """Train the interpolated-KN model AND the stupid-backoff bigram LM
+    (operators/lm.BigramLM) from ONE reference-corpus explode and ONE
+    tagged count shuffle (r14, guide §2.4): the bigram trainer's
+    (prev, w) position-count table is exactly the tagged table's k=2
+    slice with NULL contexts kept (prev == h2; a first token is a NULL-
+    context k=2 position), so both estimators assemble from one shared
+    persisted count frame — the reference is scanned once instead of
+    twice. Returns ``(KNModel, BigramLM)``, each bit-identical to its
+    single-trainer counterpart (same counts in, same deterministic
+    prune, same round/quantize — pinned by
+    test_fused_training_is_bit_identical)."""
+    from apache_pinot_spark.operators.lm import _assemble_bigram_lm
+
+    if not 2 <= order <= 5:
+        raise ValueError(f"order must be in 2..5, got {order}")
+    if vocab_size < 1 or bigram_size < 0:
+        raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    pos = _positions_frame(_spread(reference), text_col, order)
+    all_tbl = _tagged_kgram_counts(pos, order, keep_null_h2=True).persist()
+    # the bigram (prev, w) counts: k=2 rows INCLUDING the NULL-context
+    # first-token positions (h2 == prev by construction)
+    pw = all_tbl.where(F.col("k") == 2).select(
+        F.col("h").alias("prev"), "w", "cnt")
+    # the KN raw counts: every order, NULL contexts excised (group keys
+    # separate NULL-h rows, so non-NULL counts are untouched)
+    raw_tbl = all_tbl.where(F.col("h").isNotNull())
+    # both assemblies are EAGER (bounded model tables materialize via
+    # localCheckpoint), so the shared count cache can be dropped here;
+    # the first assembly's first action populates it, everything after
+    # reads it.
+    bigram = _assemble_bigram_lm(pw, vocab_size, bigram_size, backoff,
+                                 quantize)
+    kn = _assemble_kn_lm(raw_tbl, order, prune, ctx_prune, quantize,
+                         own_raw=False)
+    all_tbl.unpersist()
+    return kn, bigram
+
+
+def _kn_join_model(cur: DataFrame, model: KNModel) -> DataFrame:
+    """Broadcast-join every pruned model table onto a positions frame:
+    per order k, probs on (h_k, w) → p_k and backoffs on h_k → b_k,
+    then the unigram table on w → p1. Shared by kn_doc_scores and
+    kn_bigram_doc_scores (the bit-identity guarantee lives in ONE
+    place)."""
     n = model.order
-    cur = _positions_frame(_spread(docs), text_col, n, id_col=id_col,
-                           outer=True)
     for k in range(2, n + 1):
         pk = model.probs[k].select(
             F.col("h").alias(f"h{k}"), F.col("w").alias("w"),
@@ -346,8 +428,14 @@ def kn_doc_scores(
             F.col("h").alias(f"h{k}"), F.col("logb").alias(f"b{k}"))
         cur = cur.join(F.broadcast(bk), on=f"h{k}", how="left")
     p1 = model.probs[1].select("w", F.col("logp").alias("p1"))
-    cur = cur.join(F.broadcast(p1), on="w", how="left")
+    return cur.join(F.broadcast(p1), on="w", how="left")
 
+
+def _kn_logp_expr(model: KNModel) -> Column:
+    """The ARPA longest-match CASE walk over the joined p_k/b_k columns:
+    pick the longest available match, add the backoff weights of every
+    traversed higher order — all DECIMAL adds. Shared by both scorers."""
+    n = model.order
     unk = F.lit(model.logp_unk).cast(_LOGP_DECIMAL)
     zero = F.lit(Decimal(0)).cast(_LOGP_DECIMAL)
 
@@ -362,6 +450,24 @@ def kn_doc_scores(
         expr = F.when(F.col(f"p{k}").isNotNull(),
                       F.col(f"p{k}") + bsum(range(k + 1, n + 1))) \
             .otherwise(expr)
+    return expr
+
+
+def kn_doc_scores(
+    docs: DataFrame,
+    model: KNModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_tokens, sum_logp DECIMAL, avg_logp DOUBLE): ARPA
+    longest-match backoff walk over the pruned KN tables — one corpus
+    explode, broadcast joins only, one groupBy(doc). Decimal sums are
+    order-independent (engine/oracle hash-identical)."""
+    n = model.order
+    cur = _positions_frame(_spread(docs), text_col, n, id_col=id_col,
+                           outer=True)
+    cur = _kn_join_model(cur, model)
+    expr = _kn_logp_expr(model)
     cur = cur.select(
         id_col,
         F.when(F.col("w").isNull(),
@@ -389,7 +495,7 @@ def kn_doc_scores(
 def kn_bigram_doc_scores(
     docs: DataFrame,
     model: KNModel,
-    bigram,
+    bigram: "BigramLM",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -410,16 +516,7 @@ def kn_bigram_doc_scores(
     n = model.order
     cur = _positions_frame(_spread(docs), text_col, n, id_col=id_col,
                            outer=True)
-    for k in range(2, n + 1):
-        pk = model.probs[k].select(
-            F.col("h").alias(f"h{k}"), F.col("w").alias("w"),
-            F.col("logp").alias(f"p{k}"))
-        cur = cur.join(F.broadcast(pk), on=[f"h{k}", "w"], how="left")
-        bk = model.backoffs[k].select(
-            F.col("h").alias(f"h{k}"), F.col("logb").alias(f"b{k}"))
-        cur = cur.join(F.broadcast(bk), on=f"h{k}", how="left")
-    p1 = model.probs[1].select("w", F.col("logp").alias("p1"))
-    cur = cur.join(F.broadcast(p1), on="w", how="left")
+    cur = _kn_join_model(cur, model)
     # bigram model tables ride the same positions frame: (h2, w) IS the
     # (prev, w) bigram key, NULL h2 IS the first-token marker
     bg = bigram.bigrams.select(
@@ -427,20 +524,7 @@ def kn_bigram_doc_scores(
     cur = cur.join(F.broadcast(bg), on=["h2", "w"], how="left")
     cur = cur.join(F.broadcast(bigram.unigrams), on="w", how="left")
 
-    unk = F.lit(model.logp_unk).cast(_LOGP_DECIMAL)
-    zero = F.lit(Decimal(0)).cast(_LOGP_DECIMAL)
-
-    def bsum(ks):
-        out = zero
-        for k in ks:
-            out = out + F.coalesce(F.col(f"b{k}"), zero)
-        return out
-
-    kn_expr = F.coalesce(F.col("p1"), unk) + bsum(range(2, n + 1))
-    for k in range(2, n + 1):
-        kn_expr = F.when(F.col(f"p{k}").isNotNull(),
-                         F.col(f"p{k}") + bsum(range(k + 1, n + 1))) \
-            .otherwise(kn_expr)
+    kn_expr = _kn_logp_expr(model)
     oov = F.lit(bigram.logp_oov).cast(_LOGP_DECIMAL)
     bo = F.lit(bigram.backoff_logp).cast(_LOGP_DECIMAL)
     uni = F.coalesce(F.col("logp_uni"), oov)

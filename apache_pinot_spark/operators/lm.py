@@ -113,8 +113,6 @@ def train_bigram_lm(
     (the (prev, w) count table feeds both unigram and bigram counts),
     and the bounded model tables are localCheckpoint-materialized so
     score time never re-scans the reference corpus."""
-    from apache_pinot_spark.operators.lifecycle import materialize_release
-
     if vocab_size < 1 or bigram_size < 0:
         raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
     if not 0 < backoff <= 1:
@@ -125,6 +123,32 @@ def train_bigram_lm(
     # a vocab-scale re-aggregation, not a second corpus pass.
     pos = _pair_frame(_spread(reference), text_col)
     pw = pos.groupBy("prev", "w").agg(F.count("*").alias("cnt")).persist()
+    return _assemble_bigram_lm(pw, vocab_size, bigram_size, backoff,
+                               quantize, release=(pw,))
+
+
+def _assemble_bigram_lm(
+    pw: DataFrame,
+    vocab_size: int,
+    bigram_size: int,
+    backoff: float,
+    quantize: int,
+    release: tuple = (),
+) -> BigramLM:
+    """Assemble a BigramLM from an already-persisted (prev, w, cnt)
+    position-count table — the shared-count entry point (r14): the fused
+    KN+bigram trainer (operators/knlm.train_kn_bigram_lm) feeds both
+    estimators from ONE tagged count shuffle, of which ``pw`` is the
+    k=2 view (NULL prev = first-token positions). Frames in ``release``
+    are unpersisted once the bounded model tables materialize; a caller
+    sharing ``pw`` across trainers passes release=() and owns the
+    lifetime."""
+    from apache_pinot_spark.operators.lifecycle import materialize_release
+
+    if vocab_size < 1 or bigram_size < 0:
+        raise ValueError("vocab_size must be >= 1 and bigram_size >= 0")
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
     ucnt = pw.groupBy("w").agg(F.sum("cnt").alias("cnt"))
     # ONE scalar job yields both training constants (populates the pw
     # cache): total token count + distinct-word count; kept vocab is the
@@ -167,7 +191,9 @@ def train_bigram_lm(
     )
     model_tbl = materialize_release(
         uni_part.unionByName(big_part),
-        pw,  # model tables are lineage-truncated: release the count cache
+        # model tables are lineage-truncated: release the count cache
+        # (empty when the caller shares the counts across trainers)
+        *release,
     )
     unigrams = model_tbl.where(F.col("tag") == "u").select(
         "w", F.col("logp").alias("logp_uni")

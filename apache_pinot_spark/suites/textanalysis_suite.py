@@ -382,11 +382,9 @@ _KN_CTX_PRUNE = {2: 1000, 3: 1000}
 
 def _lm_scores(spark, sf_dir):
     from apache_pinot_spark.operators import knlm as K
-    from apache_pinot_spark.operators import lm as L
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("lang") == "en")
-    model = L.train_bigram_lm(ref, vocab_size=500, bigram_size=1000)
     # r13: the interpolated Kneser-Ney trigram (operators/knlm) scores
     # the same corpus side by side — the published CCNet/RedPajama
     # estimator next to the stupid-backoff baseline, both decimal-exact.
@@ -394,8 +392,14 @@ def _lm_scores(spark, sf_dir):
     # bigram context (prev == h2), so ONE corpus explode + ONE groupBy
     # yields both score columns — bit-identical to the former two-pass
     # + join composition (order-independent decimal sums).
-    kn = K.train_kn_lm(ref, order=3, prune=dict(_KN_PRUNE),
-                       ctx_prune=dict(_KN_CTX_PRUNE))
+    # Fused TRAINING (r14, guide §2.4): both estimators assemble from
+    # ONE tagged count shuffle over ONE reference explode — the bigram
+    # (prev, w) counts are the tagged table's k=2 slice with NULL
+    # contexts kept; models bit-identical to the two separate trainers
+    # (test_fused_training_is_bit_identical).
+    kn, model = K.train_kn_bigram_lm(
+        ref, order=3, prune=dict(_KN_PRUNE),
+        ctx_prune=dict(_KN_CTX_PRUNE), vocab_size=500, bigram_size=1000)
     return K.kn_bigram_doc_scores(docs, kn, model).select(
         "doc_id", "n_tokens",
         F.col("sum_logp").cast("double").alias("sum_logp"),

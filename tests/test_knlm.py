@@ -289,3 +289,77 @@ def test_fused_bigram_scoring_is_bit_identical(spark):
         r = fused[i]
         assert (r.n_tokens, r.sum_logp, r.avg_logp) == sep_bg[i], i
         assert (r.sum_logp_kn, r.avg_logp_kn) == sep_kn[i], i
+
+
+def test_fused_training_is_bit_identical(spark):
+    """train_kn_bigram_lm (r14 fusion: ONE reference explode + ONE
+    tagged count shuffle training both estimators) must produce model
+    tables and scalar constants BIT-identical to the two separate
+    trainers — same counts in, same deterministic prune, same
+    round/quantize out. Aggressive caps so the prune tie-breaks are
+    exercised on both sides."""
+    from apache_pinot_spark.operators import lm as L
+
+    ref = _df(spark, REF)
+    prune = {1: 6, 2: 5, 3: 4}
+    ctx_prune = {2: 3, 3: 3}
+    kn_sep = K.train_kn_lm(ref, order=3, prune=dict(prune),
+                           ctx_prune=dict(ctx_prune))
+    bg_sep = L.train_bigram_lm(ref, vocab_size=8, bigram_size=6)
+    kn_fus, bg_fus = K.train_kn_bigram_lm(
+        ref, order=3, prune=dict(prune), ctx_prune=dict(ctx_prune),
+        vocab_size=8, bigram_size=6)
+
+    # scalar constants
+    assert kn_fus.logp_unk == kn_sep.logp_unk
+    assert kn_fus.discounts == kn_sep.discounts
+    assert kn_fus.order == kn_sep.order
+    assert bg_fus.logp_oov == bg_sep.logp_oov
+    assert bg_fus.backoff_logp == bg_sep.backoff_logp
+    assert bg_fus.total_tokens == bg_sep.total_tokens
+    assert bg_fus.vocab_size == bg_sep.vocab_size
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    # every shipped table, decimals included
+    assert rows(kn_fus.probs[1], ["w", "logp"]) == \
+        rows(kn_sep.probs[1], ["w", "logp"])
+    for k in (2, 3):
+        assert rows(kn_fus.probs[k], ["h", "w", "logp"]) == \
+            rows(kn_sep.probs[k], ["h", "w", "logp"]), k
+        assert rows(kn_fus.backoffs[k], ["h", "logb"]) == \
+            rows(kn_sep.backoffs[k], ["h", "logb"]), k
+    assert rows(bg_fus.unigrams, ["w", "logp_uni"]) == \
+        rows(bg_sep.unigrams, ["w", "logp_uni"])
+    assert rows(bg_fus.bigrams, ["prev", "w", "logp"]) == \
+        rows(bg_sep.bigrams, ["prev", "w", "logp"])
+
+
+def test_fused_training_scores_match_end_to_end(spark):
+    """The declared-slot composition: fused-trained models must score a
+    probe corpus identically to separately-trained models through
+    kn_bigram_doc_scores."""
+    from apache_pinot_spark.operators import lm as L
+
+    ref = _df(spark, REF)
+    probe = _df(spark, PROBE)
+    kn_sep = K.train_kn_lm(ref, order=3, prune={1: 6, 2: 5, 3: 4},
+                           ctx_prune={2: 3, 3: 3})
+    bg_sep = L.train_bigram_lm(ref, vocab_size=8, bigram_size=6)
+    kn_fus, bg_fus = K.train_kn_bigram_lm(
+        ref, order=3, prune={1: 6, 2: 5, 3: 4}, ctx_prune={2: 3, 3: 3},
+        vocab_size=8, bigram_size=6)
+    a = sorted(K.kn_bigram_doc_scores(probe, kn_sep, bg_sep).collect())
+    b = sorted(K.kn_bigram_doc_scores(probe, kn_fus, bg_fus).collect())
+    assert a == b
+
+
+def test_fused_training_validation(spark):
+    ref = _df(spark, REF)
+    with pytest.raises(ValueError, match="order"):
+        K.train_kn_bigram_lm(ref, order=6)
+    with pytest.raises(ValueError, match="vocab_size"):
+        K.train_kn_bigram_lm(ref, order=3, vocab_size=0)
+    with pytest.raises(ValueError, match="backoff"):
+        K.train_kn_bigram_lm(ref, order=3, backoff=0.0)

@@ -594,6 +594,38 @@ def test_lm_scoring_plan_broadcasts_model_one_shuffle(spark, tables):
     assert len(non_broadcast) <= 2, non_broadcast
 
 
+def test_fused_kn_bigram_scoring_plan_one_corpus_exchange(spark, tables):
+    """kn_bigram_doc_scores (r13 fused scorer): every model join — KN
+    prob/backoff tables per order, bigram table, both unigram tables —
+    must be a BroadcastHashJoin, and the only non-broadcast Exchanges
+    are the groupBy(doc) + the _spread repartition: ONE corpus-scale
+    shuffle scores both estimators (the fusion's whole value is this
+    plan shape)."""
+    from apache_pinot_spark.operators import knlm, lm
+
+    docs = tables["documents"]
+    ref = docs.filter(F.col("lang") == "en")
+    kn, bg = knlm.train_kn_bigram_lm(ref, order=3,
+                                     prune={1: 100, 2: 200, 3: 200},
+                                     ctx_prune={2: 100, 3: 100},
+                                     vocab_size=200, bigram_size=400)
+    plan = _plan(knlm.kn_bigram_doc_scores(docs, kn, bg))
+    # order 3: p2/b2/p3/b3/p1 (5 KN joins) + bigram + unigram = 7
+    assert plan.count("BroadcastHashJoin") == 7, \
+        plan.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(non_broadcast) <= 2, non_broadcast
+    # one corpus scan feeds the fused walk (model tables are checkpoint
+    # blocks, not parquet): the scored documents scan and nothing else
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln or "FileScan" in ln]
+    assert len(scans) <= 1, scans
+
+
 def test_ivfpq_query_plan_shapes(spark, tables):
     """ivfpq_query: probes and survivors are the broadcast sides; no
     sort-merge join or cartesian product anywhere; Python runs only as
