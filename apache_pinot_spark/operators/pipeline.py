@@ -141,6 +141,19 @@ class CurationConfig:
     # tied to the returned stage frames (lifecycle sweep releases them
     # when the stages dict dies).
     cache_stages: tuple = ()
+    # Drop gate-input columns from the stage frames once their LAST
+    # consuming stage has run (r14, guide §5/§6): the crawl url after
+    # url_dedup, the host/source column after the domain blocklist (or
+    # after source_cap when max_source_share is set). Off by default —
+    # the stage frames are documented as "the corpus AS OF the stage",
+    # same schema as the input; with the knob on, later stage frames
+    # lose the spent columns. Why it exists: those columns otherwise
+    # ride EVERY downstream Python pass (normalize ships all columns
+    # through Arrow) and every cached/checkpointed stage frame — at
+    # 100 TB that is corpus-scale url/host bytes written to checkpoint
+    # storage per stage, read back per count, for columns nothing ever
+    # reads again.
+    drop_spent_columns: bool = False
     # 'persist' keeps the stage LAZY (MEMORY_AND_DISK; sibling plans
     # reuse it via the cache manager's structural matching — the
     # default, and the right choice when one downstream plan consumes
@@ -243,6 +256,10 @@ def curate_corpus(
             # drop only the column WE added — a pre-existing
             # rel=canonical signal from extract_page passes through
             dd = dd.drop("canonical_url")
+        if cfg.drop_spent_columns:
+            # no later stage reads the raw url — keep it out of every
+            # downstream Python pass and cached stage frame
+            dd = dd.drop(cfg.url_col)
         cur = _stage("url_dedup", dd)
     if cfg.block_domains:
         from apache_pinot_spark.operators.urls import blocked_domain_filter
@@ -250,8 +267,14 @@ def curate_corpus(
         if blocked_domains is None:
             raise ValueError(
                 "block_domains=True requires a blocked_domains frame")
-        cur = _stage("domain_blocklist", blocked_domain_filter(
-            cur, blocked_domains, host_col=cfg.source_col, id_col=k))
+        nxt = blocked_domain_filter(
+            cur, blocked_domains, host_col=cfg.source_col, id_col=k)
+        if cfg.drop_spent_columns and cfg.max_source_share is None:
+            # the blocklist was the host column's last consumer
+            # (source_cap reads it again when max_source_share is set —
+            # that path drops it after the cap instead)
+            nxt = nxt.drop(cfg.source_col)
+        cur = _stage("domain_blocklist", nxt)
     if cfg.normalize_unicode:
         cur = _stage("normalize", _refresh_n_chars(tx.normalize_corpus(
             cur, text_col=t, form=cfg.normalize_form)))
@@ -336,10 +359,13 @@ def curate_corpus(
     if cfg.max_source_share is not None:
         from apache_pinot_spark.operators.chunking import cap_source_share
 
-        cur = _stage("source_cap", cap_source_share(
+        nxt = cap_source_share(
             cur, cfg.source_col, cfg.max_source_share, key_col=k,
             salt=cfg.split_salt, portable=cfg.split_portable,
-        ))
+        )
+        if cfg.drop_spent_columns:
+            nxt = nxt.drop(cfg.source_col)  # the cap was its last reader
+        cur = _stage("source_cap", nxt)
     if cfg.near_dedup:
         pairs = dedup.lsh_verified_pairs(
             cur, text_col=t, key_col=k,

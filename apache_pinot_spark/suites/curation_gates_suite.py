@@ -117,6 +117,10 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
     docs = _synth_inputs(
         load_tables(spark, sf_dir, ["documents"])["documents"]
         .select("doc_id", "text", "source"))
+    # `source` is spent once _synth_inputs derived `host` from it —
+    # nothing downstream reads it; keep it out of every checkpointed
+    # stage frame and the normalize Arrow pass (r14, guide §5/§6)
+    docs = docs.drop("source")
     bl = spark.createDataFrame([("vector",)], "word string")
     blocked = spark.createDataFrame(
         [(d,) for d in _BLOCKED_DOMAINS], "domain string")
@@ -157,6 +161,10 @@ def _gates_accounting(spark: SparkSession, sf_dir: str):
                       "gopher_quality", "model_quality",
                       "substring_dedup"),
         cache_mode="checkpoint",
+        # r14 (guide §5/§6): url/host are spent after their gate —
+        # without this every checkpointed stage frame and the normalize
+        # Arrow pass carries them unread (corpus-scale bytes at 100 TB)
+        drop_spent_columns=True,
     )
     stages = curate_corpus(docs, cfg, word_blocklist=bl,
                            blocked_domains=blocked,

@@ -95,6 +95,9 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
         # one reuse.
         cache_stages=("quality_language", "source_cap", "near_dedup",
                       "decontamination"),
+        # r14: `source` is spent after the cap — keep it out of the
+        # downstream cached frames and the near-dedup/decon subtrees
+        drop_spent_columns=True,
     )
     benchmark = docs.filter(F.col("doc_id") < 5)
     stages = curate_corpus(docs, cfg, benchmark=benchmark)

@@ -218,3 +218,39 @@ def test_bloom_dedup_stage_document_and_paragraph(spark):
                         bloom_ref=(par_bloom, meta))["bloom_dedup"] \
         .collect()[0]
     assert got.text == "fresh opener" and got.n_chars == 12
+
+
+def test_drop_spent_columns_knob(spark):
+    """drop_spent_columns=True removes the url column from stage frames
+    after url_dedup and the host/source column after its LAST consumer
+    (domain blocklist, or source_cap when the share cap is on); row
+    accounting is identical either way. Off by default: every stage
+    frame keeps the input schema."""
+    docs = _crawl_corpus(spark)
+    bl = spark.createDataFrame([("blocked.example",)], "domain string")
+    base = dict(url_dedup=True, block_domains=True, exact_dedup=True,
+                boilerplate=False, quality_filter=True, redact_pii=False,
+                near_dedup=False, decontaminate=False)
+    stages_keep = curate_corpus(docs, CurationConfig(**base),
+                                blocked_domains=bl)
+    stages_drop = curate_corpus(
+        docs, CurationConfig(drop_spent_columns=True, **base),
+        blocked_domains=bl)
+    # identical accounting
+    assert {n: df.count() for n, df in stages_keep.items()} == \
+        {n: df.count() for n, df in stages_drop.items()}
+    # url gone from the url_dedup stage on; host/source gone from the
+    # blocklist stage on (max_source_share unset)
+    assert "url" in stages_keep["url_dedup"].columns
+    assert "url" not in stages_drop["url_dedup"].columns
+    assert "source" in stages_keep["domain_blocklist"].columns
+    assert "source" not in stages_drop["domain_blocklist"].columns
+    assert "source" not in stages_drop["splits"].columns
+
+    # with the share cap on, source survives UNTIL source_cap
+    capped = curate_corpus(
+        docs, CurationConfig(drop_spent_columns=True,
+                             max_source_share=0.9, **base),
+        blocked_domains=bl)
+    assert "source" in capped["domain_blocklist"].columns
+    assert "source" not in capped["source_cap"].columns
