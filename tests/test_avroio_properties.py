@@ -16,6 +16,8 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from apache_pinot_spark.sources import avroio as A  # noqa: E402
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 # -- schema/value strategy pairs (recursion-bounded) -----------------------
 
 _names = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)

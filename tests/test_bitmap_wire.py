@@ -17,6 +17,8 @@ import pytest
 
 from apache_pinot_spark.functions import bitmap_wire as BW
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 def _jser(jvm, bm) -> bytes:
     baos = jvm.java.io.ByteArrayOutputStream()

@@ -12,6 +12,8 @@ import pytest
 
 from tests.conftest import SF_CORRECTNESS
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 def _canon(df_pandas):
     """Sort columns by name, rows by all values → list of tuples."""

@@ -18,6 +18,8 @@ import pytest
 
 from apache_pinot_spark.functions import cpc_wire as W
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 LGKS = (4, 10, 11)
 SIZES = (0, 1, 3, 17, 120, 600, 900, 1500, 5000, 60000)
 

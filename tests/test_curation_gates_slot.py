@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from apache_pinot_spark.operators import textanalysis as tx
 from apache_pinot_spark.operators import urls as U
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 _URLS = [
     "HTTP://WWW.Example.COM:80/path?utm_source=x&b=2&a=1#frag",
     "https://example.com:443/",

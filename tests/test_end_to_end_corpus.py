@@ -13,6 +13,8 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 _PROSE = ("this is a perfectly ordinary paragraph of prose with the "
           "usual common stopwords that real writing always has in it "
           "and it is long enough to pass the quality gates easily ")

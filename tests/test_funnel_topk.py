@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from apache_pinot_spark.operators import funnel as FU
 from apache_pinot_spark.operators import topk as TK
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 STEPS = lambda: [  # noqa: E731 — view -> click -> purchase
     F.col("event_type") == "view",
     F.col("event_type") == "click",

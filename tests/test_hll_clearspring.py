@@ -13,6 +13,8 @@ import pytest
 
 from apache_pinot_spark.functions import hll_clearspring as C
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 # goldens recorded from stream-2.9.8 (com.clearspring.analytics.hash.
 # MurmurHash) so the hash contract holds even where the jar is absent
 _HASH_GOLDENS = [

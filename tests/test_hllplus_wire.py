@@ -14,6 +14,8 @@ import pytest
 
 from apache_pinot_spark.functions import hllplus_wire as W
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 def _stream_lib(spark):
     jvm = spark._jvm

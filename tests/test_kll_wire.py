@@ -13,6 +13,8 @@ import pytest
 
 from apache_pinot_spark.functions import kll_wire as KW
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 _RANKS = (0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
 
 

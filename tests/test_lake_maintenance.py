@@ -13,6 +13,8 @@ from pyspark.sql import Row
 from apache_pinot_spark.sources import delta as D
 from apache_pinot_spark.sources import iceberg as I
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 def _mkdf(spark, rows):
     return spark.createDataFrame([Row(**r) for r in rows])

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from apache_pinot_spark.operators import langid as L
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 # Function-word fixture vocabularies (public knowledge — the highest-
 # frequency closed-class words of each language, diacritics included:
 # char n-grams are the feature, so orthography is signal).

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from apache_pinot_spark.sqlfront import PinotEngine
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 N_SEG = 4
 PER_SEG = 2_000
 OVERLAP = 500  # consecutive segments share this many users

@@ -8,11 +8,15 @@ import re
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from apache_pinot_spark.functions.text import (
     DEFAULT_STOP_WORDS,
     _norm_terms,
     parse_text_expression,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
 
 _WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
 

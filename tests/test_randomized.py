@@ -16,6 +16,10 @@ from apache_pinot_spark.functions import theta as TH
 from apache_pinot_spark.operators import funnel as FU
 from apache_pinot_spark.operators import upsert as U
 from tests.test_funnel_topk import _brute_max_step
+import pytest
+
+
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
 
 # --------------------------------------------------------------------------
 # Batched Spark differentials (seeded random, one job for ~60 cases)

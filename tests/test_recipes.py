@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from apache_pinot_spark.operators import recipes as R
 from apache_pinot_spark.operators.pipeline import curate_corpus
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 def _docs(spark):
     rows = []

@@ -12,6 +12,8 @@ import pytest
 
 from apache_pinot_spark.sqlfront import PinotEngine
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def eng(spark):

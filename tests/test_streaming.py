@@ -15,6 +15,8 @@ from apache_pinot_spark.plans.schema import PinotSchema
 from apache_pinot_spark.sources import batch as B
 from apache_pinot_spark.streaming import realtime as R
 
+pytestmark = pytest.mark.slow  # excluded from the default driver-verify lane (see pytest.ini)
+
 SCHEMA = PinotSchema.from_json(
     {
         "schemaName": "clicks",
