@@ -103,6 +103,35 @@ def _stage_accounting(spark: SparkSession, sf_dir: str):
     stages = curate_corpus(docs, cfg, benchmark=benchmark)
     parts = []
     for i, (name, df) in enumerate(stages.items()):
+        if name == "exact_dedup":
+            # r14 (guide §2.4): the exact-dedup stage is the one uncached
+            # accounting row whose count re-ran the full groupBy+join
+            # survivor selection per action. Its row count has a closed
+            # form — dedupe_exact keeps exactly one row per non-sentinel
+            # fingerprint group (keys are unique) plus every sentinel
+            # (NULL-text) row — so ONE map-side aggregate over the input
+            # scan replaces the corpus-scale shuffle+join. Pinned
+            # identical by test_exact_dedup_count_identity; the stage
+            # FRAME (which downstream stages consume) is unchanged.
+            from apache_pinot_spark.operators.dedup import (
+                NULL_FINGERPRINT,
+                fingerprint_expr,
+            )
+
+            fp = fingerprint_expr("text", None)
+            parts.append(
+                docs.agg(
+                    (F.count_distinct(
+                        F.when(fp != F.lit(NULL_FINGERPRINT), fp))
+                     + F.coalesce(
+                         F.sum(F.when(fp == F.lit(NULL_FINGERPRINT), 1)),
+                         F.lit(0))).alias("rows")
+                ).select(
+                    F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+                    "rows",
+                )
+            )
+            continue
         parts.append(
             df.agg(F.count(F.lit(1)).alias("rows")).select(
                 F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "rows"

@@ -232,3 +232,32 @@ def test_source_cap_stage_and_operator(spark):
                            max_source_share=0.6)
     stages = P.curate_corpus(docs, cfg)
     assert "source_cap" in stages and stages["source_cap"].count() == 50
+
+
+def test_exact_dedup_count_identity(spark):
+    """The pipeline accounting's closed-form exact-dedup row count (one
+    aggregate: distinct non-sentinel fingerprints + sentinel rows) must
+    equal count(dedupe_exact(df)) — including NULL-text rows (kept
+    unconditionally) and duplicate texts (one survivor per group)."""
+    from pyspark.sql import functions as F
+
+    from apache_pinot_spark.operators.dedup import (
+        NULL_FINGERPRINT,
+        dedupe_exact,
+        fingerprint_expr,
+    )
+
+    rows = [
+        (0, "alpha beta"), (1, "alpha beta"), (2, "alpha beta"),  # dup x3
+        (3, "gamma"), (4, None), (5, None),                       # nulls kept
+        (6, ""), (7, ""),                                         # empty is a real group
+        (8, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = fingerprint_expr("text", None)
+    agg = df.agg(
+        (F.count_distinct(F.when(fp != F.lit(NULL_FINGERPRINT), fp))
+         + F.coalesce(F.sum(F.when(fp == F.lit(NULL_FINGERPRINT), 1)),
+                      F.lit(0))).alias("rows")
+    ).collect()[0]["rows"]
+    assert agg == dedupe_exact(df).count() == 6  # alpha, gamma, "", delta + 2 NULLs
