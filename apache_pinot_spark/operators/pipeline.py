@@ -221,11 +221,20 @@ def curate_corpus(
                 # (predicate pushdown sinks filters to the RDD scan, so
                 # repartitioning above the checkpoint cannot fix it —
                 # measured 16 s single-core vs 2 s for the Gopher gate).
+                # _spread, not an unconditional repartition (r14, guide
+                # §2.4): a NARROW stage over an upstream checkpoint (a
+                # pure JVM filter like the Gopher gate) already inherits
+                # the parent's fan-out, and the unconditional
+                # repartition was a full extra shuffle of corpus text
+                # per such stage; _spread's plan probe keeps the
+                # repartition exactly where AQE could have coalesced
+                # (join/aggregate/window upstream) and skips it when the
+                # narrow plan's metadata-only partition count is already
+                # at parallelism.
                 # eager: a lazy checkpoint would be re-executed (and
                 # thrown away) by downstream _spread partition probes
                 # before anything pins it.
-                par = df.sparkSession.sparkContext.defaultParallelism
-                df = df.repartition(par).localCheckpoint(eager=True)
+                df = dedup._spread(df).localCheckpoint(eager=True)
             else:
                 from pyspark import StorageLevel
 
